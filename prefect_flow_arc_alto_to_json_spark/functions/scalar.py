@@ -1,0 +1,59 @@
+"""Scalar column expressions shared across operators — all built-in
+``pyspark.sql.functions`` compositions (JVM-side, codegen-friendly); no
+Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def js_parse_int(col: Column | str) -> Column:
+    """JS ``parseInt`` semantics (reference js:23973-23976): parse a leading
+    optionally-signed integer prefix, NULL when there is none.
+
+    ``parseInt("12px") -> 12``, ``parseInt("abc") -> null`` — a plain Spark
+    ``cast("int")`` would return null for "12px"; the regexp keeps prefix
+    parsing (SURVEY.md §2.2 P6).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    prefix = F.regexp_extract(F.trim(c), r"^[+-]?\d+", 0)
+    return F.when(prefix != "", prefix.cast("int"))
+
+
+def basename(col: Column | str) -> Column:
+    """``os.path.basename(url)`` (flows/main_flow.py:143) as a column expr."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.element_at(F.split(c, "/"), -1)
+
+
+def stable_hash64(col: Column | str) -> Column:
+    """Deterministic unsigned-ish 64-bit-range hash of a string, derived from
+    the low 64 bits of md5 so it is reproducible across engines (DuckDB:
+    ``md5_number_lower``). Returned as DECIMAL(20,0) because the value can
+    exceed signed-bigint range.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    # md5 hex chars 17..32 = low 16 bytes half; DuckDB's md5_number_lower is
+    # the little-endian u64 of bytes 0..7, which equals reversing byte order
+    # of hex chars 1..16. Build the same value: reverse the byte pairs.
+    hexpart = F.substring(F.md5(c), 1, 16)
+    # reverse byte order: pairs (1,2)(3,4)... reversed
+    le_hex = F.concat(
+        *[F.substring(hexpart, i, 2) for i in range(15, 0, -2)]
+    )
+    return F.conv(le_hex, 16, 10).cast("decimal(20,0)")
+
+
+def token_array(col: Column | str, lowercase: bool = True) -> Column:
+    """Whitespace tokenization with empty-token removal — the canonical
+    tokenizer for dedup / text-analysis operators. Pure built-ins so the
+    same semantics are expressible in the DuckDB oracle
+    (``string_split_regex`` + ``list_filter``).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if lowercase:
+        c = F.lower(c)
+    toks = F.split(F.trim(c), r"\s+")
+    return F.filter(toks, lambda t: t != "")

@@ -1,0 +1,41 @@
+"""Query/oracle registry backing ``__spark_entry__.queries()`` /
+``oracle_sql()``.
+
+Contract (driver): each registered callable takes ``(spark, sf_dir)`` and
+returns a DataFrame; the oracle is ANSI SQL DuckDB runs over the same parquet
+tables (pre-registered views). Column names must match exactly — the driver
+sorts columns by name before value-hashing — so every computed column is
+aliased identically on both sides.
+
+Determinism rules used throughout the plans:
+- double-typed outputs are ``round(x, k)`` on BOTH sides (aggregation order
+  across engines differs in last-ulp; rounding removes the hazard);
+- timestamps are formatted to strings (Spark µs vs DuckDB ns precision);
+- every LIMIT/top-k has a total-order tiebreaker;
+- DuckDB ``sum(BIGINT)`` returns HUGEINT → oracles cast back to BIGINT.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a named query plan and (optionally) its DuckDB oracle SQL."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco

@@ -1,0 +1,631 @@
+"""Relational operator surface (SURVEY.md §2.2-§2.8) as named plans.
+
+Each plan is idiomatic DataFrame code — filters/projections reach the parquet
+scan via Catalyst pushdown, small dimensions are broadcast explicitly, and
+aggregations rely on Catalyst's partial (map-side) aggregation. The paired
+DuckDB oracle SQL defines correctness.
+
+Scale notes are inline per query: at 100 TB, lineitem/orders/events are the
+big fact tables (shuffled only on their agg/join keys) while region, nation,
+customer (at TPC-H proportions), part and supplier remain broadcast-able or
+bucket-able dimensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Aggregations (A2/A4) — TPC-H-style pricing summary
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+      ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+      ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+      ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+      ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
+      ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
+      ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+      COUNT(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-scan grouped aggregation (ref's only agg is the transcript concat,
+    flows/main_flow.py:65-70; this is the engine-surface A2 generalization).
+
+    Scale: group key cardinality is tiny (R/A/N x O/F) so partial aggregation
+    collapses ~everything map-side; the shuffle moves only
+    #partitions x #groups rows. Filter pushes to the parquet scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q6_revenue_delta",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective scan + ungrouped aggregate (P2/P4 predicates + A2).
+
+    Scale: all three predicates push down to parquet row-group min/max
+    pruning; no shuffle at all (single global agg = 1-row exchange).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1/J3-J8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT
+      l_orderkey,
+      ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+      o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate  > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join + agg + top-k (J1 equi-join generalized; ref delegates its
+    single join to Postgres, flows/main_flow.py:25).
+
+    Scale: customer (filtered on segment) is the small side — broadcast it
+    into orders, then the orders->lineitem join shuffles on orderkey only.
+    Top-k via global sort+limit: Spark's TakeOrderedAndProject keeps k rows
+    per partition, no full sort materialization.
+    """
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_region_revenue",
+    oracle="""
+    SELECT
+      r_name,
+      n_name,
+      ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      COUNT(*) AS n_lineitems
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY r_name, n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join rollup over the full dimension chain (J3-J5 surface).
+
+    Scale: region/nation/customer are classic broadcast dims (customer at
+    TPC-H SF100k is large, but the *filtered projected* customer
+    (custkey,nationkey) stays far under a bucket-join threshold; here we
+    broadcast region+nation and let AQE pick the customer strategy).
+    Lineitem only shuffles on l_orderkey.
+    """
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    dims = cust.join(
+        F.broadcast(nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@query(
+    "q_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal
+    FROM customer
+    WHERE EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_totalprice > 300000
+    )
+    """,
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (engine surface J8; absent in reference).
+
+    Scale: semi-join never duplicates the probe side; with the selective
+    price filter the build side shrinks enough for AQE to broadcast it.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    big_orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 300000
+    )
+    return (
+        cust.join(big_orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 2).alias("acctbal"),
+        )
+    )
+
+
+@query(
+    "q_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_totalprice > 400000
+    )
+    """,
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (engine surface J8).
+
+    The price filter keeps the result non-empty in the synthetic data
+    (every customer has *some* order) so the oracle check is non-vacuous.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    big_orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 400000
+    )
+    return cust.join(
+        big_orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# Window functions (§2.5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+             ) AS rn
+      FROM orders
+    )
+    WHERE rn <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via ranking window (§2.5/§2.6).
+
+    Scale: one shuffle on the partition key; Spark inserts a rank-limit
+    (WindowGroupLimit) before the sort at the physical level, so only k rows
+    per group survive the exchange input.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "rn",
+        )
+    )
+
+
+@query(
+    "q_window_analytic",
+    oracle="""
+    SELECT
+      event_id,
+      user_id,
+      ROUND(value, 4) AS value,
+      ROUND(LAG(value)  OVER w, 4) AS prev_value,
+      LEAD(event_type) OVER w      AS next_type,
+      ROUND(SUM(value) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ), 2) AS running_value
+    FROM events
+    WHERE user_id < 50
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions: lag/lead + running aggregate (§2.5).
+
+    Scale: single shuffle on user_id serves all three window specs (same
+    partitioning+ordering → one Window physical node).
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round("value", 4).alias("value"),
+        F.round(F.lag("value").over(w), 4).alias("prev_value"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.round(F.sum("value").over(wrun), 2).alias("running_value"),
+    )
+
+
+@query(
+    "q_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT *,
+             CAST(SUM(is_new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS session_seq
+      FROM flagged
+    )
+    SELECT
+      user_id,
+      session_seq,
+      strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+      COUNT(*) AS n_events,
+      ROUND(SUM(value), 2) AS session_value
+    FROM numbered
+    GROUP BY user_id, session_seq
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap) — the batch twin of
+    streaming ``session_window`` (§2.9), built from lag + running sum.
+
+    Scale: both windows and the final groupBy share the user_id
+    partitioning; Spark performs ONE shuffle on user_id and keeps the
+    session assignment pipeline within a stage.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = ev.withColumn(
+        "is_new_session",
+        F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(F.lit(0)),
+    )
+    numbered = flagged.withColumn(
+        "session_seq", F.sum("is_new_session").over(wrun).cast("long")
+    )
+    return numbered.groupBy("user_id", "session_seq").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup (A3), set ops (§2.7), distinct aggs (A2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_rollup_acctbal",
+    oracle="""
+    SELECT
+      r_name,
+      n_name,
+      COUNT(*) AS n_customers,
+      ROUND(SUM(c_acctbal), 2) AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q_rollup_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (A3) over the broadcast dimension chain."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+    )
+
+
+@query(
+    "q_setops_nations",
+    oracle="""
+    SELECT nationkey, tag FROM (
+      SELECT c_nationkey AS nationkey, 'both' AS tag
+      FROM (SELECT c_nationkey FROM customer
+            INTERSECT
+            SELECT s_nationkey FROM supplier) t(c_nationkey)
+      UNION ALL
+      SELECT nationkey, 'customer_only' AS tag
+      FROM (SELECT c_nationkey FROM customer
+            EXCEPT
+            SELECT s_nationkey FROM supplier) t(nationkey)
+      UNION ALL
+      SELECT nationkey, 'supplier_only' AS tag
+      FROM (SELECT s_nationkey FROM supplier
+            EXCEPT
+            SELECT c_nationkey FROM customer) t(nationkey)
+    )
+    """,
+)
+def q_setops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL set algebra (§2.7)."""
+    cust_n = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp_n = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    both = cust_n.intersect(supp_n).withColumn("tag", F.lit("both"))
+    c_only = cust_n.subtract(supp_n).withColumn("tag", F.lit("customer_only"))
+    s_only = supp_n.subtract(cust_n).withColumn("tag", F.lit("supplier_only"))
+    return both.unionByName(c_only).unionByName(s_only)
+
+
+@query(
+    "q_distinct_agg",
+    oracle="""
+    SELECT
+      c_mktsegment,
+      COUNT(*) AS n_customers,
+      COUNT(DISTINCT c_nationkey) AS n_nations,
+      ROUND(AVG(c_acctbal), 2) AS avg_acctbal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped agg with COUNT(DISTINCT) (A2) — Catalyst expands to a
+    two-phase aggregate automatically."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filters / projections / scalar functions (§2.2, §2.8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_filter_project",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, ROUND(p_retailprice, 2) AS retailprice
+    FROM part
+    WHERE p_type LIKE '%O%'
+      AND p_size BETWEEN 10 AND 30
+      AND p_brand <> 'Brand#3'
+    """,
+)
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + equality/LIKE/range predicates (P1-P4; the reference's
+    catalog scan predicates, flows/main_flow.py:23-30, re-expressed).
+
+    Scale: all three predicates and the 4-column projection push into the
+    parquet scan (PushedFilters + ReadSchema pruning).
+    """
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.where(
+            F.col("p_type").like("%O%")
+            & F.col("p_size").between(10, 30)
+            & (F.col("p_brand") != "Brand#3")
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_brand",
+            F.round("p_retailprice", 2).alias("retailprice"),
+        )
+    )
+
+
+@query(
+    "q_scalar_functions",
+    oracle="""
+    SELECT
+      o_orderkey,
+      strftime(o_orderdate, '%Y-%m') AS order_month,
+      CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS price_bucket,
+      o_orderstatus || '-' || SUBSTR(o_orderpriority, 1, 3) AS status_tag,
+      LPAD(CAST(o_orderkey AS VARCHAR), 10, '0') AS key_padded,
+      UPPER(o_orderpriority) AS priority_upper
+    FROM orders
+    WHERE o_orderkey % 97 = 0
+    """,
+)
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function surface (§2.8): date formatting, arithmetic bucketing,
+    string concat/substr/pad/case — all JVM built-ins inside codegen."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.where(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        F.floor(F.col("o_totalprice") / 50000).cast("long").alias("price_bucket"),
+        F.concat_ws(
+            "-", F.col("o_orderstatus"), F.substring("o_orderpriority", 1, 3)
+        ).alias("status_tag"),
+        F.lpad(F.col("o_orderkey").cast("string"), 10, "0").alias("key_padded"),
+        F.upper("o_orderpriority").alias("priority_upper"),
+    )
+
+
+@query(
+    "q_json_extract",
+    oracle="""
+    SELECT
+      event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON extraction (§2.8 from_json/get_json_object — the
+    engine-side twin of the reference's json.loads, flows/main_flow.py:68)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+    )
+
+
+@query(
+    "q_hourly_events",
+    oracle="""
+    SELECT
+      strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+      event_type,
+      COUNT(*) AS n_events,
+      ROUND(SUM(value), 2) AS total_value,
+      ROUND(AVG(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation in batch form (§2.9 twin of
+    Structured Streaming ``window(ts, '1 hour')``)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
