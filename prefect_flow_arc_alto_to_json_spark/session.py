@@ -22,6 +22,25 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _export_package_path() -> str:
+    """Make this package importable on executor Python workers regardless of
+    the driver's cwd: prepend the repo dir to PYTHONPATH *before* the JVM
+    starts (local-mode workers inherit it). On a real cluster the same dir
+    is shipped via --py-files / container image; this keeps the local
+    contract identical."""
+    import sys
+
+    repo_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo_dir not in sys.path:
+        sys.path.insert(0, repo_dir)
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_dir not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{repo_dir}{os.pathsep}{existing}" if existing else repo_dir
+        )
+    return repo_dir
+
+
 def get_spark(
     app_name: str = "prefect_flow_arc_alto_to_json_spark",
     master: str | None = None,
@@ -29,6 +48,7 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with scale-appropriate defaults."""
+    repo_dir = _export_package_path()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)
@@ -56,6 +76,8 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # Keep driver results small by default; operators never collect.
         .config("spark.driver.maxResultSize", "2g")
+        # Belt-and-braces with _export_package_path for executor imports.
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

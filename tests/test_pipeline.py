@@ -1,0 +1,162 @@
+"""End-to-end pipeline test (SURVEY.md §5.3): parquet catalog fixture →
+file:// fetch → parse → transcript → object sink + DB-API sinks + watermark
+advance. Mirrors flows/main_flow.py:136-153 semantics, including filter
+behavior and incremental mode.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import sqlite3
+
+import pytest
+from pyspark.sql import functions as F
+
+from prefect_flow_arc_alto_to_json_spark.pipeline import (
+    PipelineConfig,
+    catalog_scan,
+    run_pipeline,
+)
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def _url(name: str) -> str:
+    return f"file://{FIXTURES}/{name}.xml"
+
+
+@pytest.fixture()
+def catalog(tmp_path, spark):
+    ts = lambda d: datetime.datetime(2024, 1, d)  # noqa: E731
+    rows = [
+        # id, representation_id, url, mime, schema_name, updated_at
+        ("f1", "rep1", _url("alto_v2"), "application/xml", "schema_alto_v2", ts(10)),
+        ("f2", "rep2", _url("alto_v3"), "application/xml", "alto", ts(12)),
+        ("f3", "rep3", _url("alto_v2"), "image/tiff", "alto", ts(12)),          # wrong mime
+        ("f4", "rep4", _url("alto_v2"), "application/xml", "mets", ts(12)),     # not alto
+        ("f5", "rep5", _url("alto_v2"), "application/xml", "alto", ts(2)),      # stale
+        ("f6", "rep6", _url("alto_unsupported_ns"), "application/xml", "alto", ts(13)),
+        ("f7", "rep7", "file:///does/not/exist.xml", "application/xml", "alto", ts(13)),
+        ("f8", "rep8", _url("alto_v2"), "application/xml", "alto", ts(14)),     # not in includes
+    ]
+    file_df = spark.createDataFrame(
+        rows,
+        "id string, representation_id string, premis_stored_at string,"
+        "ebucore_has_mime_type string, schema_name string, updated_at timestamp",
+    )
+    includes = spark.createDataFrame(
+        [(i,) for i in ["f1", "f2", "f3", "f4", "f5", "f6", "f7"]], "file_id string"
+    )
+    cat_dir = str(tmp_path / "catalog")
+    file_df.write.parquet(os.path.join(cat_dir, "file.parquet"))
+    includes.write.parquet(os.path.join(cat_dir, "includes.parquet"))
+    return cat_dir
+
+
+def test_catalog_scan_filters(spark, catalog):
+    # full scan: mime + schema LIKE + includes-join survive → f1,f2,f5,f6,f7
+    df = catalog_scan(spark, catalog, since=None, full_sync=True)
+    assert sorted(r["representation_id"] for r in df.collect()) == [
+        "rep1",
+        "rep2",
+        "rep5",
+        "rep6",
+        "rep7",
+    ]
+    # incremental: stale f5 drops out
+    df2 = catalog_scan(spark, catalog, since="2024-01-05", full_sync=False)
+    assert "rep5" not in {r["representation_id"] for r in df2.collect()}
+
+
+def test_pipeline_end_to_end(spark, catalog, tmp_path):
+    objects_dir = str(tmp_path / "objects")
+    db_path = str(tmp_path / "sink.db")
+    conn = sqlite3.connect(db_path)
+    conn.execute("CREATE TABLE representation (id TEXT PRIMARY KEY, schema_transcript TEXT)")
+    conn.execute(
+        "CREATE TABLE schema_transcript_url (representation_id TEXT, schema_transcript_url TEXT)"
+    )
+    for rep in ["rep1", "rep2", "rep5", "rep6", "rep7"]:
+        conn.execute("INSERT INTO representation (id) VALUES (?)", (rep,))
+    conn.commit()
+    conn.close()
+
+    cfg = PipelineConfig(
+        catalog_dir=catalog,
+        objects_target=objects_dir,
+        s3_endpoint="https://s3.local",
+        s3_bucket="alto-json",
+        watermark_dir=str(tmp_path / "wm"),
+        full_sync=True,
+    )
+    factory = lambda: sqlite3.connect(db_path)  # noqa: E731
+    counts = run_pipeline(
+        spark,
+        cfg,
+        representation_conn_factory=factory,
+        transcript_url_conn_factory=factory,
+    )
+    # rep1,rep2,rep5 ok; rep6 unsupported ns; rep7 fetch error
+    assert counts == {"processed": 3, "failed": 2}
+
+    # object sink: one pretty JSON per processed doc, key = basename + .json
+    names = sorted(os.listdir(objects_dir))
+    assert names == ["alto_v2.xml.json", "alto_v3.xml.json"]  # rep1/rep5 same key
+    payload = json.loads(open(os.path.join(objects_dir, "alto_v2.xml.json")).read())
+    assert [t["text"] for t in payload["text"]] == ["Hello", "world", "again", "block2"]
+
+    # UPDATE sink parity (flows/main_flow.py:95-97)
+    conn = sqlite3.connect(db_path)
+    got = dict(conn.execute("SELECT id, schema_transcript FROM representation").fetchall())
+    assert got["rep1"] == "Hello world again block2"
+    assert got["rep2"] == "Bonjour  monde"
+    assert got["rep6"] is None and got["rep7"] is None
+    # INSERT sink (flows/main_flow.py:100-103)
+    urls = dict(
+        conn.execute(
+            "SELECT representation_id, schema_transcript_url FROM schema_transcript_url"
+        ).fetchall()
+    )
+    assert urls["rep1"] == "https://s3.local/alto-json/alto_v2.xml.json"
+    conn.close()
+
+    # watermark advanced to max(updated_at) of the run
+    from prefect_flow_arc_alto_to_json_spark.streaming.watermark import WatermarkStore
+
+    assert WatermarkStore(str(tmp_path / "wm")).load() == "2024-01-13"
+
+
+def test_incremental_second_run_skips_old(spark, catalog, tmp_path):
+    cfg = PipelineConfig(
+        catalog_dir=catalog,
+        objects_target=str(tmp_path / "objects"),
+        watermark_dir=str(tmp_path / "wm"),
+        full_sync=True,
+    )
+    run_pipeline(spark, cfg)
+    # second run: watermark = 2024-01-13 → only rep6/rep7 (updated 01-13) qualify
+    cfg2 = PipelineConfig(
+        catalog_dir=catalog,
+        objects_target=str(tmp_path / "objects2"),
+        watermark_dir=str(tmp_path / "wm"),
+        full_sync=False,
+    )
+    counts = run_pipeline(spark, cfg2)
+    assert counts == {"processed": 0, "failed": 2}
+
+
+def test_fetch_error_isolation(spark):
+    """A bad URL must produce an error row, not a task failure."""
+    from prefect_flow_arc_alto_to_json_spark.sources.fetch import fetch_urls
+
+    df = spark.createDataFrame(
+        [("a", _url("alto_v2")), ("b", "file:///nope.xml"), ("c", None)],
+        "id string, premis_stored_at string",
+    )
+    out = fetch_urls(df).collect()
+    by_id = {r["id"]: r for r in out}
+    assert by_id["a"]["body"] and by_id["a"]["fetch_error"] is None
+    assert by_id["b"]["body"] is None and "FileNotFoundError" in by_id["b"]["fetch_error"]
+    assert by_id["c"]["fetch_error"] == "null url"
