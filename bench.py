@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized with the `noop` datasource writer — full plan
+execution JVM-side, zero driver collection cost — after one warmup pass of
+the first query to absorb JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from prefect_flow_arc_alto_to_json_spark.plans import QUERIES  # noqa: E402
+from prefect_flow_arc_alto_to_json_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family (relational scan/join/agg, window,
+# sessionization, top-k, set ops, JSON, ALTO document path, dedup family,
+# text analysis, similarity search).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q_topk_per_group",
+    "q_window_analytic",
+    "q_sessionize",
+    "q_hourly_events",
+    "alto_simplify",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "sim_brute_topk",
+    "sim_lsh_topk",
+]
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench")
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    names = [n for n in HEADLINE if n in QUERIES]
+
+    # Warmup: run the first query once to pay JVM / codegen / parquet-footer
+    # costs outside the timed region.
+    _materialize(QUERIES[names[0]](spark, SF_DIR))
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        _materialize(QUERIES[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

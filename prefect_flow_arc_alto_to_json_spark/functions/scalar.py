@@ -35,14 +35,10 @@ def stable_hash64(col: Column | str) -> Column:
     exceed signed-bigint range.
     """
     c = F.col(col) if isinstance(col, str) else col
-    # md5 hex chars 17..32 = low 16 bytes half; DuckDB's md5_number_lower is
-    # the little-endian u64 of bytes 0..7, which equals reversing byte order
-    # of hex chars 1..16. Build the same value: reverse the byte pairs.
-    hexpart = F.substring(F.md5(c), 1, 16)
-    # reverse byte order: pairs (1,2)(3,4)... reversed
-    le_hex = F.concat(
-        *[F.substring(hexpart, i, 2) for i in range(15, 0, -2)]
-    )
+    # DuckDB's md5_number_lower(s) is the little-endian u64 of md5 bytes
+    # 8..15 — i.e. hex chars 17..32 with byte pairs reversed.
+    hexpart = F.substring(F.md5(c), 17, 16)
+    le_hex = F.concat(*[F.substring(hexpart, i, 2) for i in range(15, 0, -2)])
     return F.conv(le_hex, 16, 10).cast("decimal(20,0)")
 
 

@@ -1,1 +1,398 @@
-"""Placeholder — populated in this round."""
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, each chosen for a different scale/recall trade-off:
+
+- **exact**        hash-groupBy on normalized text — one shuffle on a 64-bit
+                   key; the 100 TB default first pass.
+- **MinHash+LSH**  shingle → k minhashes → b bands → bucket self-join.
+                   Candidate generation is linear in corpus size (band
+                   buckets), never a cross join.
+- **SimHash**      32-bit locality hash + chunk-banding (pigeonhole: ham≤3 ⇒
+                   one of 4 byte-chunks equal) → verify with bit_count(xor).
+- **n-gram Jaccard** exact shingle-set similarity via explode + shingle-join
+                   + group count (pairs meet only through shared shingles —
+                   quadratic only within a shingle's posting list).
+
+Everything is built-in column expressions (JVM/codegen; zero Python UDFs),
+and every hash derives from md5 (functions.scalar.stable_hash64) so DuckDB
+oracles can reproduce values bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scalar import stable_hash64, token_array
+
+#: Mersenne prime 2^31-1: (a*h+b) % P stays < 2^62 → safe in bigint.
+MINHASH_PRIME = 2147483647
+#: 32 hash functions → 8 bands x 4 rows: LSH threshold ≈ (1/8)^(1/4) ≈ 0.59.
+MINHASH_BANDS = 8
+MINHASH_ROWS = 4
+#: Deterministic (a, b) parameters (python random.Random(7), hardcoded so
+#: Spark and the DuckDB oracle share them as literals).
+MINHASH_PARAMS = (
+    (695425565, 2035525362),
+    (323946140, 847876999),
+    (1397871145, 103694312),
+    (155555738, 1763673106),
+    (1150797846, 202142728),
+    (785310973, 1251527726),
+    (124551739, 1953574602),
+    (1089709947, 461060838),
+    (80521325, 184570285),
+    (931247022, 898017869),
+    (150013384, 516819858),
+    (194804717, 1183364967),
+    (911648020, 126938843),
+    (1775651416, 1214302567),
+    (265862674, 2034632750),
+    (479402029, 1354258844),
+    (1347402587, 1251976312),
+    (2035189461, 132847736),
+    (1239319144, 1257440634),
+    (851864843, 106492238),
+    (2096491879, 474769608),
+    (100035545, 1195428767),
+    (1843546982, 285990742),
+    (621931212, 900094241),
+    (309785427, 1161114102),
+    (252956897, 1226027820),
+    (662459677, 1203143340),
+    (1752618008, 1464589642),
+    (388106950, 221310449),
+    (1248976841, 1226652084),
+    (1372056228, 403449954),
+    (799717634, 209230569),
+)
+
+SIMHASH_MOD = 4294967296  # 32-bit simhash
+SIMHASH_CHUNKS = 4        # 4 byte-chunks → guarantees recall at hamming ≤ 3
+SIMHASH_MAX_HAMMING = 3
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical dedup normalization: lowercase, trim, collapse whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text (array<string>).
+
+    Documents shorter than ``n`` tokens produce an empty array (they can
+    only be exact-deduped, matching common practice)."""
+    toks = token_array(col)
+    k = F.size(toks) - (n - 1)
+    grams = F.when(k >= 1, F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def shingle_hashes(shingle_col: Column) -> Column:
+    """array<long> of 31-bit stable shingle hashes (md5-derived →
+    reproducible in the DuckDB oracle)."""
+    return F.transform(
+        shingle_col,
+        lambda s: F.pmod(stable_hash64(s), F.lit(MINHASH_PRIME)).cast("long"),
+    )
+
+
+def minhash_signature(hash_col: Column, k: int = len(MINHASH_PARAMS)) -> Column:
+    """array<long> signature: sig[i] = min over shingles of (a_i*h+b_i)%P.
+
+    Empty shingle set → all-P sentinel values (never matches a real doc).
+    """
+
+    def affine(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
+
+    return F.array(
+        *[
+            F.coalesce(
+                F.array_min(F.transform(hash_col, affine(a, b))),
+                F.lit(MINHASH_PRIME).cast("long"),
+            )
+            for a, b in MINHASH_PARAMS[:k]
+        ]
+    )
+
+
+def with_minhash(
+    df: DataFrame, text_col: str = "text", n: int = 3, out_col: str = "minhash"
+) -> DataFrame:
+    """Append the minhash signature column (narrow, shuffle-free).
+
+    The shingle-hash array is materialized in its own projection first:
+    `minhash_signature` references it 32 times (one per hash function), and
+    inlining would re-run the md5-per-shingle subtree 32x per row — Catalyst
+    keeps non-cheap multi-referenced aliases in a separate Project, making
+    the expensive hashing a single pass."""
+    staged = df.withColumn("__sh", shingle_hashes(shingles(text_col, n)))
+    return staged.withColumn(out_col, minhash_signature(F.col("__sh"))).drop("__sh")
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups on normalized text.
+
+    Returns (text_hash, keeper_id, n_dups). Scale: the only shuffle is the
+    groupBy on a 64-bit hash — never on the text bytes themselves; partial
+    aggregation collapses per-partition duplicates map-side.
+    """
+    return (
+        df.select(
+            stable_hash64(normalize_text(text_col)).alias("text_hash"),
+            F.col(id_col),
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def _bands_df(df: DataFrame, id_col: str, sig_col: str = "minhash") -> DataFrame:
+    """(id, band_idx, band_hash): hash each r-row slice of the signature."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_idx"),
+                stable_hash64(
+                    F.concat_ws(
+                        ",",
+                        F.lit(str(j)),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at(F.col(sig_col), j * MINHASH_ROWS + r + 1).cast("string")
+                                for r in range(MINHASH_ROWS)
+                            ],
+                        ),
+                    )
+                ).alias("band_hash"),
+            )
+            for j in range(MINHASH_BANDS)
+        ]
+    )
+    return df.select(F.col(id_col), F.explode(bands).alias("b")).select(
+        id_col, "b.band_idx", "b.band_hash"
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash LSH.
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b and signature-estimated
+    jaccard ≥ threshold.
+
+    Scale: the self-join is on (band_idx, band_hash) — only docs sharing a
+    band bucket ever meet, so cost is Σ bucket² not corpus². Skewed buckets
+    (boilerplate shingles) are the known hazard → AQE skew-join handles
+    moderate skew; pathological buckets should be frequency-capped upstream.
+    """
+    # Persist the narrow (id, signature) relation: it feeds the band
+    # explode AND both sides of the candidate verification join — without
+    # it the md5 signature pass runs 3x. At 100 TB this is the relation
+    # you'd checkpoint to parquet; signatures are ~260 B/doc.
+    sigs = (
+        with_minhash(df.select(id_col, text_col), text_col, n)
+        .select(id_col, "minhash")
+        .persist()
+    )
+    bands = _bands_df(sigs, id_col)
+    left = bands.select(
+        F.col(id_col).alias("id_a"), "band_idx", "band_hash"
+    )
+    right = bands.select(
+        F.col(id_col).alias("id_b"), "band_idx", "band_hash"
+    )
+    cand = (
+        left.join(right, ["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("sig_b"))
+    k = len(MINHASH_PARAMS)
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
+        )
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(matches / F.lit(float(k)), 6).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram-shingle Jaccard pairs ≥ threshold.
+
+    Pairs materialize only through the shingle-posting join (explode +
+    self-join on shingle hash + group count), so complexity follows shared
+    shingles, not corpus². The |A∪B| denominator comes from per-doc shingle
+    counts joined back in — no second pass over text.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingle_hashes(shingles(text_col, n))).alias("sh")
+    ).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "sh")
+    b = sh.select(F.col(id_col).alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def _rehash32(hashes: Column) -> Column:
+    """Rehash each 31-bit shingle hash to 32 well-mixed bits ONCE — md5 is
+    the expensive part; keep it to 1 per shingle, not 1 per shingle-bit."""
+    return F.transform(
+        hashes,
+        lambda h: F.pmod(stable_hash64(h.cast("string")), F.lit(SIMHASH_MOD)).cast(
+            "long"
+        ),
+    )
+
+
+def _bit_vote(h32: Column, total: Column) -> Column:
+    """Majority vote per bit over the rehashed shingle hashes (array HOFs,
+    shuffle-free)."""
+
+    def bit_set(b: int):
+        return lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
+
+    return sum(
+        (
+            F.when(F.size(F.filter(h32, bit_set(b))) * 2 > total, F.lit(2**b)).otherwise(
+                F.lit(0)
+            )
+            for b in range(32)
+        ),
+        F.lit(0),
+    ).cast("long")
+
+
+def simhash(col: Column | str, text_mode: bool = True) -> Column:
+    """32-bit SimHash of a document as a single column expression.
+
+    NOTE: as one expression tree the md5 subtree appears once per bit (32x)
+    and Catalyst will not CSE through the lambdas — use :func:`with_simhash`
+    anywhere performance matters; this form exists for expression-level
+    composition and tests."""
+    hashes = (
+        shingle_hashes(shingles(col, 3)) if text_mode else (F.col(col) if isinstance(col, str) else col)
+    )
+    return _bit_vote(_rehash32(hashes), F.size(hashes))
+
+
+def with_simhash(
+    df: DataFrame, text_col: str = "text", out_col: str = "simhash"
+) -> DataFrame:
+    """Append the 32-bit SimHash column, computing the expensive md5 shingle
+    hashing exactly once per row: the shingle-hash and rehash arrays are
+    materialized in their own projections (multi-referenced non-cheap
+    aliases are never inlined by CollapseProject), so the 32 bit-vote
+    traversals run over a computed array, not 32 copies of the md5 subtree.
+    """
+    staged = df.withColumn(
+        "__sh", shingle_hashes(shingles(text_col, 3))
+    ).withColumn("__h32", _rehash32(F.col("__sh")))
+    return staged.withColumn(
+        out_col, _bit_vote(F.col("__h32"), F.size(F.col("__sh")))
+    ).drop("__sh", "__h32")
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+) -> DataFrame:
+    """Near-dup pairs with simhash hamming distance ≤ max_hamming.
+
+    Candidate generation by byte-chunk banding (pigeonhole: with 4 chunks
+    and ham ≤ 3, at least one chunk is identical) — the self-join key is
+    (chunk_idx, chunk_value), never the full corpus cross product.
+    """
+    sh = (
+        with_simhash(df.select(id_col, text_col), text_col, "sh")
+        .select(id_col, "sh")
+        .persist()
+    )
+    chunks = sh.select(
+        id_col,
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("chunk_idx"),
+                        F.shiftright("sh", 8 * j).bitwiseAND(F.lit(255)).alias("chunk"),
+                    )
+                    for j in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "sh", "c.chunk_idx", "c.chunk")
+    a = chunks.select(
+        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), "chunk_idx", "chunk"
+    )
+    b = chunks.select(
+        F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), "chunk_idx", "chunk"
+    )
+    return (
+        a.join(b, ["chunk_idx", "chunk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

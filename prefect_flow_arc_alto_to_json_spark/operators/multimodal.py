@@ -1,1 +1,138 @@
-"""Placeholder — populated in this round."""
+"""Multimodal column operators: image/audio/video as opaque ``binary``
+payloads + typed metadata structs (schemas.MULTIMODAL_ASSET_SCHEMA), with
+Arrow-batched pandas UDF plumbing for decode / feature-extract / resize /
+frame-sample.
+
+The decode kernels themselves are STUBBED (this container has no
+image/audio libraries — see ``set_decoder``): the Spark-side contract —
+schema, batch shape, partitioning, error isolation — is real and tested
+with a deterministic fake decoder. Swapping in PIL/ffmpeg later changes
+one function, not the plan.
+
+Scale notes: payloads ride the columnar path as Arrow binary buffers; the
+``mapInPandas`` boundary streams batches (maxRecordsPerBatch controls peak
+memory — at 4K-image scale, lower it). Feature extraction is narrow; only
+the optional dedup-by-phash step shuffles, and only on a 64-bit key.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_DIM = 16
+
+#: decoder(payload bytes, modality str) -> np.ndarray[float32] feature vec.
+#: Default: deterministic fake (md5-seeded) standing in for a real
+#: image/audio model; replace via set_decoder.
+_decoder: Callable[[bytes, str], np.ndarray] | None = None
+
+
+def default_fake_decoder(payload: bytes, modality: str) -> np.ndarray:
+    """Deterministic stand-in 'decode + embed': hash-seeded pseudo-features.
+
+    NOT a real decoder — it exists so the distributed plumbing (schema,
+    batching, ordering, null handling) is testable in this container.
+    """
+    if payload is None:
+        raise ValueError("null payload")
+    digest = hashlib.md5(modality.encode() + b":" + payload).digest()
+    raw = np.frombuffer((digest * ((FEATURE_DIM * 4) // len(digest) + 1))[: FEATURE_DIM * 4], dtype=np.uint32)
+    return (raw.astype(np.float64) / np.iinfo(np.uint32).max).astype(np.float32)
+
+
+def set_decoder(fn: Callable[[bytes, str], np.ndarray] | None) -> None:
+    """Install a real decode/feature kernel (e.g. PIL + CLIP). ``None``
+    restores the deterministic fake."""
+    global _decoder
+    _decoder = fn
+
+
+def extract_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    modality_col: str = "modality",
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """(asset_id, feature array<float>, feature_dim, decode_error) via
+    Arrow-batched mapInPandas; a corrupt payload yields an error row, never
+    a task failure (same isolation policy as sources/fetch.py)."""
+    out_schema = (
+        f"{id_col} long, feature array<float>, feature_dim int, decode_error string"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _decoder or default_fake_decoder
+        for pdf in batches:
+            ids, feats, dims, errs = [], [], [], []
+            for aid, payload, modality in zip(
+                pdf[id_col], pdf[payload_col], pdf[modality_col]
+            ):
+                ids.append(aid)
+                try:
+                    vec = decode(bytes(payload) if payload is not None else None, modality)
+                    feats.append([float(x) for x in vec])
+                    dims.append(len(vec))
+                    errs.append(None)
+                except Exception as exc:  # noqa: BLE001
+                    feats.append(None)
+                    dims.append(None)
+                    errs.append(f"{type(exc).__name__}: {exc}")
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "feature": feats,
+                    "feature_dim": dims,
+                    "decode_error": errs,
+                }
+            )
+
+    return df.select(id_col, payload_col, modality_col).mapInPandas(
+        run, schema=out_schema
+    )
+
+
+def payload_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Pure-JVM metadata pass: size, md5 — binary columns work with
+    built-ins, no decode needed (this is the cheap 100 TB-scale triage
+    query: corrupt/empty/duplicate payloads fall out of this alone)."""
+    return df.withColumn("payload_bytes", F.length(F.col(payload_col))).withColumn(
+        "payload_md5", F.md5(F.col(payload_col))
+    )
+
+
+def dedup_by_payload(df: DataFrame, id_col: str = "asset_id", payload_col: str = "payload") -> DataFrame:
+    """Exact binary dedup: group on md5(payload), keep min id. The only
+    shuffle key is the 128-bit digest string."""
+    return (
+        df.select(F.md5(F.col(payload_col)).alias("payload_md5"), F.col(id_col))
+        .groupBy("payload_md5")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def frame_sample_plan(
+    df: DataFrame,
+    every_n_ms: int = 1000,
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """Video frame-sampling *plan*: explode each video into (asset_id,
+    frame_ts_ms) rows from its duration metadata — the decode of each frame
+    is then a per-row kernel like extract_features. Pure built-ins: the
+    expensive part (decode) stays isolated behind the same UDF boundary."""
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("meta.duration_ms") - 1, F.lit(0)),
+                F.lit(every_n_ms),
+            )
+        ).alias("frame_ts_ms"),
+    )

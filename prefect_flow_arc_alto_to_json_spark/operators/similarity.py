@@ -1,1 +1,215 @@
-"""Placeholder — populated in this round."""
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, mirroring a production ANN stack:
+
+- **brute force** — exact cosine top-k: broadcast the (small) query set
+  against the corpus, score with JVM array HOFs, rank with a window. The
+  correctness baseline every approximate method is judged against.
+- **random-hyperplane LSH** — sign-pattern bucketing: 2^P buckets from P
+  fixed hyperplanes; queries only score their own bucket. Linear-scan →
+  bucket-join turns a 100 TB corpus scan per query into a bucket-cardinality
+  probe; recall is tunable via P and multi-probe (flip one bit).
+
+All arithmetic in double (cast once from float32) so results reproduce in
+the DuckDB oracle exactly; no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Deterministic hyperplanes: plane p, dim d → hash-derived value in [-1, 1].
+#: Generated arithmetically (no RNG at runtime) so the oracle can rebuild
+#: the same planes from the same formula.
+LSH_PLANES = 8
+EMB_DIM = 64
+
+
+def _plane_component(p: int, d: int) -> float:
+    # simple deterministic pseudo-random in [-1,1): fractional part of
+    # sin-free integer mix, kept engine-portable (pure arithmetic).
+    v = (1103515245 * (p * EMB_DIM + d + 1) + 12345) % 2147483648
+    return (v / 1073741824.0) - 1.0
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _as_double(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of every query against the corpus.
+
+    Returns (query_id, neighbor_id, cosine, rank), self-matches excluded.
+
+    Scale: ``broadcast(queries)`` makes this a map-side nested loop over
+    corpus partitions — no corpus shuffle; the window ranks |queries|·k
+    rows after a partial per-partition top-k (WindowGroupLimit).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cvec")
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _bucket(vec: Column, planes: int = LSH_PLANES) -> Column:
+    """LSH bucket id: bit p set iff dot(vec, plane_p) > 0."""
+    bits = [
+        F.when(
+            sum(
+                (
+                    F.element_at(vec, d + 1) * F.lit(_plane_component(p, d))
+                    for d in range(EMB_DIM)
+                ),
+                F.lit(0.0),
+            )
+            > 0,
+            F.lit(2**p),
+        ).otherwise(F.lit(0))
+        for p in range(planes)
+    ]
+    return sum(bits[1:], bits[0]).cast("int")
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe: bool = True,
+    planes: int = LSH_PLANES,
+) -> DataFrame:
+    """Approximate cosine top-k: score only corpus vectors in the query's
+    LSH bucket (plus, with ``multiprobe``, the P neighboring buckets at
+    hamming distance 1 — the standard recall/cost dial).
+
+    Scale: corpus is bucketed once (narrow) and joined on bucket id — the
+    per-query cost drops from |corpus| to E[bucket]·(1+P). The same
+    bucketing column can be a partition/bucket-by key on disk, making the
+    probe a partition-pruned scan.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cvec")
+    ).withColumn("bucket", _bucket(F.col("cvec"), planes))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qvec")
+    ).withColumn("qbucket", _bucket(F.col("qvec"), planes))
+    if multiprobe:
+        probes = F.array(
+            F.col("qbucket"),
+            *[
+                F.col("qbucket").bitwiseXOR(F.lit(2**p)).cast("int")
+                for p in range(planes)
+            ],
+        )
+        q = q.select("query_id", "qvec", F.explode(probes).alias("bucket"))
+    else:
+        q = q.select("query_id", "qvec", F.col("qbucket").alias("bucket"))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cosine"),
+        )
+        .distinct()  # multiprobe can surface a neighbor via several buckets
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = LSH_PLANES,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ t).
+
+    Bucketed via the same LSH so the self-join never goes quadratic; at
+    threshold ≥ 0.95 near-dups almost always share a bucket (small angle),
+    multiprobe covers the boundary cases.
+    """
+    c = df.select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("vec")
+    ).withColumn("bucket", _bucket(F.col("vec"), planes))
+    probes = F.explode(
+        F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(2**p)).cast("int")
+                for p in range(planes)
+            ],
+        )
+    ).alias("probe_bucket")
+    a = c.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), probes
+    )
+    b = c.select(
+        F.col("id").alias("id_b"),
+        F.col("vec").alias("vec_b"),
+        F.col("bucket").alias("probe_bucket"),
+    )
+    return (
+        a.join(b, "probe_bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "vec_a", "vec_b")
+        .distinct()
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

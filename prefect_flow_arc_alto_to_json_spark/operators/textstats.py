@@ -1,1 +1,134 @@
-"""Placeholder — populated in this round."""
+"""Text-analysis operators: token stats, quality scoring, language ID,
+document fingerprinting — the per-document scoring pass of a training-data
+pipeline.
+
+All pure built-in column expressions (codegen, shuffle-free, linear scans):
+at 100 TB this pass is IO-bound, exactly as it should be.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..functions.scalar import stable_hash64, token_array
+from .dedup import normalize_text, shingle_hashes, shingles
+
+# Tiny per-language stopword lists — enough for a deterministic n-gram-free
+# heuristic; real pipelines would swap in fastText-style models via a pandas
+# UDF (same operator shape).
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with", "as"),
+    "fr": ("le", "la", "les", "et", "de", "un", "une", "que", "pour", "dans"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "auf"),
+    "es": ("el", "la", "los", "y", "de", "que", "en", "un", "por", "con"),
+}
+#: Deterministic priority for score ties (mirrored in the SQL oracle).
+LANG_PRIORITY = ("en", "fr", "de", "es")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(token_array(col))
+
+
+def char_stats(col: Column | str) -> dict[str, Column]:
+    """Ratios over raw characters; each is a single regexp_count —
+    JVM-side, no Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c).cast("double")
+    safe_n = F.when(n > 0, n)
+    return {
+        "n_chars": F.length(c),
+        "alpha_ratio": F.round(F.regexp_count(c, F.lit(r"[A-Za-z]")) / safe_n, 6),
+        "digit_ratio": F.round(F.regexp_count(c, F.lit(r"[0-9]")) / safe_n, 6),
+        "punct_ratio": F.round(
+            F.regexp_count(c, F.lit(r"[!-/:-@\[-`{-~]")) / safe_n, 6
+        ),
+        "space_ratio": F.round(F.regexp_count(c, F.lit(r"\s")) / safe_n, 6),
+    }
+
+
+def mean_token_length(col: Column | str) -> Column:
+    toks = token_array(col)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return F.round(
+        F.when(F.size(toks) > 0, total / F.size(toks).cast("double")), 6
+    )
+
+
+def stopword_hits(col: Column | str, lang: str) -> Column:
+    """Occurrence count of the language's stopwords (not just distinct)."""
+    toks = token_array(col)
+    stop = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+
+
+def language_id(col: Column | str) -> Column:
+    """Heuristic language ID: highest stopword hit-rate wins; ties resolve
+    by LANG_PRIORITY order; no hits at all → 'und' (undetermined)."""
+    toks_n = token_count(col).cast("double")
+    scores = {lang: stopword_hits(col, lang) for lang in LANG_PRIORITY}
+    expr = F.lit("und")
+    # build the CASE chain in reverse priority so earlier langs win ties
+    best = F.greatest(*[scores[lang] for lang in LANG_PRIORITY])
+    for lang in reversed(LANG_PRIORITY):
+        expr = F.when(
+            (scores[lang] > 0) & (scores[lang] == best), F.lit(lang)
+        ).otherwise(expr)
+    return F.when(toks_n > 0, expr).otherwise(F.lit("und"))
+
+
+def _ratio_micro(numer: Column, denom: Column) -> Column:
+    """Half-up round(1e6 * numer / denom) in exact integer arithmetic
+    (denom > 0). Cross-engine deterministic: float rounding at a decimal
+    boundary differs between engines; integer floor-division never does.
+    The division is exact (numerator is made an exact multiple first), so
+    the one double op introduces no error (values < 2^53)."""
+    num = numer.cast("long") * F.lit(2000000).cast("long") + denom.cast("long")
+    den = denom.cast("long") * 2
+    return ((num - F.pmod(num, den)) / den).cast("long")
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length sweet-spot, alpha-dominant,
+    moderate punctuation, reasonable mean word length. Computed entirely in
+    integer micro-units (1e-6) so the result double is bit-identical across
+    engines — no float-rounding boundary hazard (the oracle mirrors each
+    clause in the same integer arithmetic)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c).cast("long")
+    a = F.regexp_count(c, F.lit(r"[A-Za-z]")).cast("long")
+    p = F.regexp_count(c, F.lit(r"[!-/:-@\[-`{-~]")).cast("long")
+    toks = token_array(c)
+    ntok = F.size(toks).cast("long")
+    sumlen = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+
+    length_u = F.when((ntok >= 10) & (ntok <= 5000), F.lit(1000000)).otherwise(
+        F.when(ntok > 0, F.lit(500000)).otherwise(F.lit(0))
+    )
+    alpha_u = F.when(n > 0, _ratio_micro(a, n)).otherwise(F.lit(0))
+    punct_u = F.when(n > 0, _ratio_micro(p, n)).otherwise(F.lit(0))
+    mwl_u = F.when(ntok > 0, _ratio_micro(sumlen, ntok))
+    punct_pen_u = F.when(punct_u > 200000, F.lit(0)).otherwise(F.lit(1000000))
+    mwl_ok_u = F.when(
+        (mwl_u >= 3000000) & (mwl_u <= 12000000), F.lit(1000000)
+    ).otherwise(F.lit(500000))
+    score_e7 = (
+        3 * length_u + 3 * alpha_u + 2 * punct_pen_u + 2 * mwl_ok_u
+    ).cast("double")
+    return score_e7 / F.lit(10000000.0)
+
+
+def content_fingerprint(col: Column | str) -> Column:
+    """Whole-document fingerprint: stable 64-bit hash of normalized text,
+    as string (cross-engine-safe carrier for a u64)."""
+    return stable_hash64(normalize_text(col)).cast("string")
+
+
+def bottomk_sketch(col: Column | str, k: int = 8, n: int = 3) -> Column:
+    """Bottom-k shingle-hash sketch (array<long>): the k smallest 31-bit
+    shingle hashes — a compact near-dup fingerprint whose overlap estimates
+    resemblance, cheaper to store than full MinHash signatures."""
+    return F.slice(F.array_sort(shingle_hashes(shingles(col, n))), 1, k)

@@ -1,1 +1,241 @@
-"""Placeholder — populated in this round."""
+"""Dedup operators as driver-checked queries over ``documents``.
+
+Every hash in operators/dedup.py derives from md5, so the DuckDB oracles
+reproduce signatures, band hashes and pair sets value-for-value
+(md5_number_lower ≡ functions.scalar.stable_hash64). The synthetic corpus
+contains 25 planted near-duplicate pairs (3-gram jaccard ≥ 0.8) — all the
+pair queries are non-vacuous.
+
+The exact-dup query plants duplicates itself (documents has none): a
+whitespace/case-mangled copy of every 20th doc, built identically in Spark
+and SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    MINHASH_BANDS,
+    MINHASH_PARAMS,
+    MINHASH_PRIME,
+    MINHASH_ROWS,
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    with_minhash,
+    with_simhash,
+)
+from ..sources import load_table
+from .registry import query
+
+# ---- shared SQL fragments (DuckDB) ----------------------------------------
+
+_SQL_TOKS = (
+    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x != '')"
+)
+_SQL_SHINGLES = (
+    "list_distinct(CASE WHEN len(toks) >= 3 THEN "
+    "[array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)] "
+    "ELSE [] END)"
+)
+_SQL_SHINGLE_HASHES = (
+    f"list_transform(sh, s -> md5_number_lower(s) % {MINHASH_PRIME})"
+)
+_SQL_SIG_ELEMS = ", ".join(
+    f"COALESCE(list_min(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_PRIME})), {MINHASH_PRIME})"
+    for a, b in MINHASH_PARAMS
+)
+
+_SQL_DOCS_WITH_SIG = f"""
+  toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+  shg  AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM toks),
+  hsh  AS (SELECT doc_id, {_SQL_SHINGLE_HASHES} AS hs FROM shg),
+  docs AS (SELECT doc_id, [{_SQL_SIG_ELEMS}] AS sig FROM hsh)
+"""
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             '  ' || upper(text) || '   '
+      FROM documents WHERE doc_id % 20 = 0
+    )
+    SELECT
+      CAST(md5_number_lower(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS VARCHAR) AS text_hash,
+      MIN(doc_id) AS keeper_id,
+      COUNT(*) AS n_dups
+    FROM corpus
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after normalization (lowercase/trim/ws-collapse).
+
+    The corpus plants a mangled copy of every 20th doc; those groups must
+    come back with n_dups=2 and the original id as keeper.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mangled = (
+        docs.where(F.col("doc_id") % 20 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.lit("  "), F.upper("text"), F.lit("   ")).alias("text"),
+        )
+    )
+    corpus = docs.unionByName(mangled)
+    groups = exact_dedup_groups(corpus)
+    return groups.select(
+        F.col("text_hash").cast("string").alias("text_hash"),
+        "keeper_id",
+        "n_dups",
+    )
+
+
+@query(
+    "dedup_minhash_signature",
+    oracle=f"""
+    WITH {_SQL_DOCS_WITH_SIG}
+    SELECT h.doc_id,
+           len(s.sh) AS n_shingles,
+           CAST(d.sig[1] AS BIGINT) AS mh0,
+           CAST(d.sig[2] AS BIGINT) AS mh1,
+           CAST(d.sig[3] AS BIGINT) AS mh2,
+           CAST(d.sig[32] AS BIGINT) AS mh31
+    FROM hsh h JOIN shg s USING (doc_id) JOIN docs d USING (doc_id)
+    """,
+)
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash machinery parity: per-doc shingle count + probe points of the
+    32-element signature, value-matched against SQL-recomputed md5 minhashes.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = with_minhash(docs)
+    from ..operators.dedup import shingles
+
+    return sigs.select(
+        "doc_id",
+        F.size(shingles("text", 3)).alias("n_shingles"),
+        F.element_at("minhash", 1).alias("mh0"),
+        F.element_at("minhash", 2).alias("mh1"),
+        F.element_at("minhash", 3).alias("mh2"),
+        F.element_at("minhash", 32).alias("mh31"),
+    )
+
+
+_SQL_BANDS = ", ".join(
+    f"md5_number_lower('{j}' || ',' || array_to_string(sig[{j * MINHASH_ROWS + 1}:{j * MINHASH_ROWS + MINHASH_ROWS}], ','))"
+    for j in range(MINHASH_BANDS)
+)
+
+
+@query(
+    "dedup_minhash_pairs",
+    oracle=f"""
+    WITH {_SQL_DOCS_WITH_SIG},
+    bands AS (
+      SELECT doc_id, u.j, [{_SQL_BANDS}][u.j + 1] AS bh
+      FROM docs, (SELECT unnest(range(0, {MINHASH_BANDS})) AS j) u
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.j = b.j AND a.bh = b.bh
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, est_jaccard FROM (
+      SELECT id_a, id_b,
+        ROUND(len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) / 32.0, 6)
+          AS est_jaccard
+      FROM cand JOIN docs sa ON sa.doc_id = id_a JOIN docs sb ON sb.doc_id = id_b
+    ) WHERE est_jaccard >= 0.5
+    """,
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH near-dup pairs (est jaccard ≥ 0.5) — the full
+    candidate-generation + verification path, value-matched against a SQL
+    re-implementation of the same bands."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_lsh_pairs(docs, threshold=0.5)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH
+      toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+      shg  AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM toks),
+      hsh  AS (SELECT doc_id, {_SQL_SHINGLE_HASHES} AS hs FROM shg)
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        ROUND(len(list_intersect(a.hs, b.hs)) /
+              (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))::DOUBLE, 6)
+          AS jaccard
+      FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard pairs ≥ 0.8 (the 25 planted near-dup
+    pairs at sf0.01). Spark computes via shingle-posting join (linear in
+    shared shingles); the oracle brute-forces — same set either way."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return ngram_jaccard_pairs(docs, threshold=0.8)
+
+
+_SQL_SIMHASH_BITS = " + ".join(
+    f"(CASE WHEN 2 * len(list_filter(hs32, h -> (h >> {b}) & 1 = 1)) > len(hs32) THEN {2**b} ELSE 0 END)"
+    for b in range(32)
+)
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH
+      toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+      shg  AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM toks),
+      hsh  AS (SELECT doc_id, {_SQL_SHINGLE_HASHES} AS hs FROM shg),
+      h32  AS (SELECT doc_id,
+                 list_transform(hs, h -> md5_number_lower(CAST(h AS VARCHAR)) % 4294967296) AS hs32
+               FROM hsh)
+    SELECT doc_id, CAST({_SQL_SIMHASH_BITS} AS BIGINT) AS simhash
+    FROM h32
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document, value-matched bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_simhash(docs, "text", "simhash").select("doc_id", "simhash")
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH
+      toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+      shg  AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM toks),
+      hsh  AS (SELECT doc_id, {_SQL_SHINGLE_HASHES} AS hs FROM shg),
+      h32  AS (SELECT doc_id,
+                 list_transform(hs, h -> md5_number_lower(CAST(h AS VARCHAR)) % 4294967296) AS hs32
+               FROM hsh),
+      sh2  AS (SELECT doc_id, CAST({_SQL_SIMHASH_BITS} AS BIGINT) AS s FROM h32)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+    FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.s, b.s)) <= 3
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3). Spark prunes candidates by
+    byte-chunk banding (pigeonhole-complete at ham ≤ 3), so the brute-force
+    oracle defines exactly the same pair set."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_pairs(docs).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )

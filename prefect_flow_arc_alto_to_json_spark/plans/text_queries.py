@@ -1,1 +1,169 @@
-"""Placeholder — populated in this round."""
+"""Text-analysis operators as driver-checked queries over ``documents``."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.textstats import (
+    LANG_PRIORITY,
+    STOPWORDS,
+    bottomk_sketch,
+    char_stats,
+    content_fingerprint,
+    language_id,
+    mean_token_length,
+    quality_score,
+    stopword_hits,
+    token_count,
+)
+from ..sources import load_table
+from .registry import query
+
+_SQL_TOKS = (
+    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x != '')"
+)
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents)
+    SELECT
+      doc_id,
+      len(toks) AS n_tokens,
+      len(text) AS n_chars,
+      ROUND(len(regexp_extract_all(text, '[A-Za-z]')) / len(text)::DOUBLE, 6) AS alpha_ratio,
+      ROUND(len(regexp_extract_all(text, '[0-9]')) / len(text)::DOUBLE, 6) AS digit_ratio,
+      ROUND(len(regexp_extract_all(text, '[!-/:-@\\[-`{{-~]')) / len(text)::DOUBLE, 6) AS punct_ratio,
+      ROUND(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks), 6) AS mean_token_len
+    FROM t WHERE len(text) > 0
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char statistics (all JVM regexp/HOF built-ins)."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = char_stats("text")
+    return docs.where(F.length("text") > 0).select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        stats["n_chars"].alias("n_chars"),
+        stats["alpha_ratio"].alias("alpha_ratio"),
+        stats["digit_ratio"].alias("digit_ratio"),
+        stats["punct_ratio"].alias("punct_ratio"),
+        mean_token_length("text").alias("mean_token_len"),
+    )
+
+
+def _sql_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter(toks, t -> list_contains([{words}], t)))"
+
+
+_SQL_LANG_CASE = " ".join(
+    f"WHEN {lang}_hits > 0 AND {lang}_hits = "
+    f"greatest({', '.join(f'{lg}_hits' for lg in LANG_PRIORITY)}) THEN '{lang}'"
+    for lang in LANG_PRIORITY
+)
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents),
+    h AS (
+      SELECT doc_id, lang,
+        {", ".join(f"{lang}_hits" for lang in LANG_PRIORITY)}
+      FROM (
+        SELECT doc_id, lang,
+          {", ".join(f"{_sql_hits(lang)} AS {lang}_hits" for lang in LANG_PRIORITY)}
+        FROM t
+      )
+    )
+    SELECT doc_id, lang,
+      CASE {_SQL_LANG_CASE} ELSE 'und' END AS predicted_lang,
+      {", ".join(f"CAST({lang}_hits AS INTEGER) AS {lang}_hits" for lang in LANG_PRIORITY)}
+    FROM h
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language ID next to the ground-truth ``lang``
+    column (the synthetic corpus is word soup, so the interesting contract
+    is determinism, not accuracy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = docs.select(
+        "doc_id",
+        "lang",
+        language_id("text").alias("predicted_lang"),
+        *[stopword_hits("text", lang).alias(f"{lang}_hits") for lang in LANG_PRIORITY],
+    )
+    return out
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents),
+    m AS (
+      SELECT doc_id,
+        CAST(len(text) AS BIGINT) AS n,
+        CAST(len(toks) AS BIGINT) AS ntok,
+        CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS a,
+        CAST(len(regexp_extract_all(text, '[!-/:-@\\[-`{{-~]')) AS BIGINT) AS p,
+        CAST(COALESCE(list_sum(list_transform(toks, x -> len(x))), 0) AS BIGINT) AS sl
+      FROM t
+    ),
+    u AS (
+      -- integer micro-units (1e-6), half-up via floor((2*x*1e6 + d) / (2*d)):
+      -- bit-identical to the Spark expression, no float rounding anywhere
+      SELECT doc_id,
+        CASE WHEN ntok >= 10 AND ntok <= 5000 THEN 1000000
+             WHEN ntok > 0 THEN 500000 ELSE 0 END AS lu,
+        CASE WHEN n > 0 THEN (2 * a * 1000000 + n) // (2 * n) ELSE 0 END AS au,
+        CASE WHEN n > 0 THEN (2 * p * 1000000 + n) // (2 * n) ELSE 0 END AS pu,
+        CASE WHEN ntok > 0 THEN (2 * sl * 1000000 + ntok) // (2 * ntok) END AS mu
+      FROM m
+    )
+    SELECT doc_id,
+      CAST(3 * lu + 3 * au
+           + 2 * (CASE WHEN pu > 200000 THEN 0 ELSE 1000000 END)
+           + 2 * (CASE WHEN mu >= 3000000 AND mu <= 12000000 THEN 1000000 ELSE 500000 END)
+        AS DOUBLE) / 10000000.0 AS quality
+    FROM u
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score — the filter stage of a data pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score("text").alias("quality"))
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents),
+    s AS (
+      SELECT doc_id, text,
+        list_sort(list_transform(
+          list_distinct(CASE WHEN len(toks) >= 3 THEN
+            [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]
+          ELSE [] END),
+          s -> md5_number_lower(s) % 2147483647)) AS sh
+      FROM t
+    )
+    SELECT doc_id,
+      CAST(md5_number_lower(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS VARCHAR)
+        AS fingerprint,
+      array_to_string(sh[1:8], ',') AS sketch
+    FROM s
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whole-text stable hash + bottom-8
+    shingle-hash sketch (string carriers for cross-engine u64 safety)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        content_fingerprint("text").alias("fingerprint"),
+        F.array_join(bottomk_sketch("text", 8), ",").alias("sketch"),
+    )

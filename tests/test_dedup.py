@@ -1,0 +1,78 @@
+"""Dedup operator tests: planted duplicates must be found, and the LSH /
+banding pruning must agree with the exact definitions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from prefect_flow_arc_alto_to_json_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from prefect_flow_arc_alto_to_json_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select("doc_id", "text").cache()
+
+
+def test_exact_dedup_normalizes(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Hello  World"),
+            (2, "  hello world "),
+            (3, "different"),
+        ],
+        "doc_id long, text string",
+    )
+    groups = exact_dedup_groups(df).collect()
+    by_keeper = {r["keeper_id"]: r["n_dups"] for r in groups}
+    assert by_keeper == {1: 2, 3: 1}
+
+
+def test_minhash_finds_natural_near_dups(docs):
+    """The synthetic corpus plants near-identical doc pairs (3-gram jaccard
+    ≈ 0.99); banded MinHash must surface them."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    assert exact, "corpus should contain planted near-dup pairs"
+    est = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    # every truly-similar pair is caught (recall 1.0 expected at j≈0.99 with
+    # 8 bands x 4 rows)
+    assert exact <= est, f"minhash missed: {exact - est}"
+
+
+def test_simhash_catches_identical_docs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spark engine shuffles data across the cluster nodes quickly"),
+            (2, "spark engine shuffles data across the cluster nodes quickly"),
+            (3, "completely unrelated text about gardening and tulip bulbs here"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = simhash_pairs(df).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+    assert pairs[0]["hamming"] == 0
+
+
+def test_lsh_pairs_subset_of_candidates(docs):
+    """LSH estimates vs exact jaccard: no pair with est ≥ 0.9 should have
+    exact jaccard < 0.5 (sanity bound on estimator quality, k=32)."""
+    est = minhash_lsh_pairs(docs, threshold=0.9).collect()
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    for r in est:
+        j = exact.get((r["id_a"], r["id_b"]), 0.0)
+        assert j >= 0.5, f"est {r['est_jaccard']} but exact {j}"

@@ -1,0 +1,71 @@
+"""Similarity-search operator tests: exactness of brute force, recall of the
+LSH-bucketed variants, and detection of planted near-duplicates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from prefect_flow_arc_alto_to_json_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    lsh_bucketed_topk,
+)
+from prefect_flow_arc_alto_to_json_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+def test_brute_force_self_excluded_and_ranked(emb):
+    q = emb.where(F.col("vec_id") < 3)
+    out = brute_force_topk(emb, q, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        assert len(rows) == 5
+        assert all(r["neighbor_id"] != qid for r in rows)
+        ranks = [r["rank"] for r in sorted(rows, key=lambda r: -r["cosine"])]
+        assert ranks == [1, 2, 3, 4, 5]
+
+
+def test_lsh_topk_recall_vs_brute_force(emb):
+    """Multiprobe LSH top-10 should recover a decent fraction of the true
+    top-10 (deterministic planes → deterministic recall on this data)."""
+    q = emb.where(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, q, k=10).collect()
+    # small corpus → fewer planes (bigger buckets); planes is the dial
+    approx = lsh_bucketed_topk(emb, q, k=10, planes=3).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"LSH recall collapsed: {recall}"
+    # every returned neighbor must carry the exact cosine (scores are never
+    # approximated, only the candidate set is)
+    exact_scores = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_scores:
+            assert abs(r["cosine"] - exact_scores[key]) < 1e-9
+
+
+def test_lsh_near_dup_finds_planted_copy(spark, emb):
+    """A vector plus its tiny perturbation must land in the same/adjacent
+    bucket and be caught at threshold 0.99."""
+    base = emb.where(F.col("vec_id") < 10).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("float")).alias("embedding")
+    )
+    planted = base.select(
+        (F.col("vec_id") + 500000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: F.when(i == 0, x * F.lit(1.01)).otherwise(x)
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(planted)
+    pairs = embedding_near_dup_pairs(corpus, threshold=0.99).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    expected = {(i, i + 500000) for i in range(10)}
+    assert expected <= found, f"missed planted pairs: {expected - found}"
