@@ -15,5 +15,6 @@ from . import dedup_queries  # noqa: E402,F401
 from . import text_queries  # noqa: E402,F401
 from . import similarity_queries  # noqa: E402,F401
 from . import multimodal_queries  # noqa: E402,F401
+from . import temporal_queries  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]
