@@ -1,0 +1,136 @@
+"""Structured Streaming surface (SURVEY.md §2.9).
+
+The reference's only temporal construct is a batch high-watermark
+(flows/main_flow.py:29-30,114,129-130) — `watermark.py` is its exact-parity
+batch twin. This module is the idiomatic streaming form plus the standard
+event-time operator set the engine exposes over streams:
+
+- file-source ``readStream`` (parquet events / binaryFile ALTO XML) with
+  ``Trigger.AvailableNow`` — run-per-invocation semantics exactly like the
+  reference's scheduled flow, but the checkpoint (not a date string) is the
+  watermark, so replays are exactly-once per file instead of >= date.
+- ``withWatermark`` + tumbling ``window()`` aggregation — late data beyond
+  the bound is dropped, state is evicted (bounded memory at 100 TB/day).
+- ``session_window()`` — gap-based sessions, the streaming twin of the
+  batch q_sessionize plan.
+- ``dropDuplicatesWithinWatermark`` — streaming exact dedup keyed on
+  event_id with bounded state.
+- ``foreachBatch`` — reuses every batch sink (JDBC update / object store)
+  from sinks/ without a streaming rewrite.
+
+Scale notes: file streams shard by file; state stores shard by the
+aggregation key (shuffle partitions), so the same skew rules apply as in
+batch — key salting belongs BEFORE the stateful op. AvailableNow drains a
+backlog in bounded batches (maxFilesPerTrigger) instead of one giant
+micro-batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructType
+
+#: Schema the events file-stream reads with (ts as epoch-ns long — the
+#: testdata parquet is TIMESTAMP(NANOS); see sources/tables.py).
+EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_events(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over an events parquet directory, normalized to a
+    µs ``ts`` timestamp (integer div — same precision contract as the batch
+    loader)."""
+    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(source_dir)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    watermark: str = "30 minutes",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Tumbling event-time window aggregation with a late-data watermark —
+    the streaming twin of the batch q_hourly_events plan."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionized_events(
+    events: DataFrame,
+    watermark: str = "30 minutes",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Gap-based session windows per user (streaming ``session_window`` —
+    batch twin: q_sessionize)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def dedup_events(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming exact dedup on event_id with bounded state: duplicates
+    arriving within the watermark bound are dropped; state for older keys
+    is evicted (the streaming form of dedup_exact)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+    foreach_batch=None,
+    memory_table: str | None = None,
+) -> None:
+    """Drain everything currently available and stop (Trigger.AvailableNow)
+    — run-per-invocation semantics like the reference's scheduled flow; the
+    checkpoint makes re-runs process only new files.
+
+    Exactly one of ``foreach_batch`` (reuse batch sinks) or ``memory_table``
+    (tests/dev) selects the sink.
+    """
+    writer = (
+        stream_df.writeStream.outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+    if foreach_batch is not None:
+        query = writer.foreachBatch(foreach_batch).start()
+    elif memory_table is not None:
+        query = writer.format("memory").queryName(memory_table).start()
+    else:
+        raise ValueError("provide foreach_batch or memory_table")
+    query.awaitTermination()

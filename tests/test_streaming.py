@@ -1,0 +1,91 @@
+"""Structured Streaming surface: AvailableNow drain equals the batch
+answer; checkpoint incrementality; windowed/session/dedup operators."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from prefect_flow_arc_alto_to_json_spark.sources import load_table
+from prefect_flow_arc_alto_to_json_spark.streaming.pipeline import (
+    dedup_events,
+    run_available_now,
+    sessionized_events,
+    stream_events,
+    windowed_event_counts,
+)
+
+
+@pytest.fixture()
+def events_dir(tmp_path, sf_dir):
+    d = tmp_path / "events_src"
+    d.mkdir()
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), d / "part-000.parquet")
+    return str(d)
+
+
+def test_windowed_counts_match_batch(spark, sf_dir, events_dir, tmp_path):
+    stream = windowed_event_counts(stream_events(spark, events_dir))
+    run_available_now(
+        stream, str(tmp_path / "ckpt"), output_mode="complete",
+        memory_table="win_counts",
+    )
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.table("win_counts").collect()
+    }
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("v"),
+        )
+        .select(F.col("window.start").alias("ws"), "event_type", "n", "v")
+        .collect()
+    )
+    want = {(r["ws"], r["event_type"]): (r["n"], r["v"]) for r in batch}
+    assert got == want and len(got) > 0
+
+
+def test_availablenow_checkpoint_is_incremental(spark, sf_dir, events_dir, tmp_path):
+    ckpt = str(tmp_path / "ckpt2")
+    dedup = dedup_events(stream_events(spark, events_dir)).select("event_id")
+    # memory sink can't recover a checkpoint; foreachBatch (the production
+    # sink shape) can — collect counts per run.
+    seen: list[int] = []
+    run_available_now(dedup, ckpt, foreach_batch=lambda df, _id: seen.append(df.count()))
+    assert sum(seen) == load_table(spark, sf_dir, "events").count()
+
+    # second run, same checkpoint, no new files -> nothing new emitted
+    seen.clear()
+    run_available_now(dedup, ckpt, foreach_batch=lambda df, _id: seen.append(df.count()))
+    assert sum(seen) == 0
+
+
+def test_dedup_within_watermark_drops_dups(spark, events_dir, tmp_path):
+    # two identical files -> every event_id appears twice in the stream;
+    # dedup emits each exactly once
+    shutil.copy(
+        os.path.join(events_dir, "part-000.parquet"),
+        os.path.join(events_dir, "part-dup.parquet"),
+    )
+    dedup = dedup_events(stream_events(spark, events_dir)).select("event_id")
+    run_available_now(dedup, str(tmp_path / "ckpt3"), memory_table="dedup_dups")
+    out = spark.table("dedup_dups")
+    assert out.count() == out.select("event_id").distinct().count()
+
+
+def test_session_window_streaming(spark, events_dir, tmp_path):
+    stream = sessionized_events(stream_events(spark, events_dir))
+    run_available_now(
+        stream, str(tmp_path / "ckpt4"), output_mode="complete",
+        memory_table="sessions",
+    )
+    rows = spark.table("sessions")
+    assert rows.count() > 0
+    bad = rows.where(F.col("session_end") < F.col("session_start")).count()
+    assert bad == 0
