@@ -43,6 +43,10 @@ HEADLINE = [
     "text_fingerprint",
     "sim_brute_topk",
     "sim_lsh_topk",
+    "q_asof_join",
+    "q_interval_join",
+    "mm_payload_stats",
+    "mm_features",
 ]
 
 

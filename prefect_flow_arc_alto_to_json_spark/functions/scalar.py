@@ -28,18 +28,42 @@ def basename(col: Column | str) -> Column:
     return F.element_at(F.split(c, "/"), -1)
 
 
+def _md5_le_hex(col: Column | str) -> Column:
+    """Hex string of the little-endian u64 of md5 bytes 8..15 — the value
+    DuckDB's ``md5_number_lower`` computes (hex chars 17..32 with byte
+    pairs reversed)."""
+    c = F.col(col) if isinstance(col, str) else col
+    hexpart = F.substring(F.md5(c), 17, 16)
+    return F.concat(*[F.substring(hexpart, i, 2) for i in range(15, 0, -2)])
+
+
 def stable_hash64(col: Column | str) -> Column:
     """Deterministic unsigned-ish 64-bit-range hash of a string, derived from
     the low 64 bits of md5 so it is reproducible across engines (DuckDB:
     ``md5_number_lower``). Returned as DECIMAL(20,0) because the value can
     exceed signed-bigint range.
+
+    Decimal arithmetic is slow — in hash-per-shingle hot loops use the
+    long-typed ``stable_hash_p31`` / ``stable_hash_u32`` residues instead.
     """
-    c = F.col(col) if isinstance(col, str) else col
-    # DuckDB's md5_number_lower(s) is the little-endian u64 of md5 bytes
-    # 8..15 — i.e. hex chars 17..32 with byte pairs reversed.
-    hexpart = F.substring(F.md5(c), 17, 16)
-    le_hex = F.concat(*[F.substring(hexpart, i, 2) for i in range(15, 0, -2)])
-    return F.conv(le_hex, 16, 10).cast("decimal(20,0)")
+    return F.conv(_md5_le_hex(col), 16, 10).cast("decimal(20,0)")
+
+
+def stable_hash_p31(col: Column | str) -> Column:
+    """``stable_hash64 % (2^31-1)`` in pure long arithmetic (no decimal):
+    u64 = hi32·2^32 + lo32 and 2^32 ≡ 2 (mod 2^31-1), so the residue is
+    ``(2·hi32 + lo32) % p`` — bit-identical to the decimal pmod, ~5x
+    cheaper and far smaller codegen."""
+    le = _md5_le_hex(col)
+    hi = F.conv(F.substring(le, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(le, 9, 8), 16, 10).cast("long")
+    return F.pmod(2 * hi + lo, F.lit(2147483647).cast("long"))
+
+
+def stable_hash_u32(col: Column | str) -> Column:
+    """``stable_hash64 % 2^32`` in pure long arithmetic: the low 32 bits
+    are the last 8 little-endian hex chars."""
+    return F.conv(F.substring(_md5_le_hex(col), 9, 8), 16, 10).cast("long")
 
 
 def token_array(col: Column | str, lowercase: bool = True) -> Column:

@@ -1,0 +1,24 @@
+"""Parallelism guards for CPU-bound narrow passes.
+
+A single small parquet file arrives as ONE scan partition (parquet row
+groups don't split), so a per-row-expensive pass (shingling, md5 hashing,
+decode UDFs) runs on one core no matter how many the session has. At real
+scale the source has many files/row-groups and these guards are no-ops;
+they only repartition when upstream parallelism is below the session
+default — i.e. exactly the small-input case where a shuffle is cheap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition up to the session's default parallelism iff the plan's
+    current partitioning is narrower. Wide inputs pass through untouched
+    (no shuffle added at scale)."""
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

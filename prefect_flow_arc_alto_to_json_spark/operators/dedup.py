@@ -23,7 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.scalar import stable_hash64, token_array
+from ..functions.scalar import stable_hash64, stable_hash_p31, stable_hash_u32, token_array
+from ..functions.scale import fan_out
 
 #: Mersenne prime 2^31-1: (a*h+b) % P stays < 2^62 → safe in bigint.
 MINHASH_PRIME = 2147483647
@@ -95,10 +96,7 @@ def shingles(col: Column | str, n: int = 3) -> Column:
 def shingle_hashes(shingle_col: Column) -> Column:
     """array<long> of 31-bit stable shingle hashes (md5-derived →
     reproducible in the DuckDB oracle)."""
-    return F.transform(
-        shingle_col,
-        lambda s: F.pmod(stable_hash64(s), F.lit(MINHASH_PRIME)).cast("long"),
-    )
+    return F.transform(shingle_col, lambda s: stable_hash_p31(s))
 
 
 def minhash_signature(hash_col: Column, k: int = len(MINHASH_PARAMS)) -> Column:
@@ -107,17 +105,25 @@ def minhash_signature(hash_col: Column, k: int = len(MINHASH_PARAMS)) -> Column:
     Empty shingle set → all-P sentinel values (never matches a real doc).
     """
 
-    def affine(a: int, b: int):
-        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
-
-    return F.array(
-        *[
-            F.coalesce(
-                F.array_min(F.transform(hash_col, affine(a, b))),
-                F.lit(MINHASH_PRIME).cast("long"),
-            )
-            for a, b in MINHASH_PARAMS[:k]
-        ]
+    # (a_i, b_i) as literal arrays: ConstantFolding collapses them to two
+    # literals, and the whole signature is ONE fold over the shingle hashes
+    # (tiny expression tree — the 32-branch unrolled form cost seconds of
+    # codegen compile per query shape).
+    a_lits = F.array(*[F.lit(a).cast("long") for a, _ in MINHASH_PARAMS[:k]])
+    b_lits = F.array(*[F.lit(b).cast("long") for _, b in MINHASH_PARAMS[:k]])
+    init = F.array(*[F.lit(MINHASH_PRIME).cast("long")] * k)
+    return F.aggregate(
+        hash_col,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda m, i: F.least(
+                m,
+                (F.element_at(a_lits, i + 1) * h + F.element_at(b_lits, i + 1))
+                % F.lit(MINHASH_PRIME),
+            ),
+        ),
     )
 
 
@@ -131,7 +137,7 @@ def with_minhash(
     inlining would re-run the md5-per-shingle subtree 32x per row — Catalyst
     keeps non-cheap multi-referenced aliases in a separate Project, making
     the expensive hashing a single pass."""
-    staged = df.withColumn("__sh", shingle_hashes(shingles(text_col, n)))
+    staged = fan_out(df).withColumn("__sh", shingle_hashes(shingles(text_col, n)))
     return staged.withColumn(out_col, minhash_signature(F.col("__sh"))).drop("__sh")
 
 
@@ -145,7 +151,7 @@ def exact_dedup_groups(
     aggregation collapses per-partition duplicates map-side.
     """
     return (
-        df.select(
+        fan_out(df).select(
             stable_hash64(normalize_text(text_col)).alias("text_hash"),
             F.col(id_col),
         )
@@ -258,7 +264,7 @@ def ngram_jaccard_pairs(
     shingles, not corpus². The |A∪B| denominator comes from per-doc shingle
     counts joined back in — no second pass over text.
     """
-    sh = df.select(
+    sh = fan_out(df).select(
         F.col(id_col), F.explode(shingle_hashes(shingles(text_col, n))).alias("sh")
     ).distinct()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
@@ -291,29 +297,40 @@ def ngram_jaccard_pairs(
 def _rehash32(hashes: Column) -> Column:
     """Rehash each 31-bit shingle hash to 32 well-mixed bits ONCE — md5 is
     the expensive part; keep it to 1 per shingle, not 1 per shingle-bit."""
-    return F.transform(
-        hashes,
-        lambda h: F.pmod(stable_hash64(h.cast("string")), F.lit(SIMHASH_MOD)).cast(
-            "long"
-        ),
-    )
+    return F.transform(hashes, lambda h: stable_hash_u32(h.cast("string")))
 
 
 def _bit_vote(h32: Column, total: Column) -> Column:
     """Majority vote per bit over the rehashed shingle hashes (array HOFs,
-    shuffle-free)."""
+    shuffle-free): ONE fold accumulates all 32 bit-counts, then one pass
+    assembles the winning bits. (The unrolled 32-filter form compiled a
+    huge codegen tree — seconds of janino time per query shape.)
 
-    def bit_set(b: int):
-        return lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
-
-    return sum(
-        (
-            F.when(F.size(F.filter(h32, bit_set(b))) * 2 > total, F.lit(2**b)).otherwise(
-                F.lit(0)
-            )
-            for b in range(32)
+    ``h / 2^b`` is exact in double for h < 2^32, and the long cast
+    truncates toward zero = floor for non-negative h, so the per-bit
+    extraction is exact integer arithmetic."""
+    positions = F.sequence(F.lit(0), F.lit(31))
+    counts = F.aggregate(
+        h32,
+        F.array_repeat(F.lit(0).cast("long"), 32),
+        lambda acc, h: F.zip_with(
+            acc,
+            positions,
+            lambda c, b: c + F.pmod((h / F.pow(F.lit(2.0), b)).cast("long"), 2),
         ),
-        F.lit(0),
+    )
+    return (
+        F.aggregate(
+            F.zip_with(
+                counts,
+                positions,
+                lambda c, b: F.when(
+                    c * 2 > total, F.pow(F.lit(2.0), b)
+                ).otherwise(F.lit(0.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
     ).cast("long")
 
 
@@ -339,7 +356,7 @@ def with_simhash(
     aliases are never inlined by CollapseProject), so the 32 bit-vote
     traversals run over a computed array, not 32 copies of the md5 subtree.
     """
-    staged = df.withColumn(
+    staged = fan_out(df).withColumn(
         "__sh", shingle_hashes(shingles(text_col, 3))
     ).withColumn("__h32", _rehash32(F.col("__sh")))
     return staged.withColumn(

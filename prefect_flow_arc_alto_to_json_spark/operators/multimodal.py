@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.scale import fan_out
+
 FEATURE_DIM = 16
 
 #: decoder(payload bytes, modality str) -> np.ndarray[float32] feature vec.
@@ -93,7 +95,7 @@ def extract_features(
                 }
             )
 
-    return df.select(id_col, payload_col, modality_col).mapInPandas(
+    return fan_out(df.select(id_col, payload_col, modality_col)).mapInPandas(
         run, schema=out_schema
     )
 

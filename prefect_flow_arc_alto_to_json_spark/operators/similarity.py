@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.scale import fan_out
+
 #: Deterministic hyperplanes: plane p, dim d → hash-derived value in [-1, 1].
 #: Generated arithmetically (no RNG at runtime) so the oracle can rebuild
 #: the same planes from the same formula.
@@ -74,7 +76,7 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qvec")
     )
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cvec")
     )
     scored = (
@@ -96,22 +98,34 @@ def brute_force_topk(
 
 
 def _bucket(vec: Column, planes: int = LSH_PLANES) -> Column:
-    """LSH bucket id: bit p set iff dot(vec, plane_p) > 0."""
-    bits = [
-        F.when(
-            sum(
-                (
-                    F.element_at(vec, d + 1) * F.lit(_plane_component(p, d))
-                    for d in range(EMB_DIM)
-                ),
+    """LSH bucket id: bit p set iff dot(vec, plane_p) > 0.
+
+    The plane matrix is built from literals only, so ConstantFolding
+    collapses it to ONE literal array — the per-row work is two small HOFs.
+    (The unrolled 8x64 sum-of-products form compiled a 512-node codegen
+    tree: several seconds of janino time per distinct query shape, which
+    dominated small benchmarks.)"""
+    plane_lits = F.array(
+        *[
+            F.array(*[F.lit(_plane_component(p, d)) for d in range(EMB_DIM)])
+            for p in range(planes)
+        ]
+    )
+    bits = F.transform(
+        plane_lits,
+        lambda plane, p: F.when(
+            F.aggregate(
+                F.zip_with(vec, plane, lambda x, w: x * w),
                 F.lit(0.0),
+                lambda acc, v: acc + v,
             )
             > 0,
-            F.lit(2**p),
-        ).otherwise(F.lit(0))
-        for p in range(planes)
-    ]
-    return sum(bits[1:], bits[0]).cast("int")
+            F.pow(F.lit(2.0), p),
+        ).otherwise(F.lit(0.0)),
+    )
+    return (
+        F.aggregate(bits, F.lit(0.0), lambda acc, v: acc + v).cast("int")
+    )
 
 
 def lsh_bucketed_topk(
@@ -132,7 +146,7 @@ def lsh_bucketed_topk(
     bucketing column can be a partition/bucket-by key on disk, making the
     probe a partition-pruned scan.
     """
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cvec")
     ).withColumn("bucket", _bucket(F.col("cvec"), planes))
     q = queries.select(
@@ -181,7 +195,7 @@ def embedding_near_dup_pairs(
     threshold ≥ 0.95 near-dups almost always share a bucket (small angle),
     multiprobe covers the boundary cases.
     """
-    c = df.select(
+    c = fan_out(df).select(
         F.col(id_col).alias("id"), _as_double(vec_col).alias("vec")
     ).withColumn("bucket", _bucket(F.col("vec"), planes))
     probes = F.explode(

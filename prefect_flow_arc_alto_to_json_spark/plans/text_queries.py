@@ -17,6 +17,7 @@ from ..operators.textstats import (
     stopword_hits,
     token_count,
 )
+from ..functions.scale import fan_out
 from ..sources import load_table
 from .registry import query
 
@@ -42,7 +43,7 @@ _SQL_TOKS = (
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token/char statistics (all JVM regexp/HOF built-ins)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     stats = char_stats("text")
     return docs.where(F.length("text") > 0).select(
         "doc_id",
@@ -90,7 +91,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-heuristic language ID next to the ground-truth ``lang``
     column (the synthetic corpus is word soup, so the interesting contract
     is determinism, not accuracy)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     out = docs.select(
         "doc_id",
         "lang",
@@ -134,7 +135,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score — the filter stage of a data pipeline."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", quality_score("text").alias("quality"))
 
 
@@ -161,7 +162,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: whole-text stable hash + bottom-8
     shingle-hash sketch (string carriers for cross-engine u64 safety)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         content_fingerprint("text").alias("fingerprint"),
