@@ -227,3 +227,95 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def ivf_index(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: (centroids, assignments).
+
+    Centroids are a deterministic corpus sample (lowest ids — a real build
+    would run a few Lloyd iterations, same plan shape). Assignment is
+    corpus x broadcast(centroids) -> per-vector argmin — linear in
+    |corpus|·C with the centroid side map-side only, then a partial-agg
+    min; this is the standard distributed IVF build.
+
+    At scale the assignments relation is what you'd write out
+    partitioned/bucketed BY cent_id, turning every probe into a
+    partition-pruned scan.
+    """
+    c = fan_out(corpus).select(
+        F.col(id_col).alias("vid"), _as_double(vec_col).alias("vec")
+    )
+    cents = (
+        c.orderBy("vid")
+        .limit(n_centroids)
+        .select(F.col("vid").alias("cent_id"), F.col("vec").alias("cvec"))
+    )
+    dist = (
+        c.join(F.broadcast(cents))
+        .select(
+            "vid",
+            "vec",
+            "cent_id",
+            dot(F.col("vec"), F.col("cvec")).alias("sim"),
+        )
+    )
+    assigned = dist.groupBy("vid").agg(
+        F.max_by("cent_id", F.struct(F.col("sim"), -F.col("cent_id"))).alias(
+            "cent_id"
+        ),
+        F.first("vec").alias("vec"),
+    )
+    return cents, assigned
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via IVF: probe only the ``n_probe`` nearest
+    centroid cells per query instead of the whole corpus — the classic
+    memory-resident ANN layout expressed as two joins.
+
+    Returns (query_id, neighbor_id, cosine, rank).
+    """
+    cents, assigned = ivf_index(corpus, n_centroids, id_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qvec")
+    )
+    qdist = q.join(F.broadcast(cents)).select(
+        "query_id", "qvec", "cent_id", dot(F.col("qvec"), F.col("cvec")).alias("sim")
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("cent_id")
+    )
+    probes = (
+        qdist.withColumn("pr", F.row_number().over(wprobe))
+        .where(F.col("pr") <= n_probe)
+        .select("query_id", "qvec", "cent_id")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cent_id")
+        .where(F.col("vid") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            F.round(cosine(F.col("qvec"), F.col("vec")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

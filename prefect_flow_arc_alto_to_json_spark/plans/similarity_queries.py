@@ -126,3 +126,16 @@ def sim_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic."""
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(emb, threshold=0.4)
+
+
+@query("sim_ivf_topk")  # rows-only: approximate operator (see sim_lsh_topk)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-10: deterministic coarse quantizer,
+    n_probe nearest cells per query — the partition-pruned ANN layout."""
+    from ..operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4).select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank")
+    )

@@ -139,6 +139,35 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", quality_score("text").alias("quality"))
 
 
+#: BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation marks
+#: (the GPT-2 pre-tokenizer's shape without the unicode categories —
+#: identical semantics in Java regex and DuckDB's RE2).
+_BPE_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]"
+
+
+@query(
+    "text_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+      CAST(len({_SQL_TOKS}) AS BIGINT) AS n_ws_tokens,
+      CAST(len(regexp_extract_all(text, '{_BPE_REGEX}')) AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace words vs a BPE-ish piece regex —
+    the cost estimator every training-data pipeline runs first. One narrow
+    regexp pass, no shuffle."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_REGEX), 0)).cast("long").alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
 @query(
     "text_fingerprint",
     oracle=f"""

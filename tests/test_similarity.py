@@ -69,3 +69,23 @@ def test_lsh_near_dup_finds_planted_copy(spark, emb):
     found = {(r["id_a"], r["id_b"]) for r in pairs}
     expected = {(i, i + 500000) for i in range(10)}
     assert expected <= found, f"missed planted pairs: {expected - found}"
+
+
+def test_ivf_topk_recall_vs_brute_force(emb):
+    """IVF with 4-of-16 probes should recover a decent fraction of the true
+    top-10 (deterministic centroids -> deterministic recall)."""
+    from prefect_flow_arc_alto_to_json_spark.operators.similarity import ivf_topk
+
+    q = emb.where(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, q, k=10).collect()
+    approx = ivf_topk(emb, q, k=10, n_centroids=16, n_probe=4).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = {}
+    for r in approx:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(truth[qid] & got.get(qid, set())) / len(truth[qid]) for qid in truth
+    ]
+    assert sum(recalls) / len(recalls) >= 0.3, recalls
