@@ -134,3 +134,36 @@ def run_available_now(
     else:
         raise ValueError("provide foreach_batch or memory_table")
     query.awaitTermination()
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (n_events, total_value) maintained across micro-batches — the
+    escape hatch for stateful logic ``window()``/``session_window()`` can't
+    express (SURVEY.md §2.9).
+
+    State is one small tuple per user_id, sharded by the groupBy across
+    shuffle partitions; at scale the state store is RocksDB per partition.
+    Emits one updated row per user seen in each micro-batch.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, round(total, 2)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -89,3 +89,30 @@ def test_session_window_streaming(spark, events_dir, tmp_path):
     assert rows.count() > 0
     bad = rows.where(F.col("session_end") < F.col("session_start")).count()
     assert bad == 0
+
+
+def test_running_user_totals_stateful(spark, sf_dir, events_dir, tmp_path):
+    from prefect_flow_arc_alto_to_json_spark.streaming.pipeline import (
+        running_user_totals,
+    )
+
+    collected = []
+    run_available_now(
+        running_user_totals(stream_events(spark, events_dir)),
+        str(tmp_path / "ckpt5"),
+        output_mode="update",
+        foreach_batch=lambda df, _id: collected.extend(df.collect()),
+    )
+    # last emitted row per user == the batch ground truth
+    last = {r["user_id"]: (r["n_events"], r["total_value"]) for r in collected}
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("v"),
+        )
+        .collect()
+    )
+    want = {r["user_id"]: (r["n"], r["v"]) for r in batch}
+    assert last == want and len(want) > 0
