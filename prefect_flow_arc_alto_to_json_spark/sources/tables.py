@@ -38,3 +38,53 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or TESTDATA_TABLES)}
+
+
+def jdbc_catalog_scan(
+    spark: SparkSession,
+    jdbc_url: str,
+    query: str | None = None,
+    table: str | None = None,
+    properties: dict[str, str] | None = None,
+    partition_column: str | None = None,
+    num_partitions: int = 16,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+) -> DataFrame:
+    """Postgres catalog scan (reference S1, flows/main_flow.py:15-44).
+
+    Two delegation modes, matching the reference's ship-SQL-to-Postgres
+    design exactly:
+
+    - ``query=`` ships the statement verbatim (``option("query", ...)``) —
+      the reference's behavior, where Postgres runs the whole relational
+      computation and Spark sees only result rows;
+    - ``table=`` reads the relation and lets Catalyst push filters and
+      prune columns into the JDBC source, optionally split into
+      ``num_partitions`` parallel range reads on ``partition_column``
+      (the 100 TB form — the reference's single ``fetchall()`` cursor
+      becomes N concurrent bounded reads).
+
+    Untested in this container (no database); the parquet mirror path
+    (``load_table`` + ``pipeline.catalog_scan``) covers the same plan shape
+    under test.
+    """
+    reader = spark.read.format("jdbc").option("url", jdbc_url)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if query is not None:
+        reader = reader.option("query", query)
+    elif table is not None:
+        reader = reader.option("dbtable", table)
+        if partition_column is not None:
+            if lower_bound is None or upper_bound is None:
+                raise ValueError("range-partitioned read needs lower/upper bounds")
+            reader = (
+                reader.option("partitionColumn", partition_column)
+                .option("numPartitions", str(num_partitions))
+                .option("lowerBound", str(lower_bound))
+                .option("upperBound", str(upper_bound))
+            )
+    else:
+        raise ValueError("provide query= or table=")
+    return reader.load()
