@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.scalar import stable_hash64, stable_hash_p31, stable_hash_u32, token_array
+from ..functions.scalar import stable_hash_p31, stable_hash_u32, token_array
 from ..functions.scale import fan_out
 
 #: Mersenne prime 2^31-1: (a*h+b) % P stays < 2^62 → safe in bigint.
@@ -147,12 +147,12 @@ def exact_dedup_groups(
     """Exact duplicate groups on normalized text.
 
     Returns (text_hash, keeper_id, n_dups). Scale: the only shuffle is the
-    groupBy on a 64-bit hash — never on the text bytes themselves; partial
-    aggregation collapses per-partition duplicates map-side.
+    groupBy on the 128-bit digest — never on the text bytes themselves;
+    partial aggregation collapses per-partition duplicates map-side.
     """
     return (
         fan_out(df).select(
-            stable_hash64(normalize_text(text_col)).alias("text_hash"),
+            F.md5(normalize_text(text_col)).alias("text_hash"),
             F.col(id_col),
         )
         .groupBy("text_hash")
@@ -169,7 +169,7 @@ def _bands_df(df: DataFrame, id_col: str, sig_col: str = "minhash") -> DataFrame
         *[
             F.struct(
                 F.lit(j).alias("band_idx"),
-                stable_hash64(
+                stable_hash_u32(
                     F.concat_ws(
                         ",",
                         F.lit(str(j)),

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from ..functions.scalar import stable_hash64, token_array
+from ..functions.scalar import token_array
 from .dedup import normalize_text, shingle_hashes, shingles
 
 # Tiny per-language stopword lists — enough for a deterministic n-gram-free
@@ -122,9 +122,9 @@ def quality_score(col: Column | str) -> Column:
 
 
 def content_fingerprint(col: Column | str) -> Column:
-    """Whole-document fingerprint: stable 64-bit hash of normalized text,
-    as string (cross-engine-safe carrier for a u64)."""
-    return stable_hash64(normalize_text(col)).cast("string")
+    """Whole-document fingerprint: md5 hex digest of normalized text —
+    reproduced verbatim by DuckDB's md5(), no integer carrier needed."""
+    return F.md5(normalize_text(col))
 
 
 def bottomk_sketch(col: Column | str, k: int = 8, n: int = 3) -> Column:

@@ -68,7 +68,7 @@ _SQL_DOCS_WITH_SIG = f"""
       FROM documents WHERE doc_id % 20 = 0
     )
     SELECT
-      CAST(md5_number_lower(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS VARCHAR) AS text_hash,
+      md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_hash,
       MIN(doc_id) AS keeper_id,
       COUNT(*) AS n_dups
     FROM corpus
@@ -130,7 +130,7 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_BANDS = ", ".join(
-    f"md5_number_lower('{j}' || ',' || array_to_string(sig[{j * MINHASH_ROWS + 1}:{j * MINHASH_ROWS + MINHASH_ROWS}], ','))"
+    f"md5_number_lower('{j}' || ',' || array_to_string(sig[{j * MINHASH_ROWS + 1}:{j * MINHASH_ROWS + MINHASH_ROWS}], ',')) % 4294967296"
     for j in range(MINHASH_BANDS)
 )
 

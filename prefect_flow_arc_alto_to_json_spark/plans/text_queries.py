@@ -182,8 +182,7 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t
     )
     SELECT doc_id,
-      CAST(md5_number_lower(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS VARCHAR)
-        AS fingerprint,
+      md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
       array_to_string(sh[1:8], ',') AS sketch
     FROM s
     """,
