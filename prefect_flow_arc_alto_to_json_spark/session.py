@@ -16,6 +16,7 @@ you would tune on a real cluster:
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -76,6 +77,16 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # Keep driver results small by default; operators never collect.
         .config("spark.driver.maxResultSize", "2g")
+        # Warehouse for bucketed tables (functions.scale.save_bucketed);
+        # static conf, so it must be set before the session exists. Local
+        # default keeps test artifacts out of the repo; clusters override.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE",
+                os.path.join(tempfile.gettempdir(), "spark_graft_warehouse"),
+            ),
+        )
         # Belt-and-braces with _export_package_path for executor imports.
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     )

@@ -58,3 +58,36 @@ def test_salted_agg_rejects_non_algebraic(spark, sf_dir):
 
     with pytest.raises(ValueError):
         salted_agg(ev, ["event_type"], {"m": ("value", "median")})
+
+
+def test_bucketed_tables_join_without_exchange(spark, sf_dir, tmp_path):
+    import shutil
+
+    from prefect_flow_arc_alto_to_json_spark.functions.scale import save_bucketed
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("ev_b", "usr_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events")
+    save_bucketed(
+        ev.select("event_id", "user_id", "value"), "ev_b", "user_id", buckets=8
+    )
+    save_bucketed(
+        ev.groupBy("user_id").agg(F.count("*").alias("n")), "usr_b", "user_id", buckets=8
+    )
+    # the tiny test tables would be auto-broadcast (which also bypasses
+    # bucketing) — disable it so the plan shows what happens at scale:
+    # a sort-merge join reading co-located buckets with NO exchange
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("ev_b").join(spark.table("usr_b"), "user_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == ev.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sql("DROP TABLE IF EXISTS ev_b")
+    spark.sql("DROP TABLE IF EXISTS usr_b")
