@@ -167,3 +167,39 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_alto_documents(
+    spark: SparkSession,
+    source_dir: str,
+    glob: str = "*.xml",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """The reference pipeline's idiomatic streaming form: a binaryFile
+    stream of ALTO XML documents → simplified doc + transcript, one row per
+    file (flows/main_flow.py:136-153's loop as an incremental stream; the
+    checkpoint replaces the date watermark, making each file exactly-once).
+
+    Sink via ``run_available_now`` + ``foreach_batch`` reusing the batch
+    sinks (S3 objects / JDBC) unchanged.
+    """
+    from ..operators.alto import simplify_alto, transcript
+
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .option("pathGlobFilter", glob)
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(source_dir)
+    docs = files.select(
+        F.col("path"),
+        F.col("modificationTime"),
+        F.col("content").cast("string").alias("xml"),
+    )
+    return simplify_alto(docs).withColumn(
+        "transcript", transcript("simplified")
+    ).drop("xml")

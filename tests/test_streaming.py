@@ -116,3 +116,39 @@ def test_running_user_totals_stateful(spark, sf_dir, events_dir, tmp_path):
     )
     want = {r["user_id"]: (r["n"], r["v"]) for r in batch}
     assert last == want and len(want) > 0
+
+
+def test_stream_alto_matches_batch(spark, tmp_path):
+    import glob as globmod
+
+    from prefect_flow_arc_alto_to_json_spark.operators.alto import (
+        simplify_alto,
+        transcript,
+    )
+    from prefect_flow_arc_alto_to_json_spark.streaming.pipeline import (
+        stream_alto_documents,
+    )
+
+    fixtures = os.path.join(os.path.dirname(__file__), "fixtures")
+    src = tmp_path / "alto_src"
+    src.mkdir()
+    for p in globmod.glob(os.path.join(fixtures, "*.xml")):
+        shutil.copy(p, src / os.path.basename(p))
+
+    got_rows = []
+    run_available_now(
+        stream_alto_documents(spark, str(src)),
+        str(tmp_path / "ckpt_alto"),
+        foreach_batch=lambda df, _id: got_rows.extend(df.collect()),
+    )
+    got = {os.path.basename(r["path"]): r["transcript"] for r in got_rows}
+
+    rows = []
+    for p in sorted(globmod.glob(os.path.join(fixtures, "*.xml"))):
+        with open(p) as f:
+            rows.append((os.path.basename(p), f.read()))
+    batch = simplify_alto(
+        spark.createDataFrame(rows, "name string, xml string")
+    ).withColumn("transcript", transcript("simplified"))
+    want = {r["name"]: r["transcript"] for r in batch.collect()}
+    assert got == want and len(got) == 5
