@@ -88,3 +88,10 @@ def jdbc_catalog_scan(
     else:
         raise ValueError("provide query= or table=")
     return reader.load()
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register testdata tables as temp views so queries can be expressed in
+    pure SQL (``spark.sql``) — same engine, same Catalyst plans."""
+    for n in names or TESTDATA_TABLES:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)

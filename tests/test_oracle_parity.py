@@ -30,3 +30,10 @@ def test_every_query_runs(spark, sf_dir):
         df = fn(spark, sf_dir)
         assert df.columns, name
         df.limit(1).collect()
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    rows = QUERIES["q_approx_distinct"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["approx_users"] - r["exact_users"]) <= 0.05 * r["exact_users"]
