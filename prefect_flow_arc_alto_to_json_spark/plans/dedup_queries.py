@@ -239,3 +239,44 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(docs).select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
     )
+
+
+@query(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE
+      toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+      shg  AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM toks),
+      hsh  AS (SELECT doc_id, {_SQL_SHINGLE_HASHES} AS hs FROM shg),
+      pairs AS (
+        SELECT id_a, id_b FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            len(list_intersect(a.hs, b.hs)) /
+            (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))::DOUBLE
+              AS jaccard
+          FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+        ) WHERE jaccard >= 0.8
+      ),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+      ),
+      paths(node, peer) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT p.node, e.dst FROM paths p JOIN edges e ON p.peer = e.src
+      )
+    SELECT node AS doc_id, CAST(min(peer) AS BIGINT) AS component_id
+    FROM paths GROUP BY node
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (3-gram jaccard ≥ 0.8) → connected components via
+    iterative min-label propagation; the oracle closes the same edge set
+    with a recursive CTE. Non-trivial check that a multi-round iterative
+    DataFrame algorithm converges to the exact transitive closure."""
+    from ..operators.dedup import duplicate_components
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8)
+    return duplicate_components(pairs)

@@ -76,3 +76,20 @@ def test_lsh_pairs_subset_of_candidates(docs):
     for r in est:
         j = exact.get((r["id_a"], r["id_b"]), 0.0)
         assert j >= 0.5, f"est {r['est_jaccard']} but exact {j}"
+
+
+def test_duplicate_components_transitive_closure(spark):
+    from prefect_flow_arc_alto_to_json_spark.operators.dedup import (
+        duplicate_components,
+    )
+
+    # chain 1-2-3-4 (transitive), triangle 10-11-12, isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in duplicate_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
