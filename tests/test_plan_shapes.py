@@ -1,0 +1,61 @@
+"""Physical-plan regression tests: the scale-critical plan properties
+(broadcast dimension joins, parquet filter pushdown, bounded exchange
+counts) must survive refactors — a correct-but-shuffling plan is a bug at
+100 TB even when values match."""
+
+from __future__ import annotations
+
+from prefect_flow_arc_alto_to_json_spark.plans import QUERIES
+
+
+def _plan(spark, name, sf_dir) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q3_broadcasts_dims_and_pushes_filters(spark, sf_dir):
+    plan = _plan(spark, "q3_shipping_priority", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims must not shuffle-join at this size
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "GreaterThan(l_shipdate" in plan  # range predicate reached the scan
+
+
+def test_q5_star_join_all_broadcast(spark, sf_dir):
+    plan = _plan(spark, "q5_region_revenue", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_q1_scan_prunes_columns(spark, sf_dir):
+    plan = _plan(spark, "q1_pricing_summary", sf_dir)
+    # 7 needed columns, not the full 16-column lineitem schema
+    read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "l_orderkey" not in read_schema
+    assert "l_comment" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_dedup_exact_single_exchange(spark, sf_dir):
+    # normalize+hash is narrow; the ONLY shuffle is the groupBy on the digest
+    # (fan_out is a no-op here iff input partitions >= parallelism, so allow
+    # its round-robin exchange + the agg exchange, nothing more)
+    plan = _plan(spark, "dedup_exact", sf_dir)
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_transcript_plan_is_shuffle_free(spark):
+    # the order-safe array_join(flatten(...)) formulation must never shuffle
+    from pyspark.sql import functions as F
+
+    from prefect_flow_arc_alto_to_json_spark.operators.alto import (
+        simplify_alto,
+        transcript,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "<alto><Layout/></alto>")], "name string, xml string"
+    )
+    out = simplify_alto(df).withColumn("t", transcript("simplified"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
