@@ -690,3 +690,53 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+
+
+@query(
+    "q_rank_family",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           CAST(DENSE_RANK()   OVER w AS BIGINT)  AS drank,
+           CAST(NTILE(4)       OVER w AS INTEGER) AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6)        AS prank
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def q_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window family (§2.5): dense_rank / ntile / percent_rank per
+    nation — one window spec, one shuffle on the partition key."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.dense_rank().over(w).cast("long").alias("drank"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+    )
+
+
+@query(
+    "q_map_functions",
+    oracle="""
+    SELECT n_regionkey, n_name AS nation, CAST(n_nationkey AS BIGINT) AS nationkey
+    FROM nation
+    """,
+)
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface (§2.8): build a per-region name->key map
+    (map_from_entries over collect_list) and explode it back to rows — the
+    roundtrip is an identity the oracle states directly, so the check pins
+    map construction AND map explosion semantics."""
+    nation = load_table(spark, sf_dir, "nation")
+    maps = nation.groupBy("n_regionkey").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("n_name", "n_nationkey"))
+        ).alias("by_name")
+    )
+    return maps.select(
+        "n_regionkey", F.explode("by_name").alias("nation", "nationkey")
+    ).withColumn("nationkey", F.col("nationkey").cast("long"))
