@@ -740,3 +740,28 @@ def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maps.select(
         "n_regionkey", F.explode("by_name").alias("nation", "nationkey")
     ).withColumn("nationkey", F.col("nationkey").cast("long"))
+
+
+_EXISTS_SQL = """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_suppkey = s_suppkey AND l_quantity > 49
+          )
+      AND s_nationkey IN (
+            SELECT n_nationkey FROM nation WHERE n_regionkey <= 1
+          )
+    ORDER BY s_suppkey
+"""
+
+
+@query("q_exists_subquery", oracle=_EXISTS_SQL)
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + uncorrelated IN subqueries in pure SQL — Catalyst
+    decorrelates both into joins (left-semi), no per-row re-execution
+    (SURVEY.md §4.1 'subquery decorrelation: built-in')."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, "supplier", "lineitem", "nation")
+    return spark.sql(_EXISTS_SQL)
