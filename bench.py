@@ -47,6 +47,7 @@ HEADLINE = [
     "q_interval_join",
     "mm_payload_stats",
     "mm_features",
+    "pipeline_clean_corpus",
 ]
 
 

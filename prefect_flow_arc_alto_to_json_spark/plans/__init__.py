@@ -16,5 +16,6 @@ from . import text_queries  # noqa: E402,F401
 from . import similarity_queries  # noqa: E402,F401
 from . import multimodal_queries  # noqa: E402,F401
 from . import temporal_queries  # noqa: E402,F401
+from . import pipeline_queries  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]
