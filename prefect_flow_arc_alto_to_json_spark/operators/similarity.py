@@ -319,3 +319,72 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def brute_force_topk_np(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k via Arrow-batched numpy matmul (mapInPandas).
+
+    The JVM HOF form (:func:`brute_force_topk`) evaluates the dot product
+    element-wise per pair; this path stacks each Arrow batch into a
+    (batch x dim) float64 matrix and hits BLAS — the right shape when
+    dim x |queries| grows. Each batch emits only its LOCAL top-k per query
+    (k rows per query per batch), so the final ranking shuffle moves
+    k x |queries| x #batches rows, never batch x |queries| scores.
+
+    Query set is collected to the driver and shipped in the UDF closure
+    (it must be broadcast-small — same constraint as the JVM form).
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r[vec_col] for r in qrows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c_norm = np.linalg.norm(c_mat, axis=1)
+            cos = (c_mat @ q_mat.T) / np.outer(c_norm, q_norm)
+            out = []
+            for qi, qid in enumerate(q_ids):
+                col = cos[:, qi]
+                mask = c_ids != qid  # exclude self-match
+                ids, vals = c_ids[mask], col[mask]
+                if len(ids) == 0:
+                    continue
+                top = np.argsort(-vals, kind="stable")[:k]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": ids[top],
+                            "cosine": np.round(vals[top], 6),
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    scored = fan_out(corpus).select(id_col, vec_col).mapInPandas(
+        score, schema="query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

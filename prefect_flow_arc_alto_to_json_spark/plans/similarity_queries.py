@@ -139,3 +139,34 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4).select(
         "query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank")
     )
+
+
+@query(
+    "sim_brute_topk_np",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             ROUND({_SQL_DOT} / ({_SQL_NORM_A} * {_SQL_NORM_B}), 6) AS cosine
+      FROM q a JOIN e b ON a.vec_id <> b.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+      ) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def sim_brute_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched numpy/BLAS cosine top-10 (mapInPandas matmul with
+    per-batch local top-k) — same oracle as the JVM form; the two paths
+    must agree to the last rounded digit."""
+    from ..operators.similarity import brute_force_topk_np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return brute_force_topk_np(emb, queries, k=10).select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank")
+    )

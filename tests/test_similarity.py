@@ -89,3 +89,21 @@ def test_ivf_topk_recall_vs_brute_force(emb):
         len(truth[qid] & got.get(qid, set())) / len(truth[qid]) for qid in truth
     ]
     assert sum(recalls) / len(recalls) >= 0.3, recalls
+
+
+def test_numpy_topk_equals_jvm_topk(emb):
+    """The Arrow/BLAS path must return exactly the JVM HOF path's top-k."""
+    from prefect_flow_arc_alto_to_json_spark.operators.similarity import (
+        brute_force_topk_np,
+    )
+
+    q = emb.where(F.col("vec_id") < 5)
+    jvm = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in brute_force_topk(emb, q, k=10).collect()
+    }
+    npy = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in brute_force_topk_np(emb, q, k=10).collect()
+    }
+    assert npy == jvm and len(jvm) == 50
