@@ -48,6 +48,8 @@ HEADLINE = [
     "mm_payload_stats",
     "mm_features",
     "pipeline_clean_corpus",
+    "sim_brute_topk_np",
+    "alto_parse_2k",
 ]
 
 

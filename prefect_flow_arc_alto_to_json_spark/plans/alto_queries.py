@@ -108,3 +108,66 @@ def alto_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("line.width").alias("width"),
         F.col("line.height").alias("height"),
     )
+
+
+@query(
+    "alto_parse_2k",
+    oracle="""
+    WITH r AS (SELECT unnest(range(0, 2000)) AS id),
+    l AS (
+      SELECT r.id, u.j,
+             1 + strlen(CAST(r.id AS VARCHAR)) + 1 + strlen(CAST(u.j AS VARCHAR))
+               AS wlen
+      FROM r, LATERAL (SELECT unnest(range(1, r.id % 5 + 2)) AS j) u
+    ),
+    per_doc AS (
+      SELECT id, COUNT(*) AS nl, SUM(wlen) + COUNT(*) - 1 AS tlen
+      FROM l GROUP BY id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nl) AS BIGINT) AS total_lines,
+           CAST(SUM(tlen) AS BIGINT) AS total_transcript_chars
+    FROM per_doc
+    """,
+)
+def alto_parse_2k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTO parse throughput probe: 2 000 synthetic v2 documents built
+    DISTRIBUTED (spark.range + column-expression XML synthesis — no driver
+    strings), parsed with from_xml, reduced to corpus totals. The oracle
+    computes the same totals analytically, so the whole parse+extract path
+    is value-checked at corpus scale, not just on 5 golden files.
+
+    Doc i has (i % 5) + 1 lines with CONTENT 'w{i}_{j}' — word lengths and
+    transcript lengths are arithmetic in i and j.
+    """
+    ids = spark.range(0, 2000).withColumn(
+        "nl", (F.col("id") % 5 + 1).cast("int")
+    )
+    line = F.aggregate(
+        F.sequence(F.lit(1), F.col("nl")),
+        F.lit(""),
+        lambda acc, j: F.concat(
+            acc,
+            F.format_string(
+                '<TextLine><String CONTENT="w%s_%s" HPOS="1" VPOS="2" '
+                'WIDTH="3" HEIGHT="4"/></TextLine>',
+                F.col("id"),
+                j,
+            ),
+        ),
+    )
+    xml = F.concat(
+        F.lit(
+            '<alto xmlns="http://www.loc.gov/standards/alto/ns-v2#">'
+            "<Layout><Page><PrintSpace><TextBlock>"
+        ),
+        line,
+        F.lit("</TextBlock></PrintSpace></Page></Layout></alto>"),
+    )
+    docs = ids.select(F.col("id"), xml.alias("xml"))
+    out = simplify_alto(docs).withColumn("t", transcript("simplified"))
+    return out.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("simplified.text")).cast("long").alias("total_lines"),
+        F.sum(F.length("t")).cast("long").alias("total_transcript_chars"),
+    )
