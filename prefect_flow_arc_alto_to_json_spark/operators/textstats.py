@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from ..functions.scalar import token_array
+from ..functions.scalar import stable_hash_p31, token_array
 from .dedup import normalize_text, shingle_hashes, shingles
 
 # Tiny per-language stopword lists — enough for a deterministic n-gram-free
@@ -132,3 +132,20 @@ def bottomk_sketch(col: Column | str, k: int = 8, n: int = 3) -> Column:
     shingle hashes — a compact near-dup fingerprint whose overlap estimates
     resemblance, cheaper to store than full MinHash signatures."""
     return F.slice(F.array_sort(shingle_hashes(shingles(col, n))), 1, k)
+
+
+def split_by_hash(
+    col: Column | str,
+    train_pct: int = 90,
+    salt: str = "split-v1",
+) -> Column:
+    """Deterministic train/val assignment: md5-hash the id with a salt,
+    bucket into [0,100), label by threshold. Stable across runs, machines
+    and engines (no RNG, no row order dependence) — the property a training
+    pipeline needs so re-runs never leak val docs into train.
+
+    Changing ``salt`` produces an independent split (for k-fold, vary it).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    bucket = F.pmod(stable_hash_p31(F.concat(F.lit(salt + ":"), c.cast("string"))), 100)
+    return F.when(bucket < train_pct, F.lit("train")).otherwise(F.lit("val"))

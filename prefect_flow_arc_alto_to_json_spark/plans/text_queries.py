@@ -196,3 +196,36 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         content_fingerprint("text").alias("fingerprint"),
         F.array_join(bottomk_sketch("text", 8), ",").alias("sketch"),
     )
+
+
+@query(
+    "text_train_val_split",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+        CASE WHEN md5_number_lower('split-v1:' || CAST(doc_id AS VARCHAR))
+                  % 2147483647 % 100 < 90
+             THEN 'train' ELSE 'val' END AS split
+      FROM documents
+    )
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id
+    FROM s GROUP BY split
+    """,
+)
+def text_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based 90/10 train/val split (salted md5 residue,
+    no RNG — reproducible across engines and re-runs)."""
+    from ..operators.textstats import split_by_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("split", split_by_hash("doc_id"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").cast("long").alias("min_id"),
+            F.max("doc_id").cast("long").alias("max_id"),
+        )
+    )
