@@ -77,3 +77,22 @@ def token_array(col: Column | str, lowercase: bool = True) -> Column:
         c = F.lower(c)
     toks = F.split(F.trim(c), r"\s+")
     return F.filter(toks, lambda t: t != "")
+
+
+def cents(col: Column | str) -> Column:
+    """Exact integer cents of a 2-decimal money double: ``round(x*100)`` as
+    long. Both engines compute the identical product double and round
+    half-away-from-zero, so the integer is cross-engine deterministic —
+    the foundation for float-free money aggregation (SQL:
+    ``CAST(ROUND(x * 100) AS BIGINT)``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100, 0).cast("long")
+
+
+def half_up_units(units_sum: Column, n: Column, mul: int) -> Column:
+    """Half-up integer rounding of ``units_sum * mul / n`` for non-negative
+    sums — exact decimal averages without any float rounding (SQL:
+    ``(2 * s * mul + n) // (2 * n)``)."""
+    num = 2 * units_sum * F.lit(mul).cast("long") + n
+    den = 2 * n
+    return ((num - F.pmod(num, den)) / den).cast("long")

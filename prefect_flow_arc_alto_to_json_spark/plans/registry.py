@@ -8,8 +8,14 @@ sorts columns by name before value-hashing — so every computed column is
 aliased identically on both sides.
 
 Determinism rules used throughout the plans:
-- double-typed outputs are ``round(x, k)`` on BOTH sides (aggregation order
-  across engines differs in last-ulp; rounding removes the hazard);
+- money/ratio aggregates use EXACT INTEGER UNITS (functions.scalar.cents /
+  half_up_units): 2-decimal doubles → integer cents, sums/averages in long
+  arithmetic, one final division by a power of ten. Rounded float sums are
+  NOT enough — round(sum,k) flips on shortest-repr boundaries when the two
+  engines' summation orders differ in the last ulp (bit us at sf0.1);
+- other double outputs are ``round(x, k)`` on BOTH sides only where the
+  value cannot land on an exact decimal boundary (e.g. products of rounded
+  inputs, single values);
 - timestamps are formatted to strings (Spark µs vs DuckDB ns precision);
 - every LIMIT/top-k has a total-order tiebreaker;
 - DuckDB ``sum(BIGINT)`` returns HUGEINT → oracles cast back to BIGINT.

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..functions.scalar import cents, half_up_units
 from ..sources import load_table
 from .registry import query
 
@@ -31,16 +32,24 @@ from .registry import query
     SELECT
       l_returnflag,
       l_linestatus,
-      ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
-      ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
-      ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-      ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-      ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
-      ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
-      ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+      CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)                  AS sum_qty,
+      CAST(SUM(pc) AS DOUBLE) / 100.0                                  AS sum_base_price,
+      CAST(SUM(pc * (100 - dc)) AS DOUBLE) / 10000.0                   AS sum_disc_price,
+      CAST(SUM(pc * (100 - dc) * (100 + tc)) AS DOUBLE) / 1000000.0    AS sum_charge,
+      CAST((2 * SUM(CAST(l_quantity AS BIGINT)) * 10000 + COUNT(*))
+           // (2 * COUNT(*)) AS DOUBLE) / 10000.0                      AS avg_qty,
+      CAST((2 * SUM(pc) * 100 + COUNT(*))
+           // (2 * COUNT(*)) AS DOUBLE) / 10000.0                      AS avg_price,
+      CAST((2 * SUM(dc) * 100 + COUNT(*))
+           // (2 * COUNT(*)) AS DOUBLE) / 10000.0                      AS avg_disc,
       COUNT(*)                                                         AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    FROM (
+      SELECT l_returnflag, l_linestatus, l_quantity,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS pc,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS dc,
+             CAST(ROUND(l_tax * 100) AS BIGINT) AS tc
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    )
     GROUP BY l_returnflag, l_linestatus
     """,
 )
@@ -53,27 +62,52 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     #partitions x #groups rows. Filter pushes to the parquet scan.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
+    # exact integer units: cents for money, 1e-4 (cents x percent) for the
+    # discounted price, 1e-6 for charge — no float rounding anywhere, so
+    # every output double is bit-identical across engines at any SF
+    staged = (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("l_quantity").cast("long").alias("qi"),
+            cents("l_extendedprice").alias("pc"),
+            cents("l_discount").alias("dc"),
+            cents("l_tax").alias("tc"),
         )
+    )
+    n = F.count(F.lit(1))
+    return staged.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("qi").cast("double").alias("sum_qty"),
+        (F.sum("pc").cast("double") / 100.0).alias("sum_base_price"),
+        (F.sum(F.col("pc") * (100 - F.col("dc"))).cast("double") / 10000.0).alias(
+            "sum_disc_price"
+        ),
+        (
+            F.sum(F.col("pc") * (100 - F.col("dc")) * (100 + F.col("tc"))).cast(
+                "double"
+            )
+            / 1000000.0
+        ).alias("sum_charge"),
+        (half_up_units(F.sum("qi"), n, 10000).cast("double") / 10000.0).alias(
+            "avg_qty"
+        ),
+        (half_up_units(F.sum("pc"), n, 100).cast("double") / 10000.0).alias(
+            "avg_price"
+        ),
+        (half_up_units(F.sum("dc"), n, 100).cast("double") / 10000.0).alias(
+            "avg_disc"
+        ),
+        F.count(F.lit(1)).alias("count_order"),
     )
 
 
 @query(
     "q6_revenue_delta",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE)
+             / 10000.0 AS revenue,
            COUNT(*) AS n_rows
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -97,9 +131,10 @@ def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
+            (
+                F.sum(cents("l_extendedprice") * cents("l_discount"))
+                .cast("double") / 10000.0
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
@@ -115,7 +150,9 @@ def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       l_orderkey,
-      ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE)
+        / 10000.0 AS revenue,
       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
       o_orderpriority
     FROM customer
@@ -154,8 +191,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            (
+                F.sum(cents("l_extendedprice") * (100 - cents("l_discount")))
+                .cast("double") / 10000.0
             ).alias("revenue")
         )
         .select(
@@ -175,7 +213,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       r_name,
       n_name,
-      ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE)
+        / 10000.0 AS revenue,
       COUNT(*) AS n_lineitems
     FROM region
     JOIN nation   ON n_regionkey = r_regionkey
@@ -215,8 +255,9 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            (
+                F.sum(cents("l_extendedprice") * (100 - cents("l_discount")))
+                .cast("double") / 10000.0
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
@@ -384,7 +425,7 @@ def q_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
       COUNT(*) AS n_events,
-      ROUND(SUM(value), 2) AS session_value
+      CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS session_value
     FROM numbered
     GROUP BY user_id, session_seq
     """,
@@ -412,7 +453,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("session_value"),
+        (F.sum(cents("value")).cast("double") / 100.0).alias("session_value"),
     )
 
 
@@ -428,7 +469,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
       r_name,
       n_name,
       COUNT(*) AS n_customers,
-      ROUND(SUM(c_acctbal), 2) AS total_acctbal
+      CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_acctbal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -445,7 +486,7 @@ def q_rollup_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
     return joined.rollup("r_name", "n_name").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        (F.sum(cents("c_acctbal")).cast("double") / 100.0).alias("total_acctbal"),
     )
 
 
@@ -489,7 +530,7 @@ def q_setops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS total_price
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -500,7 +541,7 @@ def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        (F.sum(cents("o_totalprice")).cast("double") / 100.0).alias("total_price"),
     )
 
 
@@ -511,7 +552,7 @@ def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       c_mktsegment,
       COUNT(*) AS n_customers,
       COUNT(DISTINCT c_nationkey) AS n_nations,
-      ROUND(AVG(c_acctbal), 2) AS avg_acctbal
+      ROUND(ROUND(SUM(c_acctbal), 2) / COUNT(*), 2) AS avg_acctbal
     FROM customer
     GROUP BY c_mktsegment
     """,
@@ -523,7 +564,7 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.countDistinct("c_nationkey").alias("n_nations"),
-        F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+        F.round(F.round(F.sum("c_acctbal"), 2) / F.count(F.lit(1)), 2).alias("avg_acctbal"),
     )
 
 
@@ -626,8 +667,9 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
       event_type,
       COUNT(*) AS n_events,
-      ROUND(SUM(value), 2) AS total_value,
-      ROUND(AVG(value), 4) AS avg_value
+      CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value,
+      CAST((2 * SUM(CAST(ROUND(value * 100) AS BIGINT)) * 100 + COUNT(*))
+           // (2 * COUNT(*)) AS DOUBLE) / 10000.0 AS avg_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -645,15 +687,23 @@ def q_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            # exact integer cents: no float rounding anywhere, so the
+            # result double is bit-identical across engines (a rounded
+            # float avg flips on shortest-repr boundaries — seen at sf0.1)
+            (F.sum(cents("value")).cast("double") / 100.0).alias("total_value"),
+            (
+                half_up_units(F.sum(cents("value")), F.count(F.lit(1)), 100)
+                .cast("double") / 10000.0
+            ).alias("avg_value"),
         )
     )
 
 
 _Q10_SQL = """
     SELECT c_custkey, c_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE)
+             / 10000.0 AS revenue,
            c_acctbal, n_name
     FROM customer
     JOIN orders   ON c_custkey = o_custkey

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.scalar import cents
 from ..operators.joins import asof_join, interval_join
 from ..sources import load_table
 from .registry import query
@@ -69,7 +70,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT err_id,
            CAST(count(*) AS BIGINT) AS n_follow,
-           ROUND(sum(e.value), 2) AS follow_value
+           CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS follow_value
     FROM err JOIN events e
       ON e.user_id = err.user_id
      AND e.ts > err.err_ts
@@ -96,5 +97,5 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = interval_join(errs, ev.select("user_id", "ts", "value"), "user_id", follow)
     return joined.groupBy("err_id").agg(
         F.count(F.lit(1)).alias("n_follow"),
-        F.round(F.sum("value"), 2).alias("follow_value"),
+        (F.sum(cents("value")).cast("double") / 100.0).alias("follow_value"),
     )
