@@ -388,3 +388,54 @@ def brute_force_topk_np(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd-refined IVF coarse quantizer: start from the deterministic
+    sample centroids (:func:`ivf_index`), then alternate
+    (1) centroid recompute — grouped ``applyInPandas``: each cell's
+        vectors stack into a numpy matrix, mean is one BLAS reduction;
+    (2) reassignment — corpus × broadcast(centroids) argmin,
+    for ``iterations`` rounds. Returns (centroids, assignments).
+
+    Scale: step 1 shuffles corpus rows once per iteration on cent_id (the
+    same key the assignments are already bucketed by after step 2, so AQE
+    reuses the partitioning where possible); step 2 is map-side. Iteration
+    count is small and fixed — this is the standard distributed k-means
+    shape, with state in DataFrames, not on the driver.
+    """
+    import pandas as pd
+
+    _, assigned = ivf_index(corpus, n_centroids, id_col, vec_col)
+
+    def mean_vec(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        mat = np.array(list(pdf["vec"]), dtype=np.float64)
+        return pd.DataFrame(
+            {"cent_id": [pdf["cent_id"].iloc[0]], "cvec": [mat.mean(axis=0).tolist()]}
+        )
+
+    for _ in range(iterations):
+        cents = assigned.groupBy("cent_id").applyInPandas(
+            mean_vec, schema="cent_id long, cvec array<double>"
+        )
+        dist = assigned.select("vid", "vec").join(F.broadcast(cents)).select(
+            "vid", "vec", "cent_id", dot(F.col("vec"), F.col("cvec")).alias("sim")
+        )
+        assigned = dist.groupBy("vid").agg(
+            F.max_by("cent_id", F.struct(F.col("sim"), -F.col("cent_id"))).alias(
+                "cent_id"
+            ),
+            F.first("vec").alias("vec"),
+        ).localCheckpoint()
+    cents = assigned.groupBy("cent_id").applyInPandas(
+        mean_vec, schema="cent_id long, cvec array<double>"
+    )
+    return cents, assigned

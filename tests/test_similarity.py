@@ -107,3 +107,35 @@ def test_numpy_topk_equals_jvm_topk(emb):
         for r in brute_force_topk_np(emb, q, k=10).collect()
     }
     assert npy == jvm and len(jvm) == 50
+
+
+def test_kmeans_refine_improves_inertia(spark, emb):
+    """Lloyd iterations must not worsen the clustering objective (mean
+    cosine-sim of vectors to their centroid must rise vs the unrefined
+    sample quantizer)."""
+    import numpy as np
+
+    from prefect_flow_arc_alto_to_json_spark.operators.similarity import (
+        ivf_index,
+        kmeans_refine,
+    )
+
+    def objective(cents_df, assigned_df):
+        cents = {r["cent_id"]: np.array(r["cvec"]) for r in cents_df.collect()}
+        sims = []
+        for r in assigned_df.collect():
+            v = np.array(r["vec"])
+            c = cents[r["cent_id"]]
+            sims.append(
+                float(v @ c) / (np.linalg.norm(v) * np.linalg.norm(c) + 1e-12)
+            )
+        return sum(sims) / len(sims)
+
+    c0, a0 = ivf_index(emb, n_centroids=8)
+    base = objective(
+        c0.select("cent_id", F.col("cvec").alias("cvec")), a0
+    )
+    c1, a1 = kmeans_refine(emb, n_centroids=8, iterations=2)
+    refined = objective(c1, a1)
+    assert refined >= base - 1e-9, (base, refined)
+    assert a1.count() == emb.count()
