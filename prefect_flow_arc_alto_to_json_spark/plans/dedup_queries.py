@@ -170,14 +170,22 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH
       toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
       shg  AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM toks),
-      hsh  AS (SELECT doc_id, {_SQL_SHINGLE_HASHES} AS hs FROM shg)
-    SELECT id_a, id_b, jaccard FROM (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        ROUND(len(list_intersect(a.hs, b.hs)) /
-              (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))::DOUBLE, 6)
-          AS jaccard
-      FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
-    ) WHERE jaccard >= 0.8
+      hsh  AS (SELECT doc_id, {_SQL_SHINGLE_HASHES} AS hs FROM shg),
+      -- posting-list join (linear in shared shingles, like the Spark plan)
+      -- instead of the quadratic all-pairs list_intersect
+      post AS (SELECT doc_id, unnest(hs) AS h FROM hsh),
+      sizes AS (SELECT doc_id, len(hs) AS n_sh FROM hsh),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM post a JOIN post b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+    SELECT id_a, id_b,
+      ROUND(n_common / (sa.n_sh + sb.n_sh - n_common)::DOUBLE, 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ROUND(n_common / (sa.n_sh + sb.n_sh - n_common)::DOUBLE, 6) >= 0.8
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
