@@ -874,3 +874,90 @@ def q_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_last_hour"),
         F.round(F.sum("value").over(w), 2).alias("value_last_hour"),
     )
+
+
+@query(
+    "q_fuzzy_match",
+    oracle="""
+    WITH dirty AS (
+      -- every 10th customer's name with digit #5 corrupted to 'X'
+      SELECT c_custkey AS dirty_key,
+             substr(c_name, 1, 13) || 'X' || substr(c_name, 15) AS dirty_name
+      FROM customer WHERE c_custkey % 10 = 0
+    ),
+    blocked AS (
+      SELECT d.dirty_key, d.dirty_name, c.c_custkey,
+             levenshtein(d.dirty_name, c.c_name) AS dist
+      FROM dirty d JOIN customer c
+        ON substr(d.dirty_name, 15, 4) = substr(c.c_name, 15, 4)
+    )
+    SELECT dirty_key, dirty_name, c_custkey AS matched_key,
+           CAST(dist AS INTEGER) AS dist
+    FROM blocked WHERE dist <= 1
+    """,
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution with blocking: corrupted names resolve back to
+    canonical rows via a BLOCKED fuzzy join — the equi block key (last 4
+    name chars) carries the join, levenshtein only runs within blocks.
+    At 100 TB the block key is the shuffle key; the quadratic edit-distance
+    never sees the full cross product."""
+    cust = load_table(spark, sf_dir, "customer")
+    dirty = cust.where(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("dirty_key"),
+        F.concat(
+            F.substring("c_name", 1, 13), F.lit("X"), F.substring("c_name", 15, 100)
+        ).alias("dirty_name"),
+    )
+    blocked = dirty.join(
+        cust.select("c_custkey", "c_name"),
+        F.substring(F.col("dirty_name"), 15, 4) == F.substring(F.col("c_name"), 15, 4),
+    ).select(
+        "dirty_key",
+        "dirty_name",
+        F.col("c_custkey").alias("matched_key"),
+        F.levenshtein("dirty_name", "c_name").cast("int").alias("dist"),
+    )
+    return blocked.where(F.col("dist") <= 1)
+
+
+@query(
+    "q_null_semantics",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderpriority END AS p1,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderpriority END AS p2
+      FROM orders
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(COUNT(p1) AS BIGINT) AS n_p1,
+      CAST(COUNT(*) FILTER (WHERE p1 = p2) AS BIGINT) AS eq_true,
+      CAST(COUNT(*) FILTER (WHERE p1 IS NOT DISTINCT FROM p2) AS BIGINT) AS nullsafe_eq,
+      CAST(COUNT(*) FILTER (WHERE COALESCE(p1, p2) IS NULL) AS BIGINT) AS both_null,
+      CAST(COUNT(*) FILTER (WHERE NULLIF(p1, p2) IS NOT NULL) AS BIGINT) AS nullif_kept
+    FROM t
+    """,
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic corners: = vs null-safe <=> (eqNullSafe),
+    COALESCE, NULLIF — the semantics every engine must pin exactly."""
+    o = load_table(spark, sf_dir, "orders")
+    t = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, None)
+        .otherwise(F.col("o_orderpriority"))
+        .alias("p1"),
+        F.when(F.col("o_orderkey") % 5 == 0, None)
+        .otherwise(F.col("o_orderpriority"))
+        .alias("p2"),
+    )
+    return t.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("p1").alias("n_p1"),
+        F.count(F.when(F.col("p1") == F.col("p2"), 1)).alias("eq_true"),
+        F.count(F.when(F.col("p1").eqNullSafe(F.col("p2")), 1)).alias("nullsafe_eq"),
+        F.count(F.when(F.coalesce("p1", "p2").isNull(), 1)).alias("both_null"),
+        F.count(F.when(F.nullif("p1", "p2").isNotNull(), 1)).alias("nullif_kept"),
+    )

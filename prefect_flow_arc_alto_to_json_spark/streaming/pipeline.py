@@ -203,3 +203,11 @@ def stream_alto_documents(
     return simplify_alto(docs).withColumn(
         "transcript", transcript("simplified")
     ).drop("xml")
+
+
+def enrich_stream(stream: DataFrame, dim: DataFrame, key: str, how: str = "left") -> DataFrame:
+    """Stream-static join: enrich a stream with a batch dimension. The
+    static side is re-read per micro-batch (picking up dim updates) and is
+    broadcast when under the threshold — no stream-side state at all,
+    unlike stream-stream joins."""
+    return stream.join(dim, key, how)

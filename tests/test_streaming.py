@@ -152,3 +152,26 @@ def test_stream_alto_matches_batch(spark, tmp_path):
     ).withColumn("transcript", transcript("simplified"))
     want = {r["name"]: r["transcript"] for r in batch.collect()}
     assert got == want and len(got) == 5
+
+
+def test_stream_static_enrichment(spark, sf_dir, events_dir, tmp_path):
+    from prefect_flow_arc_alto_to_json_spark.streaming.pipeline import enrich_stream
+
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("user_total"))
+    )
+    rows = []
+    run_available_now(
+        enrich_stream(stream_events(spark, events_dir), dim, "user_id").select(
+            "event_id", "user_id", "user_total"
+        ),
+        str(tmp_path / "ckpt6"),
+        foreach_batch=lambda df, _id: rows.extend(df.collect()),
+    )
+    want = {
+        r["user_id"]: r["user_total"] for r in dim.collect()
+    }
+    assert len(rows) == load_table(spark, sf_dir, "events").count()
+    assert all(r["user_total"] == want[r["user_id"]] for r in rows)
