@@ -961,3 +961,42 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.coalesce("p1", "p2").isNull(), 1)).alias("both_null"),
         F.count(F.when(F.nullif("p1", "p2").isNotNull(), 1)).alias("nullif_kept"),
     )
+
+
+@query(
+    "q_argmax_listagg",
+    oracle="""
+    SELECT n_name,
+      max_by(c_name, CAST(ROUND(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey)
+        AS richest_customer,
+      min_by(c_name, CAST(ROUND(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey)
+        AS poorest_customer,
+      COALESCE(string_agg(c_mktsegment, ',' ORDER BY c_mktsegment)
+        FILTER (WHERE c_custkey % 300 = 0), '') AS segments_sample
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_argmax_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate surface: max_by/min_by with a composite integer tiebreak
+    key (exact cents * 1e7 + custkey — total order, engine-agnostic) and
+    ordered listagg (sorted collect_list + array_join — never relies on
+    shuffle arrival order)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    key = cents("c_acctbal") * F.lit(10000000).cast("long") + F.col("c_custkey")
+    joined = cust.join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    return joined.groupBy("n_name").agg(
+        F.max_by("c_name", key).alias("richest_customer"),
+        F.min_by("c_name", key).alias("poorest_customer"),
+        F.array_join(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("c_custkey") % 300 == 0, F.col("c_mktsegment"))
+                )
+            ),
+            ",",
+        ).alias("segments_sample"),
+    )
