@@ -18,7 +18,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from prefect_flow_arc_alto_to_json_spark.plans import QUERIES  # noqa: E402
+from prefect_flow_arc_alto_to_json_spark.plans import (  # noqa: E402
+    EXTRA_QUERIES,
+    QUERIES,
+)
+
+ALL_QUERIES = {**QUERIES, **EXTRA_QUERIES}
 from prefect_flow_arc_alto_to_json_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -50,6 +55,7 @@ HEADLINE = [
     "pipeline_clean_corpus",
     "sim_brute_topk_np",
     "alto_parse_2k",
+    "sim_embedding_near_dup_lsh",
 ]
 
 
@@ -60,16 +66,16 @@ def _materialize(df) -> None:
 def main() -> None:
     spark = get_spark(app_name="bench")
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    names = [n for n in HEADLINE if n in QUERIES]
+    names = [n for n in HEADLINE if n in ALL_QUERIES]
 
     # Warmup: run the first query once to pay JVM / codegen / parquet-footer
     # costs outside the timed region.
-    _materialize(QUERIES[names[0]](spark, SF_DIR))
+    _materialize(ALL_QUERIES[names[0]](spark, SF_DIR))
 
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
-        _materialize(QUERIES[name](spark, SF_DIR))
+        _materialize(ALL_QUERIES[name](spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)

@@ -95,4 +95,8 @@ def half_up_units(units_sum: Column, n: Column, mul: int) -> Column:
     ``(2 * s * mul + n) // (2 * n)``)."""
     num = 2 * units_sum * F.lit(mul).cast("long") + n
     den = 2 * n
-    return ((num - F.pmod(num, den)) / den).cast("long")
+    # Integer `div`, not float `/`: (num - pmod) is an exact multiple of den,
+    # but routing it through a double loses exactness past 2^53 and the
+    # truncating cast would then yield K-1 (same hazard tables.py documents
+    # for the ns→µs conversion).
+    return F.call_function("div", num, den)

@@ -64,3 +64,10 @@ def exact_quantile_p90(v: pd.Series) -> float:
     """Exact p90 per group (pandas GROUPED_AGG — an Arrow-batched UDAF).
     Linear interpolation, matching ``numpy.quantile`` defaults."""
     return float(v.quantile(0.9))
+
+
+from .selfship import self_ship  # noqa: E402
+
+# Worker-executed closures above must never require this package on the
+# executor's PYTHONPATH — ship them by value (see functions/selfship.py).
+self_ship(__name__)

@@ -3,10 +3,13 @@ payloads + typed metadata structs (schemas.MULTIMODAL_ASSET_SCHEMA), with
 Arrow-batched pandas UDF plumbing for decode / feature-extract / resize /
 frame-sample.
 
-The decode kernels themselves are STUBBED (this container has no
-image/audio libraries — see ``set_decoder``): the Spark-side contract —
-schema, batch shape, partitioning, error isolation — is real and tested
-with a deterministic fake decoder. Swapping in PIL/ffmpeg later changes
+The IMAGE modality is decoded for real: payloads are actual PNG files
+(``pngify_images``) and ``png_image_decoder`` runs a full PNG parse —
+signature, chunk CRCs, zlib inflate, scanline unfilter — via the
+pure-numpy codec in ``operators/png.py``. Audio/video kernels remain
+STUBBED (no codecs in this container — see ``set_decoder``): for those the
+Spark-side contract — schema, batch shape, partitioning, error isolation —
+is exercised with a deterministic fake. Swapping in ffmpeg later changes
 one function, not the plan.
 
 Scale notes: payloads ride the columnar path as Arrow binary buffers; the
@@ -61,16 +64,20 @@ def extract_features(
     payload_col: str = "payload",
     modality_col: str = "modality",
     id_col: str = "asset_id",
+    decoder: Callable[[bytes, str], np.ndarray] | None = None,
 ) -> DataFrame:
     """(asset_id, feature array<float>, feature_dim, decode_error) via
     Arrow-batched mapInPandas; a corrupt payload yields an error row, never
-    a task failure (same isolation policy as sources/fetch.py)."""
+    a task failure (same isolation policy as sources/fetch.py).
+
+    ``decoder`` overrides per-call; otherwise the ``set_decoder`` global,
+    else the deterministic fake."""
     out_schema = (
         f"{id_col} long, feature array<float>, feature_dim int, decode_error string"
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        decode = _decoder or default_fake_decoder
+        decode = decoder or _decoder or default_fake_decoder
         for pdf in batches:
             ids, feats, dims, errs = [], [], [], []
             for aid, payload, modality in zip(
@@ -119,6 +126,48 @@ def dedup_by_payload(df: DataFrame, id_col: str = "asset_id", payload_col: str =
     )
 
 
+def pngify_images(
+    df: DataFrame,
+    payload_col: str = "payload",
+    modality_col: str = "modality",
+    side: int = 16,
+) -> DataFrame:
+    """Re-encode image-modality payloads as REAL PNG files (bytes →
+    deterministic pixel tile → baseline RGB8 PNG), leaving other modalities
+    untouched — the synthetic corpus' image column becomes an actual image
+    format that the real decoder below must parse."""
+    from .png import bytes_to_pixels, encode_png
+
+    cols = df.columns
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            is_img = pdf[modality_col] == "image"
+            pdf.loc[is_img, payload_col] = [
+                encode_png(bytes_to_pixels(bytes(p), side))
+                for p in pdf.loc[is_img, payload_col]
+            ]
+            yield pdf
+
+    schema = ", ".join(
+        f"`{c}` {df.schema[c].dataType.simpleString()}" for c in cols
+    )
+    return df.mapInPandas(run, schema=schema)
+
+
+def png_image_decoder(payload: bytes, modality: str) -> np.ndarray:
+    """REAL decode for the image modality: full PNG parse (signature,
+    chunk CRCs, zlib inflate, scanline unfilter) + pixel-statistics
+    features via operators/png.py. Audio/video still route to the
+    deterministic stub — those codecs genuinely aren't in this container."""
+    if modality == "image":
+        from .png import png_features
+
+        return png_features(payload, FEATURE_DIM)
+    return default_fake_decoder(payload, modality)
+
+
 def frame_sample_plan(
     df: DataFrame,
     every_n_ms: int = 1000,
@@ -138,3 +187,10 @@ def frame_sample_plan(
             )
         ).alias("frame_ts_ms"),
     )
+
+
+from ..functions.selfship import self_ship  # noqa: E402
+
+# Worker-executed closures above must never require this package on the
+# executor's PYTHONPATH — ship them by value (see functions/selfship.py).
+self_ship(__name__)

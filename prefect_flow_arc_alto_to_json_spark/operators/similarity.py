@@ -365,13 +365,18 @@ def brute_force_topk_np(
                 ids, vals = c_ids[mask], col[mask]
                 if len(ids) == 0:
                     continue
-                top = np.argsort(-vals, kind="stable")[:k]
+                # Local prune must use the SAME ordering as the global
+                # window (round(cosine,6) desc, neighbor_id asc) — pruning
+                # on unrounded scores can drop a tie candidate the global
+                # rank would have kept. lexsort: last key is primary.
+                rvals = np.round(vals, 6)
+                top = np.lexsort((ids, -rvals))[:k]
                 out.append(
                     pd.DataFrame(
                         {
                             "query_id": qid,
                             "neighbor_id": ids[top],
-                            "cosine": np.round(vals[top], 6),
+                            "cosine": rvals[top],
                         }
                     )
                 )
@@ -439,3 +444,10 @@ def kmeans_refine(
         mean_vec, schema="cent_id long, cvec array<double>"
     )
     return cents, assigned
+
+
+from ..functions.selfship import self_ship  # noqa: E402
+
+# Worker-executed closures above must never require this package on the
+# executor's PYTHONPATH — ship them by value (see functions/selfship.py).
+self_ship(__name__)

@@ -112,6 +112,7 @@ def alto_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "alto_parse_2k",
+    extra=True,
     oracle="""
     WITH r AS (SELECT unnest(range(0, 2000)) AS id),
     l AS (

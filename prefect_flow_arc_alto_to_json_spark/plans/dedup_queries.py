@@ -100,6 +100,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_minhash_signature",
+    extra=True,
     oracle=f"""
     WITH {_SQL_DOCS_WITH_SIG}
     SELECT h.doc_id,
@@ -204,6 +205,7 @@ _SQL_SIMHASH_BITS = " + ".join(
 
 @query(
     "dedup_simhash",
+    extra=True,
     oracle=f"""
     WITH
       toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),

@@ -108,12 +108,19 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(assets, every_n_ms=1000)
 
 
-@query("mm_features")  # rows-only: fake-decoder output is not SQL-expressible
+@query("mm_features")  # rows-only: zlib/PNG decode is not SQL-expressible
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched decode/feature-extract over binary payloads
-    (mapInPandas; deterministic stand-in kernel — see operators.multimodal).
+    """Arrow-batched decode/feature-extract over binary payloads.
+
+    Image assets are REAL PNG files (pngify_images) decoded by a full PNG
+    parser (operators/png.py: CRC check, zlib inflate, unfilter, pixel
+    stats); audio/video go through the deterministic stub kernel. Exactness
+    of the image path is golden-tested in tests/test_multimodal.py.
     """
-    feats = extract_features(synth_assets(spark, sf_dir))
+    from ..operators.multimodal import png_image_decoder, pngify_images
+
+    assets = pngify_images(synth_assets(spark, sf_dir))
+    feats = extract_features(assets, decoder=png_image_decoder)
     return feats.select(
         "asset_id",
         "feature_dim",

@@ -32,16 +32,32 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# Second tier: queries whose operator is already adjudicated by another
+# registered query (e.g. the numpy twin of sim_brute_topk, the signature
+# relation inside dedup_minhash_pairs). The grading driver adjudicates the
+# first 50 entries of QUERIES only, so these live here — same (spark,
+# sf_dir) contract, same oracle form — and tests/test_extra_queries.py runs
+# the identical side-by-side DuckDB check over them in CI.
+EXTRA_QUERIES: dict[str, QueryFn] = {}
+EXTRA_ORACLES: dict[str, str] = {}
 
-def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Register a named query plan and (optionally) its DuckDB oracle SQL."""
+
+def query(
+    name: str, oracle: str | None = None, *, extra: bool = False
+) -> Callable[[QueryFn], QueryFn]:
+    """Register a named query plan and (optionally) its DuckDB oracle SQL.
+
+    ``extra=True`` registers into the pytest-adjudicated second tier instead
+    of the driver-graded registry (which is capped at 50 slots).
+    """
+    q, o = (EXTRA_QUERIES, EXTRA_ORACLES) if extra else (QUERIES, ORACLES)
 
     def deco(fn: QueryFn) -> QueryFn:
-        if name in QUERIES:
+        if name in QUERIES or name in EXTRA_QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
-        QUERIES[name] = fn
+        q[name] = fn
         if oracle is not None:
-            ORACLES[name] = oracle
+            o[name] = oracle
         return fn
 
     return deco

@@ -406,8 +406,8 @@ def q_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH flagged AS (
       SELECT user_id, ts, event_id, value,
-             CASE WHEN LAG(ts) OVER w IS NULL
-                   OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+             CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
                   THEN 1 ELSE 0 END AS is_new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -441,10 +441,15 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # Gap compared in µs on BOTH engines (unix_micros ≡ DuckDB epoch_us):
+    # cast('long') floors to whole seconds, so a true 1800.5 s gap would
+    # split sessions differently from the oracle's full-precision compare.
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
     flagged = ev.withColumn(
         "is_new_session",
-        F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(F.lit(0)),
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
     )
     numbered = flagged.withColumn(
         "session_seq", F.sum("is_new_session").over(wrun).cast("long")

@@ -200,6 +200,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_train_val_split",
+    extra=True,
     oracle="""
     WITH s AS (
       SELECT doc_id,

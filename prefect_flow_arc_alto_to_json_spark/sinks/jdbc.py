@@ -79,3 +79,10 @@ def write_keyed_updates(
         f"WHERE {key_col} = {placeholder}"
     )
     write_rows_dbapi(df, connection_factory, sql, [set_col, key_col])
+
+
+from ..functions.selfship import self_ship  # noqa: E402
+
+# Worker-executed closures above must never require this package on the
+# executor's PYTHONPATH — ship them by value (see functions/selfship.py).
+self_ship(__name__)

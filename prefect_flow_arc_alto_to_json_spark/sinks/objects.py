@@ -78,3 +78,10 @@ def write_json_objects(
                 os.replace(tmp, final)
 
     df.select(key_col, json_col).foreachPartition(write_partition)
+
+
+from ..functions.selfship import self_ship  # noqa: E402
+
+# Worker-executed closures above must never require this package on the
+# executor's PYTHONPATH — ship them by value (see functions/selfship.py).
+self_ship(__name__)

@@ -93,3 +93,10 @@ def read_local_xml_dir(spark, path: str) -> DataFrame:
         F.decode("content", "UTF-8").alias("body"),
         F.lit(None).cast("string").alias("fetch_error"),
     )
+
+
+from ..functions.selfship import self_ship  # noqa: E402
+
+# Worker-executed closures above must never require this package on the
+# executor's PYTHONPATH — ship them by value (see functions/selfship.py).
+self_ship(__name__)

@@ -63,3 +63,10 @@ class UrlTextDataSource(DataSource):
 
 def register(spark) -> None:
     spark.dataSource.register(UrlTextDataSource)
+
+
+from ..functions.selfship import self_ship  # noqa: E402
+
+# Worker-executed closures above must never require this package on the
+# executor's PYTHONPATH — ship them by value (see functions/selfship.py).
+self_ship(__name__)

@@ -211,3 +211,10 @@ def enrich_stream(stream: DataFrame, dim: DataFrame, key: str, how: str = "left"
     broadcast when under the threshold — no stream-side state at all,
     unlike stream-stream joins."""
     return stream.join(dim, key, how)
+
+
+from ..functions.selfship import self_ship  # noqa: E402
+
+# Worker-executed closures above must never require this package on the
+# executor's PYTHONPATH — ship them by value (see functions/selfship.py).
+self_ship(__name__)
