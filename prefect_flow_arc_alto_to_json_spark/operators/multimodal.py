@@ -168,6 +168,62 @@ def png_image_decoder(payload: bytes, modality: str) -> np.ndarray:
     return default_fake_decoder(payload, modality)
 
 
+def resize_images(
+    df: DataFrame,
+    target: int = 8,
+    payload_col: str = "payload",
+    modality_col: str = "modality",
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """REAL image resize: decode PNG → area-mean downsample to
+    (target, target) → re-encode PNG, Arrow-batched. Non-image rows pass
+    through untouched; a corrupt image yields an error row with the
+    original payload (same isolation policy as extract_features).
+
+    Scale: narrow mapInPandas — the classic preprocessing pass of an image
+    training pipeline (decode→resize→re-encode), bytes in / bytes out with
+    no shuffle; output payloads shrink, so downstream stages move less
+    data.
+    """
+    from .png import decode_png, encode_png
+
+    cols = df.columns
+    schema = ", ".join(
+        f"`{c}` {df.schema[c].dataType.simpleString()}" for c in cols
+    ) + ", resize_error string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(payload: bytes | None, modality: str):
+            if modality != "image" or payload is None:
+                return payload, None
+            try:
+                px = decode_png(bytes(payload))
+                h, w, _ = px.shape
+                # area-mean pooling via crop-to-multiple + reshape (exact,
+                # deterministic; no interpolation library needed)
+                hh, ww = (h // target) * target, (w // target) * target
+                if hh == 0 or ww == 0:
+                    raise ValueError(f"image {h}x{w} smaller than target")
+                small = (
+                    px[:hh, :ww]
+                    .reshape(target, hh // target, target, ww // target, 3)
+                    .mean(axis=(1, 3))
+                    .astype(np.uint8)
+                )
+                return encode_png(small), None
+            except Exception as exc:  # noqa: BLE001
+                return payload, f"{type(exc).__name__}: {exc}"
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            out = [one(p, m) for p, m in zip(pdf[payload_col], pdf[modality_col])]
+            pdf[payload_col] = [o[0] for o in out]
+            pdf["resize_error"] = [o[1] for o in out]
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def frame_sample_plan(
     df: DataFrame,
     every_n_ms: int = 1000,

@@ -97,17 +97,20 @@ def brute_force_topk(
     )
 
 
-def _bucket(vec: Column, planes: int = LSH_PLANES) -> Column:
-    """LSH bucket id: bit p set iff dot(vec, plane_p) > 0.
+def _bucket(vec: Column, planes: int = LSH_PLANES, first_plane: int = 0) -> Column:
+    """LSH bucket id: bit p set iff dot(vec, plane_{first_plane+p}) > 0.
 
-    The plane matrix is built from literals only, so ConstantFolding
-    collapses it to ONE literal array — the per-row work is two small HOFs.
-    (The unrolled 8x64 sum-of-products form compiled a 512-node codegen
-    tree: several seconds of janino time per distinct query shape, which
-    dominated small benchmarks.)"""
+    ``first_plane`` selects a disjoint plane range, giving independent hash
+    tables for multi-table LSH. The plane matrix is built from literals
+    only, so ConstantFolding collapses it to ONE literal array — the
+    per-row work is two small HOFs. (The unrolled 8x64 sum-of-products form
+    compiled a 512-node codegen tree: several seconds of janino time per
+    distinct query shape, which dominated small benchmarks.)"""
     plane_lits = F.array(
         *[
-            F.array(*[F.lit(_plane_component(p, d)) for d in range(EMB_DIM)])
+            F.array(
+                *[F.lit(_plane_component(first_plane + p, d)) for d in range(EMB_DIM)]
+            )
             for p in range(planes)
         ]
     )
@@ -136,42 +139,70 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
     multiprobe: bool = True,
     planes: int = LSH_PLANES,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Approximate cosine top-k: score only corpus vectors in the query's
-    LSH bucket (plus, with ``multiprobe``, the P neighboring buckets at
-    hamming distance 1 — the standard recall/cost dial).
+    """Approximate cosine top-k: score only corpus vectors sharing a
+    query's LSH bucket in ANY of ``n_tables`` independent hash tables
+    (disjoint plane ranges), plus — with ``multiprobe`` — the P
+    hamming-distance-1 neighbor buckets per table.
 
-    Scale: corpus is bucketed once (narrow) and joined on bucket id — the
-    per-query cost drops from |corpus| to E[bucket]·(1+P). The same
-    bucketing column can be a partition/bucket-by key on disk, making the
-    probe a partition-pruned scan.
+    Recall math (random hyperplanes): a pair at angle θ collides in one
+    P-plane table with prob (1-θ/π)^P; across L tables the miss rate
+    compounds to (1-(1-θ/π)^P)^L — so (P, L) is a recall/cost dial with L
+    rescuing the moderate-similarity pairs a single table drops.
+
+    Scale: corpus is bucketed once (narrow, L bucket ids per row) and
+    joined on (table, bucket) — per-query cost is L·E[bucket]·(1+P)
+    instead of |corpus|. The bucket column can be a disk partition key,
+    making each probe a partition-pruned scan.
     """
     c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cvec")
-    ).withColumn("bucket", _bucket(F.col("cvec"), planes))
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qvec")
-    ).withColumn("qbucket", _bucket(F.col("qvec"), planes))
-    if multiprobe:
-        probes = F.array(
-            F.col("qbucket"),
-            *[
-                F.col("qbucket").bitwiseXOR(F.lit(2**p)).cast("int")
-                for p in range(planes)
-            ],
-        )
-        q = q.select("query_id", "qvec", F.explode(probes).alias("bucket"))
-    else:
-        q = q.select("query_id", "qvec", F.col("qbucket").alias("bucket"))
+    )
+    # one (table, bucket) row per input row per table
+    c = c.select(
+        "neighbor_id",
+        "cvec",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        _bucket(F.col("cvec"), planes, first_plane=t * planes).alias(
+                            "bucket"
+                        ),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("neighbor_id", "cvec", "tb.tbl", "tb.bucket")
+    qbuckets = []
+    for t in range(n_tables):
+        base = _bucket(F.col("qvec"), planes, first_plane=t * planes)
+        probes = [base]
+        if multiprobe:
+            probes += [
+                base.bitwiseXOR(F.lit(2**p)).cast("int") for p in range(planes)
+            ]
+        qbuckets += [
+            F.struct(F.lit(t).alias("tbl"), pb.alias("bucket")) for pb in probes
+        ]
+    q = q.select(
+        "query_id", "qvec", F.explode(F.array(*qbuckets)).alias("tb")
+    ).select("query_id", "qvec", "tb.tbl", "tb.bucket")
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q), ["tbl", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
             F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cosine"),
         )
-        .distinct()  # multiprobe can surface a neighbor via several buckets
+        .distinct()  # tables/multiprobe surface the same neighbor repeatedly
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")

@@ -105,3 +105,97 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     cleaned = exact_kept.join(F.broadcast(drops), "doc_id", "left_anti")
     return cleaned.select("doc_id", "n_tokens", "quality")
+
+
+@query(
+    "pipeline_embedding_dedup",
+    extra=True,
+    oracle="""
+    WITH kept AS (
+      SELECT doc_id, ntok FROM (
+        SELECT doc_id,
+          CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               x -> x != '')) AS BIGINT) AS ntok,
+          ROW_NUMBER() OVER (
+            PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+            ORDER BY doc_id
+          ) AS rn
+        FROM documents
+      ) WHERE rn = 1
+    ),
+    e AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS v
+      FROM embeddings JOIN kept ON vec_id = doc_id
+    ),
+    planes AS (
+      SELECT p,
+             [((1103515245 * (p*64 + d + 1) + 12345) % 2147483648)
+              / 1073741824.0 - 1.0 for d in range(0, 64)] AS pv
+      FROM (SELECT unnest(range(0, 8)) AS p)
+    ),
+    bucketed AS (
+      SELECT e.id,
+             CAST(SUM(CASE WHEN list_sum([e.v[i] * pl.pv[i] for i in range(1, 65)]) > 0
+                           THEN (1 << pl.p) ELSE 0 END) AS INTEGER) AS bucket
+      FROM e, planes pl
+      GROUP BY e.id
+    ),
+    aprobe AS (
+      SELECT id AS id_a,
+             unnest(list_prepend(
+               bucket,
+               [xor(bucket, CAST(1 << p AS INTEGER)) for p in range(0, 8)]
+             )) AS pb
+      FROM bucketed
+    ),
+    cand AS (
+      SELECT DISTINCT a.id_a, b.id AS id_b
+      FROM aprobe a JOIN bucketed b ON a.pb = b.bucket AND a.id_a < b.id
+    ),
+    drops AS (
+      SELECT DISTINCT id_b AS doc_id FROM (
+        SELECT c.id_a, c.id_b,
+               ROUND(list_sum([ea.v[i] * eb.v[i] for i in range(1, 65)])
+                     / (sqrt(list_sum([ea.v[i] * ea.v[i] for i in range(1, 65)]))
+                        * sqrt(list_sum([eb.v[i] * eb.v[i] for i in range(1, 65)]))),
+                     6) AS cosine
+        FROM cand c JOIN e ea ON ea.id = c.id_a JOIN e eb ON eb.id = c.id_b
+      ) WHERE cosine >= 0.4
+    )
+    SELECT k.doc_id, k.ntok AS n_tokens
+    FROM kept k LEFT JOIN drops d ON k.doc_id = d.doc_id
+    WHERE d.doc_id IS NULL
+    """,
+)
+def pipeline_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed text+embedding dedup — the second flagship composition:
+    exact text dedup (md5 keeper) → join survivors to their embeddings →
+    LSH-bucketed embedding near-dup pairs (cosine ≥ 0.4) drop the larger
+    id. ONE lazy plan: narrow token/normalize scan, one digest shuffle, a
+    broadcast semi-join onto embeddings, the bucketed multiprobe self-join,
+    and a broadcast anti-join of the tiny drop-list. Nothing in the chain
+    goes quadratic or shuffles raw text twice — the plan shape a 100 TB
+    multimodal dedup pass needs.
+    """
+    from ..operators.similarity import embedding_near_dup_pairs
+    from ..operators.textstats import token_count
+
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    keeper = F.row_number().over(
+        Window.partitionBy(F.md5(normalize_text("text"))).orderBy("doc_id")
+    )
+    exact_kept = (
+        docs.select("doc_id", "text", token_count("text").cast("long").alias("n_tokens"))
+        .withColumn("__rn", keeper)
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "text")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.join(
+        F.broadcast(exact_kept.select(F.col("doc_id").alias("vec_id"))), "vec_id"
+    )
+    pairs = embedding_near_dup_pairs(corpus, threshold=0.4)
+    drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return exact_kept.join(F.broadcast(drops), "doc_id", "left_anti").select(
+        "doc_id", "n_tokens"
+    )

@@ -175,3 +175,39 @@ def test_image_path_decodes_real_png_in_spark(spark, assets):
         assets.where("modality <> 'image'"), decoder=png_image_decoder
     ).collect()
     assert all(r["decode_error"] is None for r in av)
+
+
+def test_resize_images_real_downsample(spark, assets):
+    """decode → 8x8 area-mean downsample → re-encode, verified against a
+    local numpy reference; non-image rows pass through byte-identical."""
+    from prefect_flow_arc_alto_to_json_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    pngified = pngify_images(assets.where("payload IS NOT NULL"))
+    out = {r["asset_id"]: r for r in resize_images(pngified, target=8).collect()}
+    assert all(r["resize_error"] is None for r in out.values())
+    # image rows: decode the resized bytes, compare with local reference
+    src = bytes_to_pixels(b"\x89PNG-fake-bytes-1", side=16)
+    expected = (
+        src.reshape(8, 2, 8, 2, 3).mean(axis=(1, 3)).astype(np.uint8)
+    )
+    resized = decode_png(bytes(out[1]["payload"]))
+    assert resized.shape == (8, 8, 3)
+    assert np.array_equal(resized, expected)
+    # non-image rows byte-identical
+    orig = {r["asset_id"]: bytes(r["payload"])
+            for r in pngified.collect() if r["modality"] != "image"}
+    for aid, b in orig.items():
+        assert bytes(out[aid]["payload"]) == b
+
+
+def test_resize_images_corrupt_isolated(spark, assets):
+    """A non-PNG image payload yields an error row, never a task failure."""
+    from prefect_flow_arc_alto_to_json_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    raw = assets.where("modality = 'image' AND payload IS NOT NULL")
+    out = resize_images(raw, target=8).collect()  # payloads are NOT PNGs
+    assert all("ValueError" in r["resize_error"] for r in out)

@@ -37,12 +37,14 @@ def test_lsh_topk_recall_vs_brute_force(emb):
     top-10 (deterministic planes → deterministic recall on this data)."""
     q = emb.where(F.col("vec_id") < 5)
     exact = brute_force_topk(emb, q, k=10).collect()
-    # small corpus → fewer planes (bigger buckets); planes is the dial
-    approx = lsh_bucketed_topk(emb, q, k=10, planes=3).collect()
+    # 8 independent 4-plane tables: recall floor 0.8 (measured 0.88-0.92
+    # on sf0.001/sf0.01 — deterministic planes make this a hard gate, not
+    # a flaky one)
+    approx = lsh_bucketed_topk(emb, q, k=10, planes=4, n_tables=8).collect()
     exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
     approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
-    assert recall >= 0.5, f"LSH recall collapsed: {recall}"
+    assert recall >= 0.8, f"LSH recall@10 below floor: {recall}"
     # every returned neighbor must carry the exact cosine (scores are never
     # approximated, only the candidate set is)
     exact_scores = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact}
@@ -88,7 +90,9 @@ def test_ivf_topk_recall_vs_brute_force(emb):
     recalls = [
         len(truth[qid] & got.get(qid, set())) / len(truth[qid]) for qid in truth
     ]
-    assert sum(recalls) / len(recalls) >= 0.3, recalls
+    # measured 0.88-0.98 at 16 cells / 4 probes on sf0.001/sf0.01;
+    # deterministic centroids keep this a hard floor
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
 
 
 def test_numpy_topk_equals_jvm_topk(emb):
