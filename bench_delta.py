@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Per-query bench regression report: diff two bench.py JSON outputs.
+
+Usage:
+    python bench.py > /tmp/bench_now.json
+    python bench_delta.py BENCH_r01.json /tmp/bench_now.json [-o BENCH_DELTA.md]
+
+Prints a markdown table (old, new, delta, ratio) per query plus totals, so a
+regression in one query is visible even when the headline total improves.
+Queries present in only one file are listed as added/removed rather than
+silently dropped.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def load(path: str) -> dict:
+    """Accept either bench.py's raw one-line JSON or the driver's
+    BENCH_r{N}.json wrapper (bench output under the "parsed" key)."""
+    with open(path) as f:
+        text = f.read()
+    try:
+        obj = json.loads(text)
+        return obj.get("parsed", obj) if isinstance(obj, dict) else obj
+    except json.JSONDecodeError:
+        pass
+    for line in text.splitlines():
+        line = line.strip()
+        if line.startswith('{"metric"'):
+            return json.loads(line)
+    raise SystemExit(f"no bench JSON found in {path}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("-o", "--out", help="also write the table to this file")
+    args = ap.parse_args()
+
+    old, new = load(args.old), load(args.new)
+    oq, nq = old.get("queries", {}), new.get("queries", {})
+
+    lines = [
+        f"# Bench delta: {args.old} -> {args.new}",
+        "",
+        f"Totals: {old.get('value')}s -> {new.get('value')}s "
+        f"({len(oq)} -> {len(nq)} queries; sf={new.get('sf')}, "
+        f"agg={new.get('agg', 'single-run')})",
+        "",
+        "| query | old s | new s | delta s | ratio |",
+        "|---|---|---|---|---|",
+    ]
+    regressions = 0
+    for name in sorted(set(oq) | set(nq)):
+        if name not in nq:
+            lines.append(f"| {name} | {oq[name]:.3f} | — | — | removed |")
+            continue
+        if name not in oq:
+            lines.append(f"| {name} | — | {nq[name]:.3f} | — | added |")
+            continue
+        d = nq[name] - oq[name]
+        r = nq[name] / oq[name] if oq[name] else float("inf")
+        flag = " ⚠" if r > 1.25 and d > 0.5 else ""
+        if flag:
+            regressions += 1
+        lines.append(
+            f"| {name} | {oq[name]:.3f} | {nq[name]:.3f} | {d:+.3f} | {r:.2f}x{flag} |"
+        )
+    lines += ["", f"Flagged regressions (>1.25x and >0.5s): {regressions}"]
+
+    report = "\n".join(lines)
+    print(report)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(report + "\n")
+
+
+if __name__ == "__main__":
+    main()
