@@ -79,12 +79,17 @@ def normalize_text(col: Column | str) -> Column:
     return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
 
 
-def shingles(col: Column | str, n: int = 3) -> Column:
+def shingles(col: Column | str, n: int = 3, *, from_tokens: bool = False) -> Column:
     """Distinct word n-gram shingles of the normalized text (array<string>).
 
     Documents shorter than ``n`` tokens produce an empty array (they can
-    only be exact-deduped, matching common practice)."""
-    toks = token_array(col)
+    only be exact-deduped, matching common practice).
+
+    ``from_tokens=True`` treats ``col`` as an already-tokenized
+    array<string> column — callers that stage the token array once (Catalyst
+    does not CSE the tokenizer across sibling expressions) pass the staged
+    column instead of re-tokenizing."""
+    toks = (F.col(col) if isinstance(col, str) else col) if from_tokens else token_array(col)
     k = F.size(toks) - (n - 1)
     grams = F.when(k >= 1, F.transform(
         F.sequence(F.lit(1), k),

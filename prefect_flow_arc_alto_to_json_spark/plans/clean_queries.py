@@ -1,0 +1,194 @@
+"""Corpus-hygiene operators as oracle-checked queries over ``documents``:
+benchmark decontamination, repetition signals, PII scrubbing.
+
+All three register in the EXTRA tier (the graded registry is at its
+50-slot cap); tests/test_extra_queries.py applies the identical DuckDB
+side-by-side check the driver applies to the graded 50.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.textclean import (
+    CONTAMINATION_MIN_SHARED,
+    EMAIL_RE,
+    IPV4_RE,
+    PHONE_RE,
+    pii_scrub,
+    repetition_stats,
+    shared_shingle_counts,
+)
+from ..functions.scale import fan_out
+from ..sources import load_table
+from .dedup_queries import _SQL_SHINGLE_HASHES, _SQL_SHINGLES, _SQL_TOKS
+from .registry import query
+
+#: Benchmark set for the decontamination demo: the first 20 documents.
+_BENCH_MAX_ID = 20
+
+
+@query(
+    "text_decontaminate",
+    extra=True,
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    shg AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM t),
+    hsh AS (SELECT doc_id, {_SQL_SHINGLE_HASHES} AS hs FROM shg),
+    bench AS (
+      SELECT DISTINCT unnest(hs) AS h FROM hsh WHERE doc_id < {_BENCH_MAX_ID}
+    ),
+    corp AS (
+      SELECT doc_id, unnest(hs) AS h FROM hsh WHERE doc_id >= {_BENCH_MAX_ID}
+    ),
+    hits AS (
+      SELECT doc_id, COUNT(*) AS n_shared
+      FROM corp JOIN bench USING (h) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+      CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+      COALESCE(h.n_shared, 0) >= {CONTAMINATION_MIN_SHARED} AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id >= {_BENCH_MAX_ID}) d
+    LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing ≥ 5 distinct
+    3-gram shingles with the benchmark set (docs 0..19 as the stand-in
+    eval set). The benchmark shingle set is broadcast — the 100 TB shape,
+    since eval sets are MBs against a TB-scale corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") < _BENCH_MAX_ID)
+    corpus = docs.where(F.col("doc_id") >= _BENCH_MAX_ID)
+    return shared_shingle_counts(corpus, bench)
+
+
+@query(
+    "text_repetition",
+    extra=True,
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    m AS (
+      SELECT doc_id, toks,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        CAST(greatest(len(toks) - 2, 0) AS BIGINT) AS n_grams,
+        CAST(len({_SQL_SHINGLES}) AS BIGINT) AS n_distinct_grams
+      FROM t
+    ),
+    ex AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    cnts AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM ex GROUP BY doc_id, tok),
+    top AS (
+      SELECT doc_id, tok AS top_token, cnt AS top_cnt FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY doc_id ORDER BY cnt DESC, tok
+        ) AS rn FROM cnts
+      ) WHERE rn = 1
+    )
+    -- ratios in exact integer micro-units (see registry.py determinism
+    -- rules): floor((2*x*1e6 + d) / (2*d)) is half-up round(1e6 * x / d)
+    SELECT m.doc_id, m.n_tokens,
+      CASE WHEN n_tokens > 0 THEN
+        1.0 - CAST((2 * n_distinct * 1000000 + n_tokens) // (2 * n_tokens)
+                   AS DOUBLE) / 1000000.0
+      ELSE 0.0 END AS dup_token_ratio,
+      CASE WHEN n_grams > 0 THEN
+        1.0 - CAST((2 * n_distinct_grams * 1000000 + n_grams) // (2 * n_grams)
+                   AS DOUBLE) / 1000000.0
+      ELSE 0.0 END AS dup_shingle_ratio,
+      CASE WHEN n_tokens > 0 THEN
+        CAST((2 * COALESCE(top_cnt, 0) * 1000000 + n_tokens) // (2 * n_tokens)
+             AS DOUBLE) / 1000000.0
+      ELSE 0.0 END AS top_token_ratio,
+      COALESCE(top_token, '') AS top_token
+    FROM m LEFT JOIN top ON m.doc_id = top.doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: duplicate-token ratio, duplicate
+    3-gram ratio (both narrow array expressions), most-frequent-token
+    share (one explode + map-side-combined groupBy)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_stats(docs)
+
+
+def _planted_text(doc_id: F.Column, text: F.Column) -> F.Column:
+    """Deterministically plant PII into a slice of docs (both engines build
+    the identical string, same construction as sim_near_dup's planted
+    duplicates) so the scrub query is non-vacuous on the word-soup corpus."""
+    return F.concat(
+        text,
+        F.when(
+            doc_id % 5 == 0,
+            F.concat(
+                F.lit(" contact user"), doc_id.cast("string"), F.lit("@example.com")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            doc_id % 7 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad(F.pmod(doc_id, 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            doc_id % 11 == 0,
+            F.concat(
+                F.lit(" host 10.0."),
+                F.pmod(doc_id, 256).cast("string"),
+                F.lit("."),
+                F.pmod(doc_id * 7, 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+
+@query(
+    "text_pii_scrub",
+    extra=True,
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id,
+        text
+        || CASE WHEN doc_id % 5 = 0
+                THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                ELSE '' END
+        || CASE WHEN doc_id % 7 = 0
+                THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END
+        || CASE WHEN doc_id % 11 = 0
+                THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                     || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                ELSE '' END
+        AS ptext
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(ptext, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+      CAST(len(regexp_extract_all(ptext, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+      CAST(len(regexp_extract_all(ptext, '{IPV4_RE}')) AS BIGINT) AS n_ipv4,
+      md5(regexp_replace(regexp_replace(regexp_replace(
+            ptext, '{EMAIL_RE}', '[EMAIL]', 'g'),
+            '{IPV4_RE}', '[IP]', 'g'),
+            '{PHONE_RE}', '[PHONE]', 'g')) AS redacted_fp
+    FROM p
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus with deterministically planted emails /
+    phones / IPv4s: per-category counts plus the md5 fingerprint of the
+    redacted text (fingerprint, not the text itself, keeps the compared
+    result narrow). One regexp pass, no shuffle."""
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    planted = docs.select(
+        "doc_id", _planted_text(F.col("doc_id"), F.col("text")).alias("ptext")
+    )
+    cols = pii_scrub("ptext")
+    return planted.select(
+        "doc_id",
+        cols["n_emails"].alias("n_emails"),
+        cols["n_phones"].alias("n_phones"),
+        cols["n_ipv4"].alias("n_ipv4"),
+        F.md5(cols["redacted"]).alias("redacted_fp"),
+    )
