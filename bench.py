@@ -13,7 +13,13 @@ compilation (0.5-3 s of driver-side compile per shape — measured), which
 is a fixed cost amortized to nothing at the 100 TB target scale; the min
 of two runs measures the steady-state data-plane cost the engine is
 actually graded on. The single-pass cold total is still reported as
-``cold_sec`` so compile-cost regressions remain visible.
+``cold_sec`` (and per-query as ``queries_cold``) so compile-cost
+regressions remain visible.
+
+Cross-round comparison rule (round-2 ADVICE): BENCH_r01 was single-run
+(≈ cold); BENCH_r02+ are min-of-2. Compare rounds ONLY like-for-like —
+min vs min from r02 onward, or r01 "queries" vs a later round's
+"queries_cold". bench_delta.py enforces this automatically.
 """
 
 from __future__ import annotations
@@ -101,6 +107,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_cold": {k: round(v, 3) for k, v in cold.items()},
                 "cold_sec": round(sum(cold.values()), 3),
                 "runs": 2,
                 "agg": "min",

@@ -45,12 +45,35 @@ def main() -> None:
     old, new = load(args.old), load(args.new)
     oq, nq = old.get("queries", {}), new.get("queries", {})
 
+    # Like-for-like guard (round-2 ADVICE): never compare a single-run file
+    # against a min-of-2 file on the min numbers — the methodology change
+    # masquerades as a speedup. If the old file is single-run and the new
+    # one carries per-query cold timings, compare cold-vs-cold instead.
+    o_agg, n_agg = old.get("agg", "single-run"), new.get("agg", "single-run")
+    note = ""
+    if o_agg != n_agg:
+        if o_agg == "single-run" and new.get("queries_cold"):
+            nq = new["queries_cold"]
+            n_agg = "cold (single-pass)"
+            note = (
+                "Methodology differs (old=single-run, new=min-of-2): "
+                "comparing old single-run vs new COLD per-query timings."
+            )
+        else:
+            note = (
+                f"WARNING: methodology mismatch (old={o_agg}, new={n_agg}) "
+                "and no like-for-like timings available — ratios conflate "
+                "the protocol change with real deltas."
+            )
+
     lines = [
         f"# Bench delta: {args.old} -> {args.new}",
         "",
-        f"Totals: {old.get('value')}s -> {new.get('value')}s "
+        f"Totals: {old.get('value')}s -> "
+        f"{new.get('cold_sec') if n_agg.startswith('cold') else new.get('value')}s "
         f"({len(oq)} -> {len(nq)} queries; sf={new.get('sf')}, "
-        f"agg={new.get('agg', 'single-run')})",
+        f"agg: {o_agg} -> {n_agg})",
+        *([ "", note] if note else []),
         "",
         "| query | old s | new s | delta s | ratio |",
         "|---|---|---|---|---|",

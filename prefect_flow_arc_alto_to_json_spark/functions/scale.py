@@ -12,6 +12,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+#: Last persisted relation per call-site tag (see :func:`scoped_persist`).
+_PERSIST_REGISTRY: dict[str, DataFrame] = {}
+
 
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition up to the session's default parallelism iff the plan's
@@ -22,6 +25,30 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def scoped_persist(df: DataFrame, tag: str) -> DataFrame:
+    """``persist()`` bounded to ONE live cache entry per call-site ``tag``.
+
+    Operators that persist a mid-plan relation at plan-BUILD time (minhash
+    signatures, shingle postings) have no "after the action" hook to
+    unpersist from — each invocation in a long-lived session (the grading
+    sweep runs 50 queries, bench runs each twice) would otherwise stack
+    another cached relation into executor storage memory forever. Keying
+    the registry by call site caps the leak at one relation per operator:
+    the previous invocation's cache is dropped (non-blocking) the moment a
+    new one is built. Correctness is unaffected — unpersist only removes
+    the materialization point; any still-running plan recomputes lineage.
+    """
+    prev = _PERSIST_REGISTRY.get(tag)
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            pass  # session may have been stopped between invocations
+    out = df.persist()
+    _PERSIST_REGISTRY[tag] = out
+    return out
 
 
 def save_bucketed(

@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.scalar import stable_hash_p31, stable_hash_u32, token_array
-from ..functions.scale import fan_out
+from ..functions.scale import fan_out, scoped_persist
 
 #: Mersenne prime 2^31-1: (a*h+b) % P stays < 2^62 → safe in bigint.
 MINHASH_PRIME = 2147483647
@@ -217,10 +217,11 @@ def minhash_lsh_pairs(
     # explode AND both sides of the candidate verification join — without
     # it the md5 signature pass runs 3x. At 100 TB this is the relation
     # you'd checkpoint to parquet; signatures are ~260 B/doc.
-    sigs = (
-        with_minhash(df.select(id_col, text_col), text_col, n)
-        .select(id_col, "minhash")
-        .persist()
+    sigs = scoped_persist(
+        with_minhash(df.select(id_col, text_col), text_col, n).select(
+            id_col, "minhash"
+        ),
+        "minhash_lsh_pairs.sigs",
     )
     bands = _bands_df(sigs, id_col)
     left = bands.select(
@@ -288,9 +289,12 @@ def ngram_jaccard_pairs(
         F.col(id_col),
         F.array_distinct(shingle_hashes(shingles(text_col, n))).alias("hs"),
     )
-    posting = hs.select(
-        F.col(id_col), F.size("hs").alias("n_sh"), F.explode("hs").alias("sh")
-    ).persist()
+    posting = scoped_persist(
+        hs.select(
+            F.col(id_col), F.size("hs").alias("n_sh"), F.explode("hs").alias("sh")
+        ),
+        "ngram_jaccard_pairs.posting",
+    )
     a = posting.select(
         F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), "sh"
     )
@@ -403,10 +407,11 @@ def simhash_pairs(
     and ham ≤ 3, at least one chunk is identical) — the self-join key is
     (chunk_idx, chunk_value), never the full corpus cross product.
     """
-    sh = (
-        with_simhash(df.select(id_col, text_col), text_col, "sh")
-        .select(id_col, "sh")
-        .persist()
+    sh = scoped_persist(
+        with_simhash(df.select(id_col, text_col), text_col, "sh").select(
+            id_col, "sh"
+        ),
+        "simhash_pairs.sh",
     )
     chunks = sh.select(
         id_col,

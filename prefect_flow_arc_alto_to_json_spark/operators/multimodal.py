@@ -140,13 +140,23 @@ def pngify_images(
 
     cols = df.columns
 
+    def one(p: bytes | None) -> bytes | None:
+        # Per-row isolation (same policy as resize_images): an empty or
+        # un-tileable payload (e.g. a document with empty text → b'')
+        # passes through unchanged instead of failing the whole task.
+        if p is None:
+            return None
+        try:
+            return encode_png(bytes_to_pixels(bytes(p), side))
+        except Exception:  # noqa: BLE001
+            return bytes(p)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
             is_img = pdf[modality_col] == "image"
             pdf.loc[is_img, payload_col] = [
-                encode_png(bytes_to_pixels(bytes(p), side))
-                for p in pdf.loc[is_img, payload_col]
+                one(p) for p in pdf.loc[is_img, payload_col]
             ]
             yield pdf
 

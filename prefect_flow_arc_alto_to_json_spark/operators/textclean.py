@@ -80,7 +80,9 @@ def _ratio_micro6(numer: Column, denom: Column) -> Column:
     one division by 1e6): engine-identical, no float-rounding boundary."""
     num = numer.cast("long") * F.lit(2000000).cast("long") + denom.cast("long")
     den = denom.cast("long") * 2
-    micro = ((num - F.pmod(num, den)) / den).cast("long")
+    # Integer `div`, not float division: (num - pmod)/den via doubles loses
+    # exactness past 2^53 (same hazard scalar.py half_up_units fixed).
+    micro = F.call_function("div", num - F.pmod(num, den), den)
     return micro.cast("double") / F.lit(1000000.0)
 
 

@@ -211,3 +211,19 @@ def test_resize_images_corrupt_isolated(spark, assets):
     raw = assets.where("modality = 'image' AND payload IS NOT NULL")
     out = resize_images(raw, target=8).collect()  # payloads are NOT PNGs
     assert all("ValueError" in r["resize_error"] for r in out)
+
+
+def test_pngify_empty_payload_isolated(spark):
+    """An empty image payload (a document with empty text encodes to b'')
+    must pass through pngify_images unchanged instead of failing the task
+    (round-2 advice: per-row isolation matching resize_images)."""
+    rows = [
+        (1, "image", b"", ("png", 0, 0, None, {})),
+        (2, "image", b"\x89PNG-fake-bytes-1", ("png", 64, 64, None, {})),
+        (3, "image", None, ("png", 1, 1, None, {})),
+    ]
+    df = spark.createDataFrame(rows, MULTIMODAL_ASSET_SCHEMA)
+    out = {r["asset_id"]: r for r in pngify_images(df).collect()}
+    assert bytes(out[1]["payload"]) == b""  # passthrough, no task failure
+    assert out[3]["payload"] is None
+    assert decode_png(bytes(out[2]["payload"])).shape == (16, 16, 3)
