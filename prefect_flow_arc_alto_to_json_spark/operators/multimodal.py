@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.scale import fan_out
+from .png import bytes_to_pixels, decode_png, encode_png, png_features
 
 FEATURE_DIM = 16
 
@@ -136,8 +137,6 @@ def pngify_images(
     deterministic pixel tile → baseline RGB8 PNG), leaving other modalities
     untouched — the synthetic corpus' image column becomes an actual image
     format that the real decoder below must parse."""
-    from .png import bytes_to_pixels, encode_png
-
     cols = df.columns
 
     def one(p: bytes | None) -> bytes | None:
@@ -170,10 +169,16 @@ def png_image_decoder(payload: bytes, modality: str) -> np.ndarray:
     """REAL decode for the image modality: full PNG parse (signature,
     chunk CRCs, zlib inflate, scanline unfilter) + pixel-statistics
     features via operators/png.py. Audio/video still route to the
-    deterministic stub — those codecs genuinely aren't in this container."""
-    if modality == "image":
-        from .png import png_features
+    deterministic stub — those codecs genuinely aren't in this container.
 
+    NOTE: ``png_features`` must be imported at MODULE level (not inside
+    this body): this function executes on executors, where the package is
+    not importable — a runtime relative import dies with
+    ModuleNotFoundError there, while a module-global reference ships by
+    value with the closure (functions/selfship.py). A body-level import
+    here silently turned every image row into a decode-error row in the
+    driver's own session (caught round 3 by the mm_features oracle)."""
+    if modality == "image":
         return png_features(payload, FEATURE_DIM)
     return default_fake_decoder(payload, modality)
 
@@ -195,8 +200,6 @@ def resize_images(
     no shuffle; output payloads shrink, so downstream stages move less
     data.
     """
-    from .png import decode_png, encode_png
-
     cols = df.columns
     schema = ", ".join(
         f"`{c}` {df.schema[c].dataType.simpleString()}" for c in cols

@@ -108,14 +108,74 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(assets, every_n_ms=1000)
 
 
-@query("mm_features")  # rows-only: zlib/PNG decode is not SQL-expressible
+#: 2-hex-char -> byte value (DuckDB hex() emits uppercase)
+_SQL_HEX2INT = (
+    "(strpos('0123456789ABCDEF', substr(hx, 2*((3*k.k) % len) + 1, 1)) - 1) * 16"
+    " + (strpos('0123456789ABCDEF', substr(hx, 2*((3*k.k) % len) + 2, 1)) - 1)"
+)
+
+
+@query(
+    "mm_features",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             {_SQL_MODALITY} AS modality,
+             text,
+             hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS len
+      FROM documents
+    ),
+    img AS (
+      -- R-channel mean of the 16x16 tile: pixel k's R byte sits at offset
+      -- 3k of the 768-byte buffer, tiled from the text bytes (offset mod len)
+      SELECT doc_id, SUM({_SQL_HEX2INT}) / 256.0 AS mean_r
+      FROM base, (SELECT unnest(range(0, 256)) AS k) k
+      WHERE modality = 'image'
+      GROUP BY doc_id
+    ),
+    av AS (
+      -- fake-decoder features: little-endian u32s of md5(modality:payload);
+      -- u32[0] = md5_number_upper % 2^32, u32[2] = md5_number_lower % 2^32
+      SELECT doc_id,
+             CAST((md5_number_upper(modality || ':' || text) % 4294967296)
+                  / 4294967295.0 AS REAL) AS f0,
+             CAST((md5_number_lower(modality || ':' || text) % 4294967296)
+                  / 4294967295.0 AS REAL) AS f2
+      FROM base WHERE modality <> 'image'
+    )
+    SELECT b.doc_id AS asset_id,
+           CAST(16 AS INTEGER) AS feature_dim,
+           CAST(NULL AS VARCHAR) AS decode_error,
+           ROUND(CASE WHEN b.modality = 'image' THEN 16.0
+                      ELSE CAST(av.f0 AS DOUBLE) END, 6) AS feat0,
+           ROUND(CASE WHEN b.modality = 'image'
+                      THEN CAST(CAST(i.mean_r AS REAL) AS DOUBLE)
+                      ELSE CAST(av.f2 AS DOUBLE) END, 6) AS feat2
+    FROM base b
+    LEFT JOIN img i USING (doc_id)
+    LEFT JOIN av USING (doc_id)
+    """,
+)
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode/feature-extract over binary payloads.
 
     Image assets are REAL PNG files (pngify_images) decoded by a full PNG
     parser (operators/png.py: CRC check, zlib inflate, unfilter, pixel
-    stats); audio/video go through the deterministic stub kernel. Exactness
-    of the image path is golden-tested in tests/test_multimodal.py.
+    stats); audio/video go through the deterministic stub kernel.
+
+    FULL oracle (round-3): the image path is a deterministic
+    bytes → pixel-tile → PNG-encode → PNG-decode → statistics roundtrip
+    (operators/png.py:136-163), so ``feat2`` (mean of the R channel) is a
+    pure function of the text's UTF-8 bytes that DuckDB recomputes from
+    hex-decoded byte values — a hash match proves the codec roundtrip is
+    pixel-exact against SQL ground truth, not just golden-tested. The
+    audio/video fake-decoder features are md5-derived u32s the oracle
+    rebuilds from ``md5_number_upper/lower``. float32 quantization is
+    mirrored with CAST(.. AS REAL). Testdata has no empty documents
+    (min text length 44 at every sf), so the decode-error branch never
+    fires here; error isolation is pytest-covered
+    (tests/test_multimodal.py::test_pngify_empty_payload_isolated).
     """
     from ..operators.multimodal import png_image_decoder, pngify_images
 
@@ -126,4 +186,5 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "feature_dim",
         "decode_error",
         F.round(F.element_at("feature", 1).cast("double"), 6).alias("feat0"),
+        F.round(F.element_at("feature", 3).cast("double"), 6).alias("feat2"),
     )

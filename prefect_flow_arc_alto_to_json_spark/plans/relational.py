@@ -735,15 +735,39 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q10_SQL)
 
 
-@query("q_approx_distinct")  # rows-only: HLL estimates are engine-specific
+@query(
+    "q_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-count sketch per event_type
     (``approx_count_distinct``) next to the exact count — the sketch is the
-    100 TB path (no distinct shuffle, mergeable partial state)."""
+    100 TB path (no distinct shuffle, mergeable partial state).
+
+    Hash-checkable (round-3): the raw HLL estimate is engine-specific, so
+    the deterministic output is the exact count plus ``within_5pct`` — the
+    Spark side computes BOTH the sketch and the exact count in one grouped
+    pass and asserts the estimate lands within the sketch's configured
+    error band (rsd 0.02 → 5% gives 2.5 sigma of slack); the oracle
+    computes exact counts and expects TRUE everywhere. The HLL sketch is
+    still genuinely exercised — a broken sketch flips the boolean and the
+    hash."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
+    ).select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("within_5pct"),
     )
 
 
