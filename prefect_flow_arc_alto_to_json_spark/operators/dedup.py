@@ -202,6 +202,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH.
 
@@ -210,8 +211,16 @@ def minhash_lsh_pairs(
 
     Scale: the self-join is on (band_idx, band_hash) — only docs sharing a
     band bucket ever meet, so cost is Σ bucket² not corpus². Skewed buckets
-    (boilerplate shingles) are the known hazard → AQE skew-join handles
-    moderate skew; pathological buckets should be frequency-capped upstream.
+    (boilerplate shingles collapsing a band for a large doc fraction) are
+    the one quadratic hazard: ``max_bucket_size`` drops any band bucket
+    whose membership exceeds the cap BEFORE the self-join (standard
+    near-dup practice — a bucket shared by 30% of a 100 TB corpus is
+    boilerplate, not duplication, and would alone cost (0.3·N)² pair
+    materializations). The cap only prunes candidate GENERATION;
+    est_jaccard for surviving pairs is unchanged (computed from full
+    signatures). Overflow buckets are found with a map-side-combined
+    groupBy — the overflow set is Zipf-tiny, so the filter is a broadcast
+    anti-join, never a posting shuffle.
     """
     # Persist the narrow (id, signature) relation: it feeds the band
     # explode AND both sides of the candidate verification join — without
@@ -224,6 +233,16 @@ def minhash_lsh_pairs(
         "minhash_lsh_pairs.sigs",
     )
     bands = _bands_df(sigs, id_col)
+    if max_bucket_size is not None:
+        overflow = (
+            bands.groupBy("band_idx", "band_hash")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .where(F.col("n_docs") > max_bucket_size)
+            .select("band_idx", "band_hash")
+        )
+        bands = bands.join(
+            F.broadcast(overflow), ["band_idx", "band_hash"], "left_anti"
+        )
     left = bands.select(
         F.col(id_col).alias("id_a"), "band_idx", "band_hash"
     )
@@ -262,8 +281,21 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram-shingle Jaccard pairs ≥ threshold.
+
+    ``max_doc_freq`` (optional) drops shingles whose posting list exceeds
+    the cap BEFORE the self-join — the skew valve for boilerplate: one
+    header shingle shared by 30% of a 100 TB corpus makes a single posting
+    list quadratic ((0.3·N)² join rows) with no dedup signal in it.
+    Semantics with the cap: Jaccard over the INFORMATIVE-shingle universe
+    — per-doc sizes are recomputed post-cap, so a pair whose similarity
+    lives in rare shingles still scores high even when boilerplate is
+    stripped. The overflow-shingle set is Zipf-tiny → found by a
+    map-side-combined groupBy and removed with a broadcast anti-join (the
+    posting relation itself is never shuffled for the cap); the one new
+    shuffle is the per-doc size recount window on ``id_col``.
 
     Pairs materialize only through the shingle-posting join (explode +
     self-join on shingle hash + group count), so complexity follows shared
@@ -289,12 +321,30 @@ def ngram_jaccard_pairs(
         F.col(id_col),
         F.array_distinct(shingle_hashes(shingles(text_col, n))).alias("hs"),
     )
-    posting = scoped_persist(
-        hs.select(
-            F.col(id_col), F.size("hs").alias("n_sh"), F.explode("hs").alias("sh")
-        ),
-        "ngram_jaccard_pairs.posting",
-    )
+    if max_doc_freq is None:
+        posting = scoped_persist(
+            hs.select(
+                F.col(id_col), F.size("hs").alias("n_sh"), F.explode("hs").alias("sh")
+            ),
+            "ngram_jaccard_pairs.posting",
+        )
+    else:
+        from pyspark.sql import Window
+
+        raw = hs.select(F.col(id_col), F.explode("hs").alias("sh"))
+        overflow = (
+            raw.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_doc_freq)
+            .select("sh")
+        )
+        kept = raw.join(F.broadcast(overflow), "sh", "left_anti")
+        posting = scoped_persist(
+            kept.withColumn(
+                "n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+            ),
+            "ngram_jaccard_pairs.posting_capped",
+        )
     a = posting.select(
         F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), "sh"
     )

@@ -197,6 +197,73 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, threshold=0.8)
 
 
+#: Boilerplate sentence planted on 30% of docs by the capped query — the
+#: pathological shared-shingle case the posting-frequency cap exists for.
+_BOILERPLATE = (
+    "subscribe to our newsletter all rights reserved "
+    "terms and conditions apply click here to unsubscribe"
+)
+
+#: posting-list cap used by dedup_ngram_jaccard_capped: bites at sf0.01+
+#: (boilerplate df ≈ 167 docs > 20) but not at sf0.001 (df ≈ 17).
+_MAX_DOC_FREQ = 20
+
+
+@query(
+    "dedup_ngram_jaccard_capped",
+    extra=True,
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN text || ' {_BOILERPLATE}'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM corpus),
+    shg  AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM toks),
+    hsh  AS (SELECT doc_id, {_SQL_SHINGLE_HASHES} AS hs FROM shg),
+    post AS (SELECT doc_id, unnest(hs) AS h FROM hsh),
+    -- the cap: GROUP BY / HAVING on posting-list length
+    keep AS (SELECT h FROM post GROUP BY h HAVING count(*) <= {_MAX_DOC_FREQ}),
+    kept AS (SELECT p.doc_id, p.h FROM post p JOIN keep USING (h)),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+      ROUND(n_common / (sa.n_sh + sb.n_sh - n_common)::DOUBLE, 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ROUND(n_common / (sa.n_sh + sb.n_sh - n_common)::DOUBLE, 6) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-frequency-capped Jaccard pairs under planted boilerplate —
+    the skew valve demonstrated end-to-end: a fixed footer sentence is
+    appended to 30% of docs (at sf0.01 its shingles hit ~167 posting
+    entries, 8x the cap of 20), the cap strips those shingles before the
+    self-join, and Jaccard is computed over the informative-shingle
+    universe, so the planted near-dup pairs still surface while the
+    boilerplate never explodes the join. The oracle mirrors the cap as a
+    plain GROUP BY/HAVING. The scale story: without the cap a boilerplate
+    shingle shared by 30% of a 100 TB corpus alone contributes (0.3·N)²
+    join rows."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" " + _BOILERPLATE)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return ngram_jaccard_pairs(corpus, threshold=0.8, max_doc_freq=_MAX_DOC_FREQ)
+
+
 _SQL_SIMHASH_BITS = " + ".join(
     f"(CASE WHEN 2 * len(list_filter(hs32, h -> (h >> {b}) & 1 = 1)) > len(hs32) THEN {2**b} ELSE 0 END)"
     for b in range(32)

