@@ -70,6 +70,15 @@ HEADLINE = [
     "alto_parse_2k",
     "sim_embedding_near_dup_lsh",
     "pipeline_embedding_dedup",
+    # round-3 additions: previously unmeasured heavy queries (regressions
+    # here were invisible) + the new skew-capped dedup entry
+    "dedup_ngram_jaccard",
+    "dedup_components",
+    "mm_dedup_exact",
+    "q10_returned_items",
+    "q_rank_family",
+    "dedup_ngram_jaccard_capped",
+    "sim_ivf_topk",
 ]
 
 

@@ -97,37 +97,38 @@ def brute_force_topk(
     )
 
 
-def _bucket(vec: Column, planes: int = LSH_PLANES, first_plane: int = 0) -> Column:
+def _bucket(vec: str, planes: int = LSH_PLANES, first_plane: int = 0) -> Column:
     """LSH bucket id: bit p set iff dot(vec, plane_{first_plane+p}) > 0.
 
-    ``first_plane`` selects a disjoint plane range, giving independent hash
-    tables for multi-table LSH. The plane matrix is built from literals
-    only, so ConstantFolding collapses it to ONE literal array — the
-    per-row work is two small HOFs. (The unrolled 8x64 sum-of-products form
-    compiled a 512-node codegen tree: several seconds of janino time per
-    distinct query shape, which dominated small benchmarks.)"""
-    plane_lits = F.array(
-        *[
-            F.array(
-                *[F.lit(_plane_component(first_plane + p, d)) for d in range(EMB_DIM)]
-            )
-            for p in range(planes)
-        ]
+    ``vec`` is a COLUMN NAME (the whole expression is generated as one SQL
+    string). ``first_plane`` selects a disjoint plane range, giving
+    independent hash tables for multi-table LSH. The plane matrix is built
+    from literals only, so ConstantFolding collapses it to ONE literal
+    array — the per-row work is two small HOFs. (The unrolled 8x64
+    sum-of-products form compiled a 512-node codegen tree: several seconds
+    of janino time per distinct query shape, which dominated small
+    benchmarks.)
+
+    Why one ``F.expr`` string instead of F.array(F.lit(..))/HOF lambdas:
+    plan CONSTRUCTION is py4j-bound — the 8-table form issued ~6.7k py4j
+    round-trips and spent 3.9 s building the plan (vs 1.0 s executing it
+    at sf0.1). One SQL string per bucket parses JVM-side in milliseconds
+    and produces the identical resolved plan. The 'D' suffix forces DOUBLE
+    (plain SQL decimals parse as DECIMAL); repr() round-trips doubles
+    exactly."""
+    planes_sql = "array(%s)" % ",".join(
+        "array(%s)"
+        % ",".join(
+            f"{_plane_component(first_plane + p, d)!r}D" for d in range(EMB_DIM)
+        )
+        for p in range(planes)
     )
-    bits = F.transform(
-        plane_lits,
-        lambda plane, p: F.when(
-            F.aggregate(
-                F.zip_with(vec, plane, lambda x, w: x * w),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            > 0,
-            F.pow(F.lit(2.0), p),
-        ).otherwise(F.lit(0.0)),
-    )
-    return (
-        F.aggregate(bits, F.lit(0.0), lambda acc, v: acc + v).cast("int")
+    return F.expr(
+        f"CAST(aggregate(transform({planes_sql}, (plane, p) ->"
+        f" CASE WHEN aggregate(zip_with({vec}, plane, (x, w) -> x * w),"
+        f" 0.0D, (acc, v) -> acc + v) > 0"
+        f" THEN power(2.0D, p) ELSE 0.0D END),"
+        f" 0.0D, (acc, v) -> acc + v) AS INT)"
     )
 
 
@@ -181,7 +182,7 @@ def lsh_bucketed_topk(
                 *[
                     F.struct(
                         F.lit(t).alias("tbl"),
-                        _bucket(F.col("cvec"), planes, first_plane=t * planes).alias(
+                        _bucket("cvec", planes, first_plane=t * planes).alias(
                             "bucket"
                         ),
                     )
@@ -198,7 +199,7 @@ def lsh_bucketed_topk(
         "query_id",
         "qvec",
         *[
-            _bucket(F.col("qvec"), planes, first_plane=t * planes).alias(f"__b{t}")
+            _bucket("qvec", planes, first_plane=t * planes).alias(f"__b{t}")
             for t in range(n_tables)
         ],
     )
@@ -264,7 +265,7 @@ def embedding_near_dup_pairs(
     """
     c = fan_out(df).select(
         F.col(id_col).alias("id"), _as_double(vec_col).alias("vec")
-    ).withColumn("bucket", _bucket(F.col("vec"), planes))
+    ).withColumn("bucket", _bucket("vec", planes))
     probes = F.explode(
         F.array(
             F.col("bucket"),
