@@ -30,7 +30,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.scale import fan_out
+from . import wav as wav_mod
 from .png import bytes_to_pixels, decode_png, encode_png, png_features
+from .wav import bytes_to_samples, encode_wav, wav_features
 
 FEATURE_DIM = 16
 
@@ -127,6 +129,42 @@ def dedup_by_payload(df: DataFrame, id_col: str = "asset_id", payload_col: str =
     )
 
 
+def _reencode_modality(
+    df: DataFrame,
+    modality: str,
+    encode_one: Callable[[bytes], bytes],
+    payload_col: str = "payload",
+    modality_col: str = "modality",
+) -> DataFrame:
+    """Shared narrow re-encode pass: rows of ``modality`` get their payload
+    replaced by ``encode_one(payload)``; everything else passes through.
+    Per-row isolation: an un-encodable payload (e.g. b'' from an empty
+    text) passes through unchanged instead of failing the whole task."""
+    cols = df.columns
+
+    def one(p: bytes | None) -> bytes | None:
+        if p is None:
+            return None
+        try:
+            return encode_one(bytes(p))
+        except Exception:  # noqa: BLE001
+            return bytes(p)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            hit = pdf[modality_col] == modality
+            pdf.loc[hit, payload_col] = [
+                one(p) for p in pdf.loc[hit, payload_col]
+            ]
+            yield pdf
+
+    schema = ", ".join(
+        f"`{c}` {df.schema[c].dataType.simpleString()}" for c in cols
+    )
+    return df.mapInPandas(run, schema=schema)
+
+
 def pngify_images(
     df: DataFrame,
     payload_col: str = "payload",
@@ -137,39 +175,39 @@ def pngify_images(
     deterministic pixel tile → baseline RGB8 PNG), leaving other modalities
     untouched — the synthetic corpus' image column becomes an actual image
     format that the real decoder below must parse."""
-    cols = df.columns
-
-    def one(p: bytes | None) -> bytes | None:
-        # Per-row isolation (same policy as resize_images): an empty or
-        # un-tileable payload (e.g. a document with empty text → b'')
-        # passes through unchanged instead of failing the whole task.
-        if p is None:
-            return None
-        try:
-            return encode_png(bytes_to_pixels(bytes(p), side))
-        except Exception:  # noqa: BLE001
-            return bytes(p)
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            pdf = pdf.copy()
-            is_img = pdf[modality_col] == "image"
-            pdf.loc[is_img, payload_col] = [
-                one(p) for p in pdf.loc[is_img, payload_col]
-            ]
-            yield pdf
-
-    schema = ", ".join(
-        f"`{c}` {df.schema[c].dataType.simpleString()}" for c in cols
+    return _reencode_modality(
+        df,
+        "image",
+        lambda p: encode_png(bytes_to_pixels(p, side)),
+        payload_col,
+        modality_col,
     )
-    return df.mapInPandas(run, schema=schema)
+
+
+def wavify_audio(
+    df: DataFrame,
+    payload_col: str = "payload",
+    modality_col: str = "modality",
+    n_samples: int = wav_mod.SYNTH_SAMPLES,
+) -> DataFrame:
+    """Re-encode audio-modality payloads as REAL WAV files (bytes →
+    deterministic int16 samples → 16-bit mono PCM RIFF), the audio twin of
+    :func:`pngify_images` — the synthetic corpus' audio column becomes an
+    actual audio container the real decoder below must parse."""
+    return _reencode_modality(
+        df,
+        "audio",
+        lambda p: encode_wav(bytes_to_samples(p, n_samples)),
+        payload_col,
+        modality_col,
+    )
 
 
 def png_image_decoder(payload: bytes, modality: str) -> np.ndarray:
     """REAL decode for the image modality: full PNG parse (signature,
     chunk CRCs, zlib inflate, scanline unfilter) + pixel-statistics
     features via operators/png.py. Audio/video still route to the
-    deterministic stub — those codecs genuinely aren't in this container.
+    deterministic stub (see :func:`media_decoder` for the audio upgrade).
 
     NOTE: ``png_features`` must be imported at MODULE level (not inside
     this body): this function executes on executors, where the package is
@@ -180,6 +218,18 @@ def png_image_decoder(payload: bytes, modality: str) -> np.ndarray:
     driver's own session (caught round 3 by the mm_features oracle)."""
     if modality == "image":
         return png_features(payload, FEATURE_DIM)
+    return default_fake_decoder(payload, modality)
+
+
+def media_decoder(payload: bytes, modality: str) -> np.ndarray:
+    """REAL decode for image AND audio: PNG parse → pixel statistics,
+    RIFF/PCM parse → waveform statistics (operators/png.py,
+    operators/wav.py). Only video still routes to the deterministic stub —
+    the one modality whose codec genuinely isn't in this container."""
+    if modality == "image":
+        return png_features(payload, FEATURE_DIM)
+    if modality == "audio":
+        return wav_features(payload, FEATURE_DIM)
     return default_fake_decoder(payload, modality)
 
 

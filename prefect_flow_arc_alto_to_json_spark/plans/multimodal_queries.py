@@ -108,11 +108,13 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(assets, every_n_ms=1000)
 
 
-#: 2-hex-char -> byte value (DuckDB hex() emits uppercase)
-_SQL_HEX2INT = (
-    "(strpos('0123456789ABCDEF', substr(hx, 2*((3*k.k) % len) + 1, 1)) - 1) * 16"
-    " + (strpos('0123456789ABCDEF', substr(hx, 2*((3*k.k) % len) + 2, 1)) - 1)"
-)
+def _sql_byte(offset_sql: str) -> str:
+    """Byte value at ``offset_sql`` (0-based, SQL expression) of the text's
+    UTF-8 bytes, read from the hex dump (DuckDB ``hex()`` emits uppercase)."""
+    return (
+        f"(strpos('0123456789ABCDEF', substr(hx, 2*({offset_sql}) + 1, 1)) - 1) * 16"
+        f" + (strpos('0123456789ABCDEF', substr(hx, 2*({offset_sql}) + 2, 1)) - 1)"
+    )
 
 
 @query(
@@ -129,12 +131,27 @@ _SQL_HEX2INT = (
     img AS (
       -- R-channel mean of the 16x16 tile: pixel k's R byte sits at offset
       -- 3k of the 768-byte buffer, tiled from the text bytes (offset mod len)
-      SELECT doc_id, SUM({_SQL_HEX2INT}) / 256.0 AS mean_r
+      SELECT doc_id, SUM({_sql_byte("(3*k.k) % len")}) / 256.0 AS mean_r
       FROM base, (SELECT unnest(range(0, 256)) AS k) k
       WHERE modality = 'image'
       GROUP BY doc_id
     ),
-    av AS (
+    aud AS (
+      -- sample mean of the 2048 synthesized int16 frames: sample k is the
+      -- little-endian byte pair at offsets (2k, 2k+1) of the tiled buffer
+      SELECT doc_id,
+             SUM(lo + 256 * hi - CASE WHEN hi >= 128 THEN 65536 ELSE 0 END)
+               / 2048.0 AS mean_s
+      FROM (
+        SELECT doc_id,
+               {_sql_byte("(2*k.k) % len")} AS lo,
+               {_sql_byte("(2*k.k + 1) % len")} AS hi
+        FROM base, (SELECT unnest(range(0, 2048)) AS k) k
+        WHERE modality = 'audio'
+      )
+      GROUP BY doc_id
+    ),
+    vid AS (
       -- fake-decoder features: little-endian u32s of md5(modality:payload);
       -- u32[0] = md5_number_upper % 2^32, u32[2] = md5_number_lower % 2^32
       SELECT doc_id,
@@ -142,19 +159,22 @@ _SQL_HEX2INT = (
                   / 4294967295.0 AS REAL) AS f0,
              CAST((md5_number_lower(modality || ':' || text) % 4294967296)
                   / 4294967295.0 AS REAL) AS f2
-      FROM base WHERE modality <> 'image'
+      FROM base WHERE modality = 'video'
     )
     SELECT b.doc_id AS asset_id,
            CAST(16 AS INTEGER) AS feature_dim,
            CAST(NULL AS VARCHAR) AS decode_error,
-           ROUND(CASE WHEN b.modality = 'image' THEN 16.0
-                      ELSE CAST(av.f0 AS DOUBLE) END, 6) AS feat0,
-           ROUND(CASE WHEN b.modality = 'image'
-                      THEN CAST(CAST(i.mean_r AS REAL) AS DOUBLE)
-                      ELSE CAST(av.f2 AS DOUBLE) END, 6) AS feat2
+           ROUND(CASE b.modality WHEN 'image' THEN 16.0
+                                 WHEN 'audio' THEN 8000.0
+                                 ELSE CAST(v.f0 AS DOUBLE) END, 6) AS feat0,
+           ROUND(CASE b.modality
+                   WHEN 'image' THEN CAST(CAST(i.mean_r AS REAL) AS DOUBLE)
+                   WHEN 'audio' THEN CAST(CAST(a.mean_s AS REAL) AS DOUBLE)
+                   ELSE CAST(v.f2 AS DOUBLE) END, 6) AS feat2
     FROM base b
     LEFT JOIN img i USING (doc_id)
-    LEFT JOIN av USING (doc_id)
+    LEFT JOIN aud a USING (doc_id)
+    LEFT JOIN vid v USING (doc_id)
     """,
 )
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -162,25 +182,28 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Image assets are REAL PNG files (pngify_images) decoded by a full PNG
     parser (operators/png.py: CRC check, zlib inflate, unfilter, pixel
-    stats); audio/video go through the deterministic stub kernel.
+    stats); audio assets are REAL WAV files (wavify_audio) decoded by a
+    full RIFF/PCM parser (operators/wav.py: chunk walk, fmt validation,
+    int16 frames → waveform stats); only video routes through the
+    deterministic stub kernel (genuinely no codec in this container).
 
-    FULL oracle (round-3): the image path is a deterministic
-    bytes → pixel-tile → PNG-encode → PNG-decode → statistics roundtrip
-    (operators/png.py:136-163), so ``feat2`` (mean of the R channel) is a
-    pure function of the text's UTF-8 bytes that DuckDB recomputes from
-    hex-decoded byte values — a hash match proves the codec roundtrip is
-    pixel-exact against SQL ground truth, not just golden-tested. The
-    audio/video fake-decoder features are md5-derived u32s the oracle
-    rebuilds from ``md5_number_upper/lower``. float32 quantization is
-    mirrored with CAST(.. AS REAL). Testdata has no empty documents
-    (min text length 44 at every sf), so the decode-error branch never
-    fires here; error isolation is pytest-covered
+    FULL oracle (round-3): both real codec paths are deterministic
+    bytes → synth → encode → decode → statistics roundtrips, so ``feat2``
+    (image: R-channel mean; audio: sample mean) is a pure function of the
+    text's UTF-8 bytes that DuckDB recomputes from hex-decoded byte
+    values — a hash match proves BOTH codec roundtrips are exact against
+    SQL ground truth, not just golden-tested. The video fake-decoder
+    features are md5-derived u32s the oracle rebuilds from
+    ``md5_number_upper/lower``. float32 quantization is mirrored with
+    CAST(.. AS REAL). Testdata has no empty documents (min text length 44
+    at every sf), so the decode-error branch never fires here; error
+    isolation is pytest-covered
     (tests/test_multimodal.py::test_pngify_empty_payload_isolated).
     """
-    from ..operators.multimodal import png_image_decoder, pngify_images
+    from ..operators.multimodal import media_decoder, pngify_images, wavify_audio
 
-    assets = pngify_images(synth_assets(spark, sf_dir))
-    feats = extract_features(assets, decoder=png_image_decoder)
+    assets = wavify_audio(pngify_images(synth_assets(spark, sf_dir)))
+    feats = extract_features(assets, decoder=media_decoder)
     return feats.select(
         "asset_id",
         "feature_dim",

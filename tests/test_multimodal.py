@@ -227,3 +227,99 @@ def test_pngify_empty_payload_isolated(spark):
     assert bytes(out[1]["payload"]) == b""  # passthrough, no task failure
     assert out[3]["payload"] is None
     assert decode_png(bytes(out[2]["payload"])).shape == (16, 16, 3)
+
+
+# ---------------------------------------------------------------------------
+# Real WAV codec (operators/wav.py) + the real audio decode path (round-3)
+# ---------------------------------------------------------------------------
+
+import struct  # noqa: E402
+
+from prefect_flow_arc_alto_to_json_spark.operators.multimodal import (  # noqa: E402
+    media_decoder,
+    wavify_audio,
+)
+from prefect_flow_arc_alto_to_json_spark.operators.wav import (  # noqa: E402
+    SAMPLE_RATE,
+    SYNTH_SAMPLES,
+    bytes_to_samples,
+    decode_wav,
+    encode_wav,
+    wav_features,
+)
+
+
+def test_wav_roundtrip_sample_exact():
+    samples = bytes_to_samples(b"some deterministic payload bytes!", 512)
+    blob = encode_wav(samples)
+    out, rate = decode_wav(blob)
+    assert rate == SAMPLE_RATE
+    assert out.shape == (512, 1)
+    assert np.array_equal(out[:, 0], samples)
+
+
+def test_wav_decoder_skips_unknown_chunks():
+    """A conforming parser must walk chunks, not assume fmt/data offsets."""
+    samples = bytes_to_samples(b"abcdef", 16)
+    blob = bytearray(encode_wav(samples))
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd len + pad
+    # splice the LIST chunk between WAVE magic and fmt
+    spliced = bytes(blob[:12]) + extra + bytes(blob[12:])
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    out, rate = decode_wav(spliced)
+    assert np.array_equal(out[:, 0], samples) and rate == SAMPLE_RATE
+
+
+def test_wav_corrupt_inputs_raise():
+    samples = bytes_to_samples(b"abcdef", 16)
+    good = encode_wav(samples)
+    for bad in (
+        b"",                                  # empty
+        b"RIFX" + good[4:],                   # bad magic
+        good[:8] + b"EVAW" + good[12:],       # bad WAVE magic
+        good[:-3],                            # truncated data chunk
+    ):
+        with pytest.raises(ValueError):
+            decode_wav(bad)
+    # non-PCM format code rejected
+    mangled = bytearray(good)
+    mangled[20] = 3  # IEEE float
+    with pytest.raises(ValueError):
+        decode_wav(bytes(mangled))
+
+
+def test_wav_features_golden():
+    payload = b"golden audio payload"
+    feats = wav_features(encode_wav(bytes_to_samples(payload)))
+    assert feats.shape == (16,) and feats.dtype == np.float32
+    s = bytes_to_samples(payload).astype(np.float64)
+    assert feats[0] == np.float32(SAMPLE_RATE)
+    assert feats[1] == np.float32(SYNTH_SAMPLES)
+    assert feats[2] == np.float32(s.mean())
+    assert feats[3] == np.float32(s.std())
+    assert feats[4] == np.float32(np.sqrt((s**2).mean()))
+    hist, _ = np.histogram(s, bins=8, range=(-32768.0, 32768.0))
+    assert np.array_equal(feats[6:14], (hist / s.size).astype(np.float32))
+
+
+def test_wavify_and_media_decoder_end_to_end(spark, assets):
+    """audio payloads → real WAV → real RIFF parse in the Arrow batch;
+    image rows keep the PNG path; video stays on the stub."""
+    pngified = wavify_audio(pngify_images(assets.where("payload IS NOT NULL")))
+    out = {
+        r["asset_id"]: r
+        for r in extract_features(pngified, decoder=media_decoder).collect()
+    }
+    assert all(r["decode_error"] is None for r in out.values())
+    aud = out[4]  # RIFF-fake payload, audio modality
+    exp = wav_features(encode_wav(bytes_to_samples(b"RIFF-fake")))
+    assert np.allclose(aud["feature"], exp, rtol=0, atol=0)
+    # video row still identical to the deterministic stub
+    vid = out[5]
+    stub = default_fake_decoder(b"\x00\x00ftyp-fake", "video")
+    assert np.allclose(vid["feature"], stub, rtol=0, atol=0)
+
+
+from prefect_flow_arc_alto_to_json_spark.operators.multimodal import (  # noqa: E402
+    default_fake_decoder,
+)
