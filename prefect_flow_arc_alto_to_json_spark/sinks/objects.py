@@ -31,16 +31,37 @@ def _pretty_json(json_str: str) -> str:
     return json.dumps(json.loads(json_str), indent=2, ensure_ascii=False)
 
 
+def _default_s3_client_factory():
+    """Construct the real boto3 client — the ONLY piece that needs the
+    dependency; everything else (key template, pretty-print, per-record
+    PUT loop) is dependency-free and tested with an injected fake."""
+    try:
+        import boto3  # noqa: F401 — not installed in this container
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError(
+            "s3:// target requires boto3; install it or use a file target"
+        ) from exc
+    return boto3.client("s3")
+
+
 def write_json_objects(
     df: DataFrame,
     target: str,
     key_col: str = "s3_key",
     json_col: str = "json",
     pretty: bool = True,
+    client_factory=None,
 ) -> None:
     """Write each row's ``json_col`` as one object named ``key_col``.
 
     ``target``: ``/local/dir`` or ``s3://bucket/prefix``.
+
+    ``client_factory``: zero-arg callable returning an object with
+    ``put_object(Bucket=, Key=, Body=)`` — defaults to a real boto3
+    client; tests inject a fake so the whole s3 branch (bucket/prefix
+    parsing, key templating, pretty-print, bytes encoding) runs without
+    the dependency. The factory is invoked ONCE PER PARTITION on the
+    executor (clients aren't picklable; factories are).
 
     Scale: purely partition-parallel, no shuffle, no driver involvement;
     object-store throughput is the only limit (tune with ``repartition``
@@ -50,15 +71,10 @@ def write_json_objects(
     if is_s3:
         bucket_and_prefix = target[len("s3://") :]
         bucket, _, prefix = bucket_and_prefix.partition("/")
+        factory = client_factory or _default_s3_client_factory
 
         def write_partition(rows: Iterator[Row]) -> None:
-            try:
-                import boto3  # noqa: F401 — not installed in this container
-            except ImportError as exc:  # pragma: no cover
-                raise NotImplementedError(
-                    "s3:// target requires boto3; install it or use a file target"
-                ) from exc
-            client = boto3.client("s3")
+            client = factory()
             for row in rows:
                 body = _pretty_json(row[json_col]) if pretty else row[json_col]
                 key = f"{prefix.rstrip('/')}/{row[key_col]}" if prefix else row[key_col]

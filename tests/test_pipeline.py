@@ -160,3 +160,67 @@ def test_fetch_error_isolation(spark):
     assert by_id["a"]["body"] and by_id["a"]["fetch_error"] is None
     assert by_id["b"]["body"] is None and "FileNotFoundError" in by_id["b"]["fetch_error"]
     assert by_id["c"]["fetch_error"] == "null url"
+
+
+def test_write_json_objects_s3_branch_with_fake_client(spark, tmp_path):
+    """The s3:// branch (bucket/prefix parse, key template, pretty-print,
+    utf-8 PUT bodies) runs end-to-end with an injected put_object fake —
+    boto3 is only needed by the default client factory (round-3 advice)."""
+    from prefect_flow_arc_alto_to_json_spark.sinks.objects import (
+        write_json_objects,
+    )
+
+    root = str(tmp_path / "puts")
+
+    def factory(root=root):
+        import os
+        import types
+
+        def put_object(Bucket, Key, Body):
+            d = os.path.join(root, Bucket)
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, Key.replace("/", "__")), "wb") as f:
+                f.write(Body)
+
+        return types.SimpleNamespace(put_object=put_object)
+
+    df = spark.createDataFrame(
+        [
+            ("a.xml.json", '{"k":1,"t":"héllo"}'),
+            ("b.xml.json", '{"k":2}'),
+        ],
+        "s3_key string, json string",
+    )
+    write_json_objects(
+        df, "s3://alto-json/out/prefix", client_factory=factory
+    )
+    d = os.path.join(root, "alto-json")
+    names = sorted(os.listdir(d))
+    assert names == ["out__prefix__a.xml.json", "out__prefix__b.xml.json"]
+    body = open(os.path.join(d, "out__prefix__a.xml.json"), encoding="utf-8").read()
+    # pretty-printed (2-space indent) with non-ascii preserved
+    assert body == '{\n  "k": 1,\n  "t": "héllo"\n}'
+
+
+def test_write_json_objects_s3_no_prefix(spark, tmp_path):
+    """s3://bucket with no prefix: keys are used verbatim."""
+    from prefect_flow_arc_alto_to_json_spark.sinks.objects import (
+        write_json_objects,
+    )
+
+    root = str(tmp_path / "puts")
+
+    def factory(root=root):
+        import os
+        import types
+
+        def put_object(Bucket, Key, Body):
+            os.makedirs(os.path.join(root, Bucket), exist_ok=True)
+            with open(os.path.join(root, Bucket, Key), "wb") as f:
+                f.write(Body)
+
+        return types.SimpleNamespace(put_object=put_object)
+
+    df = spark.createDataFrame([("k.json", '{"x":1}')], "s3_key string, json string")
+    write_json_objects(df, "s3://bkt", client_factory=factory, pretty=False)
+    assert open(os.path.join(root, "bkt", "k.json")).read() == '{"x":1}'
