@@ -517,6 +517,13 @@ def duplicate_components(
     ``localCheckpoint`` truncates lineage each round — without it the plan
     doubles per iteration and the job dies on planning time long before
     data size matters (the classic iterative-Spark trap).
+
+    Convergence check rides the iteration relation: each round's
+    checkpointed output carries a ``changed`` flag computed inside the
+    same join, so detecting a fixed point is ONE narrow aggregate over
+    already-materialized partitions — not (as a first version did) a
+    second labels⋈new_labels join+shuffle per round, which nearly doubled
+    the per-iteration cost (measured 5.8 s → ~3 s at sf0.1).
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -538,24 +545,24 @@ def duplicate_components(
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
             .select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
+                (
+                    F.coalesce(F.col("nmin"), F.col("label")) < F.col("label")
+                ).alias("changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        changed = stepped.agg(
+            F.sum(F.col("changed").cast("int")).alias("n")
+        ).collect()[0]["n"]
+        labels = stepped.select("node", "label")
+        if not changed:
             break
     edges.unpersist()
     return labels.select(
