@@ -49,12 +49,19 @@ _SQL_SIG_ELEMS = ", ".join(
     for a, b in MINHASH_PARAMS
 )
 
-_SQL_DOCS_WITH_SIG = f"""
-  toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+def _sql_docs_with_sig(src: str = "documents") -> str:
+    """CTE chain text → tokens → shingles → md5 hashes → 32-minhash sig,
+    parameterized on the source relation (so capped variants can plant
+    boilerplate in a ``corpus`` CTE first)."""
+    return f"""
+  toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM {src}),
   shg  AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM toks),
   hsh  AS (SELECT doc_id, {_SQL_SHINGLE_HASHES} AS hs FROM shg),
   docs AS (SELECT doc_id, [{_SQL_SIG_ELEMS}] AS sig FROM hsh)
 """
+
+
+_SQL_DOCS_WITH_SIG = _sql_docs_with_sig()
 
 
 @query(
@@ -262,6 +269,66 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return ngram_jaccard_pairs(corpus, threshold=0.8, max_doc_freq=_MAX_DOC_FREQ)
+
+
+@query(
+    "dedup_minhash_pairs_capped",
+    extra=True,
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN '{_BOILERPLATE} doc ' || CAST(doc_id AS VARCHAR)
+                  ELSE text END AS text
+      FROM documents
+    ),
+    {_sql_docs_with_sig("corpus")},
+    bands AS (
+      SELECT doc_id, u.j, [{_SQL_BANDS}][u.j + 1] AS bh
+      FROM docs, (SELECT unnest(range(0, {MINHASH_BANDS})) AS j) u
+    ),
+    -- the cap: GROUP BY / HAVING on band-bucket membership
+    keep AS (SELECT j, bh FROM bands GROUP BY j, bh
+             HAVING count(*) <= {_MAX_DOC_FREQ}),
+    bandsk AS (SELECT b.doc_id, b.j, b.bh FROM bands b JOIN keep USING (j, bh)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandsk a JOIN bandsk b ON a.j = b.j AND a.bh = b.bh
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, est_jaccard FROM (
+      SELECT id_a, id_b,
+        ROUND(len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) / 32.0, 6)
+          AS est_jaccard
+      FROM cand JOIN docs sa ON sa.doc_id = id_a JOIN docs sb ON sb.doc_id = id_b
+    ) WHERE est_jaccard >= 0.5
+    """,
+)
+def dedup_minhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-capped MinHash-LSH pairs under adversarial boilerplate: 30%
+    of docs are REPLACED by a near-identical boilerplate text (unique only
+    in a numeric suffix), which collapses most of their band buckets into
+    one mega bucket per band — at sf0.01 that is a ~167-member bucket,
+    i.e. ~14k candidate pairs from boilerplate alone, the exact quadratic
+    blowup a 100 TB corpus hits on shared headers. ``max_bucket_size``
+    drops those buckets before the self-join (a plain GROUP BY/HAVING in
+    the oracle); the natural near-dup pairs among untouched docs survive
+    via their small buckets."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(_BOILERPLATE + " doc "), F.col("doc_id").cast("string")
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return minhash_lsh_pairs(
+        corpus, threshold=0.5, max_bucket_size=_MAX_DOC_FREQ
+    )
 
 
 _SQL_SIMHASH_BITS = " + ".join(

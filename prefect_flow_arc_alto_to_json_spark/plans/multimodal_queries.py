@@ -211,3 +211,65 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("feature", 1).cast("double"), 6).alias("feat0"),
         F.round(F.element_at("feature", 3).cast("double"), 6).alias("feat2"),
     )
+
+
+def _sql_r8(a: str) -> str:
+    """R byte of tile pixel at linear position ``a`` (SQL expr) of the
+    16x16 synth tile: offset 3*a of the 768-byte buffer, tiled mod len."""
+    return _sql_byte(f"(3*({a})) % len")
+
+
+@query(
+    "mm_resize",
+    extra=True,
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS len
+      FROM documents
+      WHERE {_SQL_MODALITY} = 'image'
+    ),
+    px AS (
+      -- output pixel k of the 8x8 resize reads the 2x2 source block whose
+      -- top-left tile position is a = 32*(k/8) + 2*(k%8); area-mean with
+      -- uint8 truncation == integer division of the 4-byte sum
+      SELECT doc_id,
+             (({_sql_r8("a")}) + ({_sql_r8("a + 1")})
+              + ({_sql_r8("a + 16")}) + ({_sql_r8("a + 17")})) // 4 AS r
+      FROM (
+        SELECT doc_id, hx, len, 32*(k.k // 8) + 2*(k.k % 8) AS a
+        FROM base, (SELECT unnest(range(0, 64)) AS k) k
+      )
+    )
+    SELECT doc_id AS asset_id,
+           ROUND(8.0, 6) AS feat0,
+           ROUND(CAST(CAST(SUM(r) / 64.0 AS REAL) AS DOUBLE), 6) AS feat2
+    FROM px GROUP BY doc_id
+    """,
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize proven against SQL ground truth: bytes → 16x16
+    PNG → decode → 2x2 area-mean downsample to 8x8 → re-encode → decode →
+    R-channel mean. The oracle recomputes the whole chain from raw text
+    bytes (block mean with uint8 truncation ≡ integer division of the
+    4-byte sum), so a hash match certifies decode ∘ encode ∘ resize ∘
+    decode ∘ encode is exact — the strongest check available for a binary
+    kernel with no SQL-expressible container format (the PNG bytes
+    themselves are zlib-compressed; the PIXELS are pure byte math)."""
+    from ..operators.multimodal import (
+        png_image_decoder,
+        pngify_images,
+        resize_images,
+    )
+
+    assets = pngify_images(synth_assets(spark, sf_dir)).where(
+        F.col("modality") == "image"
+    )
+    resized = resize_images(assets, target=8)
+    feats = extract_features(resized, decoder=png_image_decoder)
+    return feats.select(
+        "asset_id",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("feat0"),
+        F.round(F.element_at("feature", 3).cast("double"), 6).alias("feat2"),
+    )
