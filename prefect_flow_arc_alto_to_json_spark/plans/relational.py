@@ -1029,3 +1029,29 @@ def q_argmax_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("segments_sample"),
     )
+
+
+_SCALAR_SUBQ_SQL = """
+    SELECT c_custkey, c_nationkey
+    FROM customer c
+    WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT)
+          * (SELECT COUNT(*) FROM customer c2
+             WHERE c2.c_nationkey = c.c_nationkey)
+        > (SELECT CAST(SUM(CAST(ROUND(c2.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+           FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+"""
+
+
+@query("q_scalar_subquery", extra=True, oracle=_SCALAR_SUBQ_SQL)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated SCALAR subqueries (§2 relational breadth next to the
+    EXISTS form): customers with above-nation-average balance. The
+    comparison is cross-multiplied into exact integer cents
+    (cents·count > sum_cents) so no float average ever exists — the
+    classic avg-threshold boundary hazard (see registry.py rules) is
+    designed out rather than rounded over. Catalyst decorrelates both
+    subqueries into one aggregate + join; same SQL text runs on DuckDB."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, "customer")
+    return spark.sql(_SCALAR_SUBQ_SQL)

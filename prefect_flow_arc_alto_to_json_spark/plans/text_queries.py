@@ -230,3 +230,65 @@ def text_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").cast("long").alias("max_id"),
         )
     )
+
+
+@query(
+    "text_extract_entities",
+    extra=True,
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or user' || CAST(doc_id AS VARCHAR)
+                       || '@mail.example.org see https://example.org/doc/'
+                       || CAST(doc_id AS VARCHAR) || ' and http://archive.example.com/x'
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, 'https?://[a-z0-9./-]+')) AS INTEGER)
+             AS n_urls,
+           CAST(len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.-]+')) AS INTEGER)
+             AS n_emails,
+           COALESCE(regexp_extract_all(text, 'https?://[a-z0-9./-]+')[1], '')
+             AS first_url,
+           COALESCE(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.-]+')[1], '')
+             AS first_email
+    FROM corpus
+    """,
+)
+def text_extract_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity extraction over documents (URL / email pulls via
+    ``regexp_extract_all``) — the PII-adjacent surface every training-data
+    pipeline needs before redaction or link-graph construction. A
+    deterministic plant (25% of docs get synthetic contact lines) keeps the
+    query non-vacuous on the lorem corpus; patterns are restricted to the
+    regex subset with identical semantics in Java regex (Spark) and RE2
+    (DuckDB). Shuffle-free narrow scan — at 100 TB this is a single
+    codegen'd pass."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.org see https://example.org/doc/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" and http://archive.example.com/x"),
+        ),
+    ).otherwise(F.col("text"))
+    corpus = fan_out(docs).select("doc_id", planted.alias("text"))
+    # idx=0 = whole match (Spark defaults to capture group 1)
+    urls = F.expr(r"regexp_extract_all(text, 'https?://[a-z0-9./-]+', 0)")
+    emails = F.expr(r"regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.-]+', 0)")
+    return corpus.select(
+        "doc_id",
+        F.size(urls).alias("n_urls"),
+        F.size(emails).alias("n_emails"),
+        F.coalesce(F.get(urls, 0), F.lit("")).alias("first_url"),
+        F.coalesce(F.get(emails, 0), F.lit("")).alias("first_email"),
+    )
