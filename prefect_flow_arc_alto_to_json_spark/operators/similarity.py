@@ -116,6 +116,12 @@ def _bucket(vec: str, planes: int = LSH_PLANES, first_plane: int = 0) -> Column:
     and produces the identical resolved plan. The 'D' suffix forces DOUBLE
     (plain SQL decimals parse as DECIMAL); repr() round-trips doubles
     exactly."""
+    return F.expr(_bucket_sql(vec, planes, first_plane))
+
+
+def _bucket_sql(vec: str, planes: int = LSH_PLANES, first_plane: int = 0) -> str:
+    """SQL text of :func:`_bucket` (callers assembling bigger expressions
+    splice this directly instead of paying a py4j call per bucket)."""
     planes_sql = "array(%s)" % ",".join(
         "array(%s)"
         % ",".join(
@@ -123,13 +129,33 @@ def _bucket(vec: str, planes: int = LSH_PLANES, first_plane: int = 0) -> Column:
         )
         for p in range(planes)
     )
-    return F.expr(
+    return (
         f"CAST(aggregate(transform({planes_sql}, (plane, p) ->"
         f" CASE WHEN aggregate(zip_with({vec}, plane, (x, w) -> x * w),"
         f" 0.0D, (acc, v) -> acc + v) > 0"
         f" THEN power(2.0D, p) ELSE 0.0D END),"
         f" 0.0D, (acc, v) -> acc + v) AS INT)"
     )
+
+
+def _sql_as_double(col: str) -> str:
+    """SQL text of :func:`_as_double`."""
+    return f"transform({col}, x -> CAST(x AS DOUBLE))"
+
+
+def _sql_cosine6(a: str, b: str) -> str:
+    """SQL text of ``round(cosine(a, b), 6)`` — same left-to-right fold as
+    the Column form (dot = zip_with+aggregate, norm = aggregate of v*v)."""
+    def _dot(x: str, y: str) -> str:
+        return (
+            f"aggregate(zip_with({x}, {y}, (x, y) -> x * y),"
+            f" 0.0D, (acc, v) -> acc + v)"
+        )
+
+    def _norm(x: str) -> str:
+        return f"sqrt(aggregate({x}, 0.0D, (acc, v) -> acc + v * v))"
+
+    return f"round({_dot(a, b)} / ({_norm(a)} * {_norm(b)}), 6)"
 
 
 def lsh_bucketed_topk(
@@ -168,54 +194,50 @@ def lsh_bucketed_topk(
     # fetch) each re-scan the column-pruned source — at 100 TB re-reading
     # two parquet columns twice beats caching the corpus as doubles, and
     # at bench scale it avoids a materialization job.
-    c = fan_out(corpus).select(
-        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cvec")
+    # Whole construction uses the SQL-text fast path (selectExpr /
+    # spliced _bucket_sql) — the Column-API form cost ~1.2 s of py4j
+    # round-trips per invocation; the resolved plans are identical.
+    c = fan_out(corpus).selectExpr(
+        f"{id_col} AS neighbor_id", f"{_sql_as_double(vec_col)} AS cvec"
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qvec")
+    q = queries.selectExpr(
+        f"{id_col} AS query_id", f"{_sql_as_double(vec_col)} AS qvec"
     )
     # one (table, bucket) row per corpus row per table — ids only
+    cstructs = ",".join(
+        f"named_struct('tbl', {t}, 'bucket',"
+        f" {_bucket_sql('cvec', planes, first_plane=t * planes)})"
+        for t in range(n_tables)
+    )
     cbuckets = c.select(
-        "neighbor_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        _bucket("cvec", planes, first_plane=t * planes).alias(
-                            "bucket"
-                        ),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tb"),
+        F.col("neighbor_id"),
+        F.expr(f"explode(array({cstructs}))").alias("tb"),
     ).select("neighbor_id", "tb.tbl", "tb.bucket")
     # Stage each table's base bucket as a NAMED column first: the probe
     # list below references it (1+P) times, and inlining would replicate
     # the whole 4x64-literal plane subtree into every probe — a ~5x larger
     # expression tree whose analysis/codegen dominates small benchmarks.
-    qstaged = q.select(
+    qstaged = q.selectExpr(
         "query_id",
         "qvec",
         *[
-            _bucket("qvec", planes, first_plane=t * planes).alias(f"__b{t}")
+            f"{_bucket_sql('qvec', planes, first_plane=t * planes)} AS __b{t}"
             for t in range(n_tables)
         ],
     )
     qbuckets = []
     for t in range(n_tables):
-        base = F.col(f"__b{t}")
-        probes = [base]
+        probes = [f"__b{t}"]
         if multiprobe:
             probes += [
-                base.bitwiseXOR(F.lit(2**p)).cast("int") for p in range(planes)
+                f"CAST(__b{t} ^ {2**p} AS INT)" for p in range(planes)
             ]
         qbuckets += [
-            F.struct(F.lit(t).alias("tbl"), pb.alias("bucket")) for pb in probes
+            f"named_struct('tbl', {t}, 'bucket', {pb})" for pb in probes
         ]
     qprobes = qstaged.select(
-        "query_id", F.explode(F.array(*qbuckets)).alias("tb")
+        F.col("query_id"),
+        F.expr(f"explode(array({','.join(qbuckets)}))").alias("tb"),
     ).select("query_id", "tb.tbl", "tb.bucket")
     cand = (
         cbuckets.join(F.broadcast(qprobes), ["tbl", "bucket"])
@@ -226,10 +248,10 @@ def lsh_bucketed_topk(
     scored = (
         cand.join(c, "neighbor_id")
         .join(F.broadcast(q), "query_id")
-        .select(
+        .selectExpr(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cosine"),
+            f"{_sql_cosine6('qvec', 'cvec')} AS cosine",
         )
     )
     w = Window.partitionBy("query_id").orderBy(
