@@ -84,3 +84,42 @@ def stream_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         memory_table=table,
     )
     return spark.table(table)
+
+
+@query(
+    "stream_dedup_events",
+    extra=True,
+    oracle="""
+    SELECT event_id,
+           CAST(COUNT(*) AS BIGINT) AS n_after_dedup
+    FROM events
+    GROUP BY event_id
+    """,
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup, driver-checkable with a PLANTED duplicate
+    stream: the source dir holds TWO symlinks to the same events parquet,
+    so the file stream delivers every row twice; ``dropDuplicates`` on the
+    key must emit each exactly once. The oracle is the single-copy table —
+    a hash match proves the streaming state actually deduplicated 2x input
+    (not merely passed rows through). Returned as per-key counts so the
+    check is insensitive to emit order but fails if ANY duplicate leaks
+    or any row is dropped."""
+    src_dir = tempfile.mkdtemp(prefix="stream_dedup_src_")
+    for alias in ("a.parquet", "b.parquet"):
+        os.symlink(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(src_dir, alias),
+        )
+    ev = stream_events(spark, src_dir)
+    deduped = ev.dropDuplicates(["event_id"]).groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_after_dedup")
+    )
+    table = f"stream_dedup_{uuid.uuid4().hex[:10]}"
+    run_available_now(
+        deduped,
+        checkpoint_dir=tempfile.mkdtemp(prefix="stream_dedup_ckpt_"),
+        output_mode="complete",
+        memory_table=table,
+    )
+    return spark.table(table)
