@@ -22,6 +22,10 @@ from .dedup_queries import _SQL_SHINGLE_HASHES, _SQL_SHINGLES, _SQL_TOKS
 from .registry import query
 
 _QUALITY_THRESHOLD = 0.7
+#: posting-frequency cap for the near-dup stage — the skew valve that keeps
+#: a boilerplate shingle shared by a large doc fraction from going
+#: quadratic at 100 TB (operators/dedup.py:ngram_jaccard_pairs).
+_NEAR_DUP_MAX_DF = 20
 
 
 @query(
@@ -63,13 +67,23 @@ _QUALITY_THRESHOLD = 0.7
     ),
     shg AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM exact_kept),
     hsh AS (SELECT doc_id, {_SQL_SHINGLE_HASHES} AS hs FROM shg),
+    -- near-dup with the posting-frequency cap (GROUP BY/HAVING mirror of
+    -- max_doc_freq): overflow shingles are dropped, per-doc sizes are
+    -- recomputed post-cap, jaccard is over informative shingles
+    post AS (SELECT doc_id, unnest(hs) AS h FROM hsh),
+    keep AS (SELECT h FROM post GROUP BY h HAVING count(*) <= {_NEAR_DUP_MAX_DF}),
+    kept AS (SELECT p.doc_id, p.h FROM post p JOIN keep USING (h)),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
     drops AS (
-      SELECT DISTINCT id_b AS doc_id FROM (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          len(list_intersect(a.hs, b.hs)) /
-          (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))::DOUBLE AS j
-        FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
-      ) WHERE j >= 0.8
+      SELECT DISTINCT id_b AS doc_id FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE ROUND(n_common / (sa.n_sh + sb.n_sh - n_common)::DOUBLE, 6) >= 0.8
     )
     SELECT k.doc_id, CAST(k.ntok AS BIGINT) AS n_tokens, k.quality
     FROM exact_kept k LEFT JOIN drops d ON k.doc_id = d.doc_id
@@ -78,8 +92,13 @@ _QUALITY_THRESHOLD = 0.7
 )
 def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → cleaned corpus: quality ≥ 0.7, exact dups collapsed to
-    the min-id keeper, near-dups (3-gram jaccard ≥ 0.8) drop the larger id.
-    Returns (doc_id, n_tokens, quality) of the surviving corpus."""
+    the min-id keeper, near-dups (3-gram jaccard ≥ 0.8 over
+    informative shingles, posting lists capped at {_NEAR_DUP_MAX_DF} docs)
+    drop the larger id. Returns (doc_id, n_tokens, quality) of the
+    surviving corpus. The cap is live in the flagship composition since
+    round 3 — at 100 TB it is the difference between a linear posting join
+    and a quadratic boilerplate bucket (the one scale-killer round 2 left
+    open)."""
     docs = fan_out(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
     scored = docs.select(
         "doc_id",
@@ -101,7 +120,11 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # near-dup removal: larger id of each jaccard>=0.8 pair is dropped;
     # the drop-list is tiny -> broadcast anti-join
-    pairs = ngram_jaccard_pairs(exact_kept.select("doc_id", "text"), threshold=0.8)
+    pairs = ngram_jaccard_pairs(
+        exact_kept.select("doc_id", "text"),
+        threshold=0.8,
+        max_doc_freq=_NEAR_DUP_MAX_DF,
+    )
     drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     cleaned = exact_kept.join(F.broadcast(drops), "doc_id", "left_anti")
     return cleaned.select("doc_id", "n_tokens", "quality")
