@@ -59,3 +59,38 @@ def test_transcript_plan_is_shuffle_free(spark):
     out = simplify_alto(df).withColumn("t", transcript("simplified"))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_capped_posting_join_is_broadcast_anti(spark, sf_dir):
+    """The posting-frequency cap must be a BROADCAST anti-join on the tiny
+    overflow set — if it ever degrades to a shuffled join, the cap itself
+    becomes a posting shuffle at 100 TB (defeating its purpose)."""
+    from prefect_flow_arc_alto_to_json_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from prefect_flow_arc_alto_to_json_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = (
+        ngram_jaccard_pairs(docs, threshold=0.8, max_doc_freq=20)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_minhash_bucket_cap_is_broadcast_anti(spark, sf_dir):
+    from prefect_flow_arc_alto_to_json_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from prefect_flow_arc_alto_to_json_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = (
+        minhash_lsh_pairs(docs, threshold=0.5, max_bucket_size=20)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
