@@ -273,3 +273,50 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("feature", 1).cast("double"), 6).alias("feat0"),
         F.round(F.element_at("feature", 3).cast("double"), 6).alias("feat2"),
     )
+
+
+@query(
+    "mm_audio_energy",
+    extra=True,
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS len
+      FROM documents
+      WHERE {_SQL_MODALITY} = 'audio'
+    ),
+    s AS (
+      SELECT doc_id, k.k // 256 AS frame_idx,
+             ({_sql_byte("(2*k.k) % len")})
+             + 256 * ({_sql_byte("(2*k.k + 1) % len")})
+             - CASE WHEN ({_sql_byte("(2*k.k + 1) % len")}) >= 128
+                    THEN 65536 ELSE 0 END AS v
+      FROM base, (SELECT unnest(range(0, 2048)) AS k) k
+    )
+    SELECT doc_id AS asset_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           ROUND(sqrt(SUM(v * v) / 256.0), 6) AS rms,
+           CAST(NULL AS VARCHAR) AS frame_error
+    FROM s GROUP BY doc_id, frame_idx
+    """,
+)
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio DSP, oracle-proven: REAL WAV decode → 256-sample
+    frame RMS, 8 rows per asset. The oracle recomputes every frame energy
+    from little-endian byte pairs of the raw text bytes (sum of squares is
+    exact in doubles, /256 is a power of two, sqrt is IEEE-identical), so
+    the decode → window → energy chain is verified value-for-value, not
+    just shape-tested."""
+    from ..operators.multimodal import audio_frame_energy, wavify_audio
+
+    assets = wavify_audio(
+        synth_assets(spark, sf_dir).where(F.col("modality") == "audio")
+    )
+    fe = audio_frame_energy(assets)
+    return fe.select(
+        "asset_id",
+        "frame_idx",
+        F.round("rms", 6).alias("rms"),
+        "frame_error",
+    )

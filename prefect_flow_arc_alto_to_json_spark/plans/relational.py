@@ -1055,3 +1055,32 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, "customer")
     return spark.sql(_SCALAR_SUBQ_SQL)
+
+
+@query(
+    "q_percentiles",
+    extra=True,
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6)  AS p50,
+           ROUND(quantile_cont(value, 0.9), 6)  AS p90,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated percentiles per group (§2.4 breadth): Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share linear-interpolation
+    semantics, so the rounded values hash-match (verified at sf0.01 before
+    registering). At 100 TB the exact form needs a per-group sort — the
+    sketch path is ``percentile_approx`` (engine-specific, so the exact
+    twin is the one that can carry an oracle, mirroring the
+    q_approx_distinct pattern)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
