@@ -61,3 +61,37 @@ def test_no_body_level_relative_imports_in_shipped_modules():
         "body-level relative imports in worker-shipped modules (would raise "
         f"ModuleNotFoundError on executors): {offenders}"
     )
+
+
+def test_no_package_module_aliases_in_shipped_function_bodies():
+    """Gotcha #3: a worker closure that references a MODULE OBJECT
+    (``from . import wav as wav_mod`` then ``wav_mod.decode_wav(...)``
+    inside the kernel) pickles the module BY NAME — even under
+    register_pickle_by_value — and dies with ModuleNotFoundError on
+    executors. Module aliases may only appear at module level / in
+    def-time-evaluated default args, never inside a function BODY of a
+    shipped module."""
+    offenders = []
+    for p in _shipped_modules():
+        rel = os.path.relpath(p, PKG)
+        tree = ast.parse(open(p).read())
+        aliases = {
+            (a.asname or a.name)
+            for node in ast.walk(tree)
+            if isinstance(node, ast.ImportFrom) and node.level > 0
+            for a in node.names
+            if os.path.exists(
+                os.path.join(os.path.dirname(p), f"{a.name}.py")
+            )  # the imported name is a sibling MODULE, not a function
+        }
+        if not aliases:
+            continue
+        for node in ast.walk(tree):
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                for sub in ast.walk(ast.Module(body=node.body, type_ignores=[])):
+                    if isinstance(sub, ast.Name) and sub.id in aliases:
+                        offenders.append(f"{rel}:{sub.lineno} {sub.id} in {node.name}()")
+    assert not offenders, (
+        "package-module aliases referenced inside shipped function bodies "
+        f"(pickle by name -> ModuleNotFoundError on executors): {offenders}"
+    )
