@@ -19,9 +19,36 @@ _PERSIST_REGISTRY: dict[str, DataFrame] = {}
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition up to the session's default parallelism iff the plan's
     current partitioning is narrower. Wide inputs pass through untouched
-    (no shuffle added at scale)."""
+    (no shuffle added at scale).
+
+    Cost note: the partition-count probe (``df.rdd``) forces full physical
+    planning through py4j — 0.65 s PER CALL on a composition-sized plan
+    (measured in pipeline_clean_corpus), just to discover a no-op. Any
+    shuffle-producing operator upstream (aggregate, join, window, sort,
+    distinct, repartition) already leaves the relation at
+    ``spark.sql.shuffle.partitions`` ≥ the target, so those plans are
+    detected from the ANALYZED logical plan string (one cheap py4j call)
+    and passed through without planning. Only shuffle-free plans (scans +
+    narrow ops — the case fan_out exists for) pay the rdd probe, and for
+    those the plan is small. Contract: callers fan out SOURCES, not
+    broadcast-join outputs (a broadcast join preserves the probe side's
+    narrow partitioning but contains 'Join' — such a caller should
+    fan_out the probe side first, which all current callers do)."""
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
+    plan = df._jdf.queryExecution().analyzed().toString()
+    if any(
+        marker in plan
+        for marker in (
+            "Aggregate",
+            "Join",
+            "Window",
+            "Sort",
+            "Repartition",
+            "Deduplicate",
+        )
+    ):
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

@@ -213,7 +213,10 @@ def pipeline_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("__rn") == 1)
         .drop("__rn", "text")
     )
-    emb = load_table(spark, sf_dir, "embeddings")
+    # fan_out the SCAN, not the join output: a broadcast join preserves the
+    # probe side's narrow partitioning, and fan_out deliberately passes
+    # join-bearing plans through (functions/scale.py contract)
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     corpus = emb.join(
         F.broadcast(exact_kept.select(F.col("doc_id").alias("vec_id"))), "vec_id"
     )
