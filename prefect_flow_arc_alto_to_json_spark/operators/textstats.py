@@ -8,7 +8,7 @@ at 100 TB this pass is IO-bound, exactly as it should be.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.scalar import stable_hash_p31, token_array
@@ -149,3 +149,75 @@ def split_by_hash(
     c = F.col(col) if isinstance(col, str) else col
     bucket = F.pmod(stable_hash_p31(F.concat(F.lit(salt + ":"), c.cast("string"))), 100)
     return F.when(bucket < train_pct, F.lit("train")).otherwise(F.lit("val"))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 keyword retrieval: top-``k`` documents for a bag of query
+    ``terms`` — the lexical-search sibling of the ANN operators (hybrid
+    retrieval pipelines run exactly this next to embedding top-k).
+
+    Plan shape at 100 TB: ONE narrow scan computes per-doc term counts +
+    length (token_array is shared via a staged projection); corpus stats
+    (N, avgdl, per-term document frequencies) are two broadcast-sized
+    aggregates joined back without shuffling the corpus; ranking is a
+    global top-k (TakeOrderedAndProject — k rows per partition, no full
+    sort). Nothing materializes a posting list because the query terms are
+    a literal handful; an inverted-index build would be the right shape
+    for HIGH query volume, not one query.
+
+    All arithmetic is deterministic and mirrored in SQL oracles: tf/dl/df
+    are exact ints, avgdl = sum/N (one division), idf = ln((N-df+0.5)/
+    (df+0.5)+1) (the Robertson-Sparck-Jones form, non-negative).
+    """
+    from ..functions.scale import fan_out
+    from ..functions.scalar import token_array
+
+    def _tf(term: str) -> Column:
+        # closure factory, NOT a default-arg lambda: pyspark infers HOF
+        # lambda arity from the signature, and a bound default would make
+        # this a (value, index) lambda
+        return F.size(F.filter("__toks", lambda t: t == term)).cast("long")
+
+    staged = fan_out(docs).select(
+        F.col(id_col),
+        token_array(text_col).alias("__toks"),
+    ).select(
+        id_col,
+        F.size("__toks").cast("long").alias("dl"),
+        *[_tf(term).alias(f"__tf{i}") for i, term in enumerate(terms)],
+    )
+    stats = staged.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"__df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = staged.join(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    norm = 1.0 - b + b * (F.col("dl").cast("double") / avgdl)
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"__tf{i}").cast("double")
+        idf = F.log(
+            (F.col("n_docs").cast("double") - F.col(f"__df{i}") + 0.5)
+            / (F.col(f"__df{i}") + 0.5)
+            + 1.0
+        )
+        part = idf * tf * (k1 + 1.0) / (tf + k1 * norm)
+        score = part if score is None else score + part
+    return (
+        scored.select(id_col, F.round(score, 6).alias("bm25"))
+        .where(F.col("bm25") > 0)
+        .orderBy(F.col("bm25").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -292,3 +292,58 @@ def text_extract_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.get(urls, 0), F.lit("")).alias("first_url"),
         F.coalesce(F.get(emails, 0), F.lit("")).alias("first_email"),
     )
+
+
+_BM25_TERMS = ("dup", "merge", "scan")
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n           ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n           ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    parts = " + ".join(
+        f"ln((CAST(s.n AS DOUBLE) - s.df{i} + 0.5) / (s.df{i} + 0.5) + 1.0)"
+        f" * CAST(m.tf{i} AS DOUBLE) * 2.2"
+        f" / (CAST(m.tf{i} AS DOUBLE)"
+        f" + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(m.dl AS DOUBLE)"
+        f" / (CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE)))))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    m AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+           {tf_cols}
+      FROM t
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(dl) AS BIGINT) AS sumdl,
+           {df_cols}
+      FROM m
+    )
+    SELECT doc_id, bm25 FROM (
+      SELECT m.doc_id, ROUND({parts}, 6) AS bm25 FROM m, s
+    ) WHERE bm25 > 0
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 10
+    """
+
+
+@query("text_bm25_topk", extra=True, oracle=_bm25_oracle())
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval top-10 for a fixed 3-term query — the
+    keyword-search sibling of the ANN operators (hybrid retrieval = this
+    next to sim_*_topk). One narrow scan + two broadcast stat aggregates +
+    global top-k; the oracle recomputes tf/df/avgdl and the
+    Robertson-Sparck-Jones idf with the identical operation order, so
+    scores hash-match to 6 decimals."""
+    from ..operators.textstats import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(docs, list(_BM25_TERMS), k=10)
