@@ -3,14 +3,16 @@ payloads + typed metadata structs (schemas.MULTIMODAL_ASSET_SCHEMA), with
 Arrow-batched pandas UDF plumbing for decode / feature-extract / resize /
 frame-sample.
 
-The IMAGE modality is decoded for real: payloads are actual PNG files
-(``pngify_images``) and ``png_image_decoder`` runs a full PNG parse —
-signature, chunk CRCs, zlib inflate, scanline unfilter — via the
-pure-numpy codec in ``operators/png.py``. Audio/video kernels remain
-STUBBED (no codecs in this container — see ``set_decoder``): for those the
-Spark-side contract — schema, batch shape, partitioning, error isolation —
-is exercised with a deterministic fake. Swapping in ffmpeg later changes
-one function, not the plan.
+ALL THREE modalities are decoded for real: payloads are actual PNG
+files (``pngify_images`` → full parse with chunk CRCs, zlib inflate,
+scanline unfilter via ``operators/png.py``), actual RIFF/PCM WAV files
+(``wavify_audio`` → chunk-walking parser in ``operators/wav.py``), and
+actual uncompressed-DIB AVI files (``avify_videos`` → RIFF LIST
+recursion, header cross-validation, bottom-up BGR row-padded frame
+rebuild in ``operators/avi.py``). ``default_fake_decoder`` remains only
+as the plumbing-test stand-in for arbitrary non-container payloads;
+``media_decoder`` routes every modality through its real codec.
+Swapping in ffmpeg/PIL later changes one function, not the plan.
 
 Scale notes: payloads ride the columnar path as Arrow binary buffers; the
 ``mapInPandas`` boundary streams batches (maxRecordsPerBatch controls peak
@@ -30,7 +32,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.scale import fan_out
+from . import avi as avi_mod
 from . import wav as wav_mod
+from .avi import avi_features, bytes_to_frames, decode_avi, encode_avi
 from .png import bytes_to_pixels, decode_png, encode_png, png_features
 from .wav import bytes_to_samples, decode_wav, encode_wav, wav_features
 
@@ -203,6 +207,27 @@ def wavify_audio(
     )
 
 
+def avify_videos(
+    df: DataFrame,
+    payload_col: str = "payload",
+    modality_col: str = "modality",
+    n_frames: int = avi_mod.SYNTH_FRAMES,
+    side: int = avi_mod.SYNTH_SIDE,
+) -> DataFrame:
+    """Re-encode video-modality payloads as REAL AVI files (bytes →
+    deterministic RGB frame stack → uncompressed 24-bit DIB RIFF), the
+    video sibling of :func:`pngify_images` / :func:`wavify_audio` — the
+    synthetic corpus' video column becomes an actual video container the
+    real decoder below must parse."""
+    return _reencode_modality(
+        df,
+        "video",
+        lambda p: encode_avi(bytes_to_frames(p, n_frames, side)),
+        payload_col,
+        modality_col,
+    )
+
+
 def png_image_decoder(payload: bytes, modality: str) -> np.ndarray:
     """REAL decode for the image modality: full PNG parse (signature,
     chunk CRCs, zlib inflate, scanline unfilter) + pixel-statistics
@@ -222,14 +247,18 @@ def png_image_decoder(payload: bytes, modality: str) -> np.ndarray:
 
 
 def media_decoder(payload: bytes, modality: str) -> np.ndarray:
-    """REAL decode for image AND audio: PNG parse → pixel statistics,
-    RIFF/PCM parse → waveform statistics (operators/png.py,
-    operators/wav.py). Only video still routes to the deterministic stub —
-    the one modality whose codec genuinely isn't in this container."""
+    """REAL decode for ALL modalities: PNG parse → pixel statistics,
+    RIFF/PCM parse → waveform statistics, RIFF/AVI parse → frame
+    statistics (operators/png.py, operators/wav.py, operators/avi.py).
+    Since round 3 completed the AVI codec, nothing here is a stub; an
+    unknown modality string falls back to the deterministic fake so the
+    plumbing still degrades to an answer rather than a task failure."""
     if modality == "image":
         return png_features(payload, FEATURE_DIM)
     if modality == "audio":
         return wav_features(payload, FEATURE_DIM)
+    if modality == "video":
+        return avi_features(payload, FEATURE_DIM)
     return default_fake_decoder(payload, modality)
 
 
