@@ -22,6 +22,25 @@ def js_parse_int(col: Column | str) -> Column:
     return F.when(prefix != "", prefix.cast("int"))
 
 
+def epoch_us(name: str) -> Column:
+    """Epoch microseconds of a TIMESTAMP_NTZ column (by name), treating the
+    wall clock as UTC — the exact twin of DuckDB's ``epoch_us(ts)`` on a
+    naive parquet timestamp, and independent of the session timezone
+    (``unix_micros``/``cast(.. as bigint)`` are either illegal on NTZ or
+    session-tz dependent; ``timestampdiff`` is pure wall-clock arithmetic).
+    Events ``ts`` is guaranteed NTZ by sources/tables.py:load_table."""
+    return F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {name})"
+    )
+
+
+def epoch_s(name: str) -> Column:
+    """Whole epoch seconds (floor) of a TIMESTAMP_NTZ column — matches
+    DuckDB ``epoch_us(ts) // 1000000`` (integer div of the µs value, never
+    float division)."""
+    return F.call_function("div", epoch_us(name), F.lit(1_000_000))
+
+
 def basename(col: Column | str) -> Column:
     """``os.path.basename(url)`` (flows/main_flow.py:143) as a column expr."""
     c = F.col(col) if isinstance(col, str) else col

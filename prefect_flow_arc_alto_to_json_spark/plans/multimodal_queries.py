@@ -152,25 +152,24 @@ def _sql_byte(offset_sql: str) -> str:
       GROUP BY doc_id
     ),
     vid AS (
-      -- fake-decoder features: little-endian u32s of md5(modality:payload);
-      -- u32[0] = md5_number_upper % 2^32, u32[2] = md5_number_lower % 2^32
-      SELECT doc_id,
-             CAST((md5_number_upper(modality || ':' || text) % 4294967296)
-                  / 4294967295.0 AS REAL) AS f0,
-             CAST((md5_number_lower(modality || ':' || text) % 4294967296)
-                  / 4294967295.0 AS REAL) AS f2
-      FROM base WHERE modality = 'video'
+      -- R-channel mean over the 4x10x10 synthesized AVI frame stack:
+      -- frame-buffer byte j is payload[j % len]; R bytes sit at offsets
+      -- 3k for pixel k in 0..399 (4 frames x 100 px)
+      SELECT doc_id, SUM({_sql_byte("(3*k.k) % len")}) / 400.0 AS mean_r
+      FROM base, (SELECT unnest(range(0, 400)) AS k) k
+      WHERE modality = 'video'
+      GROUP BY doc_id
     )
     SELECT b.doc_id AS asset_id,
            CAST(16 AS INTEGER) AS feature_dim,
            CAST(NULL AS VARCHAR) AS decode_error,
            ROUND(CASE b.modality WHEN 'image' THEN 16.0
                                  WHEN 'audio' THEN 8000.0
-                                 ELSE CAST(v.f0 AS DOUBLE) END, 6) AS feat0,
+                                 ELSE 10.0 END, 6) AS feat0,
            ROUND(CASE b.modality
                    WHEN 'image' THEN CAST(CAST(i.mean_r AS REAL) AS DOUBLE)
                    WHEN 'audio' THEN CAST(CAST(a.mean_s AS REAL) AS DOUBLE)
-                   ELSE CAST(v.f2 AS DOUBLE) END, 6) AS feat2
+                   ELSE CAST(CAST(v.mean_r AS REAL) AS DOUBLE) END, 6) AS feat2
     FROM base b
     LEFT JOIN img i USING (doc_id)
     LEFT JOIN aud a USING (doc_id)
@@ -180,29 +179,38 @@ def _sql_byte(offset_sql: str) -> str:
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode/feature-extract over binary payloads.
 
-    Image assets are REAL PNG files (pngify_images) decoded by a full PNG
-    parser (operators/png.py: CRC check, zlib inflate, unfilter, pixel
-    stats); audio assets are REAL WAV files (wavify_audio) decoded by a
-    full RIFF/PCM parser (operators/wav.py: chunk walk, fmt validation,
-    int16 frames → waveform stats); only video routes through the
-    deterministic stub kernel (genuinely no codec in this container).
+    All three modalities are REAL containers decoded by real parsers:
+    image = PNG (pngify_images → operators/png.py: chunk CRCs, zlib
+    inflate, scanline unfilter), audio = WAV (wavify_audio →
+    operators/wav.py: RIFF walk, fmt validation, int16 PCM frames),
+    video = AVI (avify_videos → operators/avi.py: LIST recursion,
+    avih/strh/strf consistency, bottom-up BGR DIB frames). Round 3
+    wired the AVI decoder into ``media_decoder`` but forgot to avify the
+    synthesized assets, so every video row became a decode-error row and
+    the driver's hash flagged it — the oracle catching exactly the class
+    of bug it exists for.
 
-    FULL oracle (round-3): both real codec paths are deterministic
-    bytes → synth → encode → decode → statistics roundtrips, so ``feat2``
-    (image: R-channel mean; audio: sample mean) is a pure function of the
-    text's UTF-8 bytes that DuckDB recomputes from hex-decoded byte
-    values — a hash match proves BOTH codec roundtrips are exact against
-    SQL ground truth, not just golden-tested. The video fake-decoder
-    features are md5-derived u32s the oracle rebuilds from
-    ``md5_number_upper/lower``. float32 quantization is mirrored with
-    CAST(.. AS REAL). Testdata has no empty documents (min text length 44
-    at every sf), so the decode-error branch never fires here; error
+    FULL oracle: every codec path is a deterministic bytes → synth →
+    encode → decode → statistics roundtrip, so ``feat2`` (image/video:
+    R-channel mean; audio: sample mean) is a pure function of the text's
+    UTF-8 bytes that DuckDB recomputes from hex-decoded byte values — a
+    hash match proves all THREE codec roundtrips are exact against SQL
+    ground truth, not just golden-tested. ``feat0`` is the deterministic
+    header constant per modality (PNG tile side 16, WAV sample rate
+    8000, AVI fps 10). float32 quantization is mirrored with
+    CAST(.. AS REAL). Testdata has no empty documents (min text length
+    44 at every sf), so the decode-error branch never fires here; error
     isolation is pytest-covered
     (tests/test_multimodal.py::test_pngify_empty_payload_isolated).
     """
-    from ..operators.multimodal import media_decoder, pngify_images, wavify_audio
+    from ..operators.multimodal import (
+        avify_videos,
+        media_decoder,
+        pngify_images,
+        wavify_audio,
+    )
 
-    assets = wavify_audio(pngify_images(synth_assets(spark, sf_dir)))
+    assets = avify_videos(wavify_audio(pngify_images(synth_assets(spark, sf_dir))))
     feats = extract_features(assets, decoder=media_decoder)
     return feats.select(
         "asset_id",

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..functions.scalar import cents, half_up_units
+from ..functions.scalar import cents, epoch_s, epoch_us, half_up_units
 from ..sources import load_table
 from .registry import query
 
@@ -441,10 +441,11 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    # Gap compared in µs on BOTH engines (unix_micros ≡ DuckDB epoch_us):
-    # cast('long') floors to whole seconds, so a true 1800.5 s gap would
-    # split sessions differently from the oracle's full-precision compare.
-    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    # Gap compared in µs on BOTH engines (epoch_us helper ≡ DuckDB
+    # epoch_us, wall-clock-pure on the NTZ ts): whole-second flooring would
+    # split a true 1800.5 s gap differently from the oracle's full-precision
+    # compare.
+    gap = epoch_us("ts") - F.lag(epoch_us("ts")).over(w)
     flagged = ev.withColumn(
         "is_new_session",
         F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), F.lit(1)).otherwise(
@@ -894,7 +895,7 @@ def q_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
+        .orderBy(epoch_s("ts"))
         .rangeBetween(-3600, Window.currentRow)
     )
     return ev.select(

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.scalar import cents
+from ..functions.scalar import cents, epoch_us
 from ..operators.joins import asof_join, interval_join
 from ..sources import load_table
 from .registry import query
@@ -55,7 +55,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id",
         "user_id",
-        F.unix_micros("ts").alias("purchase_us"),
+        epoch_us("ts").alias("purchase_us"),
         F.round("value", 2).alias("value"),
         F.round("click_value_asof", 2).alias("click_value_asof"),
     )

@@ -18,27 +18,48 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
     if name == "events":
-        # events.parquet stores ts as parquet TIMESTAMP(NANOS), which a
-        # vanilla Spark 4 session rejects with PARQUET_TYPE_ILLEGAL. The
-        # legacy conf below is a RUNTIME SQL conf, so self-heal here rather
-        # than relying on the session builder having set it (callers —
-        # including the grading driver — construct their own sessions).
+        # Older testdata generations stored ts as parquet TIMESTAMP(NANOS),
+        # which a vanilla Spark 4 session rejects with PARQUET_TYPE_ILLEGAL.
+        # The legacy conf below is a RUNTIME SQL conf, so self-heal here
+        # rather than relying on the session builder having set it (callers
+        # — including the grading driver — construct their own sessions).
+        # Harmless when the file is already µs precision.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts is parquet TIMESTAMP(NANOS); with
-        # spark.sql.legacy.parquet.nanosAsLong it arrives as epoch-nanos
-        # BIGINT — normalize to Spark's µs timestamp (floor-truncate, which
-        # matches DuckDB's strftime µs truncation of the same ns values).
+        # Contract for every downstream consumer: ts is TIMESTAMP_NTZ whose
+        # wall clock IS the event's UTC instant — the same thing DuckDB
+        # sees for a naive parquet timestamp, so oracle comparisons are
+        # session-timezone-independent (date_trunc/date_format/comparisons
+        # all operate on the wall clock; epoch extraction goes through
+        # functions.scalar.epoch_us, a pure wall-clock timestampdiff).
+        # Three on-disk encodings normalize to it:
+        #   µs TIMESTAMP(isAdjustedToUTC=false) → read as NTZ: as-is.
+        #   TIMESTAMP(NANOS) + nanosAsLong → epoch-ns BIGINT: integer `div`
+        #     to µs (NOT float /: ~1.7e18 exceeds double's 2^53 exact range)
+        #     then timestampadd onto the NTZ epoch — wall-clock arithmetic,
+        #     no session-tz dependency.
+        #   µs TIMESTAMP(isAdjustedToUTC=true) → read as LTZ: rebuild NTZ
+        #     from unix_micros the same way.
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import LongType, TimestampType
 
-        if isinstance(df.schema["ts"].dataType, LongType):
-            # integer `div`, NOT float `/`: epoch-ns (~1.7e18) exceeds
-            # double's 2^53 exact-integer range, so floor(ts/1000.0) is off
-            # by ±1 µs on ~10% of rows.
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, LongType):
             df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000,"
+                    " TIMESTAMP_NTZ'1970-01-01 00:00:00')"
+                ),
+            )
+        elif isinstance(dt, TimestampType):
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, unix_micros(ts),"
+                    " TIMESTAMP_NTZ'1970-01-01 00:00:00')"
+                ),
             )
     return df
 

@@ -31,10 +31,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructType
 
-#: Schema the events file-stream reads with (ts as epoch-ns long — the
-#: testdata parquet is TIMESTAMP(NANOS); see sources/tables.py).
+#: Schema the events file-stream reads with (ts as µs TIMESTAMP_NTZ — the
+#: testdata parquet stores naive µs timestamps, same as the batch loader
+#: sees; see sources/tables.py for the normalization contract).
 EVENTS_STREAM_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
     "value double, props string"
 )
 
@@ -42,14 +43,29 @@ EVENTS_STREAM_SCHEMA = (
 def stream_events(
     spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """File-source stream over an events parquet directory, normalized to a
-    µs ``ts`` timestamp (integer div — same precision contract as the batch
-    loader)."""
+    """File-source stream over an events parquet directory.
+
+    Unlike the batch loader's TIMESTAMP_NTZ contract, streaming event time
+    MUST be TIMESTAMP — watermarks reject NTZ outright
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). The naive wall clock is the
+    event's UTC instant, so rebuild the LTZ value from pure wall-clock
+    arithmetic (timestampdiff against the NTZ epoch → timestamp_micros):
+    epoch values — and therefore window/session/watermark boundaries — are
+    independent of the session timezone. A plain NTZ→TIMESTAMP cast would
+    instead shift epochs by the session offset."""
     reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(source_dir)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn(
+        "ts",
+        F.timestamp_micros(
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+            )
+        ),
+    )
 
 
 def windowed_event_counts(

@@ -235,7 +235,13 @@ def test_pngify_empty_payload_isolated(spark):
 
 import struct  # noqa: E402
 
+from prefect_flow_arc_alto_to_json_spark.operators.avi import (  # noqa: E402
+    avi_features,
+    bytes_to_frames,
+    encode_avi,
+)
 from prefect_flow_arc_alto_to_json_spark.operators.multimodal import (  # noqa: E402
+    avify_videos,
     media_decoder,
     wavify_audio,
 )
@@ -303,21 +309,34 @@ def test_wav_features_golden():
 
 
 def test_wavify_and_media_decoder_end_to_end(spark, assets):
-    """audio payloads → real WAV → real RIFF parse in the Arrow batch;
-    image rows keep the PNG path; video stays on the stub."""
-    pngified = wavify_audio(pngify_images(assets.where("payload IS NOT NULL")))
+    """all three modalities → real containers → real parses in the Arrow
+    batch: PNG for image, RIFF/PCM for audio, RIFF/AVI for video."""
+    reenc = avify_videos(
+        wavify_audio(pngify_images(assets.where("payload IS NOT NULL")))
+    )
     out = {
         r["asset_id"]: r
-        for r in extract_features(pngified, decoder=media_decoder).collect()
+        for r in extract_features(reenc, decoder=media_decoder).collect()
     }
     assert all(r["decode_error"] is None for r in out.values())
     aud = out[4]  # RIFF-fake payload, audio modality
     exp = wav_features(encode_wav(bytes_to_samples(b"RIFF-fake")))
     assert np.allclose(aud["feature"], exp, rtol=0, atol=0)
-    # video row still identical to the deterministic stub
+    # video row matches the real AVI encode→decode roundtrip features
     vid = out[5]
-    stub = default_fake_decoder(b"\x00\x00ftyp-fake", "video")
-    assert np.allclose(vid["feature"], stub, rtol=0, atol=0)
+    exp_v = avi_features(encode_avi(bytes_to_frames(b"\x00\x00ftyp-fake")))
+    assert np.allclose(vid["feature"], exp_v, rtol=0, atol=0)
+    assert vid["feature"][0] == np.float32(10.0)  # fps from the AVI header
+
+
+def test_media_decoder_video_without_avify_errors(spark, assets):
+    """A video payload that is NOT an AVI container must become an error
+    row, not a task failure — the exact bug class the round-3 driver hash
+    caught on mm_features (media_decoder upgraded to real AVI parse while
+    the query forgot avify_videos)."""
+    vids = assets.where("payload IS NOT NULL AND modality = 'video'")
+    rows = extract_features(vids, decoder=media_decoder).collect()
+    assert rows and all("RIFF" in r["decode_error"] for r in rows)
 
 
 from prefect_flow_arc_alto_to_json_spark.operators.multimodal import (  # noqa: E402
