@@ -1,0 +1,201 @@
+"""Corpus-assembly operators: the last mile of a training-data pipeline,
+after cleaning (operators/textclean.py) and dedup (operators/dedup.py) —
+deciding WHICH rows reach the tokenizer and HOW they are laid out:
+
+- :func:`stratified_sample` — per-stratum down-sampling (rebalance a
+  corpus whose language/source mix is skewed);
+- :func:`weighted_mix` — per-stratum epoch weights > 1 (oversample
+  high-quality sources by integer repeats + a deterministic fractional
+  remainder);
+- :func:`chunk_pack` — concat-then-chunk sequence packing (GPT-style
+  pretraining layout: concatenate documents in a fixed order, slice into
+  fixed token-budget windows; documents may straddle window boundaries).
+
+The reference pipeline has no analog (it converts one file at a time,
+flows/main_flow.py); these are engine-surface operators the brief demands
+for the 100 TB training-data path.
+
+Determinism contract (same as operators/textclean.py's split): every
+"random" choice derives from ``stable_hash_p31`` of a version-tagged key —
+DuckDB recomputes it as ``md5_number_lower(tag || ':' || id) %
+2147483647``, so the SQL oracles verify exact row sets, and re-runs /
+stage retries / both engines agree bit-for-bit. No RNG, no
+``F.rand()`` (non-deterministic under retries — a correctness hazard on a
+real cluster, not just an oracle inconvenience).
+
+Scale notes:
+- sampling/mixing are narrow per-row predicates/generators — no shuffle,
+  fully pushed into the scan stage; the mix's ``explode`` multiplies rows
+  AFTER the filter so no pre-explosion blowup exists.
+- packing is one window over (shard, id): a single shuffle on the shard
+  key. Shards bound state: each window partition is one shard's documents,
+  so at 100 TB you pick shards (source, date, hash-bucket) sized to a few
+  GB and get thousands-wide parallelism; a global (unsharded) pack would
+  serialize on one reducer and is deliberately not offered.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalar import stable_hash_p31
+
+#: micro-units per 1.0 of sampling fraction / mix weight (exact integer
+#: thresholds — no float compare on either engine)
+MICRO = 1_000_000
+
+
+def _frac_micro(tag: str, id_col: str | Column) -> Column:
+    """Deterministic per-row draw in [0, MICRO): p31 hash of tag:id.
+
+    The mod-1e6 fold of the p31 residue is biased by < 0.05% (2147483647 =
+    2147·1e6 + 483647) — negligible for corpus sampling and exactly
+    mirrored by the oracle, which is what matters.
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    key = F.concat(F.lit(tag + ":"), c.cast("string"))
+    return F.pmod(stable_hash_p31(key), F.lit(MICRO))
+
+
+def sql_frac_micro(tag: str, id_sql: str) -> str:
+    """DuckDB mirror of :func:`_frac_micro` for oracle construction."""
+    return (
+        f"(md5_number_lower('{tag}:' || CAST({id_sql} AS VARCHAR))"
+        f" % 2147483647 % {MICRO})"
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    tag: str = "sample-v1",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Keep each row with its stratum's probability, deterministically:
+    row survives iff ``hash(tag:id) % 1e6 < fraction·1e6``.
+
+    Unlike ``DataFrame.sampleBy`` (Bernoulli on a per-task RNG stream:
+    resampled on stage retry, unverifiable cross-engine), the row SET here
+    is a pure function of (tag, id) — stable under retries, reproducible
+    in SQL, and a superset/subset relation holds between fractions (the
+    0.25 sample is contained in the 0.5 sample), which makes ablation
+    subsets nested for free.
+
+    Scale: a narrow predicate on a hash of the id — no shuffle, no state;
+    Catalyst keeps it in the scan stage.
+    """
+    frac = F.lit(None).cast("long")
+    expr = None
+    for k, v in fractions.items():
+        micro = int(round(v * MICRO))
+        expr = (
+            F.when(F.col(strata_col) == k, F.lit(micro))
+            if expr is None
+            else expr.when(F.col(strata_col) == k, F.lit(micro))
+        )
+    frac = (
+        expr.otherwise(F.lit(int(round(default_fraction * MICRO))))
+        if expr is not None
+        else F.lit(int(round(default_fraction * MICRO)))
+    )
+    return df.where(_frac_micro(tag, id_col) < frac)
+
+
+def weighted_mix(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    tag: str = "mix-v1",
+    default_weight: float = 1.0,
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Epoch-weighted corpus mixing: a row with weight ``w`` appears
+    ``floor(w)`` times plus one more with probability ``frac(w)`` —
+    the standard way to oversample high-quality sources (weight 2.5 ⇒
+    every doc twice, half the docs a third time) while downsampling noisy
+    ones (weight 0.5 ⇒ half the docs once). Output adds ``copy_col``
+    (0-based repeat index) so downstream shuffling/sharding can spread
+    copies apart.
+
+    The fractional draw reuses the :func:`stratified_sample` hash contract
+    (deterministic, oracle-mirrored, nested across weights).
+
+    Scale: filter-then-explode — rows with 0 repeats are dropped BEFORE
+    the generator runs, and ``sequence`` builds at most ``ceil(w)``
+    elements per row, so the blowup is exactly the configured epoch factor
+    and stays a narrow (shuffle-free) stage.
+    """
+    wexpr = None
+    for k, v in weights.items():
+        micro = int(round(v * MICRO))
+        wexpr = (
+            F.when(F.col(strata_col) == k, F.lit(micro))
+            if wexpr is None
+            else wexpr.when(F.col(strata_col) == k, F.lit(micro))
+        )
+    w_micro = (
+        wexpr.otherwise(F.lit(int(round(default_weight * MICRO))))
+        if wexpr is not None
+        else F.lit(int(round(default_weight * MICRO)))
+    )
+    full = F.call_function("div", w_micro, F.lit(MICRO))
+    rem = F.pmod(w_micro, F.lit(MICRO))
+    repeats = full + (_frac_micro(tag, id_col) < rem).cast("long")
+    out = df.withColumn("__repeats", repeats).where(F.col("__repeats") > 0)
+    # sequence(0, n-1) with n >= 1 only — Spark's sequence(0, -1) would
+    # produce a DESCENDING [0, -1], not an empty array.
+    return out.withColumn(
+        copy_col, F.explode(F.sequence(F.lit(0), F.col("__repeats") - 1))
+    ).drop("__repeats")
+
+
+def chunk_pack(
+    df: DataFrame,
+    budget: int,
+    token_col: str,
+    shard_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-then-chunk packing layout: within each shard, documents are
+    concatenated in ``id_col`` order and the token stream is sliced into
+    ``budget``-sized windows. Emits, per document:
+
+    - ``start_off``  token offset of the doc's first token in the shard
+      stream;
+    - ``pack_id``    window index containing that first token;
+    - ``pack_spans`` how many windows the doc straddles (≥ 1).
+
+    This is the layout step of GPT-style pretraining ("pack sequences to
+    the context length"); downstream writers group by (shard, pack_id) to
+    emit fixed-size examples. Greedy no-straddle bin packing is a
+    DIFFERENT op (needs sequential state per shard); the concat-chunk form
+    is the one large pipelines actually use because it is embarrassingly
+    windowable — one cumulative sum — and wastes zero tokens.
+
+    Scale: ONE shuffle (window on shard/id); per-shard state is a running
+    long. Shards must be bounded (source × date × hash-bucket at real
+    scale) — that bound is the operator's parallelism AND its memory
+    ceiling, and the caller owns choosing it.
+    """
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tok = F.col(token_col).cast("long")
+    start = (F.sum(tok).over(w) - tok).alias("start_off")
+    first = F.call_function("div", F.col("start_off"), F.lit(budget))
+    last = F.call_function(
+        "div",
+        F.greatest(F.col("start_off") + tok - 1, F.col("start_off")),
+        F.lit(budget),
+    )
+    return (
+        df.withColumn("start_off", start)
+        .withColumn("pack_id", first)
+        .withColumn("pack_spans", last - F.col("pack_id") + 1)
+    )

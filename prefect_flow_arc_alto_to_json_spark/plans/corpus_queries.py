@@ -1,0 +1,125 @@
+"""Corpus-assembly queries (operators/corpus.py): stratified sampling,
+epoch-weighted mixing, and concat-chunk sequence packing over the
+``documents`` table — the sampling/layout stage of a training-data
+pipeline, each with a full row-level DuckDB oracle (the hash draws and
+window sums are pure integer arithmetic both engines compute identically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scale import fan_out
+from ..operators.corpus import (
+    MICRO,
+    chunk_pack,
+    sql_frac_micro,
+    stratified_sample,
+    weighted_mix,
+)
+from ..sources import load_table
+from .registry import query
+from .text_queries import _SQL_TOKS
+
+#: per-language keep fractions for the sample query (rebalancing an
+#: en-heavy crawl); micro-exact values so both engines compare integers
+_SAMPLE_FRACS = {"en": 0.25, "zh": 1.0, "es": 0.5, "de": 0.5, "fr": 0.75}
+
+#: per-language epoch weights for the mix query (oversample scarce
+#: languages, downsample the dominant one)
+_MIX_WEIGHTS = {"en": 0.5, "zh": 2.5, "es": 1.0, "de": 2.0, "fr": 1.25}
+
+_PACK_BUDGET = 2048
+
+
+def _sql_case(col: str, mapping: dict[str, float], default: float) -> str:
+    arms = " ".join(
+        f"WHEN '{k}' THEN {int(round(v * MICRO))}" for k, v in mapping.items()
+    )
+    return f"CASE {col} {arms} ELSE {int(round(default * MICRO))} END"
+
+
+@query(
+    "text_stratified_sample",
+    extra=True,
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {sql_frac_micro("sample-v1", "doc_id")}
+          < {_sql_case("lang", _SAMPLE_FRACS, 0.0)}
+    """,
+)
+def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language down-sampling (operators/corpus.py:
+    stratified_sample) — the row SET is hash-derived, so the oracle
+    checks exact membership, not just counts. No shuffle: a narrow
+    predicate in the scan stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", _SAMPLE_FRACS).select("doc_id", "lang")
+
+
+@query(
+    "text_weighted_mix",
+    extra=True,
+    oracle=f"""
+    SELECT doc_id, lang,
+           CAST(unnest(range(repeats)) AS INTEGER) AS copy_idx
+    FROM (
+      SELECT doc_id, lang,
+             ({_sql_case("lang", _MIX_WEIGHTS, 1.0)} // {MICRO})
+             + CASE WHEN {sql_frac_micro("mix-v1", "doc_id")}
+                         < ({_sql_case("lang", _MIX_WEIGHTS, 1.0)} % {MICRO})
+                    THEN 1 ELSE 0 END AS repeats
+      FROM documents
+    )
+    WHERE repeats > 0
+    """,
+)
+def text_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-weighted corpus mixing (operators/corpus.py:weighted_mix):
+    integer repeats + deterministic fractional remainder, one output row
+    per copy. The oracle regenerates every copy row via ``range(repeats)``
+    — row-level verification of the whole mix."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = weighted_mix(docs, "lang", _MIX_WEIGHTS)
+    return out.select("doc_id", "lang", F.col("copy_idx").cast("int").alias("copy_idx"))
+
+
+@query(
+    "text_pack_chunks",
+    extra=True,
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tokens AS start_off
+      FROM toks
+    )
+    SELECT doc_id, source, n_tokens, start_off,
+           start_off // {_PACK_BUDGET} AS pack_id,
+           GREATEST(start_off + n_tokens - 1, start_off) // {_PACK_BUDGET}
+             - start_off // {_PACK_BUDGET} + 1 AS pack_spans
+    FROM packed
+    """,
+)
+def text_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing (operators/corpus.py:
+    chunk_pack), sharded by ``source`` so the window parallelizes across
+    shards — per document: its token start offset in the shard stream,
+    the {budget}-token window holding that offset, and how many windows
+    it straddles. One shuffle (the shard window); the token count is the
+    same whitespace tokenizer text_token_counts already oracles."""
+    from ..operators.textstats import token_count
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", "source", token_count("text").cast("long").alias("n_tokens")
+    )
+    return chunk_pack(toks, _PACK_BUDGET, "n_tokens", "source")
