@@ -94,22 +94,6 @@ def scoped_persist(df: DataFrame, tag: str) -> DataFrame:
     return out
 
 
-def save_bucketed(
-    df: DataFrame,
-    table: str,
-    key: str,
-    buckets: int = 32,
-    sort_by: str | None = None,
-) -> None:
-    """Persist hash-bucketed by ``key`` (Hive-style bucketing via the
-    session catalog): two tables bucketed the same way join WITHOUT any
-    exchange — each task zips bucket i with bucket i.
-
-    This is the at-rest half of shuffle elimination for 100 TB repeated
-    joins (the other half is broadcast for small dims): pay one shuffle at
-    write time, then every downstream join/aggregation on ``key`` is
-    exchange-free."""
-    writer = df.write.mode("overwrite").bucketBy(buckets, key)
-    if sort_by:
-        writer = writer.sortBy(sort_by)
-    writer.saveAsTable(table)
+# Bucketed-table writes live in sinks/bucketed.py (write_bucketed /
+# colocated_join) — the at-rest half of shuffle elimination for 100 TB
+# repeated joins; see tests/test_bucketed.py for the plan guarantees.

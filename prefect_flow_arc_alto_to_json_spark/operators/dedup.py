@@ -361,42 +361,64 @@ def ngram_jaccard_pairs(
     rows (each side carries its doc's shingle count), so no separate sizes
     relation, no extra joins, and no second pass over text.
 
-    Shuffle budget: per-doc hash dedup is a narrow ``array_distinct`` (not
-    a row-level ``.distinct()`` shuffle), and the posting relation is
-    ``persist``-ed before the self-join so the expensive shingle+md5
-    subtree runs exactly once (same pattern as :func:`minhash_lsh_pairs`'s
-    signature relation). Without a materialization point Catalyst plans
-    each join side independently — the shingling runs twice and the
-    join-key isnotnull pushdown re-evaluates the whole shingle expression
-    inside the scan filter (measured 2x slower end-to-end at sf0.1). A
-    plain ``repartition(sh)`` barrier also fixes the double-compute but
-    forbids AQE from broadcasting a small side (measured 2.4x slower at
-    sf0.1); persist keeps the strategy choice with AQE. At 100 TB the
-    posting relation is (long, int, long) per shingle — the relation you'd
-    checkpoint to parquet between the shingle pass and the join.
+    Shuffle budget: per-doc shingle dedup is a narrow ``array_distinct``
+    (not a row-level ``.distinct()`` shuffle), and the shingle-ARRAY
+    relation is ``persist``-ed before the explode/self-join so the
+    expensive tokenize+shingle subtree runs exactly once — the body
+    comment documents the two measured optimizer traps (inferred-filter
+    duplication through Generate, interpreted lambda hashing without CSE)
+    that make persisting the arrays and hashing post-explode ~10× cheaper
+    than persisting the exploded posting. A plain ``repartition``
+    barrier also fixes the double-compute but forbids AQE from
+    broadcasting a small side (measured 2.4x slower at sf0.1); persist
+    keeps the strategy choice with AQE. At 100 TB the array relation is
+    the one you'd checkpoint to parquet between the shingle pass and the
+    join.
     """
-    hs = fan_out(df).select(
-        F.col(id_col),
-        F.array_distinct(shingle_hashes(shingles(text_col, n))).alias("hs"),
+    # Persist the STRING-shingle ARRAY relation and explode AFTER the
+    # cache boundary, hashing post-explode. Two measured traps dictate
+    # this exact shape (sf0.1, 5k docs — prefixes of the 100 TB story):
+    #  1. InferFiltersFromGenerate: an explode directly above the shingle
+    #     expression infers `size(shingles(...)) > 0` and pushes it to the
+    #     scan, re-substituting the WHOLE shingle subtree into a Filter —
+    #     the expensive pass runs twice, un-CSE'd (0.3 s → 8.5 s).
+    #     Materializing the array relation first leaves the inferred
+    #     filter running against cached arrays (free).
+    #  2. Hashing inside `transform` lambdas is interpreted with NO
+    #     common-subexpression elimination: stable_hash_p31's 8-substring
+    #     little-endian fold evaluates md5 16× per shingle (7 s).
+    #     Post-explode the same hash is a top-level projection where
+    #     runtime CSE collapses it to one md5 per row (~0.1 s).
+    # n_sh = |distinct shingle STRINGS| — exactly the oracle's len(hs)
+    # (it hashes the distinct-string list without re-distincting).
+    tk = fan_out(df).select(F.col(id_col), token_array(text_col).alias("__toks"))
+    arrs = scoped_persist(
+        tk.select(
+            F.col(id_col), shingles("__toks", n, from_tokens=True).alias("__sh")
+        ),
+        "ngram_jaccard_pairs.shingle_arrays",
     )
+    raw = arrs.select(
+        F.col(id_col), F.size("__sh").alias("n_sh"), F.explode("__sh").alias("s")
+    ).select(F.col(id_col), "n_sh", stable_hash_p31("s").alias("sh"))
+    # The posting is persisted TOO (tiny: (long,int,long) per shingle): it
+    # feeds BOTH sides of the self-join — and in the capped variant the
+    # whole overflow/anti-join/recount pipeline — which would otherwise
+    # run twice. Cold cost layers as: arrays materialize once (trap 1
+    # above), posting materializes from the array cache (cheap), join
+    # reads the posting cache twice.
     if max_doc_freq is None:
-        posting = scoped_persist(
-            hs.select(
-                F.col(id_col), F.size("hs").alias("n_sh"), F.explode("hs").alias("sh")
-            ),
-            "ngram_jaccard_pairs.posting",
-        )
+        posting = scoped_persist(raw, "ngram_jaccard_pairs.posting")
     else:
         from pyspark.sql import Window
 
-        raw = hs.select(F.col(id_col), F.explode("hs").alias("sh"))
         overflow = (
             raw.groupBy("sh")
             .agg(F.count(F.lit(1)).alias("df"))
             .where(F.col("df") > max_doc_freq)
             .select("sh")
         )
-        kept = raw.join(F.broadcast(overflow), "sh", "left_anti")
+        kept = raw.drop("n_sh").join(F.broadcast(overflow), "sh", "left_anti")
         posting = scoped_persist(
             kept.withColumn(
                 "n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col))

@@ -77,7 +77,7 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # Keep driver results small by default; operators never collect.
         .config("spark.driver.maxResultSize", "2g")
-        # Warehouse for bucketed tables (functions.scale.save_bucketed);
+        # Warehouse for bucketed tables (sinks.bucketed.write_bucketed);
         # static conf, so it must be set before the session exists. Local
         # default keeps test artifacts out of the repo; clusters override.
         .config(

@@ -63,17 +63,17 @@ def test_salted_agg_rejects_non_algebraic(spark, sf_dir):
 def test_bucketed_tables_join_without_exchange(spark, sf_dir, tmp_path):
     import shutil
 
-    from prefect_flow_arc_alto_to_json_spark.functions.scale import save_bucketed
+    from prefect_flow_arc_alto_to_json_spark.sinks.bucketed import write_bucketed
 
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     for t in ("ev_b", "usr_b"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
     ev = load_table(spark, sf_dir, "events")
-    save_bucketed(
+    write_bucketed(
         ev.select("event_id", "user_id", "value"), "ev_b", "user_id", buckets=8
     )
-    save_bucketed(
+    write_bucketed(
         ev.groupBy("user_id").agg(F.count("*").alias("n")), "usr_b", "user_id", buckets=8
     )
     # the tiny test tables would be auto-broadcast (which also bypasses
