@@ -180,10 +180,9 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode/feature-extract over binary payloads.
 
     All three modalities are REAL containers decoded by real parsers:
-    image = PNG (pngify_images → operators/png.py: chunk CRCs, zlib
-    inflate, scanline unfilter), audio = WAV (wavify_audio →
-    operators/wav.py: RIFF walk, fmt validation, int16 PCM frames),
-    video = AVI (avify_videos → operators/avi.py: LIST recursion,
+    image = PNG (operators/png.py: chunk CRCs, zlib inflate, scanline
+    unfilter), audio = WAV (operators/wav.py: RIFF walk, fmt validation,
+    int16 PCM frames), video = AVI (operators/avi.py: LIST recursion,
     avih/strh/strf consistency, bottom-up BGR DIB frames). Round 3
     wired the AVI decoder into ``media_decoder`` but forgot to avify the
     synthesized assets, so every video row became a decode-error row and
@@ -203,14 +202,11 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     isolation is pytest-covered
     (tests/test_multimodal.py::test_pngify_empty_payload_isolated).
     """
-    from ..operators.multimodal import (
-        avify_videos,
-        media_decoder,
-        pngify_images,
-        wavify_audio,
-    )
+    from ..operators.multimodal import media_decoder, reencode_media
 
-    assets = avify_videos(wavify_audio(pngify_images(synth_assets(spark, sf_dir))))
+    # one fused Arrow pass for all three re-encodes (4 → 2 Python
+    # boundary crossings for the whole plan; see reencode_media)
+    assets = reencode_media(synth_assets(spark, sf_dir))
     feats = extract_features(assets, decoder=media_decoder)
     return feats.select(
         "asset_id",

@@ -329,6 +329,24 @@ def test_wavify_and_media_decoder_end_to_end(spark, assets):
     assert vid["feature"][0] == np.float32(10.0)  # fps from the AVI header
 
 
+def test_reencode_media_matches_chained_passes(spark, assets):
+    """The fused single-pass re-encode must be byte-identical to the
+    pngify→wavify→avify chain it replaces (4 → 2 Python crossings)."""
+    from prefect_flow_arc_alto_to_json_spark.operators.multimodal import (
+        reencode_media,
+    )
+
+    src = assets.where("payload IS NOT NULL")
+    fused = {
+        r["asset_id"]: bytes(r["payload"]) for r in reencode_media(src).collect()
+    }
+    chained = {
+        r["asset_id"]: bytes(r["payload"])
+        for r in avify_videos(wavify_audio(pngify_images(src))).collect()
+    }
+    assert fused == chained and len(fused) > 0
+
+
 def test_media_decoder_video_without_avify_errors(spark, assets):
     """A video payload that is NOT an AVI container must become an error
     row, not a task failure — the exact bug class the round-3 driver hash
