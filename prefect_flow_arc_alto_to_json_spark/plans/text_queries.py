@@ -17,6 +17,7 @@ from ..operators.textstats import (
     stopword_hits,
     token_count,
 )
+from ..functions.scalar import token_array
 from ..functions.scale import fan_out
 from ..sources import load_table
 from .registry import query
@@ -347,3 +348,40 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return bm25_topk(docs, list(_BM25_TERMS), k=10)
+
+
+@query(
+    "text_top_tokens",
+    extra=True,
+    oracle=f"""
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM (SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY n_occurrences DESC, tok
+    LIMIT 50
+    """,
+)
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heavy hitters: top-50 tokens by occurrence count with
+    document frequency riding along — the vocabulary/stopword profile
+    every corpus build starts from (and the exact-count baseline a
+    Count-Min/Misra-Gries sketch would approximate at 100 TB).
+
+    Scale: explode → groupBy(token) benefits from partial (map-side)
+    aggregation, so the shuffle carries one row per distinct token per
+    partition, not one per occurrence; the top-50 is a
+    TakeOrderedAndProject (k rows per partition), never a full sort."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(token_array("text")).alias("tok")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "tok")
+        .limit(50)
+    )

@@ -1,0 +1,89 @@
+"""At-rest layout + runtime pruning tests: partition-directory pruning
+(sinks/partitioned.py) and runtime bloom-filter join pruning — the two
+scan-reduction mechanisms that matter most at 100 TB beyond row-group
+pushdown (already pinned in test_plan_shapes)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from prefect_flow_arc_alto_to_json_spark.sinks.partitioned import (
+    read_pruned,
+    write_partitioned,
+)
+from prefect_flow_arc_alto_to_json_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def part_path(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("part") / "orders_by_year")
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    write_partitioned(orders, path, ["o_year"])
+    return path
+
+
+def test_partition_filter_prunes_directories(spark, sf_dir, part_path):
+    df = read_pruned(spark, part_path).where(F.col("o_year") == 1997)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the year predicate must be a PARTITION filter (directory pruning),
+    # not a row-group data filter
+    pf = plan.split("PartitionFilters: ")[1].split("]")[0]
+    assert "o_year" in pf, plan
+    assert "PushedFilters: []" in plan, plan
+    want = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.year("o_orderdate") == 1997)
+        .count()
+    )
+    assert df.count() == want and want > 0
+
+
+def test_partition_cardinality_guard(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    with pytest.raises(ValueError, match="max_partitions"):
+        write_partitioned(orders, "/tmp/never-written", ["o_orderkey"], max_partitions=100)
+
+
+def test_runtime_bloom_filter_prunes_join_probe(spark, sf_dir):
+    """Runtime row-level filtering: a selective build side injects a bloom
+    filter (`might_contain`) into the probe-side scan, discarding
+    non-joining rows BEFORE the shuffle. At 100 TB the probe side exceeds
+    the 10 GB applicationSideScanSizeThreshold and this happens
+    automatically; the test lowers the threshold to pin the mechanism and
+    its semantics at test scale."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "o_orderdate"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+        n = j.count()
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
+    # bloom pruning must not change results (false positives only ever
+    # pass through to the exact join)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    want = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+    assert n == want and n > 0
