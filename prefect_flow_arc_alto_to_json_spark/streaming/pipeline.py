@@ -229,6 +229,55 @@ def enrich_stream(stream: DataFrame, dim: DataFrame, key: str, how: str = "left"
     return stream.join(dim, key, how)
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_watermark: str = "30 minutes",
+    right_watermark: str = "30 minutes",
+    interval: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join on ``key`` within an event-time interval:
+    right events landing in ``(left.ts, left.ts + interval]`` — the
+    streaming twin of the batch q_interval_join (error → next purchase
+    within 10 min is the canonical use).
+
+    State-bound by construction (the part that matters at scale): BOTH
+    sides carry watermarks and the join condition bounds event time in
+    both directions, so Spark derives a state watermark for each side and
+    evicts buffered rows once they can no longer match — without the
+    two-sided time bound the join state grows forever. Output columns are
+    disambiguated (``l_``/``r_`` prefixes) because both inputs share the
+    events schema.
+    """
+    l = left.withWatermark("ts", left_watermark).select(
+        F.col(key).alias("l_key"),
+        F.col("event_id").alias("l_event_id"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_type").alias("l_type"),
+    )
+    r = right.withWatermark("ts", right_watermark).select(
+        F.col(key).alias("r_key"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_type").alias("r_type"),
+        F.col("value").alias("r_value"),
+    )
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {interval}"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col("l_key").alias(key),
+        "l_event_id",
+        "l_ts",
+        "r_event_id",
+        "r_ts",
+        "r_value",
+    )
+
+
 from ..functions.selfship import self_ship  # noqa: E402
 
 # Worker-executed closures above must never require this package on the

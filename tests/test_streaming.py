@@ -175,3 +175,42 @@ def test_stream_static_enrichment(spark, sf_dir, events_dir, tmp_path):
     }
     assert len(rows) == load_table(spark, sf_dir, "events").count()
     assert all(r["user_total"] == want[r["user_id"]] for r in rows)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_dir, tmp_path):
+    """Error events joined to the purchases that follow within 10 minutes,
+    both sides streaming with watermarks — must equal the identical batch
+    interval join over the same files."""
+    from prefect_flow_arc_alto_to_json_spark.streaming.pipeline import (
+        stream_stream_interval_join,
+    )
+
+    errors = stream_events(spark, events_dir).where("event_type = 'error'")
+    purchases = stream_events(spark, events_dir).where(
+        "event_type = 'purchase'"
+    )
+    joined = stream_stream_interval_join(errors, purchases)
+    run_available_now(
+        joined, str(tmp_path / "ckpt_ssj"), memory_table="ssj_out"
+    )
+    got = {
+        (r["l_event_id"], r["r_event_id"])
+        for r in spark.table("ssj_out").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.where("event_type = 'error'").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("le"), F.col("ts").alias("lt")
+    )
+    p = ev.where("event_type = 'purchase'").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("re"), F.col("ts").alias("rt")
+    )
+    want = {
+        (r["le"], r["re"])
+        for r in e.join(
+            p,
+            (F.col("u") == F.col("pu"))
+            & (F.col("rt") > F.col("lt"))
+            & (F.col("rt") <= F.col("lt") + F.expr("INTERVAL 10 MINUTES")),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
