@@ -87,7 +87,9 @@ def stratified_sample(
     Scale: a narrow predicate on a hash of the id — no shuffle, no state;
     Catalyst keeps it in the scan stage.
     """
-    frac = F.lit(None).cast("long")
+    for k, v in {**fractions, "<default>": default_fraction}.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"fraction for {k!r} must be in [0, 1], got {v}")
     expr = None
     for k, v in fractions.items():
         micro = int(round(v * MICRO))
@@ -129,6 +131,9 @@ def weighted_mix(
     elements per row, so the blowup is exactly the configured epoch factor
     and stays a narrow (shuffle-free) stage.
     """
+    for k, v in {**weights, "<default>": default_weight}.items():
+        if v < 0.0:
+            raise ValueError(f"weight for {k!r} must be >= 0, got {v}")
     wexpr = None
     for k, v in weights.items():
         micro = int(round(v * MICRO))

@@ -95,11 +95,13 @@ def text_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens
       FROM documents
     ), packed AS (
+      -- DuckDB SUM(BIGINT) is HUGEINT; cast back per the registry rule so
+      -- start_off/pack_id/pack_spans stay BIGINT like the Spark side.
       SELECT doc_id, source, n_tokens,
-             SUM(n_tokens) OVER (
+             CAST(SUM(n_tokens) OVER (
                PARTITION BY source ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-             ) - n_tokens AS start_off
+             ) - n_tokens AS BIGINT) AS start_off
       FROM toks
     )
     SELECT doc_id, source, n_tokens, start_off,

@@ -29,11 +29,24 @@ def write_partitioned(
     max_partitions: int = 10_000,
 ) -> None:
     """Write parquet partitioned by ``partition_cols`` (directory per
-    value combination), guarding against high-cardinality explosions."""
-    n = df.select(*partition_cols).distinct().count()
+    value combination), guarding against high-cardinality explosions.
+
+    The guard is an ``approx_count_distinct`` (HLL) pass over just the
+    partition columns — a narrow scan with a constant-size sketch, unlike
+    an exact ``distinct().count()`` whose shuffle would roughly double the
+    write job's read cost at the 100 TB scale this module advertises. A
+    2% rsd sketch is far tighter than the decision it gates (a 10_000-dir
+    budget vs a millions-of-keys mistake), so the classic failure mode is
+    still caught deterministically.
+    """
+    from pyspark.sql import functions as F
+
+    n = df.select(
+        F.approx_count_distinct(F.struct(*partition_cols), rsd=0.02).alias("n")
+    ).first()["n"]
     if n > max_partitions:
         raise ValueError(
-            f"{n} distinct partition values exceeds max_partitions="
+            f"~{n} distinct partition values exceeds max_partitions="
             f"{max_partitions}; use bucketing for high-cardinality keys"
         )
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)

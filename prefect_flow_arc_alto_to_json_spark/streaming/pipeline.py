@@ -52,20 +52,40 @@ def stream_events(
     arithmetic (timestampdiff against the NTZ epoch → timestamp_micros):
     epoch values — and therefore window/session/watermark boundaries — are
     independent of the session timezone. A plain NTZ→TIMESTAMP cast would
-    instead shift epochs by the session offset."""
-    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    instead shift epochs by the session offset.
+
+    Self-heals the same three on-disk ts encodings the batch loader does
+    (sources/tables.py:16): a cheap footer-only batch probe of the first
+    file decides whether ts arrives as µs NTZ (current testdata), epoch-ns
+    BIGINT (legacy TIMESTAMP(NANOS) via nanosAsLong), or µs LTZ — and the
+    fixed streaming schema + rebuild expression are chosen to match, so
+    older testdata generations stream instead of failing on a schema
+    mismatch."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    probed = spark.read.parquet(source_dir).schema["ts"].dataType
+    if isinstance(probed, TimestampNTZType):
+        schema, rebuild = EVENTS_STREAM_SCHEMA, (
+            "timestamp_micros(timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ'1970-01-01 00:00:00', ts))"
+        )
+    elif isinstance(probed, LongType):
+        # legacy TIMESTAMP(NANOS) read as epoch-ns long; integer div (ns →
+        # µs) — NOT float /: ~1.7e18 exceeds double's 2^53 exact range.
+        schema = EVENTS_STREAM_SCHEMA.replace("ts timestamp_ntz", "ts long")
+        rebuild = "timestamp_micros(ts div 1000)"
+    elif isinstance(probed, TimestampType):
+        # already µs LTZ: the epoch value is the instant; no rebuild.
+        schema = EVENTS_STREAM_SCHEMA.replace("ts timestamp_ntz", "ts timestamp")
+        rebuild = "ts"
+    else:
+        raise TypeError(f"unsupported events ts encoding: {probed}")
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(source_dir)
-    return df.withColumn(
-        "ts",
-        F.timestamp_micros(
-            F.expr(
-                "timestampdiff(MICROSECOND,"
-                " TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
-            )
-        ),
-    )
+    return df.withColumn("ts", F.expr(rebuild))
 
 
 def windowed_event_counts(
