@@ -38,6 +38,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 from ..functions.scalar import stable_hash_p31
 
@@ -204,3 +205,64 @@ def chunk_pack(
         .withColumn("pack_id", first)
         .withColumn("pack_spans", last - F.col("pack_id") + 1)
     )
+
+
+def pack_bins(
+    df: DataFrame,
+    budget: int,
+    token_col: str,
+    shard_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy NO-STRADDLE bin packing — the sequential-state complement of
+    :func:`chunk_pack` (whose docstring promises it as a separate op): walk
+    each shard's documents in ``id_col`` order, append a document to the
+    current bin while it fits, otherwise open a new bin. No document ever
+    crosses a bin boundary, which is the layout fine-tuning / eval
+    pipelines need (an example must be one whole document sequence).
+
+    Placement rule, shared bit-for-bit with the SQL oracle:
+      new bin  ⟺  current_fill + n_tokens > budget  AND  current_fill > 0
+    (the second clause keeps an oversized document — ``n_tokens > budget``
+    — ALONE in its own bin instead of emitting an empty leading bin; the
+    following document then always rolls over).
+
+    Emits per document: ``bin_id`` (0-based per shard) and ``bin_off``
+    (token offset inside its bin). Invariants (property-tested): no bin
+    exceeds ``budget`` unless it holds exactly one oversized document;
+    ``bin_off`` is the running sum of its bin's predecessors; bin ids are
+    dense from 0.
+
+    Scale: the running (bin, fill) accumulator is inherently sequential,
+    so parallelism = shards, exactly like ``chunk_pack``'s window — ONE
+    shuffle on ``shard_col`` into ``applyInPandas`` (Arrow-batched, a
+    single pass of integer bookkeeping per shard). The caller owns sizing
+    shards (source × date × hash-bucket at 100 TB); a shard must fit one
+    task's memory, which is the same contract every grouped-map op has.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    cols = [id_col, shard_col, token_col]
+    base = df.select(*cols)
+    schema = StructType(
+        [base.schema[c] for c in cols]
+        + [StructField("bin_id", LongType()), StructField("bin_off", LongType())]
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        bin_ids, offs = [], []
+        bin_id, fill = 0, 0
+        for n in pdf[token_col].astype("int64"):
+            n = int(n)
+            if fill > 0 and fill + n > budget:
+                bin_id += 1
+                fill = 0
+            bin_ids.append(bin_id)
+            offs.append(fill)
+            fill += n
+        pdf["bin_id"] = bin_ids
+        pdf["bin_off"] = offs
+        return pdf
+
+    return base.groupBy(shard_col).applyInPandas(pack, schema)

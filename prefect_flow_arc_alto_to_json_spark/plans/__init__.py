@@ -31,5 +31,6 @@ from . import clean_queries  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
 from . import lake_queries  # noqa: E402,F401
 from . import corpus_queries  # noqa: E402,F401
+from . import skew_queries  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "EXTRA_QUERIES", "EXTRA_ORACLES", "query"]

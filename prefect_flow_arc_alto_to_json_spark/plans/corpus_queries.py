@@ -14,6 +14,7 @@ from ..functions.scale import fan_out
 from ..operators.corpus import (
     MICRO,
     chunk_pack,
+    pack_bins,
     sql_frac_micro,
     stratified_sample,
     weighted_mix,
@@ -125,3 +126,56 @@ def text_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", token_count("text").cast("long").alias("n_tokens")
     )
     return chunk_pack(toks, _PACK_BUDGET, "n_tokens", "source")
+
+
+_BIN_BUDGET = 1024
+
+#: same-bin rule, shared verbatim between both CASE arms of the oracle's
+#: recursive step: the next doc stays in the bin when it fits, or when the
+#: bin is still empty (an oversized doc occupies its own bin, it is never
+#: preceded by an empty one).
+_SQL_BIN_FITS = (
+    f"p.bin_off + p.n_tokens + t.n_tokens <= {_BIN_BUDGET}"
+    " OR p.bin_off + p.n_tokens = 0"
+)
+
+
+@query(
+    "text_pack_bins",
+    extra=True,
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, source,
+             CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, source, n_tokens, rn,
+             CAST(0 AS BIGINT) AS bin_id, CAST(0 AS BIGINT) AS bin_off
+      FROM toks WHERE rn = 1
+      UNION ALL
+      SELECT t.doc_id, t.source, t.n_tokens, t.rn,
+             CASE WHEN {_SQL_BIN_FITS}
+                  THEN p.bin_id ELSE p.bin_id + 1 END,
+             CASE WHEN {_SQL_BIN_FITS}
+                  THEN p.bin_off + p.n_tokens ELSE CAST(0 AS BIGINT) END
+      FROM toks t JOIN packed p ON t.source = p.source AND t.rn = p.rn + 1
+    )
+    SELECT doc_id, source, n_tokens, bin_id, bin_off FROM packed
+    """,
+)
+def text_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy no-straddle bin packing (operators/corpus.py:pack_bins),
+    sharded by ``source``: every document's (bin_id, bin_off) under the
+    walk-in-id-order greedy rule. The oracle replays the IDENTICAL
+    sequential recurrence as a DuckDB recursive CTE (one iteration per
+    document rank, all shards advancing in lockstep) — a row-level check
+    of the whole packing, not just aggregate bin counts. Token counts come
+    from the same whitespace tokenizer text_token_counts oracles."""
+    from ..operators.textstats import token_count
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", "source", token_count("text").cast("long").alias("n_tokens")
+    )
+    return pack_bins(toks, _BIN_BUDGET, "n_tokens", "source")

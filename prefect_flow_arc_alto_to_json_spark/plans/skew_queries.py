@@ -1,0 +1,71 @@
+"""Skew-mitigation queries (operators/skew.py) — the salted two-phase
+aggregation adjudicated by a DuckDB oracle over a PLANTED hot key, the same
+planted-hazard pattern the capped dedup queries use: the query manufactures
+the exact skew the rewrite exists for, runs the skew-safe plan, and the
+oracle is the plain GROUP BY the rewrite must be indistinguishable from.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalar import cents
+from ..operators.skew import salted_agg
+from ..sources import load_table
+from .registry import query
+
+#: the skew plant: ~70% of events collapse onto hot_key 0, the rest keep
+#: their user_id — a single reducer would see most of the table without
+#: the salt.
+_SQL_HOT_KEY = "CASE WHEN user_id % 10 < 7 THEN 0 ELSE user_id END"
+
+
+@query(
+    "q_salted_agg_skew",
+    extra=True,
+    oracle=f"""
+    SELECT
+      CAST({_SQL_HOT_KEY} AS BIGINT) AS hot_key,
+      COUNT(CAST(ROUND(value * 100) AS BIGINT)) AS n_events,
+      CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+      MIN(CAST(ROUND(value * 100) AS BIGINT)) AS min_cents,
+      MAX(CAST(ROUND(value * 100) AS BIGINT)) AS max_cents
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_salted_agg_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/skew.py:salted_agg) over a
+    planted hot key holding ~70% of all events: phase 1 aggregates on
+    (hot_key, salt) so no reducer sees more than ~1/16 of the hot key's
+    rows, phase 2 combines the partials per key. The oracle is the PLAIN
+    GROUP BY — the rewrite's entire contract is producing the identical
+    relation. Money stays in exact integer cents (registry determinism
+    rules); count/sum/min/max cover every algebraic combiner the rewrite
+    supports.
+
+    Scale: this is the aggregation shape that survives a power-law key
+    (user events, document sources): the hot key's O(N) rows cost one
+    extra narrow stage instead of one O(N) reducer. The plan shape (two
+    Exchanges: hash(hot_key, salt) then hash(hot_key)) is pinned in
+    tests/test_plan_shapes.py.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    skewed = ev.select(
+        F.when(F.col("user_id") % 10 < 7, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .cast("long")
+        .alias("hot_key"),
+        cents("value").alias("v_cents"),
+    )
+    return salted_agg(
+        skewed,
+        ["hot_key"],
+        {
+            "n_events": ("v_cents", "count"),
+            "total_cents": ("v_cents", "sum"),
+            "min_cents": ("v_cents", "min"),
+            "max_cents": ("v_cents", "max"),
+        },
+    )

@@ -25,15 +25,22 @@ run-per-invocation trigger (the reference's cron flow, streamified).
 
 from __future__ import annotations
 
+import glob
 import os
+import shutil
 import tempfile
 import uuid
+from datetime import timedelta
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.scalar import cents
-from ..streaming.pipeline import run_available_now, stream_events
+from ..streaming.pipeline import (
+    EVENTS_STREAM_SCHEMA,
+    run_available_now,
+    stream_events,
+)
 from .registry import query
 
 
@@ -119,6 +126,205 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_available_now(
         deduped,
         checkpoint_dir=tempfile.mkdtemp(prefix="stream_dedup_ckpt_"),
+        output_mode="complete",
+        memory_table=table,
+    )
+    return spark.table(table)
+
+
+def _write_single_parquet(df: DataFrame, dest: str) -> None:
+    """Materialize a small DataFrame as ONE parquet file at ``dest`` (the
+    file stream source lists plain files, so a planted micro-batch must be
+    a file, not Spark's directory-shaped output)."""
+    tmp = tempfile.mkdtemp(prefix="planted_write_")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    shutil.move(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dest)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "stream_late_data_drop",
+    extra=True,
+    oracle="""
+    SELECT
+      strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+      event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA semantics made driver-checkable — the one §2.9
+    axis a single AvailableNow drain cannot distinguish (a lone batch never
+    sees data arrive behind the watermark). A multi-phase replay from ONE
+    checkpoint does:
+
+    1. drain the original events (append-mode hourly windows + 30-min
+       watermark; emitted windows land in a parquet sink via foreachBatch);
+    2. plant a LATE file — clones of the first hour's rows under new
+       event_ids — and drain again: the checkpointed watermark is already
+       ``max(ts) - 30min``, hours past those windows, so every clone must
+       be dropped and the evicted windows must NOT re-emit;
+    3-4. plant two tiny future files (event_type ``wm_advance``, +2h/+3h
+       then +5h past max ts) and drain after each: the advancing watermark
+       flushes the remaining original windows from state.
+
+    The final sink then holds every original hourly window EXACTLY ONCE.
+    The oracle is the plain hourly aggregate over the original events —
+    if even one late clone leaked into a window, its n_events/total_value
+    differs; if an evicted window re-emitted, the row count differs. The
+    ``wm_advance`` helper windows are excluded by event_type (their only
+    job is moving the watermark; whether the trailing flush emits them
+    depends on the no-data-batch flush, which is not the semantics under
+    test).
+
+    Scale: this IS the production incremental shape — one checkpoint,
+    repeated AvailableNow invocations, append-mode windows flowing to an
+    idempotent-per-batch sink; state stays bounded because the watermark
+    evicts closed windows no matter how many days the checkpoint lives.
+    """
+    from ..sources import load_table
+
+    src = tempfile.mkdtemp(prefix="late_src_")
+    out = tempfile.mkdtemp(prefix="late_out_")
+    ckpt = tempfile.mkdtemp(prefix="late_ckpt_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(src, "a.parquet")
+    )
+    ev_batch = load_table(spark, sf_dir, "events")
+    mn, mx = ev_batch.agg(F.min("ts"), F.max("ts")).first()
+
+    def drain() -> None:
+        agg = (
+            stream_events(spark, src)
+            .withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                (F.sum(cents("value")).cast("double") / 100.0).alias(
+                    "total_value"
+                ),
+            )
+            .select(
+                F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                    "hour"
+                ),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
+        )
+        run_available_now(
+            agg,
+            ckpt,
+            output_mode="append",
+            foreach_batch=lambda df, _bid: df.write.mode("append").parquet(out),
+        )
+
+    drain()
+    # phase 2: the planted LATE file — first-hour clones, hours behind the
+    # checkpointed watermark; correct behavior is total drop.
+    cutoff = (mn + timedelta(hours=1)).strftime("%Y-%m-%d %H:%M:%S")
+    late = ev_batch.where(F.expr(f"ts < TIMESTAMP_NTZ'{cutoff}'")).withColumn(
+        "event_id", F.col("event_id") + F.lit(10**12)
+    )
+    _write_single_parquet(late, os.path.join(src, "b_late.parquet"))
+    drain()
+    # phases 3-4: watermark-advancing futures flush the remaining windows.
+    for name, hours in (("c_fresh.parquet", [2, 3]), ("d_fresh.parquet", [5])):
+        rows = [
+            (10**13 + h, mx + timedelta(hours=h), 1, "wm_advance", 1.0, None)
+            for h in hours
+        ]
+        _write_single_parquet(
+            spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA),
+            os.path.join(src, name),
+        )
+        drain()
+    return spark.read.parquet(out).where(F.col("event_type") != "wm_advance")
+
+
+@query(
+    "stream_sessionize",
+    extra=True,
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS is_new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT *,
+             CAST(SUM(is_new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS session_seq
+      FROM flagged
+    )
+    SELECT
+      user_id,
+      strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+        AS session_end,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        AS session_value
+    FROM numbered
+    GROUP BY user_id, session_seq
+    """,
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions computed BY A STREAMING ``session_window`` JOB
+    (streaming/pipeline.py:sessionized_events's shape) and drained via
+    AvailableNow to a memory sink — the streaming twin of the graded batch
+    q_sessionize, adjudicated against the SAME lag+running-sum oracle with
+    two semantic translations:
+
+    - ``session_end`` is ``MAX(ts) + gap`` (a session_window closes one
+      gap after its last event; the batch twin reports MAX(ts) itself);
+    - events exactly ``gap`` apart stay in one session on both engines
+      (streaming merges on window overlap, i.e. next.start < prev.end
+      never holds at exactly the gap — but an exact-µs tie cannot split
+      differently from the batch ``>`` rule, verified empirically against
+      both boundary rules).
+
+    Complete output mode keeps every session in state — fine for a drained
+    test corpus; the production form adds the watermark (sessionized_events)
+    so closed sessions evict, which is what bounds state at 100 TB/day.
+    """
+    src_dir = tempfile.mkdtemp(prefix="stream_sess_src_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    ev = stream_events(spark, src_dir)
+    agg = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents("value")).cast("double") / 100.0).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(
+                F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss"
+            ).alias("session_start"),
+            F.date_format(F.col("session_window.end"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+            "session_value",
+        )
+    )
+    table = f"stream_sess_{uuid.uuid4().hex[:10]}"
+    run_available_now(
+        agg,
+        checkpoint_dir=tempfile.mkdtemp(prefix="stream_sess_ckpt_"),
         output_mode="complete",
         memory_table=table,
     )

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from prefect_flow_arc_alto_to_json_spark.operators.corpus import (
     chunk_pack,
+    pack_bins,
     stratified_sample,
     weighted_mix,
 )
@@ -125,3 +126,87 @@ def test_chunk_pack_single_exchange(spark, docs):
         .toString()
     )
     assert plan.count("Exchange") == 1, plan
+
+
+def test_validation_fails_fast(spark, docs):
+    with pytest.raises(ValueError, match="fraction"):
+        stratified_sample(docs, "lang", {"en": 1.5})
+    with pytest.raises(ValueError, match="fraction"):
+        stratified_sample(docs, "lang", {"en": -0.1})
+    with pytest.raises(ValueError, match="weight"):
+        weighted_mix(docs, "lang", {"en": -1.0})
+
+
+def test_pack_bins_hand_computed(spark):
+    """Greedy walk for a hand-computed shard, including an oversized doc
+    (alone in its bin) and an exact fit."""
+    rows = [
+        ("s", 1, 60),   # bin 0 @ 0
+        ("s", 2, 40),   # bin 0 @ 60 — exact fill to 100
+        ("s", 3, 250),  # oversized: bin 1 @ 0, alone
+        ("s", 4, 1),    # bin 2 @ 0 (can't share with the oversized doc)
+        ("s", 5, 99),   # bin 2 @ 1 — fits exactly
+        ("t", 9, 5),    # separate shard restarts at bin 0
+    ]
+    df = spark.createDataFrame(rows, "src string, doc_id long, n long")
+    out = {
+        r["doc_id"]: (r["bin_id"], r["bin_off"])
+        for r in pack_bins(df, 100, "n", "src").collect()
+    }
+    assert out[1] == (0, 0)
+    assert out[2] == (0, 60)
+    assert out[3] == (1, 0)
+    assert out[4] == (2, 0)
+    assert out[5] == (2, 1)
+    assert out[9] == (0, 0)
+
+
+def test_pack_bins_invariants(spark):
+    """Property test over a generated corpus: no straddle (every doc fits
+    inside its bin unless it is alone and oversized), bin ids dense from 0,
+    offsets = running sum of bin predecessors, and no bin over budget
+    except single-oversized-doc bins."""
+    budget = 512
+    rows = [
+        (f"s{i % 7}", i, (i * 37) % 700)  # sizes 0..699, some oversized
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "src string, doc_id long, n long")
+    out = pack_bins(df, budget, "n", "src").collect()
+    by_shard: dict[str, list] = {}
+    for r in out:
+        by_shard.setdefault(r["src"], []).append(r)
+    assert len(out) == 500
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        fill: dict[int, int] = {}
+        docs_in_bin: dict[int, int] = {}
+        prev_bin = 0
+        for r in rs:
+            b, off, n = r["bin_id"], r["bin_off"], r["n"]
+            assert b in (prev_bin, prev_bin + 1), (shard, r)  # dense
+            prev_bin = b
+            assert off == fill.get(b, 0), (shard, r)  # true running offset
+            fill[b] = off + n
+            docs_in_bin[b] = docs_in_bin.get(b, 0) + 1
+        for b, f in fill.items():
+            # over-budget bins hold exactly one (oversized) doc
+            assert f <= budget or docs_in_bin[b] == 1, (shard, b, f)
+        assert sorted(fill) == list(range(len(fill)))  # bins 0..k dense
+
+
+def test_pack_bins_single_exchange(spark, docs):
+    toks = docs.select("doc_id", "lang", F.length("text").cast("long").alias("n"))
+    plan = (
+        pack_bins(toks, 100, "n", "lang")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_pack_bins_rejects_bad_budget(spark, docs):
+    toks = docs.select("doc_id", "lang", F.length("text").cast("long").alias("n"))
+    with pytest.raises(ValueError, match="budget"):
+        pack_bins(toks, 0, "n", "lang")

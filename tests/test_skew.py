@@ -227,3 +227,26 @@ def test_minhash_bucket_cap_prunes_mega_buckets(spark, sf_dir):
     assert capped <= uncapped
     # and at least the pairs found via small buckets survive
     assert len(capped) > 0
+
+
+def test_salted_agg_plan_is_two_stage(spark, sf_dir):
+    """Pin the skew-safe shape q_salted_agg_skew relies on: exactly two
+    Exchanges — phase 1 hash-partitions on (key, __salt) so a hot key
+    spreads across reducers, phase 2 on the key alone — with map-side
+    partial aggregation feeding each."""
+    ev = load_table(spark, sf_dir, "events")
+    df = salted_agg(
+        ev.select("event_type", "value"),
+        ["event_type"],
+        {"n": ("value", "count"), "s": ("value", "sum")},
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 2, plan
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(exchanges) == 2, plan
+    salted = [e for e in exchanges if "__salt" in e]
+    plain = [e for e in exchanges if "__salt" not in e]
+    assert len(salted) == 1 and len(plain) == 1, exchanges
+    assert "event_type" in salted[0] and "event_type" in plain[0], exchanges
