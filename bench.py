@@ -86,6 +86,62 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+class _ShuffleMeter:
+    """Per-query shuffle-write volume via the Spark UI REST API.
+
+    Snapshots completed stages and attributes every stage with id above the
+    previous watermark to the query that just ran — id-watermarking (not
+    total deltas) so the UI store evicting old stages (retainedStages)
+    can't skew later queries. Shuffle WRITE is the metric: it is the bytes
+    a cluster actually moves, the thing the plan audit bounds. Degrades to
+    absent metrics (never fails the bench) if the UI is disabled.
+    """
+
+    def __init__(self, spark) -> None:
+        self._base = None
+        self._last_stage = -1
+        try:
+            ui = spark.sparkContext.uiWebUrl
+            app_id = spark.sparkContext.applicationId
+            if ui:
+                self._base = f"{ui}/api/v1/applications/{app_id}/stages"
+        except Exception:
+            pass
+
+    def _stages(self) -> list[dict]:
+        import urllib.request
+
+        with urllib.request.urlopen(f"{self._base}?status=complete", timeout=10) as r:
+            return json.load(r)
+
+    def mark(self) -> None:
+        if self._base is None:
+            return
+        try:
+            self._last_stage = max(
+                [s["stageId"] for s in self._stages()], default=self._last_stage
+            )
+        except Exception:
+            self._base = None
+
+    def delta(self) -> dict | None:
+        if self._base is None:
+            return None
+        try:
+            new = [s for s in self._stages() if s["stageId"] > self._last_stage]
+            self._last_stage = max(
+                [s["stageId"] for s in new], default=self._last_stage
+            )
+            return {
+                "write_bytes": sum(s.get("shuffleWriteBytes", 0) for s in new),
+                "write_records": sum(s.get("shuffleWriteRecords", 0) for s in new),
+                "stages": len(new),
+            }
+        except Exception:
+            self._base = None
+            return None
+
+
 def main() -> None:
     spark = get_spark(app_name="bench")
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -95,16 +151,23 @@ def main() -> None:
     # outside the timed region.
     _materialize(ALL_QUERIES[names[0]](spark, SF_DIR))
 
+    meter = _ShuffleMeter(spark)
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    shuffle: dict[str, dict] = {}
     for name in names:
         best = float("inf")
         for run in range(2):
+            if run == 0:
+                meter.mark()
             t0 = time.perf_counter()
             _materialize(ALL_QUERIES[name](spark, SF_DIR))
             dt = time.perf_counter() - t0
             if run == 0:
                 cold[name] = dt
+                d = meter.delta()
+                if d is not None:
+                    shuffle[name] = d
             best = min(best, dt)
         timings[name] = round(best, 3)
 
@@ -117,6 +180,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_cold": {k: round(v, 3) for k, v in cold.items()},
+                "shuffle": shuffle,
                 "cold_sec": round(sum(cold.values()), 3),
                 "runs": 2,
                 "agg": "min",

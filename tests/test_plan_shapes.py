@@ -94,3 +94,53 @@ def test_minhash_bucket_cap_is_broadcast_anti(spark, sf_dir):
         .toString()
     )
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-exchange budgets for the dedup/similarity family (round-5): the
+# 100x-scale argument ("every pair-generating path is banded/bucketed and
+# shuffles ids, not payloads") is only durable if the shuffle COUNT can't
+# silently creep. Budgets are the measured counts of the audited plans —
+# a failure here means a refactor added a shuffle stage the audit never saw.
+# Counts exclude BroadcastExchange (replication, not a shuffle).
+# ---------------------------------------------------------------------------
+
+_SHUFFLE_BUDGETS = {
+    # banded bucket self-join: shingle explode/agg + band explode + pair agg
+    "dedup_minhash_pairs": 5,
+    # posting join: per-doc sizes + posting explode + pair agg
+    "dedup_ngram_jaccard": 3,
+    # chunk-banding: signature agg + band bucket join + pair dedup
+    "dedup_simhash_pairs": 3,
+    # + doc-freq recount and the capped posting rebuild
+    "dedup_ngram_jaccard_capped": 9,
+    # id-only probe joins: corpus bucketing + probe join + topk agg
+    "sim_lsh_topk": 4,
+    # asymmetric probe join + pair agg
+    "sim_embedding_near_dup_lsh": 2,
+    # centroid assign + probe-pruned cells + topk agg
+    "sim_ivf_topk": 6,
+    # broadcast query set; corpus-side local topk + global merge
+    "sim_brute_topk": 2,
+    # full composition: quality gate -> exact dedup -> capped posting join
+    # -> broadcast anti-join, one lazy plan
+    "pipeline_clean_corpus": 16,
+    # digest-only groupBy (+ fan_out round-robin at test partition counts)
+    "dedup_exact": 2,
+    "mm_dedup_exact": 1,
+}
+
+
+def test_dedup_similarity_shuffle_budgets(spark, sf_dir):
+    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+
+    all_q = {**QUERIES, **EXTRA_QUERIES}
+    over = {}
+    for name, budget in _SHUFFLE_BUDGETS.items():
+        df = all_q[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+        assert "SortMergeJoin" not in plan, (name, plan)
+        if shuffles > budget:
+            over[name] = (shuffles, budget)
+    assert not over, f"shuffle-count regressions (got, budget): {over}"
