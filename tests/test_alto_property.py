@@ -11,6 +11,8 @@ Invariants (reference script/extract-text-lines-from-alto.js):
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -115,3 +117,114 @@ def test_coords_follow_parseint_semantics(spark, coord):
             break
     expected = int(digits) if digits and digits not in "+-" else None
     assert line["x"] == expected
+
+
+# ---------------------------------------------------------------------------
+# Full-pipeline fuzz (round-5): a generated MIXED corpus — v2/v3 trees,
+# unsupported namespaces, malformed XML, dead URLs — through run_pipeline's
+# quarantine branch (pipeline.py:117-124), with every expectation computed
+# independently in Python: which docs process, which quarantine, and the
+# exact per-doc transcript the object sink must emit.
+# ---------------------------------------------------------------------------
+
+
+def _random_pages(rng):
+    """Random ALTO structure: pages -> blocks -> lines -> (content, h, v)."""
+    def word():
+        if rng.random() < 0.15:
+            return ""  # exercises the v2 falsy filter
+        return "".join(
+            rng.choice("abcdefghijklmnopqrstuvwxyzABC123")
+            for _ in range(rng.randint(1, 8))
+        )
+
+    def coord():
+        r = rng.random()
+        if r < 0.6:
+            return str(rng.randint(0, 9999))
+        return rng.choice(["", "x12", "12x9", "+", "-3"])
+
+    return [
+        [
+            [
+                [(word(), coord(), coord()) for _ in range(rng.randint(0, 4))]
+                for _ in range(rng.randint(0, 3))
+            ]
+            for _ in range(rng.randint(0, 3))
+        ]
+        for _ in range(rng.randint(0, 2))
+    ]
+
+
+def test_pipeline_quarantine_fuzz(spark, tmp_path):
+    """>= 200 random trees through the FULL pipeline: processed/failed
+    counts, the object-sink file set, and every emitted transcript must
+    equal the Python-computed expectation; quarantined docs must emit no
+    object."""
+    import json
+    import random
+
+    from prefect_flow_arc_alto_to_json_spark.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+    )
+
+    rng = random.Random(20260813)
+    n_docs = 220
+    xml_dir = tmp_path / "xml"
+    xml_dir.mkdir()
+    rows, expect_ok, expect_failed = [], {}, set()
+    for i in range(n_docs):
+        name = f"d{i}.xml"
+        kind = rng.choices(
+            ["v2", "v3", "bad_ns", "malformed", "dead_url"],
+            weights=[35, 35, 12, 9, 9],
+        )[0]
+        url = f"file://{xml_dir}/{name}"
+        if kind in ("v2", "v3"):
+            pages = _random_pages(rng)
+            (xml_dir / name).write_text(_build_xml(kind, pages))
+            expect_ok[name] = _expected_lines(kind, pages)
+        elif kind == "bad_ns":
+            (xml_dir / name).write_text(
+                '<alto xmlns="http://example.com/not-alto#"><Layout/></alto>'
+            )
+            expect_failed.add(name)
+        elif kind == "malformed":
+            (xml_dir / name).write_text("<alto><Layout><unclosed")
+            expect_failed.add(name)
+        else:  # dead_url: file never written
+            url = f"file://{xml_dir}/missing_{name}"
+            expect_failed.add(name)
+        rows.append(
+            (
+                f"f{i}",
+                f"rep{i}",
+                url,
+                "application/xml",
+                "alto",
+                __import__("datetime").datetime(2024, 1, 1 + (i % 28)),
+            )
+        )
+    cat_dir = str(tmp_path / "catalog")
+    spark.createDataFrame(
+        rows,
+        "id string, representation_id string, premis_stored_at string,"
+        "ebucore_has_mime_type string, schema_name string, updated_at timestamp",
+    ).write.parquet(os.path.join(cat_dir, "file.parquet"))
+    spark.createDataFrame(
+        [(f"f{i}",) for i in range(n_docs)], "file_id string"
+    ).write.parquet(os.path.join(cat_dir, "includes.parquet"))
+
+    objects_dir = str(tmp_path / "objects")
+    counts = run_pipeline(
+        spark,
+        PipelineConfig(catalog_dir=cat_dir, objects_target=objects_dir, full_sync=True),
+    )
+    assert counts == {"processed": len(expect_ok), "failed": len(expect_failed)}
+    emitted = sorted(os.listdir(objects_dir))
+    assert emitted == sorted(f"{n}.json" for n in expect_ok)
+    for name, lines in expect_ok.items():
+        with open(os.path.join(objects_dir, f"{name}.json")) as f:
+            payload = json.load(f)
+        assert [t["text"] for t in payload["text"]] == lines, name
