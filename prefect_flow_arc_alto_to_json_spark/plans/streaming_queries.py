@@ -329,3 +329,118 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         memory_table=table,
     )
     return spark.table(table)
+
+
+@query(
+    "stream_stateful_user_totals",
+    extra=True,
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT)), 0)
+                AS BIGINT) AS total_cents
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``) made
+    driver-checkable ACROSS RESTARTS: the events are split into two files
+    by event_id parity, drained in two separate AvailableNow invocations
+    from one checkpoint. Phase 2's emissions are only correct if the
+    per-user (n, total) state written by phase 1 was recovered from the
+    state store — a fresh state would halve every count. The final row
+    per user (the one with the highest n_events; n is monotone per user)
+    must equal the plain per-user aggregate over ALL events.
+
+    Money stays in integer cents inside the state
+    (streaming/pipeline.py:running_user_cents), so the oracle compare is
+    exact, not float-summation-order dependent.
+    """
+    from ..sources import load_table
+
+    src = tempfile.mkdtemp(prefix="stateful_src_")
+    out = tempfile.mkdtemp(prefix="stateful_out_")
+    ckpt = tempfile.mkdtemp(prefix="stateful_ckpt_")
+    ev_batch = load_table(spark, sf_dir, "events")
+    from ..functions.scalar import cents as _cents
+
+    def drain() -> None:
+        ev = stream_events(spark, src).withColumn("v_cents", _cents("value"))
+        from ..streaming.pipeline import running_user_cents
+
+        run_available_now(
+            running_user_cents(ev),
+            ckpt,
+            output_mode="update",
+            foreach_batch=lambda df, _bid: df.write.mode("append").parquet(out),
+        )
+
+    for phase, parity in enumerate((0, 1)):
+        _write_single_parquet(
+            ev_batch.where(F.pmod("event_id", F.lit(2)) == parity),
+            os.path.join(src, f"half_{phase}.parquet"),
+        )
+        drain()
+    emitted = spark.read.parquet(out)
+    return (
+        emitted.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_cents")).alias("s"))
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            F.col("s.total_cents").alias("total_cents"),
+        )
+    )
+
+
+@query(
+    "stream_interval_join",
+    extra=True,
+    oracle="""
+    SELECT e.user_id,
+           e.event_id AS l_event_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS l_ts,
+           p.event_id AS r_event_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS r_ts,
+           p.value AS r_value
+    FROM events e
+    JOIN events p
+      ON e.user_id = p.user_id
+     AND p.ts > e.ts
+     AND p.ts <= e.ts + INTERVAL 10 MINUTE
+    WHERE e.event_type = 'error' AND p.event_type = 'purchase'
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner interval join (error → purchase within 10 min),
+    both sides real file streams with watermarks, drained via AvailableNow
+    to a memory sink and adjudicated against the batch interval join in
+    DuckDB — the state-bounded two-sided-watermark join shape
+    (streaming/pipeline.py:stream_stream_interval_join) verified
+    hash-exact, not just row-plausible."""
+    from ..streaming.pipeline import stream_stream_interval_join
+
+    src_dir = tempfile.mkdtemp(prefix="stream_ssj_src_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    errors = stream_events(spark, src_dir).where("event_type = 'error'")
+    purchases = stream_events(spark, src_dir).where("event_type = 'purchase'")
+    joined = stream_stream_interval_join(errors, purchases).select(
+        "user_id",
+        "l_event_id",
+        F.date_format("l_ts", "yyyy-MM-dd HH:mm:ss").alias("l_ts"),
+        "r_event_id",
+        F.date_format("r_ts", "yyyy-MM-dd HH:mm:ss").alias("r_ts"),
+        "r_value",
+    )
+    table = f"stream_ssj_{uuid.uuid4().hex[:10]}"
+    run_available_now(
+        joined,
+        checkpoint_dir=tempfile.mkdtemp(prefix="stream_ssj_ckpt_"),
+        output_mode="append",
+        memory_table=table,
+    )
+    return spark.table(table)

@@ -205,6 +205,37 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def running_user_cents(events: DataFrame, cents_col: str = "v_cents") -> DataFrame:
+    """Exact-integer twin of :func:`running_user_totals` for cross-engine
+    verification: state is (n_events, total_cents) in pure long arithmetic,
+    so the emitted totals are bit-identical to ANSI SQL regardless of
+    float summation order — the registry's money determinism contract
+    applied to streaming state. The caller supplies ``cents_col`` already
+    in integer cents (functions.scalar.cents, computed JVM-side before the
+    Python boundary)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += int(pdf[cents_col].fillna(0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_cents": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_cents long",
+        stateStructType="n long, total long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_alto_documents(
     spark: SparkSession,
     source_dir: str,

@@ -134,6 +134,10 @@ _SHUFFLE_BUDGETS = {
 def test_dedup_similarity_shuffle_budgets(spark, sf_dir):
     from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
 
+    # If an earlier test left a scoped_persist relation cached, the plan
+    # dump embeds the InMemoryRelation's OWN subtree — its exchanges would
+    # double-count against the budget. Audit uncached plans.
+    spark.catalog.clearCache()
     all_q = {**QUERIES, **EXTRA_QUERIES}
     over = {}
     for name, budget in _SHUFFLE_BUDGETS.items():
