@@ -444,3 +444,87 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         memory_table=table,
     )
     return spark.table(table)
+
+
+@query(
+    "stream_dedup_state_eviction",
+    extra=True,
+    oracle="""
+    SELECT event_id,
+           CAST(CASE WHEN event_id % 7 = 0
+                      AND ts < (SELECT MIN(ts) + INTERVAL 1 HOUR FROM events)
+                 THEN 2 ELSE 1 END AS BIGINT) AS n_emitted
+    FROM events
+    """,
+)
+def stream_dedup_state_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark``'s BOUNDED-STATE contract made
+    hash-checkable by a two-phase replay from one checkpoint. Phase 1
+    drains the original events (every id emits once, state = ids within
+    the 30-min watermark delay). Phase 2 plants one file with three row
+    classes, each exercising a different arm of the semantics:
+
+    - clones of first-hour rows (same id, same old ts) — behind the
+      checkpointed watermark, so they are LATE-FILTERED: zero emissions;
+    - clones of last-10-minute rows (same id, same ts) — inside the
+      watermark delay, so their keys are STILL IN STATE: deduplicated;
+    - "retries" (first-hour ids with ``event_id % 7 = 0``, fresh
+      ``ts = max(ts)``) — accepted (recent event time) but their keys
+      were EVICTED when the watermark passed, so each re-emits: the
+      deliberate, documented trade-off that bounds state at 100 TB/day
+      (exactly-once dedup only within the watermark delay).
+
+    Expected per-id emission count is therefore a pure function of the
+    events table — 2 for retry ids, 1 otherwise — which is the oracle.
+    Any wrong arm (late rows leaking, state lost across the restart,
+    eviction not happening, or eviction happening too early) shifts some
+    id's count and fails the hash."""
+    from ..sources import load_table
+
+    src = tempfile.mkdtemp(prefix="dedup_evict_src_")
+    out = tempfile.mkdtemp(prefix="dedup_evict_out_")
+    ckpt = tempfile.mkdtemp(prefix="dedup_evict_ckpt_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(src, "a.parquet")
+    )
+    ev_batch = load_table(spark, sf_dir, "events")
+    mn, mx = ev_batch.agg(F.min("ts"), F.max("ts")).first()
+    # full µs precision: the oracle computes MIN(ts) + INTERVAL 1 HOUR at
+    # full precision, so a seconds-truncated cutoff could classify a
+    # sub-second-boundary event differently on the two engines.
+    h1 = (mn + timedelta(hours=1)).strftime("%Y-%m-%d %H:%M:%S.%f")
+    m10 = (mx - timedelta(minutes=10)).strftime("%Y-%m-%d %H:%M:%S.%f")
+
+    def drain() -> None:
+        dd = (
+            stream_events(spark, src)
+            .withWatermark("ts", "30 minutes")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select("event_id")
+        )
+        run_available_now(
+            dd,
+            ckpt,
+            output_mode="append",
+            foreach_batch=lambda df, _bid: df.write.mode("append").parquet(out),
+        )
+
+    drain()
+    early = ev_batch.where(F.expr(f"ts < TIMESTAMP_NTZ'{h1}'"))
+    recent = ev_batch.where(F.expr(f"ts >= TIMESTAMP_NTZ'{m10}'"))
+    # retry ts stays TIMESTAMP_NTZ so the planted parquet's footer matches
+    # the source schema probe (an F.lit(datetime) would write LTZ).
+    retries = early.where(F.col("event_id") % 7 == 0).withColumn(
+        "ts",
+        F.expr(f"TIMESTAMP_NTZ'{mx.strftime('%Y-%m-%d %H:%M:%S.%f')}'"),
+    )
+    _write_single_parquet(
+        early.unionByName(recent).unionByName(retries),
+        os.path.join(src, "b_planted.parquet"),
+    )
+    drain()
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n_emitted"))
+    )
