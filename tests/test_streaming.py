@@ -214,3 +214,82 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_dir, tm
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# stream_events ts self-heal branches (round-5): the footer probe must pick
+# the right schema + rebuild for all three on-disk encodings the batch
+# loader supports — current testdata is µs NTZ, so the legacy-nanos and
+# LTZ arms need planted files.
+# ---------------------------------------------------------------------------
+
+
+def _drain_ids_and_epochs(spark, src, ckpt):
+    out = []
+    ev = stream_events(spark, str(src)).select(
+        "event_id", F.unix_micros("ts").alias("us")
+    )
+    run_available_now(
+        ev, str(ckpt), foreach_batch=lambda df, _id: out.extend(df.collect())
+    )
+    return {r["event_id"]: r["us"] for r in out}
+
+
+def test_stream_events_heals_legacy_nanos(spark, tmp_path):
+    """A TIMESTAMP(NANOS) parquet (pyarrow-written, the legacy testdata
+    encoding) must stream with the same epoch instants the batch loader
+    produces."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    us = [1_700_000_000_000_000 + i * 1_000_000 for i in range(5)]
+    table = pa.table(
+        {
+            "event_id": pa.array(range(5), pa.int64()),
+            "ts": pa.array([u * 1000 for u in us], pa.timestamp("ns")),
+            "user_id": pa.array([1] * 5, pa.int64()),
+            "event_type": pa.array(["view"] * 5),
+            "value": pa.array([1.0] * 5),
+            "props": pa.array([None] * 5, pa.string()),
+        }
+    )
+    src = tmp_path / "nanos_src"
+    src.mkdir()
+    pq.write_table(table, str(src / "events.parquet"), store_schema=False)
+    got = _drain_ids_and_epochs(spark, src, tmp_path / "nanos_ckpt")
+    assert got == dict(enumerate(us))
+
+
+def test_stream_events_heals_ltz_micros(spark, tmp_path):
+    """A µs TIMESTAMP(isAdjustedToUTC=true) parquet (Spark's default write
+    type) must stream as the identical instants, no rebuild shift."""
+    import datetime
+
+    base = datetime.datetime(
+        2024, 3, 1, 12, 0, 0, tzinfo=datetime.timezone.utc
+    )
+    rows = [
+        (i, base + datetime.timedelta(seconds=i), 1, "view", 1.0, None)
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    src = tmp_path / "ltz_src"
+    tmp = tmp_path / "ltz_write"
+    df.coalesce(1).write.parquet(str(tmp))
+    src.mkdir()
+    import glob as globmod
+    import shutil as shutilmod
+
+    shutilmod.move(
+        globmod.glob(str(tmp / "part-*.parquet"))[0], str(src / "events.parquet")
+    )
+    want = {
+        i: int((base + datetime.timedelta(seconds=i)).timestamp() * 1_000_000)
+        for i in range(5)
+    }
+    got = _drain_ids_and_epochs(spark, src, tmp_path / "ltz_ckpt")
+    assert got == want
