@@ -114,6 +114,27 @@ class _ShuffleMeter:
         with urllib.request.urlopen(f"{self._base}?status=complete", timeout=10) as r:
             return json.load(r)
 
+    def _stages_settled(self) -> list[dict]:
+        """The status store is fed by an async listener queue: the action
+        can return while the last StageCompleted events are still queued.
+        Poll until two consecutive reads agree and no stage is active (or
+        ~2s passes) so heavy queries don't under-report their final
+        stages."""
+        import urllib.request
+
+        prev = -1
+        for _ in range(10):
+            stages = self._stages()
+            with urllib.request.urlopen(
+                f"{self._base}?status=active", timeout=10
+            ) as r:
+                active = json.load(r)
+            if not active and len(stages) == prev:
+                return stages
+            prev = len(stages)
+            time.sleep(0.2)
+        return self._stages()
+
     def mark(self) -> None:
         if self._base is None:
             return
@@ -128,7 +149,11 @@ class _ShuffleMeter:
         if self._base is None:
             return None
         try:
-            new = [s for s in self._stages() if s["stageId"] > self._last_stage]
+            new = [
+                s
+                for s in self._stages_settled()
+                if s["stageId"] > self._last_stage
+            ]
             self._last_stage = max(
                 [s["stageId"] for s in new], default=self._last_stage
             )

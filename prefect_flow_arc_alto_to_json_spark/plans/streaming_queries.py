@@ -142,6 +142,25 @@ def _write_single_parquet(df: DataFrame, dest: str) -> None:
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _plant_events_like_source(spark: SparkSession, src_dir: str, df: DataFrame, name: str) -> None:
+    """Plant an events micro-batch INTO an existing source directory,
+    re-encoding ``ts`` (NTZ-µs per the load_table contract) to match the
+    encoding the directory's existing files use. Without this, planting an
+    NTZ file next to a legacy TIMESTAMP(NANOS) (or LTZ-µs) source file
+    leaves stream_events' single fixed schema unable to decode one of the
+    two — mixed-encoding directories must never be created."""
+    from pyspark.sql.types import LongType, TimestampType
+
+    from ..functions.scalar import epoch_us
+
+    probed = spark.read.parquet(src_dir).schema["ts"].dataType
+    if isinstance(probed, LongType):  # legacy nanos read as epoch-ns long
+        df = df.withColumn("ts", (epoch_us("ts") * 1000).cast("long"))
+    elif isinstance(probed, TimestampType):  # µs LTZ: wall clock is UTC
+        df = df.withColumn("ts", F.timestamp_micros(epoch_us("ts")))
+    _write_single_parquet(df, os.path.join(src_dir, name))
+
+
 @query(
     "stream_late_data_drop",
     extra=True,
@@ -231,7 +250,7 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = ev_batch.where(F.expr(f"ts < TIMESTAMP_NTZ'{cutoff}'")).withColumn(
         "event_id", F.col("event_id") + F.lit(10**12)
     )
-    _write_single_parquet(late, os.path.join(src, "b_late.parquet"))
+    _plant_events_like_source(spark, src, late, "b_late.parquet")
     drain()
     # phases 3-4: watermark-advancing futures flush the remaining windows.
     for name, hours in (("c_fresh.parquet", [2, 3]), ("d_fresh.parquet", [5])):
@@ -239,9 +258,8 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             (10**13 + h, mx + timedelta(hours=h), 1, "wm_advance", 1.0, None)
             for h in hours
         ]
-        _write_single_parquet(
-            spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA),
-            os.path.join(src, name),
+        _plant_events_like_source(
+            spark, src, spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA), name
         )
         drain()
     return spark.read.parquet(out).where(F.col("event_type") != "wm_advance")
@@ -254,7 +272,7 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
       SELECT user_id, ts, event_id, value,
              CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
-                   OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                   OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
                   THEN 1 ELSE 0 END AS is_new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -287,11 +305,13 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     - ``session_end`` is ``MAX(ts) + gap`` (a session_window closes one
       gap after its last event; the batch twin reports MAX(ts) itself);
-    - events exactly ``gap`` apart stay in one session on both engines
-      (streaming merges on window overlap, i.e. next.start < prev.end
-      never holds at exactly the gap — but an exact-µs tie cannot split
-      differently from the batch ``>`` rule, verified empirically against
-      both boundary rules).
+    - the oracle's new-session rule is ``gap_diff >= gap`` — streaming
+      session windows ``[ts, ts+gap)`` merge only on STRICT overlap, so
+      two events exactly one gap apart are two sessions (the batch twin's
+      ``>`` rule is the opposite call on that boundary; both rules were
+      verified to agree on the current µs-precision corpora, where exact
+      ties have measure zero, but the oracle must encode the streaming
+      rule to stay correct on any corpus that does contain a tie).
 
     Complete output mode keeps every session in state — fine for a drained
     test corpus; the production form adds the watermark (sessionized_events)
@@ -512,15 +532,18 @@ def stream_dedup_state_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
     drain()
     early = ev_batch.where(F.expr(f"ts < TIMESTAMP_NTZ'{h1}'"))
     recent = ev_batch.where(F.expr(f"ts >= TIMESTAMP_NTZ'{m10}'"))
-    # retry ts stays TIMESTAMP_NTZ so the planted parquet's footer matches
-    # the source schema probe (an F.lit(datetime) would write LTZ).
+    # retry ts stays TIMESTAMP_NTZ here (an F.lit(datetime) would inject
+    # LTZ); _plant_events_like_source then re-encodes the whole planted
+    # file to whatever encoding the source file actually uses.
     retries = early.where(F.col("event_id") % 7 == 0).withColumn(
         "ts",
         F.expr(f"TIMESTAMP_NTZ'{mx.strftime('%Y-%m-%d %H:%M:%S.%f')}'"),
     )
-    _write_single_parquet(
+    _plant_events_like_source(
+        spark,
+        src,
         early.unionByName(recent).unionByName(retries),
-        os.path.join(src, "b_planted.parquet"),
+        "b_planted.parquet",
     )
     drain()
     return (

@@ -34,20 +34,25 @@ def write_partitioned(
     The guard is an ``approx_count_distinct`` (HLL) pass over just the
     partition columns — a narrow scan with a constant-size sketch, unlike
     an exact ``distinct().count()`` whose shuffle would roughly double the
-    write job's read cost at the 100 TB scale this module advertises. A
-    2% rsd sketch is far tighter than the decision it gates (a 10_000-dir
-    budget vs a millions-of-keys mistake), so the classic failure mode is
-    still caught deterministically.
+    write job's read cost at the 100 TB scale this module advertises. The
+    reject threshold carries a 3-sigma slack BELOW the budget (rsd=0.02 →
+    rejects above ~94% of ``max_partitions``): an HLL under-estimate can
+    never sneak a truly over-budget write past the guard, at the cost of
+    refusing writes in the top ~6% of the budget — the guard is a safety
+    valve against orders-of-magnitude mistakes, not a precision meter;
+    callers legitimately near the cap should raise ``max_partitions``.
     """
     from pyspark.sql import functions as F
 
+    rsd = 0.02
     n = df.select(
-        F.approx_count_distinct(F.struct(*partition_cols), rsd=0.02).alias("n")
+        F.approx_count_distinct(F.struct(*partition_cols), rsd=rsd).alias("n")
     ).first()["n"]
-    if n > max_partitions:
+    if n > max_partitions * (1 - 3 * rsd):
         raise ValueError(
-            f"~{n} distinct partition values exceeds max_partitions="
-            f"{max_partitions}; use bucketing for high-cardinality keys"
+            f"~{n} distinct partition values is at or over max_partitions="
+            f"{max_partitions} (3-sigma slack applied); use bucketing for "
+            "high-cardinality keys or raise max_partitions"
         )
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
 

@@ -277,19 +277,58 @@ def test_stream_events_heals_ltz_micros(spark, tmp_path):
         "event_id long, ts timestamp, user_id long, event_type string,"
         " value double, props string",
     )
-    src = tmp_path / "ltz_src"
-    tmp = tmp_path / "ltz_write"
-    df.coalesce(1).write.parquet(str(tmp))
-    src.mkdir()
-    import glob as globmod
-    import shutil as shutilmod
-
-    shutilmod.move(
-        globmod.glob(str(tmp / "part-*.parquet"))[0], str(src / "events.parquet")
+    from prefect_flow_arc_alto_to_json_spark.plans.streaming_queries import (
+        _write_single_parquet,
     )
+
+    src = tmp_path / "ltz_src"
+    src.mkdir()
+    _write_single_parquet(df, str(src / "events.parquet"))
     want = {
         i: int((base + datetime.timedelta(seconds=i)).timestamp() * 1_000_000)
         for i in range(5)
     }
     got = _drain_ids_and_epochs(spark, src, tmp_path / "ltz_ckpt")
     assert got == want
+
+
+def test_late_data_replay_on_legacy_nanos_source(spark, sf_dir, tmp_path):
+    """The multi-phase replay queries plant files NEXT TO the source file;
+    on a legacy TIMESTAMP(NANOS) corpus the planted files must be
+    re-encoded to match (mixed-encoding dirs are undecodable under the
+    stream's single fixed schema). Convert the events table to ns and run
+    the full stream_late_data_drop flow against it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from prefect_flow_arc_alto_to_json_spark.functions.scalar import cents
+    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    idx = t.schema.get_field_index("ts")
+    t = t.set_column(idx, "ts", t.column("ts").cast(pa.timestamp("ns")))
+    fake_sf = tmp_path / "sf_nanos"
+    fake_sf.mkdir()
+    pq.write_table(t, str(fake_sf / "events.parquet"), store_schema=False)
+
+    out = EXTRA_QUERIES["stream_late_data_drop"](spark, str(fake_sf))
+    got = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in out.collect()
+    }
+    want = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in load_table(spark, str(fake_sf), "events")
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents("value")).cast("double") / 100.0).alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
