@@ -1085,3 +1085,97 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "q_sliding_window",
+    extra=True,
+    oracle="""
+    SELECT strftime(
+             make_timestamp(((epoch_us(ts) // 1800000000) - k) * 1800000000),
+             '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total_value
+    FROM events, unnest([CAST(0 AS BIGINT), CAST(1 AS BIGINT)]) AS t(k)
+    GROUP BY 1, 2
+    """,
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING event-time windows (1 h window, 30 min slide) — the §2.5
+    form tumbling/session queries don't cover: every event lands in
+    exactly two overlapping windows. The oracle regenerates the window
+    assignment from first principles (each event joins k ∈ {0,1} and its
+    window start is the 30-min epoch grid minus k slides — identical to
+    ``F.window``'s epoch-aligned start arithmetic), so the overlap
+    semantics are hash-verified, not assumed.
+
+    Scale: sliding windows multiply rows by window/slide BEFORE the
+    shuffle (here 2x) — the idiomatic form when a metric needs smoothing;
+    wider ratios belong in a tumbling pre-aggregate + rolling window over
+    it (two small shuffles instead of one big one)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents("value")).cast("double") / 100.0).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "win_start"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "q_approx_percentile",
+    extra=True,
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(value) AS BIGINT) AS n_vals,
+           TRUE AS rank_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``approx_percentile`` (Greenwald-Khanna sketch) made hash-checkable
+    by its own guarantee, mirroring the q_approx_distinct pattern: the
+    sketch value itself is engine-specific, but its RANK must land within
+    the configured rank error. The query computes the approx p50 per
+    group (accuracy 100 → rank error <= 1%), re-joins to count how many
+    values fall strictly below / at-or-below it, and emits the boolean
+    ``rank_ok`` = [target rank 0.5 lies within the value's rank interval
+    widened by 1% + one discrete step]. The oracle expects TRUE for every
+    group — a broken sketch (or a wrong rank contract) flips the hash.
+
+    Scale: the sketch is the 100 TB quantile path — mergeable fixed-size
+    partial state, no per-group sort; the exact interpolated twin
+    (q_percentiles) carries the value-level oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    appr = ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5, 100)").alias("ap50"),
+    )
+    joined = ev.join(F.broadcast(appr), "event_type")
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count("value").alias("n_vals"),
+            F.sum((F.col("value") < F.col("ap50")).cast("long")).alias("n_lt"),
+            F.sum((F.col("value") <= F.col("ap50")).cast("long")).alias("n_le"),
+        )
+        .select(
+            "event_type",
+            "n_vals",
+            (
+                (F.col("n_lt") / F.col("n_vals") <= 0.5 + F.lit(0.01) + 1.0 / F.col("n_vals"))
+                & (F.col("n_le") / F.col("n_vals") >= 0.5 - F.lit(0.01) - 1.0 / F.col("n_vals"))
+            ).alias("rank_ok"),
+        )
+    )

@@ -13,9 +13,12 @@ equals the batch answer — which is precisely the oracle.
 What this proves beyond pytest: the streaming plan (file-source listing,
 streaming aggregation state, the AvailableNow drain, memory-sink
 materialization) produces hash-identical results to ANSI SQL over the same
-parquet — in the driver's own vanilla session. Watermark/session/stateful
-operators remain pytest-covered (their semantics are about late data and
-incremental triggers, which a single drained batch cannot distinguish).
+parquet — in the driver's own vanilla session. A single drained batch
+cannot distinguish watermark/late-data/state-recovery semantics, so those
+run as MULTI-PHASE replays from one checkpoint with planted files
+(stream_late_data_drop, stream_stateful_user_totals,
+stream_dedup_state_eviction) — each phase's correct behavior is encoded
+in the final relation the oracle checks.
 
 Scale: at 100 TB/day this exact plan is the production shape — the file
 source lists incrementally from the checkpoint, the aggregation state is
