@@ -172,3 +172,79 @@ def alto_parse_2k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size("simplified.text")).cast("long").alias("total_lines"),
         F.sum(F.length("t")).cast("long").alias("total_transcript_chars"),
     )
+
+
+@query(
+    "alto_reading_order",
+    extra=True,
+    oracle="""
+    WITH r AS (SELECT unnest(range(0, 500)) AS id),
+    l AS (
+      SELECT r.id, u.j
+      FROM r, LATERAL (SELECT unnest(range(0, r.id % 4 + 2)) AS j) u
+    )
+    SELECT id,
+           CAST(j + 1 AS BIGINT) AS read_pos,
+           'w' || CAST(id AS VARCHAR) || '_' || CAST(j AS VARCHAR) AS text,
+           CAST(10 * j AS INTEGER) AS y
+    FROM l
+    """,
+)
+def alto_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reading-order sort over the document tree (SURVEY §2.6's natural
+    extension): lines re-ordered by (y, x, document position) with a
+    per-document window. The 500 synthetic docs are DELIBERATELY written
+    with their lines in REVERSE order (j descending, VPOS = 10·j), so an
+    engine that skips the sort and echoes document order fails the
+    row-level oracle — which regenerates the expected (id, read_pos,
+    text, y) analytically.
+
+    Scale: posexplode + ONE window shuffle on the doc id; at corpus scale
+    the window partitions by document, the same key the parse stage
+    already carries, so AQE coalesces this into the existing layout."""
+    from pyspark.sql import Window
+
+    ids = spark.range(0, 500).withColumn("nl", (F.col("id") % 4 + 2).cast("int"))
+    line = F.aggregate(
+        F.sequence(F.col("nl") - 1, F.lit(0), F.lit(-1)),
+        F.lit(""),
+        lambda acc, j: F.concat(
+            acc,
+            F.format_string(
+                '<TextLine><String CONTENT="w%s_%s" HPOS="1" VPOS="%s" '
+                'WIDTH="3" HEIGHT="4"/></TextLine>',
+                F.col("id"),
+                j,
+                j * 10,
+            ),
+        ),
+    )
+    xml = F.concat(
+        F.lit(
+            '<alto xmlns="http://www.loc.gov/standards/alto/ns-v2#">'
+            "<Layout><Page><PrintSpace><TextBlock>"
+        ),
+        line,
+        F.lit("</TextBlock></PrintSpace></Page></Layout></alto>"),
+    )
+    docs = ids.select("id", xml.alias("xml"))
+    lines = (
+        simplify_alto(docs)
+        .select("id", F.posexplode("simplified.text").alias("pos", "line"))
+        .select(
+            "id",
+            "pos",
+            F.col("line.text").alias("text"),
+            F.col("line.x").alias("x"),
+            F.col("line.y").alias("y"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("y").asc_nulls_last(), F.col("x").asc_nulls_last(), F.col("pos")
+    )
+    return lines.select(
+        "id",
+        F.row_number().over(w).cast("long").alias("read_pos"),
+        "text",
+        "y",
+    )
