@@ -248,3 +248,63 @@ def alto_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         "y",
     )
+
+
+@query(
+    "stream_alto_simplify",
+    extra=True,
+    oracle="""
+    SELECT * FROM (VALUES
+      ('alto_v2',               'Hello world again block2', 4,
+       'page_0001.tif', 'FineReader',    '2480', NULL),
+      ('alto_v3',               'Bonjour  monde',           3,
+       NULL,            'tesseract-ocr', '1240', NULL),
+      ('alto_unsupported_ns',   NULL,                       NULL,
+       NULL,            NULL,            NULL,   'Unsupported Alto format'),
+      ('alto_v2_bad_coords',    'px',                       1,
+       NULL,            NULL,            '500',  NULL),
+      ('alto_v2_no_description','solo',                     1,
+       NULL,            NULL,            NULL,   NULL)
+    ) AS t(name, transcript, n_lines, file_name, software_name,
+           page_width, alto_error)
+    """,
+)
+def stream_alto_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference pipeline STREAMIFIED and golden-oracled: the same
+    five fixture documents flow through a real ``binaryFile`` file stream
+    (streaming/pipeline.py:stream_alto_documents — checkpointed,
+    exactly-once per file, the incremental form of the reference's cron
+    flow) drained via AvailableNow, and the result must hash-match the
+    identical literal-VALUES oracle the batch ``alto_simplify`` carries.
+    Proves the streaming path preserves every batch semantic: namespace
+    dispatch, v2 falsy filter, quarantine error column, transcript
+    byte-parity."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from ..streaming.pipeline import run_available_now, stream_alto_documents
+
+    src = _tempfile.mkdtemp(prefix="stream_alto_src_")
+    for n in _FIXTURE_NAMES:
+        _shutil.copy(
+            os.path.join(_FIXTURE_DIR, f"{n}.xml"), os.path.join(src, f"{n}.xml")
+        )
+    table = f"stream_alto_{_uuid.uuid4().hex[:10]}"
+    run_available_now(
+        stream_alto_documents(spark, src),
+        checkpoint_dir=_tempfile.mkdtemp(prefix="stream_alto_ckpt_"),
+        memory_table=table,
+    )
+    out = spark.table(table)
+    return out.select(
+        F.regexp_replace(
+            F.element_at(F.split(F.col("path"), "/"), -1), r"\.xml$", ""
+        ).alias("name"),
+        F.col("transcript"),
+        F.size(F.col("simplified.text")).alias("n_lines"),
+        F.col("simplified.description.fileName").alias("file_name"),
+        F.col("simplified.description.softwareName").alias("software_name"),
+        F.col("simplified.description.width").alias("page_width"),
+        "alto_error",
+    )
