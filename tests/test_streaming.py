@@ -332,3 +332,46 @@ def test_late_data_replay_on_legacy_nanos_source(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_late_data_replay_on_ltz_source(spark, sf_dir, tmp_path):
+    """LTZ-µs mirror of the legacy-nanos replay test: a Spark-default
+    TIMESTAMP (isAdjustedToUTC=true) events corpus through the full
+    stream_late_data_drop flow — the planted files must re-encode to LTZ."""
+    from prefect_flow_arc_alto_to_json_spark.functions.scalar import (
+        cents,
+        epoch_us,
+    )
+    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+    from prefect_flow_arc_alto_to_json_spark.plans.streaming_queries import (
+        _write_single_parquet,
+    )
+
+    ltz = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.timestamp_micros(epoch_us("ts"))
+    )
+    fake_sf = tmp_path / "sf_ltz"
+    fake_sf.mkdir()
+    _write_single_parquet(ltz, str(fake_sf / "events.parquet"))
+
+    out = EXTRA_QUERIES["stream_late_data_drop"](spark, str(fake_sf))
+    got = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in out.collect()
+    }
+    want = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in load_table(spark, str(fake_sf), "events")
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents("value")).cast("double") / 100.0).alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
