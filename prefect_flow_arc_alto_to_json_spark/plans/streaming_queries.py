@@ -554,3 +554,55 @@ def stream_dedup_state_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_id")
         .agg(F.count(F.lit(1)).alias("n_emitted"))
     )
+
+
+@query(
+    "stream_sliding_window",
+    extra=True,
+    oracle="""
+    SELECT strftime(
+             make_timestamp(((epoch_us(ts) // 1800000000) - k) * 1800000000),
+             '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total_value
+    FROM events, unnest([CAST(0 AS BIGINT), CAST(1 AS BIGINT)]) AS t(k)
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING windows on a real stream (1 h / 30 min, the streaming twin
+    of q_sliding_window): the streaming aggregation state is keyed by
+    (window, type) with every event feeding two windows; drained via
+    AvailableNow in complete mode and hash-matched against the same
+    first-principles window-grid oracle."""
+    src_dir = tempfile.mkdtemp(prefix="stream_slide_src_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    agg = (
+        stream_events(spark, src_dir)
+        .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents("value")).cast("double") / 100.0).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "win_start"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    table = f"stream_slide_{uuid.uuid4().hex[:10]}"
+    run_available_now(
+        agg,
+        checkpoint_dir=tempfile.mkdtemp(prefix="stream_slide_ckpt_"),
+        output_mode="complete",
+        memory_table=table,
+    )
+    return spark.table(table)
