@@ -69,3 +69,48 @@ def q_salted_agg_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_cents": ("v_cents", "max"),
         },
     )
+
+
+@query(
+    "q_freq_items_skew",
+    extra=True,
+    oracle="""
+    WITH tot AS (SELECT COUNT(*) AS n FROM events),
+    per AS (
+      SELECT event_type, COUNT(*) AS n_exact FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           n_exact * 100 > (SELECT n FROM tot) * 19 AS must_report,
+           TRUE AS reported_ok
+    FROM per
+    """,
+)
+def q_freq_items_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.stat.freqItems`` (the misra-gries-style heavy-hitter
+    sketch — the skew-DETECTION tool that feeds the salting valves)
+    verified through its guarantee, like q_approx_distinct: the sketch may
+    over-report but must NEVER miss an item with frequency above the
+    support threshold. The query computes exact per-type counts, flags
+    which types exceed 19% support (pure integer compare, identical in
+    SQL), and emits ``reported_ok`` = [not required, or present in the
+    sketch's item list]. The oracle expects TRUE everywhere — a sketch
+    that drops a true heavy hitter flips the hash.
+
+    The sketch array itself is one driver-side row (same small-collect
+    precedent as the broadcast query set in the BLAS kernel); the exact
+    counts stay a distributed aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    support = 0.19
+    reported = ev.stat.freqItems(["event_type"], support).collect()[0][0]
+    total = ev.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    per = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "event_type",
+        "n_exact",
+        (F.col("n_exact") * 100 > F.col("n") * 19).alias("must_report"),
+        (
+            ~(F.col("n_exact") * 100 > F.col("n") * 19)
+            | F.col("event_type").isin([str(x) for x in reported])
+        ).alias("reported_ok"),
+    )

@@ -606,3 +606,59 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         memory_table=table,
     )
     return spark.table(table)
+
+
+@query(
+    "stream_static_enrich",
+    extra=True,
+    oracle="""
+    WITH purchasers AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_purchases
+      FROM events
+      WHERE event_type = 'purchase'
+      GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, p.n_purchases
+    FROM events e
+    LEFT JOIN purchasers p USING (user_id)
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC enrichment join made hash-checkable: the event stream
+    left-joined per micro-batch to a static per-user purchase-count
+    dimension (streaming/pipeline.py:enrich_stream), drained via
+    AvailableNow through foreachBatch into parquet and compared row-level
+    against the batch LEFT JOIN. The left join keeps users with no
+    purchases (NULL enrichment) in the result, so dropped-row bugs and
+    broadcast-rewrite bugs both flip the hash.
+
+    Scale: the static side is re-read per micro-batch and broadcast under
+    the threshold — zero stream-side state, the cheapest enrichment shape
+    there is; a big dimension becomes a stream-stream join or a bucketed
+    at-rest layout instead."""
+    from ..sources import load_table
+    from ..streaming.pipeline import enrich_stream
+
+    src_dir = tempfile.mkdtemp(prefix="stream_enrich_src_")
+    out = tempfile.mkdtemp(prefix="stream_enrich_out_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    enriched = enrich_stream(stream_events(spark, src_dir), dim, "user_id").select(
+        "event_id", "user_id", "n_purchases"
+    )
+    run_available_now(
+        enriched,
+        checkpoint_dir=tempfile.mkdtemp(prefix="stream_enrich_ckpt_"),
+        output_mode="append",
+        foreach_batch=lambda df, _bid: df.write.mode("append").parquet(out),
+    )
+    return spark.read.parquet(out)
