@@ -296,11 +296,11 @@ def stream_alto_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_dir=_tempfile.mkdtemp(prefix="stream_alto_ckpt_"),
         memory_table=table,
     )
+    from ..functions.scalar import basename
+
     out = spark.table(table)
     return out.select(
-        F.regexp_replace(
-            F.element_at(F.split(F.col("path"), "/"), -1), r"\.xml$", ""
-        ).alias("name"),
+        F.regexp_replace(basename("path"), r"\.xml$", "").alias("name"),
         F.col("transcript"),
         F.size(F.col("simplified.text")).alias("n_lines"),
         F.col("simplified.description.fileName").alias("file_name"),

@@ -1087,10 +1087,10 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_sliding_window",
-    extra=True,
-    oracle="""
+#: sliding-window oracle + agg builder, shared VERBATIM by the batch query
+#: below and its streaming twin (plans/streaming_queries.py:
+#: stream_sliding_window) so the two can never silently diverge.
+SLIDING_WINDOW_ORACLE = """
     SELECT strftime(
              make_timestamp(((epoch_us(ts) // 1800000000) - k) * 1800000000),
              '%Y-%m-%d %H:%M:%S') AS win_start,
@@ -1100,22 +1100,11 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS total_value
     FROM events, unnest([CAST(0 AS BIGINT), CAST(1 AS BIGINT)]) AS t(k)
     GROUP BY 1, 2
-    """,
-)
-def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SLIDING event-time windows (1 h window, 30 min slide) — the §2.5
-    form tumbling/session queries don't cover: every event lands in
-    exactly two overlapping windows. The oracle regenerates the window
-    assignment from first principles (each event joins k ∈ {0,1} and its
-    window start is the 30-min epoch grid minus k slides — identical to
-    ``F.window``'s epoch-aligned start arithmetic), so the overlap
-    semantics are hash-verified, not assumed.
+    """
 
-    Scale: sliding windows multiply rows by window/slide BEFORE the
-    shuffle (here 2x) — the idiomatic form when a metric needs smoothing;
-    wider ratios belong in a tumbling pre-aggregate + rolling window over
-    it (two small shuffles instead of one big one)."""
-    ev = load_table(spark, sf_dir, "events")
+
+def sliding_window_agg(ev: DataFrame) -> DataFrame:
+    """1 h / 30 min sliding-window rollup (batch or streaming input)."""
     return (
         ev.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
         .agg(
@@ -1131,6 +1120,23 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query("q_sliding_window", extra=True, oracle=SLIDING_WINDOW_ORACLE)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING event-time windows (1 h window, 30 min slide) — the §2.5
+    form tumbling/session queries don't cover: every event lands in
+    exactly two overlapping windows. The oracle regenerates the window
+    assignment from first principles (each event joins k ∈ {0,1} and its
+    window start is the 30-min epoch grid minus k slides — identical to
+    ``F.window``'s epoch-aligned start arithmetic), so the overlap
+    semantics are hash-verified, not assumed.
+
+    Scale: sliding windows multiply rows by window/slide BEFORE the
+    shuffle (here 2x) — the idiomatic form when a metric needs smoothing;
+    wider ratios belong in a tumbling pre-aggregate + rolling window over
+    it (two small shuffles instead of one big one)."""
+    return sliding_window_agg(load_table(spark, sf_dir, "events"))
 
 
 @query(

@@ -97,11 +97,20 @@ def q_freq_items_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch's item list]. The oracle expects TRUE everywhere — a sketch
     that drops a true heavy hitter flips the hash.
 
+    The support/threshold pairing honors the sketch's REAL guarantee:
+    ``freqItems(support)`` allocates ``floor(1/support)`` Misra-Gries
+    counters and only promises to retain items with frequency above
+    ``1/counters``. support=0.16 → 6 counters → guaranteed above 16.7%,
+    which covers the 19% ``must_report`` flag with margin; a naive
+    support=0.19 (5 counters → only >20% guaranteed) could legally drop
+    a 19.5% item on a corpus with more distinct values and fail the gate
+    spuriously.
+
     The sketch array itself is one driver-side row (same small-collect
     precedent as the broadcast query set in the BLAS kernel); the exact
     counts stay a distributed aggregate."""
     ev = load_table(spark, sf_dir, "events")
-    support = 0.19
+    support = 0.16  # 6 counters: guarantee (>16.7%) covers the 19% flag
     reported = ev.stat.freqItems(["event_type"], support).collect()[0][0]
     total = ev.groupBy().agg(F.count(F.lit(1)).alias("n"))
     per = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))

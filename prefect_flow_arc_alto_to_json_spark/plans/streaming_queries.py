@@ -556,21 +556,10 @@ def stream_dedup_state_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "stream_sliding_window",
-    extra=True,
-    oracle="""
-    SELECT strftime(
-             make_timestamp(((epoch_us(ts) // 1800000000) - k) * 1800000000),
-             '%Y-%m-%d %H:%M:%S') AS win_start,
-           event_type,
-           COUNT(*) AS n_events,
-           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
-             AS total_value
-    FROM events, unnest([CAST(0 AS BIGINT), CAST(1 AS BIGINT)]) AS t(k)
-    GROUP BY 1, 2
-    """,
-)
+from .relational import SLIDING_WINDOW_ORACLE, sliding_window_agg  # noqa: E402
+
+
+@query("stream_sliding_window", extra=True, oracle=SLIDING_WINDOW_ORACLE)
 def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SLIDING windows on a real stream (1 h / 30 min, the streaming twin
     of q_sliding_window): the streaming aggregation state is keyed by
@@ -582,22 +571,7 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(sf_dir, "events.parquet"),
         os.path.join(src_dir, "events.parquet"),
     )
-    agg = (
-        stream_events(spark, src_dir)
-        .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            (F.sum(cents("value")).cast("double") / 100.0).alias("total_value"),
-        )
-        .select(
-            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
-                "win_start"
-            ),
-            "event_type",
-            "n_events",
-            "total_value",
-        )
-    )
+    agg = sliding_window_agg(stream_events(spark, src_dir))
     table = f"stream_slide_{uuid.uuid4().hex[:10]}"
     run_available_now(
         agg,
