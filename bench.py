@@ -197,6 +197,17 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # Per-query shuffle-write metrics go to a SIDE FILE, not the final stdout
+    # line: in round 5 the inline "shuffle" dict grew the line past the
+    # driver's tail-capture window and the round's warm numbers were lost
+    # (BENCH_r05.json "parsed": null). The last line must stay compact.
+    try:
+        side = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_SHUFFLE.json")
+        with open(side, "w") as fh:
+            json.dump({"sf": sf, "shuffle": shuffle}, fh, indent=1)
+    except OSError:
+        pass
     print(
         json.dumps(
             {
@@ -205,7 +216,6 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_cold": {k: round(v, 3) for k, v in cold.items()},
-                "shuffle": shuffle,
                 "cold_sec": round(sum(cold.values()), 3),
                 "runs": 2,
                 "agg": "min",

@@ -228,7 +228,10 @@ def pack_bins(
     following document then always rolls over).
 
     Emits per document: ``bin_id`` (0-based per shard) and ``bin_off``
-    (token offset inside its bin). Invariants (property-tested): no bin
+    (token offset inside its bin), APPENDED to the full input row — like
+    ``chunk_pack``, every input column passes through (round-5 ADVICE:
+    an earlier version projected down to id/shard/token and forced
+    callers to re-join payloads). Invariants (property-tested): no bin
     exceeds ``budget`` unless it holds exactly one oversized document;
     ``bin_off`` is the running sum of its bin's predecessors; bin ids are
     dense from 0.
@@ -242,10 +245,11 @@ def pack_bins(
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
-    cols = [id_col, shard_col, token_col]
-    base = df.select(*cols)
+    for c in (id_col, shard_col, token_col):
+        if c not in df.columns:
+            raise KeyError(f"column {c!r} not in DataFrame: {df.columns}")
     schema = StructType(
-        [base.schema[c] for c in cols]
+        list(df.schema.fields)
         + [StructField("bin_id", LongType()), StructField("bin_off", LongType())]
     )
 
@@ -265,4 +269,4 @@ def pack_bins(
         pdf["bin_off"] = offs
         return pdf
 
-    return base.groupBy(shard_col).applyInPandas(pack, schema)
+    return df.groupBy(shard_col).applyInPandas(pack, schema)

@@ -35,12 +35,15 @@ def write_partitioned(
     partition columns — a narrow scan with a constant-size sketch, unlike
     an exact ``distinct().count()`` whose shuffle would roughly double the
     write job's read cost at the 100 TB scale this module advertises. The
-    reject threshold carries a 3-sigma slack BELOW the budget (rsd=0.02 →
-    rejects above ~94% of ``max_partitions``): an HLL under-estimate can
-    never sneak a truly over-budget write past the guard, at the cost of
-    refusing writes in the top ~6% of the budget — the guard is a safety
-    valve against orders-of-magnitude mistakes, not a precision meter;
-    callers legitimately near the cap should raise ``max_partitions``.
+    HLL estimate is a ~3-sigma probability bound (rsd=0.02), not a proof,
+    so decisions are tiered: clearly-under estimates (below ~94% of
+    ``max_partitions``) pass on the sketch alone, clearly-over estimates
+    (above ~106%) reject on the sketch alone, and only estimates INSIDE
+    the ±3-sigma ambiguity band pay for an exact recount — so a write at
+    9,500 of 10,000 is no longer falsely rejected, and an over-budget
+    write slips past only if HLL errs beyond 3 sigma AND the exact
+    recount is never reached (it can't be: the band triggers the exact
+    path), i.e. the accept/reject decision at the boundary is exact.
     """
     from pyspark.sql import functions as F
 
@@ -48,12 +51,23 @@ def write_partitioned(
     n = df.select(
         F.approx_count_distinct(F.struct(*partition_cols), rsd=rsd).alias("n")
     ).first()["n"]
-    if n > max_partitions * (1 - 3 * rsd):
+    slack = 3 * rsd
+    if n > max_partitions * (1 + slack):
         raise ValueError(
-            f"~{n} distinct partition values is at or over max_partitions="
-            f"{max_partitions} (3-sigma slack applied); use bucketing for "
-            "high-cardinality keys or raise max_partitions"
+            f"~{n} distinct partition values exceeds max_partitions="
+            f"{max_partitions}; use bucketing for high-cardinality keys "
+            "or raise max_partitions"
         )
+    if n > max_partitions * (1 - slack):
+        # ambiguity band: the sketch can't distinguish 9,500 from 10,500 —
+        # pay for one exact distinct count (rare: only near-cap writes)
+        exact = df.select(*partition_cols).distinct().count()
+        if exact > max_partitions:
+            raise ValueError(
+                f"{exact} distinct partition values exceeds max_partitions="
+                f"{max_partitions} (exact recount); use bucketing for "
+                "high-cardinality keys or raise max_partitions"
+            )
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
 
 

@@ -60,12 +60,33 @@ def stream_events(
     BIGINT (legacy TIMESTAMP(NANOS) via nanosAsLong), or µs LTZ — and the
     fixed streaming schema + rebuild expression are chosen to match, so
     older testdata generations stream instead of failing on a schema
-    mismatch."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    from pyspark.sql.types import TimestampNTZType, TimestampType
+    mismatch.
 
-    probed = spark.read.parquet(source_dir).schema["ts"].dataType
-    if isinstance(probed, TimestampNTZType):
+    An EMPTY landing directory is a valid production startup state: the
+    probe then finds nothing to infer from and we fall back to the default
+    µs-NTZ contract (EVENTS_STREAM_SCHEMA) instead of raising.
+    ``spark.sql.legacy.parquet.nanosAsLong`` is only set when the probe
+    actually detects a legacy-nanos file — and in that branch it must stay
+    set for the stream's lifetime (the streaming scan re-reads footers per
+    microbatch), a deliberate session-wide side effect documented here."""
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+    from pyspark.errors import AnalysisException
+
+    try:
+        probed = spark.read.parquet(source_dir).schema["ts"].dataType
+    except AnalysisException as exc:
+        msg = str(exc)
+        if "UNABLE_TO_INFER_SCHEMA" in msg or "Unable to infer" in msg:
+            # no files yet — stream with the default µs-NTZ contract
+            probed = None
+        elif "NANOS" in msg or "Illegal Parquet type" in msg:
+            # legacy TIMESTAMP(NANOS) footers are unreadable without the
+            # legacy conf; enable it (stream-lifetime requirement) + reprobe
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            probed = spark.read.parquet(source_dir).schema["ts"].dataType
+        else:
+            raise
+    if probed is None or isinstance(probed, TimestampNTZType):
         schema, rebuild = EVENTS_STREAM_SCHEMA, (
             "timestamp_micros(timestampdiff(MICROSECOND,"
             " TIMESTAMP_NTZ'1970-01-01 00:00:00', ts))"

@@ -87,3 +87,17 @@ def test_runtime_bloom_filter_prunes_join_probe(spark, sf_dir):
     )
     want = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
     assert n == want and n > 0
+
+
+def test_partition_guard_near_cap_band_is_exact(spark, tmp_path):
+    """Round-5 ADVICE: writes in the HLL ambiguity band (±3 sigma of the
+    cap) must be decided by an exact recount — 98/100 distinct passes
+    (previously falsely rejected), 101/100 rejects."""
+    ok = spark.range(980).selectExpr("id", "id % 98 as part")
+    path = str(tmp_path / "near_cap")
+    write_partitioned(ok, path, ["part"], max_partitions=100)  # must not raise
+    assert spark.read.parquet(path).count() == 980
+
+    over = spark.range(1010).selectExpr("id", "id % 101 as part")
+    with pytest.raises(ValueError, match="max_partitions"):
+        write_partitioned(over, "/tmp/never-written-2", ["part"], max_partitions=100)

@@ -102,7 +102,8 @@ def test_minhash_bucket_cap_is_broadcast_anti(spark, sf_dir):
 # shuffles ids, not payloads") is only durable if the shuffle COUNT can't
 # silently creep. Budgets are the measured counts of the audited plans —
 # a failure here means a refactor added a shuffle stage the audit never saw.
-# Counts exclude BroadcastExchange (replication, not a shuffle).
+# Counts exclude BroadcastExchange (replication, not a shuffle) and
+# ReusedExchange (a replay of an already-counted shuffle, not a new one).
 # ---------------------------------------------------------------------------
 
 _SHUFFLE_BUDGETS = {
@@ -128,6 +129,12 @@ _SHUFFLE_BUDGETS = {
     # digest-only groupBy (+ fan_out round-robin at test partition counts)
     "dedup_exact": 2,
     "mm_dedup_exact": 1,
+    # canonical two-Exchange salted shape: partial agg on (key, salt),
+    # final agg on key (round-6: skew family pinned alongside dedup/sim)
+    "q_salted_agg_skew": 2,
+    # freqItems sketch: planted-skew union + one-row driver collect; the
+    # hashable-guarantee projection re-aggregates once
+    "q_freq_items_skew": 2,
 }
 
 
@@ -143,7 +150,11 @@ def test_dedup_similarity_shuffle_budgets(spark, sf_dir):
     for name, budget in _SHUFFLE_BUDGETS.items():
         df = all_q[name](spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+        shuffles = (
+            plan.count("Exchange")
+            - plan.count("BroadcastExchange")
+            - plan.count("ReusedExchange")
+        )
         assert "SortMergeJoin" not in plan, (name, plan)
         if shuffles > budget:
             over[name] = (shuffles, budget)

@@ -375,3 +375,64 @@ def test_late_data_replay_on_ltz_source(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_events_empty_dir_starts(spark, tmp_path):
+    """An empty landing directory is a valid production startup state: the
+    schema probe finds no files and stream_events falls back to the default
+    µs-NTZ contract instead of raising (round-5 ADVICE)."""
+    src = tmp_path / "empty_src"
+    src.mkdir()
+    df = stream_events(spark, str(src))
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == [
+        "event_id", "ts", "user_id", "event_type", "value", "props",
+    ]
+    # and a drain over the empty dir completes with zero rows
+    out: list = []
+    run_available_now(
+        df.select("event_id"),
+        str(tmp_path / "empty_ckpt"),
+        foreach_batch=lambda b, _id: out.extend(b.collect()),
+    )
+    assert out == []
+
+
+def test_nanos_probe_sets_conf_only_when_needed(spark, tmp_path):
+    """stream_events must not flip the session-global nanosAsLong conf
+    unless the probe actually meets a legacy-nanos file (round-5 ADVICE):
+    a µs-NTZ source leaves the conf untouched; a nanos source self-heals
+    by setting it and re-probing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.unset(conf_key)
+
+    # µs-NTZ source (store_schema=False keeps pure parquet logical types)
+    us_src = tmp_path / "us_src"
+    us_src.mkdir()
+    table_us = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "ts": pa.array([1_700_000_000_000_000], pa.timestamp("us")),
+            "user_id": pa.array([1], pa.int64()),
+            "event_type": pa.array(["view"]),
+            "value": pa.array([1.0]),
+            "props": pa.array([None], pa.string()),
+        }
+    )
+    pq.write_table(table_us, str(us_src / "events.parquet"), store_schema=False)
+    stream_events(spark, str(us_src))
+    assert spark.conf.get(conf_key, "false") == "false"
+
+    # legacy nanos source: probe fails once, conf is set, reprobe succeeds
+    ns_src = tmp_path / "ns_src"
+    ns_src.mkdir()
+    table_ns = table_us.set_column(
+        1, "ts", pa.array([1_700_000_000_000_000_000], pa.timestamp("ns"))
+    )
+    pq.write_table(table_ns, str(ns_src / "events.parquet"), store_schema=False)
+    got = _drain_ids_and_epochs(spark, ns_src, tmp_path / "ns_ckpt")
+    assert got == {1: 1_700_000_000_000_000}
+    assert spark.conf.get(conf_key, "false") == "true"
