@@ -166,7 +166,6 @@ def _plant_events_like_source(spark: SparkSession, src_dir: str, df: DataFrame, 
 
 @query(
     "stream_late_data_drop",
-    extra=True,
     oracle="""
     SELECT
       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
@@ -471,7 +470,6 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_dedup_state_eviction",
-    extra=True,
     oracle="""
     SELECT event_id,
            CAST(CASE WHEN event_id % 7 = 0

@@ -148,6 +148,7 @@ _BPE_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]"
 
 @query(
     "text_token_counts",
+    extra=True,
     oracle=f"""
     SELECT doc_id,
       CAST(len({_SQL_TOKS}) AS BIGINT) AS n_ws_tokens,
@@ -171,6 +172,7 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_fingerprint",
+    extra=True,
     oracle=f"""
     WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents),
     s AS (

@@ -302,7 +302,7 @@ def test_late_data_replay_on_legacy_nanos_source(spark, sf_dir, tmp_path):
     import pyarrow.parquet as pq
 
     from prefect_flow_arc_alto_to_json_spark.functions.scalar import cents
-    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+    from prefect_flow_arc_alto_to_json_spark.plans import QUERIES
 
     t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
     idx = t.schema.get_field_index("ts")
@@ -311,7 +311,7 @@ def test_late_data_replay_on_legacy_nanos_source(spark, sf_dir, tmp_path):
     fake_sf.mkdir()
     pq.write_table(t, str(fake_sf / "events.parquet"), store_schema=False)
 
-    out = EXTRA_QUERIES["stream_late_data_drop"](spark, str(fake_sf))
+    out = QUERIES["stream_late_data_drop"](spark, str(fake_sf))
     got = {
         (r["hour"], r["event_type"]): (r["n_events"], r["total_value"])
         for r in out.collect()
@@ -342,7 +342,7 @@ def test_late_data_replay_on_ltz_source(spark, sf_dir, tmp_path):
         cents,
         epoch_us,
     )
-    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+    from prefect_flow_arc_alto_to_json_spark.plans import QUERIES
     from prefect_flow_arc_alto_to_json_spark.plans.streaming_queries import (
         _write_single_parquet,
     )
@@ -354,7 +354,7 @@ def test_late_data_replay_on_ltz_source(spark, sf_dir, tmp_path):
     fake_sf.mkdir()
     _write_single_parquet(ltz, str(fake_sf / "events.parquet"))
 
-    out = EXTRA_QUERIES["stream_late_data_drop"](spark, str(fake_sf))
+    out = QUERIES["stream_late_data_drop"](spark, str(fake_sf))
     got = {
         (r["hour"], r["event_type"]): (r["n_events"], r["total_value"])
         for r in out.collect()
