@@ -234,7 +234,9 @@ def pack_bins(
     callers to re-join payloads). Invariants (property-tested): no bin
     exceeds ``budget`` unless it holds exactly one oversized document;
     ``bin_off`` is the running sum of its bin's predecessors; bin ids are
-    dense from 0.
+    dense from 0. Precisely: an over-budget bin holds exactly one
+    token-bearing document — zero-token docs never advance the fill, so
+    they can share any bin, including an oversized document's.
 
     Scale: the running (bin, fill) accumulator is inherently sequential,
     so parallelism = shards, exactly like ``chunk_pack``'s window — ONE

@@ -25,6 +25,7 @@ _FIXTURE_DIR = os.path.join(
 _FIXTURE_NAMES = (
     "alto_v2",
     "alto_v3",
+    "alto_v3_multipage",
     "alto_unsupported_ns",
     "alto_v2_bad_coords",
     "alto_v2_no_description",
@@ -47,6 +48,8 @@ def _fixtures_df(spark: SparkSession) -> DataFrame:
        'page_0001.tif', 'FineReader',    '2480', NULL),
       ('alto_v3',               'Bonjour  monde',           3,
        NULL,            'tesseract-ocr', '1240', NULL),
+      ('alto_v3_multipage',     'Alpha  Beta',              3,
+       NULL,            NULL,            '900',  NULL),
       ('alto_unsupported_ns',   NULL,                       NULL,
        NULL,            NULL,            NULL,   'Unsupported Alto format'),
       ('alto_v2_bad_coords',    'px',                       1,
@@ -86,6 +89,9 @@ def alto_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
       ('alto_v3', 0, 'Bonjour', 10,   20,  30,   12),
       ('alto_v3', 1, '',        45,   20,   0,   12),
       ('alto_v3', 2, 'monde',   50,   20,  35,   12),
+      ('alto_v3_multipage', 0, 'Alpha', 1,  2,    3,    4),
+      ('alto_v3_multipage', 1, '',      9,  2,    0,    4),
+      ('alto_v3_multipage', 2, 'Beta', NULL, -5, NULL, NULL),
       ('alto_v2_bad_coords', 0, 'px', 12,  -7, NULL, NULL),
       ('alto_v2_no_description', 0, 'solo', 5, 6, 7, 8)
     ) AS t(name, pos, text, x, y, width, height)
@@ -259,6 +265,8 @@ def alto_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
        'page_0001.tif', 'FineReader',    '2480', NULL),
       ('alto_v3',               'Bonjour  monde',           3,
        NULL,            'tesseract-ocr', '1240', NULL),
+      ('alto_v3_multipage',     'Alpha  Beta',              3,
+       NULL,            NULL,            '900',  NULL),
       ('alto_unsupported_ns',   NULL,                       NULL,
        NULL,            NULL,            NULL,   'Unsupported Alto format'),
       ('alto_v2_bad_coords',    'px',                       1,

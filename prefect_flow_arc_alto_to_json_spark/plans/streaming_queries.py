@@ -354,6 +354,131 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_sessionize_restart",
+    extra=True,
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS is_new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT *,
+             CAST(SUM(is_new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS session_seq
+      FROM flagged
+    )
+    SELECT
+      user_id,
+      strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+        AS session_end,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        AS session_value
+    FROM numbered
+    GROUP BY user_id, session_seq
+    """,
+)
+def stream_sessionize_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``session_window`` RESTART RECOVERY made hash-checkable — the last
+    §2.9 state axis that only had a single-drain proof (stream_sessionize
+    runs complete-mode in one AvailableNow invocation; this replay proves
+    the append-mode production form survives a stop/start with sessions
+    open in state). Four drains from ONE checkpoint:
+
+    1. plant the events whose ts is below the corpus midpoint and drain
+       (append mode, 30-min watermark): sessions closed well before the
+       midpoint emit; sessions still open near the boundary stay IN STATE;
+    2. plant the remaining events and drain: a fresh invocation recovers
+       the checkpointed session state, and boundary-spanning sessions must
+       MERGE phase-1 state with phase-2 events — a lost state store would
+       split every boundary session in two (and re-emit phase-1 windows),
+       which the row-level oracle compare would catch immediately;
+    3-4. plant two watermark-advancing rows under sentinel ``user_id = -1``
+       (+2h then +4h past max ts) and drain after each, flushing every
+       remaining session from state (same two-step flush the late-data
+       replay uses: the watermark computed at one batch's end gates the
+       NEXT batch's emissions).
+
+    Phase-2 rows can never be late-dropped: the phase-1 watermark is
+    ``max(phase-1 ts) - 30min``, strictly below the midpoint split. The
+    oracle is the identical lag/running-sum SQL as stream_sessionize
+    (``>=``-gap rule, ``session_end = MAX(ts) + gap``) over ALL events —
+    correct output therefore requires every session to be emitted exactly
+    once with its full pre/post-restart membership.
+
+    Scale: this is the production operational shape for sessionization at
+    100 TB/day — one durable checkpoint, scheduled AvailableNow runs,
+    append-mode windows to an idempotent sink, state bounded by the
+    watermark no matter how many runs the checkpoint lives across.
+    """
+    from ..sources import load_table
+
+    src = tempfile.mkdtemp(prefix="sess_restart_src_")
+    out = tempfile.mkdtemp(prefix="sess_restart_out_")
+    ckpt = tempfile.mkdtemp(prefix="sess_restart_ckpt_")
+    ev_batch = load_table(spark, sf_dir, "events")
+    mn, mx = ev_batch.agg(F.min("ts"), F.max("ts")).first()
+    mid = mn + (mx - mn) / 2
+
+    def drain() -> None:
+        agg = (
+            stream_events(spark, src)
+            .withWatermark("ts", "30 minutes")
+            .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                (F.sum(cents("value")).cast("double") / 100.0).alias(
+                    "session_value"
+                ),
+            )
+            .select(
+                "user_id",
+                F.date_format(
+                    F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss"
+                ).alias("session_start"),
+                F.date_format(
+                    F.col("session_window.end"), "yyyy-MM-dd HH:mm:ss"
+                ).alias("session_end"),
+                "n_events",
+                "session_value",
+            )
+        )
+        run_available_now(
+            agg,
+            ckpt,
+            output_mode="append",
+            foreach_batch=lambda df, _bid: df.write.mode("append").parquet(out),
+        )
+
+    cutoff = mid.strftime("%Y-%m-%d %H:%M:%S.%f")
+    _write_single_parquet(
+        ev_batch.where(F.expr(f"ts < TIMESTAMP_NTZ'{cutoff}'")),
+        os.path.join(src, "half_0.parquet"),
+    )
+    drain()
+    _plant_events_like_source(
+        spark,
+        src,
+        ev_batch.where(F.expr(f"ts >= TIMESTAMP_NTZ'{cutoff}'")),
+        "half_1.parquet",
+    )
+    drain()
+    for name, h in (("flush_a.parquet", 2), ("flush_b.parquet", 4)):
+        rows = [(10**13 + h, mx + timedelta(hours=h), -1, "wm_advance", 1.0, None)]
+        _plant_events_like_source(
+            spark, src, spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA), name
+        )
+        drain()
+    return spark.read.parquet(out).where(F.col("user_id") != -1)
+
+
+@query(
     "stream_stateful_user_totals",
     extra=True,
     oracle="""

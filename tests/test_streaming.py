@@ -151,7 +151,7 @@ def test_stream_alto_matches_batch(spark, tmp_path):
         spark.createDataFrame(rows, "name string, xml string")
     ).withColumn("transcript", transcript("simplified"))
     want = {r["name"]: r["transcript"] for r in batch.collect()}
-    assert got == want and len(got) == 5
+    assert got == want and len(got) == len(rows)
 
 
 def test_stream_static_enrichment(spark, sf_dir, events_dir, tmp_path):

@@ -25,11 +25,12 @@ def test_urltext_scan_fetches_and_isolates_errors(spark):
         .load()
     )
     rows = {r["url"]: r for r in df.collect()}
-    assert len(rows) == 6
+    assert len(rows) == len(urls)
     bad = rows["file:///nonexistent/path.xml"]
     assert bad["body"] is None and "Error" in bad["fetch_error"]
     ok = [r for r in rows.values() if r["fetch_error"] is None]
-    assert len(ok) == 5 and all(r["body"].lstrip().startswith("<") for r in ok)
+    assert len(ok) == len(urls) - 1
+    assert all(r["body"].lstrip().startswith("<") for r in ok)
 
 
 def test_urltext_scan_feeds_alto_pipeline(spark):
