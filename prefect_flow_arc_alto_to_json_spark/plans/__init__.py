@@ -32,5 +32,6 @@ from . import streaming_queries  # noqa: E402,F401
 from . import lake_queries  # noqa: E402,F401
 from . import corpus_queries  # noqa: E402,F401
 from . import skew_queries  # noqa: E402,F401
+from . import tpch_queries  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "EXTRA_QUERIES", "EXTRA_ORACLES", "query"]

@@ -48,7 +48,10 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
             pass
         return str(v)
 
-    out = df.map(canon)
+    # astype(object) first: .map keeps the ORIGINAL dtype on an empty
+    # column, so two empty frames with float64-vs-object columns would
+    # fail .equals() even though they agree on every (zero) value
+    out = df.astype(object).map(canon)
     out = out.sort_values(by=list(out.columns), key=lambda s: s.map(repr)).reset_index(
         drop=True
     )

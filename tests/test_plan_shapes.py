@@ -138,6 +138,61 @@ _SHUFFLE_BUDGETS = {
 }
 
 
+# TPC-H breadth family (round-6): these plans' scale story is "facts shuffle
+# only on their agg/join keys; every dimension broadcasts". Budgets are the
+# measured counts; SortMergeJoin is forbidden because at test scale every
+# join side that isn't a fact aggregate is dimension-sized.
+_TPCH_SHUFFLE_BUDGETS = {
+    "tpch_q2_max_acctbal_supplier": 1,  # window over nationkey
+    "tpch_q4_late_ship_priority": 1,  # semi join + priority agg
+    "tpch_q7_nation_volume": 1,  # orderkey join; nation dims broadcast
+    "tpch_q8_market_share": 1,  # orderkey join; region/nation/cust broadcast
+    "tpch_q9_product_profit": 1,  # orderkey join; part/supplier broadcast
+    "tpch_q13_customer_distribution": 2,  # custkey agg + c_count agg
+    "tpch_q14_promo_revenue": 1,  # 1-row global agg
+    "tpch_q15_top_supplier": 2,  # suppkey agg + global rank window
+    "tpch_q16_supplier_cnt": 2,  # count-distinct expand (2-phase)
+    "tpch_q17_small_qty_revenue": 2,  # partkey agg + 1-row global agg
+    "tpch_q18_large_volume_customer": 1,  # orderkey agg; rest broadcast
+    "tpch_q19_disjunctive_join": 1,  # broadcast join + 1-row agg
+    "tpch_q20_promo_excess_suppliers": 1,  # suppkey agg; semi broadcast
+    "tpch_q21_last_shipper": 5,  # two per-order agg passes + name agg + topk
+    "tpch_q22_dormant_customers": 2,  # stats agg + nationkey agg
+}
+
+
+def test_tpch_shuffle_budgets(spark, sf_dir):
+    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+
+    spark.catalog.clearCache()
+    over = {}
+    for name, budget in _TPCH_SHUFFLE_BUDGETS.items():
+        df = EXTRA_QUERIES[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        shuffles = (
+            plan.count("Exchange")
+            - plan.count("BroadcastExchange")
+            - plan.count("ReusedExchange")
+        )
+        assert "SortMergeJoin" not in plan, (name, plan)
+        assert "BroadcastHashJoin" in plan, (name, plan)
+        if shuffles > budget:
+            over[name] = (shuffles, budget)
+    assert not over, f"shuffle-count regressions (got, budget): {over}"
+
+
+def test_tpch_q19_pushes_implied_predicates(spark, sf_dir):
+    """The disjunctive predicate's single-side implications must be inferred
+    and pushed below the join — q19's raison d'etre."""
+    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+
+    df = EXTRA_QUERIES["tpch_q19_disjunctive_join"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the lineitem-only implication (quantity in the union of the arm
+    # ranges) reaches the lineitem side as a scan-level filter
+    assert "l_quantity" in plan.split("BroadcastHashJoin")[-1]
+
+
 def test_dedup_similarity_shuffle_budgets(spark, sf_dir):
     from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
 
