@@ -360,6 +360,102 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q11 shape: aggregate HAVING against a global scalar
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q11_important_parts",
+    extra=True,
+    oracle="""
+    WITH val AS (
+      SELECT l_partkey AS pk,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS v
+      FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT SUM(v) AS tv, COUNT(*) AS np FROM val)
+    SELECT pk AS partkey, CAST(v AS DOUBLE) / 100.0 AS value
+    FROM val CROSS JOIN tot
+    WHERE v * np * 10 > 13 * tv
+    """,
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q11's shape: per-group value totals kept only when they exceed
+    a threshold computed from the WHOLE aggregate (no partsupp, so part
+    traded value replaces stock value; the spec's fixed fraction becomes
+    1.3x the mean per-part value so the result is non-vacuous at every SF).
+
+    Determinism: the HAVING threshold is the float trap — rewritten as
+    v * np * 10 > 13 * tv over exact BIGINTs. Scale: one partkey shuffle
+    builds the per-part totals; the global (sum, count) is a 1-row
+    broadcast back over them (crossJoin(broadcast)), NOT a driver collect
+    or a recomputation of the aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    val = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(cents("l_extendedprice")).alias("v")
+    )
+    tot = val.agg(F.sum("v").alias("tv"), F.count(F.lit(1)).alias("np"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .where(F.col("v") * F.col("np") * 10 > 13 * F.col("tv"))
+        .select(
+            F.col("pk").alias("partkey"),
+            (F.col("v").cast("double") / 100.0).alias("value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q12 shape: CASE-sum category split over a join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q12_priority_split",
+    extra=True,
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+    GROUP BY l_returnflag
+    """,
+)
+def tpch_q12_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q12's shape: high/low priority CASE-sums per category for
+    late-shipped lines (l_returnflag stands in for the missing l_shipmode;
+    shipped >30 days after order date for the commit/receipt lag).
+
+    Spark keeps both conditional sums in ONE aggregation pass (two CASE
+    columns, not two scans). Scale: the year filter pushes to the lineitem
+    scan; the join shuffles on orderkey only; the residual date comparison
+    is a post-join filter as it must be (it references both sides).
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate", "l_returnflag")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # q13 shape: left outer join + double aggregation
 # ---------------------------------------------------------------------------
 

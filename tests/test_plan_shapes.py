@@ -148,6 +148,12 @@ _TPCH_SHUFFLE_BUDGETS = {
     "tpch_q7_nation_volume": 1,  # orderkey join; nation dims broadcast
     "tpch_q8_market_share": 1,  # orderkey join; region/nation/cust broadcast
     "tpch_q9_product_profit": 1,  # orderkey join; part/supplier broadcast
+    # partkey agg + 1-row global agg; the static plan shows the partkey
+    # exchange twice (under val and under tot) but the ReuseExchange rule
+    # collapses them in the adaptive final plan — verified: after collect
+    # the plan carries a ReusedExchange for it, so real shuffles = 2
+    "tpch_q11_important_parts": 3,
+    "tpch_q12_priority_split": 2,  # orderkey join + returnflag agg
     "tpch_q13_customer_distribution": 2,  # custkey agg + c_count agg
     "tpch_q14_promo_revenue": 1,  # 1-row global agg
     "tpch_q15_top_supplier": 2,  # suppkey agg + global rank window
@@ -175,7 +181,12 @@ def test_tpch_shuffle_budgets(spark, sf_dir):
             - plan.count("ReusedExchange")
         )
         assert "SortMergeJoin" not in plan, (name, plan)
-        assert "BroadcastHashJoin" in plan, (name, plan)
+        # every join must be broadcast-shaped (hash for equi joins; the
+        # 1-row global-scalar crossJoins in q11/q22 are nested-loop)
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, (
+            name,
+            plan,
+        )
         if shuffles > budget:
             over[name] = (shuffles, budget)
     assert not over, f"shuffle-count regressions (got, budget): {over}"
