@@ -79,6 +79,12 @@ HEADLINE = [
     "q_rank_family",
     "dedup_ngram_jaccard_capped",
     "sim_ivf_topk",
+    # round-6 additions: the heaviest representatives of the new TPC-H
+    # breadth family (multi-way profit join, two-pass last-shipper
+    # analysis, left-outer count distribution)
+    "tpch_q9_product_profit",
+    "tpch_q21_last_shipper",
+    "tpch_q13_customer_distribution",
 ]
 
 

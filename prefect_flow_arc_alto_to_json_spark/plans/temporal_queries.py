@@ -99,3 +99,94 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_follow"),
         (F.sum(cents("value")).cast("double") / 100.0).alias("follow_value"),
     )
+
+
+@query(
+    "q_gap_fill_resample",
+    extra=True,
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, value, ts, event_id
+      FROM events WHERE user_id < 10),
+    hourly AS (
+      SELECT user_id, h, value FROM (
+        SELECT user_id, h, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, h
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ev) WHERE rn = 1),
+    bounds AS (
+      SELECT user_id, MIN(h) AS mn, MAX(h) AS mx FROM ev GROUP BY user_id),
+    grid AS (
+      SELECT user_id, UNNEST(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+      FROM bounds),
+    joined AS (
+      SELECT g.user_id, g.h, hv.value
+      FROM grid g LEFT JOIN hourly hv
+        ON hv.user_id = g.user_id AND hv.h = g.h)
+    SELECT user_id, STRFTIME(h, '%Y-%m-%d %H:00') AS hour,
+           ROUND(LAST_VALUE(value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS filled,
+           (value IS NULL) AS was_gap
+    FROM joined
+    """,
+)
+def q_gap_fill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + forward fill (gap filling): each user's event
+    values resampled to a dense hourly grid between their first and last
+    event, missing hours carrying the last observed value — the standard
+    feature-engineering primitive for training-data pipelines (absent in
+    Spark as a built-in; composed from sequence/explode + an IGNORE NULLS
+    last() window).
+
+    Determinism: the per-hour representative is row_number over
+    (ts DESC, event_id DESC) — a total order — and the grid bounds are
+    min/max per user, so both engines build the identical frame.
+
+    Scale: the grid explodes to |users| x |hours| rows but only AFTER the
+    per-(user, hour) reduction — the dense frame never holds more than one
+    row per cell; both the reduction and the fill window shuffle on
+    user_id, and AQE coalesces the join of grid vs hourly (same user_id
+    key, co-partitioned). The user_id < 10 predicate pushes to the scan.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") < 10)
+        .select(
+            "user_id",
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+            "value",
+            "ts",
+            "event_id",
+        )
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("user_id", "h").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+    )
+    hourly = (
+        ev.withColumn("rn", rn).where(F.col("rn") == 1).select("user_id", "h", "value")
+    )
+    grid = (
+        ev.groupBy("user_id")
+        .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("mn"), F.col("mx"), F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    joined = grid.join(hourly, ["user_id", "h"], "left")
+    fill = Window.partitionBy("user_id").orderBy("h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return joined.select(
+        "user_id",
+        F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+        F.round(F.last("value", ignorenulls=True).over(fill), 6).alias("filled"),
+        F.col("value").isNull().alias("was_gap"),
+    )
