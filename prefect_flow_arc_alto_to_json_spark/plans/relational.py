@@ -1185,3 +1185,81 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rank_ok"),
         )
     )
+
+
+@query(
+    "q_grouping_sets",
+    extra=True,
+    oracle="""
+    SELECT r_name, n_name,
+           GROUPING(r_name) * 2 + GROUPING(n_name) AS gid,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS total_bal
+    FROM customer
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS with grouping_id disambiguation (§2.4 A3
+    breadth beyond cube/rollup): nation-level detail, region subtotals and
+    a grand total in one pass, each row tagged with the exact grouping(c)
+    bit pattern so NULL-as-subtotal is distinguishable from a NULL key.
+
+    Scale: Catalyst plans grouping sets as ONE Expand + aggregate — the
+    fact scan happens once regardless of how many sets are requested;
+    dims broadcast as in q5.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey")
+    ).join(F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
+    return joined.groupingSets(
+        [["r_name", "n_name"], ["r_name"], []], "r_name", "n_name"
+    ).agg(
+        (F.grouping("r_name") * 2 + F.grouping("n_name")).alias("gid"),
+        F.count(F.lit(1)).alias("n_customers"),
+        (F.sum(cents("c_acctbal")).cast("double") / 100.0).alias("total_bal"),
+    )
+
+
+@query(
+    "q_unpivot_melt",
+    extra=True,
+    oracle="""
+    WITH wide AS (
+      SELECT o_orderpriority,
+             SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS cnt_f,
+             SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS cnt_o,
+             SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS cnt_p
+      FROM orders GROUP BY o_orderpriority)
+    SELECT o_orderpriority, status, CAST(cnt AS BIGINT) AS cnt
+    FROM wide UNPIVOT (cnt FOR status IN (cnt_f AS 'F', cnt_o AS 'O',
+                                          cnt_p AS 'P'))
+    """,
+)
+def q_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide -> long), the inverse of q_pivot_event_counts:
+    per-priority status counts pivoted wide in one CASE-sum pass, then
+    melted back to (priority, status, cnt) rows with ``DataFrame.unpivot``.
+
+    Scale: unpivot is a narrow Expand projection — no shuffle beyond the
+    wide aggregation's own; long output is 3x the wide row count, never
+    the fact row count.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderpriority").agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("F"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("O"),
+        F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("P"),
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["F", "O", "P"],
+        variableColumnName="status",
+        valueColumnName="cnt",
+    )

@@ -190,3 +190,52 @@ def q_gap_fill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.last("value", ignorenulls=True).over(fill), 6).alias("filled"),
         F.col("value").isNull().alias("was_gap"),
     )
+
+
+@query(
+    "q_cogroup_asof",
+    extra=True,
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, ts, max(value) AS click_value FROM events
+      WHERE event_type = 'click' GROUP BY user_id, ts
+    )
+    SELECT p.event_id,
+           p.user_id,
+           epoch_us(p.ts) AS purchase_us,
+           ROUND(p.value, 2) AS value,
+           ROUND(c.click_value, 2) AS click_value_asof
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cogrouped-Arrow twin of q_asof_join: same backward as-of
+    semantics, implemented as ``cogroup(...).applyInPandas`` with a per-key
+    ``pandas.merge_asof`` (functions.udf_surface.cogroup_merge_asof) —
+    §2.10's two-sided grouped-map surface, hash-checked against the exact
+    same DuckDB ASOF JOIN oracle as the window-based form.
+    """
+    from ..functions.udf_surface import cogroup_merge_asof
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    joined = cogroup_merge_asof(purchases, clicks, key="user_id")
+    return joined.select(
+        "event_id",
+        "user_id",
+        epoch_us("ts").alias("purchase_us"),
+        F.round("value", 2).alias("value"),
+        F.round("click_value_asof", 2).alias("click_value_asof"),
+    )

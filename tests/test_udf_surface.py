@@ -59,3 +59,72 @@ def test_pandas_grouped_agg_quantile(spark, sf_dir):
     assert set(got) == set(want)
     for k in got:
         assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_cogroup_asof_matches_window_form(spark, sf_dir):
+    """The cogrouped merge_asof must reproduce the union+window asof_join
+    row-for-row (same semantics, different execution surface)."""
+    from pyspark.sql import functions as F
+
+    from prefect_flow_arc_alto_to_json_spark.functions.udf_surface import (
+        cogroup_merge_asof,
+    )
+    from prefect_flow_arc_alto_to_json_spark.operators.joins import asof_join
+    from prefect_flow_arc_alto_to_json_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    cols = ["event_id", "user_id", "ts", "value", "click_value_asof"]
+    a = {tuple(r) for r in cogroup_merge_asof(purchases, clicks, key="user_id")
+         .select(*cols).collect()}
+    b = {tuple(r) for r in asof_join(purchases, clicks, key="user_id")
+         .select(*cols).collect()}
+    assert a == b
+    assert a  # non-vacuous
+
+
+def test_cogroup_asof_left_only_and_right_only_keys(spark):
+    """Keys with no right rows keep NULL carries; keys with no left rows
+    emit nothing — the cogroup fan-in must handle both empty frames."""
+    from prefect_flow_arc_alto_to_json_spark.functions.udf_surface import (
+        cogroup_merge_asof,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 5.0), (2, "2024-01-01 11:00:00", 7.0)],
+        "k int, ts string, v double",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) ts", "v")
+    right = spark.createDataFrame(
+        [(2, "2024-01-01 10:30:00", 1.5), (3, "2024-01-01 09:00:00", 9.9)],
+        "k int, ts string, w double",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) ts", "w")
+    rows = {
+        (r["k"], r["w_asof"])
+        for r in cogroup_merge_asof(left, right, key="k").collect()
+    }
+    assert rows == {(1, None), (2, 1.5)}
+
+
+def test_vector_stats_arrow_ragged_fallback(spark):
+    """Non-uniform vector lengths exercise the per-row fallback path."""
+    from prefect_flow_arc_alto_to_json_spark.functions.udf_surface import (
+        vector_stats_arrow,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0, 3.0]), (2, [0.5]), (3, [-1.0, -1.0, 4.0, 4.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {tuple(r) for r in vector_stats_arrow(df).collect()}
+    assert got == {
+        (1, 3, 2, 3, 3.0),
+        (2, 1, 1, 1, 0.5),
+        (3, 4, 2, 3, 4.0),  # first occurrence of the max
+    }
