@@ -1263,3 +1263,38 @@ def q_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="status",
         valueColumnName="cnt",
     )
+
+
+_NOT_IN_NULL_SQL = """
+    SELECT
+      (SELECT COUNT(*) FROM customer
+       WHERE c_custkey NOT IN (
+         SELECT CASE WHEN o_orderkey = 7 THEN NULL ELSE o_custkey END
+         FROM orders WHERE o_totalprice > 400000 OR o_orderkey = 7))
+        AS n_with_null,
+      (SELECT COUNT(*) FROM customer
+       WHERE c_custkey NOT IN (
+         SELECT o_custkey FROM orders WHERE o_totalprice > 400000))
+        AS n_clean
+"""
+
+
+@query("q_not_in_null_aware", extra=True, oracle=_NOT_IN_NULL_SQL)
+def q_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN's null-aware anti-join trap, pinned as a query: one NULL in
+    the subquery list makes ``x NOT IN (...)`` UNKNOWN for every row, so
+    ``n_with_null`` must be 0 while the NULL-free twin ``n_clean`` keeps
+    its rows. A plain left-anti join (which treats NULL as non-matching)
+    would get this wrong — Spark plans the null-aware form as a separate
+    physical operator, which is exactly what this query exercises, in pure
+    SQL so the identical string runs on both engines.
+
+    Scale note: the null-aware anti join cannot hash-partition on the key
+    (a NULL on the build side defeats per-partition pruning), so Spark
+    broadcasts the build side — fine here because a NOT IN list at 100 TB
+    should be an aggregated/deduped relation, never a fact table.
+    """
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_NOT_IN_NULL_SQL)
