@@ -1298,3 +1298,63 @@ def q_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, "customer", "orders")
     return spark.sql(_NOT_IN_NULL_SQL)
+
+
+@query(
+    "q_data_quality",
+    extra=True,
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM lineitem)                                AS n_rows,
+      (SELECT SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+                         OR l_quantity > 50 THEN 1 ELSE 0 END)
+       FROM lineitem)                                                AS bad_quantity,
+      (SELECT SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                         OR l_returnflag IS NULL THEN 1 ELSE 0 END)
+       FROM lineitem)                                                AS bad_returnflag,
+      (SELECT SUM(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END)
+       FROM lineitem)                                                AS policy_qty_gt45,
+      (SELECT SUM(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END)
+       FROM lineitem)                                                AS policy_disc_gt8,
+      (SELECT COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
+       FROM lineitem)                                                AS duplicate_keys,
+      (SELECT COUNT(*) FROM lineitem
+       WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))      AS orphans
+    """,
+)
+def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (operators/quality.py): null/
+    range/set-membership rules compiled to CASE sums in ONE pass, key
+    uniqueness in the same pass, referential integrity as a broadcast
+    anti-join — the validation layer a production ingest needs, with
+    structural rules expected clean (0) and two deliberately-tight policy
+    rules expected non-zero so the oracle check is non-vacuous on both
+    outcomes.
+
+    Scale: one lineitem scan + 1-row exchange for the rule sums; the
+    orphan check shuffles nothing (parent keys aggregate then broadcast).
+    """
+    from ..operators.quality import (
+        duplicate_key_count,
+        orphan_count,
+        violations,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    rules = {
+        "bad_quantity": F.col("l_quantity").isNull()
+        | (F.col("l_quantity") < 1)
+        | (F.col("l_quantity") > 50),
+        "bad_returnflag": ~F.col("l_returnflag").isin("A", "N", "R")
+        | F.col("l_returnflag").isNull(),
+        "policy_qty_gt45": F.col("l_quantity") > 45,
+        "policy_disc_gt8": F.col("l_discount") > 0.08,
+    }
+    base = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *violations(rules),
+        duplicate_key_count(li, "l_orderkey", "l_linenumber"),
+    )
+    orphans = orphan_count(li, orders, "l_orderkey", "o_orderkey")
+    return base.crossJoin(F.broadcast(orphans))

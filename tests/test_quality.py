@@ -1,0 +1,53 @@
+"""Data-quality operator tests (operators/quality.py) with planted
+violations — the registry query q_data_quality covers the clean-data path
+against DuckDB; these cover the dirty-data paths."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prefect_flow_arc_alto_to_json_spark.operators.quality import (
+    check_rules,
+    duplicate_key_count,
+    orphan_count,
+)
+
+
+def test_check_rules_counts_planted_violations(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, None, "A"), (3, 99.0, "X"), (4, -5.0, None)],
+        "id long, qty double, flag string",
+    )
+    row = check_rules(
+        df,
+        {
+            "bad_qty": F.col("qty").isNull() | ~F.col("qty").between(0, 50),
+            "bad_flag": F.col("flag").isNull() | ~F.col("flag").isin("A", "B"),
+        },
+    ).collect()[0]
+    assert row["n_rows"] == 4
+    assert row["bad_qty"] == 3  # null, 99, -5
+    assert row["bad_flag"] == 2  # X, null
+
+
+def test_check_rules_null_predicate_is_violation(spark):
+    # a predicate that evaluates to NULL (3VL unknown) counts as violated
+    df = spark.createDataFrame([(None,), (5,)], "v int")
+    row = check_rules(df, {"v_gt_3": F.col("v") <= 3}).collect()[0]
+    # v=None -> predicate NULL -> violation; v=5 -> False -> ok
+    assert row["v_gt_3"] == 1
+
+
+def test_duplicate_key_count(spark):
+    df = spark.createDataFrame(
+        [(1, 1), (1, 1), (1, 2), (2, 1)], "a int, b int"
+    )
+    row = df.agg(duplicate_key_count(df, "a", "b")).collect()[0]
+    assert row["duplicate_keys"] == 1
+
+
+def test_orphan_count_planted(spark):
+    child = spark.createDataFrame([(1,), (2,), (99,)], "fk int")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+    row = orphan_count(child, parent, "fk", "pk").collect()[0]
+    assert row["orphans"] == 1
