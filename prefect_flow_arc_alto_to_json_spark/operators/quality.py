@@ -70,3 +70,25 @@ def orphan_count(
         )
         .agg(F.count(F.lit(1)).alias("orphans"))
     )
+
+
+def observed_rules(
+    df: DataFrame, name: str, rules: dict[str, Column]
+):
+    """Attach violation counters to a plan via ``df.observe`` so they are
+    collected DURING the action that consumes the plan — no second pass
+    over the data, which at 100 TB is the difference between free metrics
+    and doubling the job.
+
+    Returns ``(observed_df, observation)``: run any action on the frame,
+    then read ``observation.get`` for {n_rows, **rule_counts}. The
+    counters ride the same partial-aggregation machinery as any agg, so
+    they are exact, not sampled.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    out = df.observe(
+        obs, F.count(F.lit(1)).alias("n_rows"), *violations(rules)
+    )
+    return out, obs

@@ -123,3 +123,73 @@ def q_freq_items_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             | F.col("event_type").isin([str(x) for x in reported])
         ).alias("reported_ok"),
     )
+
+
+@query(
+    "q_salted_join_skew",
+    extra=True,
+    oracle=f"""
+    SELECT CAST({_SQL_HOT_KEY} AS BIGINT) AS hot_key,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           MAX(seg) AS seg
+    FROM events
+    JOIN (
+      SELECT CAST(user_id AS BIGINT) AS dim_key,
+             CASE WHEN user_id % 3 = 0 THEN 'gold' ELSE 'std' END AS seg
+      FROM (SELECT DISTINCT user_id FROM events)
+    ) ON CAST({_SQL_HOT_KEY} AS BIGINT) = dim_key
+    GROUP BY 1, 2
+    """,
+)
+def q_salted_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted JOIN under the same planted 70%-hot key: the fact side is
+    salted into 8 buckets and the (deliberately non-broadcast) dimension is
+    replicated 8x, so the hot key's rows meet the dim on 8 reducers instead
+    of one. The oracle is the PLAIN equi join + GROUP BY — like salted_agg,
+    the rewrite's contract is producing the identical relation. MAX(seg)
+    doubles as a join-correctness witness (every row of a key must carry
+    the same seg).
+
+    Scale: dim-side cost is |dim| x S shuffled rows — the documented
+    trade (operators/skew.py:78-79); broadcast wins when the dim fits,
+    salting wins when it doesn't AND one key dominates. The broadcast hint
+    is deliberately absent here to keep the salted path under test.
+    """
+    from ..operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    fact = ev.select(
+        F.when(F.col("user_id") % 10 < 7, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .cast("long")
+        .alias("dim_key"),
+        "event_type",
+        cents("value").alias("v_cents"),
+    )
+    dim = (
+        ev.select(F.col("user_id").cast("long").alias("dim_key"))
+        .distinct()
+        .select(
+            "dim_key",
+            F.when(F.col("dim_key") % 3 == 0, "gold")
+            .otherwise("std")
+            .alias("seg"),
+        )
+        # At test scale Catalyst would happily broadcast this dim and the
+        # salted SHUFFLE path — the thing this query exists to adjudicate —
+        # would never run. The hint forces the shuffled hash join the
+        # rewrite targets at real scale (where the dim does NOT fit).
+        .hint("shuffle_hash")
+    )
+    joined = salted_join(fact, dim, key="dim_key", salt_buckets=8)
+    return (
+        joined.groupBy(F.col("dim_key").alias("hot_key"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v_cents").alias("total_cents"),
+            F.max("seg").alias("seg"),
+        )
+    )

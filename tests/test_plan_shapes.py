@@ -225,3 +225,24 @@ def test_dedup_similarity_shuffle_budgets(spark, sf_dir):
         if shuffles > budget:
             over[name] = (shuffles, budget)
     assert not over, f"shuffle-count regressions (got, budget): {over}"
+
+
+def test_salted_join_exercises_shuffled_path(spark, sf_dir):
+    """q_salted_join_skew must run the salted SHUFFLE join (its reason to
+    exist) — a broadcast of the dim would bypass the salt entirely."""
+    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+
+    spark.catalog.clearCache()
+    df = EXTRA_QUERIES["q_salted_join_skew"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    # the join's exchanges partition on BOTH the key and the salt — the
+    # property that spreads a hot key across reducers
+    assert "__salt" in plan, plan
+    shuffles = (
+        plan.count("Exchange")
+        - plan.count("BroadcastExchange")
+        - plan.count("ReusedExchange")
+    )
+    assert shuffles <= 4, plan

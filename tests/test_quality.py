@@ -51,3 +51,23 @@ def test_orphan_count_planted(spark):
     parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
     row = orphan_count(child, parent, "fk", "pk").collect()[0]
     assert row["orphans"] == 1
+
+
+def test_observed_rules_collects_during_single_action(spark, tmp_path):
+    """df.observe counters must match the planted violations after ONE
+    write action — metrics ride the job, no second scan."""
+    from prefect_flow_arc_alto_to_json_spark.operators.quality import (
+        observed_rules,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(100)], "id long, v double"
+    )
+    observed, obs = observed_rules(
+        df, "dq", {"v_over_4": F.col("v") > 4}
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    assert got["n_rows"] == 100
+    # i%7 in {5,6} -> 2 of every 7; 100 rows -> 28 violations
+    assert got["v_over_4"] == 28
