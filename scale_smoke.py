@@ -1,0 +1,143 @@
+#!/usr/bin/env python3
+"""Scale-smoke probe: run the heaviest operators on 1x / 2x / 4x / 8x
+synthetic blow-ups of the sf0.1 tables (self-union with id offsets, built
+in-memory — the read-only testdata is never touched) and record how wall
+time scales. Near-linear growth is the empirical leg of the 100 TB
+argument the plan audit makes structurally: banded/bucketed pair
+generation, digest-only shuffles and map-side partial aggregation should
+all scale ~O(N) in rows, not O(N^2).
+
+The id offset makes every replica's documents DISTINCT (doc_id shifted,
+text salted with the replica ordinal) so dedup workloads do real work at
+every factor instead of collapsing replicas into one group.
+
+Writes SCALE_SMOKE.md. Usage: python scale_smoke.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from prefect_flow_arc_alto_to_json_spark.operators.dedup import (  # noqa: E402
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+)
+from prefect_flow_arc_alto_to_json_spark.operators.similarity import (  # noqa: E402
+    lsh_bucketed_topk,
+)
+from prefect_flow_arc_alto_to_json_spark.operators.textstats import (  # noqa: E402
+    quality_score,
+)
+from prefect_flow_arc_alto_to_json_spark.session import get_spark  # noqa: E402
+from prefect_flow_arc_alto_to_json_spark.sources import load_table  # noqa: E402
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALE_SMOKE.md")
+FACTORS = (1, 2, 4, 8)
+
+
+def blow_up_docs(docs: DataFrame, factor: int) -> DataFrame:
+    """factor distinct replicas: ids offset by replica * 10M, text salted
+    with the replica ordinal so exact/minhash dedup can't collapse them."""
+    parts = []
+    for r in range(factor):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + r * 10_000_000).alias("doc_id"),
+                F.when(F.lit(r) == 0, F.col("text"))
+                .otherwise(F.concat(F.col("text"), F.lit(f" replica{r}")))
+                .alias("text"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def blow_up_emb(emb: DataFrame, factor: int) -> DataFrame:
+    parts = [
+        emb.select(
+            (F.col("vec_id") + r * 10_000_000).alias("vec_id"), "embedding"
+        )
+        for r in range(factor)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def timed(df: DataFrame) -> float:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    spark = get_spark(app_name="scale-smoke")
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.limit(32)
+
+    probes = {
+        "exact_dedup": lambda d, e: exact_dedup_groups(d),
+        "minhash_lsh_pairs": lambda d, e: minhash_lsh_pairs(
+            d, threshold=0.5, max_bucket_size=64
+        ),
+        "text_quality": lambda d, e: d.select(
+            "doc_id", quality_score("text").alias("q")
+        ),
+        "lsh_topk": lambda d, e: lsh_bucketed_topk(e, F.broadcast(queries), k=10),
+    }
+
+    results: dict[str, dict[int, float]] = {p: {} for p in probes}
+    rows: dict[int, int] = {}
+    for factor in FACTORS:
+        d = blow_up_docs(docs, factor).localCheckpoint()
+        e = blow_up_emb(emb, factor).localCheckpoint()
+        rows[factor] = d.count()
+        for name, build in probes.items():
+            # min of 2: first run pays codegen for the new plan shape
+            t = min(timed(build(d, e)), timed(build(d, e)))
+            results[name][factor] = round(t, 2)
+            print(f"x{factor} {name}: {results[name][factor]}s", flush=True)
+
+    with open(OUT, "w") as fh:
+        fh.write(
+            "# SCALE_SMOKE — operator wall time vs synthetic data blow-up\n\n"
+            f"Base: `{SF_DIR}` documents/embeddings, self-unioned with id\n"
+            "offsets and salted text (every replica distinct — dedup does\n"
+            "full work at every factor). local[32], min of 2 runs per cell,\n"
+            "noop sink. The 100 TB claim predicts ~linear growth for every\n"
+            "row below: pair generation is banded/bucketed, shuffles carry\n"
+            "ids/digests, aggregation is map-side partial.\n\n"
+            "Reading the ratio column: 8.0 = perfectly linear; BELOW 8\n"
+            "means per-row throughput improves with scale (fixed driver/\n"
+            "scheduling overhead amortizing across a bigger job — expected\n"
+            "at these sizes on local[32], where x1 leaves cores idle).\n"
+            "The failure this probe exists to catch is a ratio far ABOVE\n"
+            "8: a quadratic pair explosion or a skew-collapsed reducer.\n\n"
+        )
+        fh.write("| operator | " + " | ".join(f"x{f} ({rows[f]:,} rows)" for f in FACTORS))
+        fh.write(" | x8/x1 ratio (linear=8) |\n")
+        fh.write("|---|" + "---|" * (len(FACTORS) + 1) + "\n")
+        for name, t in results.items():
+            ratio = round(t[8] / t[1], 1) if t[1] > 0 else float("inf")
+            fh.write(
+                f"| {name} | "
+                + " | ".join(f"{t[f]}s" for f in FACTORS)
+                + f" | {ratio} |\n"
+            )
+    print(f"wrote {OUT}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
