@@ -128,3 +128,60 @@ def test_vector_stats_arrow_ragged_fallback(spark):
         (2, 1, 1, 1, 0.5),
         (3, 4, 2, 3, 4.0),  # first occurrence of the max
     }
+
+
+def test_cogroup_asof_fuzz_matches_window_form(spark):
+    """Differential fuzz: the two INDEPENDENT as-of implementations
+    (per-key pandas.merge_asof vs union+window carry) must agree on random
+    inputs — keys missing from either side, duplicate left timestamps,
+    exact ts ties (inclusive convention), and empty-side groups."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from prefect_flow_arc_alto_to_json_spark.functions.udf_surface import (
+        cogroup_merge_asof,
+    )
+    from prefect_flow_arc_alto_to_json_spark.operators.joins import asof_join
+
+    rng = random.Random(20260814)
+    for trial in range(6):
+        n_keys = rng.randint(1, 5)
+        left_rows = [
+            (
+                rng.randint(0, n_keys + 2),  # keys 0..n+2: some right-only
+                # coarse second grid -> frequent exact ts collisions
+                f"2024-01-01 00:00:{rng.randint(0, 59):02d}",
+                float(i),
+            )
+            for i in range(rng.randint(0, 40))
+        ]
+        right_rows = [
+            (
+                rng.randint(0, n_keys),
+                f"2024-01-01 00:00:{rng.randint(0, 59):02d}",
+                float(100 + i),
+            )
+            for i in range(rng.randint(0, 40))
+        ]
+        left = spark.createDataFrame(
+            left_rows or [(0, "2024-01-01 00:00:00", 0.0)],
+            "k int, ts string, lv double",
+        ).selectExpr("k", "CAST(ts AS TIMESTAMP) ts", "lv")
+        # right must be unique per (key, ts): both implementations document
+        # that contract (pre-aggregate if not)
+        right = (
+            spark.createDataFrame(
+                right_rows or [(99, "2024-01-01 00:00:00", 1.0)],
+                "k int, ts string, rv double",
+            )
+            .selectExpr("k", "CAST(ts AS TIMESTAMP) ts", "rv")
+            .groupBy("k", "ts")
+            .agg(F.max("rv").alias("rv"))
+        )
+        a = {
+            tuple(r)
+            for r in cogroup_merge_asof(left, right, key="k").collect()
+        }
+        b = {tuple(r) for r in asof_join(left, right, key="k").collect()}
+        assert a == b, f"trial {trial}: {a ^ b}"
