@@ -97,3 +97,21 @@ def scoped_persist(df: DataFrame, tag: str) -> DataFrame:
 # Bucketed-table writes live in sinks/bucketed.py (write_bucketed /
 # colocated_join) — the at-rest half of shuffle elimination for 100 TB
 # repeated joins; see tests/test_bucketed.py for the plan guarantees.
+
+
+def data_shuffles(plan: str) -> int:
+    """Count the DATA shuffles in a physical-plan string: ``Exchange``
+    nodes net of ``BroadcastExchange`` (replication, not a shuffle) and
+    ``ReusedExchange`` (a replay of an already-counted shuffle).
+
+    The single definition shared by the shuffle-budget pins
+    (tests/test_plan_shapes.py) and the plan_audit.py artifact — the
+    counting subtleties (broadcast exclusion, reuse discount, AQE
+    collapsing static-plan duplicates at runtime) live HERE so the gates
+    and the audit can never silently disagree.
+    """
+    return (
+        plan.count("Exchange")
+        - plan.count("BroadcastExchange")
+        - plan.count("ReusedExchange")
+    )

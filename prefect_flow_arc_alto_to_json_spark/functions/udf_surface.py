@@ -154,18 +154,40 @@ def vector_stats_arrow(df, vec_col: str = "embedding", id_col: str = "vec_id"):
             emb = batch.column(batch.schema.get_field_index(vec_col))
             vid = batch.column(batch.schema.get_field_index(id_col))
             n = len(emb)
-            values = np.asarray(emb.flatten())
+            # Pair the RAW child array with the ABSOLUTE offsets: a sliced
+            # ListArray keeps absolute offsets while .flatten() returns a
+            # trimmed child — mixing them reads the wrong value windows
+            # (crash on the reshape path, silent corruption on the ragged
+            # path). emb.values is the untrimmed child the offsets index.
+            values = np.asarray(emb.values)
             offsets = np.asarray(emb.offsets)
             lens = offsets[1:] - offsets[:-1]
-            if n and lens.min() == lens.max() and lens[0] > 0:
+            has_nulls = emb.null_count > 0
+            if (
+                n
+                and not has_nulls
+                and lens.min() == lens.max()
+                and lens[0] > 0
+            ):
                 # uniform-dimension fast path: one reshape, three
                 # vectorized reductions — no per-row Python
                 m = values[offsets[0] : offsets[-1]].reshape(n, int(lens[0]))
                 n_pos = (m > 0).sum(axis=1)
                 argmax_pos = m.argmax(axis=1) + 1
                 max_val = m.max(axis=1).astype(np.float64)
-            else:  # ragged fallback — correct, per-row
-                segs = [values[offsets[i] : offsets[i + 1]] for i in range(n)]
+            else:  # ragged / null-bearing fallback — correct, per-row
+                valid = (
+                    np.asarray(emb.is_valid())
+                    if has_nulls
+                    else np.ones(n, dtype=bool)
+                )
+                segs = [
+                    values[offsets[i] : offsets[i + 1]]
+                    if valid[i]
+                    else values[:0]
+                    for i in range(n)
+                ]
+                lens = np.array([len(s) for s in segs], dtype=np.int64)
                 n_pos = np.array([(s > 0).sum() for s in segs], dtype=np.int64)
                 argmax_pos = np.array(
                     [int(s.argmax()) + 1 if len(s) else 0 for s in segs],

@@ -44,12 +44,13 @@ def check_rules(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     )
 
 
-def duplicate_key_count(df: DataFrame, *key_cols: str) -> Column:
+def duplicate_key_count(*key_cols: str) -> Column:
     """Number of EXTRA rows beyond one per key (0 = key is unique).
 
-    Returned as a 1-row DataFrame aggregate: count(*) - count(distinct key)
-    over the key columns, null keys excluded from the distinct but counted
-    as rows — callers wanting null-key policing add a null rule.
+    Returns an aggregate COLUMN to embed in a ``df.agg(...)`` alongside
+    other rule counters: count(*) - count(distinct key) over the key
+    columns. Null keys are excluded from the distinct but counted as rows
+    — callers wanting null-key policing add a null rule.
     """
     return (
         F.count(F.lit(1))

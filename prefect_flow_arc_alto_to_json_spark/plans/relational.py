@@ -1312,14 +1312,18 @@ def q_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
       (SELECT SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
                          OR l_returnflag IS NULL THEN 1 ELSE 0 END)
        FROM lineitem)                                                AS bad_returnflag,
-      (SELECT SUM(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END)
+      (SELECT SUM(CASE WHEN COALESCE(l_quantity > 45, TRUE)
+                        THEN 1 ELSE 0 END)
        FROM lineitem)                                                AS policy_qty_gt45,
-      (SELECT SUM(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END)
+      (SELECT SUM(CASE WHEN COALESCE(l_discount > 0.08, TRUE)
+                        THEN 1 ELSE 0 END)
        FROM lineitem)                                                AS policy_disc_gt8,
       (SELECT COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
        FROM lineitem)                                                AS duplicate_keys,
       (SELECT COUNT(*) FROM lineitem
-       WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))      AS orphans
+       WHERE l_orderkey IS NULL OR l_orderkey NOT IN (
+         SELECT o_orderkey FROM orders
+         WHERE o_orderkey IS NOT NULL))                              AS orphans
     """,
 )
 def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1329,7 +1333,11 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join — the validation layer a production ingest needs, with
     structural rules expected clean (0) and two deliberately-tight policy
     rules expected non-zero so the oracle check is non-vacuous on both
-    outcomes.
+    outcomes. The oracle mirrors the operator's NULL contract exactly:
+    a NULL predicate result counts as a violation (COALESCE(p, TRUE) in
+    the SQL), and a NULL child key counts as an orphan (the anti-join
+    convention: NULL never matches a parent) — so the pair stays
+    hash-equal on dirty data, not just on this clean corpus.
 
     Scale: one lineitem scan + 1-row exchange for the rule sums; the
     orphan check shuffles nothing (parent keys aggregate then broadcast).
@@ -1354,7 +1362,7 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = li.agg(
         F.count(F.lit(1)).alias("n_rows"),
         *violations(rules),
-        duplicate_key_count(li, "l_orderkey", "l_linenumber"),
+        duplicate_key_count("l_orderkey", "l_linenumber"),
     )
     orphans = orphan_count(li, orders, "l_orderkey", "o_orderkey")
     return base.crossJoin(F.broadcast(orphans))

@@ -99,10 +99,12 @@ def main() -> None:
 
     results: dict[str, dict[int, float]] = {p: {} for p in probes}
     rows: dict[int, int] = {}
+    emb_rows: dict[int, int] = {}
     for factor in FACTORS:
         d = blow_up_docs(docs, factor).localCheckpoint()
         e = blow_up_emb(emb, factor).localCheckpoint()
         rows[factor] = d.count()
+        emb_rows[factor] = e.count()
         for name, build in probes.items():
             # min of 2: first run pays codegen for the new plan shape
             t = min(timed(build(d, e)), timed(build(d, e)))
@@ -125,7 +127,14 @@ def main() -> None:
             "The failure this probe exists to catch is a ratio far ABOVE\n"
             "8: a quadratic pair explosion or a skew-collapsed reducer.\n\n"
         )
-        fh.write("| operator | " + " | ".join(f"x{f} ({rows[f]:,} rows)" for f in FACTORS))
+        fh.write(
+            "Input rows per factor — documents: "
+            + ", ".join(f"x{f}={rows[f]:,}" for f in FACTORS)
+            + "; embeddings (the lsh_topk input): "
+            + ", ".join(f"x{f}={emb_rows[f]:,}" for f in FACTORS)
+            + ".\n\n"
+        )
+        fh.write("| operator | " + " | ".join(f"x{f}" for f in FACTORS))
         fh.write(" | x8/x1 ratio (linear=8) |\n")
         fh.write("|---|" + "---|" * (len(FACTORS) + 1) + "\n")
         for name, t in results.items():

@@ -5,6 +5,7 @@ counts) must survive refactors — a correct-but-shuffling plan is a bug at
 
 from __future__ import annotations
 
+from prefect_flow_arc_alto_to_json_spark.functions.scale import data_shuffles
 from prefect_flow_arc_alto_to_json_spark.plans import QUERIES
 
 
@@ -175,11 +176,7 @@ def test_tpch_shuffle_budgets(spark, sf_dir):
     for name, budget in _TPCH_SHUFFLE_BUDGETS.items():
         df = EXTRA_QUERIES[name](spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        shuffles = (
-            plan.count("Exchange")
-            - plan.count("BroadcastExchange")
-            - plan.count("ReusedExchange")
-        )
+        shuffles = data_shuffles(plan)
         assert "SortMergeJoin" not in plan, (name, plan)
         # every join must be broadcast-shaped (hash for equi joins; the
         # 1-row global-scalar crossJoins in q11/q22 are nested-loop)
@@ -194,14 +191,31 @@ def test_tpch_shuffle_budgets(spark, sf_dir):
 
 def test_tpch_q19_pushes_implied_predicates(spark, sf_dir):
     """The disjunctive predicate's single-side implications must be inferred
-    and pushed below the join — q19's raison d'etre."""
+    and pushed below the join — q19's raison d'etre. The assertion targets
+    the lineitem SCAN's DataFilters specifically: the join's own residual
+    condition also mentions l_quantity, so matching anywhere after the join
+    token would pass even with zero pushdown."""
     from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
 
     df = EXTRA_QUERIES["tpch_q19_disjunctive_join"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # the lineitem-only implication (quantity in the union of the arm
-    # ranges) reaches the lineitem side as a scan-level filter
-    assert "l_quantity" in plan.split("BroadcastHashJoin")[-1]
+    li_scans = [
+        line
+        for line in plan.splitlines()
+        if "FileScan" in line and "l_extendedprice" in line
+    ]
+    assert li_scans, plan
+    # the inferred quantity-range disjunction reached the scan itself
+    assert any(
+        "DataFilters" in line and "l_quantity" in line.split("DataFilters")[1]
+        for line in li_scans
+    ), li_scans
+    # and a PURE single-side Filter (quantity ranges, no part columns)
+    # sits below the join
+    assert any(
+        "Filter" in line and "l_quantity" in line and "p_brand" not in line
+        for line in plan.splitlines()
+    ), plan
 
 
 def test_dedup_similarity_shuffle_budgets(spark, sf_dir):
@@ -216,11 +230,7 @@ def test_dedup_similarity_shuffle_budgets(spark, sf_dir):
     for name, budget in _SHUFFLE_BUDGETS.items():
         df = all_q[name](spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        shuffles = (
-            plan.count("Exchange")
-            - plan.count("BroadcastExchange")
-            - plan.count("ReusedExchange")
-        )
+        shuffles = data_shuffles(plan)
         assert "SortMergeJoin" not in plan, (name, plan)
         if shuffles > budget:
             over[name] = (shuffles, budget)
@@ -240,9 +250,5 @@ def test_salted_join_exercises_shuffled_path(spark, sf_dir):
     # the join's exchanges partition on BOTH the key and the salt — the
     # property that spreads a hot key across reducers
     assert "__salt" in plan, plan
-    shuffles = (
-        plan.count("Exchange")
-        - plan.count("BroadcastExchange")
-        - plan.count("ReusedExchange")
-    )
+    shuffles = data_shuffles(plan)
     assert shuffles <= 4, plan

@@ -42,7 +42,7 @@ def test_duplicate_key_count(spark):
     df = spark.createDataFrame(
         [(1, 1), (1, 1), (1, 2), (2, 1)], "a int, b int"
     )
-    row = df.agg(duplicate_key_count(df, "a", "b")).collect()[0]
+    row = df.agg(duplicate_key_count("a", "b")).collect()[0]
     assert row["duplicate_keys"] == 1
 
 

@@ -185,3 +185,51 @@ def test_cogroup_asof_fuzz_matches_window_form(spark):
         }
         b = {tuple(r) for r in asof_join(left, right, key="k").collect()}
         assert a == b, f"trial {trial}: {a ^ b}"
+
+
+def test_vector_stats_arrow_sliced_and_null_batches():
+    """The Arrow kernel must pair the RAW child values with the absolute
+    offsets: sliced ListArrays keep absolute offsets while flatten() trims
+    the child — the mix reads wrong windows. Exercised directly on sliced
+    and null-bearing batches (Spark rarely hands these to mapInArrow, but
+    the kernel is a public function)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from prefect_flow_arc_alto_to_json_spark.functions.udf_surface import (
+        vector_stats_arrow,
+    )
+
+    # reach the inner generator through the DataFrame API is not possible
+    # for a hand-built sliced batch, so drive the kernel's logic the same
+    # way mapInArrow does: build the batch and call the closure
+    class _FakeDF:
+        def __init__(self, batch):
+            self._batch = batch
+
+        def select(self, *cols):
+            return self
+
+        def mapInArrow(self, fn, schema):
+            return list(fn([self._batch]))
+
+    full = pa.array(
+        [[1.0, 2.0], [3.0, 4.0], [-1.0, 5.0], None], type=pa.list_(pa.float32())
+    )
+    sliced = full.slice(1)  # absolute offsets no longer start at 0
+    vid = pa.array([10, 11, 12], type=pa.int64())
+    batch = pa.RecordBatch.from_arrays([vid, sliced], names=["vec_id", "embedding"])
+    [out] = vector_stats_arrow(_FakeDF(batch))
+    got = {
+        (
+            out.column(0)[i].as_py(),
+            out.column(1)[i].as_py(),
+            out.column(2)[i].as_py(),
+            out.column(3)[i].as_py(),
+        )
+        for i in range(out.num_rows)
+    }
+    # (vec_id, n_dims, n_pos, argmax_pos); null row -> zeros
+    assert got == {(10, 2, 2, 2), (11, 2, 1, 2), (12, 0, 0, 0)}
+    mx = [out.column(4)[i].as_py() for i in range(out.num_rows)]
+    assert mx[0] == 4.0 and mx[1] == 5.0 and np.isnan(mx[2])
