@@ -183,3 +183,86 @@ def pii_scrub(col: Column | str) -> dict[str, Column]:
         "n_ipv4": F.regexp_count(c, F.lit(IPV4_RE)).cast("long"),
         "redacted": redacted,
     }
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Exact duplicate-SPAN detection: maximal token ranges covered by at
+    least one k-token gram that occurs in ≥ 2 distinct documents.
+
+    This is the distributed form of exact-substring training-data dedup
+    (the suffix-array construction of "Deduplicating Training Data Makes
+    Language Models Better", Lee et al. 2022, does not shard — hash-grouped
+    fixed-length grams do): every duplicated substring of ≥ k tokens is
+    exactly the union of its duplicated k-grams, so grouping gram hashes
+    and merging overlapping [pos, pos+k) windows recovers the maximal
+    duplicated spans without any cross-doc suffix structure.
+
+    Returns one row per merged span: (id_col, span_start, span_end) in
+    token offsets, end-exclusive.
+
+    Scale shape: one narrow pass builds position-indexed grams (hashing
+    POST-explode, where runtime CSE collapses the md5 fold — the measured
+    trap documented in ngram_jaccard_pairs); the gram relation is persisted
+    once and feeds both the duplicate-gram aggregate (map-side combined,
+    count_distinct on the id) and the left-semi mark join; span merging is
+    a single per-doc window (gaps-and-islands with the constant gram width,
+    so ``lag`` alone gives the previous interval end). Shuffled payloads
+    are (long, long, int) rows — never text.
+    """
+    from ..functions.scale import scoped_persist
+
+    tk = fan_out(df).select(F.col(id_col), token_array(text_col).alias("__toks"))
+    pg_t = "array<struct<pos:bigint,s:string>>"
+    indexed = tk.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("__toks") >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__toks") - (k - 1)),
+                    lambda i: F.struct(
+                        (i - 1).cast("long").alias("pos"),
+                        F.concat_ws(" ", F.slice("__toks", i, k)).alias("s"),
+                    ),
+                ),
+            ).otherwise(F.array().cast(pg_t))
+        ).alias("pg"),
+    )
+    from ..functions.scalar import stable_hash_p31
+
+    grams = scoped_persist(
+        indexed.select(
+            F.col(id_col),
+            F.col("pg.pos").alias("pos"),
+            stable_hash_p31(F.col("pg.s")).alias("g"),
+        ),
+        "duplicate_spans.grams",
+    )
+    dup_g = (
+        grams.groupBy("g")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("g")
+    )
+    marked = grams.join(dup_g, "g", "left_semi").select(F.col(id_col), "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    flagged = marked.withColumn(
+        "brk", F.when(F.col("pos") > F.lag("pos").over(w) + k, 1).otherwise(0)
+    )
+    islands = flagged.withColumn(
+        "isl",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy(F.col(id_col), "isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k).alias("span_end"),
+        )
+        .select(F.col(id_col), "span_start", "span_end")
+    )

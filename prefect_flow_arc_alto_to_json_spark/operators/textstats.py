@@ -221,3 +221,64 @@ def bm25_topk(
         .orderBy(F.col("bm25").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc mean unigram log-probability under the corpus's OWN unigram
+    LM — the classic LM-based quality filter (docs whose tokens are
+    collectively improbable under the corpus distribution score low:
+    gibberish, OCR noise, wrong-language fragments).
+
+    p(tok) = count(tok) / N over the whole corpus (no smoothing needed:
+    every scored token has count ≥ 1 by construction). Output:
+    (id_col, n_tokens, mean_logprob).
+
+    Cross-engine determinism: per-token ln(p) is snapped to INTEGER
+    MICRO-UNITS (round(ln·1e6) as long) BEFORE the per-doc sum — double
+    addition is non-associative and Spark's partition order differs from
+    the oracle's, but integer sums are order-free; the final mean divides
+    two exact integers (one IEEE op on both engines).
+
+    Scale shape: the token relation is persisted once and feeds both the
+    vocab count (map-side combined groupBy) and the scoring join; the
+    join is keyed on the token with the Zipf-compact count relation as
+    the (AQE-broadcastable) build side; the 1-row corpus total is an
+    explicit broadcast cross join. Shuffled rows are (long, string-token)
+    — never full text.
+    """
+    from ..functions.scale import fan_out, scoped_persist
+
+    tk = scoped_persist(
+        fan_out(df).select(
+            F.col(id_col),
+            F.explode(token_array(text_col)).alias("tok"),
+        ),
+        "unigram_logprob.tokens",
+    )
+    counts = tk.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("n_total"))
+    micro = (
+        tk.join(counts, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.round(F.log(F.col("c") / F.col("n_total")) * 1e6, 0)
+            .cast("long")
+            .alias("m"),
+        )
+    )
+    return (
+        micro.groupBy(id_col)
+        .agg(F.sum("m").alias("s"), F.count(F.lit(1)).alias("n_tokens"))
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.round((F.col("s") / F.col("n_tokens")) / 1e6, 6).alias(
+                "mean_logprob"
+            ),
+        )
+    )

@@ -192,3 +192,83 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols["n_ipv4"].alias("n_ipv4"),
         F.md5(cols["redacted"]).alias("redacted_fp"),
     )
+
+
+from ..operators.dedup import MINHASH_PRIME  # noqa: E402
+from ..operators.textclean import duplicate_spans  # noqa: E402
+from .dedup_queries import _BOILERPLATE  # noqa: E402
+
+#: gram width for the duplicate-span demo (tokens)
+_SPAN_K = 8
+
+
+@query(
+    "text_dup_spans",
+    extra=True,
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN text || ' {_BOILERPLATE}'
+                  ELSE text END AS text
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 20 = 0
+    ),
+    t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM corpus),
+    g1 AS (
+      SELECT doc_id,
+             unnest([{{'pos': i - 1,
+                       's': array_to_string(toks[i:i+{_SPAN_K - 1}], ' ')}}
+                     for i in range(1, len(toks) - {_SPAN_K - 2})]) AS pg
+      FROM t
+    ),
+    grams AS (
+      SELECT doc_id, pg.pos AS pos,
+             md5_number_lower(pg.s) % {MINHASH_PRIME} AS g
+      FROM g1
+    ),
+    dupg AS (
+      SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+    ),
+    marked AS (SELECT m.doc_id, m.pos FROM grams m JOIN dupg USING (g)),
+    flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                            + {_SPAN_K}
+                  THEN 1 ELSE 0 END AS brk
+      FROM marked
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS isl
+      FROM flagged
+    )
+    SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + {_SPAN_K} AS BIGINT) AS span_end
+    FROM isl GROUP BY doc_id, isl
+    """,
+)
+def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-span detection (hash-grouped {k}-token grams merged
+    into maximal [start, end) token ranges) under two plants: the 15-token
+    boilerplate footer on every 3rd doc (cross-doc duplicated suffix) and a
+    verbatim copy of every 20th doc (whole-doc span). Row-level oracle:
+    DuckDB replays gram hashing, the >=2-distinct-docs gram filter, and the
+    gaps-and-islands merge, span for span. The distributed form of
+    exact-substring dedup — see operators/textclean.duplicate_spans."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    boilered = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" " + _BOILERPLATE)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    copies = docs.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    corpus = boilered.unionByName(copies)
+    return duplicate_spans(corpus, k=_SPAN_K)

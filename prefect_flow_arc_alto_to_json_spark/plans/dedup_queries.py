@@ -24,6 +24,7 @@ from ..operators.dedup import (
     exact_dedup_groups,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    prefix_jaccard_pairs,
     simhash_pairs,
     with_minhash,
     with_simhash,
@@ -269,6 +270,72 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return ngram_jaccard_pairs(corpus, threshold=0.8, max_doc_freq=_MAX_DOC_FREQ)
+
+
+@query(
+    "dedup_prefix_jaccard",
+    extra=True,
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN text || ' {_BOILERPLATE}'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM corpus),
+    shg  AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM toks),
+    hsh  AS (SELECT doc_id, {_SQL_SHINGLE_HASHES} AS hs FROM shg),
+    post AS (SELECT doc_id, len(hs) AS n_sh, unnest(hs) AS h FROM hsh),
+    dfreq AS (SELECT h, count(*) AS sdf FROM post GROUP BY h),
+    -- prefix under the (df asc, hash asc) total order; integer
+    -- ceil(4*n/5) = (4n+4)//5 mirrors the Spark-side Fraction arithmetic
+    ranked AS (
+      SELECT p.doc_id, p.h, p.n_sh,
+             row_number() OVER (PARTITION BY p.doc_id ORDER BY d.sdf, p.h) AS rk
+      FROM post p JOIN dfreq d USING (h)
+    ),
+    prefix AS (
+      SELECT doc_id, h FROM ranked
+      WHERE rk <= n_sh - ((4 * n_sh + 4) // 5) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM prefix a JOIN prefix b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT id_a, id_b,
+             len(list_intersect(ha.hs, hb.hs)) AS n_common,
+             len(ha.hs) AS n_a, len(hb.hs) AS n_b
+      FROM cand
+      JOIN hsh ha ON ha.doc_id = id_a
+      JOIN hsh hb ON hb.doc_id = id_b
+    )
+    SELECT id_a, id_b,
+      ROUND(n_common / (n_a + n_b - n_common)::DOUBLE, 6) AS jaccard
+    FROM scored
+    WHERE ROUND(n_common / (n_a + n_b - n_common)::DOUBLE, 6) >= 0.8
+    """,
+)
+def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered (AllPairs/PPJoin) exact Jaccard pairs under the SAME
+    planted 30%-boilerplate corpus as ``dedup_ngram_jaccard_capped`` — the
+    LOSSLESS answer to posting skew: boilerplate shingles sort last in the
+    df-ascending prefix order and never enter the self-joined prefixes, so
+    the pair set is exactly the full-universe truth (no informative-universe
+    reinterpretation like the cap) while candidate volume follows
+    rare-shingle co-occurrence. The oracle replays the prefix bound with
+    the same integer ceil; verification is exact list intersection."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" " + _BOILERPLATE)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return prefix_jaccard_pairs(corpus, threshold=0.8)
 
 
 @query(

@@ -387,3 +387,35 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "tok")
         .limit(50)
     )
+
+
+@query(
+    "text_unigram_logprob",
+    extra=True,
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    counts AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM counts),
+    micro AS (
+      SELECT doc_id,
+             CAST(ROUND(ln(c / n_total::DOUBLE) * 1000000) AS BIGINT) AS m
+      FROM tok JOIN counts USING (tok) CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND((CAST(SUM(m) AS BIGINT) / COUNT(*)::DOUBLE) / 1000000, 6)
+             AS mean_logprob
+    FROM micro GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained unigram LM quality score: per-doc mean token
+    log-probability, the classic LM quality filter. Determinism rides on
+    integer micro-unit snapping of per-token ln(p) before summation (see
+    operators/textstats.unigram_logprob); the oracle replays count, total
+    and micro-snap exactly."""
+    from ..operators.textstats import unigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return unigram_logprob(docs)

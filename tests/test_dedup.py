@@ -93,3 +93,63 @@ def test_duplicate_components_transitive_closure(spark):
         for r in duplicate_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_prefix_jaccard_lossless_vs_posting_join(docs):
+    """Prefix filtering (AllPairs bound) must be LOSSLESS: the pair set and
+    jaccard values equal the full posting-join implementation at the same
+    threshold — including under planted boilerplate skew, the case the
+    lossy max_doc_freq cap exists for."""
+    from prefect_flow_arc_alto_to_json_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+    )
+
+    corpus = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" subscribe to our newsletter all rights reserved"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(corpus, threshold=0.6).collect()
+    }
+    pref = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in prefix_jaccard_pairs(corpus, threshold=0.6).collect()
+    }
+    assert pref == full
+    assert full, "vacuous: corpus produced no pairs at threshold 0.6"
+
+
+def test_prefix_jaccard_prefix_bound_tight(spark):
+    """Two docs engineered to share ONLY their rarest shingle must still be
+    found when J >= t (the completeness edge of the prefix bound)."""
+    from prefect_flow_arc_alto_to_json_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+    )
+
+    # 5 tokens -> 3 distinct 3-gram shingles; docs 1/2 share 2 of 3 shingles
+    # (J = 2/4 = 0.5); at t=0.5 the prefix is n_sh - ceil(0.5*3) + 1 = 2
+    # elements, so discovery depends on a shared shingle sorting into the
+    # 2-element prefixes of both docs.
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c d z"),
+            (3, "q r s t u"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in prefix_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    assert (1, 2) in got and abs(got[(1, 2)] - 0.5) < 1e-9
+    assert all(k == (1, 2) for k in got)
