@@ -514,7 +514,10 @@ def prefix_jaccard_pairs(
     dfreq = post.groupBy("sh").agg(F.count(F.lit(1)).alias("sdf"))
     # integer ceil(num*n_sh/den): prefix_len = n_sh - ceil + 1
     ceil_t = F.expr(f"({num}L * n_sh + {den - 1}L) div {den}L")
-    ranked = (
+    # The prefix relation feeds BOTH sides of the candidate self-join;
+    # persist it so the posting⋈df join + ranking window run once, not
+    # twice (same measured trap as the ngram posting persist).
+    ranked = scoped_persist(
         post.join(dfreq, "sh")
         .withColumn(
             "rk",
@@ -523,7 +526,8 @@ def prefix_jaccard_pairs(
             ),
         )
         .where(F.col("rk") <= F.col("n_sh") - ceil_t + 1)
-        .select(F.col(id_col), "sh")
+        .select(F.col(id_col), "sh"),
+        "prefix_jaccard_pairs.prefix",
     )
     cand = (
         ranked.alias("a")

@@ -1366,3 +1366,157 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orphans = orphan_count(li, orders, "l_orderkey", "o_orderkey")
     return base.crossJoin(F.broadcast(orphans))
+
+
+@query(
+    "q_funnel_steps",
+    extra=True,
+    oracle="""
+    WITH w1 AS (
+      SELECT user_id, event_type, ts,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+      FROM events
+    ),
+    w2 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t2
+      FROM w1
+    ),
+    w3 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t3
+      FROM w2
+    )
+    SELECT user_id,
+           strftime(MAX(t1), '%Y-%m-%d %H:%M:%S') AS signup_ts,
+           strftime(MAX(t2), '%Y-%m-%d %H:%M:%S') AS click_ts,
+           strftime(MAX(t3), '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           CAST(CASE WHEN MAX(t1) IS NULL THEN 0
+                     ELSE 1 + (MAX(t2) IS NOT NULL)::INT
+                            + (MAX(t3) IS NOT NULL)::INT END AS BIGINT)
+             AS funnel_depth
+    FROM w3 GROUP BY user_id
+    """,
+)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern funnel over the event stream: first signup, first
+    click strictly after it, first purchase strictly after that — the
+    match_recognize-style conversion funnel, expressed as three CHAINED
+    per-user window minima so the whole funnel (plus the per-user collapse)
+    runs on ONE hash partitioning of user_id: Catalyst plans a single
+    Exchange and reuses it across all three Window operators and the final
+    aggregate. At 100 TB the funnel cost is one shuffle of (user_id, type,
+    ts) triples, never a self-join per step (the naive k-step form is k
+    joins)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    s1 = ev.withColumn(
+        "t1",
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w),
+    )
+    s2 = s1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    return per_user.select(
+        "user_id",
+        F.date_format("t1", "yyyy-MM-dd HH:mm:ss").alias("signup_ts"),
+        F.date_format("t2", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("t3", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.when(F.col("t1").isNull(), F.lit(0))
+        .otherwise(
+            1
+            + F.col("t2").isNotNull().cast("int")
+            + F.col("t3").isNotNull().cast("int")
+        )
+        .cast("long")
+        .alias("funnel_depth"),
+    )
+
+
+@query(
+    "q_hll_rollup",
+    extra=True,
+    oracle="""
+    SELECT r_name,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+           TRUE AS within_5pct
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level MERGEABLE-sketch rollup: DataSketches HLL sketches of
+    ordering customers built per NATION (``hll_sketch_agg``), then UNIONED
+    to region level (``hll_union_agg``) without rescanning the fact — the
+    100 TB rollup contract: aggregate once at fine grain, merge partial
+    sketch state upward (sketch union is associative and order-free, so it
+    composes across partitions, nodes and time).
+
+    Hash-checkable via the q_approx_distinct pattern: the raw estimate is
+    engine-specific, so the output is the exact region count plus a
+    ``within_5pct`` boolean (default lgConfigK=12 → RSE ≈ 1.6%, so 5% is
+    ~3 sigma) — a broken sketch or union flips the boolean and the hash.
+    The nation/customer dims ride broadcast joins; the only wide ops are
+    the two aggregations."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    reg = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    joined = (
+        orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        )
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .select("o_custkey", "n_nationkey", "n_regionkey")
+    )
+    per_nation = joined.groupBy("n_regionkey", "n_nationkey").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    per_region_est = per_nation.groupBy("n_regionkey").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = joined.groupBy("n_regionkey").agg(
+        F.count_distinct("o_custkey").alias("exact_custs")
+    )
+    return (
+        exact.join(F.broadcast(per_region_est), "n_regionkey")
+        .join(
+            F.broadcast(reg),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            "r_name",
+            "exact_custs",
+            (
+                F.abs(F.col("est") - F.col("exact_custs"))
+                <= 0.05 * F.col("exact_custs")
+            ).alias("within_5pct"),
+        )
+    )

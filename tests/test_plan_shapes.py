@@ -136,6 +136,20 @@ _SHUFFLE_BUDGETS = {
     # freqItems sketch: planted-skew union + one-row driver collect; the
     # hashable-guarantee projection re-aggregates once
     "q_freq_items_skew": 2,
+    # round-6 additions — budgets are the measured static counts at test
+    # scale (AQE collapses several via ReuseExchange at runtime):
+    # prefix build (df agg + posting join + rank window) + prefix self-join
+    # + candidate distinct; verification is broadcast-only
+    "dedup_prefix_jaccard": 11,
+    # dup-gram agg + semi mark join + island window (the (id, isl) collapse
+    # rides the window's id partitioning — subset-satisfies, no exchange)
+    "text_dup_spans": 5,
+    # vocab count agg + scoring join + 1-row total + per-doc agg
+    "text_unigram_logprob": 7,
+    # the whole 3-step funnel + per-user collapse on ONE user_id exchange
+    "q_funnel_steps": 1,
+    # nation sketch agg + region union agg + exact count (2-phase)
+    "q_hll_rollup": 4,
 }
 
 
