@@ -71,3 +71,74 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merge_parquet(spark, path, updates, key="o_orderkey")
     return spark.read.parquet(path)
+
+
+from pyspark.sql import Window  # noqa: E402
+
+
+@query(
+    "q_scd2_history",
+    extra=True,
+    oracle="""
+    WITH src AS (
+      SELECT user_id, ts, event_id, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    changed AS (
+      SELECT * FROM (
+        SELECT user_id, ts, event_id, value,
+               lag(value) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS prev_value
+        FROM src
+      ) WHERE prev_value IS NULL OR value <> prev_value
+    ),
+    versioned AS (
+      SELECT user_id, ts, value,
+             row_number() OVER w AS version,
+             lead(ts) OVER w AS next_ts
+      FROM changed
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(version AS BIGINT) AS version,
+           ROUND(value, 2) AS value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(next_ts, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           (next_ts IS NULL) AS is_current
+    FROM versioned
+    """,
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history build from a change log:
+    collapse consecutive no-change rows, then open [valid_from, valid_to)
+    intervals with ``lead`` and flag the open-ended current version — the
+    standard lake-dimension maintenance pattern, expressed as two chained
+    windows plus a rank on ONE user_id partitioning (single Exchange; the
+    change-collapse filter runs between them without re-shuffling).
+    Deterministic ordering tiebreak on event_id mirrors the oracle."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id", "value")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = (
+        ev.withColumn("prev_value", F.lag("value").over(w))
+        .where(F.col("prev_value").isNull() | (F.col("value") != F.col("prev_value")))
+        .drop("prev_value")
+    )
+    versioned = changed.select(
+        "user_id",
+        "ts",
+        "value",
+        F.row_number().over(w).alias("version"),
+        F.lead("ts").over(w).alias("next_ts"),
+    )
+    return versioned.select(
+        "user_id",
+        F.col("version").cast("long").alias("version"),
+        F.round("value", 2).alias("value"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("next_ts", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        F.col("next_ts").isNull().alias("is_current"),
+    )

@@ -1520,3 +1520,100 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_5pct"),
         )
     )
+
+
+@query(
+    "q_event_transitions",
+    extra=True,
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    counts AS (
+      SELECT prev_type, event_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, event_type, CAST(n AS BIGINT) AS n,
+           ROUND(n / (SUM(n) OVER (PARTITION BY prev_type))::DOUBLE, 6) AS p
+    FROM counts
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    lag window (one user_id Exchange) → (prev, cur) count (one pair
+    Exchange, map-side combined) → row-normalized probability via a window
+    over the TINY aggregated matrix (25 cells). Deterministic tiebreak on
+    event_id; p divides two exact integers."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    counts = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "event_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wp), 6).alias("p"),
+    )
+
+
+@query(
+    "q_cohort_retention",
+    extra=True,
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, ts,
+             date_trunc('week', MIN(ts) OVER (PARTITION BY user_id))
+               AS cohort_week
+      FROM events
+    ),
+    activity AS (
+      SELECT user_id, cohort_week,
+             date_diff('week', cohort_week, date_trunc('week', ts))
+               AS week_offset
+      FROM firsts
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(week_offset AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+    FROM activity
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users cohorted by the Monday of their
+    first event, counted distinct in each subsequent week offset — the
+    standard product-analytics retention query. One user_id Exchange for
+    the first-seen window, one (cohort, offset) aggregate; week truncation
+    is Monday-anchored in both engines so offsets are exact integers."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id")
+    firsts = ev.withColumn(
+        "cohort_week", F.date_trunc("week", F.min("ts").over(w))
+    )
+    activity = firsts.select(
+        "user_id",
+        "cohort_week",
+        (
+            F.datediff(
+                F.date_trunc("week", F.col("ts")), F.col("cohort_week")
+            )
+            / 7
+        )
+        .cast("long")
+        .alias("week_offset"),
+    )
+    return activity.groupBy(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+    ).agg(F.count_distinct("user_id").alias("active_users"))

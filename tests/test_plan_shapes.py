@@ -150,6 +150,12 @@ _SHUFFLE_BUDGETS = {
     "q_funnel_steps": 1,
     # nation sketch agg + region union agg + exact count (2-phase)
     "q_hll_rollup": 4,
+    # SCD2: change-collapse + versioning windows share ONE user Exchange
+    "q_scd2_history": 1,
+    # lag window + (prev, cur) agg + tiny row-normalize window
+    "q_event_transitions": 3,
+    # first-seen window + (cohort, offset) distinct agg
+    "q_cohort_retention": 2,
 }
 
 
