@@ -272,3 +272,37 @@ def pack_bins(
         return pdf
 
     return df.groupBy(shard_col).applyInPandas(pack, schema)
+
+
+def group_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+    tag: str = "gsample-v1",
+) -> DataFrame:
+    """Deterministic uniform k-per-group sample: rank rows inside each
+    group by a salted stable hash of the id and keep the k smallest —
+    functionally a per-group reservoir sample (every row equally likely
+    under the hash's uniformity) with the reservoir replaced by a
+    rank-k cut, which makes it RE-RUNNABLE and cross-engine replayable
+    (no RNG state, no scan order dependence). Adds ``sample_rank`` (1-based
+    hash rank within the group).
+
+    Scale: one hash per row (narrow map) + one shuffle on the group key;
+    per-partition WindowGroupLimit pre-cuts each partition to its local
+    top-k before the exchange, so the shuffle moves O(groups * k *
+    partitions) rows at worst, not the corpus. The classic driver-side
+    reservoir cannot do this distributedly without a merge step — the
+    rank-cut form IS that merge, expressed relationally.
+    """
+    h = stable_hash_p31(
+        F.concat(F.lit(tag + ":"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        h.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+    )

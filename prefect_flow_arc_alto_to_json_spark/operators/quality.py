@@ -93,3 +93,61 @@ def observed_rules(
         obs, F.count(F.lit(1)).alias("n_rows"), *violations(rules)
     )
     return out, obs
+
+
+def psi_drift(
+    expected: DataFrame,
+    actual: DataFrame,
+    bin_col: str = "bin",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a pre-binned
+    feature — the standard distribution-drift gate between a reference
+    corpus and a new ingest (PSI < 0.1 stable, 0.1-0.25 moderate, > 0.25
+    drifted).
+
+    Inputs carry one integer ``bin_col`` in [0, n_bins); both sides are
+    counted per bin over a dense bin spine (so empty bins participate),
+    proportions are Laplace-smoothed ((n+1)/(N+n_bins) — PSI is undefined
+    on zero bins), and each bin's term ``(p_a - p_e) * ln(p_a / p_e)`` is
+    snapped to integer MICRO-UNITS before the total sums them — the same
+    cross-engine determinism device as textstats.unigram_logprob (ulp-level
+    libm differences cannot survive the snap).
+
+    Returns one row per bin: (bin, n_expected, n_actual, psi_term_micro,
+    psi_total_micro); total = sum of terms via an unpartitioned window over
+    n_bins rows (constant-size — not a scale hazard).
+
+    Scale: each side is one partial-aggregated count per bin (≤ n_bins
+    rows shuffle per side, whatever the corpus size); the join/window run
+    on n_bins rows. The 100 TB cost is the two scans — everything after is
+    constant.
+    """
+    spark = expected.sparkSession
+    spine = spark.range(n_bins).select(F.col("id").alias("bin"))
+
+    def counts(df: DataFrame, out: str) -> DataFrame:
+        return df.groupBy(F.col(bin_col).alias("bin")).agg(
+            F.count(F.lit(1)).alias(out)
+        )
+
+    bins = (
+        spine.join(F.broadcast(counts(expected, "n_expected")), "bin", "left")
+        .join(F.broadcast(counts(actual, "n_actual")), "bin", "left")
+        .na.fill(0, ["n_expected", "n_actual"])
+    )
+    ne = F.sum("n_expected").over(Window.partitionBy())
+    na = F.sum("n_actual").over(Window.partitionBy())
+    pe = (F.col("n_expected") + 1).cast("double") / (ne + n_bins).cast("double")
+    pa = (F.col("n_actual") + 1).cast("double") / (na + n_bins).cast("double")
+    term = F.round((pa - pe) * F.log(pa / pe) * 1000000.0, 0).cast("long")
+    with_terms = bins.select(
+        "bin", "n_expected", "n_actual", term.alias("psi_term_micro")
+    )
+    return with_terms.withColumn(
+        "psi_total_micro",
+        F.sum("psi_term_micro").over(Window.partitionBy()).cast("long"),
+    )
+
+
+from pyspark.sql import Window  # noqa: E402

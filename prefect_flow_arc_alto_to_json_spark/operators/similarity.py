@@ -534,6 +534,151 @@ def kmeans_refine(
     return cents, assigned
 
 
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "q8",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization: each dimension is
+    mapped to ``round(x * 127 / max|x|)`` ∈ [-127, 127] (stored as long —
+    the VALUES are int8-range; Spark arrays of TINYINT widen in arithmetic
+    anyway and the long keeps the integer dot exactly representable).
+
+    Because cosine is scale-invariant, the per-vector scale cancels out of
+    the quantized score — ``qdot / (|qa| * |qb|)`` needs no dequantization
+    — so the entire scoring pipeline after this map is INTEGER arithmetic,
+    which is what makes the result bit-reproducible across engines (the
+    one double op left is the final division).
+
+    Scale: this is the memory/bandwidth lever of a production ANN stack —
+    4x smaller vectors than float32 (32x vs the double the exact path
+    scores in), so 4x more of the corpus fits in executor memory / page
+    cache and every shuffle or broadcast of vectors moves 4x less. The
+    quantization itself is a pure narrow map (no shuffle, whole-stage
+    codegen'd array HOF).
+    """
+    v = _as_double(vec_col)
+    scale = F.greatest(
+        F.aggregate(v, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))),
+        F.lit(1e-30),
+    )
+    return df.withColumn("__q8_scale", scale).withColumn(
+        out_col,
+        F.transform(
+            _as_double(vec_col),
+            lambda x: F.round(x * 127.0 / F.col("__q8_scale"), 0).cast("long"),
+        ),
+    ).drop("__q8_scale")
+
+
+def int8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine top-k over int8-quantized vectors — the quantized twin of
+    ``brute_force_topk``. Returns (query_id, neighbor_id, cosine_q8, rank).
+
+    The integer dot product and integer squared norms are exact (no
+    floating-point summation-order hazard at all — 64 products of values
+    ≤127² sum far below 2^63); the single double division at the end is
+    identical left-to-right in any engine, so the full result value-hashes
+    against a SQL replay of the same math. Same broadcast nested-loop +
+    per-partition partial top-k (WindowGroupLimit) physical shape as the
+    exact baseline — only the element width changes.
+    """
+    q = quantize_int8(queries, vec_col, "qv").select(
+        F.col(id_col).alias("query_id"), F.col("qv").alias("qa")
+    )
+    c = quantize_int8(fan_out(corpus), vec_col, "qv").select(
+        F.col(id_col).alias("neighbor_id"), F.col("qv").alias("qb")
+    )
+    zero = F.lit(0).cast("long")
+    idot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        zero,
+        lambda acc, v: acc + v,
+    )
+    inorm2 = lambda col: F.aggregate(  # noqa: E731
+        col, zero, lambda acc, v: acc + v * v
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                idot.cast("double")
+                / F.sqrt((inorm2(F.col("qa")) * inorm2(F.col("qb"))).cast("double")),
+                6,
+            ).alias("cosine_q8"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_q8").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: IVF-cluster the embedding
+    space, then drop every vector that is within ``threshold`` cosine of a
+    LOWER-id vector in the SAME cell (the deterministic min-id
+    representative rule). Returns (vec_id, cent_id, kept).
+
+    This is the embedding-space complement of MinHash/SimHash text dedup:
+    paraphrases and re-encodings that share no n-grams still collapse,
+    because closeness is measured in the representation, not the surface
+    string.
+
+    Scale — the reason for the cluster step: the quadratic pair search is
+    confined to cells, Σ|cell|² instead of |corpus|² (the same bound as the
+    banded-LSH bucket join in operators/dedup.py), and cells are exactly
+    the partitioning you'd persist (assignments bucketed BY cent_id), so
+    the self-join co-locates without a shuffle on re-runs. Boundary pairs
+    straddling two cells are missed by construction — the documented
+    recall trade every production SemDeDup makes (mitigate with more
+    Lloyd refinement, kmeans_refine, or multi-probe assignment).
+    """
+    _, assigned = ivf_index(corpus, n_centroids, id_col, vec_col)
+    a = assigned.select(
+        "cent_id", F.col("vid").alias("id_a"), F.col("vec").alias("va")
+    )
+    b = assigned.select(
+        "cent_id", F.col("vid").alias("id_b"), F.col("vec").alias("vb")
+    )
+    dropped = (
+        a.join(b, "cent_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            F.round(cosine(F.col("va"), F.col("vb")), 6) >= F.lit(threshold)
+        )
+        .select(F.col("id_b").alias("vid"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dropped.withColumn("__dropped", F.lit(True)), "vid", "left"
+        )
+        .select(
+            F.col("vid").alias(id_col),
+            "cent_id",
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
 from ..functions.selfship import self_ship  # noqa: E402
 
 # Worker-executed closures above must never require this package on the

@@ -272,3 +272,78 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = boilered.unionByName(copies)
     return duplicate_spans(corpus, k=_SPAN_K)
+
+
+@query(
+    "q_psi_drift",
+    extra=True,
+    oracle="""
+    WITH d AS (
+      SELECT CASE WHEN md5_number_lower('psi-v1:' || CAST(doc_id AS VARCHAR))
+                       % 2147483647 % 100 < 50
+                  THEN 'e' ELSE 'a' END AS snap,
+             least(n_chars // 200, 9) AS bin
+      FROM documents
+    ),
+    spine AS (SELECT unnest(range(10)) AS bin),
+    ce AS (SELECT bin, count(*) AS n FROM d WHERE snap = 'e' GROUP BY bin),
+    ca AS (SELECT bin, count(*) AS n FROM d WHERE snap = 'a' GROUP BY bin),
+    bins AS (
+      SELECT spine.bin,
+             COALESCE(ce.n, 0) AS n_expected,
+             COALESCE(ca.n, 0) AS n_actual
+      FROM spine LEFT JOIN ce USING (bin) LEFT JOIN ca USING (bin)
+    ),
+    probs AS (
+      SELECT bin, n_expected, n_actual,
+             CAST(n_expected + 1 AS DOUBLE)
+               / CAST((SELECT SUM(n_expected) FROM bins) + 10 AS DOUBLE) AS pe,
+             CAST(n_actual + 1 AS DOUBLE)
+               / CAST((SELECT SUM(n_actual) FROM bins) + 10 AS DOUBLE) AS pa
+      FROM bins
+    ),
+    terms AS (
+      SELECT bin, n_expected, n_actual,
+             CAST(ROUND((pa - pe) * ln(pa / pe) * 1000000.0)
+                  AS BIGINT) AS psi_term_micro
+      FROM probs
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(n_expected AS BIGINT) AS n_expected,
+           CAST(n_actual AS BIGINT) AS n_actual,
+           psi_term_micro,
+           CAST(SUM(psi_term_micro) OVER () AS BIGINT) AS psi_total_micro
+    FROM terms
+    """,
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-Stability-Index drift gate (operators/quality.py:
+    psi_drift) between two deterministic hash-split snapshots of the
+    corpus, over fixed-width n_chars bins (200-char buckets, capped at bin
+    9). The split rides the same salted-md5 residue as
+    text_train_val_split, the binning is pure integer division, and each
+    PSI term is micro-unit snapped before totalling — so the DuckDB replay
+    is hash-exact despite the ln(). A real drifted ingest would show a
+    fat psi_total_micro; two uniform halves of the same corpus (as here)
+    must show PSI ~ 0 — which the oracle verifies EXACTLY, not just
+    approximately.
+
+    Scale: the corpus is touched exactly twice (one counting scan per
+    snapshot, ≤ n_bins rows shuffled each); the PSI math runs on a
+    10-row relation. Drift-gating a 100 TB ingest costs two scans.
+    """
+    from ..functions.scalar import stable_hash_p31
+    from ..operators.quality import psi_drift
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.pmod(
+            stable_hash_p31(
+                F.concat(F.lit("psi-v1:"), F.col("doc_id").cast("string"))
+            ),
+            F.lit(100),
+        ).alias("bucket"),
+        F.least(F.expr("n_chars div 200"), F.lit(9)).alias("bin"),
+    )
+    expected = docs.where(F.col("bucket") < 50)
+    actual = docs.where(F.col("bucket") >= 50)
+    return psi_drift(expected, actual, "bin", 10)

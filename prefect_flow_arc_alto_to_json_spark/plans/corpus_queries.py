@@ -179,3 +179,45 @@ def text_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", token_count("text").cast("long").alias("n_tokens")
     )
     return pack_bins(toks, _BIN_BUDGET, "n_tokens", "source")
+
+
+@query(
+    "text_group_sample",
+    extra=True,
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source, lang, n_chars,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5_number_lower('gsample-v1:' || CAST(doc_id AS VARCHAR))
+                          % 2147483647 ASC,
+                        doc_id ASC
+             ) AS INTEGER) AS sample_rank
+      FROM documents
+    )
+    SELECT doc_id, source, lang, CAST(n_chars AS BIGINT) AS n_chars,
+           sample_rank
+    FROM ranked WHERE sample_rank <= 5
+    """,
+)
+def text_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-per-source uniform sample
+    (operators/corpus.py:group_sample) — the distributed replacement for a
+    per-group reservoir: salted-hash rank inside each group, keep the 5
+    smallest, doc_id tiebreak. Row-level oracle (the exact sampled ids,
+    not just counts) because the hash ranking is replayed verbatim in SQL.
+
+    Scale: WindowGroupLimit pre-cuts every partition to its local top-5
+    before the single group-key Exchange — the shuffle carries
+    O(groups * k * partitions) rows regardless of corpus size.
+    """
+    from ..operators.corpus import group_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return group_sample(docs, "source", "doc_id", 5).select(
+        "doc_id",
+        "source",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("sample_rank").cast("int").alias("sample_rank"),
+    )

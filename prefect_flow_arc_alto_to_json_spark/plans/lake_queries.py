@@ -142,3 +142,77 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("next_ts", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
         F.col("next_ts").isNull().alias("is_current"),
     )
+
+
+@query(
+    "q_incremental_mv",
+    extra=True,
+    oracle="""
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST((2 * SUM(CAST(ROUND(value * 100) AS BIGINT)) + COUNT(*))
+                // (2 * COUNT(*)) AS BIGINT) AS avg_cents,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def q_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance
+    (operators/incremental.py): the per-(user, type) aggregate view is
+    built as PERSISTED STATE — history (ts < Jan 21) is partial-aggregated,
+    written to parquet, READ BACK, and two later ingest days fold in via
+    the algebraic merge (count partials merged by SUM, etc.) — never
+    rescanning history. The oracle is the from-scratch GROUP BY over all
+    events: the merge's closure property says the two must be
+    hash-identical; money in exact integer cents, avg via the half-up
+    integer recurrence (functions/scalar.py:half_up_units), timestamps
+    formatted.
+
+    Scale: this is the O(batch)-per-ingest view-maintenance shape — at
+    100 TB of history the rebuild rescans everything, the merge touches
+    |state| + |batch| rows with ONE shuffle on the view key (both sides
+    pre-aggregated). The state round-trips through parquet here exactly as
+    it would in production (bucket it on the key to kill even that
+    shuffle).
+    """
+    from ..functions.scalar import half_up_units
+    from ..operators.incremental import agg_state, merge_states
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", cents("value").alias("v_cents")
+    )
+    keys = ["user_id", "event_type"]
+    aggs = {
+        "n_events": ("v_cents", "count"),
+        "total_cents": ("v_cents", "sum"),
+        "first_ts": ("ts", "min"),
+        "last_ts": ("ts", "max"),
+    }
+    cut1, cut2 = "2024-01-21", "2024-01-26"
+    state_dir = tempfile.mkdtemp(prefix="incr_mv_") + "/state"
+    # ingest 1: all history before cut1 -> persisted state table
+    agg_state(ev.where(F.col("ts") < cut1), keys, aggs).write.mode(
+        "overwrite"
+    ).parquet(state_dir)
+    # ingests 2+3: two later windows fold into the read-back state
+    state = spark.read.parquet(state_dir)
+    batch2 = agg_state(
+        ev.where((F.col("ts") >= cut1) & (F.col("ts") < cut2)), keys, aggs
+    )
+    batch3 = agg_state(ev.where(F.col("ts") >= cut2), keys, aggs)
+    view = merge_states([state, batch2, batch3], keys, aggs)
+    return view.select(
+        "user_id",
+        "event_type",
+        "n_events",
+        "total_cents",
+        half_up_units(F.col("total_cents"), F.col("n_events"), 1).alias(
+            "avg_cents"
+        ),
+        F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    )

@@ -759,3 +759,175 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         foreach_batch=lambda df, _bid: df.write.mode("append").parquet(out),
     )
     return spark.read.parquet(out)
+
+
+@query(
+    "stream_outer_join",
+    extra=True,
+    oracle="""
+    WITH e AS (SELECT * FROM events WHERE event_type = 'error'),
+    p AS (SELECT * FROM events WHERE event_type = 'purchase')
+    SELECT e.user_id,
+           e.event_id AS l_event_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS l_ts,
+           p.event_id AS r_event_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS r_ts,
+           p.value AS r_value
+    FROM e LEFT JOIN p
+      ON e.user_id = p.user_id
+     AND p.ts > e.ts
+     AND p.ts <= e.ts + INTERVAL 10 MINUTE
+    """,
+)
+def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM LEFT OUTER interval join — the null-padded rows are
+    the part only watermark semantics can produce: an unmatched error
+    emits (ids, NULL purchase columns) exactly when the left state
+    watermark proves no purchase can arrive for it anymore. The replay
+    drains the real events, then plants two later-timestamped sentinel
+    micro-batches (error+purchase typed so they survive both side
+    filters, user_id=-1) and drains after each — pushing the watermark
+    past every real row so ALL unmatched errors flush (outer results
+    trail the watermark by one micro-batch, hence two flushes). The
+    oracle is the batch LEFT JOIN: matched rows must carry identical
+    purchase columns, unmatched ones exactly one null-padded row — a
+    dropped-or-duplicated outer row flips the hash.
+
+    Scale: same bounded-state shape as stream_interval_join (two-sided
+    watermarks + two-sided time bound ⇒ both buffers evict); leftOuter
+    adds no state, only the evict-time null emission.
+    """
+    from ..streaming.pipeline import stream_stream_interval_join
+
+    src = tempfile.mkdtemp(prefix="stream_soj_src_")
+    out = tempfile.mkdtemp(prefix="stream_soj_out_")
+    ckpt = tempfile.mkdtemp(prefix="stream_soj_ckpt_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src, "events.parquet"),
+    )
+    from ..sources import load_table
+
+    mx = load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+
+    def drain() -> None:
+        errors = stream_events(spark, src).where("event_type = 'error'")
+        purchases = stream_events(spark, src).where(
+            "event_type = 'purchase'"
+        )
+        joined = stream_stream_interval_join(
+            errors, purchases, how="leftOuter"
+        ).select(
+            "user_id",
+            "l_event_id",
+            F.date_format("l_ts", "yyyy-MM-dd HH:mm:ss").alias("l_ts"),
+            "r_event_id",
+            F.date_format("r_ts", "yyyy-MM-dd HH:mm:ss").alias("r_ts"),
+            "r_value",
+        )
+        run_available_now(
+            joined,
+            ckpt,
+            output_mode="append",
+            foreach_batch=lambda df, _bid: df.write.mode("append").parquet(out),
+        )
+
+    drain()
+    for name, h in (("flush_a.parquet", 2), ("flush_b.parquet", 4)):
+        rows = [
+            (10**13 + h, mx + timedelta(hours=h), -1, "error", 1.0, None),
+            (10**13 + 100 + h, mx + timedelta(hours=h, minutes=30), -1,
+             "purchase", 1.0, None),
+        ]
+        _plant_events_like_source(
+            spark, src, spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA), name
+        )
+        drain()
+    return spark.read.parquet(out).where(F.col("user_id") != -1)
+
+
+@query(
+    "stream_foreachbatch_upsert",
+    extra=True,
+    oracle="""
+    SELECT user_id,
+           last_event_id,
+           last_ts,
+           last_cents
+    FROM (
+      SELECT user_id,
+             event_id AS last_event_id,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS last_cents,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming → keyed-state lake sink: ``foreachBatch`` applying the
+    batch MERGE primitive (sinks/upsert.py:merge_parquet, greatest-
+    order-wins) to maintain a last-event-per-user parquet table across TWO
+    AvailableNow drains (events split by event_id parity). Each
+    micro-batch is first collapsed to one row per user (max_by on the
+    (ts, event_id) struct), then merged into the persisted state with the
+    same struct as the ordering column — so a key arriving in both drains
+    keeps the later event no matter which drain carried it, and re-running
+    a drain is a no-op (idempotent, the exactly-once-sink recipe on a
+    plain-parquet lake). Oracle: the batch last-row-per-user over all
+    events — any lost update, resurrection of older state, or
+    double-apply flips the hash.
+
+    Scale: the per-batch collapse means the merge's shuffle carries one
+    row per ACTIVE key per batch, not the batch's raw rows; the rewrite
+    cost is |state|, the price of plain parquet (a table format's MERGE
+    has the same dataflow with file-level pruning on top).
+    """
+    from ..functions.scalar import cents as _cents
+    from ..sinks.upsert import merge_parquet
+    from ..sources import load_table
+
+    src = tempfile.mkdtemp(prefix="febu_src_")
+    state = tempfile.mkdtemp(prefix="febu_state_") + "/last_by_user"
+    ckpt = tempfile.mkdtemp(prefix="febu_ckpt_")
+    ev_batch = load_table(spark, sf_dir, "events")
+
+    def apply_batch(batch: DataFrame, _bid: int) -> None:
+        per_key = (
+            batch.groupBy("user_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        "ts", "event_id", _cents("value").alias("v_cents")
+                    )
+                ).alias("s")
+            )
+            .select(
+                "user_id",
+                F.col("s.event_id").alias("last_event_id"),
+                F.date_format("s.ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+                F.col("s.v_cents").alias("last_cents"),
+                F.struct(
+                    F.col("s.ts").alias("ts"),
+                    F.col("s.event_id").alias("event_id"),
+                ).alias("ord"),
+            )
+        )
+        merge_parquet(
+            batch.sparkSession, state, per_key, key="user_id", order_col="ord"
+        )
+
+    for phase, parity in enumerate((0, 1)):
+        _write_single_parquet(
+            ev_batch.where(F.pmod("event_id", F.lit(2)) == parity),
+            os.path.join(src, f"half_{phase}.parquet"),
+        )
+        run_available_now(
+            stream_events(spark, src),
+            ckpt,
+            output_mode="append",
+            foreach_batch=apply_batch,
+        )
+    return spark.read.parquet(state).drop("ord")

@@ -308,8 +308,9 @@ def stream_stream_interval_join(
     left_watermark: str = "30 minutes",
     right_watermark: str = "30 minutes",
     interval: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join on ``key`` within an event-time interval:
+    """Stream-stream join on ``key`` within an event-time interval:
     right events landing in ``(left.ts, left.ts + interval]`` — the
     streaming twin of the batch q_interval_join (error → next purchase
     within 10 min is the canonical use).
@@ -321,6 +322,15 @@ def stream_stream_interval_join(
     two-sided time bound the join state grows forever. Output columns are
     disambiguated (``l_``/``r_`` prefixes) because both inputs share the
     events schema.
+
+    ``how="leftOuter"`` additionally emits every left row that found no
+    match, null-padded — but only once the LEFT-side state watermark has
+    passed ``l_ts + interval`` (i.e. the row provably can't match
+    anymore); until then it sits in state. Callers draining with
+    AvailableNow must push the watermark past the data (plant a
+    later-timestamped row and drain again) or the tail's unmatched rows
+    stay buffered — see plans/streaming_queries.py:stream_outer_join for
+    the replay that proves exactly this.
     """
     l = left.withWatermark("ts", left_watermark).select(
         F.col(key).alias("l_key"),
@@ -340,7 +350,7 @@ def stream_stream_interval_join(
         & (F.col("r_ts") > F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {interval}"))
     )
-    return l.join(r, cond, "inner").select(
+    return l.join(r, cond, how).select(
         F.col("l_key").alias(key),
         "l_event_id",
         "l_ts",
