@@ -679,6 +679,50 @@ def semantic_dedup(
     )
 
 
+def knn_classify(
+    labeled: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-nearest-neighbor majority-vote classification: exact cosine top-k
+    against the labeled corpus, then the modal neighbor label per query
+    (ties broken toward the smallest label — deterministic). Returns
+    (query_id, pred_label, n_votes).
+
+    The labeling workhorse of a training-data pipeline: propagate a small
+    seed of human labels (quality tiers, topics, license classes) onto an
+    unlabeled corpus by representation proximity.
+
+    Scale: inherits brute_force_topk's shape — labeled seed broadcast when
+    small (the common case: seeds are thousands, corpus is billions), one
+    narrow scan of the unlabeled side, WindowGroupLimit per partition; the
+    vote is a |queries|·k-row aggregate. For a large seed, swap the inner
+    scorer for ivf_topk/lsh_bucketed_topk — the vote stage is unchanged.
+    """
+    topk = brute_force_topk(labeled, queries, k, id_col, vec_col)
+    labels = labeled.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nlabel")
+    )
+    votes = (
+        topk.join(labels, "neighbor_id")
+        .groupBy("query_id", "nlabel")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("nlabel").asc()
+    )
+    return (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "query_id", F.col("nlabel").alias("pred_label"), "n_votes"
+        )
+    )
+
+
 from ..functions.selfship import self_ship  # noqa: E402
 
 # Worker-executed closures above must never require this package on the

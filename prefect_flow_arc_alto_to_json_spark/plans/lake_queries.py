@@ -216,3 +216,73 @@ def q_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
         F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
     )
+
+
+@query(
+    "q_zorder_index",
+    extra=True,
+    oracle="""
+    WITH base AS (
+      SELECT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+      FROM events
+    ),
+    bounds AS (
+      SELECT MIN(user_id) AS ulo, MAX(user_id) AS uhi,
+             MIN(day) AS dlo, MAX(day) AS dhi
+      FROM base
+    ),
+    bk AS (
+      SELECT greatest(0, least(15,
+               ((user_id - ulo) * 16) // (uhi - ulo + 1))) AS ub,
+             greatest(0, least(15,
+               ((day - dlo) * 16) // (dhi - dlo + 1))) AS db
+      FROM base CROSS JOIN bounds
+    ),
+    zz AS (SELECT ub, db, ((((ub >> 0) & 1) * 1) + (((ub >> 1) & 1) * 4) + (((ub >> 2) & 1) * 16) + (((ub >> 3) & 1) * 64) + (((db >> 0) & 1) * 2) + (((db >> 1) & 1) * 8) + (((db >> 2) & 1) * 32) + (((db >> 3) & 1) * 128)) AS z FROM bk)
+    SELECT CAST(z AS BIGINT) AS z,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(ub) AS BIGINT) AS min_ub,
+           CAST(MAX(ub) AS BIGINT) AS max_ub,
+           CAST(MIN(db) AS BIGINT) AS min_db,
+           CAST(MAX(db) AS BIGINT) AS max_db
+    FROM zz GROUP BY z
+    """,
+)
+def q_zorder_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) code computation (sinks/zorder.py) over events
+    (user_id x event day, 4 bits each): min/max-bounded bucketization in
+    pure integer floor division, then the bit-interleave — the SAME
+    GENERATED SQL TEXT runs on both engines (the oracle embeds
+    morton_sql()'s output verbatim), so the code values are hash-exact by
+    construction. Aggregated per z-cell with each dimension's bucket
+    min/max — the footer-stats view a file-skipping scan would see.
+
+    The layout effect the code exists for (multi-dim box filters touching
+    few files after repartitionByRange(z) + sortWithinPartitions) is
+    asserted against real written files in tests/test_layout_pruning.py.
+    """
+    from ..sinks.zorder import bucketize, morton_sql
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day"),
+    )
+    bounds = ev.agg(
+        F.min("user_id").alias("ulo"),
+        F.max("user_id").alias("uhi"),
+        F.min("day").alias("dlo"),
+        F.max("day").alias("dhi"),
+    )
+    bk = ev.crossJoin(F.broadcast(bounds)).select(
+        bucketize(F.col("user_id"), F.col("ulo"), F.col("uhi"), 4).alias("ub"),
+        bucketize(F.col("day"), F.col("dlo"), F.col("dhi"), 4).alias("db"),
+    )
+    zz = bk.withColumn("z", F.expr(morton_sql(["ub", "db"], 4)))
+    return zz.groupBy("z").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ub").alias("min_ub"),
+        F.max("ub").alias("max_ub"),
+        F.min("db").alias("min_db"),
+        F.max("db").alias("max_db"),
+    )

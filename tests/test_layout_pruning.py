@@ -101,3 +101,65 @@ def test_partition_guard_near_cap_band_is_exact(spark, tmp_path):
     over = spark.range(1010).selectExpr("id", "id % 101 as part")
     with pytest.raises(ValueError, match="max_partitions"):
         write_partitioned(over, "/tmp/never-written-2", ["part"], max_partitions=100)
+
+
+def test_zorder_layout_localizes_2d_box_filters(spark, sf_dir, tmp_path):
+    """Z-ordered files must confine a 2-D box filter to a small file
+    subset, where a single-column sort localizes only its own column.
+    Checked against REAL written files via input_file_name(): the set of
+    files CONTAINING matching rows is what footer min/max stats would
+    prune to."""
+    from prefect_flow_arc_alto_to_json_spark.sinks.zorder import (
+        bucketize,
+        morton_sql,
+        write_zordered,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day"),
+    )
+    bounds = ev.agg(
+        F.min("user_id").alias("ulo"), F.max("user_id").alias("uhi"),
+        F.min("day").alias("dlo"), F.max("day").alias("dhi"),
+    )
+    ulo, uhi, dlo, dhi = bounds.collect()[0]
+    bk = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_id", "user_id", "day",
+        bucketize(F.col("user_id"), F.col("ulo"), F.col("uhi"), 8).alias("ub"),
+        bucketize(F.col("day"), F.col("dlo"), F.col("dhi"), 8).alias("db"),
+    ).withColumn("__z", F.expr(morton_sql(["ub", "db"], 8)))
+
+    n_files = 16
+    zpath = str(tmp_path / "events_z")
+    write_zordered(bk, zpath, "__z", n_files=n_files)
+    upath = str(tmp_path / "events_by_user")
+    (bk.repartitionByRange(n_files, "user_id")
+       .sortWithinPartitions("user_id")
+       .write.mode("overwrite").parquet(upath))
+
+    # a box covering ~1/4 of each dimension (1/16 of the plane)
+    u_mid, d_mid = (ulo + uhi) // 2, (dlo + dhi) // 2
+    u_hi_q, d_hi_q = ulo + (uhi - ulo) // 4, dlo + (dhi - dlo) // 4
+    box = (
+        (F.col("user_id") >= ulo) & (F.col("user_id") <= u_hi_q)
+        & (F.col("day") >= dlo) & (F.col("day") <= d_hi_q)
+    )
+
+    def files_touched(path: str) -> int:
+        return (
+            spark.read.parquet(path).where(box)
+            .select(F.input_file_name()).distinct().count()
+        )
+
+    z_files, u_files = files_touched(zpath), files_touched(upath)
+    # user-sorted layout prunes the user range (~1/4 of files) but inside
+    # it every file spans all days; z-order confines BOTH dims
+    assert z_files < u_files, (z_files, u_files)
+    assert z_files <= n_files // 2, f"z-layout touched {z_files}/{n_files}"
+    # same rows either way (layout must never change query results)
+    assert (
+        spark.read.parquet(zpath).where(box).count()
+        == spark.read.parquet(upath).where(box).count()
+    )
