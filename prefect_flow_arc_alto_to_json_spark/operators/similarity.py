@@ -652,6 +652,11 @@ def semantic_dedup(
     Lloyd refinement, kmeans_refine, or multi-probe assignment).
     """
     _, assigned = ivf_index(corpus, n_centroids, id_col, vec_col)
+    # materialize the assignment once (it feeds both self-join sides AND
+    # the final projection — without this the whole index subtree is
+    # planned three times); at scale this is the step you'd WRITE OUT
+    # bucketed by cent_id, making the self-join exchange-free on re-runs
+    assigned = assigned.localCheckpoint()
     a = assigned.select(
         "cent_id", F.col("vid").alias("id_a"), F.col("vec").alias("va")
     )
@@ -659,7 +664,10 @@ def semantic_dedup(
         "cent_id", F.col("vid").alias("id_b"), F.col("vec").alias("vb")
     )
     dropped = (
-        a.join(b, "cent_id")
+        # shuffle-hash, not sort-merge: cells are hash-colocatable and the
+        # pair filter needs no sort order (corpus-sized sides ⇒ SMJ's two
+        # sorts are pure overhead)
+        a.join(b.hint("shuffle_hash"), "cent_id")
         .where(F.col("id_a") < F.col("id_b"))
         .where(
             F.round(cosine(F.col("va"), F.col("vb")), 6) >= F.lit(threshold)
@@ -669,7 +677,9 @@ def semantic_dedup(
     )
     return (
         assigned.join(
-            dropped.withColumn("__dropped", F.lit(True)), "vid", "left"
+            dropped.withColumn("__dropped", F.lit(True)).hint("shuffle_hash"),
+            "vid",
+            "left",
         )
         .select(
             F.col("vid").alias(id_col),

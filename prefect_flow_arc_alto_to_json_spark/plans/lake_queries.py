@@ -286,3 +286,53 @@ def q_zorder_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("db").alias("min_db"),
         F.max("db").alias("max_db"),
     )
+
+
+@query(
+    "q_schema_evolution",
+    extra=True,
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus AS status,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents,
+           CAST(NULL AS VARCHAR) AS channel
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey,
+           o_orderstatus AS status,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents,
+           CASE WHEN o_orderkey % 3 = 0 THEN 'web' ELSE 'store' END AS channel
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution on a plain-parquet table: generation 1 is
+    written without ``channel``, generation 2 adds it; a single
+    ``mergeSchema`` read reconstructs the union schema with NULLs for the
+    old files — the no-rewrite column-add every long-lived lake table
+    needs. The oracle is the relational definition (old rows with NULL
+    channel UNION new rows with values); a read that dropped the column,
+    defaulted it wrong, or leaked generation-2 values into generation-1
+    rows flips the hash.
+
+    Scale: mergeSchema's footer-union runs on file METADATA only (cost ~
+    n_files, not data); the data files are never rewritten. At 100 TB
+    that's the difference between a metadata operation and a full-table
+    rewrite. (Columnar formats make the NULL backfill free at scan time —
+    missing columns simply aren't materialized.)
+    """
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        cents("o_totalprice").alias("total_cents"),
+    )
+    path = tempfile.mkdtemp(prefix="schema_evo_") + "/orders"
+    base.where(F.col("o_orderkey") % 2 == 0).write.mode("overwrite").parquet(
+        path
+    )
+    gen2 = base.where(F.col("o_orderkey") % 2 == 1).withColumn(
+        "channel",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("web")).otherwise("store"),
+    )
+    gen2.write.mode("append").parquet(path)
+    return spark.read.option("mergeSchema", "true").parquet(path)

@@ -156,6 +156,25 @@ _SHUFFLE_BUDGETS = {
     "q_event_transitions": 3,
     # first-seen window + (cohort, offset) distinct agg
     "q_cohort_retention": 2,
+    # round-6 late additions:
+    # quantized broadcast nested loop: corpus-side local topk + merge
+    "sim_int8_topk": 2,
+    # persisted-state read + 2 batch partials merged on the view key
+    "q_incremental_mv": 3,
+    # two per-snapshot bin counts + the 10-row spine window
+    "q_psi_drift": 3,
+    # ONE group-key exchange (WindowGroupLimit pre-cuts partitions)
+    "text_group_sample": 1,
+    # post-checkpoint: cell self-join + dropped distinct + kept mark join
+    # (the index build's own exchanges are truncated by localCheckpoint —
+    # at scale that's the bucketed-by-cent_id write)
+    "sim_semantic_dedup": 4,
+    # topk merge + vote agg (label join rides broadcast)
+    "sim_knn_classify": 2,
+    # ONE (label, dim) exchange; posexplode collapses map-side first
+    "sim_label_centroids": 1,
+    # bounds agg (1-row) + per-z-cell agg
+    "q_zorder_index": 2,
 }
 
 
