@@ -1,0 +1,43 @@
+"""PageRank operator invariants (operators/graph.py) beyond the unrolled
+SQL oracle in plans/graph_queries.py: probability-mass conservation,
+positivity, and re-run determinism (the localCheckpoint loop must not
+introduce any run-to-run variation)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prefect_flow_arc_alto_to_json_spark.operators.graph import NANO, pagerank
+
+
+def _edges(spark):
+    rows = [
+        (0, 1, 3), (0, 2, 1), (1, 2, 2), (2, 0, 5), (2, 3, 1),
+        (3, 0, 1), (3, 4, 4), (4, 3, 2),
+    ]
+    return spark.createDataFrame(rows, "src long, dst long, w long")
+
+def test_pagerank_mass_and_determinism(spark):
+    r1 = {r["node"]: r["rank_nano"] for r in pagerank(_edges(spark), 4).collect()}
+    # every node ranked, all positive
+    assert set(r1) == {0, 1, 2, 3, 4}
+    assert all(v > 0 for v in r1.values())
+    # total mass stays ~1.0: per-term nano snapping can drift at most
+    # ~(edges + nodes) nano per iteration
+    assert abs(sum(r1.values()) - NANO) < 1000
+    # high in-weight nodes outrank leaves (0 receives w=5+1, 1 only w=3)
+    assert r1[0] > r1[1]
+    r2 = {r["node"]: r["rank_nano"] for r in pagerank(_edges(spark), 4).collect()}
+    assert r1 == r2  # bit-identical re-run
+
+
+def test_pagerank_dangling_mass_documented_drop(spark):
+    """A sink node (no out-edges) absorbs rank it never redistributes —
+    the documented simplification: total mass DECREASES by exactly the
+    sink's damped contribution, never corrupts other ranks."""
+    rows = [(0, 1, 1), (1, 2, 1)]  # 2 is a dangling sink
+    e = spark.createDataFrame(rows, "src long, dst long, w long")
+    r = {x["node"]: x["rank_nano"] for x in pagerank(e, 2).collect()}
+    assert set(r) == {0, 1, 2}
+    assert sum(r.values()) < NANO  # leaked mass, by design
+    assert all(v > 0 for v in r.values())

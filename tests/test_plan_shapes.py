@@ -175,6 +175,12 @@ _SHUFFLE_BUDGETS = {
     "sim_label_centroids": 1,
     # bounds agg (1-row) + per-z-cell agg
     "q_zorder_index": 2,
+    # final plan reads the checkpointed last iteration: the per-iteration
+    # join/agg exchanges are behind localCheckpoint boundaries; the
+    # returned projection itself adds none
+    "q_pagerank_trade": 0,
+    # mergeSchema read is a pure scan
+    "q_schema_evolution": 0,
 }
 
 
