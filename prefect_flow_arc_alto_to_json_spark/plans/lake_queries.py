@@ -336,3 +336,41 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gen2.write.mode("append").parquet(path)
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+@query(
+    "q_compaction_invariance",
+    extra=True,
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus AS status,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents
+    FROM orders
+    """,
+)
+def q_compaction_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction (sinks/upsert.py:compact_parquet) proven to
+    be a pure LAYOUT operation: the table is deliberately written as many
+    tiny files (64 hash partitions of sf0.01 orders), compacted to
+    target_records_per_file, and read back — the oracle is the original
+    relation, so any dropped/duplicated/mutated row during the rewrite
+    flips the hash. The file-count reduction itself is asserted in
+    tests/test_pipeline.py's sink coverage; here the DRIVER certifies the
+    data invariance half of the contract.
+
+    Scale: compaction is the nightly companion of every streaming/upsert
+    sink (thousands of per-batch files otherwise dominate scan cost via
+    open/footer overhead); rewrite cost is one pass, readers see either
+    layout — never wrong data.
+    """
+    from ..sinks.upsert import compact_parquet
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        cents("o_totalprice").alias("total_cents"),
+    )
+    path = tempfile.mkdtemp(prefix="compaction_") + "/orders"
+    base.repartition(64).write.mode("overwrite").parquet(path)
+    compact_parquet(spark, path, target_records_per_file=100_000)
+    return spark.read.parquet(path)

@@ -1617,3 +1617,69 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
         "week_offset",
     ).agg(F.count_distinct("user_id").alias("active_users"))
+
+
+@query(
+    "q_event_trigrams",
+    extra=True,
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type, 1) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS p1,
+             lag(event_type, 2) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS p2
+      FROM events
+    ),
+    tri AS (
+      SELECT p2 AS step1, p1 AS step2, event_type AS step3, COUNT(*) AS n
+      FROM seq WHERE p2 IS NOT NULL
+      GROUP BY 1, 2, 3
+    )
+    SELECT step1, step2, step3, CAST(n AS BIGINT) AS n,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        ORDER BY n DESC, step1, step2, step3
+      ) AS rnk FROM tri
+    ) WHERE rnk <= 20
+    """,
+)
+def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 3-step behavior paths (sequential pattern mining one order
+    above q_event_transitions): two stacked lags over the SAME user
+    window — one user_id Exchange serves both — then a (s1,s2,s3) count
+    and a global top-k with a total-order tiebreak. The path-mining
+    primitive behind funnel discovery (q_funnel_steps checks a KNOWN
+    funnel; this finds candidates).
+
+    Scale: identical shape to the transition matrix — the trigram space
+    (|types|³ ≤ 125 here) aggregates map-side; the global top-20 window
+    runs on the aggregated cells, not events.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    )
+    tri = (
+        seq.where(F.col("p2").isNotNull())
+        .groupBy(
+            F.col("p2").alias("step1"),
+            F.col("p1").alias("step2"),
+            F.col("event_type").alias("step3"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wr = Window.orderBy(
+        F.col("n").desc(), F.col("step1"), F.col("step2"), F.col("step3")
+    )
+    return (
+        tri.withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") <= 20)
+        .select("step1", "step2", "step3", "n", F.col("rnk").cast("int").alias("rnk"))
+    )

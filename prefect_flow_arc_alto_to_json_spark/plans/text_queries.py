@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.textstats import (
@@ -419,3 +419,112 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return unigram_logprob(docs)
+
+
+@query(
+    "text_js_divergence",
+    extra=True,
+    oracle=f"""
+    WITH tok AS (
+      SELECT CASE WHEN length(source) = 4 THEN 'a' ELSE 'b' END AS grp,
+             unnest({_SQL_TOKS}) AS tok
+      FROM documents
+    ),
+    counts AS (
+      SELECT tok,
+             SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS n_a,
+             SUM(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS n_b
+      FROM tok GROUP BY tok
+    ),
+    tot AS (SELECT SUM(n_a) AS na, SUM(n_b) AS nb FROM counts),
+    probs AS (
+      SELECT tok, n_a, n_b,
+             CAST(n_a AS DOUBLE) / na AS pa,
+             CAST(n_b AS DOUBLE) / nb AS pb
+      FROM counts CROSS JOIN tot
+    ),
+    terms AS (
+      SELECT tok, n_a, n_b,
+             CASE WHEN pa = 0 THEN 0 ELSE
+               CAST(ROUND(pa * ln(pa / ((pa + pb) / 2)) * 1000000) AS BIGINT)
+             END AS kl_a_micro,
+             CASE WHEN pb = 0 THEN 0 ELSE
+               CAST(ROUND(pb * ln(pb / ((pa + pb) / 2)) * 1000000) AS BIGINT)
+             END AS kl_b_micro
+      FROM probs
+    )
+    SELECT tok,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           kl_a_micro, kl_b_micro,
+           CAST(ROUND((SUM(kl_a_micro) OVER () + SUM(kl_b_micro) OVER ())
+                      / 2.0) AS BIGINT) AS js_total_micro
+    FROM terms
+    """,
+)
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between two corpus halves' TOKEN
+    distributions (sources src0-src9 vs src10-src19) — the
+    vocabulary-level drift/contamination gate beside q_psi_drift's
+    feature-histogram one. Per-token KL(p||m) terms (m the mixture) are
+    micro-unit snapped before the totals, the unigram_logprob determinism
+    device, so the ln() survives cross-engine hashing; absent-token terms
+    are exactly 0 by the 0·ln0 convention, encoded as an explicit CASE on
+    both sides. Output: one row per union-vocab token with both counts
+    and both KL contributions, plus the symmetric JS total.
+
+    Scale: two scans collapse to ONE (the group tag is a column, not a
+    split); the shuffle carries (token, partial counts) — vocabulary-
+    sized, not corpus-sized; the probability/term math is a narrow map
+    and the total is a window over vocab rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.when(F.length("source") == 4, F.lit("a")).otherwise("b").alias("grp"),
+        F.explode(token_array("text")).alias("tok"),
+    )
+    counts = tok.groupBy("tok").agg(
+        F.sum(F.when(F.col("grp") == "a", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("grp") == "b", 1).otherwise(0)).alias("n_b"),
+    )
+    tot = counts.agg(
+        F.sum("n_a").alias("na"), F.sum("n_b").alias("nb")
+    )
+    probs = counts.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        "n_a",
+        "n_b",
+        (F.col("n_a").cast("double") / F.col("na")).alias("pa"),
+        (F.col("n_b").cast("double") / F.col("nb")).alias("pb"),
+    )
+    m = (F.col("pa") + F.col("pb")) / 2
+    terms = probs.select(
+        "tok",
+        "n_a",
+        "n_b",
+        F.when(F.col("pa") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.round(F.col("pa") * F.log(F.col("pa") / m) * 1000000, 0).cast(
+                "long"
+            )
+        )
+        .alias("kl_a_micro"),
+        F.when(F.col("pb") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.round(F.col("pb") * F.log(F.col("pb") / m) * 1000000, 0).cast(
+                "long"
+            )
+        )
+        .alias("kl_b_micro"),
+    )
+    # total via 1-row aggregate + broadcast, NOT an unpartitioned window:
+    # the relation is vocabulary-sized, and a global window would drag the
+    # whole vocab through one partition
+    total = terms.agg(
+        F.round(
+            (F.sum("kl_a_micro") + F.sum("kl_b_micro")) / 2.0, 0
+        )
+        .cast("long")
+        .alias("js_total_micro")
+    )
+    return terms.crossJoin(F.broadcast(total))

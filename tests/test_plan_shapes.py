@@ -181,6 +181,16 @@ _SHUFFLE_BUDGETS = {
     "q_pagerank_trade": 0,
     # mergeSchema read is a pure scan
     "q_schema_evolution": 0,
+    # vocab agg feeds both the term map and the 1-row totals, so the
+    # static plan shows its exchange under each consumer (plus the global
+    # agg's single-partition exchange); AQE's ReuseExchange collapses the
+    # duplicates at runtime (the tpch_q11 precedent)
+    "text_js_divergence": 7,
+    # compacted read-back is a pure scan
+    "q_compaction_invariance": 0,
+    # ONE user_id window exchange serves both lags + trigram agg; the
+    # top-20 window runs single-partition over <=125 aggregated cells
+    "q_event_trigrams": 2,
 }
 
 

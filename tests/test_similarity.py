@@ -167,3 +167,30 @@ def test_int8_topk_recall_vs_brute_force(emb):
             # |cos_q8 - cos| is bounded by ~2*(1/127)*sqrt(64)/|v| in the
             # worst case; 0.02 holds with wide margin on unit-ish vectors
             assert abs(r["cosine_q8"] - exact_scores[key]) < 0.02
+
+
+def test_quantize_int8_bounds_and_scale_invariance(spark):
+    """Quantized components stay in [-127, 127]; the max-|x| component
+    maps to ±127 exactly; and scaling a vector by any positive constant
+    leaves its quantization bit-identical (the property the score math
+    relies on)."""
+    from prefect_flow_arc_alto_to_json_spark.operators.similarity import (
+        quantize_int8,
+    )
+
+    rows = [
+        (1, [0.5, -1.0, 0.25, 0.0]),
+        (2, [3.0, 1.5, -0.75, 2.9999]),
+        (3, [0.0, 0.0, 0.0, 0.0]),  # zero vector: guard, no div-by-zero
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = {r["vec_id"]: r["q8"] for r in quantize_int8(df).collect()}
+    assert q[1] == [64, -127, 32, 0]
+    assert max(abs(v) for v in q[2]) == 127
+    assert q[3] == [0, 0, 0, 0]
+    scaled = df.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * 7.5).alias("embedding"),
+    )
+    q_scaled = {r["vec_id"]: r["q8"] for r in quantize_int8(scaled).collect()}
+    assert q == q_scaled
