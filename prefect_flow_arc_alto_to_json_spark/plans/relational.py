@@ -1683,3 +1683,169 @@ def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 20)
         .select("step1", "step2", "step3", "n", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+@query(
+    "q_corr_matrix",
+    extra=True,
+    oracle="""
+    WITH base AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CAST(ROUND(l_extendedprice) AS BIGINT) AS p,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS d
+      FROM lineitem
+    ),
+    mom AS (
+      SELECT COUNT(*) AS n,
+             SUM(q) AS sq, SUM(p) AS sp, SUM(d) AS sd,
+             SUM(q*q) AS sqq, SUM(p*p) AS spp, SUM(d*d) AS sdd,
+             SUM(q*p) AS sqp, SUM(q*d) AS sqd, SUM(p*d) AS spd
+      FROM base
+    ),
+    pairs AS (
+      SELECT 'quantity' AS col_x, 'price' AS col_y, n,
+             CAST(n AS HUGEINT)*sqp - CAST(sq AS HUGEINT)*sp AS num,
+             CAST(n AS HUGEINT)*sqq - CAST(sq AS HUGEINT)*sq AS dx2,
+             CAST(n AS HUGEINT)*spp - CAST(sp AS HUGEINT)*sp AS dy2
+      FROM mom
+      UNION ALL
+      SELECT 'quantity', 'discount', n,
+             CAST(n AS HUGEINT)*sqd - CAST(sq AS HUGEINT)*sd,
+             CAST(n AS HUGEINT)*sqq - CAST(sq AS HUGEINT)*sq,
+             CAST(n AS HUGEINT)*sdd - CAST(sd AS HUGEINT)*sd
+      FROM mom
+      UNION ALL
+      SELECT 'price', 'discount', n,
+             CAST(n AS HUGEINT)*spd - CAST(sp AS HUGEINT)*sd,
+             CAST(n AS HUGEINT)*spp - CAST(sp AS HUGEINT)*sp,
+             CAST(n AS HUGEINT)*sdd - CAST(sd AS HUGEINT)*sd
+      FROM mom
+    )
+    SELECT col_x, col_y, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(num AS DOUBLE)
+                 / sqrt(CAST(dx2 AS DOUBLE) * CAST(dy2 AS DOUBLE)), 6)
+             AS corr
+    FROM pairs
+    """,
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of three lineitem measures from EXACT
+    integer moments: one scan computes all sums-of-products in long
+    arithmetic (values scaled so every moment fits: whole dollars, cents
+    discount), the covariance algebra ``n·Sxy − Sx·Sy`` runs in
+    decimal(38)/HUGEINT exactly, and only the final divide/sqrt touches
+    doubles (identical operands both engines, rounded to 6). Spark's own
+    ``F.corr`` is a float path whose summation order is engine-private —
+    this is the hash-stable formulation of the same statistic.
+
+    Scale: ONE pass, map-side partial aggregation to a single 10-number
+    row; the pair expansion is 3 rows of driver-free arithmetic. A k-col
+    matrix is the same scan with k(k+1)/2 product sums.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round("l_extendedprice", 0).cast("long").alias("p"),
+        cents("l_discount").alias("d"),
+    )
+    mom = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum("p").alias("sp"),
+        F.sum("d").alias("sd"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+        F.sum(F.col("p") * F.col("p")).alias("spp"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        F.sum(F.col("q") * F.col("p")).alias("sqp"),
+        F.sum(F.col("q") * F.col("d")).alias("sqd"),
+        F.sum(F.col("p") * F.col("d")).alias("spd"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+
+    def pair(cx: str, cy: str, sxy: str, sx: str, sy: str, sxx: str, syy: str):
+        num = dec("n") * dec(sxy) - dec(sx) * dec(sy)
+        dx2 = dec("n") * dec(sxx) - dec(sx) * dec(sx)
+        dy2 = dec("n") * dec(syy) - dec(sy) * dec(sy)
+        return F.struct(
+            F.lit(cx).alias("col_x"),
+            F.lit(cy).alias("col_y"),
+            F.col("n").alias("n"),
+            F.round(
+                num.cast("double")
+                / F.sqrt(dx2.cast("double") * dy2.cast("double")),
+                6,
+            ).alias("corr"),
+        )
+
+    rows = mom.select(
+        F.explode(
+            F.array(
+                pair("quantity", "price", "sqp", "sq", "sp", "sqq", "spp"),
+                pair("quantity", "discount", "sqd", "sq", "sd", "sqq", "sdd"),
+                pair("price", "discount", "spd", "sp", "sd", "spp", "sdd"),
+            )
+        ).alias("r")
+    )
+    return rows.select("r.col_x", "r.col_y", "r.n", "r.corr")
+
+
+@query(
+    "q_outlier_zscore",
+    extra=True,
+    oracle="""
+    WITH base AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 997 = 0
+                  THEN CAST(ROUND(value * 100) AS BIGINT) * 50
+                  ELSE CAST(ROUND(value * 100) AS BIGINT) END AS v_cents
+      FROM events
+    ),
+    mom AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(v_cents) AS sv, SUM(v_cents * v_cents) AS svv
+      FROM base GROUP BY event_type
+    )
+    SELECT b.event_id, b.event_type, b.v_cents
+    FROM base b JOIN mom m ON b.event_type = m.event_type
+    WHERE (CAST(b.v_cents AS HUGEINT) * m.n - m.sv)
+          * (CAST(b.v_cents AS HUGEINT) * m.n - m.sv)
+          > 9 * (CAST(m.n AS HUGEINT) * m.svv - CAST(m.sv AS HUGEINT) * m.sv)
+    """,
+)
+def q_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group 3-sigma outlier detection in EXACT integer algebra: the
+    z-score gate |v−μ| > 3σ is cross-multiplied to
+    ``(v·n − Σv)² > 9(n·Σv² − (Σv)²)`` so the comparison runs on exact
+    decimal(38)/HUGEINT integers — no float μ/σ whose engine-specific
+    rounding could flip a borderline row. Extreme outliers are
+    additionally PLANTED (every 997th event's value ×50) on top of the
+    naturally right-skewed value distribution, so the flagged set mixes
+    guaranteed plants with genuine tail rows — the oracle adjudicates
+    BOTH, row-level (47 rows at sf0.01, every plant among them).
+
+    Scale: one groupBy(event_type) moment pass (map-side partials) +
+    one broadcast-join filter scan — the anomaly gate for a 100 TB
+    telemetry table is two scans, no sort, no window.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("event_id") % 997 == 0, cents("value") * 50
+        )
+        .otherwise(cents("value"))
+        .alias("v_cents"),
+    )
+    mom = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v_cents").alias("sv"),
+        F.sum(F.col("v_cents") * F.col("v_cents")).alias("svv"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    joined = ev.join(F.broadcast(mom), "event_type")
+    dev = dec(F.col("v_cents")) * dec(F.col("n")) - dec(F.col("sv"))
+    var_n2 = dec(F.col("n")) * dec(F.col("svv")) - dec(F.col("sv")) * dec(
+        F.col("sv")
+    )
+    return joined.where(dev * dev > 9 * var_n2).select(
+        "event_id", "event_type", "v_cents"
+    )

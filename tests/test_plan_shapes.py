@@ -191,6 +191,10 @@ _SHUFFLE_BUDGETS = {
     # ONE user_id window exchange serves both lags + trigram agg; the
     # top-20 window runs single-partition over <=125 aggregated cells
     "q_event_trigrams": 2,
+    # one 10-moment global agg (1-row exchange); pair algebra is driver-free
+    "q_corr_matrix": 1,
+    # moment agg exchange; the filter scan joins it by broadcast
+    "q_outlier_zscore": 1,
 }
 
 
