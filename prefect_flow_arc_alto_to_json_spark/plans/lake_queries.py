@@ -374,3 +374,96 @@ def q_compaction_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     base.repartition(64).write.mode("overwrite").parquet(path)
     compact_parquet(spark, path, target_records_per_file=100_000)
     return spark.read.parquet(path)
+
+
+@query(
+    "q_dense_ids",
+    extra=True,
+    oracle="""
+    SELECT doc_id, source,
+           CAST(ROW_NUMBER() OVER (ORDER BY source, doc_id) - 1 AS BIGINT)
+             AS dense_id
+    FROM documents
+    """,
+)
+def q_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed dense surrogate keys (operators/ids.py:
+    assign_dense_ids) under the total order (source, doc_id): range-
+    partition on the order, per-partition parallel row_number, driver-side
+    cumulative offsets stitched back by broadcast. The oracle is the
+    textbook single-window ``ROW_NUMBER() OVER (ORDER BY ...) - 1`` —
+    the operator's whole contract is producing that exact relation
+    WITHOUT the single-partition window the textbook plan pays for.
+
+    Scale: one range shuffle (sampled bounds keep output partitions
+    balanced) + an O(partitions) driver exchange — this is how you mint
+    stable training-example ids over 100 TB; monotonically_increasing_id
+    is parallel but sparse and run-unstable, the global window is exact
+    but serial; this is exact AND parallel.
+    """
+    from ..operators.ids import assign_dense_ids
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return assign_dense_ids(docs, ["source", "doc_id"], n_partitions=8)
+
+
+@query(
+    "q_json_source_permissive",
+    extra=True,
+    oracle="""
+    SELECT FALSE AS is_corrupt,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS sum_n_chars
+    FROM documents
+    UNION ALL
+    SELECT TRUE,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(0 AS BIGINT)
+    FROM documents WHERE doc_id % 100 = 0
+    """,
+)
+def q_json_source_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines SOURCE with PERMISSIVE corrupt-record handling — the
+    ingest-side twin of the ALTO pipeline's unsupported-namespace error
+    column (quarantine, never fail the job, never drop silently): the
+    documents table is written as real JSONL, one deliberately truncated
+    line is planted per doc_id % 100 == 0, and the explicit-schema read
+    must (a) parse every valid line with values intact and (b) route each
+    corrupt line to ``_corrupt`` with null fields. The oracle counts both
+    populations and check-sums n_chars over the good rows — a reader that
+    dropped, double-parsed, or half-parsed a corrupt line flips the hash.
+
+    Scale: schema-explicit JSON read is a parallel narrow scan (no
+    inference pass over 100 TB); the corrupt column costs nothing on
+    clean files. PERMISSIVE quarantining is the production contract for
+    web-scale crawl ingestion where some fraction of lines is always
+    garbage.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    base = tempfile.mkdtemp(prefix="json_src_")
+    good_dir, bad_dir = base + "/good", base + "/bad"
+    docs.write.mode("overwrite").json(good_dir)
+    (
+        docs.where(F.col("doc_id") % 100 == 0)
+        .select(
+            F.concat(
+                F.lit('{"doc_id": '), F.col("doc_id").cast("string"),
+                F.lit(', "n_chars"'),
+            ).alias("value")
+        )
+        .write.mode("overwrite")
+        .text(bad_dir)
+    )
+    parsed = (
+        spark.read.schema("doc_id long, lang string, n_chars long, _corrupt string")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json([good_dir, bad_dir])
+    )
+    return parsed.groupBy(
+        F.col("_corrupt").isNotNull().alias("is_corrupt")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias("sum_n_chars"),
+    )

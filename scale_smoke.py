@@ -29,7 +29,9 @@ from prefect_flow_arc_alto_to_json_spark.operators.dedup import (  # noqa: E402
     minhash_lsh_pairs,
 )
 from prefect_flow_arc_alto_to_json_spark.operators.similarity import (  # noqa: E402
+    int8_topk,
     lsh_bucketed_topk,
+    semantic_dedup,
 )
 from prefect_flow_arc_alto_to_json_spark.operators.textstats import (  # noqa: E402
     quality_score,
@@ -95,6 +97,10 @@ def main() -> None:
             "doc_id", quality_score("text").alias("q")
         ),
         "lsh_topk": lambda d, e: lsh_bucketed_topk(e, F.broadcast(queries), k=10),
+        # round-6 late additions: the quantized scorer and the clustered
+        # semantic dedup (cell-confined pair search is the O(N) claim)
+        "int8_topk": lambda d, e: int8_topk(e, queries, k=10),
+        "semantic_dedup": lambda d, e: semantic_dedup(e, threshold=0.95),
     }
 
     results: dict[str, dict[int, float]] = {p: {} for p in probes}
