@@ -442,6 +442,57 @@ def frame_sample_plan(
     )
 
 
+def video_frame_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """Per-frame R-channel byte SUMS from a real AVI decode — the
+    integer-exact statistic the scene-change query builds deltas over.
+    Emits (asset_id, frame_idx, r_sum, decode_error); a corrupt payload
+    yields ONE error row (frame_idx -1), never a task failure (the
+    extract_features isolation policy).
+
+    The Python boundary carries decode only: thresholds, lags and cut
+    flags stay JVM-side in the calling plan. r_sum is an exact integer
+    (sum of h*w uint8 values), so downstream math is float-free.
+
+    Scale: Arrow-batched mapInPandas, one output row per frame — at k
+    frames per asset the expansion is k·|assets| small integer rows, and
+    the subsequent lag window shuffles once on asset_id.
+    """
+    out_schema = f"{id_col} long, frame_idx int, r_sum long, decode_error string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sums, errs = [], [], [], []
+            for aid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    frames, _fps = decode_avi(
+                        bytes(payload) if payload is not None else None
+                    )
+                    for fi in range(frames.shape[0]):
+                        ids.append(aid)
+                        idxs.append(fi)
+                        sums.append(int(frames[fi, :, :, 0].astype("int64").sum()))
+                        errs.append(None)
+                except Exception as exc:  # noqa: BLE001
+                    ids.append(aid)
+                    idxs.append(-1)
+                    sums.append(None)
+                    errs.append(f"{type(exc).__name__}: {exc}")
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "frame_idx": idxs,
+                    "r_sum": sums,
+                    "decode_error": errs,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
 from ..functions.selfship import self_ship  # noqa: E402
 
 # Worker-executed closures above must never require this package on the

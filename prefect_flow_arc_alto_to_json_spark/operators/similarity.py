@@ -628,9 +628,10 @@ def int8_topk(
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.95,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_cell_size: int = 256,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: IVF-cluster the embedding
     space, then drop every vector that is within ``threshold`` cosine of a
@@ -650,7 +651,19 @@ def semantic_dedup(
     straddling two cells are missed by construction — the documented
     recall trade every production SemDeDup makes (mitigate with more
     Lloyd refinement, kmeans_refine, or multi-probe assignment).
+
+    ``n_centroids`` must GROW with the corpus or the within-cell
+    quadratic comes back: fixed cells mean |cell| ∝ N and Σ|cell|² ∝ N².
+    The scale_smoke probe measured exactly that (x8/x1 wall ratio 12.9
+    at a pinned 16 cells), so when ``n_centroids`` is None it derives as
+    ``⌈N / target_cell_size⌉`` — bounded cells make the pair search
+    O(N · target_cell_size), linear. Pass an explicit value only for
+    fixed-scale replayability (the oracled query does, at sf0.01 size).
     """
+    if n_centroids is None:
+        # one count scan; amortized by the O(N²/cells) it prevents
+        n_rows = corpus.count()
+        n_centroids = max(16, -(-n_rows // target_cell_size))
     _, assigned = ivf_index(corpus, n_centroids, id_col, vec_col)
     # materialize the assignment once (it feeds both self-join sides AND
     # the final projection — without this the whole index subtree is

@@ -14,7 +14,7 @@ bytes Spark's ``md5(encode(text,'UTF-8'))`` hashes, so digests agree;
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.multimodal import (
@@ -323,4 +323,66 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_idx",
         F.round("rms", 6).alias("rms"),
         "frame_error",
+    )
+
+
+@query(
+    "mm_scene_cuts",
+    extra=True,
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS len
+      FROM documents WHERE {_SQL_MODALITY} = 'video'
+    ),
+    fr AS (
+      -- frame f pixel k's R byte sits at tiled offset 3*(100*f + k):
+      -- the bytes_to_frames layout the AVI roundtrip must preserve
+      SELECT doc_id,
+             k.k // 100 AS frame_idx,
+             SUM({_sql_byte("(3*k.k) % len")}) AS r_sum
+      FROM base, (SELECT unnest(range(0, 400)) AS k) k
+      GROUP BY 1, 2
+    )
+    SELECT doc_id AS asset_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(r_sum AS BIGINT) AS r_sum,
+           CAST(abs(r_sum - lag(r_sum) OVER w) AS BIGINT) AS delta_prev,
+           abs(r_sum - lag(r_sum) OVER w) > 300 AS is_cut
+    FROM fr
+    WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+    """,
+)
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene-change detection over REAL AVI payloads: synth → AVI
+    encode → decode (operators/avi.py, full container validation) →
+    per-frame R-channel byte sums (operators/multimodal.py:
+    video_frame_stats, integer-exact Arrow kernel) → JVM-side lag window
+    for inter-frame deltas and the cut flag. The oracle recomputes every
+    frame's sum from the raw text bytes via the tiled-offset layout, so
+    the hash certifies the whole encode→decode→stat pipeline frame by
+    frame — the temporal-analysis complement of mm_features' per-asset
+    means.
+
+    Scale: decode is the only Python crossing (one row per frame out);
+    the delta window shuffles once on asset_id; threshold logic is pure
+    codegen. For hour-long footage swap the synthetic 4-frame stack for
+    chunked frame ranges — the plan shape (decode kernel → keyed window)
+    is unchanged.
+    """
+    from ..operators.multimodal import reencode_media, video_frame_stats
+
+    videos = reencode_media(synth_assets(spark, sf_dir)).where(
+        F.col("modality") == "video"
+    )
+    stats = video_frame_stats(videos)
+    w = Window.partitionBy("asset_id").orderBy("frame_idx")
+    delta = F.abs(F.col("r_sum") - F.lag("r_sum").over(w))
+    return stats.where(F.col("decode_error").isNull()).select(
+        "asset_id",
+        "frame_idx",
+        "r_sum",
+        delta.cast("long").alias("delta_prev"),
+        (delta > 300).alias("is_cut"),
     )

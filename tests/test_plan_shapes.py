@@ -201,6 +201,8 @@ _SHUFFLE_BUDGETS = {
     "q_dense_ids": 5,
     # one group agg over the parallel JSON scan
     "q_json_source_permissive": 1,
+    # decode kernel is narrow; ONE asset_id exchange for the lag window
+    "mm_scene_cuts": 1,
 }
 
 
