@@ -85,6 +85,13 @@ HEADLINE = [
     "tpch_q9_product_profit",
     "tpch_q21_last_shipper",
     "tpch_q13_customer_distribution",
+    # round-6 late additions: the new heavy operator families (quantized
+    # ANN, clustered semantic dedup w/ auto cell scaling, iterative
+    # PageRank, the AVI-decode temporal kernel)
+    "sim_int8_topk",
+    "sim_semantic_dedup",
+    "q_pagerank_trade",
+    "mm_scene_cuts",
 ]
 
 

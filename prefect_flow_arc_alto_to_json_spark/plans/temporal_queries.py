@@ -5,7 +5,7 @@ reference; DuckDB's native ASOF JOIN is the oracle).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalar import cents, epoch_us
@@ -238,4 +238,75 @@ def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_us("ts").alias("purchase_us"),
         F.round("value", 2).alias("value"),
         F.round("click_value_asof", 2).alias("click_value_asof"),
+    )
+
+
+@query(
+    "q_attribution_last_touch",
+    extra=True,
+    oracle="""
+    WITH seq AS (
+      SELECT event_id, user_id, ts, event_type,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN struct_pack(ts := ts, event_id := event_id,
+                                              event_type := event_type)
+                        END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS touch
+      FROM events
+    )
+    SELECT event_id AS purchase_id,
+           user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           CASE WHEN touch.ts >= ts - INTERVAL 30 MINUTE
+                THEN touch.event_id END AS touch_id,
+           CASE WHEN touch.ts >= ts - INTERVAL 30 MINUTE
+                THEN touch.event_type END AS touch_type,
+           CASE WHEN touch.ts >= ts - INTERVAL 30 MINUTE
+                THEN CAST(date_diff('second', touch.ts, ts) AS BIGINT)
+           END AS seconds_since_touch
+    FROM seq WHERE event_type = 'purchase'
+    """,
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: each purchase is credited to the
+    user's most recent NON-purchase event within a 30-minute lookback —
+    the marketing-analytics companion of the as-of join, expressed as a
+    single ``last(..., ignorenulls)`` carry-forward window (no self-join
+    at all). Purchases with no in-window touch keep NULLs — adjudicated,
+    not dropped. Total order (ts, event_id) on both engines.
+
+    Scale: ONE user_id window exchange over the events scan; the
+    carry-forward frame is streaming-friendly (bounded running state per
+    user) — contrast with the naive per-purchase interval self-join,
+    which re-shuffles events twice and explodes on hot users.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(
+            F.col("event_type") != "purchase",
+            F.struct("ts", "event_id", "event_type"),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    seq = ev.withColumn("touch", touch).where(
+        F.col("event_type") == "purchase"
+    )
+    in_window = F.col("touch.ts") >= F.col("ts") - F.expr("INTERVAL 30 MINUTES")
+    return seq.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.when(in_window, F.col("touch.event_id")).alias("touch_id"),
+        F.when(in_window, F.col("touch.event_type")).alias("touch_type"),
+        F.when(
+            in_window,
+            (F.unix_timestamp("ts") - F.unix_timestamp("touch.ts")).cast("long"),
+        ).alias("seconds_since_touch"),
     )

@@ -203,6 +203,8 @@ _SHUFFLE_BUDGETS = {
     "q_json_source_permissive": 1,
     # decode kernel is narrow; ONE asset_id exchange for the lag window
     "mm_scene_cuts": 1,
+    # ONE user_id exchange; carry-forward frame replaces the self-join
+    "q_attribution_last_touch": 1,
 }
 
 
