@@ -931,3 +931,79 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             foreach_batch=apply_batch,
         )
     return spark.read.parquet(state).drop("ord")
+
+
+@query(
+    "stream_catalog_poll",
+    extra=True,
+    oracle="""
+    SELECT doc_id,
+           'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS url
+    FROM documents
+    """,
+)
+def stream_catalog_poll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM Python STREAMING data source (sources/catalog_stream.py,
+    Spark 4 SimpleDataSourceStreamReader) run exactly like the
+    reference's scheduled catalog poll: the documents catalog is written
+    as JSONL, then the stream is drained in REPEATED single-batch
+    invocations from ONE checkpoint (Python micro-batch sources don't
+    support AvailableNow; the engine logs the fallback) — each run picks
+    up at the offset the previous run committed, which IS the reference's
+    hand-rolled `since` watermark (flows/main_flow.py:29-41) recovered
+    from the offset log instead of a side table. The loop stops when a
+    drain commits no new rows. Oracle: the full catalog, exactly once —
+    a re-served or skipped batch flips the hash.
+
+    Scale: a catalog poll is low-rate by nature (the 100 TB is behind the
+    URLs, not in them); the source pages ``batchRows`` per trigger and
+    the offset log bounds re-reads to one uncommitted batch.
+    """
+    import json as _json
+
+    from ..sources import load_table
+    from ..sources.catalog_stream import register
+
+    register(spark)
+    cat = tempfile.mktemp(suffix=".jsonl", prefix="catalog_")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    with open(cat, "w", encoding="utf-8") as fh:
+        for r in docs:
+            fh.write(
+                _json.dumps(
+                    {
+                        "doc_id": r["doc_id"],
+                        "url": f"https://example.org/doc/{r['doc_id']}",
+                    }
+                )
+                + "\n"
+            )
+    out = tempfile.mkdtemp(prefix="catpoll_out_")
+    ckpt = tempfile.mkdtemp(prefix="catpoll_ckpt_")
+
+    def drain_once() -> None:
+        stream = (
+            spark.readStream.format("catalogpoll")
+            .option("path", cat)
+            .option("batchRows", "128")
+            .load()
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(out)
+            )
+            .trigger(availableNow=True)  # falls back to one batch per run
+            .start()
+        )
+        q.awaitTermination()
+
+    seen = -1
+    while True:
+        drain_once()
+        n = spark.read.parquet(out).count()
+        if n == seen:
+            break
+        seen = n
+    return spark.read.parquet(out)

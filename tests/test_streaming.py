@@ -436,3 +436,33 @@ def test_nanos_probe_sets_conf_only_when_needed(spark, tmp_path):
     got = _drain_ids_and_epochs(spark, ns_src, tmp_path / "ns_ckpt")
     assert got == {1: 1_700_000_000_000_000}
     assert spark.conf.get(conf_key, "false") == "true"
+
+
+def test_catalog_poll_reader_offsets_replay(tmp_path):
+    """SimpleDataSourceStreamReader contract (sources/catalog_stream.py):
+    read() pages deterministically, terminates at EOF with a fixed-point
+    offset, and readBetweenOffsets() re-serves EXACTLY the rows of any
+    committed range (the restart-recovery path Spark invokes for an
+    uncommitted batch)."""
+    import json
+
+    from prefect_flow_arc_alto_to_json_spark.sources.catalog_stream import (
+        CatalogPollStreamReader,
+    )
+
+    path = tmp_path / "cat.jsonl"
+    with open(path, "w", encoding="utf-8") as fh:
+        for i in range(25):
+            fh.write(json.dumps({"doc_id": i, "url": f"u{i}"}) + "\n")
+    r = CatalogPollStreamReader({"path": str(path), "batchRows": "10"})
+    off = r.initialOffset()
+    pages, offsets = [], [off]
+    for _ in range(5):
+        rows, off = r.read(off)
+        pages.append(list(rows))
+        offsets.append(off)
+    assert [len(p) for p in pages] == [10, 10, 5, 0, 0]  # EOF fixed point
+    assert [r_[0] for p in pages for r_ in p] == list(range(25))
+    # replay of each committed range is bit-identical
+    for i, page in enumerate(pages[:3]):
+        assert list(r.readBetweenOffsets(offsets[i], offsets[i + 1])) == page
