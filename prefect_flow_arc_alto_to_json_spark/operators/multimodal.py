@@ -493,6 +493,57 @@ def video_frame_stats(
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
 
 
+def image_ahash_words(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """Perceptual average-hash of REAL PNG payloads, emitted as FOUR
+    16-bit words — the image-space near-dup signature (companion of
+    SimHash for text): decode (operators/png.py, CRC + unfilter), 2x2
+    block-mean downsample of the 16x16 R channel to 8x8, bit b set iff
+    block b's sum beats the global mean. The mean comparison is the
+    integer cross-multiplication ``block_sum * 64 > total_sum`` — no
+    division, so the 64 bits are an exact function of the pixels and the
+    SQL oracle replays them bit-for-bit.
+
+    Words instead of one 64-bit long because (a) bit 63 would overflow
+    the signed long and (b) the 4x16-bit split IS the pigeonhole banding
+    the near-dup join needs: hamming distance <= 3 guarantees at least
+    one exactly-equal word. Corrupt payloads yield an error row (words
+    null), never a task failure.
+    """
+    out_schema = (
+        f"{id_col} long, w0 long, w1 long, w2 long, w3 long, decode_error string"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .png import decode_png
+
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    px = decode_png(bytes(payload) if payload is not None else None)
+                    r = px[:, :, 0].astype("int64")
+                    # 2x2 block sums of the 16x16 → 8x8 grid, row-major
+                    blocks = r.reshape(8, 2, 8, 2).sum(axis=(1, 3)).reshape(64)
+                    total = int(blocks.sum())
+                    bits = [int(int(b) * 64 > total) for b in blocks]
+                    words = [
+                        sum(bits[w * 16 + i] << i for i in range(16))
+                        for w in range(4)
+                    ]
+                    rows.append((aid, *words, None))
+                except Exception as exc:  # noqa: BLE001
+                    rows.append((aid, None, None, None, None, f"{type(exc).__name__}: {exc}"))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "w0", "w1", "w2", "w3", "decode_error"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
 from ..functions.selfship import self_ship  # noqa: E402
 
 # Worker-executed closures above must never require this package on the

@@ -386,3 +386,126 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         delta.cast("long").alias("delta_prev"),
         (delta > 300).alias("is_cut"),
     )
+
+
+@query(
+    "mm_image_near_dup",
+    extra=True,
+    oracle=f"""
+    WITH docs0 AS (
+      SELECT doc_id, text FROM documents WHERE {_SQL_MODALITY} = 'image'
+    ),
+    corpus AS (
+      SELECT doc_id, text FROM docs0
+      UNION ALL
+      SELECT doc_id + 1000000, 'Z' || substr(text, 2)
+      FROM docs0 WHERE doc_id % 10 = 0
+    ),
+    base AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS len
+      FROM corpus
+    ),
+    px AS (
+      SELECT doc_id, k.k AS k, {_sql_byte("(3*k.k) % len")} AS r
+      FROM base, (SELECT unnest(range(0, 256)) AS k) k
+    ),
+    blk AS (
+      SELECT doc_id,
+             ((k // 16) // 2) * 8 + (k % 16) // 2 AS b,
+             SUM(r) AS bs
+      FROM px GROUP BY 1, 2
+    ),
+    tot AS (SELECT doc_id, SUM(bs) AS t FROM blk GROUP BY 1),
+    bits AS (
+      SELECT blk.doc_id, b,
+             CASE WHEN bs * 64 > t THEN 1 ELSE 0 END AS bit
+      FROM blk JOIN tot ON blk.doc_id = tot.doc_id
+    ),
+    words AS (
+      SELECT doc_id, b // 16 AS w,
+             CAST(SUM(bit * (1 << (b % 16))) AS BIGINT) AS wv
+      FROM bits GROUP BY 1, 2
+    ),
+    sig AS (
+      SELECT doc_id,
+             MAX(CASE WHEN w = 0 THEN wv END) AS w0,
+             MAX(CASE WHEN w = 1 THEN wv END) AS w1,
+             MAX(CASE WHEN w = 2 THEN wv END) AS w2,
+             MAX(CASE WHEN w = 3 THEN wv END) AS w3
+      FROM words GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))
+              + bit_count(xor(a.w2, b.w2)) + bit_count(xor(a.w3, b.w3))
+              AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+     AND (a.w0 = b.w0 OR a.w1 = b.w1 OR a.w2 = b.w2 OR a.w3 = b.w3)
+    WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))
+        + bit_count(xor(a.w2, b.w2)) + bit_count(xor(a.w3, b.w3)) <= 3
+    """,
+)
+def mm_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup over REAL PNG payloads: average-hash
+    signatures (operators/multimodal.py:image_ahash_words — integer
+    cross-multiplied mean bits from the actual decode) banded into four
+    16-bit words, bucket self-join on ANY equal word (pigeonhole: hamming
+    <= 3 ⇒ >= 1 identical word, the SimHash chunk-banding argument in
+    image space), exact hamming verify via bit_count(xor). Planted
+    near-dups: every 10th image re-encoded with its first character
+    replaced — a handful of changed pixels, hash distance <= 3 when the
+    replaced character was 1-byte (multibyte first chars shift the whole
+    tile and legitimately produce a different image; the oracle replays
+    the same rule, so both engines agree either way).
+
+    Scale: the quadratic lives only inside word-equality buckets
+    (Σ bucket², the LSH-band bound); signatures are 4 longs per asset —
+    the shuffle carries 32 bytes per image regardless of image size.
+    """
+    from ..operators.multimodal import image_ahash_words, pngify_images
+
+    docs0 = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    imgs = docs0.where(F.col("doc_id") % 3 == 0)
+    planted = imgs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("Z"), F.expr("substr(text, 2)")).alias("text"),
+    )
+    corpus = imgs.unionByName(planted).select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("modality"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    sig = image_ahash_words(pngify_images(corpus)).where(
+        F.col("decode_error").isNull()
+    )
+    bands = sig.select(
+        "asset_id",
+        "w0", "w1", "w2", "w3",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("w"), F.col(f"w{i}").alias("wv"))
+                    for i in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("asset_id", "w0", "w1", "w2", "w3", "band.w", "band.wv")
+    a = bands.select(
+        F.col("asset_id").alias("id_a"), "w", "wv",
+        *[F.col(f"w{i}").alias(f"a{i}") for i in range(4)],
+    )
+    b = bands.select(
+        F.col("asset_id").alias("id_b"), "w", "wv",
+        *[F.col(f"w{i}").alias(f"b{i}") for i in range(4)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}")))
+        for i in range(4)
+    )
+    return (
+        a.join(b, ["w", "wv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= 3)
+    )

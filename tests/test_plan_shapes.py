@@ -205,6 +205,9 @@ _SHUFFLE_BUDGETS = {
     "mm_scene_cuts": 1,
     # ONE user_id exchange; carry-forward frame replaces the self-join
     "q_attribution_last_touch": 1,
+    # signatures are narrow kernel output; ONE (w, wv) band-bucket
+    # exchange covers join + pair distinct
+    "mm_image_near_dup": 1,
 }
 
 
