@@ -528,3 +528,143 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("js_total_micro")
     )
     return terms.crossJoin(F.broadcast(total))
+
+
+@query(
+    "text_bigram_logprob",
+    extra=True,
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    bg AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i)
+      WHERE len(toks) >= 2
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM bg GROUP BY w1, w2),
+    c1 AS (
+      SELECT tok AS w1, COUNT(*) AS n1
+      FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok
+    ),
+    vocab AS (
+      SELECT COUNT(DISTINCT tok) AS v
+      FROM (SELECT unnest(toks) AS tok FROM t)
+    ),
+    micro AS (
+      SELECT bg.doc_id,
+             CAST(ROUND(ln(CAST(n2 + 1 AS DOUBLE)
+                           / CAST(n1 + v AS DOUBLE)) * 1000000) AS BIGINT)
+               AS m
+      FROM bg
+      JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+      JOIN c1 ON bg.w1 = c1.w1
+      CROSS JOIN vocab
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND((CAST(SUM(m) AS BIGINT) / COUNT(*)::DOUBLE) / 1000000, 6)
+             AS mean_logprob
+    FROM micro GROUP BY doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained BIGRAM LM quality score with add-one smoothing
+    — the conditional-probability step up from text_unigram_logprob:
+    per-doc mean of ln((c(w1,w2)+1) / (c(w1)+V)). Bigram pairs come from
+    a shuffle-free array zip (slice+zip, no window); counts and the
+    vocabulary size are corpus aggregates; per-position terms micro-snap
+    before summation (the established ln determinism device).
+
+    Scale: the bigram relation is corpus-token-sized but collapses
+    map-side into the (w1, w2) count shuffle; scoring joins carry counts,
+    not text; V is one broadcast row. This is the standard cheap LM
+    filter before a neural perplexity pass.
+    """
+    from ..functions.scalar import token_array
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", token_array("text").alias("toks")).where(
+        F.size("toks") >= 2
+    )
+    n = F.size("toks")
+    bg = t.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("toks", 1, n - 1).alias("w1"),
+                F.expr("slice(toks, 2, size(toks) - 1)").alias("w2"),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    toks_flat = docs.select(
+        F.explode(token_array("text")).alias("tok")
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = toks_flat.groupBy(F.col("tok").alias("w1")).agg(
+        F.count(F.lit(1)).alias("n1")
+    )
+    vocab = toks_flat.agg(F.countDistinct("tok").alias("v"))
+    micro = (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.col("n2") + 1).cast("double")
+                    / (F.col("n1") + F.col("v")).cast("double")
+                )
+                * 1000000,
+                0,
+            )
+            .cast("long")
+            .alias("m"),
+        )
+    )
+    return micro.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            (F.sum("m").cast("double") / F.count(F.lit(1))) / 1000000, 6
+        ).alias("mean_logprob"),
+    )
+
+
+@query(
+    "text_hashed_features",
+    extra=True,
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+    )
+    SELECT doc_id,
+           CAST(md5_number_lower('feat-v1:' || tok) % 2147483647 % 16
+                AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM tok GROUP BY 1, 2
+    """,
+)
+def text_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurizer: tokens hashed into 16 buckets (salted
+    stable md5 residue, the split_by_hash device), counted per document —
+    the fixed-width sparse feature map that feeds linear quality
+    classifiers without a vocabulary table. Relational (doc, bucket,
+    count) form; zero buckets simply absent. Row-level oracle replays
+    hash, bucket and count.
+
+    Scale: no vocabulary state AT ALL is the point — the feature space is
+    fixed at write time, so the featurizer is a stateless narrow map +
+    one (doc, bucket) partial-agg shuffle, and two corpora featurized
+    independently are directly comparable.
+    """
+    from ..functions.scalar import stable_hash_p31, token_array
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(token_array("text")).alias("tok")
+    )
+    bucket = F.pmod(
+        stable_hash_p31(F.concat(F.lit("feat-v1:"), F.col("tok"))), F.lit(16)
+    )
+    return tok.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )

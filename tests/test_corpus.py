@@ -284,3 +284,30 @@ def test_pack_bins_matches_greedy_model_fuzz(spark, shards, budget):
                 nonzero[r["bin_id"]] = nonzero.get(r["bin_id"], 0) + 1
         for b, f in fill.items():
             assert f <= budget or nonzero.get(b, 0) == 1, (si, b, f, budget)
+
+
+def test_assign_dense_ids_matches_global_window_fuzz(spark):
+    """assign_dense_ids must equal ROW_NUMBER() OVER (ORDER BY ...) - 1
+    on arbitrary data/partitioning: dense 0..N-1, bijective, ordered by
+    the total order — fuzzed over skewed duplicate-heavy keys."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from prefect_flow_arc_alto_to_json_spark.operators.ids import (
+        assign_dense_ids,
+    )
+
+    rng = random.Random(20240814)
+    rows = [
+        (rng.randint(0, 30), i)  # heavy key collisions force tiebreaker use
+        for i in range(2000)
+    ]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k long, uid long").repartition(13)
+    out = assign_dense_ids(df, ["k", "uid"], n_partitions=7).collect()
+    assert len(out) == 2000
+    ids = sorted(r["dense_id"] for r in out)
+    assert ids == list(range(2000))  # dense bijection
+    by_order = sorted(out, key=lambda r: (r["k"], r["uid"]))
+    assert [r["dense_id"] for r in by_order] == list(range(2000))

@@ -208,6 +208,11 @@ _SHUFFLE_BUDGETS = {
     # signatures are narrow kernel output; ONE (w, wv) band-bucket
     # exchange covers join + pair distinct
     "mm_image_near_dup": 1,
+    # (w1,w2) count agg + w1 count agg + scoring joins + per-doc agg
+    # (vocab is a broadcast 1-row)
+    "text_bigram_logprob": 5,
+    # stateless map + ONE (doc, bucket) partial-agg exchange
+    "text_hashed_features": 1,
 }
 
 
