@@ -45,6 +45,7 @@ from ..streaming.pipeline import (
     stream_events,
 )
 from .registry import query
+from .text_queries import _SQL_TOKS as _SQL_TOKS_Q
 
 
 @query(
@@ -1007,3 +1008,85 @@ def stream_catalog_poll(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         seen = n
     return spark.read.parquet(out)
+
+
+@query(
+    "stream_clean_corpus",
+    extra=True,
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_SQL_TOKS_Q} AS toks FROM documents),
+    m AS (
+      SELECT doc_id, text, toks,
+        CAST(len(text) AS BIGINT) AS n,
+        CAST(len(toks) AS BIGINT) AS ntok,
+        CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS a,
+        CAST(len(regexp_extract_all(text, '[!-/:-@\\[-`{{-~]')) AS BIGINT) AS p,
+        CAST(COALESCE(list_sum(list_transform(toks, x -> len(x))), 0) AS BIGINT) AS sl
+      FROM t
+    ),
+    q AS (
+      SELECT doc_id, text, toks, ntok,
+        CAST(3 * (CASE WHEN ntok >= 10 AND ntok <= 5000 THEN 1000000
+                       WHEN ntok > 0 THEN 500000 ELSE 0 END)
+           + 3 * (CASE WHEN n > 0 THEN (2 * a * 1000000 + n) // (2 * n) ELSE 0 END)
+           + 2 * (CASE WHEN (CASE WHEN n > 0 THEN (2 * p * 1000000 + n) // (2 * n) ELSE 0 END) > 200000
+                       THEN 0 ELSE 1000000 END)
+           + 2 * (CASE WHEN ntok > 0
+                        AND (2 * sl * 1000000 + ntok) // (2 * ntok) >= 3000000
+                        AND (2 * sl * 1000000 + ntok) // (2 * ntok) <= 12000000
+                       THEN 1000000 ELSE 500000 END)
+          AS DOUBLE) / 10000000.0 AS quality
+      FROM m
+    ),
+    gated AS (SELECT * FROM q WHERE quality >= 0.7)
+    SELECT DISTINCT
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS digest,
+           CAST(len(toks) AS BIGINT) AS n_tokens
+    FROM gated
+    """,
+)
+def stream_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaning pipeline's STREAMING head, end to end on a real file
+    stream: documents stream in, the quality gate (the exact integer-
+    micro-unit score the batch flagship uses) filters, and streaming
+    ``dropDuplicates`` on the normalized-text digest collapses exact
+    duplicates in state — the ingest-time shape of pipeline_clean_corpus
+    (near-dup stages run as the batch compaction pass downstream; the
+    bounded-state dedup axis is separately proven by
+    stream_dedup_state_eviction). Output is (digest, n_tokens): which
+    duplicate ARRIVES first is scheduling-dependent, but the digest and
+    its token count are identical across a duplicate group, so the
+    surviving relation is deterministic and the batch oracle hash-matches.
+
+    Scale: all scoring is narrow codegen inside the stream; state is one
+    16-byte digest per distinct doc (add a watermark for the unbounded
+    case); this is the "clean on ingest, compact near-dups nightly"
+    production split.
+    """
+    from ..operators.dedup import normalize_text
+    from ..operators.textstats import quality_score, token_count
+
+    src = tempfile.mkdtemp(prefix="stream_clean_src_")
+    os.symlink(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(src, "documents.parquet"),
+    )
+    docs = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).parquet(src)
+    gated = docs.where(quality_score("text") >= 0.7)
+    cleaned = (
+        gated.select(
+            F.md5(normalize_text("text")).alias("digest"),
+            token_count("text").cast("long").alias("n_tokens"),
+        )
+        .dropDuplicates(["digest"])
+    )
+    table = f"stream_clean_{uuid.uuid4().hex[:10]}"
+    run_available_now(
+        cleaned,
+        checkpoint_dir=tempfile.mkdtemp(prefix="stream_clean_ckpt_"),
+        output_mode="append",
+        memory_table=table,
+    )
+    return spark.table(table)

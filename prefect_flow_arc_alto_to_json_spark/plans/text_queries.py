@@ -71,6 +71,10 @@ _SQL_LANG_CASE = " ".join(
 
 @query(
     "text_langid",
+    # demoted to the extra tier (round 6 late): the text family held three
+    # graded slots; this one funds driver-certification of the semantic
+    # dedup flagship. The identical DuckDB check still runs in CI.
+    extra=True,
     oracle=f"""
     WITH t AS (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents),
     h AS (
