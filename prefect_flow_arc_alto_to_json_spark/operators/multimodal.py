@@ -518,8 +518,6 @@ def image_ahash_words(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .png import decode_png
-
         for pdf in batches:
             rows = []
             for aid, payload in zip(pdf[id_col], pdf[payload_col]):
