@@ -1849,3 +1849,48 @@ def q_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.where(dev * dev > 9 * var_n2).select(
         "event_id", "event_type", "v_cents"
     )
+
+
+@query(
+    "q_dod_growth",
+    extra=True,
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           strftime(day, '%Y-%m-%d') AS day,
+           rev_cents,
+           CAST(lag(rev_cents) OVER w AS BIGINT) AS prev_cents,
+           ROUND((rev_cents - lag(rev_cents) OVER w)
+                 / CAST(lag(rev_cents) OVER w AS DOUBLE), 6) AS dod_growth
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """,
+)
+def q_dod_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day revenue growth per event type — the reporting-layer
+    staple (daily rollup + lag + relative delta): revenue stays in exact
+    integer cents through the rollup, the growth ratio is the single
+    double op (identical operands both engines, rounded 6), first days
+    keep NULLs. One (type, day) agg exchange + a window over the tiny
+    daily relation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(cents("value")).alias("rev_cents"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("rev_cents").over(w)
+    return daily.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "rev_cents",
+        prev.cast("long").alias("prev_cents"),
+        F.round(
+            (F.col("rev_cents") - prev) / prev.cast("double"), 6
+        ).alias("dod_growth"),
+    )

@@ -311,3 +311,48 @@ def test_assign_dense_ids_matches_global_window_fuzz(spark):
     assert ids == list(range(2000))  # dense bijection
     by_order = sorted(out, key=lambda r: (r["k"], r["uid"]))
     assert [r["dense_id"] for r in by_order] == list(range(2000))
+
+
+def test_merge_states_associativity_fuzz(spark):
+    """The incremental-MV merge (operators/incremental.py) claims ANY
+    batching/ordering of ingests yields the identical view — fuzz it:
+    random 3-way and 5-way splits of events, merged in shuffled orders,
+    must all equal the from-scratch aggregate."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from prefect_flow_arc_alto_to_json_spark.operators.incremental import (
+        agg_state,
+        merge_states,
+    )
+
+    rng = random.Random(6)
+    rows = [
+        (rng.randint(0, 12), rng.choice("abc"), rng.randint(-500, 500))
+        for _ in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "k long, g string, v long")
+    keys, aggs = ["k", "g"], {
+        "n": ("v", "count"),
+        "s": ("v", "sum"),
+        "lo": ("v", "min"),
+        "hi": ("v", "max"),
+    }
+    expected = sorted(
+        tuple(r) for r in agg_state(df, keys, aggs).collect()
+    )
+    for n_splits in (3, 5):
+        marks = [rng.randint(0, n_splits - 1) for _ in rows]
+        mdf = spark.createDataFrame(
+            [(m, *r) for m, r in zip(marks, rows)], "m long, k long, g string, v long"
+        )
+        states = [
+            agg_state(mdf.where(F.col("m") == i).drop("m"), keys, aggs)
+            for i in range(n_splits)
+        ]
+        rng.shuffle(states)
+        got = sorted(
+            tuple(r) for r in merge_states(states, keys, aggs).collect()
+        )
+        assert got == expected, f"{n_splits}-way split diverged"

@@ -213,6 +213,8 @@ _SHUFFLE_BUDGETS = {
     "text_bigram_logprob": 5,
     # stateless map + ONE (doc, bucket) partial-agg exchange
     "text_hashed_features": 1,
+    # (type, day) agg exchange + type-window exchange over daily rows
+    "q_dod_growth": 2,
 }
 
 
