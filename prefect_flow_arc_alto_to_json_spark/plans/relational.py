@@ -1894,3 +1894,66 @@ def q_dod_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rev_cents") - prev) / prev.cast("double"), 6
         ).alias("dod_growth"),
     )
+
+
+@query(
+    "q_variant_shred",
+    extra=True,
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(json_extract('{"base": ' || props || ', "uid": '
+                               || CAST(user_id AS VARCHAR) || '}',
+                               '$.base.k') AS BIGINT) AS k,
+             CAST(json_extract('{"base": ' || props || ', "uid": '
+                               || CAST(user_id AS VARCHAR) || '}',
+                               '$.uid') AS BIGINT) AS uid
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k,
+           CAST(SUM(CASE WHEN uid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_uid
+    FROM v GROUP BY event_type
+    """,
+)
+def q_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path: the semi-structured ``props`` column is
+    wrapped into a nested JSON document, parsed ONCE into a VARIANT
+    (``parse_json`` — binary-encoded, no per-path re-parsing), and
+    typed values are shredded out with ``variant_get`` path expressions
+    ('$.base.k', '$.uid') before an ordinary aggregate. The oracle
+    replays the same paths with DuckDB's json_extract over the identical
+    constructed string.
+
+    Scale: VARIANT is the schema-on-read answer for heterogeneous event
+    payloads at 100 TB — one parse per row into a binary form, typed
+    sub-field access without exploding the schema, and the extraction
+    runs in whole-stage codegen (contrast with repeated
+    get_json_object calls, each a full JSON re-parse).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    doc = F.concat(
+        F.lit('{"base": '),
+        F.col("props"),
+        F.lit(', "uid": '),
+        F.col("user_id").cast("string"),
+        F.lit("}"),
+    )
+    v = ev.select(
+        "event_type", F.parse_json(doc).alias("v")
+    ).select(
+        "event_type",
+        F.expr("variant_get(v, '$.base.k', 'long')").alias("k"),
+        F.expr("variant_get(v, '$.uid', 'long')").alias("uid"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.sum(F.when(F.col("uid").isNotNull(), 1).otherwise(0)).alias("n_uid"),
+    )

@@ -215,6 +215,8 @@ _SHUFFLE_BUDGETS = {
     "text_hashed_features": 1,
     # (type, day) agg exchange + type-window exchange over daily rows
     "q_dod_growth": 2,
+    # one parse_json narrow map + the per-type agg exchange
+    "q_variant_shred": 1,
 }
 
 
