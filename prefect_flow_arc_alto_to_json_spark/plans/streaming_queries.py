@@ -1090,3 +1090,90 @@ def stream_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         memory_table=table,
     )
     return spark.table(table)
+
+
+@query(
+    "stream_attribution",
+    extra=True,
+    oracle="""
+    WITH seq AS (
+      SELECT event_id, user_id, ts, event_type,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN struct_pack(ts := ts, event_id := event_id,
+                                              event_type := event_type)
+                        END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS touch
+      FROM events
+    )
+    SELECT event_id AS purchase_id,
+           user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           CASE WHEN touch.ts >= ts - INTERVAL 30 MINUTE
+                THEN touch.event_id END AS touch_id,
+           CASE WHEN touch.ts >= ts - INTERVAL 30 MINUTE
+                THEN touch.event_type END AS touch_type,
+           CASE WHEN touch.ts >= ts - INTERVAL 30 MINUTE
+                THEN CAST(date_diff('second', touch.ts, ts) AS BIGINT)
+           END AS seconds_since_touch
+    FROM seq WHERE event_type = 'purchase'
+    """,
+)
+def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL streaming last-touch attribution
+    (streaming/pipeline.py:stateful_last_touch) replayed across a
+    RESTART with ORDER-SENSITIVE state: events are split by event TIME
+    (not id parity — the state machine is order-dependent), drained in
+    two AvailableNow invocations from one checkpoint, and phase 2's
+    attributions are only correct if phase 1's last-touch state (the
+    most recent pre-cutoff non-purchase per user) was recovered — a
+    fresh state would mis-attribute every early-phase-2 purchase whose
+    touch happened before the cutoff. The oracle is the batch
+    carry-forward window (q_attribution_last_touch's exact SQL):
+    streaming state walk ≡ batch window, hash-exact, including the
+    NULL rows for out-of-lookback purchases.
+    """
+    from ..sources import load_table
+    from ..streaming.pipeline import stateful_last_touch
+
+    src = tempfile.mkdtemp(prefix="stream_attr_src_")
+    out = tempfile.mkdtemp(prefix="stream_attr_out_")
+    ckpt = tempfile.mkdtemp(prefix="stream_attr_ckpt_")
+    ev_batch = load_table(spark, sf_dir, "events")
+    mid = ev_batch.selectExpr(
+        "percentile_approx(ts, 0.5) AS m"
+    ).collect()[0]["m"]
+    cutoff = mid.strftime("%Y-%m-%d %H:%M:%S.%f")
+
+    def drain() -> None:
+        ev = stream_events(spark, src).select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+        run_available_now(
+            stateful_last_touch(ev),
+            ckpt,
+            output_mode="append",
+            foreach_batch=lambda df, _bid: df.write.mode("append").parquet(out),
+        )
+
+    for phase, pred in enumerate(
+        (f"ts < TIMESTAMP_NTZ'{cutoff}'", f"ts >= TIMESTAMP_NTZ'{cutoff}'")
+    ):
+        _write_single_parquet(
+            ev_batch.where(F.expr(pred)), os.path.join(src, f"half_{phase}.parquet")
+        )
+        drain()
+    got = spark.read.parquet(out)
+    return got.select(
+        "purchase_id",
+        "user_id",
+        F.date_format(F.timestamp_micros(F.col("p_us")), "yyyy-MM-dd HH:mm:ss")
+        .alias("purchase_ts"),
+        "touch_id",
+        "touch_type",
+        "seconds_since_touch",
+    )

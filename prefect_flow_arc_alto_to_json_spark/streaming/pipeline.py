@@ -365,3 +365,90 @@ from ..functions.selfship import self_ship  # noqa: E402
 # Worker-executed closures above must never require this package on the
 # executor's PYTHONPATH — ship them by value (see functions/selfship.py).
 self_ship(__name__)
+
+
+def stateful_last_touch(
+    events: DataFrame, lookback_s: int = 1800
+) -> DataFrame:
+    """Streaming last-touch attribution as an ORDERED per-user state
+    machine (``applyInPandasWithState``): state is the most recent
+    non-purchase event seen so far; every purchase emits an attribution
+    row crediting that touch if it falls within ``lookback_s``. This is
+    the stateful-streaming twin of the batch carry-forward window
+    (plans/temporal_queries.py:q_attribution_last_touch) — the axis it
+    adds is ORDER-SENSITIVE state across micro-batches, one step beyond
+    the commutative counters of running_user_cents.
+
+    Determinism contract: rows are sorted by (ts_us, event_id) INSIDE
+    each batch before the state walk (micro-batch input order is not
+    defined), and callers feed batches in event-time order (file splits
+    by time; a watermark-buffered reorder stage in production). All
+    event-time math is integer microseconds computed JVM-side.
+
+    Scale: state is ONE small tuple per user in the state store; each
+    batch's work is linear in its rows. Emits only purchase rows.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        t_us, t_eid, t_type = (
+            state.get if state.exists else (None, None, None)
+        )
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts_us", "event_id"], kind="mergesort")
+        out = []
+        for _, row in batch.iterrows():
+            if row["event_type"] == "purchase":
+                hit = (
+                    t_us is not None
+                    and int(row["ts_us"]) - t_us <= lookback_s * 1_000_000
+                )
+                out.append(
+                    (
+                        int(row["event_id"]),
+                        int(key[0]),
+                        int(row["ts_us"]),
+                        int(t_eid) if hit else None,
+                        t_type if hit else None,
+                        # truncate EACH instant to seconds then diff —
+                        # SQL date_diff('second')/unix_timestamp semantics,
+                        # not floor of the microsecond delta (off by one
+                        # when the touch's sub-second part exceeds the
+                        # purchase's)
+                        int(row["ts_us"]) // 1_000_000 - t_us // 1_000_000
+                        if hit
+                        else None,
+                    )
+                )
+            else:
+                t_us, t_eid, t_type = (
+                    int(row["ts_us"]),
+                    int(row["event_id"]),
+                    str(row["event_type"]),
+                )
+        if t_us is not None:
+            state.update((t_us, t_eid, t_type))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "purchase_id",
+                "user_id",
+                "p_us",
+                "touch_id",
+                "touch_type",
+                "seconds_since_touch",
+            ],
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "purchase_id long, user_id long, p_us long, touch_id long, "
+            "touch_type string, seconds_since_touch long"
+        ),
+        stateStructType="ts_us long, eid long, etype string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
