@@ -461,7 +461,15 @@ def q_json_source_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("columnNameOfCorruptRecord", "_corrupt")
         .json([good_dir, bad_dir])
     )
-    return parsed.groupBy(
+    # Spark forbids queries whose column set reduces to the corrupt-record
+    # column alone on a raw JSON scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN —
+    # the analyzer fires scale-dependently once pruning collapses the
+    # required schema). The documented pattern is ALSO the production
+    # shape: land the parsed batch as a bronze table (quarantine column
+    # included), then analyze the materialized relation.
+    bronze = base + "/bronze"
+    parsed.write.mode("overwrite").parquet(bronze)
+    return spark.read.parquet(bronze).groupBy(
         F.col("_corrupt").isNotNull().alias("is_corrupt")
     ).agg(
         F.count(F.lit(1)).alias("n_rows"),
