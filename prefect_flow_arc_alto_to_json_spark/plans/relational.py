@@ -1957,3 +1957,52 @@ def q_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").alias("max_k"),
         F.sum(F.when(F.col("uid").isNotNull(), 1).otherwise(0)).alias("n_uid"),
     )
+
+
+@query(
+    "q_cumulative_distinct_users",
+    extra=True,
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events
+      GROUP BY user_id
+    ),
+    per_day AS (
+      SELECT first_day AS day, COUNT(*) AS new_users FROM firsts GROUP BY 1
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(new_users AS BIGINT) AS new_users,
+           CAST(SUM(new_users) OVER (
+             ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cumulative_users
+    FROM per_day
+    """,
+)
+def q_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT cumulative distinct users per day — the window no engine can
+    run directly (COUNT(DISTINCT) OVER a running frame would re-scan
+    every prefix, O(days x users)), linearized through the first-seen
+    identity: a user joins the cumulative count exactly once, on their
+    first active day. min-per-user + count-per-day + running sum = three
+    linear passes; the running-sum window runs over ~30 day rows.
+
+    Scale: this identity is how DAU/MAU-to-date dashboards stay exact at
+    100 TB (the alternative is HLL unions, approximate); the only
+    user-sized shuffle is the per-user MIN with map-side partials.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    per_day = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_day.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    )

@@ -217,6 +217,8 @@ _SHUFFLE_BUDGETS = {
     "q_dod_growth": 2,
     # one parse_json narrow map + the per-type agg exchange
     "q_variant_shred": 1,
+    # per-user MIN + per-day count + the ~30-row running-sum window
+    "q_cumulative_distinct_users": 3,
 }
 
 
