@@ -163,3 +163,21 @@ def test_zorder_layout_localizes_2d_box_filters(spark, sf_dir, tmp_path):
         spark.read.parquet(zpath).where(box).count()
         == spark.read.parquet(upath).where(box).count()
     )
+
+
+def test_morton_code_is_a_bijection(spark):
+    """The generated interleave expression must be a bijection from
+    (ub, db) in [0,16)^2 onto [0, 256) — any collision or gap breaks both
+    locality and the z-range pruning argument. Evaluated through the SAME
+    generated SQL text the operator and the oracle share."""
+    from prefect_flow_arc_alto_to_json_spark.sinks.zorder import morton_sql
+
+    df = spark.range(16).selectExpr("id AS ub").crossJoin(
+        spark.range(16).selectExpr("id AS db")
+    )
+    z = df.selectExpr("ub", "db", morton_sql(["ub", "db"], 4) + " AS z")
+    got = sorted(r["z"] for r in z.collect())
+    assert got == list(range(256))
+    # locality spot-check: adjacent cells differ in few bits of z
+    m = {(r["ub"], r["db"]): r["z"] for r in z.collect()}
+    assert bin(m[(3, 3)] ^ m[(3, 4)]).count("1") <= 4
