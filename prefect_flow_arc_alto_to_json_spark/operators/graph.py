@@ -46,13 +46,26 @@ def pagerank(
     externally on the returned relation's delta.
     """
     out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
-    e = edges.join(out_w, "src").select("src", "dst", "w", "out_w")
+    # materialize the edge/out-weight relation and the node set ONCE:
+    # they feed every iteration's eager localCheckpoint job, and without
+    # truncation each iteration re-executes the caller's whole edge
+    # derivation (a 4-table fact join in q_pagerank_trade) several times
+    e = (
+        edges.join(out_w, "src")
+        .select("src", "dst", "w", "out_w")
+        .localCheckpoint()
+    )
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint()
     )
     n = nodes.count()  # one small driver scalar, like components' flag
+    if n == 0:
+        # empty graph: an empty (node, rank_nano) relation, not a
+        # ZeroDivisionError on the driver
+        return nodes.withColumn("rank_nano", F.lit(0).cast("long"))
     # half-AWAY rounding (int(x+0.5), positive x), matching SQL ROUND —
     # Python's round() is half-even and would silently diverge
     base = int((1.0 - damping) * NANO / n + 0.5)

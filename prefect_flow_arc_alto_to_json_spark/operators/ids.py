@@ -38,8 +38,16 @@ def assign_dense_ids(
     module docstring). ``order_cols`` must be duplicate-free as a tuple
     (append a unique id column as the last entry)."""
     parts = n_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(parts, *order_cols).withColumn(
-        "__pid", F.spark_partition_id()
+    # localCheckpoint BEFORE fanning out to the two consumers: the range
+    # exchange's partition boundaries come from nondeterministic sampling,
+    # so correctness must not depend on the optimizer physically reusing
+    # one exchange between the counts subtree and the final join — a
+    # non-reused replay could sample different boundaries and emit
+    # non-dense ids with no error
+    ranged = (
+        df.repartitionByRange(parts, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     # per-partition counts: tiny relation (one row per partition)
     counts = (

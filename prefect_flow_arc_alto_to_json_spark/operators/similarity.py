@@ -735,7 +735,10 @@ def knn_classify(
         .agg(F.count(F.lit(1)).alias("n_votes"))
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("n_votes").desc(), F.col("nlabel").asc()
+        # nulls LAST explicitly: Spark ASC defaults nulls-first, DuckDB
+        # nulls-last — a NULL seed label tying on votes would otherwise
+        # win here and lose in the oracle
+        F.col("n_votes").desc(), F.col("nlabel").asc_nulls_last()
     )
     return (
         votes.withColumn("__rn", F.row_number().over(w))

@@ -187,7 +187,10 @@ def q_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keys = ["user_id", "event_type"]
     aggs = {
-        "n_events": ("v_cents", "count"),
+        # count over the never-null ts, NOT v_cents: count(col) skips that
+        # column's nulls, and the oracle's COUNT(*) counts rows — identical
+        # only while value has no nulls (a latent hash/denominator trap)
+        "n_events": ("ts", "count"),
         "total_cents": ("v_cents", "sum"),
         "first_ts": ("ts", "min"),
         "last_ts": ("ts", "max"),

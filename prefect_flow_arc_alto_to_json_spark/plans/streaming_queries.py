@@ -46,6 +46,7 @@ from ..streaming.pipeline import (
 )
 from .registry import query
 from .text_queries import _SQL_TOKS as _SQL_TOKS_Q
+from .temporal_queries import ATTRIBUTION_ORACLE
 
 
 @query(
@@ -1092,34 +1093,7 @@ def stream_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(table)
 
 
-@query(
-    "stream_attribution",
-    extra=True,
-    oracle="""
-    WITH seq AS (
-      SELECT event_id, user_id, ts, event_type,
-             last_value(CASE WHEN event_type <> 'purchase'
-                             THEN struct_pack(ts := ts, event_id := event_id,
-                                              event_type := event_type)
-                        END IGNORE NULLS) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-             ) AS touch
-      FROM events
-    )
-    SELECT event_id AS purchase_id,
-           user_id,
-           strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
-           CASE WHEN touch.ts >= ts - INTERVAL 30 MINUTE
-                THEN touch.event_id END AS touch_id,
-           CASE WHEN touch.ts >= ts - INTERVAL 30 MINUTE
-                THEN touch.event_type END AS touch_type,
-           CASE WHEN touch.ts >= ts - INTERVAL 30 MINUTE
-                THEN CAST(date_diff('second', touch.ts, ts) AS BIGINT)
-           END AS seconds_since_touch
-    FROM seq WHERE event_type = 'purchase'
-    """,
-)
+@query("stream_attribution", extra=True, oracle=ATTRIBUTION_ORACLE)
 def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STATEFUL streaming last-touch attribution
     (streaming/pipeline.py:stateful_last_touch) replayed across a

@@ -241,10 +241,7 @@ def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_attribution_last_touch",
-    extra=True,
-    oracle="""
+ATTRIBUTION_ORACLE = """
     WITH seq AS (
       SELECT event_id, user_id, ts, event_type,
              last_value(CASE WHEN event_type <> 'purchase'
@@ -267,8 +264,10 @@ def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN CAST(date_diff('second', touch.ts, ts) AS BIGINT)
            END AS seconds_since_touch
     FROM seq WHERE event_type = 'purchase'
-    """,
-)
+"""
+
+
+@query("q_attribution_last_touch", extra=True, oracle=ATTRIBUTION_ORACLE)
 def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch conversion attribution: each purchase is credited to the
     user's most recent NON-purchase event within a 30-minute lookback —

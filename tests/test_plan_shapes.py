@@ -195,10 +195,10 @@ _SHUFFLE_BUDGETS = {
     "q_corr_matrix": 1,
     # moment agg exchange; the filter scan joins it by broadcast
     "q_outlier_zscore": 1,
-    # the range exchange appears under BOTH consumers (counts + join) in
-    # the static plan, plus the tiny counts agg / offset-cumsum exchanges;
-    # AQE ReuseExchange collapses the duplicate range shuffle at runtime
-    "q_dense_ids": 5,
+    # post-checkpoint: the tiny counts agg + offset-cumsum + stitch join
+    # exchanges (the range shuffle sits behind the correctness-pinning
+    # localCheckpoint — see operators/ids.py)
+    "q_dense_ids": 3,
     # one group agg over the parallel JSON scan
     "q_json_source_permissive": 1,
     # decode kernel is narrow; ONE asset_id exchange for the lag window
