@@ -18,7 +18,7 @@ exactly what ``ref_count`` builds.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -149,5 +149,3 @@ def psi_drift(
         F.sum("psi_term_micro").over(Window.partitionBy()).cast("long"),
     )
 
-
-from pyspark.sql import Window  # noqa: E402
