@@ -542,6 +542,43 @@ def image_ahash_words(
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
 
 
+def audio_frame_energy(
+    df: DataFrame,
+    frame_samples: int = 256,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """Per-frame audio ENERGY as the exact integer sum-of-squares from a
+    real WAV decode — the audio sibling of video_frame_stats. Emits
+    (asset_id, frame_idx, ss, decode_error); corrupt payloads yield one
+    error row (frame_idx -1), never a task failure. No sqrt: callers
+    threshold on ss directly, keeping the whole activity gate integer-
+    exact (and SQL-replayable)."""
+    out_schema = f"{id_col} long, frame_idx int, ss long, decode_error string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    samples, _sr = decode_wav(
+                        bytes(payload) if payload is not None else None
+                    )
+                    arr = samples.astype("int64")
+                    for fi in range(len(arr) // frame_samples):
+                        seg = arr[fi * frame_samples : (fi + 1) * frame_samples]
+                        rows.append((aid, fi, int((seg * seg).sum()), None))
+                except Exception as exc:  # noqa: BLE001
+                    rows.append(
+                        (aid, -1, None, f"{type(exc).__name__}: {exc}")
+                    )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "frame_idx", "ss", "decode_error"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
 from ..functions.selfship import self_ship  # noqa: E402
 
 # Worker-executed closures above must never require this package on the

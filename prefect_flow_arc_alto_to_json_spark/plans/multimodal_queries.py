@@ -509,3 +509,84 @@ def mm_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .where(F.col("hamming") <= 3)
     )
+
+
+_LOUD_SS = 166_000_000_000  # frame sum-of-squares threshold (~median)
+
+
+@query(
+    "mm_audio_segments",
+    extra=True,
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS len
+      FROM documents WHERE {_SQL_MODALITY} = 'audio'
+    ),
+    s AS (
+      SELECT doc_id, k.k // 256 AS frame_idx,
+             ({_sql_byte("(2*k.k) % len")})
+             + 256 * ({_sql_byte("(2*k.k + 1) % len")})
+             - CASE WHEN ({_sql_byte("(2*k.k + 1) % len")}) >= 128
+                    THEN 65536 ELSE 0 END AS v
+      FROM base, (SELECT unnest(range(0, 2048)) AS k) k
+    ),
+    fr AS (
+      SELECT doc_id, frame_idx, SUM(v * v) AS ss
+      FROM s GROUP BY doc_id, frame_idx
+    ),
+    flagged AS (
+      SELECT doc_id, frame_idx, ss >= {_LOUD_SS} AS is_loud,
+             frame_idx - ROW_NUMBER() OVER (
+               PARTITION BY doc_id, ss >= {_LOUD_SS} ORDER BY frame_idx
+             ) AS isl
+      FROM fr
+    )
+    SELECT doc_id AS asset_id,
+           is_loud,
+           CAST(MIN(frame_idx) AS INTEGER) AS seg_start,
+           CAST(MAX(frame_idx) AS INTEGER) AS seg_end,
+           CAST(COUNT(*) AS BIGINT) AS n_frames
+    FROM flagged GROUP BY doc_id, is_loud, isl
+    """,
+)
+def mm_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio activity segmentation over REAL WAV payloads — the audio
+    member of the temporal-multimodal triple (video: mm_scene_cuts):
+    decode (operators/wav.py) → 256-sample frame ENERGY as the exact
+    integer sum-of-squares (no sqrt: the loud/quiet threshold compares
+    ss directly, so the whole gate is integer arithmetic) → consecutive
+    same-state frames merged into maximal segments by the gaps-and-
+    islands device (frame_idx − ROW_NUMBER per (asset, state)), the same
+    collapse text_dup_spans uses on token grams. The oracle recomputes
+    every sample, frame energy, flag, and segment boundary from the raw
+    bytes.
+
+    Scale: decode emits 8 integer rows per asset; the islands window
+    shuffles once on asset_id; segment output is data-dependent but
+    ≤ frames. This is the silence-strip/VAD-prefilter shape that cuts
+    audio corpora before any expensive model pass.
+    """
+    from ..operators.multimodal import audio_frame_energy, reencode_media
+
+    audio = reencode_media(synth_assets(spark, sf_dir)).where(
+        F.col("modality") == "audio"
+    )
+    fr = audio_frame_energy(audio)
+    flagged = fr.where(F.col("decode_error").isNull()).select(
+        "asset_id",
+        "frame_idx",
+        (F.col("ss") >= _LOUD_SS).alias("is_loud"),
+    )
+    w = Window.partitionBy("asset_id", "is_loud").orderBy("frame_idx")
+    isl = F.col("frame_idx") - F.row_number().over(w)
+    return (
+        flagged.withColumn("isl", isl)
+        .groupBy("asset_id", "is_loud", "isl")
+        .agg(
+            F.min("frame_idx").cast("int").alias("seg_start"),
+            F.max("frame_idx").cast("int").alias("seg_end"),
+            F.count(F.lit(1)).alias("n_frames"),
+        )
+        .drop("isl")
+    )

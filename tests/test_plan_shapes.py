@@ -219,6 +219,9 @@ _SHUFFLE_BUDGETS = {
     "q_variant_shred": 1,
     # per-user MIN + per-day count + the ~30-row running-sum window
     "q_cumulative_distinct_users": 3,
+    # decode kernel narrow; ONE (asset, state) islands-window exchange
+    # serves the segment collapse too
+    "mm_audio_segments": 1,
 }
 
 
