@@ -542,14 +542,16 @@ def image_ahash_words(
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
 
 
-def audio_frame_energy(
+def audio_frame_sumsq(
     df: DataFrame,
     frame_samples: int = 256,
     payload_col: str = "payload",
     id_col: str = "asset_id",
 ) -> DataFrame:
     """Per-frame audio ENERGY as the exact integer sum-of-squares from a
-    real WAV decode — the audio sibling of video_frame_stats. Emits
+    real WAV decode — the INTEGER sibling of audio_frame_energy above
+    (which emits float RMS): activity thresholds compare ss directly, so
+    the whole gate stays integer-exact and SQL-replayable. Emits
     (asset_id, frame_idx, ss, decode_error); corrupt payloads yield one
     error row (frame_idx -1), never a task failure. No sqrt: callers
     threshold on ss directly, keeping the whole activity gate integer-

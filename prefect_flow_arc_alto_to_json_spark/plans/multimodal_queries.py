@@ -567,12 +567,12 @@ def mm_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤ frames. This is the silence-strip/VAD-prefilter shape that cuts
     audio corpora before any expensive model pass.
     """
-    from ..operators.multimodal import audio_frame_energy, reencode_media
+    from ..operators.multimodal import audio_frame_sumsq, reencode_media
 
     audio = reencode_media(synth_assets(spark, sf_dir)).where(
         F.col("modality") == "audio"
     )
-    fr = audio_frame_energy(audio)
+    fr = audio_frame_sumsq(audio)
     flagged = fr.where(F.col("decode_error").isNull()).select(
         "asset_id",
         "frame_idx",
