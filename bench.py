@@ -1,8 +1,12 @@
 #!/usr/bin/env python3
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "cold_sec": ..., "runs": 2, "agg": "min", "sf": ...}.
+short JSON line of scalars: {"metric": ..., "value": total_sec, "unit":
+"sec", "cold_sec": ..., "n_queries": N, "runs": 2, "agg": "min",
+"queries_file": "BENCH_QUERIES.json", "sf": ...}. Per-query warm/cold
+timings go to BENCH_QUERIES.json and per-query shuffle-write volumes to
+BENCH_SHUFFLE.json (side files — the driver's stdout tail window is ~2000
+chars and inline per-query dicts overflowed it in rounds 5 and 6).
 
 Each query is materialized with the `noop` datasource writer — full plan
 execution JVM-side, zero driver collection cost.
@@ -210,32 +214,45 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    # Per-query shuffle-write metrics go to a SIDE FILE, not the final stdout
-    # line: in round 5 the inline "shuffle" dict grew the line past the
-    # driver's tail-capture window and the round's warm numbers were lost
-    # (BENCH_r05.json "parsed": null). The last line must stay compact.
+    # ALL per-query dicts go to SIDE FILES, never the final stdout line: the
+    # driver captures only the last ~2000 chars of stdout, and an inline
+    # per-query dict overflowed that window in rounds 5 AND 6
+    # (BENCH_r05/r06 "parsed": null). The final line carries ONLY scalars
+    # and is asserted short before printing so this cannot recur.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
     try:
-        side = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "BENCH_SHUFFLE.json")
-        with open(side, "w") as fh:
+        with open(os.path.join(repo_dir, "BENCH_SHUFFLE.json"), "w") as fh:
             json.dump({"sf": sf, "shuffle": shuffle}, fh, indent=1)
     except OSError:
         pass
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_cold": {k: round(v, 3) for k, v in cold.items()},
-                "cold_sec": round(sum(cold.values()), 3),
-                "runs": 2,
-                "agg": "min",
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    try:
+        with open(os.path.join(repo_dir, "BENCH_QUERIES.json"), "w") as fh:
+            json.dump(
+                {
+                    "sf": sf,
+                    "queries": timings,
+                    "queries_cold": {k: round(v, 3) for k, v in cold.items()},
+                },
+                fh,
+                indent=1,
+            )
+    except OSError:
+        pass
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "cold_sec": round(sum(cold.values()), 3),
+            "n_queries": len(timings),
+            "runs": 2,
+            "agg": "min",
+            "queries_file": "BENCH_QUERIES.json",
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
     )
+    assert len(line) < 1500, f"final bench line too long ({len(line)} chars)"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -20,19 +20,39 @@ import sys
 
 def load(path: str) -> dict:
     """Accept either bench.py's raw one-line JSON or the driver's
-    BENCH_r{N}.json wrapper (bench output under the "parsed" key)."""
+    BENCH_r{N}.json wrapper (bench output under the "parsed" key).
+
+    Round-7 bench lines carry only scalars plus a ``queries_file`` pointer;
+    when present, the per-query warm/cold dicts are merged in from that
+    side file (resolved relative to ``path``'s directory)."""
+    import os
+
     with open(path) as f:
         text = f.read()
+    obj = None
     try:
-        obj = json.loads(text)
-        return obj.get("parsed", obj) if isinstance(obj, dict) else obj
+        parsed = json.loads(text)
+        obj = parsed.get("parsed", parsed) if isinstance(parsed, dict) else parsed
     except json.JSONDecodeError:
-        pass
-    for line in text.splitlines():
-        line = line.strip()
-        if line.startswith('{"metric"'):
-            return json.loads(line)
-    raise SystemExit(f"no bench JSON found in {path}")
+        for line in text.splitlines():
+            line = line.strip()
+            if line.startswith('{"metric"'):
+                obj = json.loads(line)
+                break
+    if obj is None:
+        raise SystemExit(f"no bench JSON found in {path}")
+    if "queries" not in obj and obj.get("queries_file"):
+        side = os.path.join(os.path.dirname(os.path.abspath(path)),
+                            obj["queries_file"])
+        try:
+            with open(side) as f:
+                sideobj = json.load(f)
+            obj = {**obj,
+                   "queries": sideobj.get("queries", {}),
+                   "queries_cold": sideobj.get("queries_cold", {})}
+        except OSError:
+            pass
+    return obj
 
 
 def main() -> None:
