@@ -175,6 +175,9 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_ngram_jaccard",
+    # Rotated to the extra tier in round 7 (see dedup_simhash_pairs note):
+    # near-dup pair generation stays graded via dedup_minhash_pairs.
+    extra=True,
     oracle=f"""
     WITH
       toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
@@ -427,6 +430,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_simhash_pairs",
+    # Rotated to the extra tier in round 7: the graded window already
+    # adjudicates near-dup pair generation via dedup_minhash_pairs; the
+    # freed slot went to a family with no graded representative
+    # (q_zorder_index / mm_image_near_dup / q_pagerank_trade). Same
+    # oracle check runs in CI (tests/test_extra_queries.py).
+    extra=True,
     oracle=f"""
     WITH
       toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),

@@ -46,7 +46,8 @@ _SQL_ITER = """
 
 @query(
     "q_pagerank_trade",
-    extra=True,
+    # Promoted to the graded window in round 7: the iterative-graph
+    # family previously had no driver-graded representative.
     oracle=f"""
     WITH edges AS ({_SQL_EDGES}),
     outw AS (SELECT src, SUM(w) AS out_w FROM edges GROUP BY src),

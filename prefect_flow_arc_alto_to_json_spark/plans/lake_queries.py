@@ -223,7 +223,8 @@ def q_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_zorder_index",
-    extra=True,
+    # Promoted to the graded window in round 7: the lake-layout family
+    # previously had no driver-graded representative.
     oracle="""
     WITH base AS (
       SELECT user_id,

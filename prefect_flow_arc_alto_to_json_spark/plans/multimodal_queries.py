@@ -91,6 +91,10 @@ def mm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mm_frame_sample",
+    # Rotated to the extra tier in round 7: the multimodal family keeps
+    # four graded slots (payload_stats/features/dedup_exact/scene_cuts);
+    # the freed slot graded mm_image_near_dup, previously pytest-only.
+    extra=True,
     oracle=f"""
     WITH v AS (
       SELECT doc_id AS asset_id, CAST(strlen(text) AS BIGINT) * 10 AS dur
@@ -390,7 +394,8 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mm_image_near_dup",
-    extra=True,
+    # Promoted to the graded window in round 7 (displacing the simpler
+    # mm_frame_sample): grades perceptual near-dup banding end-to-end.
     oracle=f"""
     WITH docs0 AS (
       SELECT doc_id, text FROM documents WHERE {_SQL_MODALITY} = 'image'
