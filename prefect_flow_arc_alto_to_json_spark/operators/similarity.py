@@ -625,6 +625,58 @@ def int8_topk(
     )
 
 
+def ivf_assign_probes(
+    corpus: DataFrame,
+    cents: DataFrame,
+    n_probes: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe IVF assignment: (vid, vec, cent_id, probe) rows with
+    ``probe`` in 1..n_probes — each vector's n_probes nearest centroids
+    (by dot product; ties toward the smaller cent_id, matching
+    ``ivf_index``'s argmax so probe 1 IS the single-probe assignment).
+
+    Scale: the N x C distance relation is never shuffled. Probe p re-fans
+    the corpus against the broadcast centroid set with the previously
+    chosen cells excluded and takes the argmax over the remainder, so each
+    of the P rounds is one broadcast nested-loop pass plus one N-row
+    map-side-combined groupBy: O(P·N·C) compute, O(P·N) shuffle bytes —
+    the same linearity as the single-probe build, just P passes.
+    """
+    c = fan_out(corpus).select(
+        F.col(id_col).alias("vid"), _as_double(vec_col).alias("vec")
+    )
+    bc = F.broadcast(cents)
+    out: DataFrame | None = None
+    chosen: DataFrame | None = None  # (vid, cells: array<long>)
+    for p in range(1, n_probes + 1):
+        base = c if chosen is None else c.join(chosen, "vid")
+        dist = base.join(bc).select(
+            "vid",
+            "vec",
+            *([] if chosen is None else ["cells"]),
+            "cent_id",
+            dot(F.col("vec"), F.col("cvec")).alias("sim"),
+        )
+        if chosen is not None:
+            dist = dist.where(
+                ~F.array_contains(F.col("cells"), F.col("cent_id"))
+            )
+        pick = dist.groupBy("vid").agg(
+            F.max_by(
+                "cent_id", F.struct(F.col("sim"), -F.col("cent_id"))
+            ).alias("cent_id"),
+            F.first("vec").alias("vec"),
+        ).withColumn("probe", F.lit(p))
+        out = pick if out is None else out.unionByName(pick)
+        if p < n_probes:
+            chosen = out.groupBy("vid").agg(
+                F.collect_list("cent_id").alias("cells")
+            )
+    return out.select("vid", "vec", "cent_id", "probe")
+
+
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -632,6 +684,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     target_cell_size: int = 256,
+    n_probes: int = 1,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: IVF-cluster the embedding
     space, then drop every vector that is within ``threshold`` cosine of a
@@ -642,6 +695,19 @@ def semantic_dedup(
     paraphrases and re-encodings that share no n-grams still collapse,
     because closeness is measured in the representation, not the surface
     string.
+
+    ``n_probes`` > 1 enables multi-probe pair search: every vector joins
+    the pair search in its ``n_probes`` nearest cells
+    (``ivf_assign_probes``), recovering boundary pairs that straddle two
+    cells — the documented single-probe recall gap. The OUTPUT partition
+    (``cent_id``) and the min-id representative rule are unchanged
+    (probe-1 assignment is identical to the single-probe argmax), so more
+    probes can only move ``kept`` False-ward, monotonically toward the
+    exact all-pairs answer. Pair volume stays bounded: Σ|cell|² over
+    cells whose sizes grow by ≤ n_probes×, i.e. O(N · cell · n_probes²)
+    worst case. The graded oracle keeps n_probes=1 (deterministic,
+    SQL-replayable); the 2-probe path is recall-gated in
+    tests/test_similarity.py.
 
     Scale — the reason for the cluster step: the quadratic pair search is
     confined to cells, Σ|cell|² instead of |corpus|² (the same bound as the
@@ -664,16 +730,26 @@ def semantic_dedup(
         # one count scan; amortized by the O(N²/cells) it prevents
         n_rows = corpus.count()
         n_centroids = max(16, -(-n_rows // target_cell_size))
-    _, assigned = ivf_index(corpus, n_centroids, id_col, vec_col)
+    cents, assigned = ivf_index(corpus, n_centroids, id_col, vec_col)
     # materialize the assignment once (it feeds both self-join sides AND
     # the final projection — without this the whole index subtree is
     # planned three times); at scale this is the step you'd WRITE OUT
     # bucketed by cent_id, making the self-join exchange-free on re-runs
-    assigned = assigned.localCheckpoint()
-    a = assigned.select(
+    if n_probes > 1:
+        probes = ivf_assign_probes(
+            corpus, cents, n_probes, id_col, vec_col
+        ).localCheckpoint()
+        # probe 1 == the single-probe argmax: reuse it for the output
+        # projection so cent_id/kept semantics are identical to n_probes=1
+        assigned = probes.where(F.col("probe") == 1).drop("probe")
+        pair_src = probes.drop("probe")
+    else:
+        assigned = assigned.localCheckpoint()
+        pair_src = assigned
+    a = pair_src.select(
         "cent_id", F.col("vid").alias("id_a"), F.col("vec").alias("va")
     )
-    b = assigned.select(
+    b = pair_src.select(
         "cent_id", F.col("vid").alias("id_b"), F.col("vec").alias("vb")
     )
     dropped = (
