@@ -5,7 +5,19 @@ with bounded per-executor concurrency).
 Failure model follows the 100 TB rule (SURVEY.md §7.4.5): a bad URL must
 never kill the job. Each row gets either ``body`` or ``fetch_error`` — the
 Spark twin of the reference's per-task exception capture
-(flows/main_flow.py:59-63), but non-fatal and set-oriented.
+(flows/main_flow.py:59-63), but non-fatal and set-oriented. Three layers
+enforce it:
+
+- transient failures are retried with exponential backoff (``retries``,
+  ``backoff_s``) inside the worker, so a blip never surfaces as a lost row;
+- in-flight fetches per worker are clamped to ``max_concurrency`` (one
+  bounded thread pool per partition iterator), so a slow origin cannot
+  pile up unbounded sockets;
+- every row has a HARD deadline (all attempts + backoff + margin): even a
+  fetcher that ignores ``timeout_s`` entirely (a hung DNS lookup, a
+  half-open socket) yields an error row instead of a stalled stage. The
+  abandoned thread is left to the worker's lifecycle — the stage itself
+  always completes.
 
 Supported schemes: ``http(s)://`` via urllib (stdlib — no extra deps) and
 ``file://`` / bare paths for local corpora and tests.
@@ -13,8 +25,10 @@ Supported schemes: ``http(s)://`` via urllib (stdlib — no extra deps) and
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+import time
+from collections.abc import Callable, Iterator
 from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import TimeoutError as FutureTimeoutError
 
 import pandas as pd
 
@@ -23,6 +37,9 @@ from pyspark.sql import functions as F
 
 #: Result columns appended by fetch_urls.
 FETCH_RESULT_FIELDS = "body string, fetch_error string"
+
+#: (url, timeout_s) -> (body, error) — injectable for tests.
+Fetcher = Callable[[str, float], tuple[str | None, str | None]]
 
 
 def _fetch_one(url: str, timeout: float) -> tuple[str | None, str | None]:
@@ -53,13 +70,27 @@ def fetch_urls(
     max_concurrency: int = 8,
     timeout_s: float = 30.0,
     partitions: int | None = None,
+    retries: int = 2,
+    backoff_s: float = 0.5,
+    fetcher: Fetcher | None = None,
 ) -> DataFrame:
     """Fetch every row's URL, appending ``body_col`` / ``error_col``.
 
     Scale: ``repartition(partitions)`` controls total fan-out (e.g. 1000
     executors x 8 concurrent GETs); within a partition a thread pool hides
     latency while the Arrow batch keeps serialization cheap. Stragglers are
-    bounded by ``timeout_s`` instead of stalling the stage.
+    bounded by ``timeout_s`` AND a per-row hard deadline (all retry
+    attempts + backoff + ``timeout_s`` margin) enforced from outside the
+    fetch thread — a fetch that ignores its timeout still resolves to an
+    error row, never a stalled stage.
+
+    ``retries``/``backoff_s``: each failed attempt (other than a null URL)
+    is retried after ``backoff_s * 2**attempt`` seconds; the final error
+    string records the attempt count so flaky origins are visible in the
+    error column, not hidden by the retry.
+
+    ``fetcher`` swaps the transport for tests (fault injection); production
+    callers leave the stdlib default.
     """
     in_cols = df.columns
     if partitions:
@@ -68,16 +99,47 @@ def fetch_urls(
     out_schema = ", ".join(f"`{c}` {df.schema[c].dataType.simpleString()}" for c in in_cols)
     out_schema = f"{out_schema}, {body_col} string, {error_col} string"
 
+    fetch = fetcher or _fetch_one
+    total_backoff = sum(backoff_s * 2**a for a in range(retries))
+    # hard per-row deadline: every attempt at its full timeout, all
+    # backoff sleeps, plus one timeout_s of margin for scheduling
+    hard_deadline = (retries + 1) * timeout_s + total_backoff + timeout_s
+
+    def fetch_with_retry(url: str) -> tuple[str | None, str | None]:
+        attempt = 0
+        while True:
+            body, err = fetch(url, timeout_s)
+            if err is None or url is None or attempt >= retries:
+                if err is not None and attempt > 0:
+                    err = f"{err} (after {attempt + 1} attempts)"
+                return body, err
+            time.sleep(backoff_s * 2**attempt)
+            attempt += 1
+
     def fetch_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
+        pool = ThreadPoolExecutor(max_workers=max_concurrency)
+        try:
             for pdf in it:
-                results = list(
-                    pool.map(lambda u: _fetch_one(u, timeout_s), pdf[url_col])
-                )
+                futs = [pool.submit(fetch_with_retry, u) for u in pdf[url_col]]
+                results = []
+                for f in futs:
+                    try:
+                        results.append(f.result(timeout=hard_deadline))
+                    except FutureTimeoutError:
+                        results.append(
+                            (
+                                None,
+                                "FetchDeadlineExceeded: no result within "
+                                f"{hard_deadline:.1f}s hard deadline",
+                            )
+                        )
                 pdf = pdf.copy()
                 pdf[body_col] = [r[0] for r in results]
                 pdf[error_col] = [r[1] for r in results]
                 yield pdf
+        finally:
+            # never wait: a hung fetch thread must not block the stage.
+            pool.shutdown(wait=False, cancel_futures=True)
 
     return df.mapInPandas(fetch_batches, schema=out_schema)
 

@@ -1,0 +1,129 @@
+"""Fetch hardening (round-7 VERDICT item 7): retry-with-backoff, the
+per-worker in-flight clamp, and the hard per-row deadline that makes a
+hanging URL provably unable to fail the stage (SURVEY §7.4 risk 5).
+
+All faults are injected through fetch_urls' ``fetcher`` parameter — no
+network. State that must survive across retry attempts (attempt counters,
+the in-flight gauge) lives in a mutable default argument: it is pickled
+empty with the closure and materializes per Python worker, which is
+exactly the scope the assertions need (retries happen in the worker that
+owns the row; the clamp is a per-worker bound)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prefect_flow_arc_alto_to_json_spark.sources.fetch import fetch_urls
+
+
+def _urls_df(spark, n: int):
+    return (
+        spark.range(n)
+        .select(F.concat(F.lit("synthetic://doc/"), F.col("id")).alias("url"))
+        .coalesce(1)  # one worker: per-worker fault state covers every row
+    )
+
+
+def _flaky_fetcher(fail_first: int):
+    """Fails each URL's first ``fail_first`` attempts, then succeeds."""
+
+    def fetcher(url, timeout, _state={}):  # noqa: B006 — per-worker state
+        seen = _state.setdefault("attempts", {})
+        seen[url] = seen.get(url, 0) + 1
+        if seen[url] <= fail_first:
+            return None, f"ConnectionReset: attempt {seen[url]}"
+        return f"body-of-{url}", None
+
+    return fetcher
+
+
+def test_fetch_retry_recovers_flaky_origin(spark):
+    df = _urls_df(spark, 8)
+    out = fetch_urls(
+        df,
+        url_col="url",
+        fetcher=_flaky_fetcher(fail_first=2),
+        retries=2,
+        backoff_s=0.01,
+        timeout_s=1.0,
+    ).collect()
+    assert len(out) == 8
+    assert all(r["fetch_error"] is None for r in out)
+    assert all(r["body"] == f"body-of-{r['url']}" for r in out)
+
+
+def test_fetch_retry_exhaustion_records_attempt_count(spark):
+    df = _urls_df(spark, 3)
+    out = fetch_urls(
+        df,
+        url_col="url",
+        fetcher=_flaky_fetcher(fail_first=99),
+        retries=1,
+        backoff_s=0.01,
+        timeout_s=1.0,
+    ).collect()
+    assert all(r["body"] is None for r in out)
+    # the error surfaces BOTH the underlying failure and the retry budget
+    assert all("(after 2 attempts)" in r["fetch_error"] for r in out)
+    assert all("ConnectionReset" in r["fetch_error"] for r in out)
+
+
+def _clamp_fetcher(url, timeout, _state={}):  # noqa: B006 — per-worker state
+    """Reports the peak number of concurrently in-flight fetches seen by
+    this worker as the row's body."""
+    import threading
+    import time as _time
+
+    st = _state.setdefault(
+        "g", {"lock": threading.Lock(), "cur": 0, "peak": 0}
+    )
+    with st["lock"]:
+        st["cur"] += 1
+        st["peak"] = max(st["peak"], st["cur"])
+    _time.sleep(0.15)  # hold the slot so overlap is observable
+    with st["lock"]:
+        peak = st["peak"]
+        st["cur"] -= 1
+    return str(peak), None
+
+
+def test_fetch_inflight_clamped_to_max_concurrency(spark):
+    df = _urls_df(spark, 12)
+    out = fetch_urls(
+        df, url_col="url", fetcher=_clamp_fetcher, max_concurrency=3,
+        retries=0, timeout_s=5.0,
+    ).collect()
+    peaks = [int(r["body"]) for r in out]
+    assert max(peaks) <= 3, f"in-flight exceeded the clamp: {peaks}"
+    # the pool actually overlapped (the clamp is binding, not vacuous)
+    assert max(peaks) > 1, peaks
+
+
+def _hanging_fetcher(url, timeout):
+    """Ignores its timeout entirely — the worst-case straggler (hung DNS,
+    half-open socket). Only the hard deadline can bound this."""
+    import time as _time
+
+    if url.endswith("/0"):
+        _time.sleep(30)
+        return "late", None
+    return f"body-of-{url}", None
+
+
+def test_fetch_hanging_url_cannot_stall_the_stage(spark):
+    df = _urls_df(spark, 6)
+    out = fetch_urls(
+        df,
+        url_col="url",
+        fetcher=_hanging_fetcher,
+        retries=0,
+        timeout_s=0.3,  # hard deadline = 2 * 0.3 = 0.6s per row
+        max_concurrency=4,
+    ).collect()
+    by_url = {r["url"]: r for r in out}
+    hung = by_url["synthetic://doc/0"]
+    assert hung["body"] is None
+    assert "FetchDeadlineExceeded" in hung["fetch_error"]
+    others = [r for u, r in by_url.items() if not u.endswith("/0")]
+    assert len(others) == 5
+    assert all(r["fetch_error"] is None and r["body"] for r in others)
