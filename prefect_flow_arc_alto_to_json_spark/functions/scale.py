@@ -34,6 +34,11 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     broadcast-join outputs (a broadcast join preserves the probe side's
     narrow partitioning but contains 'Join' — such a caller should
     fan_out the probe side first, which all current callers do)."""
+    if df.isStreaming:
+        # streaming relations can't be partition-probed (no .rdd) and the
+        # file source already parallelizes by file split; pass through so
+        # narrow operators (minhash, quality score) compose onto streams
+        return df
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
     plan = df._jdf.queryExecution().analyzed().toString()

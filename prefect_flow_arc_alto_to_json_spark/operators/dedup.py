@@ -234,8 +234,16 @@ def exact_dedup_groups(
     )
 
 
-def _bands_df(df: DataFrame, id_col: str, sig_col: str = "minhash") -> DataFrame:
-    """(id, band_idx, band_hash): hash each r-row slice of the signature.
+def _bands_df(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str = "minhash",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, *keep, band_idx, band_hash): hash each r-row slice of the
+    signature. ``keep`` rides extra columns through the explode (e.g. the
+    signature itself, so a streaming caller can verify candidates without
+    a second stream-side pass).
 
     One SQL string for the whole 8-struct band array (plan-construction
     fast path, see the ``_sql_*`` builders above)."""
@@ -250,8 +258,10 @@ def _bands_df(df: DataFrame, id_col: str, sig_col: str = "minhash") -> DataFrame
             f"named_struct('band_idx', {j}, 'band_hash', {_sql_u32(key)})"
         )
     return df.select(
-        F.col(id_col), F.expr(f"explode(array({','.join(structs)}))").alias("b")
-    ).select(id_col, "b.band_idx", "b.band_hash")
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        F.expr(f"explode(array({','.join(structs)}))").alias("b"),
+    ).select(id_col, *keep, "b.band_idx", "b.band_hash")
 
 
 def minhash_lsh_pairs(

@@ -263,18 +263,39 @@ def lsh_bucketed_topk(
     )
 
 
+def derive_planes(
+    n_rows: int, target_bucket_size: int = 16, floor: int = LSH_PLANES
+) -> int:
+    """Plane count that keeps expected LSH bucket size ≤ target: the
+    candidate volume of a bucket self-join is Σ|bucket|² ≈ N²·(1+P)/2^P,
+    so P must GROW with the corpus (≈ log2(N / target)) or the join
+    reverts to quadratic — the same scale law as semantic_dedup's derived
+    cell count, measured by scale_smoke.py both times."""
+    import math
+
+    need = max(n_rows, 1) / max(target_bucket_size, 1)
+    return max(floor, math.ceil(math.log2(need)) if need > 1 else floor)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    planes: int = LSH_PLANES,
+    planes: int | None = LSH_PLANES,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ t).
 
     Bucketed via the same LSH so the self-join never goes quadratic; at
     threshold ≥ 0.95 near-dups almost always share a bucket (small angle),
     multiprobe covers the boundary cases.
+
+    ``planes=None`` derives the plane count from a corpus count
+    (:func:`derive_planes`) so bucket sizes stay bounded as the corpus
+    grows — the 100 TB path. The default stays pinned at ``LSH_PLANES``
+    because every oracled query replays exactly 8 hyperplanes in SQL;
+    recall at high thresholds is preserved under more planes (smaller
+    angle ⇒ fewer plane-sign flips), gate-tested on planted pairs.
 
     The probe join is asymmetric — the a-side explodes (base + P one-bit
     flips), the b-side keeps only its base bucket — so a pair surfaces at
@@ -285,6 +306,8 @@ def embedding_near_dup_pairs(
     carried a .distinct() here — a full shuffle of vector payloads that
     provably never removed a row.)
     """
+    if planes is None:
+        planes = derive_planes(df.count())
     c = fan_out(df).select(
         F.col(id_col).alias("id"), _as_double(vec_col).alias("vec")
     ).withColumn("bucket", _bucket("vec", planes))

@@ -479,3 +479,88 @@ def q_json_source_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias("sum_n_chars"),
     )
+
+
+@query(
+    "q_orc_roundtrip",
+    extra=True,
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS sum_price_cents
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC format round-trip (source/sink breadth beyond parquet): the
+    lineitem projection is written as zstd ORC, read back, and
+    aggregated — the oracle runs on the ORIGINAL parquet, so any row or
+    value mutated by the encode/decode flips the hash. ORC is the other
+    columnar lake format a migrating warehouse brings along; the engine
+    must scan it with the same pushdown machinery (Spark's OrcFileFormat
+    supports predicate pushdown + column pruning like parquet).
+
+    Scale: format conversion is one narrow pass; all downstream math is
+    the usual partial-agg shuffle on the 6-group key.
+    """
+    src = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("long").alias("qty"),
+        cents("l_extendedprice").alias("price_cents"),
+    )
+    path = tempfile.mkdtemp(prefix="orc_rt_") + "/lineitem"
+    src.write.mode("overwrite").option("compression", "zstd").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("qty").alias("sum_qty"),
+        F.sum("price_cents").alias("sum_price_cents"),
+    )
+
+
+@query(
+    "q_csv_roundtrip",
+    extra=True,
+    oracle="""
+    SELECT doc_id, lang, source, md5(text) AS text_md5,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip with byte-exact text preservation: documents are
+    written as quoted/escaped CSV with a header, read back with an
+    EXPLICIT schema (inference is banned from the data path — it is a
+    second full scan AND a correctness hazard), and every row's text is
+    md5-fingerprinted. The oracle fingerprints the original parquet, so
+    a single character lost to quoting/escaping/encoding flips the hash.
+
+    Scale: CSV is the interchange format every external corpus drop
+    arrives in; the lesson encoded here is schema-on-read discipline —
+    explicit schema, explicit quote/escape policy, permissive mode left
+    OFF so malformed rows surface instead of silently nulling.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    path = tempfile.mkdtemp(prefix="csv_rt_") + "/documents"
+    (
+        docs.write.mode("overwrite")
+        .option("header", True)
+        .option("quoteAll", True)
+        .option("escape", '"')
+        .csv(path)
+    )
+    back = spark.read.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).option("header", True).option("escape", '"').csv(path)
+    return back.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5("text").alias("text_md5"),
+        "n_chars",
+    )

@@ -1151,3 +1151,128 @@ def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "touch_type",
         "seconds_since_touch",
     )
+
+
+from .dedup_queries import _SQL_BANDS as _SQL_BANDS_Q  # noqa: E402
+from .dedup_queries import _sql_docs_with_sig as _sql_docs_with_sig_q  # noqa: E402
+
+
+@query(
+    "stream_minhash_near_dup",
+    extra=True,
+    oracle=f"""
+    WITH arrivals AS (
+      SELECT doc_id + 1000000 AS doc_id, text || ' zz9' AS text
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    allrows AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id, text FROM arrivals
+    ),
+    {_sql_docs_with_sig_q("allrows")},
+    bands AS (
+      SELECT doc_id, u.j, [{_SQL_BANDS_Q}][u.j + 1] AS bh
+      FROM docs, (SELECT unnest(range(0, 8)) AS j) u
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+      FROM bands a JOIN bands b ON a.j = b.j AND a.bh = b.bh
+      WHERE a.doc_id >= 1000000 AND b.doc_id < 1000000
+    )
+    SELECT new_id, corpus_id, est_jaccard FROM (
+      SELECT new_id, corpus_id,
+        ROUND(len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i]))
+              / 32.0, 6) AS est_jaccard
+      FROM cand
+      JOIN docs sa ON sa.doc_id = new_id
+      JOIN docs sb ON sb.doc_id = corpus_id
+    ) WHERE est_jaccard >= 0.5
+    """,
+)
+def stream_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING near-duplicate detection against a STATIC MinHash band
+    index — the ingest-time near-dup gate that completes the streaming
+    clean-corpus story (stream_clean_corpus covers only exact dedup; the
+    batch near-dup pass runs nightly — this is the online complement that
+    catches a re-crawl the moment it lands). Arrivals (every 10th corpus
+    doc, one token appended — a re-crawl with a footer change) stream in;
+    each arrival's 32-perm MinHash signature and 8 band hashes are
+    computed IN the stream (narrow codegen, no state); candidates come
+    from a stream-static equi-join on (band_idx, band_hash) against the
+    pre-built corpus band index; streaming dropDuplicates collapses
+    multi-band hits; a second stream-static join pulls the corpus
+    signature for in-stream verification (est_jaccard ≥ 0.5). The oracle
+    replays index build, banding, candidate join and verification in SQL
+    over the union corpus.
+
+    Scale: the band index is the relation a 100 TB corpus persists
+    bucketed by (band_idx, band_hash); each arrival probes exactly its 8
+    buckets — cost per arrival is bucket-cardinality, independent of
+    corpus size. State is one (new_id, corpus_id) pair per candidate
+    (watermark it in the unbounded case); signatures ride the stream so
+    verification never re-reads text.
+    """
+    from ..operators.dedup import _bands_df, with_minhash
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    # static side: corpus signatures + band index (at scale: persisted,
+    # bucketed by the band key)
+    corpus_sigs = with_minhash(docs, "text").select("doc_id", "minhash")
+    corpus_bands = _bands_df(corpus_sigs, "doc_id").select(
+        F.col("doc_id").alias("corpus_id"), "band_idx", "band_hash"
+    )
+    corpus_sig_side = corpus_sigs.select(
+        F.col("doc_id").alias("corpus_id"), F.col("minhash").alias("sig_corpus")
+    )
+
+    # arrivals staged as a parquet landing dir, then streamed
+    src = tempfile.mkdtemp(prefix="stream_neardup_src_")
+    (
+        docs.where(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz9")).alias("text"),
+        )
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    arrivals = spark.readStream.schema("doc_id long, text string").parquet(src)
+    arr_bands = _bands_df(
+        with_minhash(arrivals, "text").select("doc_id", "minhash"),
+        "doc_id",
+        keep=("minhash",),
+    ).select(
+        F.col("doc_id").alias("new_id"),
+        F.col("minhash").alias("sig_new"),
+        "band_idx",
+        "band_hash",
+    )
+    cand = (
+        arr_bands.join(corpus_bands, ["band_idx", "band_hash"])
+        .select("new_id", "sig_new", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_new", "sig_corpus", lambda x, y: x == y), lambda m: m
+        )
+    )
+    verified = (
+        cand.join(corpus_sig_side, "corpus_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            F.round(matches / F.lit(32.0), 6).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= 0.5)
+    )
+    table = f"stream_neardup_{uuid.uuid4().hex[:10]}"
+    run_available_now(
+        verified,
+        checkpoint_dir=tempfile.mkdtemp(prefix="stream_neardup_ckpt_"),
+        output_mode="append",
+        memory_table=table,
+    )
+    return spark.table(table)

@@ -672,3 +672,102 @@ def text_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tok.groupBy("doc_id", bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("n_tokens")
     )
+
+
+@query(
+    "text_pmi_collocations",
+    extra=True,
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    bg AS (
+      SELECT toks[i] AS w1, toks[i + 1] AS w2
+      FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i)
+      WHERE len(toks) >= 2
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM bg GROUP BY w1, w2),
+    uni AS (SELECT unnest(toks) AS tok FROM t),
+    c1 AS (SELECT tok, COUNT(*) AS n1 FROM uni GROUP BY tok),
+    tot AS (
+      SELECT (SELECT COUNT(*) FROM uni) AS nt,
+             (SELECT COUNT(*) FROM bg) AS mb
+    )
+    SELECT c2.w1, c2.w2, CAST(n2 AS BIGINT) AS n_ab,
+           CAST(ROUND(ln(
+             (CAST(n2 AS DOUBLE) * CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE))
+             / (CAST(mb AS DOUBLE) * CAST(a.n1 AS DOUBLE)
+                * CAST(b.n1 AS DOUBLE))
+           ) * 1000000) AS BIGINT) AS pmi_micro
+    FROM c2
+    JOIN c1 a ON c2.w1 = a.tok
+    JOIN c1 b ON c2.w2 = b.tok
+    CROSS JOIN tot
+    WHERE n2 >= 5
+    ORDER BY pmi_micro DESC, c2.w1, c2.w2
+    LIMIT 100
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocation mining: top-100 adjacent
+    token bigrams by PMI = ln(P(ab) / (P(a)·P(b))), support ≥ 5 — the
+    corpus-level phrase discovery that feeds tokenizer merge rules and
+    stop-phrase lists (the mining complement of text_bigram_logprob's
+    per-doc LM scoring). The single final ln() is micro-snapped (the
+    established determinism device) and its argument is ONE quotient of
+    identically-associated double products, so both engines compute the
+    identical double before rounding.
+
+    Scale: bigram and unigram relations collapse map-side into
+    vocabulary-sized count shuffles; the PMI joins carry (token, count)
+    pairs only — vocab-sized, never corpus-sized (AQE picks broadcast
+    when the vocab fits, shuffle-hash otherwise); totals are one
+    broadcast row; top-100 is a TakeOrdered, no global sort
+    materialization.
+    """
+    from ..functions.scalar import token_array
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", token_array("text").alias("toks"))
+    n = F.size("toks")
+    bg = (
+        t.where(n >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("toks", 1, n - 1).alias("w1"),
+                    F.expr("slice(toks, 2, size(toks) - 1)").alias("w2"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    uni = t.select(F.explode("toks").alias("tok"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("n1"))
+    totals = F.broadcast(
+        uni.agg(F.count(F.lit(1)).alias("nt")).crossJoin(
+            bg.agg(F.count(F.lit(1)).alias("mb"))
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        c2.where(F.col("n2") >= 5)
+        .join(c1.withColumnRenamed("tok", "w1").withColumnRenamed("n1", "ca"), "w1")
+        .join(c1.withColumnRenamed("tok", "w2").withColumnRenamed("n1", "cb"), "w2")
+        .crossJoin(totals)
+        .select(
+            "w1",
+            "w2",
+            F.col("n2").cast("long").alias("n_ab"),
+            F.round(
+                F.log(
+                    (d("n2") * d("nt") * d("nt")) / (d("mb") * d("ca") * d("cb"))
+                )
+                * 1000000,
+                0,
+            )
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+        .orderBy(F.col("pmi_micro").desc(), "w1", "w2")
+        .limit(100)
+    )

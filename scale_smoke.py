@@ -22,16 +22,22 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import DataFrame, functions as F  # noqa: E402
+from pyspark.sql import DataFrame, Window, functions as F  # noqa: E402
 
 from prefect_flow_arc_alto_to_json_spark.operators.dedup import (  # noqa: E402
     exact_dedup_groups,
     minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    normalize_text,
 )
 from prefect_flow_arc_alto_to_json_spark.operators.similarity import (  # noqa: E402
+    embedding_near_dup_pairs,
     int8_topk,
     lsh_bucketed_topk,
     semantic_dedup,
+)
+from prefect_flow_arc_alto_to_json_spark.operators.textstats import (  # noqa: E402
+    token_count,
 )
 from prefect_flow_arc_alto_to_json_spark.operators.textstats import (  # noqa: E402
     quality_score,
@@ -64,16 +70,93 @@ def blow_up_docs(docs: DataFrame, factor: int) -> DataFrame:
 
 
 def blow_up_emb(emb: DataFrame, factor: int) -> DataFrame:
-    parts = [
-        emb.select(
-            (F.col("vec_id") + r * 10_000_000).alias("vec_id"), "embedding"
+    """factor distinct replicas. Each replica's vectors are ROTATED by the
+    replica ordinal (circular shift of the 64 dims): rotation preserves
+    all WITHIN-replica dot products (the pair structure of the base set
+    repeats exactly, so true-pair output grows linearly with the factor)
+    while cross-replica cosines stay at the random-vector noise floor —
+    without this, exact-copy replicas form near-dup cliques and every
+    pair-finding probe's OUTPUT grows quadratically in the factor,
+    swamping the candidate-generation cost the probe is measuring."""
+    parts = []
+    for r in range(factor):
+        vec = (
+            F.col("embedding")
+            if r == 0
+            else F.concat(
+                F.expr(f"slice(embedding, {r + 1}, {64 - r})"),
+                F.expr(f"slice(embedding, 1, {r})"),
+            )
         )
-        for r in range(factor)
-    ]
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + r * 10_000_000).alias("vec_id"),
+                vec.alias("embedding"),
+            )
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _clean_corpus(d: DataFrame) -> DataFrame:
+    """pipeline_clean_corpus's exact composition (plans/pipeline_queries.py)
+    over the blown-up documents: quality gate → md5-keeper exact dedup →
+    capped posting-join near-dup drop → broadcast anti-join. The 100 TB
+    shape IS the composition, so the probe must cover it end-to-end, not
+    just the stages in isolation."""
+    from prefect_flow_arc_alto_to_json_spark.operators.textstats import (
+        quality_score,
+    )
+
+    scored = d.select(
+        "doc_id",
+        "text",
+        token_count("text").cast("long").alias("n_tokens"),
+        quality_score("text").alias("quality"),
+    )
+    gated = scored.where(F.col("quality") >= 0.7)
+    keeper = F.row_number().over(
+        Window.partitionBy(F.md5(normalize_text("text"))).orderBy("doc_id")
+    )
+    exact_kept = (
+        gated.withColumn("__rn", keeper).where(F.col("__rn") == 1).drop("__rn")
+    )
+    pairs = ngram_jaccard_pairs(
+        exact_kept.select("doc_id", "text"), threshold=0.8, max_doc_freq=20
+    )
+    drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    cleaned = exact_kept.join(F.broadcast(drops), "doc_id", "left_anti")
+    return cleaned.select("doc_id", "n_tokens", "quality")
+
+
+def _embedding_dedup(d: DataFrame, e: DataFrame) -> DataFrame:
+    """pipeline_embedding_dedup's composition over the blown-up inputs:
+    exact text dedup → survivor semi-join onto embeddings → LSH-bucketed
+    embedding near-dup → broadcast anti-join (doc_id/vec_id replicas share
+    the same +10M offsets, so the text↔embedding correspondence holds at
+    every factor)."""
+    keeper = F.row_number().over(
+        Window.partitionBy(F.md5(normalize_text("text"))).orderBy("doc_id")
+    )
+    exact_kept = (
+        d.select(
+            "doc_id", "text", token_count("text").cast("long").alias("n_tokens")
+        )
+        .withColumn("__rn", keeper)
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "text")
+    )
+    corpus = e.join(
+        F.broadcast(exact_kept.select(F.col("doc_id").alias("vec_id"))),
+        "vec_id",
+    )
+    pairs = embedding_near_dup_pairs(corpus, threshold=0.4)
+    drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return exact_kept.join(F.broadcast(drops), "doc_id", "left_anti").select(
+        "doc_id", "n_tokens"
+    )
 
 
 def timed(df: DataFrame) -> float:
@@ -101,6 +184,21 @@ def main() -> None:
         # semantic dedup (cell-confined pair search is the O(N) claim)
         "int8_topk": lambda d, e: int8_topk(e, queries, k=10),
         "semantic_dedup": lambda d, e: semantic_dedup(e, threshold=0.95),
+        # round-7 additions: the two flagship COMPOSITIONS — the 100 TB
+        # workload is the composed pipeline, so linearity of the stages
+        # individually is necessary but not sufficient
+        "pipeline_clean_corpus": lambda d, e: _clean_corpus(d),
+        "pipeline_embedding_dedup": _embedding_dedup,
+        # fixed-vs-adaptive plane count: candidate volume of the LSH
+        # bucket self-join is ~N²·(1+P)/2^P, so fixed P=8 reverts toward
+        # quadratic as buckets densify; planes=None derives P from a
+        # count (derive_planes) and should hold the ratio down
+        "emb_near_dup_fixed8": lambda d, e: embedding_near_dup_pairs(
+            e, threshold=0.4
+        ),
+        "emb_near_dup_adaptive": lambda d, e: embedding_near_dup_pairs(
+            e, threshold=0.4, planes=None
+        ),
     }
 
     results: dict[str, dict[int, float]] = {p: {} for p in probes}

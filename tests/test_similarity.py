@@ -288,3 +288,45 @@ def test_semantic_dedup_two_probe_planted_copies_exact(spark):
     }
     assert len(exact) == 20
     assert d2 == exact
+
+
+def test_derive_planes_growth_and_floor():
+    """The adaptive plane count must never go below the pinned oracle
+    default, grow ~log2 with the corpus, and be monotone."""
+    from prefect_flow_arc_alto_to_json_spark.operators.similarity import (
+        LSH_PLANES,
+        derive_planes,
+    )
+
+    assert derive_planes(0) == LSH_PLANES
+    assert derive_planes(256 * 16) == LSH_PLANES  # exactly at the floor
+    assert derive_planes(16_000) == 10  # ceil(log2(1000))
+    assert derive_planes(1_000_000) == 16
+    prev = 0
+    for n in (10, 10**2, 10**3, 10**4, 10**5, 10**6, 10**9, 10**12):
+        p = derive_planes(n)
+        assert p >= prev and p >= LSH_PLANES
+        prev = p
+
+
+def test_embedding_near_dup_adaptive_planes_keeps_recall(spark, emb):
+    """planes=None (count-derived) must still catch every planted
+    high-cosine pair: at threshold 0.99 the perturbation angle is tiny, so
+    extra planes rarely split a planted pair and multiprobe covers the
+    rest — the recall argument for the adaptive scale valve."""
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("float")).alias("embedding"),
+    )
+    planted = base.select(
+        (F.col("vec_id") + 500000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: F.when(i == 0, x * F.lit(1.01)).otherwise(x)
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(planted)
+    n_base = base.count()
+    pairs = embedding_near_dup_pairs(corpus, threshold=0.99, planes=None).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    expected = {(i, i + 500000) for i in range(n_base)}
+    assert expected <= found, f"missed planted pairs: {expected - found}"
