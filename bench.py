@@ -96,6 +96,11 @@ HEADLINE = [
     "sim_semantic_dedup",
     "q_pagerank_trade",
     "mm_scene_cuts",
+    # round-7 additions: corpus-level PMI mining (two vocab-count shuffles
+    # + vocab joins) and the streaming near-dup gate (static band index +
+    # stream-static probe join — the heaviest new plan shapes)
+    "text_pmi_collocations",
+    "stream_minhash_near_dup",
 ]
 
 
