@@ -1,0 +1,101 @@
+"""Count-Min sketch as a RELATION: fixed-memory, mergeable frequency
+estimation — the streaming/distributed complement of exact GROUP BY
+counts and the `freqItems` gate.
+
+The sketch is a (depth × width) counter matrix stored as (d, w, count)
+rows. Build is one narrow explode (each input row contributes ``depth``
+bucket increments) plus one map-side-combined groupBy — the matrix is at
+most depth·width rows REGARDLESS of input size or key cardinality, which
+is the whole point at 100 TB: per-partition sketches partial-aggregate
+into the global one by plain SUM (the merge operation IS the shuffle
+combine), and two corpora's sketches merge the same way after the fact.
+
+Point estimate for a key = min over d of its bucket counts: always an
+OVER-estimate (collisions only add), never under — the one-sided error
+that makes CMS safe for threshold gates ("drop every shingle seen more
+than K times") where an exact count would need unbounded state.
+
+Hashes are the stable md5-derived residues used across the dedup stack
+(functions/scalar.stable_hash_p31), salted per depth row, so the full
+matrix and every estimate replay exactly in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scalar import stable_hash_p31
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def _bucket(key: Column, d: int, width: int) -> Column:
+    return F.pmod(
+        stable_hash_p31(F.concat(F.lit(f"cms{d}:"), key)), F.lit(width)
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(d, w, count): the sketch matrix. Mergeable: union two sketches and
+    ``groupBy(d, w).sum(count)`` — identical to building over the union."""
+    key = F.col(key_col).cast("string")
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).cast("int").alias("d"),
+                    _bucket(key, d, width).alias("w"),
+                )
+                for d in range(depth)
+            ]
+        )
+    ).alias("c")
+    return (
+        df.select(cells)
+        .groupBy(F.col("c.d").alias("d"), F.col("c.w").alias("w"))
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(key_col, n_est) per probe row: min over d of the key's bucket
+    counts. The sketch side is depth·width rows at most — broadcast it;
+    the probe side stays partitioned however it arrived."""
+    key = F.col(key_col).cast("string")
+    probe_cells = probes.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("int").alias("d"),
+                        _bucket(key, d, width).alias("w"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select(key_col, F.col("c.d").alias("d"), F.col("c.w").alias("w"))
+    return (
+        probe_cells.join(F.broadcast(cms), ["d", "w"])
+        .groupBy(key_col)
+        .agg(F.min("count").alias("n_est"))
+    )
+
+
+from ..functions.selfship import self_ship  # noqa: E402
+
+self_ship(__name__)

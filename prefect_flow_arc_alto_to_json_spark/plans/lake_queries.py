@@ -564,3 +564,139 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("text_md5"),
         "n_chars",
     )
+
+
+@query(
+    "q_time_travel",
+    extra=True,
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus AS status,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents
+      FROM orders
+    ),
+    v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE status END AS status,
+             CASE WHEN o_orderkey % 10 = 0 THEN total_cents + 100000
+                  ELSE total_cents END AS total_cents
+      FROM base
+    )
+    SELECT CAST(1 AS BIGINT) AS version, * FROM base
+    UNION ALL
+    SELECT CAST(2 AS BIGINT) AS version, * FROM v2
+    """,
+)
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel (sinks/versioned.py): the orders table is
+    committed as version 1, an update batch (every 10th key → status 'U',
+    +1000.00) is committed as version 2, and BOTH pinned snapshots are
+    read back — the v1 read happens AFTER the v2 commit, so the oracle
+    (original relation ∪ updated relation) certifies snapshot isolation:
+    a later write cannot disturb an earlier pinned version.
+
+    Scale: the manifest commit is one atomic rename (the entire
+    difference from Delta/Iceberg is WHERE that commit lives); each
+    version directory is ordinary parquet with full pushdown/pruning.
+    """
+    from ..sinks.versioned import read_version, write_version
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        cents("o_totalprice").alias("total_cents"),
+    )
+    path = tempfile.mkdtemp(prefix="time_travel_") + "/orders"
+    write_version(base, path)
+    upd = base.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit("U"))
+        .otherwise(F.col("status"))
+        .alias("status"),
+        F.when(
+            F.col("o_orderkey") % 10 == 0, F.col("total_cents") + 100000
+        )
+        .otherwise(F.col("total_cents"))
+        .alias("total_cents"),
+    )
+    write_version(upd, path)
+    v1 = read_version(spark, path, 1).select(
+        F.lit(1).cast("long").alias("version"), "*"
+    )
+    v2 = read_version(spark, path, 2).select(
+        F.lit(2).cast("long").alias("version"), "*"
+    )
+    return v1.unionByName(v2)
+
+
+@query(
+    "q_snapshot_diff",
+    extra=True,
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus AS status,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents
+      FROM orders
+    )
+    SELECT o_orderkey,
+           status AS old_status, 'U' AS new_status,
+           total_cents AS old_cents, total_cents + 100000 AS new_cents
+    FROM base WHERE o_orderkey % 10 = 0
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two pinned snapshots (the analytics
+    companion of q_time_travel): commit v1 (base orders) and v2 (every
+    10th key updated), then diff the versions by key — exactly the
+    "what did yesterday's pipeline change" audit a training-data lake
+    answers from its version history, with no change log maintained at
+    write time. The oracle derives the expected change set from the
+    original relation.
+
+    Scale: the diff is one equi-join of two snapshot scans on the table
+    key (bucket both versions by the key to make it exchange-free);
+    emitted rows are only the changed keys.
+    """
+    from ..sinks.versioned import read_version, write_version
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        cents("o_totalprice").alias("total_cents"),
+    )
+    path = tempfile.mkdtemp(prefix="snap_diff_") + "/orders"
+    write_version(base, path)
+    write_version(
+        base.select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 10 == 0, F.lit("U"))
+            .otherwise(F.col("status"))
+            .alias("status"),
+            F.when(
+                F.col("o_orderkey") % 10 == 0, F.col("total_cents") + 100000
+            )
+            .otherwise(F.col("total_cents"))
+            .alias("total_cents"),
+        ),
+        path,
+    )
+    v1 = read_version(spark, path, 1).select(
+        "o_orderkey",
+        F.col("status").alias("old_status"),
+        F.col("total_cents").alias("old_cents"),
+    )
+    v2 = read_version(spark, path, 2).select(
+        "o_orderkey",
+        F.col("status").alias("new_status"),
+        F.col("total_cents").alias("new_cents"),
+    )
+    return (
+        v1.join(v2, "o_orderkey")
+        .where(
+            (F.col("old_status") != F.col("new_status"))
+            | (F.col("old_cents") != F.col("new_cents"))
+        )
+        .select(
+            "o_orderkey", "old_status", "new_status", "old_cents", "new_cents"
+        )
+    )

@@ -193,3 +193,65 @@ def q_salted_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("seg").alias("seg"),
         )
     )
+
+
+@query(
+    "q_cms_heavy_hitters",
+    extra=True,
+    oracle="""
+    WITH ds AS (SELECT unnest(range(0, 4)) AS d),
+    cells AS (
+      SELECT d,
+             md5_number_lower('cms' || CAST(d AS VARCHAR) || ':' || event_type)
+               % 2147483647 % 256 AS w
+      FROM events CROSS JOIN ds
+    ),
+    cms AS (SELECT d, w, COUNT(*) AS c FROM cells GROUP BY d, w),
+    probes AS (SELECT DISTINCT event_type FROM events),
+    pcells AS (
+      SELECT event_type, d,
+             md5_number_lower('cms' || CAST(d AS VARCHAR) || ':' || event_type)
+               % 2147483647 % 256 AS w
+      FROM probes CROSS JOIN ds
+    ),
+    est AS (
+      SELECT event_type, MIN(c) AS n_est
+      FROM pcells JOIN cms USING (d, w) GROUP BY event_type
+    ),
+    tc AS (SELECT event_type, COUNT(*) AS n_true FROM events GROUP BY 1)
+    SELECT t.event_type,
+           CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_est AS BIGINT) AS n_est
+    FROM tc t JOIN est USING (event_type)
+    """,
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation (operators/sketch.py): build
+    the 4x256 counter matrix over event_type, point-estimate every
+    distinct type from the sketch, and emit (type, exact, estimate) —
+    the estimate is deterministic given the stable md5 hashes, so the
+    DuckDB oracle replays matrix AND estimates cell-for-cell. The
+    one-sided guarantee (estimate >= exact, collisions only add) is
+    asserted separately in tests/test_sketch.py; here both engines must
+    agree on the exact numbers.
+
+    Scale: the sketch is <= depth*width rows regardless of input size or
+    key cardinality — per-partition sketches merge by the map-side
+    combine itself, and the probe join broadcasts the 1024-cell matrix.
+    The production use is bounded-memory threshold gates (drop shingles
+    seen > K times) where exact counts would need vocabulary-sized state.
+    """
+    from ..operators.sketch import cms_build, cms_estimate
+
+    ev = load_table(spark, sf_dir, "events").select("event_type")
+    cms = cms_build(ev, "event_type")
+    probes = ev.distinct()
+    est = cms_estimate(cms, probes, "event_type")
+    true_counts = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    return true_counts.join(est, "event_type").select(
+        "event_type",
+        F.col("n_true").cast("long").alias("n_true"),
+        F.col("n_est").cast("long").alias("n_est"),
+    )

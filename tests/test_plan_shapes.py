@@ -222,6 +222,14 @@ _SHUFFLE_BUDGETS = {
     # decode kernel narrow; ONE (asset, state) islands-window exchange
     # serves the segment collapse too
     "mm_audio_segments": 1,
+    # round-7 additions:
+    # (w1,w2) count agg + unigram count agg + two vocab scoring joins +
+    # the top-100 TakeOrdered (totals ride a broadcast 1-row)
+    "text_pmi_collocations": 5,
+    # ORC read-back + the 6-group partial agg; CSV read-back is a pure
+    # scan + md5 projection
+    "q_orc_roundtrip": 1,
+    "q_csv_roundtrip": 0,
 }
 
 
