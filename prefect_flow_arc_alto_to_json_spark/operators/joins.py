@@ -88,3 +88,51 @@ def interval_join(
     is the shuffle/join key; the range predicate is evaluated inside the
     join — never a cross product."""
     return left.join(right, (left[key] == right[key]) & condition, how)
+
+
+def binned_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_us: str = "t_us",
+    start_us: str = "s_us",
+    end_us: str = "e_us",
+    bin_us: int = 3_600_000_000,
+    how: str = "inner",
+) -> DataFrame:
+    """KEYLESS interval-containment join — points.ts ∈ [start, end] with
+    no equi key — without the cartesian product Spark would otherwise
+    plan (BroadcastNestedLoopJoin: every point × every interval).
+
+    The classic bin-bucketing rewrite: intervals explode into the time
+    bins they overlap (⌈width/bin⌉ + 1 rows each), points map to their
+    single bin, and the bin id becomes the EQUI join key; the exact range
+    predicate rides inside the join as a post-filter. A point's bin is
+    unique and an interval covers any bin at most once, so every
+    (point, interval) pair is produced at most once — no dedup pass.
+
+    Scale: candidates per point = intervals overlapping its bin (local
+    density), not |intervals|; shuffle keys are (bin, µs longs). Pick
+    ``bin_us`` ≈ the typical interval width — much smaller multiplies the
+    interval explode, much larger multiplies per-bin candidates. Both
+    µs columns must be integer epoch-µs (functions.scalar.epoch_us).
+    """
+    pb = points.withColumn(
+        "__bin", F.expr(f"CAST({point_us} div {bin_us} AS LONG)")
+    )
+    ib = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"CAST({start_us} div {bin_us} AS LONG)"),
+                F.expr(f"CAST({end_us} div {bin_us} AS LONG)"),
+            )
+        ),
+    )
+    return (
+        pb.join(ib, "__bin", how)
+        .where(
+            (F.col(point_us) >= F.col(start_us))
+            & (F.col(point_us) <= F.col(end_us))
+        )
+        .drop("__bin")
+    )

@@ -309,3 +309,58 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_timestamp("ts") - F.unix_timestamp("touch.ts")).cast("long"),
         ).alias("seconds_since_touch"),
     )
+
+
+@query(
+    "q_range_bin_join",
+    extra=True,
+    oracle="""
+    WITH w AS (
+      SELECT event_id AS window_id,
+             epoch_us(ts) AS s_us,
+             epoch_us(ts) + 1800000000 AS e_us
+      FROM events
+      WHERE event_type = 'purchase'
+        AND CAST(ROUND(value * 100) AS BIGINT) >= 10000
+    ),
+    p AS (
+      SELECT event_id, epoch_us(ts) AS t_us
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT window_id, CAST(COUNT(*) AS BIGINT) AS n_clicks
+    FROM w JOIN p ON p.t_us >= w.s_us AND p.t_us <= w.e_us
+    GROUP BY window_id
+    """,
+)
+def q_range_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYLESS range join at scale (operators/joins.py:binned_range_join):
+    count clicks inside each >=$100-purchase 30-minute window with NO equi
+    key between the sides — the query shape Spark plans as a
+    BroadcastNestedLoopJoin (every click × every window) unless rewritten.
+    The bin-bucketing rewrite makes the time bin the equi key (windows
+    explode into the 1-2 hourly bins they overlap, clicks map to one bin)
+    and evaluates the exact containment inside the join; the oracle is
+    the plain theta join. tests/test_plan_shapes.py pins the absence of
+    any nested-loop/cartesian operator in this plan.
+
+    Scale: candidates per click = windows overlapping its hour, not
+    |windows|; shuffle rows are (bin, µs longs). This is the batch twin
+    of the stream-stream interval join's state pruning.
+    """
+    from ..operators.joins import binned_range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    windows = ev.where(
+        (F.col("event_type") == "purchase") & (cents("value") >= 10000)
+    ).select(
+        F.col("event_id").alias("window_id"),
+        epoch_us("ts").alias("s_us"),
+        (epoch_us("ts") + 1800000000).alias("e_us"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", epoch_us("ts").alias("t_us")
+    )
+    joined = binned_range_join(clicks, windows)
+    return joined.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_clicks")
+    )

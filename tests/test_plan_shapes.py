@@ -230,6 +230,11 @@ _SHUFFLE_BUDGETS = {
     # scan + md5 projection
     "q_orc_roundtrip": 1,
     "q_csv_roundtrip": 0,
+    # keyless range join rewritten onto the bin equi key: the window-side
+    # broadcast carries the join; ONE window_id agg exchange. The reason
+    # this query exists — no nested-loop/cartesian — is pinned separately
+    # in test_range_bin_join_never_nested_loop.
+    "q_range_bin_join": 1,
 }
 
 
@@ -346,3 +351,16 @@ def test_salted_join_exercises_shuffled_path(spark, sf_dir):
     assert "__salt" in plan, plan
     shuffles = data_shuffles(plan)
     assert shuffles <= 4, plan
+
+
+def test_range_bin_join_never_nested_loop(spark, sf_dir):
+    """q_range_bin_join exists to replace the BroadcastNestedLoopJoin a
+    keyless range predicate otherwise plans: the executed plan must carry
+    the containment as an EQUI join on the time bin, with no nested-loop
+    or cartesian operator anywhere."""
+    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+
+    df = EXTRA_QUERIES["q_range_bin_join"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
