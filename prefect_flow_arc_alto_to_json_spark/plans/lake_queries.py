@@ -700,3 +700,97 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", "old_status", "new_status", "old_cents", "new_cents"
         )
     )
+
+
+@query(
+    "q_table_checksum",
+    extra=True,
+    oracle="""
+    WITH h_orders AS (
+      SELECT md5_number_lower(
+               CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|'
+               || CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+             ) % 2147483647 AS h
+      FROM orders
+    ),
+    h_customer AS (
+      SELECT md5_number_lower(
+               CAST(c_custkey AS VARCHAR) || '|' || c_name || '|'
+               || CAST(c_nationkey AS VARCHAR)
+             ) % 2147483647 AS h
+      FROM customer
+    ),
+    h_nation AS (
+      SELECT md5_number_lower(
+               CAST(n_nationkey AS VARCHAR) || '|' || n_name || '|'
+               || CAST(n_regionkey AS VARCHAR)
+             ) % 2147483647 AS h
+      FROM nation
+    )
+    SELECT 'orders' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(h) AS BIGINT) AS xor_hash,
+           CAST(SUM(h) AS BIGINT) AS sum_hash
+    FROM h_orders
+    UNION ALL
+    SELECT 'customer', CAST(COUNT(*) AS BIGINT),
+           CAST(bit_xor(h) AS BIGINT), CAST(SUM(h) AS BIGINT)
+    FROM h_customer
+    UNION ALL
+    SELECT 'nation', CAST(COUNT(*) AS BIGINT),
+           CAST(bit_xor(h) AS BIGINT), CAST(SUM(h) AS BIGINT)
+    FROM h_nation
+    """,
+)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table fingerprints — the migration-validation
+    primitive this whole repo's oracle methodology is built on, exposed
+    as an operator: per table, (row count, XOR of stable row hashes, SUM
+    of row hashes mod p31). XOR is commutative/associative and
+    overflow-free at any scale but blind to duplicate-pairs; the SUM
+    twin catches those; COUNT anchors cardinality. Two engines (or two
+    snapshots, or pre/post-migration copies) agree on all three iff the
+    multisets of rows agree — no sort, no collect, one partial-agg pass
+    per table. Money enters as exact integer cents; hash input is an
+    explicit '|'-joined string so both engines serialize rows
+    identically.
+
+    Scale: each checksum is a map-side-combined 1-row aggregate — the
+    cheapest possible full-table integrity check, and the three
+    aggregates are mergeable across partitions/batches by construction.
+    """
+    from ..functions.scalar import stable_hash_p31
+
+    def table_sum(name: str, cols) -> DataFrame:
+        t = load_table(spark, sf_dir, name)
+        h = stable_hash_p31(F.concat_ws("|", *cols(t)))
+        return t.select(h.alias("h")).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor("h").alias("xor_hash"),
+            F.sum("h").alias("sum_hash"),
+        ).select(F.lit(name).alias("tbl"), "n_rows", "xor_hash", "sum_hash")
+
+    orders = table_sum(
+        "orders",
+        lambda t: [
+            F.col("o_orderkey").cast("string"),
+            F.col("o_orderstatus"),
+            cents("o_totalprice").cast("string"),
+        ],
+    )
+    customer = table_sum(
+        "customer",
+        lambda t: [
+            F.col("c_custkey").cast("string"),
+            F.col("c_name"),
+            F.col("c_nationkey").cast("string"),
+        ],
+    )
+    nation = table_sum(
+        "nation",
+        lambda t: [
+            F.col("n_nationkey").cast("string"),
+            F.col("n_name"),
+            F.col("n_regionkey").cast("string"),
+        ],
+    )
+    return orders.unionByName(customer).unionByName(nation)

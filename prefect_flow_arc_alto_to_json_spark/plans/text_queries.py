@@ -771,3 +771,59 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi_micro").desc(), "w1", "w2")
         .limit(100)
     )
+
+
+@query(
+    "text_weighted_sample",
+    extra=True,
+    oracle="""
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight, key_micro FROM (
+      SELECT doc_id, n_chars,
+             CAST(ROUND(
+               ln((md5_number_lower('ws:' || CAST(doc_id AS VARCHAR))
+                   % 2147483647 + 1) / 2147483648.0)
+               / greatest(n_chars, 1) * 1000000
+             ) AS BIGINT) AS key_micro
+      FROM documents
+    )
+    ORDER BY key_micro DESC, doc_id
+    LIMIT 50
+    """,
+)
+def text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): each doc draws a hash-derived uniform u ∈ (0, 1] and
+    the top-k by u^(1/w) — equivalently by ln(u)/w, monotone and
+    numerically safer — is an exact weighted sample; weight here is
+    document length (n_chars), the standard size-proportional corpus
+    draw. The key is micro-snapped (the established ln determinism
+    device) with a doc_id tiebreak, so the selected set is identical in
+    both engines and across reruns — reproducible sampling is what makes
+    a training-data draw auditable.
+
+    Scale: one narrow scan computes every key (no RNG state, no
+    coordination); top-k is a per-partition TakeOrdered merge — the same
+    shape as every deterministic-sampling operator in corpus.py, extended
+    to UNEQUAL inclusion probabilities.
+    """
+    from ..functions.scalar import stable_hash_p31
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        stable_hash_p31(
+            F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))
+        )
+        + 1
+    ) / F.lit(2147483648.0)
+    key = F.round(
+        F.log(u) / F.greatest(F.col("n_chars"), F.lit(1)) * 1000000, 0
+    ).cast("long")
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("weight"),
+            key.alias("key_micro"),
+        )
+        .orderBy(F.col("key_micro").desc(), "doc_id")
+        .limit(50)
+    )

@@ -356,3 +356,23 @@ def test_merge_states_associativity_fuzz(spark):
             tuple(r) for r in merge_states(states, keys, aggs).collect()
         )
         assert got == expected, f"{n_splits}-way split diverged"
+
+
+def test_weighted_sample_is_size_biased(spark):
+    """text_weighted_sample draws with probability ∝ n_chars: the selected
+    docs' mean length must exceed the corpus mean by a clear margin
+    (deterministic hashes make this a fixed fact of the testdata, not a
+    statistical flake)."""
+    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+    from prefect_flow_arc_alto_to_json_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.1"
+    sel = EXTRA_QUERIES["text_weighted_sample"](spark, sf).collect()
+    assert len(sel) == 50
+    sel_mean = sum(r["weight"] for r in sel) / len(sel)
+    corpus_mean = (
+        load_table(spark, sf, "documents")
+        .agg(F.avg("n_chars").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert sel_mean > corpus_mean * 1.15, (sel_mean, corpus_mean)
