@@ -794,3 +794,99 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return orders.unionByName(customer).unionByName(nation)
+
+
+@query(
+    "q_bucketed_join",
+    extra=True,
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located bucketed join end-to-end through the driver contract
+    (sinks/bucketed.py — previously pytest-only): lineitem and orders are
+    materialized bucketed-by-orderkey (the write-time shuffle paid ONCE),
+    then joined with ZERO join-side Exchange (each task reads bucket i of
+    both sides; asserted in tests/test_bucketed.py with broadcast
+    disabled) and aggregated. The oracle is the plain join — layout must
+    never change values.
+
+    Scale: THE canonical 100 TB fact⋈fact answer — the shuffle cost is
+    amortized across every downstream query on the bucket key instead of
+    paid per query.
+    """
+    import uuid as _uuid
+
+    from ..sinks.bucketed import colocated_join, write_bucketed
+
+    uid = _uuid.uuid4().hex[:10]
+    lt, ot = f"bj_li_{uid}", f"bj_ord_{uid}"
+    base = tempfile.mkdtemp(prefix="bucketed_join_")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", cents("l_extendedprice").alias("price_cents")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    write_bucketed(li, lt, "l_orderkey", 8, f"{base}/li")
+    write_bucketed(orders, ot, "l_orderkey", 8, f"{base}/ord")
+    return (
+        colocated_join(spark, lt, ot, "l_orderkey")
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("price_cents").alias("revenue_cents"),
+        )
+    )
+
+
+@query(
+    "q_partition_backfill",
+    extra=True,
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(ROUND(value * 100) AS BIGINT) AS v_cents
+    FROM events
+    """,
+)
+def q_partition_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent single-partition backfill via DYNAMIC partition
+    overwrite: the initial write lands a CORRUPTED 'click' partition
+    (half its rows dropped — a failed upstream job), then the backfill
+    recomputes ONLY the click slice and overwrites it with
+    partitionOverwriteMode=dynamic — replacing exactly the partitions
+    present in the new data, never touching the other four. The read-back
+    must equal the full correct relation: if dynamic overwrite degraded
+    to static (wiping the other partitions) the result would be
+    clicks-only and the hash flips; if the backfill failed to replace,
+    the dropped rows stay missing and the hash flips.
+
+    Scale: this is the nightly repair shape for a date/type-partitioned
+    100 TB lake — recompute cost is one partition, not one table, and
+    re-running the same backfill is a no-op (idempotent by overwrite).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", cents("value").alias("v_cents")
+    )
+    path = tempfile.mkdtemp(prefix="backfill_") + "/events"
+    corrupted = ev.where(
+        (F.col("event_type") != "click") | (F.col("event_id") % 2 == 0)
+    )
+    corrupted.write.partitionBy("event_type").parquet(path)
+    clicks = ev.where(F.col("event_type") == "click")
+    (
+        clicks.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_type")
+        .parquet(path)
+    )
+    return spark.read.parquet(path).select(
+        "event_id", "event_type", "v_cents"
+    )
