@@ -1276,3 +1276,76 @@ def stream_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         memory_table=table,
     )
     return spark.table(table)
+
+
+@query(
+    "stream_scd_enrich",
+    extra=True,
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN event_id % 2 = 0 THEN 'bronze'
+                WHEN user_id % 2 = 0 THEN 'silver'
+                ELSE 'bronze' END AS tier
+    FROM events
+    """,
+)
+def stream_scd_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment against a dimension that CHANGES between
+    runs — the slowly-changing-dim half of the streaming story
+    (stream_static_enrich covers the fixed-dim case). Run 1 drains the
+    even-id events against dim v1 (every user 'bronze'); the dim is then
+    overwritten (even users promoted to 'silver') and run 2 drains the
+    odd-id events from the SAME checkpoint against the refreshed dim.
+    Each AvailableNow invocation re-resolves the static side — the
+    run-per-invocation semantics of the reference's scheduled flow — so
+    an event's tier is the dim AS OF ITS RUN, which is exactly what the
+    oracle encodes (even event_id ⇒ bronze; odd ⇒ the v2 tier). A stale
+    cached static plan or a checkpoint replaying run-1 rows would flip
+    the hash.
+
+    Scale: the dim re-read is one broadcast-sized scan per scheduled run
+    (not per row); enrichment state is zero — the checkpoint tracks only
+    source offsets.
+    """
+    from ..sources import load_table
+
+    src = tempfile.mkdtemp(prefix="scd_enrich_src_")
+    ckpt = tempfile.mkdtemp(prefix="scd_enrich_ckpt_")
+    out = tempfile.mkdtemp(prefix="scd_enrich_out_")
+    dim = tempfile.mkdtemp(prefix="scd_enrich_dim_") + "/users"
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+
+    def drain() -> None:
+        stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(src)
+        static = spark.read.parquet(dim)  # re-resolved per run, fresh listing
+        enriched = stream.join(static, "user_id").select(
+            "event_id", "user_id", "tier"
+        )
+        run_available_now(
+            enriched,
+            ckpt,
+            output_mode="append",
+            foreach_batch=lambda df, _bid: df.write.mode("append").parquet(out),
+        )
+
+    # run 1: dim v1 (all bronze), even-id events
+    users.select("user_id", F.lit("bronze").alias("tier")).write.mode(
+        "overwrite"
+    ).parquet(dim)
+    _write_single_parquet(
+        ev.where(F.col("event_id") % 2 == 0), os.path.join(src, "even.parquet")
+    )
+    drain()
+    # dim refresh to v2 (even users promoted), then run 2: odd-id events
+    users.select(
+        "user_id",
+        F.when(F.col("user_id") % 2 == 0, F.lit("silver"))
+        .otherwise(F.lit("bronze"))
+        .alias("tier"),
+    ).write.mode("overwrite").parquet(dim)
+    _write_single_parquet(
+        ev.where(F.col("event_id") % 2 == 1), os.path.join(src, "odd.parquet")
+    )
+    drain()
+    return spark.read.parquet(out)

@@ -1,0 +1,93 @@
+"""Python DataSource V2 writer (sinks/object_sink_v2.py): the commit
+protocol — publish-all-or-nothing, byte-exact payloads, overwrite vs
+append semantics, abort leaving no partial output."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from prefect_flow_arc_alto_to_json_spark.sinks.object_sink_v2 import register
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register(spark)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "name string, payload string")
+
+
+def test_one_file_per_row_byte_exact(spark):
+    out = tempfile.mkdtemp(prefix="objsink_")
+    rows = [(f"doc{i}", '{\n  "id": %d\n}' % i) for i in range(8)]
+    _df(spark, rows).repartition(4).write.format("objectsink").option(
+        "path", out
+    ).mode("append").save()
+    files = sorted(f for f in os.listdir(out) if f.endswith(".json"))
+    assert files == sorted(f"doc{i}.json" for i in range(8))
+    for i in range(8):
+        with open(os.path.join(out, f"doc{i}.json"), encoding="utf-8") as fh:
+            assert fh.read() == '{\n  "id": %d\n}' % i
+    with open(os.path.join(out, "_SUCCESS")) as fh:
+        assert fh.read() == "8"
+    assert not os.path.exists(os.path.join(out, "_staging"))
+
+
+def test_overwrite_replaces_append_accumulates(spark):
+    out = tempfile.mkdtemp(prefix="objsink_ow_")
+    _df(spark, [("a", "1"), ("b", "2")]).write.format("objectsink").option(
+        "path", out
+    ).mode("append").save()
+    # append keeps existing files
+    _df(spark, [("c", "3")]).write.format("objectsink").option(
+        "path", out
+    ).mode("append").save()
+    assert sorted(f for f in os.listdir(out) if f.endswith(".json")) == [
+        "a.json", "b.json", "c.json",
+    ]
+    # overwrite clears every previously published object first
+    _df(spark, [("z", "9")]).write.format("objectsink").option(
+        "path", out
+    ).mode("overwrite").save()
+    assert sorted(f for f in os.listdir(out) if f.endswith(".json")) == [
+        "z.json"
+    ]
+
+
+def test_failed_job_publishes_nothing(spark):
+    """A task failure (null name) must abort the job with ZERO .json files
+    visible — the all-or-nothing property the staging+commit split buys."""
+    out = tempfile.mkdtemp(prefix="objsink_abort_")
+    bad = _df(spark, [("ok", "1"), (None, "2")]).coalesce(1)
+    with pytest.raises(Exception, match="null name"):
+        bad.write.format("objectsink").option("path", out).mode("append").save()
+    assert [f for f in os.listdir(out) if f.endswith(".json")] == []
+    assert not os.path.exists(os.path.join(out, "_SUCCESS"))
+
+
+def test_composes_with_reference_json_emit(spark, sf_dir):
+    """The V2 writer reproduces the reference's one-object-per-record
+    output byte-for-byte when fed the ALTO pretty-JSON emit — same
+    payload contract as sinks/objects.py."""
+    from prefect_flow_arc_alto_to_json_spark.operators.alto import (
+        simplified_json,
+        simplify_alto,
+    )
+    from prefect_flow_arc_alto_to_json_spark.sinks.objects import _pretty_json
+
+    xml = "<alto><Layout><Page WIDTH='10' HEIGHT='20'/></Layout></alto>"
+    df = spark.createDataFrame([("d1", xml)], "name string, xml string")
+    pretty = F.udf(_pretty_json, "string")  # test-only convenience
+    payloads = simplify_alto(df).select(
+        "name", pretty(simplified_json("simplified")).alias("payload")
+    )
+    out = tempfile.mkdtemp(prefix="objsink_alto_")
+    payloads.write.format("objectsink").option("path", out).mode("append").save()
+    got = open(os.path.join(out, "d1.json"), encoding="utf-8").read()
+    expect = payloads.collect()[0]["payload"]
+    assert got == expect and got.startswith("{")
