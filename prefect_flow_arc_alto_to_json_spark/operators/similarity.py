@@ -853,3 +853,70 @@ from ..functions.selfship import self_ship  # noqa: E402
 # Worker-executed closures above must never require this package on the
 # executor's PYTHONPATH — ship them by value (see functions/selfship.py).
 self_ship(__name__)
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_cell_size: int = 256,
+) -> DataFrame:
+    """Embedding-space train/eval decontamination: drop every TRAIN vector
+    within ``threshold`` cosine of ANY test vector. Returns
+    (vec_id, cent_id, kept) over the train corpus.
+
+    The representation-space complement of textual decontamination
+    (operators/textclean.py n-gram overlap): a benchmark item that was
+    paraphrased or re-encoded into the training corpus shares no
+    n-grams but is still a leak — closeness in the embedding space
+    catches it.
+
+    Scale: IVF cells are built from the TRAIN corpus (the big side) and
+    the test set is assigned to the SAME centroids, so the cross join is
+    confined to per-cell (train × test) blocks — O(N_train · |test-cell|)
+    instead of N_train · N_test; the test side is benchmark-sized
+    (thousands), so its per-cell slices broadcast. Cell count derives
+    from the train size like semantic_dedup (bounded cells ⇒ linear pair
+    volume).
+    """
+    if n_centroids is None:
+        n_rows = train.count()
+        n_centroids = max(16, -(-n_rows // target_cell_size))
+    cents, train_assigned = ivf_index(train, n_centroids, id_col, vec_col)
+    train_assigned = train_assigned.localCheckpoint()
+    t = fan_out(test).select(
+        F.col(id_col).alias("vid"), _as_double(vec_col).alias("vec")
+    )
+    tdist = t.join(F.broadcast(cents)).select(
+        "vid", "vec", "cent_id", dot(F.col("vec"), F.col("cvec")).alias("sim")
+    )
+    test_assigned = tdist.groupBy("vid").agg(
+        F.max_by("cent_id", F.struct(F.col("sim"), -F.col("cent_id"))).alias(
+            "cent_id"
+        ),
+        F.first("vec").alias("vec"),
+    )
+    a = train_assigned.select(
+        "cent_id", F.col("vid").alias("id_a"), F.col("vec").alias("va")
+    )
+    b = test_assigned.select(
+        "cent_id", F.col("vid").alias("id_b"), F.col("vec").alias("vb")
+    )
+    contaminated = (
+        a.join(b.hint("shuffle_hash"), "cent_id")
+        .where(F.round(cosine(F.col("va"), F.col("vb")), 6) >= F.lit(threshold))
+        .select(F.col("id_a").alias("vid"))
+        .distinct()
+    )
+    return train_assigned.join(
+        contaminated.withColumn("__hit", F.lit(True)).hint("shuffle_hash"),
+        "vid",
+        "left",
+    ).select(
+        F.col("vid").alias(id_col),
+        "cent_id",
+        F.coalesce(~F.col("__hit"), F.lit(True)).alias("kept"),
+    )
