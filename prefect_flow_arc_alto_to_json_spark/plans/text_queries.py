@@ -827,3 +827,63 @@ def text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("key_micro").desc(), "doc_id")
         .limit(50)
     )
+
+
+@query(
+    "text_chunk_overlap",
+    extra=True,
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ),
+    st AS (
+      SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+             unnest(range(0, len(toks), 24)) AS start_tok
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(start_tok // 24 AS BIGINT) AS chunk_idx,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(least(32, n - start_tok) AS BIGINT) AS n_chunk_toks,
+           array_to_string(toks[start_tok + 1 : start_tok + 32], ' ')
+             AS chunk_text
+    FROM st
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunking — the RAG/embedding-input
+    chunker (window 32 tokens, stride 24 → 8-token overlap), the
+    retrieval complement of text_pack_chunks' training-sequence packing.
+    Per document: one row per chunk with its index, token offset, length
+    and the re-joined chunk text, replayed token-for-token by the oracle.
+    Overlap exists so a span straddling a chunk boundary is fully inside
+    at least one chunk — the property retrieval recall depends on.
+
+    Scale: entirely narrow (tokenize → sequence → posexplode → slice,
+    all codegen; no shuffle at all) — chunking 100 TB is a map-only pass
+    whose output partitioning inherits the scan.
+    """
+    from ..functions.scalar import token_array
+
+    W, S = 32, 24
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", token_array("text").alias("toks"))
+    n = F.size("toks")
+    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(S))).otherwise(
+        F.array().cast("array<int>")
+    )
+    st = t.select(
+        "doc_id", "toks", n.cast("long").alias("n"),
+        F.explode(starts).alias("start_tok"),
+    )
+    return st.select(
+        "doc_id",
+        (F.col("start_tok") / S).cast("long").alias("chunk_idx"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.least(F.lit(W).cast("long"), F.col("n") - F.col("start_tok")).alias(
+            "n_chunk_toks"
+        ),
+        F.concat_ws(
+            " ", F.slice("toks", F.col("start_tok") + 1, F.lit(W))
+        ).alias("chunk_text"),
+    )

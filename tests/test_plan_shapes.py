@@ -235,6 +235,28 @@ _SHUFFLE_BUDGETS = {
     # this query exists — no nested-loop/cartesian — is pinned separately
     # in test_range_bin_join_never_nested_loop.
     "q_range_bin_join": 1,
+    # round-7 late additions:
+    # snapshot reads are pure scans; the diff join broadcasts one side
+    "q_time_travel": 0,
+    "q_snapshot_diff": 0,
+    # sketch matrix agg + probe estimate agg + exact counts agg (the
+    # 1024-cell sketch side broadcasts into the probe join)
+    "q_cms_heavy_hitters": 3,
+    # three 1-row table fingerprints (one global-agg exchange each)
+    "q_table_checksum": 3,
+    # narrow key computation + TakeOrdered — no shuffle at all
+    "text_weighted_sample": 0,
+    # bucketed layout: the JOIN is exchange-free by construction; only
+    # the final priority agg shuffles
+    "q_bucketed_join": 1,
+    # dynamic-overwrite read-back is a pure partitioned scan
+    "q_partition_backfill": 0,
+    # post-checkpoint: test-side assignment agg + cell cross join +
+    # contaminated distinct + kept mark join (same family as
+    # sim_semantic_dedup, plus the second corpus' assignment)
+    "sim_decontaminate": 7,
+    # tokenize → sequence → posexplode → slice: map-only
+    "text_chunk_overlap": 0,
 }
 
 
