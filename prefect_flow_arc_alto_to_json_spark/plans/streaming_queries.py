@@ -1349,3 +1349,104 @@ def stream_scd_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drain()
     return spark.read.parquet(out)
+
+
+@query(
+    "stream_cms_merge",
+    extra=True,
+    oracle="""
+    WITH ds AS (SELECT unnest(range(0, 4)) AS d),
+    cells AS (
+      SELECT d,
+             md5_number_lower('cms' || CAST(d AS VARCHAR) || ':' || event_type)
+               % 2147483647 % 256 AS w
+      FROM events CROSS JOIN ds
+    ),
+    cms AS (SELECT d, w, COUNT(*) AS c FROM cells GROUP BY d, w),
+    probes AS (SELECT DISTINCT event_type FROM events),
+    pcells AS (
+      SELECT event_type, d,
+             md5_number_lower('cms' || CAST(d AS VARCHAR) || ':' || event_type)
+               % 2147483647 % 256 AS w
+      FROM probes CROSS JOIN ds
+    ),
+    est AS (
+      SELECT event_type, MIN(c) AS n_est
+      FROM pcells JOIN cms USING (d, w) GROUP BY event_type
+    ),
+    tc AS (SELECT event_type, COUNT(*) AS n_true FROM events GROUP BY 1)
+    SELECT t.event_type,
+           CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_est AS BIGINT) AS n_est
+    FROM tc t JOIN est USING (event_type)
+    """,
+)
+def stream_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch maintained ACROSS STREAMING MICRO-BATCHES — the
+    production form of the sketch (operators/sketch.py): each foreachBatch
+    builds the batch's 4x256 matrix and sum-merges it into a persisted
+    state parquet (atomic swap-write), across THREE micro-batches
+    (maxFilesPerTrigger=1) and a second AvailableNow run from the same
+    checkpoint. The mergeability law (sum-merge == build-over-union,
+    property-tested in tests/test_sketch.py) is what makes the final
+    estimates equal the batch oracle over ALL events — any double-count
+    on restart or dropped batch flips the hash.
+
+    Scale: state is <= 1024 rows forever — the whole point: bounded-memory
+    frequency tracking over an unbounded stream, merged at O(sketch) per
+    batch, never O(keys).
+    """
+    from ..operators.sketch import cms_build, cms_estimate
+    from ..sinks.upsert import _swap_write
+    from ..sources import load_table
+
+    src = tempfile.mkdtemp(prefix="cms_stream_src_")
+    ckpt = tempfile.mkdtemp(prefix="cms_stream_ckpt_")
+    state = tempfile.mkdtemp(prefix="cms_stream_state_") + "/sketch"
+    ev = load_table(spark, sf_dir, "events")
+
+    def merge_batch(batch_df, _bid) -> None:
+        sk = cms_build(batch_df.select("event_type"), "event_type")
+        if os.path.exists(state):
+            old = batch_df.sparkSession.read.parquet(state)
+            sk = (
+                old.unionByName(sk)
+                .groupBy("d", "w")
+                .agg(F.sum("count").alias("count"))
+            )
+        _swap_write(sk, state)
+
+    def drain() -> None:
+        stream = (
+            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        run_available_now(
+            stream, ckpt, output_mode="append", foreach_batch=merge_batch
+        )
+
+    # run 1: three planted files -> three micro-batches, three merges
+    for i in range(3):
+        _write_single_parquet(
+            ev.where(F.col("event_id") % 4 == i),
+            os.path.join(src, f"part_{i}.parquet"),
+        )
+    drain()
+    # run 2 (same checkpoint): the remainder arrives later
+    _write_single_parquet(
+        ev.where(F.col("event_id") % 4 == 3), os.path.join(src, "part_3.parquet")
+    )
+    drain()
+
+    cms = spark.read.parquet(state)
+    probes = ev.select("event_type").distinct()
+    est = cms_estimate(cms, probes, "event_type")
+    true_counts = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    return true_counts.join(est, "event_type").select(
+        "event_type",
+        F.col("n_true").cast("long").alias("n_true"),
+        F.col("n_est").cast("long").alias("n_est"),
+    )
