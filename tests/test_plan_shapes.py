@@ -386,3 +386,29 @@ def test_range_bin_join_never_nested_loop(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_orc_scan_pushes_filters_and_prunes_columns(spark, sf_dir):
+    """The ORC path (q_orc_roundtrip's format) must get the same pushdown
+    machinery as parquet: predicate into PushedFilters, projection into
+    ReadSchema — format breadth is only useful at 100 TB if the scan
+    still skips."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from prefect_flow_arc_alto_to_json_spark.sources import load_table
+
+    p = tempfile.mkdtemp(prefix="orc_push_") + "/orders"
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    ).write.orc(p)
+    df = (
+        spark.read.orc(p)
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)" in plan
+    read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "o_orderpriority" not in read_schema, read_schema
