@@ -887,3 +887,32 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.slice("toks", F.col("start_tok") + 1, F.lit(W))
         ).alias("chunk_text"),
     )
+
+
+from ..operators.textindex import phrase_search, phrase_search_oracle_sql  # noqa: E402
+
+_PHRASE = ["table", "scan"]
+
+
+@query(
+    "text_phrase_search",
+    extra=True,
+    oracle=phrase_search_oracle_sql(_PHRASE, _SQL_TOKS),
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval over the positional inverted index
+    (operators/textindex.py): documents containing the consecutive token
+    sequence "table scan", with occurrence counts — the conjunctive
+    (doc, pos)-join merge every positional index does, as a pure
+    DataFrame plan. Oracle replays the identical postings relation and
+    join chain via the SHARED tokenizer SQL, so tokenization, 0-based
+    positions and the adjacency arithmetic are all value-pinned.
+
+    Scale: with the postings relation materialized bucketed BY TERM
+    (the corpus-index layout this operator assumes at 100 TB), each
+    m_i slice is a partition-pruned scan; in-plan, the term equality
+    predicates collapse the exploded postings map-side before the
+    (doc, start) equi-joins — no windows, no UDFs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_search(docs, _PHRASE)
