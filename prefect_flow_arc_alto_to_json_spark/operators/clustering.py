@@ -133,7 +133,11 @@ def kmeans_assign_micro(
         )
     )
     n_cell = final.groupBy("cent_id").agg(F.count(F.lit(1)).alias("n_cell"))
-    return final.join(n_cell, "cent_id").select("vid", "cent_id", "n_cell")
+    # n_cell is k rows — broadcast, or Catalyst sort-merges two descendants
+    # of the same aggregate
+    return final.join(F.broadcast(n_cell), "cent_id").select(
+        "vid", "cent_id", "n_cell"
+    )
 
 
 def kmeans_oracle_sql(

@@ -920,3 +920,50 @@ def semantic_decontaminate(
         "cent_id",
         F.coalesce(~F.col("__hit"), F.lit(True)).alias("kept"),
     )
+
+
+def two_stage_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    shortlist: int = 40,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage retrieval: cheap int8 shortlist → exact fp rerank — the
+    production ANN serving shape (coarse recall stage over compressed
+    vectors, precise ranking stage over the shortlist only).
+
+    Stage 1 (:func:`int8_topk`) scans the full corpus at 1/4 bandwidth
+    and keeps ``shortlist`` candidates per query; stage 2 re-fetches ONLY
+    those candidates' float vectors (an id-equi-join against the corpus —
+    at scale a bucketed/partition-pruned point lookup relation, shortlist
+    x |queries| rows, never corpus-sized) and re-scores with the exact
+    double cosine. Both stages are fully deterministic (integer stage-1
+    scores; round-6 stage-2 scores; id tiebreaks), so the composition
+    value-oracles end to end. Returns (query_id, neighbor_id, cosine,
+    rank).
+    """
+    cand = int8_topk(corpus, queries, k=shortlist, id_col=id_col, vec_col=vec_col)
+    cand = cand.select("query_id", "neighbor_id")
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qa")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cb")
+    )
+    exact = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qa"), F.col("cb")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return exact.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )

@@ -330,3 +330,27 @@ def test_embedding_near_dup_adaptive_planes_keeps_recall(spark, emb):
     found = {(r["id_a"], r["id_b"]) for r in pairs}
     expected = {(i, i + 500000) for i in range(n_base)}
     assert expected <= found, f"missed planted pairs: {expected - found}"
+
+
+def test_two_stage_rerank_recall_and_score_exactness(emb):
+    """Two-stage (int8 shortlist 40 → exact rerank top-10): with a
+    shortlist 4x deeper than k over this corpus the int8 stage loses
+    almost nothing — gate recall@10 vs brute force at 0.9, and require
+    every surviving pair to carry the EXACT double cosine (stage 2 must
+    rescore, not propagate the quantized score)."""
+    from prefect_flow_arc_alto_to_json_spark.operators.similarity import (
+        two_stage_topk,
+    )
+
+    q = emb.where(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, q, k=10).collect()
+    two = two_stage_topk(emb, q, shortlist=40, k=10).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    two_set = {(r["query_id"], r["neighbor_id"]) for r in two}
+    recall = len(exact_set & two_set) / len(exact_set)
+    assert recall >= 0.9, f"two-stage recall@10 below floor: {recall}"
+    exact_scores = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact}
+    for r in two:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_scores:
+            assert r["cosine"] == exact_scores[key]
