@@ -916,3 +916,64 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     return phrase_search(docs, _PHRASE)
+
+
+@query(
+    "text_vocab_oov",
+    extra=True,
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+    ),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term, COUNT(*) AS n FROM tok GROUP BY term
+        ORDER BY n DESC, term LIMIT 16
+      )
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(ROUND(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                      * 1000000.0 / COUNT(*)) AS BIGINT) AS oov_ppm
+    FROM tok t LEFT JOIN vocab v ON v.term = t.term
+    GROUP BY t.doc_id
+    """,
+)
+def text_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction + out-of-vocabulary mapping: build the
+    top-16 token vocabulary (count desc, token asc — the deterministic
+    text_top_tokens rule), then score every document's OOV token count
+    and ppm-snapped OOV rate against it — the coverage diagnostic run
+    before freezing any tokenizer/vocab for training (high-OOV docs are
+    mis-tokenized, wrong-language, or boilerplate).
+
+    Scale: vocab derivation is the map-side-combining token count with a
+    TakeOrdered top-V (never a global sort); the vocab relation is
+    V rows — broadcast LEFT join against the exploded corpus, then one
+    per-doc partial agg. Corpus rows shuffle once (the doc_id agg);
+    tokens never shuffle un-aggregated.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(token_array("text")).alias("term"))
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term"))
+        .limit(16)
+        .select("term")
+    )
+    joined = tok.join(
+        F.broadcast(vocab.withColumnRenamed("term", "vterm")),
+        tok["term"] == F.col("vterm"),
+        "left",
+    )
+    oov = F.sum(F.when(F.col("vterm").isNull(), 1).otherwise(0))
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        oov.alias("n_oov"),
+        F.round(oov * 1000000.0 / F.count(F.lit(1)), 0)
+        .cast("long")
+        .alias("oov_ppm"),
+    )
