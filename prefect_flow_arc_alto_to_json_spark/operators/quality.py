@@ -149,3 +149,52 @@ def psi_drift(
         F.sum("psi_term_micro").over(Window.partitionBy()).cast("long"),
     )
 
+
+
+def roc_auc_histogram(
+    df: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """Distributed ROC-AUC via the Mann-Whitney rank-sum, computed on the
+    SCORE HISTOGRAM — the 100 TB formulation: corpus rows fold map-side
+    into (score → count, positives) groups; the prefix-sum window then
+    rides over the score-distribution relation (|distinct scores| rows),
+    never over corpus rows, so no global corpus-sized window collapse.
+
+    Tie handling is exact (average ranks): a tie group of size c starting
+    at rank r has average rank r + (c-1)/2; everything is kept DOUBLED
+    (2·avg = 2·cum_below + c + 1) so the arithmetic stays integral until
+    the single final division, which is ppm-snapped — the established
+    determinism contract. Returns one row
+    (n_pos, n_neg, auc_ppm ∈ [0, 1e6]).
+
+    Exactness bound: the doubled rank-sum S2 ≤ 2N² must stay below 2^52
+    for the final double product to be exact — N ≲ 3·10^7 per evaluated
+    slice; shard the eval by stratum above that (the operator composes:
+    AUC is not mergeable, the histogram IS, so pre-aggregate per shard
+    and union histograms before this window).
+    """
+    y = F.col(label_col).cast("int")
+    g = df.select(F.col(score_col).alias("s"), y.alias("y")).groupBy("s").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("y").alias("p")
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    # the window relation is the score distribution (aggregate-sized, like
+    # psi_drift's 10 bins) — NOT the corpus
+    ranked = g.withColumn("cum", F.coalesce(F.sum("c").over(w), F.lit(0)))
+    totals = ranked.agg(
+        F.sum(F.col("p") * (2 * F.col("cum") + F.col("c") + 1)).alias("s2"),
+        F.sum("p").alias("n_pos"),
+        F.sum(F.col("c") - F.col("p")).alias("n_neg"),
+    )
+    return totals.select(
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.round(
+            (F.col("s2") - F.col("n_pos") * (F.col("n_pos") + 1))
+            * 1000000.0
+            / (2.0 * F.col("n_pos") * F.col("n_neg")),
+            0,
+        )
+        .cast("long")
+        .alias("auc_ppm"),
+    )

@@ -347,3 +347,50 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     expected = docs.where(F.col("bucket") < 50)
     actual = docs.where(F.col("bucket") >= 50)
     return psi_drift(expected, actual, "bin", 10)
+
+
+@query(
+    "q_roc_auc",
+    extra=True,
+    oracle="""
+    WITH g AS (
+      SELECT n_chars AS s, COUNT(*) AS c,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS p
+      FROM documents GROUP BY n_chars
+    ),
+    r AS (
+      SELECT s, c, p,
+             COALESCE(SUM(c) OVER (
+               ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cum
+      FROM g
+    ),
+    t AS (
+      SELECT SUM(p * (2 * cum + c + 1)) AS s2,
+             SUM(p) AS n_pos, SUM(c - p) AS n_neg
+      FROM r
+    )
+    SELECT CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_neg AS BIGINT) AS n_neg,
+           CAST(ROUND((s2 - n_pos * (n_pos + 1)) * 1000000.0
+                      / (2.0 * n_pos * n_neg)) AS BIGINT) AS auc_ppm
+    FROM t
+    """,
+)
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed ROC-AUC (operators/quality.py:roc_auc_histogram) of
+    document length as a predictor of lang='en' — the classifier-eval
+    primitive every quality-filter loop needs, in its histogram
+    formulation: exact tie-averaged Mann-Whitney rank-sum computed on
+    the (score → count, positives) distribution relation, so the only
+    corpus-sized operation is ONE map-side-combining groupBy; the
+    prefix-sum window rides over |distinct scores| rows (the psi_drift
+    small-relation exception) and the end is integer arithmetic with a
+    single ppm-snapped division.
+    """
+    from ..operators.quality import roc_auc_histogram
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "n_chars", (F.col("lang") == "en").alias("is_en")
+    )
+    return roc_auc_histogram(docs, "n_chars", "is_en")

@@ -71,3 +71,40 @@ def test_observed_rules_collects_during_single_action(spark, tmp_path):
     assert got["n_rows"] == 100
     # i%7 in {5,6} -> 2 of every 7; 100 rows -> 28 violations
     assert got["v_over_4"] == 28
+
+
+def test_roc_auc_hand_case_with_ties(spark):
+    """score=[1,1,2,3,3,3], y=[0,1,0,1,0,1] — avg ranks (1.5,1.5,3,5,5,5);
+    U = (1.5+5+5) - 3*4/2 = 5.5; AUC = 5.5/9 = 0.611111."""
+    from prefect_flow_arc_alto_to_json_spark.operators.quality import (
+        roc_auc_histogram,
+    )
+
+    rows = [(1, False), (1, True), (2, False), (3, True), (3, False), (3, True)]
+    df = spark.createDataFrame(rows, "s long, y boolean")
+    out = roc_auc_histogram(df, "s", "y").first()
+    assert (out["n_pos"], out["n_neg"]) == (3, 3)
+    assert out["auc_ppm"] == 611111
+
+
+def test_roc_auc_matches_numpy_reference(spark):
+    """Random scores with heavy ties vs a brute-force pairwise AUC
+    (P(score_pos > score_neg) + 0.5 P(=)) computed in numpy."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    s = rng.randint(0, 20, size=400)
+    y = (rng.rand(400) < 0.35).astype(int)
+    from prefect_flow_arc_alto_to_json_spark.operators.quality import (
+        roc_auc_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(int(a), bool(b)) for a, b in zip(s, y)], "s long, y boolean"
+    )
+    out = roc_auc_histogram(df, "s", "y").first()
+    pos, neg = s[y == 1], s[y == 0]
+    gt = (pos[:, None] > neg[None, :]).sum()
+    eq = (pos[:, None] == neg[None, :]).sum()
+    auc = (gt + 0.5 * eq) / (len(pos) * len(neg))
+    assert abs(out["auc_ppm"] - round(auc * 1e6)) <= 1
