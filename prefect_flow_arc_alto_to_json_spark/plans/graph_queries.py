@@ -113,3 +113,57 @@ def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iterations=3).select(
         F.col("node").cast("long").alias("node"), "rank_nano"
     )
+
+
+@query(
+    "q_triangle_counts",
+    extra=True,
+    oracle=f"""
+    WITH edges AS ({_SQL_EDGES}),
+    und AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM edges WHERE src <> dst
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+    FROM (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    )
+    GROUP BY node
+    """,
+)
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation triangle participation in the undirected trade graph
+    (operators/graph.py:triangle_counts) — each triangle (a<b<c) found
+    once via the canonical two-join wedge closure and attributed to its
+    three corners. Completes the graph-primitive trio (components /
+    PageRank / triangles) with the same derived-graph input as
+    q_pagerank_trade, and the oracle replays edge canonicalization,
+    closure and attribution exactly.
+    """
+    from ..operators.graph import triangle_counts
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return triangle_counts(edges).select(
+        F.col("node").cast("long").alias("node"), "n_tri"
+    )

@@ -83,3 +83,28 @@ def test_pagerank_matches_numpy_reference_fuzz(spark):
             r = nxt
         want = {v: int(r[idx[v]]) for v in nodes}
         assert got == want, f"trial {trial} diverged: {got} vs {want}"
+
+
+def test_triangle_counts_hand_graph(spark):
+    """K4 minus one edge: nodes 1-4, edges 12 13 14 23 24 (no 34):
+    triangles {1,2,3} and {1,2,4} → counts 1:2 2:2 3:1 4:1. Edges fed in
+    mixed orientation with duplicates to exercise canonicalization."""
+    from prefect_flow_arc_alto_to_json_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    rows = [(1, 2), (3, 1), (1, 4), (2, 3), (4, 2), (2, 1), (2, 2)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    out = {r["node"]: r["n_tri"] for r in triangle_counts(edges).collect()}
+    assert out == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_triangle_counts_triangle_free(spark):
+    from prefect_flow_arc_alto_to_json_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    assert triangle_counts(edges).count() == 0

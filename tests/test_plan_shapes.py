@@ -412,3 +412,45 @@ def test_orc_scan_pushes_filters_and_prunes_columns(spark, sf_dir):
     assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)" in plan
     read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
     assert "o_orderpriority" not in read_schema, read_schema
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """Catalyst's own runtime bloom filter (the automatic sibling of
+    operators/bloom.py — same pre-shuffle pruning idea, injected when a
+    shuffle join has a selective creation side): with broadcast disabled
+    the lineitem⋈supplier(nation=3) join must carry a bloom_filter_agg
+    subquery and a might_contain predicate on the fact scan side. The
+    manual operator stays the explicit/portable form (works under AQE
+    changes, carries an oracle); this pin proves we also leave Catalyst
+    free to inject its own where stats allow."""
+    from pyspark.sql import functions as F
+
+    from prefect_flow_arc_alto_to_json_spark.sources import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_suppkey", "l_quantity"
+        )
+        supp = (
+            load_table(spark, sf_dir, "supplier")
+            .where(F.col("s_nationkey") == 3)
+            .select("s_suppkey")
+        )
+        j = li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
