@@ -101,6 +101,13 @@ HEADLINE = [
     # stream-static probe join — the heaviest new plan shapes)
     "text_pmi_collocations",
     "stream_minhash_near_dup",
+    # round-7 late additions: bloom-pruned fact join (the shuffle-
+    # reduction flagship), two-stage quantized retrieval, deterministic
+    # Lloyd k-means (2 broadcast iterations), positional phrase search
+    "q_bloom_prefilter_join",
+    "sim_rerank_two_stage",
+    "sim_kmeans_cells",
+    "text_phrase_search",
 ]
 
 

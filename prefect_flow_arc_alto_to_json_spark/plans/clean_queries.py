@@ -394,3 +394,63 @@ def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars", (F.col("lang") == "en").alias("is_en")
     )
     return roc_auc_histogram(docs, "n_chars", "is_en")
+
+
+@query(
+    "q_calibration_bins",
+    extra=True,
+    oracle="""
+    WITH r AS (
+      SELECT CAST(MIN(n_chars) AS BIGINT) AS lo, CAST(MAX(n_chars) AS BIGINT) AS hi
+      FROM documents
+    ),
+    b AS (
+      SELECT LEAST(CAST(FLOOR((d.n_chars - r.lo) * 10.0 / (r.hi - r.lo + 1))
+                        AS BIGINT), 9) AS bin,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents d, r
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(ROUND(SUM(y) * 1000000.0 / COUNT(*)) AS BIGINT) AS pos_ppm
+    FROM b GROUP BY bin
+    """,
+)
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability/calibration table for the q_roc_auc score: equi-width
+    decile bins of the score range with per-bin positive rate (ppm) —
+    the second half of classifier evaluation (AUC says the ranking is
+    good; calibration says the score VALUES mean what they claim).
+
+    Scale note: bins derive from a 1-row (min, max) aggregate broadcast
+    via crossJoin — NOT an NTILE global window, which would drag the
+    corpus through one partition; binning is then a map-side integer
+    expression and the per-bin agg combines map-side into ≤10 rows.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "n_chars", (F.col("lang") == "en").cast("int").alias("y")
+    )
+    r = F.broadcast(
+        docs.agg(
+            F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi")
+        )
+    )
+    binned = docs.crossJoin(r).select(
+        F.least(
+            F.floor(
+                (F.col("n_chars") - F.col("lo"))
+                * 10.0
+                / (F.col("hi") - F.col("lo") + 1)
+            ).cast("long"),
+            F.lit(9).cast("long"),
+        ).alias("bin"),
+        "y",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("y").alias("n_pos"),
+        F.round(F.sum("y") * 1000000.0 / F.count(F.lit(1)), 0)
+        .cast("long")
+        .alias("pos_ppm"),
+    )
