@@ -1450,3 +1450,59 @@ def stream_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_true").cast("long").alias("n_true"),
         F.col("n_est").cast("long").alias("n_est"),
     )
+
+
+@query(
+    "stream_bloom_prefilter",
+    extra=True,
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events WHERE event_id % 17 = 0
+    """,
+)
+def stream_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING × Bloom composition: each micro-batch is pre-pruned by
+    the broadcast (word, mask) bit set of a static flagged-id list
+    (operators/bloom.py — the id-mod rule stands in for an external
+    incident/backfill list) BEFORE the exact stream-static semi-join
+    verifies survivors. Bloom-then-verify is lossless (no false
+    negatives; the semi-join drops the FP tail), so the drained output
+    hash-matches the plain batch filter.
+
+    Scale: this is how a 100 TB backfill avoids joining every arriving
+    event against a huge at-rest list — the ≤16 KB bit set rides in the
+    broadcast to every task and ~94% of the stream dies map-side with
+    zero state and zero shuffle; only bloom survivors pay the semi-join.
+    """
+    from ..operators.bloom import bloom_build, bloom_prefilter
+    from ..sources import load_table
+    from ..streaming.pipeline import run_available_now, stream_events
+
+    src_dir = tempfile.mkdtemp(prefix="stream_bloom_src_")
+    out = tempfile.mkdtemp(prefix="stream_bloom_out_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") % 17 == 0)
+        .select(F.col("event_id").alias("flagged_id"))
+    )
+    words = bloom_build(dim, "flagged_id")
+    stream = stream_events(spark, src_dir).select(
+        "event_id", "user_id", "event_type"
+    )
+    pruned = bloom_prefilter(stream, "event_id", words)
+    verified = pruned.join(
+        F.broadcast(dim),
+        pruned["event_id"] == F.col("flagged_id"),
+        "left_semi",
+    )
+    run_available_now(
+        verified,
+        checkpoint_dir=tempfile.mkdtemp(prefix="stream_bloom_ckpt_"),
+        output_mode="append",
+        foreach_batch=lambda df, _bid: df.write.mode("append").parquet(out),
+    )
+    return spark.read.parquet(out)
