@@ -167,3 +167,56 @@ def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges).select(
         F.col("node").cast("long").alias("node"), "n_tri"
     )
+
+
+#: the SHARED recursion text — spliced after the engine-specific edge CTE
+_SQL_REACH_BODY = """reach(node, hops) AS (
+      SELECT CAST(3 AS BIGINT) AS node, 0 AS hops
+      UNION ALL
+      SELECT e.dst AS node, r.hops + 1 AS hops
+      FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.hops < 2
+    )
+    SELECT node, CAST(MIN(hops) AS INTEGER) AS min_hops
+    FROM reach GROUP BY node"""
+
+
+@query(
+    "q_recursive_reachability",
+    extra=True,
+    oracle=f"""
+    WITH RECURSIVE edges AS ({_SQL_EDGES}),
+    {_SQL_REACH_BODY}
+    """,
+)
+def q_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded transitive closure via a RECURSIVE CTE (Spark 4's WITH
+    RECURSIVE — the SQL-surface breadth item): BFS from nation 3 over the
+    directed trade graph, depth ≤ 2, minimum hop count per reached node.
+    The recursion text is SHARED between engines (same CTE, same depth
+    bound, same MIN fold — only the edge derivation differs, DataFrame
+    API vs the _SQL_EDGES oracle CTE), so the recursive evaluator itself
+    is what's being adjudicated.
+
+    Scale: each recursion level is one join + union (Spark executes
+    levels iteratively like the hand-rolled pagerank loop); the depth
+    bound keeps the working relation finite on cyclic graphs — unbounded
+    closures belong to the iterative operators (dedup.connected_
+    components), which checkpoint per level.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges.createOrReplaceTempView("edges")
+    return spark.sql("WITH RECURSIVE " + _SQL_REACH_BODY)
