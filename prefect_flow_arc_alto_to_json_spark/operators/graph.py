@@ -134,10 +134,15 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = und.select(F.col("a").alias("y2"), F.col("b").alias("z"))
     e3 = und.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
+    # the checkpointed relation carries no stats, so Catalyst would
+    # sort-merge these self-joins; the canonical edge list here is
+    # dim-graph-sized (nations), so broadcast the closing sides. On a
+    # billion-edge graph the hints drop and this becomes the bucketed
+    # sort-merge wedge join (the pipeline_embedding_dedup defense).
     tri = (
-        e1.join(e2, F.col("y") == F.col("y2"))
+        e1.join(F.broadcast(e2), F.col("y") == F.col("y2"))
         .join(
-            e3,
+            F.broadcast(e3),
             (F.col("x3") == F.col("x")) & (F.col("z3") == F.col("z")),
         )
         .select("x", "y", "z")

@@ -22,6 +22,8 @@ matrix and every estimate replay exactly in the DuckDB oracle.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -97,5 +99,66 @@ def cms_estimate(
 
 
 from ..functions.selfship import self_ship  # noqa: E402
+
+
+def misra_gries_heavy_hitters(
+    items: DataFrame, col: str, k: int
+) -> DataFrame:
+    """Exact heavy hitters (count·k > N strictly) via the two-phase
+    sketch-then-verify pattern: per-partition Misra-Gries summaries
+    (k-1 counters, Arrow-batched, state carried across the partition's
+    batches) nominate candidates, then ONE exact count pass over only
+    the candidate set confirms.
+
+    Why this is the 100 TB shape: a plain groupBy-HAVING shuffles one
+    row per distinct item per partition (vocabulary-sized exchange);
+    here the exchange carries ≤ (k-1) candidate rows per partition and
+    the verify pass counts only the (broadcast-small) candidate set.
+    The MG pigeonhole guarantee makes the composition EXACT despite the
+    lossy sketch: an item with global count > N/k must exceed its local
+    threshold in ≥1 partition, so the candidate union is a superset of
+    every true heavy hitter and the final strict filter (count·k > N,
+    pure integers — no division) returns exactly the plain GROUP BY
+    HAVING answer on ANY partitioning. Returns (item, n).
+    """
+    import pandas as pd
+
+    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in batches:
+            for v in pdf[col]:
+                if v is None:
+                    continue
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k - 1:
+                    counters[v] = 1
+                else:
+                    dead = [key for key in counters if counters[key] == 1]
+                    for key in counters:
+                        counters[key] -= 1
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({"item": list(counters.keys())})
+
+    cand = (
+        items.select(F.col(col))
+        .mapInPandas(mg, schema="item string")
+        .distinct()
+    )
+    total = items.agg(F.count(col).alias("n_total"))
+    counted = (
+        items.join(
+            F.broadcast(cand), items[col] == cand["item"], "left_semi"
+        )
+        .groupBy(F.col(col).alias("item"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .where(F.col("n") * k > F.col("n_total"))
+        .select("item", "n")
+    )
+
 
 self_ship(__name__)

@@ -255,3 +255,46 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_true").cast("long").alias("n_true"),
         F.col("n_est").cast("long").alias("n_est"),
     )
+
+
+@query(
+    "q_mg_heavy_hitters",
+    extra=True,
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(
+        list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                    x -> x != '')
+      ) AS term
+      FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n_total FROM tok)
+    SELECT term AS item, CAST(COUNT(*) AS BIGINT) AS n
+    FROM tok, tot
+    GROUP BY term, n_total
+    HAVING COUNT(*) * 30 > n_total
+    """,
+)
+def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (corpus tokens with share > 1/30) via the
+    Misra-Gries sketch-then-verify composition (operators/sketch.py:
+    misra_gries_heavy_hitters): per-partition 29-counter MG summaries
+    nominate candidates through an Arrow mapInPandas pass, one exact
+    count confirms, and the strict integer filter (n·30 > N) makes the
+    result identical to the plain GROUP BY HAVING on any partitioning —
+    the pigeonhole superset guarantee, adjudicated by a plain-SQL oracle
+    that contains none of the sketch machinery (the same lossless-oracle
+    device as q_bloom_prefilter_join). Completes the sketch family:
+    Count-Min (point estimates), HLL (cardinality), Bloom (membership),
+    MG (frequent items).
+
+    Scale: the exchange under the candidate relation is ≤29 rows per
+    partition vs the vocabulary-sized shuffle of the direct groupBy;
+    the verify pass counts only the broadcast candidate set.
+    """
+    from ..functions.scalar import token_array
+    from ..operators.sketch import misra_gries_heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(token_array("text")).alias("term"))
+    return misra_gries_heavy_hitters(toks, "term", k=30)
