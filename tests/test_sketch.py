@@ -62,3 +62,57 @@ def test_cms_exact_when_collision_free(spark):
         r["k"]: r["n_est"] for r in cms_estimate(cms, df.distinct(), "k").collect()
     }
     assert est == counts
+
+
+def test_mg_heavy_hitters_partitioning_invariant(spark):
+    """The MG candidate sets differ by partitioning; the verified result
+    must not — run the identical skewed stream at 1 and 13 partitions."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from prefect_flow_arc_alto_to_json_spark.operators.sketch import (
+        misra_gries_heavy_hitters,
+    )
+
+    # 1000 rows: 'a' 400x, 'b' 250x, then a 350-item near-uniform tail
+    rows = (
+        [("a",)] * 400 + [("b",)] * 250 + [(f"t{i % 70}",) for i in range(350)]
+    )
+    df = spark.createDataFrame(rows, "v string")
+    # k=4 -> strict threshold n*4 > 1000 i.e. n > 250: 'b' at exactly 250
+    # is NOT a heavy hitter — the strict boundary is part of the contract
+    want = {("a", 400)}
+    got1 = {
+        (r["item"], r["n"])
+        for r in misra_gries_heavy_hitters(df.coalesce(1), "v", k=4).collect()
+    }
+    got13 = {
+        (r["item"], r["n"])
+        for r in misra_gries_heavy_hitters(df.repartition(13), "v", k=4).collect()
+    }
+    assert got1 == got13 == want
+
+
+def test_mg_matches_plain_groupby_having(spark):
+    from prefect_flow_arc_alto_to_json_spark.operators.sketch import (
+        misra_gries_heavy_hitters,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 5000).select(
+        F.concat(F.lit("u"), (F.col("id") % F.when(F.col("id") % 3 == 0, 7)
+                              .otherwise(500)).cast("string")).alias("v")
+    )
+    k = 20
+    got = {
+        (r["item"], r["n"])
+        for r in misra_gries_heavy_hitters(df, "v", k=k).collect()
+    }
+    n = df.count()
+    want = {
+        (r["v"], r["n"])
+        for r in df.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") * k > n)
+        .collect()
+    }
+    assert got == want
