@@ -454,3 +454,24 @@ def test_runtime_bloom_filter_injection(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_coalesces_small_shuffles(spark, sf_dir):
+    """AQE runtime re-planning pin: a 32-partition shuffle over a tiny
+    aggregate must coalesce at runtime (AQEShuffleRead coalesced) — the
+    mechanism that keeps the static shuffle.partitions setting safe at
+    BOTH ends of the scale (small inputs don't fragment into thousands
+    of empty tasks; the same config still fans out on big inputs)."""
+    from pyspark.sql import functions as F
+
+    from prefect_flow_arc_alto_to_json_spark.sources import load_table
+
+    df = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    df.collect()  # AQE finalizes the plan only on execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in plan, plan
+    assert "coalesced" in plan, plan
