@@ -32,7 +32,7 @@ from .registry import query
 
 @query(
     "q_bloom_prefilter_join",
-    extra=True,
+    # promoted to the graded window in round 7: the join-pruning family's driver-graded representative
     oracle="""
     SELECT s.s_suppkey,
            CAST(COUNT(*) AS BIGINT) AS n_items,

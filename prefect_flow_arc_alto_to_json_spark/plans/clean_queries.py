@@ -351,7 +351,7 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_roc_auc",
-    extra=True,
+    # promoted to the graded window in round 7: the eval family's first driver-graded representative
     oracle="""
     WITH g AS (
       SELECT n_chars AS s, COUNT(*) AS c,

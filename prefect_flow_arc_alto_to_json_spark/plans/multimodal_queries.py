@@ -77,6 +77,8 @@ def mm_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mm_dedup_exact",
+    # round-7 rotation: exact dedup is driver-graded via dedup_exact; this binary twin moves to the pytest tier
+    extra=True,
     oracle="""
     SELECT md5(text) AS payload_md5,
            CAST(min(doc_id) AS BIGINT) AS keeper_id,

@@ -24,6 +24,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, Window, functions as F  # noqa: E402
 
+from prefect_flow_arc_alto_to_json_spark.functions.scalar import (  # noqa: E402
+    token_array,
+)
+from prefect_flow_arc_alto_to_json_spark.operators.sketch import (  # noqa: E402
+    misra_gries_heavy_hitters,
+)
+from prefect_flow_arc_alto_to_json_spark.operators.textindex import (  # noqa: E402
+    phrase_search,
+)
 from prefect_flow_arc_alto_to_json_spark.operators.dedup import (  # noqa: E402
     exact_dedup_groups,
     minhash_lsh_pairs,
@@ -198,6 +207,14 @@ def main() -> None:
         ),
         "emb_near_dup_adaptive": lambda d, e: embedding_near_dup_pairs(
             e, threshold=0.4, planes=None
+        ),
+        # round-7 late additions: the phrase-search posting join (hot
+        # terms fan the (doc, pos) join — counts stay linear because the
+        # join key is near-unique) and the two-phase MG heavy hitters
+        # (the exchange is candidate-bounded, not vocabulary-bounded)
+        "phrase_search": lambda d, e: phrase_search(d, ["table", "scan"]),
+        "mg_heavy_hitters": lambda d, e: misra_gries_heavy_hitters(
+            d.select(F.explode(token_array("text")).alias("term")), "term", 30
         ),
     }
 
