@@ -2006,3 +2006,64 @@ def q_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
     )
+
+
+@query(
+    "q_session_window_builtin",
+    extra=True,
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS is_new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT *,
+             SUM(is_new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_seq
+      FROM flagged
+    )
+    SELECT
+      user_id,
+      strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+        AS session_end,
+      CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_seq
+    """,
+)
+def q_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's BUILT-IN batch ``session_window`` — the
+    same 30-minute-gap semantics as the hand-rolled q_sessionize, but
+    expressed as one groupBy on the merging window. Two deliberate
+    semantic deltas the oracle replays: the boundary is exclusive (a gap
+    of EXACTLY 30 min starts a new session — adjacent [t, t+gap) windows
+    don't overlap), and session_end is last_event + gap (the window's
+    close), not the last event time. Adjudicating both shapes against
+    gap-island oracles pins that the built-in and the lag/running-sum
+    construction agree on this data everywhere except those documented
+    boundary rules.
+
+    Scale: one shuffle on user_id, sessions merged inside the aggregate
+    — the same exchange profile as the window formulation, with the
+    session-merge logic in native code instead of two window passes.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return agg.select(
+        "user_id",
+        F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_end"
+        ),
+        "n_events",
+    )
