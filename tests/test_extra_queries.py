@@ -32,6 +32,27 @@ def test_graded_registry_fits_driver_window():
     assert not set(QUERIES) & set(EXTRA_QUERIES)
 
 
+def test_readme_query_count_matches_registry():
+    """The repo's own claims must track the registry exactly (round-6
+    verdict flagged silent drift): README states the registered-query
+    split; regenerate the sentence when the registry grows."""
+    import os
+    import re
+
+    readme = open(
+        os.path.join(os.path.dirname(__file__), "..", "README.md")
+    ).read()
+    m = re.search(
+        r"(\d+) registered queries \((\d+) driver-graded \+ (\d+) extra-tier\)",
+        readme,
+    )
+    assert m, "README is missing the registered-query count sentence"
+    total, graded, extra = map(int, m.groups())
+    assert graded == len(QUERIES), (graded, len(QUERIES))
+    assert extra == len(EXTRA_QUERIES), (extra, len(EXTRA_QUERIES))
+    assert total == graded + extra
+
+
 @pytest.mark.parametrize("name", sorted(EXTRA_ORACLES))
 def test_extra_query_matches_oracle(name, spark, sf_dir, con):
     df = EXTRA_QUERIES[name](spark, sf_dir)
