@@ -366,3 +366,94 @@ def q_range_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("window_id").agg(
         F.count(F.lit(1)).alias("n_clicks")
     )
+
+
+@query(
+    "q_resample_daily_ffill",
+    extra=True,
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(ROUND(value * 100) AS BIGINT) AS v,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, CAST(ts AS DATE)
+               ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ),
+    daily AS (
+      SELECT user_id, day, COUNT(*) AS n_events,
+             MAX(CASE WHEN rn = 1 THEN v END) AS day_last_cents
+      FROM ranked GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+    ),
+    grid AS (
+      SELECT s.user_id, CAST(g.day AS DATE) AS day
+      FROM span s, LATERAL (
+        SELECT unnest(generate_series(s.d0, s.d1, INTERVAL 1 DAY)) AS day
+      ) g
+    )
+    SELECT g.user_id,
+           strftime(g.day, '%Y-%m-%d') AS day,
+           CAST(COALESCE(d.n_events, 0) AS BIGINT) AS n_events,
+           LAST_VALUE(d.day_last_cents IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS last_cents
+    FROM grid g LEFT JOIN daily d
+      ON d.user_id = g.user_id AND d.day = g.day
+    """,
+)
+def q_resample_daily_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: resample each user's event stream onto
+    a dense DAILY grid (their own first→last day) and forward-fill the
+    last observed value across gap days — the gap-filling primitive every
+    downstream time-series model needs (training windows can't tolerate
+    missing timestamps). Gap days carry n_events=0 and the carried-
+    forward cents value; the per-day "last" is made deterministic by the
+    (ts, event_id) total order on both engines.
+
+    Scale: the grid derives from per-user (min, max) aggregates and a
+    sequence() explode — span×users rows, never a cross join against a
+    global calendar; the daily pre-aggregate collapses the fact map-side
+    before the grid join, and grid join + forward-fill window share the
+    user_id partitioning (one exchange).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", cents("value").alias("v_cents")
+    )
+    day = F.col("ts").cast("date")
+    wlast = Window.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    daily = (
+        ev.withColumn("day", day)
+        .withColumn("rn", F.row_number().over(wlast))
+        .groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(F.when(F.col("rn") == 1, F.col("v_cents"))).alias(
+                "day_last_cents"
+            ),
+        )
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    joined = grid.join(daily, ["user_id", "day"], "left")
+    wff = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.last("day_last_cents", ignorenulls=True).over(wff).alias("last_cents"),
+    )
