@@ -457,3 +457,81 @@ def q_resample_daily_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
         F.last("day_last_cents", ignorenulls=True).over(wff).alias("last_cents"),
     )
+
+
+@query(
+    "q_rolling_zscore_anomaly",
+    extra=True,
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS day_cents
+      FROM events GROUP BY 1, 2
+    ),
+    winstats AS (
+      SELECT user_id, day, day_cents,
+             COUNT(*) OVER w AS c,
+             SUM(day_cents) OVER w AS s1,
+             SUM(day_cents * day_cents) OVER w AS s2
+      FROM daily
+      WINDOW w AS (
+        PARTITION BY user_id ORDER BY day
+        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+      )
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           CAST(day_cents AS BIGINT) AS day_cents,
+           CAST(c AS BIGINT) AS n_window
+    FROM winstats
+    WHERE c >= 4
+      AND (day_cents * c - s1) * (day_cents * c - s1)
+          > 4 * (c * s2 - s1 * s1)
+    """,
+)
+def q_rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection on per-user daily spend — days
+    where |x - μ₇| > 2σ₇ over the trailing 7-day window — with the
+    z-test algebraically cleared of ALL floating point: the condition
+    |x - S₁/c| > 2·√((c·S₂ - S₁²)/c²) is squared and multiplied through
+    into (x·c - S₁)² > 4·(c·S₂ - S₁²), integer cents end to end, so an
+    inherently float-looking statistical filter value-hashes exactly.
+    (Population variance over the window; warm-up days with c < 4 are
+    excluded — both rules replayed by the oracle.)
+
+    Scale: one map-side daily pre-aggregate, then window sums over the
+    per-user daily series (≤ span rows per user) sharing the user_id
+    exchange — the anomaly filter never sees raw events.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day"),
+        cents("value").alias("v_cents"),
+    )
+    daily = ev.groupBy("user_id", "day").agg(
+        F.sum("v_cents").alias("day_cents")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    stats = daily.select(
+        "user_id",
+        "day",
+        "day_cents",
+        F.count(F.lit(1)).over(w).alias("c"),
+        F.sum("day_cents").over(w).alias("s1"),
+        F.sum(F.col("day_cents") * F.col("day_cents")).over(w).alias("s2"),
+    )
+    dev = F.col("day_cents") * F.col("c") - F.col("s1")
+    return (
+        stats.where(
+            (F.col("c") >= 4)
+            & (dev * dev > 4 * (F.col("c") * F.col("s2") - F.col("s1") * F.col("s1")))
+        )
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "day_cents",
+            F.col("c").alias("n_window"),
+        )
+    )
