@@ -454,3 +454,52 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("pos_ppm"),
     )
+
+
+@query(
+    "q_k_anonymity",
+    extra=True,
+    oracle="""
+    WITH q AS (
+      SELECT lang, source,
+             CAST(FLOOR(n_chars / 100.0) AS BIGINT) AS len_bucket,
+             COUNT(*) AS n
+      FROM documents GROUP BY 1, 2, 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_small_classes,
+           CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+             AS n_suppressed_docs,
+           CAST(MIN(n) AS BIGINT) AS min_class_size
+    FROM q
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (lang, source,
+    length-bucket): equivalence-class census with the k=5 suppression
+    report — how many classes are too small to release and how many
+    documents they'd suppress. The governance primitive for publishing
+    corpus statistics without re-identification risk, next to the PII
+    scanner: PII finds direct identifiers, this measures the indirect
+    (linkage) surface.
+
+    Scale: ONE map-side-combining groupBy over the quasi-id tuple (the
+    exchange is equivalence-class-sized), then a 1-row census aggregate
+    — the audit costs one pass regardless of corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.groupBy(
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / 100.0).cast("long").alias("len_bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    small = F.when(F.col("n") < 5, 1).otherwise(0)
+    return q.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(small).alias("n_small_classes"),
+        F.sum(F.when(F.col("n") < 5, F.col("n")).otherwise(0)).alias(
+            "n_suppressed_docs"
+        ),
+        F.min("n").alias("min_class_size"),
+    )
