@@ -198,3 +198,51 @@ def roc_auc_histogram(
         .cast("long")
         .alias("auc_ppm"),
     )
+
+
+def roc_auc_by_group(
+    df: DataFrame, score_col: str, label_col: str, group_col: str
+) -> DataFrame:
+    """Per-slice ROC-AUC — :func:`roc_auc_histogram` generalized to one
+    AUC row per ``group_col`` value (per-language / per-domain model
+    evaluation, the form every corpus-quality loop actually reports).
+    Same histogram formulation and integer tie-exact rank-sum, with the
+    prefix-sum window partitioned BY GROUP over each group's score
+    distribution. Groups with only one class (n_pos or n_neg = 0) have
+    undefined AUC and are emitted with auc_ppm NULL rather than dropped.
+    Returns (group, n_pos, n_neg, auc_ppm).
+    """
+    y = F.col(label_col).cast("int")
+    g = (
+        df.select(
+            F.col(group_col).alias("grp"), F.col(score_col).alias("s"), y.alias("y")
+        )
+        .groupBy("grp", "s")
+        .agg(F.count(F.lit(1)).alias("c"), F.sum("y").alias("p"))
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = g.withColumn("cum", F.coalesce(F.sum("c").over(w), F.lit(0)))
+    totals = ranked.groupBy("grp").agg(
+        F.sum(F.col("p") * (2 * F.col("cum") + F.col("c") + 1)).alias("s2"),
+        F.sum("p").alias("n_pos"),
+        F.sum(F.col("c") - F.col("p")).alias("n_neg"),
+    )
+    defined = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    return totals.select(
+        F.col("grp").alias("group"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.when(
+            defined,
+            F.round(
+                (F.col("s2") - F.col("n_pos") * (F.col("n_pos") + 1))
+                * 1000000.0
+                / (2.0 * F.col("n_pos") * F.col("n_neg")),
+                0,
+            ).cast("long"),
+        ).alias("auc_ppm"),
+    )

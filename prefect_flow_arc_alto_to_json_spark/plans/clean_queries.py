@@ -503,3 +503,51 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.min("n").alias("min_class_size"),
     )
+
+
+@query(
+    "q_roc_auc_by_lang",
+    extra=True,
+    oracle="""
+    WITH g AS (
+      SELECT lang AS grp, n_chars AS s, COUNT(*) AS c,
+             SUM(CASE WHEN source LIKE 'src1%' THEN 1 ELSE 0 END) AS p
+      FROM documents GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT grp, s, c, p,
+             COALESCE(SUM(c) OVER (
+               PARTITION BY grp ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cum
+      FROM g
+    ),
+    t AS (
+      SELECT grp, SUM(p * (2 * cum + c + 1)) AS s2,
+             SUM(p) AS n_pos, SUM(c - p) AS n_neg
+      FROM r GROUP BY grp
+    )
+    SELECT grp AS "group",
+           CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_neg AS BIGINT) AS n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             CAST(ROUND((s2 - n_pos * (n_pos + 1)) * 1000000.0
+                        / (2.0 * n_pos * n_neg)) AS BIGINT)
+           END AS auc_ppm
+    FROM t
+    """,
+)
+def q_roc_auc_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language AUC slices (operators/quality.py:roc_auc_by_group):
+    the grouped generalization of q_roc_auc — one tie-exact Mann-Whitney
+    AUC row per lang, score = n_chars, label = source ∈ src1* — sliced
+    evaluation being how corpus-quality models are actually reported
+    (a global AUC hides per-language regressions). Same integer
+    determinism; single-class groups emit NULL AUC instead of vanishing.
+    """
+    from ..operators.quality import roc_auc_by_group
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "n_chars", F.col("source").like("src1%").alias("is_pos")
+    )
+    return roc_auc_by_group(docs, "n_chars", "is_pos", "lang")
