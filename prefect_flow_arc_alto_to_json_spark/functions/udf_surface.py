@@ -221,3 +221,42 @@ from .selfship import self_ship  # noqa: E402
 # Worker-executed closures above must never require this package on the
 # executor's PYTHONPATH — ship them by value (see functions/selfship.py).
 self_ship(__name__)
+
+
+def label_profile_apply_arrow(df, vec_col: str = "embedding"):
+    """Per-label vector profile via GROUPED ``applyInArrow`` (Spark 4) —
+    the last cell of the Python-interop matrix (§2.10): pandas_udf /
+    applyInPandas / cogroup.applyInPandas / UDTF / mapInPandas /
+    mapInArrow / applyInArrow. The group function receives the whole
+    group as ONE pyarrow.Table (no pandas materialization) and reduces
+    it with zero-copy numpy views; output is a 1-row Arrow table per
+    label.
+
+    Emitted metrics are exact integers (count + micro-snapped sum of
+    the first component), so the grouped-Arrow path itself is
+    value-adjudicated by SQL replay — not just smoke-tested.
+    """
+    import pyarrow as pa
+
+    def profile(table: "pa.Table") -> "pa.Table":
+        import numpy as np
+
+        emb = table.column(vec_col).combine_chunks()
+        values = np.asarray(emb.values)
+        offsets = np.asarray(emb.offsets)
+        # first component of each list: values[offsets[:-1]] (lists are
+        # non-empty in this corpus; a ragged guard keeps it honest)
+        firsts = values[offsets[:-1][offsets[1:] > offsets[:-1]]]
+        micro = np.rint(firsts.astype(np.float64) * 1_000_000).astype(np.int64)
+        label = table.column("label")[0].as_py()
+        return pa.table(
+            {
+                "label": pa.array([label], pa.int32()),
+                "n_vecs": pa.array([len(emb)], pa.int64()),
+                "sum_dim0_micro": pa.array([int(micro.sum())], pa.int64()),
+            }
+        )
+
+    return df.groupBy("label").applyInArrow(
+        profile, schema="label int, n_vecs long, sum_dim0_micro long"
+    )
