@@ -13,7 +13,7 @@ and SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
@@ -461,9 +461,9 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_components",
-    oracle=f"""
+#: shared by dedup_components and dedup_canonical: the full
+#: shingle→jaccard-pair→transitive-closure CTE chain
+_SQL_COMPONENTS_CTES = f"""
     WITH RECURSIVE
       toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
       shg  AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM toks),
@@ -485,9 +485,18 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT src, src FROM edges
         UNION
         SELECT p.node, e.dst FROM paths p JOIN edges e ON p.peer = e.src
+      ),
+      comp AS (
+        SELECT node AS doc_id, CAST(min(peer) AS BIGINT) AS component_id
+        FROM paths GROUP BY node
       )
-    SELECT node AS doc_id, CAST(min(peer) AS BIGINT) AS component_id
-    FROM paths GROUP BY node
+"""
+
+
+@query(
+    "dedup_components",
+    oracle=_SQL_COMPONENTS_CTES + """
+    SELECT doc_id, component_id FROM comp
     """,
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -500,3 +509,62 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     pairs = ngram_jaccard_pairs(docs, threshold=0.8)
     return duplicate_components(pairs)
+
+
+@query(
+    "dedup_canonical",
+    extra=True,
+    oracle=_SQL_COMPONENTS_CTES + """
+    SELECT component_id,
+           CAST(doc_id AS BIGINT) AS canonical_doc_id,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM (
+      SELECT c.component_id, c.doc_id,
+             COUNT(*) OVER (PARTITION BY c.component_id) AS n_members,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.component_id
+               ORDER BY d.n_chars DESC, c.doc_id ASC
+             ) AS rn
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    ) WHERE rn = 1
+    """,
+)
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection — the step AFTER clustering
+    that actually deduplicates a corpus: per near-dup component, keep
+    the longest member (n_chars desc, doc_id tiebreak) and report
+    cluster size. Composes duplicate_components with a per-cluster
+    argmax; the oracle extends the SHARED transitive-closure CTE chain
+    (factored out of dedup_components) with the same keep-longest rule,
+    so clustering and representative choice are adjudicated together.
+
+    Scale: the components relation is pair-derived (≪ corpus); the
+    n_chars lookup is an id-equi-join against the docs table and the
+    argmax window partitions by component — both ride the component_id
+    exchange. The kept-set at 100 TB is then an anti-join of the corpus
+    against (members − canonicals), all id-only shuffles.
+    """
+    from ..operators.dedup import duplicate_components
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    pairs = ngram_jaccard_pairs(docs.select("doc_id", "text"), threshold=0.8)
+    comp = duplicate_components(pairs)
+    joined = comp.join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    wsize = Window.partitionBy("component_id")
+    wrank = Window.partitionBy("component_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        joined.withColumn("n_members", F.count(F.lit(1)).over(wsize))
+        .withColumn("rn", F.row_number().over(wrank))
+        .where(F.col("rn") == 1)
+        .select(
+            "component_id",
+            F.col("doc_id").alias("canonical_doc_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+    )
