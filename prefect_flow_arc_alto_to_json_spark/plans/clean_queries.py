@@ -8,7 +8,7 @@ side-by-side check the driver applies to the graded 50.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.textclean import (
@@ -20,6 +20,7 @@ from ..operators.textclean import (
     repetition_stats,
     shared_shingle_counts,
 )
+from ..functions.scalar import cents
 from ..functions.scale import fan_out
 from ..sources import load_table
 from .dedup_queries import _SQL_SHINGLE_HASHES, _SQL_SHINGLES, _SQL_TOKS
@@ -551,3 +552,63 @@ def q_roc_auc_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "n_chars", F.col("source").like("src1%").alias("is_pos")
     )
     return roc_auc_by_group(docs, "n_chars", "is_pos", "lang")
+
+
+@query(
+    "q_gini_concentration",
+    extra=True,
+    oracle="""
+    WITH u AS (
+      SELECT user_id, SUM(CAST(ROUND(value * 100) AS BIGINT)) AS y
+      FROM events GROUP BY user_id
+    ),
+    r AS (
+      SELECT y, ROW_NUMBER() OVER (ORDER BY y, user_id) AS i FROM u
+    ),
+    t AS (
+      SELECT COUNT(*) AS n, SUM(y) AS sy, SUM(i * y) AS siy FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(sy AS BIGINT) AS total_cents,
+           CAST(ROUND((2 * siy - (n + 1) * sy) * 1000000.0
+                      / (n * sy)) AS BIGINT) AS gini_ppm
+    FROM t
+    """,
+)
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user total spend — the concentration/
+    imbalance metric (the same statistic that audits SOURCE concentration
+    in a training corpus: a high Gini means a few origins dominate the
+    mix). Computed by the rank formulation G = (2·Σi·yᵢ − (n+1)·Σy)/(n·Σy)
+    over ascending (y, user_id)-ranked totals — integers until the one
+    ppm-snapped division.
+
+    Scale note: the rank window rides over the per-user AGGREGATE
+    relation (user-cardinality, the psi_drift small-relation exception),
+    never raw events; at billions of users the ranked prefix-sum would
+    move to the histogram formulation (the roc_auc_histogram device) —
+    same algebra, score-distribution-sized window.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", cents("value").alias("v_cents")
+    )
+    u = ev.groupBy("user_id").agg(F.sum("v_cents").alias("y"))
+    w = Window.orderBy("y", "user_id")
+    r = u.select("y", F.row_number().over(w).alias("i"))
+    t = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("i") * F.col("y")).alias("siy"),
+    )
+    return t.select(
+        F.col("n").alias("n_users"),
+        F.col("sy").alias("total_cents"),
+        F.round(
+            (2 * F.col("siy") - (F.col("n") + 1) * F.col("sy"))
+            * 1000000.0
+            / (F.col("n") * F.col("sy")),
+            0,
+        )
+        .cast("long")
+        .alias("gini_ppm"),
+    )

@@ -535,3 +535,77 @@ def q_rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").alias("n_window"),
         )
     )
+
+
+@query(
+    "q_daily_trend_slope",
+    extra=True,
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    centered AS (
+      SELECT user_id,
+             CAST(day - MIN(day) OVER (PARTITION BY user_id) AS BIGINT) AS x,
+             y
+      FROM daily
+    ),
+    s AS (
+      SELECT user_id, COUNT(*) AS c,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM centered GROUP BY user_id
+    )
+    SELECT user_id, CAST(c AS BIGINT) AS n_days,
+           CAST(ROUND((c * sxy - sx * sy) * 1000000.0
+                      / (c * sxx - sx * sx)) AS BIGINT)
+             AS slope_micro_cents_per_day
+    FROM s WHERE c >= 2 AND c * sxx - sx * sx > 0
+    """,
+)
+def q_daily_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user spend trend: ordinary-least-squares slope of daily spend
+    over day index, micro-snapped — the trend-detection member of the
+    time-series family (resample → anomaly → trend). Everything before
+    the single final division is INTEGER (cents y, per-user-centered
+    day x, the c·Σxy − ΣxΣy / c·Σx² − (Σx)² normal-equation form), so an
+    inherently "regression" query value-hashes exactly. Degenerate
+    series (one day, zero x-variance) are excluded by the same rule on
+    both sides.
+
+    Scale: map-side daily pre-aggregate, then one groupBy(user) over
+    per-day rows carrying five integer partial sums — the classic
+    one-pass distributed regression; no window over raw events.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day"),
+        cents("value").alias("v_cents"),
+    )
+    daily = ev.groupBy("user_id", "day").agg(F.sum("v_cents").alias("y"))
+    wmin = Window.partitionBy("user_id")
+    centered = daily.select(
+        "user_id",
+        F.datediff(F.col("day"), F.min("day").over(wmin)).cast("long").alias("x"),
+        "y",
+    )
+    s = centered.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("c") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("c") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        s.where((F.col("c") >= 2) & (den > 0))
+        .select(
+            "user_id",
+            F.col("c").alias("n_days"),
+            F.round(num * 1000000.0 / den, 0)
+            .cast("long")
+            .alias("slope_micro_cents_per_day"),
+        )
+    )
