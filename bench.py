@@ -108,6 +108,10 @@ HEADLINE = [
     "sim_rerank_two_stage",
     "sim_kmeans_cells",
     "text_phrase_search",
+    # closing round-7 batch: the time-series resample (grid explode +
+    # ffill window) and the MG sketch-verify composition
+    "q_resample_daily_ffill",
+    "q_mg_heavy_hitters",
 ]
 
 
