@@ -131,8 +131,10 @@ def bloom_prefilter_join(
     """``fact ⋈ dim`` with the fact side bloom-pruned first.
 
     Exactly equal to the plain join (no false negatives); at scale the
-    exchange under the real join moves only the pass-through fraction
-    (FP rate ≈ (1-e^{-Kn/M})^K — ~0.1% at n=4k keys, M=32k bits).
+    exchange under the real join moves only the pass-through fraction.
+    FP rate ≈ (1-e^{-Kn/M})^K: ~4e-8 at n=40 keys, ~3% at n=4k against
+    M=32k bits — size M ≈ 10·n bits (still KBs at n=100k) to hold the
+    classic ~1% floor when the dim grows.
     """
     words = bloom_build(dim, dim_key)
     pruned = bloom_prefilter(fact, fact_key, words)
