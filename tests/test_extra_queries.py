@@ -60,10 +60,20 @@ def test_extra_query_matches_oracle(name, spark, sf_dir, con):
 
 
 def test_every_extra_query_runs(spark, sf_dir):
-    for name, fn in EXTRA_QUERIES.items():
+    import gc
+
+    for i, (name, fn) in enumerate(EXTRA_QUERIES.items()):
         df = fn(spark, sf_dir)
         assert df.columns, name
         df.limit(1).collect()
+        del df
+        if i % 15 == 14:
+            # 140+ back-to-back plans in ONE session: py4j holds JVM refs
+            # until Python GC runs, so broadcast blocks pile up faster
+            # than ContextCleaner can drop them — at sf0.1 this OOM'd the
+            # driver's broadcast memory even though every query passes
+            # individually. Forcing collection lets the cleaner keep up.
+            gc.collect()
 
 
 def test_np_twin_matches_jvm_brute_force(spark, sf_dir):
