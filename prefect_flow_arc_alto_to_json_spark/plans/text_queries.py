@@ -977,3 +977,71 @@ def text_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("oov_ppm"),
     )
+
+
+@query(
+    "text_token_entropy",
+    extra=True,
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+    ),
+    tc AS (
+      SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY doc_id, term
+    ),
+    contrib AS (
+      SELECT doc_id, c,
+             CAST(ROUND(c * ln(c) * 1000000) AS BIGINT) AS clnc_micro
+      FROM tc
+    ),
+    agg AS (
+      SELECT doc_id, SUM(c) AS n, SUM(clnc_micro) AS sum_clnc
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           CAST(CAST(ROUND(ln(n) * 1000000) AS BIGINT)
+                - CAST(ROUND(CAST(sum_clnc AS DOUBLE) / n) AS BIGINT)
+             AS BIGINT) AS entropy_micro
+    FROM agg
+    """,
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the document's OWN token
+    distribution, H = ln(n) − (1/n)·Σ cᵢ·ln(cᵢ) — the repetitiveness
+    signal (low entropy ⇒ boilerplate / copy-spam / template text) that
+    complements the cross-corpus LM scores: unigram_logprob asks "is
+    this doc typical of the corpus", entropy asks "is this doc diverse
+    within itself". Hash-exact by PIECEWISE micro-snapping: each term's
+    c·ln(c) is snapped before the per-doc sum (the pagerank device), and
+    the final value is a difference of two independently-snapped
+    integers — no compound float expression survives to the output.
+
+    Scale: explode → (doc, term) partial-agg → per-doc agg; both
+    shuffles are map-side-combining and the second carries one row per
+    (doc, distinct term). No windows, no UDFs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(token_array("text")).alias("term"))
+    tc = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    contrib = tc.select(
+        "doc_id",
+        "c",
+        F.round(F.col("c") * F.log(F.col("c")) * 1000000.0, 0)
+        .cast("long")
+        .alias("clnc_micro"),
+    )
+    agg = contrib.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.sum("clnc_micro").alias("sum_clnc")
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        (
+            F.round(F.log(F.col("n")) * 1000000.0, 0).cast("long")
+            - F.round(F.col("sum_clnc").cast("double") / F.col("n"), 0).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("entropy_micro"),
+    )
