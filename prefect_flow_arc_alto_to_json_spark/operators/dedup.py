@@ -803,3 +803,60 @@ def _propagate_min_labels(edges: DataFrame, max_iter: int) -> DataFrame:
         if not changed:
             break
     return labels
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """DIRECTED shingle-containment pairs: C(A→B) = |A∩B| / |A| ≥
+    threshold — the asymmetric near-dup relation symmetric Jaccard
+    misses: a short document quoted wholesale inside a long one scores
+    C≈1 while its Jaccard is tiny. This is the quote / subset /
+    excerpt detector of the dedup family (and the redundancy signal for
+    "drop the contained doc, keep the superset" policies, composing
+    with dedup_canonical's keep-longest rule).
+
+    Same posting-join complexity discipline as ngram_jaccard_pairs
+    (explode → hash post-explode → self-join on shingle hash; pair work
+    follows SHARED shingles, not corpus²); the directed output simply
+    emits both orientations of each intersecting pair and filters each
+    against its OWN left-side size. Returns (id_sub, id_super,
+    containment) with containment rounded to 6.
+    """
+    tk = fan_out(df).select(F.col(id_col), token_array(text_col).alias("__toks"))
+    arrs = scoped_persist(
+        tk.select(
+            F.col(id_col), shingles("__toks", n, from_tokens=True).alias("__sh")
+        ),
+        "containment_pairs.shingle_arrays",
+    )
+    posting = scoped_persist(
+        arrs.select(
+            F.col(id_col),
+            F.size("__sh").alias("n_sh"),
+            F.explode("__sh").alias("s"),
+        ).select(F.col(id_col), "n_sh", stable_hash_p31("s").alias("sh")),
+        "containment_pairs.posting",
+    )
+    a = posting.select(
+        F.col(id_col).alias("id_sub"), F.col("n_sh").alias("n_a"), "sh"
+    )
+    b = posting.select(F.col(id_col).alias("id_super"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("id_sub") != F.col("id_super"))
+        .groupBy("id_sub", "id_super")
+        .agg(F.count(F.lit(1)).alias("n_common"), F.first("n_a").alias("n_a"))
+    )
+    return (
+        inter.select(
+            "id_sub",
+            "id_super",
+            F.round(F.col("n_common") / F.col("n_a"), 6).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )

@@ -568,3 +568,32 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_members").cast("long").alias("n_members"),
         )
     )
+
+
+@query(
+    "dedup_containment_pairs",
+    extra=True,
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    shg AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM toks),
+    hsh AS (SELECT doc_id, {_SQL_SHINGLE_HASHES} AS hs FROM shg)
+    SELECT id_sub, id_super, containment FROM (
+      SELECT a.doc_id AS id_sub, b.doc_id AS id_super,
+             ROUND(len(list_intersect(a.hs, b.hs)) / len(a.hs)::DOUBLE, 6)
+               AS containment
+      FROM hsh a JOIN hsh b ON a.doc_id <> b.doc_id
+    ) WHERE containment >= 0.9
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed 3-gram shingle containment ≥ 0.9 (operators/dedup.py:
+    containment_pairs): the asymmetric quote/subset detector — C(A→B) =
+    |A∩B|/|A|, so a short doc fully embedded in a longer one fires even
+    though the pair's Jaccard is far below any near-dup threshold. The
+    oracle brute-forces all directed pairs over the same shingle-hash
+    lists; the engine materializes only posting-join survivors.
+    """
+    from ..operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return containment_pairs(docs, threshold=0.9)
