@@ -612,3 +612,65 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gini_ppm"),
     )
+
+
+@query(
+    "q_chi_square_independence",
+    extra=True,
+    oracle="""
+    WITH o AS (
+      SELECT lang, source, COUNT(*) AS obs FROM documents GROUP BY 1, 2
+    ),
+    rt AS (SELECT lang, SUM(obs) AS r FROM o GROUP BY lang),
+    ct AS (SELECT source, SUM(obs) AS c FROM o GROUP BY source),
+    n AS (SELECT SUM(obs) AS n FROM o),
+    terms AS (
+      SELECT CAST(ROUND(
+               (o.obs - CAST(rt.r * ct.c AS DOUBLE) / n.n)
+               * (o.obs - CAST(rt.r * ct.c AS DOUBLE) / n.n)
+               / (CAST(rt.r * ct.c AS DOUBLE) / n.n) * 1000000
+             ) AS BIGINT) AS t_micro
+      FROM o JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN n
+    )
+    SELECT CAST((SELECT COUNT(*) FROM o) AS BIGINT) AS n_cells,
+           CAST(SUM(t_micro) AS BIGINT) AS chi2_micro
+    FROM terms
+    """,
+)
+def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square statistic for lang ⊥ source over the observed
+    contingency table — the corpus-balance audit ("is language mix
+    independent of origin?") beside PSI/JS drift. Each cell's
+    (o−e)²/e term is micro-snapped BEFORE the sum (the per-term snap
+    device — e = r·c/N is one double division with identical integer
+    operands on both engines), so the statistic value-hashes despite
+    being a sum of float terms.
+
+    Scale: the contingency table is one map-side-combining groupBy;
+    margins and N derive from it (cells-sized, broadcast); the term sum
+    is cells-sized. Raw docs are touched once.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    o = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("obs"))
+    rt = o.groupBy("lang").agg(F.sum("obs").alias("r"))
+    ct = o.groupBy("source").agg(F.sum("obs").alias("c"))
+    n = o.agg(F.sum("obs").alias("n"))
+    e = (F.col("r") * F.col("c")).cast("double") / F.col("n")
+    terms = (
+        o.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.round(
+                (F.col("obs") - e) * (F.col("obs") - e) / e * 1000000, 0
+            )
+            .cast("long")
+            .alias("t_micro")
+        )
+    )
+    n_cells = o.agg(F.count(F.lit(1)).alias("n_cells"))
+    return (
+        terms.agg(F.sum("t_micro").alias("chi2_micro"))
+        .crossJoin(F.broadcast(n_cells))
+        .select("n_cells", "chi2_micro")
+    )
