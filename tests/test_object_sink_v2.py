@@ -82,7 +82,9 @@ def test_composes_with_reference_json_emit(spark, sf_dir):
 
     xml = "<alto><Layout><Page WIDTH='10' HEIGHT='20'/></Layout></alto>"
     df = spark.createDataFrame([("d1", xml)], "name string, xml string")
-    pretty = F.udf(_pretty_json, "string")  # test-only convenience
+    # test-only convenience; the lambda avoids pyspark's eval-type-from-
+    # hints warning on _pretty_json's non-column annotations
+    pretty = F.udf(lambda v: _pretty_json(v), "string")
     payloads = simplify_alto(df).select(
         "name", pretty(simplified_json("simplified")).alias("payload")
     )
