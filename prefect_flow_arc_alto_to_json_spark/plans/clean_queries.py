@@ -674,3 +674,88 @@ def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_cells))
         .select("n_cells", "chi2_micro")
     )
+
+
+@query(
+    "q_corpus_card",
+    extra=True,
+    oracle="""
+    WITH base AS (
+      SELECT COUNT(*) AS n_docs,
+             COUNT(DISTINCT source) AS n_sources,
+             COUNT(DISTINCT lang) AS n_langs,
+             SUM(n_chars) AS total_chars,
+             COUNT(*) - COUNT(DISTINCT md5(text)) AS n_exact_dup_docs
+      FROM documents
+    ),
+    lc AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+    dom AS (SELECT lang FROM lc ORDER BY c DESC, lang LIMIT 1),
+    ent AS (
+      SELECT SUM(CAST(ROUND(c * ln(c) * 1000000) AS BIGINT)) AS sum_clnc,
+             SUM(c) AS n
+      FROM lc
+    )
+    SELECT CAST(base.n_docs AS BIGINT) AS n_docs,
+           CAST(base.n_sources AS BIGINT) AS n_sources,
+           CAST(base.n_langs AS BIGINT) AS n_langs,
+           CAST(base.total_chars AS BIGINT) AS total_chars,
+           CAST(base.n_exact_dup_docs AS BIGINT) AS n_exact_dup_docs,
+           dom.lang AS dominant_lang,
+           CAST(CAST(ROUND(ln(ent.n) * 1000000) AS BIGINT)
+                - CAST(ROUND(CAST(ent.sum_clnc AS DOUBLE) / ent.n) AS BIGINT)
+             AS BIGINT) AS lang_entropy_micro
+    FROM base, dom, ent
+    """,
+)
+def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row DATASET CARD: the corpus-level profile every released
+    training set ships with — doc/source/language counts, total chars,
+    exact-duplicate count (docs minus distinct content digests),
+    dominant language, and the language-distribution entropy (piecewise
+    micro-snapped, the text_token_entropy device) — assembled as one
+    composition of 1-row aggregates joined by broadcast crossJoins.
+
+    Scale: three map-side-combining passes (global aggregate, per-lang
+    counts, digest distinct) — each exchange is constant- or
+    cardinality-sized; no windows, no corpus-sized broadcast.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias(
+            "n_exact_dup_docs"
+        ),
+    )
+    lc = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    dom = lc.orderBy(F.col("c").desc(), F.col("lang")).limit(1).select(
+        F.col("lang").alias("dominant_lang")
+    )
+    ent = lc.agg(
+        F.sum(
+            F.round(F.col("c") * F.log(F.col("c")) * 1000000.0, 0).cast("long")
+        ).alias("sum_clnc"),
+        F.sum("c").alias("n"),
+    )
+    return (
+        base.crossJoin(F.broadcast(dom))
+        .crossJoin(F.broadcast(ent))
+        .select(
+            "n_docs",
+            "n_sources",
+            "n_langs",
+            "total_chars",
+            "n_exact_dup_docs",
+            "dominant_lang",
+            (
+                F.round(F.log(F.col("n")) * 1000000.0, 0).cast("long")
+                - F.round(
+                    F.col("sum_clnc").cast("double") / F.col("n"), 0
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("lang_entropy_micro"),
+        )
+    )
