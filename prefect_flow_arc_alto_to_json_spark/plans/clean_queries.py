@@ -650,8 +650,15 @@ def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     margins and N derive from it (cells-sized, broadcast); the term sum
     is cells-sized. Raw docs are touched once.
     """
+    from ..functions.scale import scoped_persist
+
     docs = load_table(spark, sf_dir, "documents")
-    o = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("obs"))
+    # the contingency table feeds FOUR consumers (margins, N, terms) —
+    # persist the cells-sized relation so the corpus groupBy runs once
+    o = scoped_persist(
+        docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("obs")),
+        "chi_square.contingency",
+    )
     rt = o.groupBy("lang").agg(F.sum("obs").alias("r"))
     ct = o.groupBy("source").agg(F.sum("obs").alias("c"))
     n = o.agg(F.sum("obs").alias("n"))

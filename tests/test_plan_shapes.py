@@ -173,6 +173,33 @@ _SHUFFLE_BUDGETS = {
     "sim_knn_classify": 2,
     # ONE (label, dim) exchange; posexplode collapses map-side first
     "sim_label_centroids": 1,
+    # round-7 additions — the eval / time-series / governance families:
+    # score-histogram agg + distribution-window sort (corpus never windows)
+    "q_roc_auc": 2,
+    "q_roc_auc_by_lang": 2,
+    # 1-row min/max broadcast + ≤10-bin agg
+    "q_calibration_bins": 2,
+    # per-user totals agg + user-cardinality rank window
+    "q_gini_concentration": 2,
+    # contingency agg persisted once; margins/N/terms re-read it (static
+    # dump embeds the cached subtree per consumer — runtime runs it once)
+    "q_chi_square_independence": 10,
+    # quasi-id class agg + 1-row census
+    "q_k_anonymity": 2,
+    # daily pre-agg + per-user normal-equation agg
+    "q_daily_trend_slope": 2,
+    # daily pre-agg + per-user window (shared user exchange)
+    "q_rolling_zscore_anomaly": 2,
+    # daily agg + grid join/ffill on the same user partitioning
+    "q_resample_daily_ffill": 2,
+    # (doc, term) agg + per-doc agg
+    "text_token_entropy": 2,
+    # token agg + vocab TakeOrdered + per-doc agg (vocab join broadcast)
+    "text_vocab_oov": 2,
+    # MG candidates (≤29/partition) + candidate count + 1-row total
+    "q_mg_heavy_hitters": 3,
+    # broadcast anchors × corpus; local topk + global rank merge
+    "sim_hard_negatives": 1,
     # bounds agg (1-row) + per-z-cell agg
     "q_zorder_index": 2,
     # final plan reads the checkpointed last iteration: the per-iteration
