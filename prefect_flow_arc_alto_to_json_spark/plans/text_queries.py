@@ -106,9 +106,9 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@query(
-    "text_quality",
-    oracle=f"""
+#: the full quality-score derivation as reusable CTE text — shared by
+#: text_quality (the score itself) and text_quality_auc (its evaluation)
+_QUALITY_CTES = f"""
     WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents),
     m AS (
       SELECT doc_id,
@@ -129,13 +129,22 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         CASE WHEN n > 0 THEN (2 * p * 1000000 + n) // (2 * n) ELSE 0 END AS pu,
         CASE WHEN ntok > 0 THEN (2 * sl * 1000000 + ntok) // (2 * ntok) END AS mu
       FROM m
+    ),
+    q AS (
+      SELECT doc_id,
+        CAST(3 * lu + 3 * au
+             + 2 * (CASE WHEN pu > 200000 THEN 0 ELSE 1000000 END)
+             + 2 * (CASE WHEN mu >= 3000000 AND mu <= 12000000 THEN 1000000 ELSE 500000 END)
+          AS DOUBLE) / 10000000.0 AS quality
+      FROM u
     )
-    SELECT doc_id,
-      CAST(3 * lu + 3 * au
-           + 2 * (CASE WHEN pu > 200000 THEN 0 ELSE 1000000 END)
-           + 2 * (CASE WHEN mu >= 3000000 AND mu <= 12000000 THEN 1000000 ELSE 500000 END)
-        AS DOUBLE) / 10000000.0 AS quality
-    FROM u
+"""
+
+
+@query(
+    "text_quality",
+    oracle=_QUALITY_CTES + """
+    SELECT doc_id, quality FROM q
     """,
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1045,3 +1054,53 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("entropy_micro"),
     )
+
+
+@query(
+    "text_quality_auc",
+    extra=True,
+    oracle=_QUALITY_CTES + """
+    , scored AS (
+      SELECT q.quality AS s,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM q JOIN documents d ON d.doc_id = q.doc_id
+    ),
+    g AS (SELECT s, COUNT(*) AS c, SUM(y) AS p FROM scored GROUP BY s),
+    r AS (
+      SELECT s, c, p,
+             COALESCE(SUM(c) OVER (
+               ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cum
+      FROM g
+    ),
+    tt AS (
+      SELECT SUM(p * (2 * cum + c + 1)) AS s2,
+             SUM(p) AS n_pos, SUM(c - p) AS n_neg
+      FROM r
+    )
+    SELECT CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_neg AS BIGINT) AS n_neg,
+           CAST(ROUND((s2 - n_pos * (n_pos + 1)) * 1000000.0
+                      / (2.0 * n_pos * n_neg)) AS BIGINT) AS auc_ppm
+    FROM tt
+    """,
+)
+def text_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluate OUR OWN quality classifier: the AUC of
+    textstats.quality_score against the lang='en' label — the eval loop
+    closed end-to-end inside the engine (score derivation AND its
+    Mann-Whitney evaluation both value-oracled; the oracle reuses the
+    factored _QUALITY_CTES verbatim, then runs the same histogram
+    rank-sum as q_roc_auc on the resulting double scores — exact
+    because both engines derive bit-identical quality doubles from the
+    integer micro-unit form).
+    """
+    from ..operators.quality import roc_auc_histogram
+    from ..operators.textstats import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        quality_score("text").alias("quality"),
+        (F.col("lang") == "en").alias("is_en"),
+    )
+    return roc_auc_histogram(scored, "quality", "is_en")
