@@ -597,3 +597,82 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return containment_pairs(docs, threshold=0.9)
+
+
+@query(
+    "dedup_drop_contained",
+    extra=True,
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    shg AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM toks),
+    hsh AS (SELECT doc_id, {_SQL_SHINGLE_HASHES} AS hs FROM shg),
+    pairs AS (
+      SELECT id_sub, id_super, containment FROM (
+        SELECT a.doc_id AS id_sub, b.doc_id AS id_super,
+               ROUND(len(list_intersect(a.hs, b.hs)) / len(a.hs)::DOUBLE, 6)
+                 AS containment
+        FROM hsh a JOIN hsh b ON a.doc_id <> b.doc_id
+      ) WHERE containment >= 0.9
+    ),
+    directed AS (
+      SELECT p.id_sub, p.id_super, p.containment
+      FROM pairs p
+      JOIN documents ds ON ds.doc_id = p.id_sub
+      JOIN documents dp ON dp.doc_id = p.id_super
+      WHERE dp.n_chars > ds.n_chars
+         OR (dp.n_chars = ds.n_chars AND dp.doc_id < ds.doc_id)
+    )
+    SELECT id_sub AS dropped_doc_id, id_super AS kept_in_doc_id, containment
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY id_sub ORDER BY containment DESC, id_super ASC
+      ) AS rn FROM directed
+    ) WHERE rn = 1
+    """,
+)
+def dedup_drop_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The containment POLICY step: for every doc ≥0.9-contained in a
+    STRICTLY LONGER doc (n_chars tie → lower id wins as keeper), emit
+    (dropped_doc_id, kept_in_doc_id, containment) with the best keeper
+    per dropped doc (highest containment, lowest id tiebreak) — the
+    actionable drop-list a corpus build applies via anti-join, the
+    asymmetric complement of dedup_canonical's keep-longest-per-cluster.
+
+    Scale: containment pairs (posting-join bounded) joined twice against
+    the id→n_chars relation (broadcast-small per pair set), one per-sub
+    argmax window on the pair relation — nothing corpus-sized past the
+    posting join.
+    """
+    from ..operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    pairs = containment_pairs(docs.select("doc_id", "text"), threshold=0.9)
+    ds = docs.select(F.col("doc_id").alias("id_sub"), F.col("n_chars").alias("nc_sub"))
+    dp = docs.select(
+        F.col("doc_id").alias("id_super"), F.col("n_chars").alias("nc_super")
+    )
+    directed = (
+        pairs.join(ds, "id_sub")
+        .join(dp, "id_super")
+        .where(
+            (F.col("nc_super") > F.col("nc_sub"))
+            | (
+                (F.col("nc_super") == F.col("nc_sub"))
+                & (F.col("id_super") < F.col("id_sub"))
+            )
+        )
+    )
+    w = Window.partitionBy("id_sub").orderBy(
+        F.col("containment").desc(), F.col("id_super").asc()
+    )
+    return (
+        directed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("id_sub").alias("dropped_doc_id"),
+            F.col("id_super").alias("kept_in_doc_id"),
+            "containment",
+        )
+    )
