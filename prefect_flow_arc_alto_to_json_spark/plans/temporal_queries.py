@@ -609,3 +609,78 @@ def q_daily_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("slope_micro_cents_per_day"),
         )
     )
+
+
+@query(
+    "q_daily_backlog",
+    extra=True,
+    oracle="""
+    WITH opens AS (
+      SELECT CAST(o.o_orderdate AS DATE) AS day, COUNT(*) AS n_opened
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1
+    ),
+    ships AS (
+      SELECT CAST(l_shipdate AS DATE) AS day, COUNT(*) AS n_shipped
+      FROM lineitem GROUP BY 1
+    ),
+    spine AS (
+      SELECT COALESCE(o.day, s.day) AS day,
+             COALESCE(o.n_opened, 0) AS n_opened,
+             COALESCE(s.n_shipped, 0) AS n_shipped
+      FROM opens o FULL OUTER JOIN ships s ON s.day = o.day
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(n_opened AS BIGINT) AS n_opened,
+           CAST(n_shipped AS BIGINT) AS n_shipped,
+           CAST(SUM(n_opened - n_shipped) OVER (
+             ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS backlog
+    FROM spine
+    """,
+)
+def q_daily_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sourced state reconstruction: the daily open-lineitem
+    BACKLOG — each line item enters the backlog at its order date and
+    leaves at its ship date; the running difference of the two daily
+    streams replays "how many items were open as of day D" for every
+    activity day, the burndown/inventory-position query every
+    order-management warehouse runs.
+
+    Scale: two map-side-combining daily counts (fact rows collapse to
+    date cardinality BEFORE any join), a date-keyed FULL OUTER merge,
+    and a cumulative window over the ~date-cardinality spine (the
+    psi_drift small-relation exception — thousands of rows regardless
+    of fact size). Facts are never windowed or re-shuffled.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("open_day")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("ship_day")
+    )
+    opens = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(F.col("open_day").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_opened"))
+    )
+    ships = li.groupBy(F.col("ship_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_shipped")
+    )
+    spine = (
+        opens.join(ships, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("n_opened", F.lit(0)).alias("n_opened"),
+            F.coalesce("n_shipped", F.lit(0)).alias("n_shipped"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return spine.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n_opened").cast("long").alias("n_opened"),
+        F.col("n_shipped").cast("long").alias("n_shipped"),
+        F.sum(F.col("n_opened") - F.col("n_shipped")).over(w).alias("backlog"),
+    )
