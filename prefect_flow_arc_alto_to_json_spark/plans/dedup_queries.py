@@ -676,3 +676,59 @@ def dedup_drop_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
             "containment",
         )
     )
+
+
+@query(
+    "dedup_cross_source_matrix",
+    extra=True,
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    shg AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM toks),
+    hsh AS (SELECT doc_id, {_SQL_SHINGLE_HASHES} AS hs FROM shg),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          len(list_intersect(a.hs, b.hs)) /
+          (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))::DOUBLE
+            AS jaccard
+        FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+      ) WHERE jaccard >= 0.8
+    )
+    SELECT LEAST(da.source, db.source) AS source_a,
+           GREATEST(da.source, db.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.id_a
+    JOIN documents db ON db.doc_id = p.id_b
+    WHERE da.source <> db.source
+    GROUP BY 1, 2
+    """,
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source syndication audit: per source pair, how many
+    NEAR-duplicate document pairs (3-gram Jaccard >= 0.8) span the two —
+    the "same content syndicated across origins" signal that decides
+    which source to de-prioritize in the corpus mix, rolling the
+    doc-level near-dup relation up to the source level.
+
+    Scale: pairs come from the posting-join-bounded generator
+    (ngram_jaccard_pairs — never corpus^2); the source lookups are
+    id-equi-joins on the pair relation and the output is
+    source^2-bounded, tiny at any corpus size.
+    """
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs.select("doc_id", "text"), threshold=0.8)
+    da = docs.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa"))
+    db = docs.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(da, "id_a")
+        .join(db, "id_b")
+        .where(F.col("sa") != F.col("sb"))
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    )
