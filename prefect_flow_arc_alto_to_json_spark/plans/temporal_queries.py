@@ -667,12 +667,20 @@ def q_daily_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     ships = li.groupBy(F.col("ship_day").alias("day")).agg(
         F.count(F.lit(1)).alias("n_shipped")
     )
+    # the date-keyed merge as UNION ALL + re-aggregate, not a FULL OUTER
+    # join: full outer can never broadcast (both sides must stream), so
+    # Catalyst sort-merges two date-cardinality relations — the union
+    # form collapses in the same single exchange the daily counts
+    # already pay, with no join operator at all
     spine = (
-        opens.join(ships, "day", "full_outer")
-        .select(
-            "day",
-            F.coalesce("n_opened", F.lit(0)).alias("n_opened"),
-            F.coalesce("n_shipped", F.lit(0)).alias("n_shipped"),
+        opens.select("day", "n_opened", F.lit(0).alias("n_shipped"))
+        .unionByName(
+            ships.select("day", F.lit(0).alias("n_opened"), "n_shipped")
+        )
+        .groupBy("day")
+        .agg(
+            F.sum("n_opened").alias("n_opened"),
+            F.sum("n_shipped").alias("n_shipped"),
         )
     )
     w = Window.orderBy("day").rowsBetween(
