@@ -7,7 +7,7 @@ window sums are pure integer arithmetic both engines compute identically).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.scale import fan_out
@@ -220,4 +220,55 @@ def text_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.col("n_chars").cast("long").alias("n_chars"),
         F.col("sample_rank").cast("int").alias("sample_rank"),
+    )
+
+
+@query(
+    "corpus_shard_plan",
+    extra=True,
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, n_chars,
+             ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents
+    ),
+    assigned AS (
+      SELECT doc_id, n_chars, (rk - 1) % 8 AS shard_id FROM ranked
+    )
+    SELECT CAST(shard_id AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM assigned GROUP BY shard_id
+    """,
+)
+def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic export sharding: assign every document to one of 8
+    output shards by SIZE-RANKED round-robin (largest docs dealt out
+    first, shard = rank mod 8) — the striped-LPT export plan whose
+    imbalance is provably bounded by one document size per stripe,
+    without the order-dependent state a greedy bin-filler needs. This
+    is the file-level complement of text_pack_bins (batch-level): pack
+    decides what goes in a training batch, the shard plan decides what
+    goes in each output file of the exported dataset.
+
+    Scale note: the global size rank is a corpus-wide ROW_NUMBER — at
+    100 TB this becomes repartitionByRange(n_chars) + per-range local
+    ranks offset by broadcast range counts (the dense-ids device,
+    operators/ids.py); the mod-8 deal and the per-shard rollup are
+    unchanged. At benchmark scale the single window is the simpler
+    honest plan and the oracle replays it exactly.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    assigned = docs.select(
+        "n_chars",
+        ((F.row_number().over(w) - 1) % 8).alias("shard_id"),
+    )
+    return assigned.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    ).select(
+        F.col("shard_id").cast("long").alias("shard_id"),
+        "n_docs",
+        "total_chars",
     )
