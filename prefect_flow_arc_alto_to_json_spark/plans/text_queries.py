@@ -1104,3 +1104,47 @@ def text_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == "en").alias("is_en"),
     )
     return roc_auc_histogram(scored, "quality", "is_en")
+
+
+@query(
+    "text_boolean_search",
+    extra=True,
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+    ),
+    has_table AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'table'),
+    has_scan  AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'scan'),
+    has_spark AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark')
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM tok t
+    JOIN has_table a ON a.doc_id = t.doc_id
+    JOIN has_scan b ON b.doc_id = t.doc_id
+    WHERE NOT EXISTS (SELECT 1 FROM has_spark s WHERE s.doc_id = t.doc_id)
+    GROUP BY t.doc_id
+    """,
+)
+def text_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean retrieval over the inverted index: documents matching
+    ``table AND scan AND NOT spark`` (returned with their token counts)
+    — the conjunction as left-semi joins on single-term posting slices,
+    the negation as a left-anti join, completing the index family's
+    query algebra (phrase = positional join chain, AND/NOT = semi/anti).
+
+    Scale: each term slice is a partition-pruned scan of the
+    term-bucketed postings layout; semi/anti joins carry doc ids only,
+    so the result never rematerializes postings.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(token_array("text")).alias("term"))
+    def slice_(t):
+        return tok.where(F.col("term") == t).select("doc_id").distinct()
+    matched = (
+        tok.join(slice_("table"), "doc_id", "left_semi")
+        .join(slice_("scan"), "doc_id", "left_semi")
+        .join(slice_("spark"), "doc_id", "left_anti")
+    )
+    return matched.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
