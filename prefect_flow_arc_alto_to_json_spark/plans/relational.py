@@ -2067,3 +2067,63 @@ def q_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_events",
     )
+
+
+@query(
+    "q_topk_agg_form",
+    extra=True,
+    oracle="""
+    SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+             ) AS rn
+      FROM orders
+    )
+    WHERE rn <= 3
+    """,
+)
+def q_topk_agg_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-3 as a PURE AGGREGATE — sort_array(collect_list(
+    struct)) sliced to k, then posexploded — the plan-shape ALTERNATIVE
+    to q_topk_per_group's ranking window, hash-checked against the
+    IDENTICAL oracle so both formulations are pinned to the same answer.
+
+    Why both exist: the window form needs a sort per group but Spark's
+    WindowGroupLimit pre-cuts to k rows before the exchange; the
+    aggregate form is a single partial-merging groupBy whose map-side
+    combine keeps ONLY k rows per group per partition IF the slice is
+    applied in the partial — here the slice happens post-merge, so the
+    exchange carries whole groups: the right trade when groups are
+    small/bounded (per-customer orders) and the window sort dominates,
+    the wrong one on unbounded groups. The pinned equality is what lets
+    a planner swap them safely.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    packed = orders.groupBy("o_custkey").agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("o_totalprice")).alias("neg_price"),
+                        F.col("o_orderkey").alias("o_orderkey"),
+                        F.col("o_totalprice").alias("o_totalprice"),
+                    )
+                )
+            ),
+            1,
+            3,
+        ).alias("top")
+    )
+    return packed.select(
+        "o_custkey", F.posexplode("top").alias("pos", "t")
+    ).select(
+        "o_custkey",
+        F.col("t.o_orderkey").alias("o_orderkey"),
+        F.round(F.col("t.o_totalprice"), 2).alias("totalprice"),
+        (F.col("pos") + 1).cast("int").alias("rn"),
+    )
