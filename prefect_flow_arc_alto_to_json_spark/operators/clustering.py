@@ -210,3 +210,117 @@ def kmeans_oracle_sql(
         ") n ON n.cent_id = f.cent_id",
     ]
     return "\n".join(parts)
+
+
+def farthest_point_sample(
+    corpus: DataFrame,
+    k: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy farthest-point (k-center) sampling on micro-unit integers:
+    seed with the lowest id, then repeatedly add the vector maximizing
+    its MINIMUM squared distance to the chosen set (ties → lowest id) —
+    the diverse-subset selection used for coreset construction and
+    "cover the embedding space" data curation, where random sampling
+    oversamples dense modes.
+
+    Determinism: distances are exact integer sums of (xᵢ−cᵢ)² over
+    micro-unit longs, the argmax is totally ordered, and each round's
+    winner is ONE driver scalar (the components/pagerank small-collect
+    precedent) — so the k-round greedy unrolls into an exact SQL replay.
+
+    Scale: each round is one broadcast of ≤k chosen vectors × one
+    map-side min-distance scan + a 1-row argmax (TakeOrdered) — k scans
+    total, no state on the driver beyond k (id, vector) pairs. Returns
+    (sample_rank, vid, min_dist2) — min_dist2 NULL for the seed.
+    """
+    c = quantize_micro(
+        corpus.select(F.col(id_col).alias("vid"), vec_col), vec_col
+    ).select("vid", "xq").localCheckpoint()
+    seed = c.orderBy("vid").limit(1).select("vid", "xq").first()
+    chosen = [(seed["vid"], seed["xq"], None)]
+    for _ in range(k - 1):
+        cdf = F.broadcast(
+            c.sparkSession.createDataFrame(
+                [(v, x) for v, x, _ in chosen], "cvid long, cq array<long>"
+            )
+        )
+        dist2 = F.aggregate(
+            F.zip_with(F.col("xq"), F.col("cq"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        nxt = (
+            c.join(cdf)
+            .select("vid", "xq", dist2.alias("d2"))
+            .groupBy("vid")
+            .agg(F.min("d2").alias("mind2"), F.first("xq").alias("xq"))
+            .where(~F.col("vid").isin([v for v, _, _ in chosen]))
+            .orderBy(F.col("mind2").desc(), F.col("vid"))
+            .limit(1)
+            .first()
+        )
+        chosen.append((nxt["vid"], nxt["xq"], nxt["mind2"]))
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(i + 1, v, d) for i, (v, _, d) in enumerate(chosen)],
+        "sample_rank int, vid long, min_dist2 long",
+    )
+
+
+def fps_oracle_sql(
+    k: int = 6,
+    dim: int = 64,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Unrolled SQL replay of :func:`farthest_point_sample`: per round,
+    min-distance over the chosen-so-far union and a LIMIT-1 argmax."""
+    parts = [
+        "WITH xq AS (",
+        f"  SELECT {id_col} AS vid, i - 1 AS d,",
+        f"         CAST(ROUND({vec_col}[i]::DOUBLE * {MICRO}) AS BIGINT) AS v",
+        f"  FROM {table}, range(1, {dim + 1}) AS t(i)",
+        "),",
+        "s1 AS (",
+        "  SELECT vid, CAST(NULL AS BIGINT) AS mind2 FROM (",
+        "    SELECT DISTINCT vid FROM xq ORDER BY vid LIMIT 1",
+        "  )",
+        "),",
+    ]
+    for t in range(2, k + 1):
+        prev_union = " UNION ALL ".join(
+            f"SELECT vid FROM s{i}" for i in range(1, t)
+        )
+        parts += [
+            f"ch{t} AS ({prev_union}),",
+            f"d{t} AS (",
+            "  SELECT x.vid, c.vid AS cvid, SUM((x.v - cx.v) * (x.v - cx.v))"
+            " AS d2",
+            f"  FROM xq x, ch{t} c",
+            "  JOIN xq cx ON cx.vid = c.vid",
+            "  WHERE cx.d = x.d",
+            "  GROUP BY x.vid, c.vid",
+            "),",
+            f"s{t} AS (",
+            "  SELECT vid, mind2 FROM (",
+            "    SELECT vid, MIN(d2) AS mind2",
+            f"    FROM d{t}",
+            f"    WHERE vid NOT IN (SELECT vid FROM ch{t})",
+            "    GROUP BY vid",
+            "  ) ORDER BY mind2 DESC, vid LIMIT 1",
+            "),",
+        ]
+    sel = " UNION ALL ".join(
+        f"SELECT {i} AS sample_rank, vid, mind2 AS min_dist2 FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    parts.append(sel.replace("),", ")"))
+    out = "\n".join(parts)
+    # strip the trailing comma of the last CTE before the final SELECT
+    idx = out.rfind("),\nSELECT")
+    if idx != -1:
+        out = out[:idx] + ")\n" + out[idx + 3 :]
+    return out
