@@ -1148,3 +1148,78 @@ def text_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matched.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens")
     )
+
+
+@query(
+    "text_keywords_tfidf",
+    extra=True,
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ),
+    idf AS (
+      SELECT term,
+             CAST(ROUND(ln(
+               CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+               / COUNT(DISTINCT doc_id)
+             ) * 1000000) AS BIGINT) AS idf_micro
+      FROM tok GROUP BY term
+    )
+    SELECT doc_id, term, score_micro, CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT tf.doc_id, tf.term,
+             CAST(tf.tf * idf.idf_micro AS BIGINT) AS score_micro,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * idf.idf_micro DESC, tf.term ASC
+             ) AS rank
+      FROM tf JOIN idf USING (term)
+    ) WHERE rank <= 3
+    """,
+)
+def text_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by tf·idf — idf
+    micro-snapped once per term (ln of ONE double quotient with
+    identical integer operands), so the per-doc score is a pure long
+    product and the whole ranking value-hashes. The per-doc complement
+    of text_top_tokens' corpus-level profile, and the term-weighting
+    bridge between raw counts and BM25's saturated form.
+
+    Scale: tf is the (doc, term) map-side-combining count; idf is
+    vocabulary-sized and broadcasts into the scoring join; the top-3
+    window partitions by doc on the same exchange tf already paid.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(token_array("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = (
+        tok.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            F.round(
+                F.log(F.col("n_docs").cast("double") / F.col("df")) * 1000000.0,
+                0,
+            )
+            .cast("long")
+            .alias("idf_micro"),
+        )
+    )
+    scored = tf.join(F.broadcast(idf), "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.col("idf_micro")).cast("long").alias("score_micro"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "term", "score_micro", F.col("rank").cast("int").alias("rank"))
+    )
