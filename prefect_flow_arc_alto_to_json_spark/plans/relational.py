@@ -2127,3 +2127,52 @@ def q_topk_agg_form(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("t.o_totalprice"), 2).alias("totalprice"),
         (F.col("pos") + 1).cast("int").alias("rn"),
     )
+
+
+@query(
+    "q_mad_robust",
+    extra=True,
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(cents, 0.5) AS m
+      FROM c GROUP BY event_type
+    )
+    SELECT c.event_type,
+           ROUND(med.m, 2) AS median_cents,
+           ROUND(quantile_cont(ABS(c.cents - med.m), 0.5), 2) AS mad_cents
+    FROM c JOIN med USING (event_type)
+    GROUP BY c.event_type, med.m
+    """,
+)
+def q_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per event type — the robust dispersion
+    statistic (outlier-immune, unlike stddev) over exact integer cents:
+    median via the interpolated percentile both engines share
+    (q_percentiles precedent), deviations |x − m| exact doubles (m is at
+    worst a .5 midpoint), second interpolated median over them. The
+    robust complement of q_rolling_zscore_anomaly's mean/σ window.
+
+    Scale: two grouped percentile passes sharing the event_type key —
+    the median relation is group-cardinality-sized and broadcasts into
+    the deviation join; exact percentiles sort within groups only.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", cents("value").alias("cents")
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(cents, 0.5)").alias("m")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "m",
+        F.abs(F.col("cents") - F.col("m")).alias("adev"),
+    )
+    return dev.groupBy("event_type", "m").agg(
+        F.round(F.first("m"), 2).alias("median_cents"),
+        F.round(F.expr("percentile(adev, 0.5)"), 2).alias("mad_cents"),
+    ).select("event_type", "median_cents", "mad_cents")
