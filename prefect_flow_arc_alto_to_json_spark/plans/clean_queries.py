@@ -766,3 +766,103 @@ def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lang_entropy_micro"),
         )
     )
+
+
+@query(
+    "q_spearman_correlation",
+    extra=True,
+    oracle="""
+    WITH u AS (
+      SELECT user_id, COUNT(*) AS x,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS y
+      FROM events GROUP BY user_id
+    ),
+    gx AS (SELECT x, COUNT(*) AS c FROM u GROUP BY x),
+    rx AS (
+      SELECT x, 2 * COALESCE(SUM(c) OVER (
+               ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) + c + 1 AS r2
+      FROM gx
+    ),
+    gy AS (SELECT y, COUNT(*) AS c FROM u GROUP BY y),
+    ry AS (
+      SELECT y, 2 * COALESCE(SUM(c) OVER (
+               ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) + c + 1 AS r2
+      FROM gy
+    ),
+    r AS (
+      SELECT u.user_id, rx.r2 AS a, ry.r2 AS b
+      FROM u JOIN rx ON rx.x = u.x JOIN ry ON ry.y = u.y
+    ),
+    s AS (
+      SELECT COUNT(*) AS n, SUM(a) AS sa, SUM(b) AS sb,
+             SUM(a * b) AS sab, SUM(a * a) AS saa, SUM(b * b) AS sbb
+      FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(ROUND(
+             (n * sab - sa * sb) * 1000000.0
+             / SQRT(CAST(n * saa - sa * sa AS DOUBLE)
+                    * CAST(n * sbb - sb * sb AS DOUBLE))
+           ) AS BIGINT) AS spearman_ppm
+    FROM s
+    """,
+)
+def q_spearman_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between per-user activity (event count)
+    and spend (total cents), TIE-EXACT: midranks come from the
+    score-distribution prefix-sum device (the roc_auc_histogram
+    formulation), kept DOUBLED so they stay integers; every sum in the
+    Pearson-of-ranks formula is then exact, and the one composite double
+    expression (product under the sqrt + final division) has identical
+    operand order on both engines before the ppm snap. The monotone-
+    association member of the statistics family (chi² tests
+    independence of categoricals, this ranks ordinals).
+
+    Scale: per-user aggregate → two distribution-sized rank relations
+    (broadcast into the rank join) → one 1-row moment aggregate; raw
+    events shuffle once.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", cents("value").alias("v_cents")
+    )
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("x"), F.sum("v_cents").alias("y")
+    )
+
+    def midranks(col: str) -> DataFrame:
+        g = u.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        w = (
+            Window.orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return g.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("c").over(w), F.lit(0))
+                + F.col("c")
+                + 1
+            ).alias("r2"),
+        )
+
+    rx = midranks("x").withColumnRenamed("r2", "a")
+    ry = midranks("y").withColumnRenamed("r2", "b")
+    r = u.join(F.broadcast(rx), "x").join(F.broadcast(ry), "y")
+    s = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.sum(F.col("a") * F.col("b")).alias("sab"),
+        F.sum(F.col("a") * F.col("a")).alias("saa"),
+        F.sum(F.col("b") * F.col("b")).alias("sbb"),
+    )
+    num = F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")
+    d1 = (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
+    d2 = (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")
+    return s.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.round(num * 1000000.0 / F.sqrt(d1 * d2), 0)
+        .cast("long")
+        .alias("spearman_ppm"),
+    )
