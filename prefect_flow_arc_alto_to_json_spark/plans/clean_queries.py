@@ -866,3 +866,68 @@ def q_spearman_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("spearman_ppm"),
     )
+
+
+@query(
+    "q_wilson_bounds",
+    extra=True,
+    oracle="""
+    WITH s AS (
+      SELECT source, COUNT(*) AS n,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS k
+      FROM documents GROUP BY source
+    )
+    SELECT source, CAST(n AS BIGINT) AS n_docs, CAST(k AS BIGINT) AS n_en,
+           CAST(ROUND(
+             (CAST(k AS DOUBLE) / n + 1.9208 / n
+              - 1.96 * SQRT((CAST(k AS DOUBLE) / n)
+                            * (1.0 - CAST(k AS DOUBLE) / n) / n
+                            + 0.9604 / (CAST(n AS DOUBLE) * n)))
+             / (1.0 + 3.8416 / n) * 1000000
+           ) AS BIGINT) AS lo_ppm,
+           CAST(ROUND(
+             (CAST(k AS DOUBLE) / n + 1.9208 / n
+              + 1.96 * SQRT((CAST(k AS DOUBLE) / n)
+                            * (1.0 - CAST(k AS DOUBLE) / n) / n
+                            + 0.9604 / (CAST(n AS DOUBLE) * n)))
+             / (1.0 + 3.8416 / n) * 1000000
+           ) AS BIGINT) AS hi_ppm
+    FROM s
+    """,
+)
+def q_wilson_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% score interval for each source's English-document rate
+    — the honest uncertainty band every per-slice rate report needs
+    (small sources get wide bands instead of false precision; the naive
+    ±1.96√(pq/n) interval collapses at p≈0 or tiny n, Wilson doesn't).
+    The full composite formula is ONE double expression with identical
+    operand order on both engines (constants pre-squared: z=1.96,
+    z²=3.8416, z²/2=1.9208, z⁴/4=0.9604), snapped once per bound.
+
+    Scale: one map-side-combining groupBy(source); the interval math is
+    a scalar projection over the source-cardinality relation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("k"),
+    )
+    p = F.col("k").cast("double") / F.col("n")
+    rad = F.sqrt(
+        p * (1.0 - p) / F.col("n")
+        + 0.9604 / (F.col("n").cast("double") * F.col("n"))
+    )
+    denom = 1.0 + 3.8416 / F.col("n")
+
+    def bound(sign: int):
+        center = p + 1.9208 / F.col("n")
+        expr = (center + sign * 1.96 * rad) / denom * 1000000
+        return F.round(expr, 0).cast("long")
+
+    return s.select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("k").cast("long").alias("n_en"),
+        bound(-1).alias("lo_ppm"),
+        bound(+1).alias("hi_ppm"),
+    )
