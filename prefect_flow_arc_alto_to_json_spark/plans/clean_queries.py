@@ -931,3 +931,74 @@ def q_wilson_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         bound(-1).alias("lo_ppm"),
         bound(+1).alias("hi_ppm"),
     )
+
+
+@query(
+    "q_ks_two_sample",
+    extra=True,
+    oracle="""
+    WITH g AS (
+      SELECT n_chars AS x,
+             SUM(CASE WHEN source LIKE 'src1%' THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN source LIKE 'src1%' THEN 0 ELSE 1 END) AS cb
+      FROM documents GROUP BY n_chars
+    ),
+    c AS (
+      SELECT x,
+             SUM(ca) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+             SUM(cb) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+      FROM g
+    ),
+    t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM g)
+    SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+           CAST(ROUND(MAX(ABS(c.cuma * t.nb - c.cumb * t.na))
+                      * 1000000.0 / (t.na * t.nb)) AS BIGINT) AS ks_d_ppm
+    FROM c, t
+    GROUP BY t.na, t.nb
+    """,
+)
+def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the length
+    distributions of the src1* sources and the rest — D = max|F_A − F_B|
+    computed as integer cross-multiplied cumulative counts over the
+    merged value distribution, one ppm-snapped division at the end.
+    Completes the drift-test family: PSI (binned), JS divergence
+    (vocab), chi² (categorical independence), KS (continuous CDFs,
+    bin-free).
+
+    Scale: one map-side-combining groupBy(value) with both groups'
+    counts as CASE sums (one pass, no join of two samples), a prefix
+    window over the |distinct values| relation, and a 1-row max.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "n_chars", F.col("source").like("src1%").alias("is_a")
+    )
+    g = docs.groupBy(F.col("n_chars").alias("x")).agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).alias("cb"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = g.select(
+        F.sum("ca").over(w).alias("cuma"), F.sum("cb").over(w).alias("cumb")
+    )
+    t = F.broadcast(g.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb")))
+    return (
+        c.crossJoin(t)
+        .groupBy("na", "nb")
+        .agg(
+            F.max(
+                F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na"))
+            ).alias("maxd")
+        )
+        .select(
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            F.round(
+                F.col("maxd") * 1000000.0 / (F.col("na") * F.col("nb")), 0
+            )
+            .cast("long")
+            .alias("ks_d_ppm"),
+        )
+    )
