@@ -1002,3 +1002,54 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ks_d_ppm"),
         )
     )
+
+
+@query(
+    "q_benford_digit_audit",
+    extra=True,
+    oracle="""
+    WITH d AS (
+      SELECT CAST(SUBSTR(CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR), 1, 1)
+               AS BIGINT) AS digit
+      FROM events WHERE value > 0
+    ),
+    c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT SUM(n) AS total FROM c)
+    SELECT c.digit, CAST(c.n AS BIGINT) AS n,
+           CAST(ROUND(c.n * 1000000.0 / t.total) AS BIGINT) AS observed_ppm,
+           CAST(ROUND(ln(1.0 + 1.0 / c.digit) / ln(10.0) * 1000000)
+             AS BIGINT) AS benford_ppm
+    FROM c, t
+    """,
+)
+def q_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of the value column: observed
+    leading-digit shares (of integer cents) next to the Benford
+    expectation log10(1 + 1/d) — the classic fabricated-data /
+    pipeline-corruption smoke test (synthetic uniform values fail it
+    loudly; organic multiplicative data passes). Both shares
+    ppm-snapped; the digit extraction goes through the exact integer
+    cents string so both engines see identical digits.
+
+    Scale: one narrow map (digit of each value) + a 9-row count; the
+    expectation is a constant expression per digit row.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("value") > 0)
+    d = ev.select(
+        F.substring(cents("value").cast("string"), 1, 1).cast("long").alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = F.broadcast(c.agg(F.sum("n").alias("total")))
+    return c.crossJoin(t).select(
+        "digit",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") * 1000000.0 / F.col("total"), 0)
+        .cast("long")
+        .alias("observed_ppm"),
+        F.round(
+            F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0)) * 1000000,
+            0,
+        )
+        .cast("long")
+        .alias("benford_ppm"),
+    )

@@ -692,3 +692,70 @@ def q_daily_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_shipped").cast("long").alias("n_shipped"),
         F.sum(F.col("n_opened") - F.col("n_shipped")).over(w).alias("backlog"),
     )
+
+
+@query(
+    "q_autocorr_lag1",
+    extra=True,
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS y
+      FROM events GROUP BY 1
+    ),
+    p AS (
+      SELECT y,
+             LAG(y) OVER (ORDER BY day) AS yprev
+      FROM daily
+    ),
+    s AS (
+      SELECT COUNT(*) AS n, SUM(y) AS sa, SUM(yprev) AS sb,
+             SUM(y * yprev) AS sab,
+             SUM(y * y) AS saa, SUM(yprev * yprev) AS sbb
+      FROM p WHERE yprev IS NOT NULL
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           CAST(ROUND(
+             (n * sab - sa * sb) * 1000000.0
+             / SQRT(CAST(n * saa - sa * sa AS DOUBLE)
+                    * CAST(n * sbb - sb * sb AS DOUBLE))
+           ) AS BIGINT) AS acf1_ppm
+    FROM s
+    """,
+)
+def q_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of corpus-wide daily spend — Pearson over
+    (yₜ, yₜ₋₁) pairs with all moments in exact integer cents and the one
+    composite double (product under the sqrt, final division) in
+    identical operand order before the ppm snap — the q_spearman device
+    applied to the time axis. Completes the time-series statistics:
+    trend (slope), dispersion burst (z-score), persistence (this).
+
+    Scale: daily pre-aggregate (map-side) → lag window over the
+    date-spine relation → 1-row moment aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), cents("value").alias("v")
+    )
+    daily = ev.groupBy("day").agg(F.sum("v").alias("y"))
+    w = Window.orderBy("day")
+    p = daily.select(
+        "y", F.lag("y").over(w).alias("yprev")
+    ).where(F.col("yprev").isNotNull())
+    s = p.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sa"),
+        F.sum("yprev").alias("sb"),
+        F.sum(F.col("y") * F.col("yprev")).alias("sab"),
+        F.sum(F.col("y") * F.col("y")).alias("saa"),
+        F.sum(F.col("yprev") * F.col("yprev")).alias("sbb"),
+    )
+    num = F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")
+    d1 = (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
+    d2 = (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")
+    return s.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round(num * 1000000.0 / F.sqrt(d1 * d2), 0)
+        .cast("long")
+        .alias("acf1_ppm"),
+    )
