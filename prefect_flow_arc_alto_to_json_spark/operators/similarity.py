@@ -967,3 +967,148 @@ def two_stage_topk(
     return exact.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
+
+
+#: Product quantization layout: EMB_DIM is split into PQ_SUBSPACES
+#: contiguous blocks of EMB_DIM/PQ_SUBSPACES dims; each block is encoded
+#: as one of PQ_CODES codewords -> 8 small codes per vector (vs 64
+#: floats), a 32x bandwidth cut for the scan stage.
+PQ_SUBSPACES = 8
+PQ_CODES = 16
+
+
+def pq_index(
+    corpus: DataFrame,
+    n_subspaces: int = PQ_SUBSPACES,
+    n_codes: int = PQ_CODES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Product-quantization index: (codebook, encoded corpus).
+
+    The codebook is the ``n_codes`` lowest-id corpus vectors (the same
+    deterministic-sample device as :func:`ivf_index` — a production build
+    would Lloyd-refine per subspace, same plan shape), kept as FULL
+    vectors; subspace ``m`` of code ``c`` is dims ``m*d+1 .. (m+1)*d``.
+    Encoding assigns every (vector, subspace) pair the code minimizing
+    squared L2 distance over that block (lowest code id on ties):
+    corpus x broadcast(subspaces x codebook) -> partial-agg ``min_by`` —
+    linear in N * n_subspaces * n_codes, no shuffle wider than the
+    (vid, m) aggregation.
+
+    Returns ``(codebook(code, cvec), encoded(vid, m, code))``. At 100 TB
+    the encoded relation is 8 small ints per vector — the only thing the
+    ADC scan stage ever reads; full vectors are touched again only by the
+    shortlist rerank's id-equi point lookups.
+    """
+    d = EMB_DIM // n_subspaces
+    c = fan_out(corpus).select(
+        F.col(id_col).alias("vid"), _as_double(vec_col).alias("vec")
+    )
+    cb = (
+        c.orderBy("vid")
+        .limit(n_codes)
+        .select(F.col("vid").alias("code"), F.col("vec").alias("cvec"))
+    )
+    sub = corpus.sparkSession.range(n_subspaces).select(
+        F.col("id").cast("int").alias("m")
+    )
+    # squared L2 over block m, summed left-to-right like the oracle's
+    # list comprehension; (a-b)*(a-b) not pow() so both engines multiply.
+    d2 = F.expr(
+        f"aggregate(sequence(1, {d}), 0D, (acc, i) -> acc + "
+        f"(element_at(vec, m*{d}+i) - element_at(cvec, m*{d}+i)) * "
+        f"(element_at(vec, m*{d}+i) - element_at(cvec, m*{d}+i)))"
+    )
+    enc = (
+        c.join(F.broadcast(sub))
+        .join(F.broadcast(cb))
+        .select("vid", "m", "code", d2.alias("d2"))
+        .groupBy("vid", "m")
+        .agg(F.min_by("code", F.struct(F.col("d2"), F.col("code"))).alias("code"))
+    )
+    return cb, enc
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    shortlist: int = 100,
+    n_subspaces: int = PQ_SUBSPACES,
+    n_codes: int = PQ_CODES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via PQ asymmetric distance computation:
+    ADC shortlist over 8-code compressed vectors, exact rerank over the
+    shortlist only — the classic IVFADC serving shape minus the coarse
+    stage (compose with :func:`ivf_index` cells for both).
+
+    Stage 1 builds a per-query lookup table LUT[m, code] = <q_m, c_m>
+    (|queries| * n_subspaces * n_codes rows, broadcast), then scores the
+    ENCODED corpus with one (m, code) equi-join + sum — never touching
+    float vectors. LUT partials are micro-snapped (1e-6) to long before
+    the sum so the 8-term addition is associative-exact and the shortlist
+    ranking reproduces bit-identically in the SQL oracle. Stage 2
+    re-fetches only the ``shortlist`` candidates' float vectors by id and
+    re-scores with the exact double cosine (same tail as
+    :func:`two_stage_topk`).
+
+    Returns (query_id, neighbor_id, cosine, rank).
+    """
+    cb, enc = pq_index(corpus, n_subspaces, n_codes, id_col, vec_col)
+    d = EMB_DIM // n_subspaces
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qvec")
+    )
+    sub = corpus.sparkSession.range(n_subspaces).select(
+        F.col("id").cast("int").alias("m")
+    )
+    partial = F.expr(
+        f"aggregate(sequence(1, {d}), 0D, (acc, i) -> acc + "
+        f"element_at(qvec, m*{d}+i) * element_at(cvec, m*{d}+i))"
+    )
+    lut = (
+        q.join(F.broadcast(sub))
+        .join(F.broadcast(cb))
+        .select(
+            "query_id",
+            "m",
+            "code",
+            F.round(partial * 1000000.0, 0).cast("long").alias("pm"),
+        )
+    )
+    adc = (
+        enc.join(F.broadcast(lut), ["m", "code"])
+        .where(F.col("vid") != F.col("query_id"))
+        .groupBy("query_id", "vid")
+        .agg(F.sum("pm").alias("am"))
+    )
+    wshort = Window.partitionBy("query_id").orderBy(
+        F.col("am").desc(), F.col("vid")
+    )
+    cand = (
+        adc.withColumn("sr", F.row_number().over(wshort))
+        .where(F.col("sr") <= shortlist)
+        .select("query_id", F.col("vid").alias("neighbor_id"))
+    )
+    qv = q.select("query_id", F.col("qvec").alias("qa"))
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cb")
+    )
+    exact = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qa"), F.col("cb")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return exact.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )

@@ -553,6 +553,11 @@ def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_distinct_agg",
+    # Rotated to the extra tier in round 8 to free a graded slot for
+    # sim_pq_topk (a new unique family: quantized-ANN serving); the A2
+    # distinct-agg family stays graded via q1_pricing_summary +
+    # q_approx_distinct.
+    extra=True,
     oracle="""
     SELECT
       c_mktsegment,
