@@ -306,3 +306,54 @@ def group_sample(
         df.withColumn("sample_rank", F.row_number().over(w))
         .where(F.col("sample_rank") <= k)
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    tag: str = "temp-v1",
+) -> DataFrame:
+    """Temperature-flattened source sampling with DATA-DERIVED rates:
+    the kept corpus's per-stratum share is proportional to n_s^alpha
+    (alpha < 1 flattens the source distribution — the standard
+    multilingual/multi-source LM recipe), scaled so the smallest stratum
+    keeps everything. Per-doc keep rate is therefore
+    ``(n_min / n_s) ** (1 - alpha)``, micro-snapped, and the draw reuses
+    the :func:`stratified_sample` hash contract (deterministic, nested,
+    oracle-mirrored).
+
+    Unlike :func:`weighted_mix` (static operator-supplied weights), the
+    rates here come from the corpus itself: a stratum-count aggregate +
+    1-row global min, broadcast-joined back — no driver collect, no
+    config to drift out of sync with the data.
+
+    Scale: one map-side-combining groupBy over the stratum key (output =
+    |strata| rows), a 1-row min, and a broadcast join feeding a narrow
+    hash predicate — the corpus-sized pass stays shuffle-free.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n_s"))
+    nmin = counts.agg(F.min("__n_s").alias("__n_min"))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        strata_col,
+        F.col("__n_s"),
+        F.round(
+            F.pow(
+                F.col("__n_min").cast("double") / F.col("__n_s"),
+                F.lit(1.0 - alpha),
+            )
+            * MICRO,
+            0,
+        )
+        .cast("long")
+        .alias("__rate_micro"),
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .where(_frac_micro(tag, id_col) < F.col("__rate_micro"))
+        .drop("__n_s")
+        .withColumnRenamed("__rate_micro", "rate_micro")
+    )

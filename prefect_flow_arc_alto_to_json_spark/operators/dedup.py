@@ -860,3 +860,78 @@ def containment_pairs(
         )
         .where(F.col("containment") >= threshold)
     )
+
+
+def incremental_minhash_pairs(
+    df: DataFrame,
+    new_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup detection: probe a MinHash band INDEX with only
+    the new-batch docs — the daily-ingest dedup shape, where yesterday's
+    100 TB corpus is never re-paired, only probed.
+
+    ``new_pred`` marks the incoming batch (e.g. today's partition).
+    Candidate generation joins the NEW docs' band rows (the small probe
+    side, broadcast) against the full band index on (band_idx,
+    band_hash); old-old pairs can never form. In production the index
+    side is a materialized bands table appended per ingest (the
+    :func:`_bands_df` relation written out bucketed by band_hash), so
+    each probe is |batch|·8 lookups against it, independent of corpus
+    size; here both sides derive from one signature pass over the same
+    relation, which keeps the query oracle-able end to end.
+
+    Returns (id_a, id_b, est_jaccard, n_new) with id_a < id_b,
+    signature-estimated jaccard >= threshold, and n_new in {1, 2} — how
+    many of the pair arrived in the new batch (1 = new-vs-indexed hit,
+    2 = duplicate within the batch).
+    """
+    base = df.select(id_col, text_col, new_pred.alias("is_new"))
+    sigs = scoped_persist(
+        with_minhash(base, text_col, n).select(id_col, "minhash", "is_new"),
+        "incremental_minhash_pairs.sigs",
+    )
+    bands = _bands_df(sigs, id_col, keep=("is_new",))
+    probe = bands.where(F.col("is_new")).select(
+        F.col(id_col).alias("id_p"), "band_idx", "band_hash"
+    )
+    index = bands.select(F.col(id_col).alias("id_i"), "band_idx", "band_hash")
+    cand = (
+        index.join(F.broadcast(probe), ["band_idx", "band_hash"])
+        .where(F.col("id_p") != F.col("id_i"))
+        .select(
+            F.least("id_p", "id_i").alias("id_a"),
+            F.greatest("id_p", "id_i").alias("id_b"),
+        )
+        .distinct()
+    )
+    k = len(MINHASH_PARAMS)
+    sa = sigs.select(
+        F.col(id_col).alias("id_a"),
+        F.col("minhash").alias("sig_a"),
+        F.col("is_new").alias("new_a"),
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("id_b"),
+        F.col("minhash").alias("sig_b"),
+        F.col("is_new").alias("new_b"),
+    )
+    matches = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(matches / F.lit(float(k)), 6).alias("est_jaccard"),
+            (F.col("new_a").cast("int") + F.col("new_b").cast("int"))
+            .cast("int")
+            .alias("n_new"),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+    )

@@ -1053,3 +1053,89 @@ def q_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("benford_ppm"),
     )
+
+
+@query(
+    "q_l_diversity",
+    extra=True,
+    oracle="""
+    SELECT lang,
+           CAST(FLOOR(n_chars / 100.0) AS BIGINT) AS len_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS l_distinct,
+           COUNT(DISTINCT source) >= 3 AS l_diverse
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's companion (q_k_anonymity counts
+    equivalence-class SIZES; this counts DISTINCT SENSITIVE VALUES per
+    class): for each quasi-identifier class (lang, length-bucket), how
+    many distinct ``source`` values appear. A class can be k-large yet
+    1-diverse (every member from one source), which still leaks the
+    sensitive attribute by membership alone; l >= 3 is the release gate.
+
+    Scale: one grouped COUNT(DISTINCT) — Catalyst's two-phase expand; the
+    exchange carries (class, source) pairs, bounded by the class census,
+    never the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            "lang",
+            F.floor(F.col("n_chars") / 100.0).cast("long").alias("len_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("l_distinct"),
+        )
+        .withColumn("l_diverse", F.col("l_distinct") >= 3)
+    )
+
+
+@query(
+    "q_quantile_binning",
+    extra=True,
+    oracle="""
+    WITH r AS (
+      SELECT c_acctbal,
+             ROW_NUMBER() OVER (ORDER BY c_acctbal, c_custkey) - 1 AS rn
+      FROM customer
+    ),
+    n AS (SELECT COUNT(*) AS n_total FROM customer)
+    SELECT CAST(rn * 10 // n_total AS INTEGER) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(MIN(c_acctbal), 2) AS lo,
+           ROUND(MAX(c_acctbal), 2) AS hi
+    FROM r, n
+    GROUP BY 1
+    """,
+)
+def q_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth decile binning (feature discretization) WITHOUT the
+    single-partition global window: the exact global rank comes from
+    operators/ids.py:assign_dense_ids (range-repartition + per-partition
+    offsets — the same total order a distributed sort pays), bin =
+    rank*10 div N with N a 1-row broadcast, then a per-bin census
+    (count, lo, hi boundary values). The oracle IS the plain
+    ``ROW_NUMBER() OVER (ORDER BY ...)`` definition, so the
+    scale-shaped plan is pinned to the textbook semantics."""
+    from ..operators.ids import assign_dense_ids
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    ranked = assign_dense_ids(cust, ["c_acctbal", "c_custkey"], "rn")
+    n = cust.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .withColumn(
+            "bin", F.expr("CAST(rn * 10 DIV n_total AS INT)")
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("c_acctbal"), 2).alias("lo"),
+            F.round(F.max("c_acctbal"), 2).alias("hi"),
+        )
+    )

@@ -272,3 +272,65 @@ def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "total_chars",
     )
+
+
+@query(
+    "text_temperature_mix",
+    extra=True,
+    oracle=f"""
+    WITH c AS (SELECT source, COUNT(*) AS n_total FROM documents GROUP BY 1),
+    m AS (SELECT MIN(n_total) AS n_min FROM c),
+    r AS (
+      SELECT source, n_total,
+             CAST(ROUND(POW(n_min::DOUBLE / n_total, 0.5) * {MICRO}) AS BIGINT)
+               AS rate_micro
+      FROM c, m
+    ),
+    k AS (
+      SELECT d.source, COUNT(*) AS n_kept
+      FROM documents d JOIN r ON r.source = d.source
+      WHERE {sql_frac_micro("temp-v1", "d.doc_id")} < r.rate_micro
+      GROUP BY 1
+    )
+    SELECT r.source, r.n_total, COALESCE(k.n_kept, 0) AS n_kept,
+           ROUND(rate_micro / {MICRO}.0, 6) AS rate
+    FROM r LEFT JOIN k USING (source)
+    """,
+)
+def text_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixing (operators/corpus.py:
+    temperature_sample, alpha=0.5): keep rates DERIVED from the corpus
+    (share of kept mix proportional to sqrt(n_s), smallest source keeps
+    all), deterministic hash draw, reported per source as
+    (n_total, n_kept, rate). The oracle recomputes the rate derivation
+    AND replays every per-doc draw, so both the aggregate recipe and the
+    exact kept set are verified."""
+    from ..operators.corpus import temperature_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = temperature_sample(docs, "source", alpha=0.5)
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    # rate re-derived from totals (mirrors the operator's formula) so a
+    # source whose every draw failed still reports its nonzero rate
+    nmin = totals.agg(F.min("n_total").alias("n_min"))
+    rates = totals.crossJoin(F.broadcast(nmin)).select(
+        "source",
+        "n_total",
+        F.round(
+            F.pow(F.col("n_min").cast("double") / F.col("n_total"), F.lit(0.5))
+            * MICRO,
+            0,
+        )
+        .cast("long")
+        .alias("rate_micro"),
+    )
+    kept_c = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+    return (
+        rates.join(kept_c, "source", "left")
+        .select(
+            "source",
+            "n_total",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.round(F.col("rate_micro") / float(MICRO), 6).alias("rate"),
+        )
+    )

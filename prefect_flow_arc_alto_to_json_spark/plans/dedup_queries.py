@@ -732,3 +732,48 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
     )
+
+
+@query(
+    "dedup_incremental_minhash",
+    extra=True,
+    oracle=f"""
+    WITH {_SQL_DOCS_WITH_SIG},
+    bands AS (
+      SELECT doc_id, u.j, [{_SQL_BANDS}][u.j + 1] AS bh
+      FROM docs, (SELECT unnest(range(0, {MINHASH_BANDS})) AS j) u
+    ),
+    probe AS (SELECT * FROM bands WHERE doc_id % 5 = 4),
+    cand AS (
+      SELECT DISTINCT least(p.doc_id, b.doc_id) AS id_a,
+                      greatest(p.doc_id, b.doc_id) AS id_b
+      FROM probe p
+      JOIN bands b ON p.j = b.j AND p.bh = b.bh AND p.doc_id <> b.doc_id
+    )
+    SELECT id_a, id_b, est_jaccard,
+           CAST((id_a % 5 = 4)::INT + (id_b % 5 = 4)::INT AS INTEGER) AS n_new
+    FROM (
+      SELECT id_a, id_b,
+        ROUND(len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) / 32.0, 6)
+          AS est_jaccard
+      FROM cand
+      JOIN docs sa ON sa.doc_id = id_a
+      JOIN docs sb ON sb.doc_id = id_b
+    ) WHERE est_jaccard >= 0.5
+    """,
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup (operators/dedup.py:incremental_minhash_pairs):
+    docs with doc_id % 5 = 4 play today's batch, the rest the indexed
+    corpus; only batch band-rows probe the index (broadcast probe side),
+    so old-old pairs are never generated and cost is |batch|·8 bucket
+    lookups, not Σ|bucket|² over the whole corpus. n_new says whether the
+    hit is batch-vs-index (1) or within-batch (2). Full oracle: same band
+    formula + signature verification SQL as dedup_minhash_pairs, with the
+    probe-side restriction applied in the candidate CTE."""
+    from ..operators.dedup import incremental_minhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return incremental_minhash_pairs(
+        docs, F.col("doc_id") % 5 == 4, threshold=0.5
+    )
