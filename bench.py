@@ -112,6 +112,10 @@ HEADLINE = [
     # ffill window) and the MG sketch-verify composition
     "q_resample_daily_ffill",
     "q_mg_heavy_hitters",
+    # round-8 additions: PQ ADC retrieval (encode + LUT join + rerank —
+    # the heaviest new plan shape) and the incremental band-index probe
+    "sim_pq_topk",
+    "dedup_incremental_minhash",
 ]
 
 

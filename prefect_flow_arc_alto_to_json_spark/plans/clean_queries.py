@@ -1139,3 +1139,120 @@ def q_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("c_acctbal"), 2).alias("hi"),
         )
     )
+
+
+@query(
+    "q_gdpr_purge",
+    extra=True,
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN user_id % 97 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_purged,
+           CAST(SUM(CASE WHEN user_id % 97 = 3 THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_retained
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_gdpr_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten purge audit: users with user_id % 97 = 3
+    stand in for the deletion-request table; the retained relation is a
+    BROADCAST ANTI-JOIN of the fact table against the request list (the
+    production purge plan — the request table is always tiny next to the
+    100 TB fact), and the per-event-type report reconciles totals vs
+    retained so the purge is provably complete (n_purged + n_retained =
+    n_events row by row). The oracle states the same census declaratively
+    with CASE sums, pinning the anti-join plan to the set semantics."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    purge = (
+        ev.select("user_id")
+        .where(F.col("user_id") % 97 == 3)
+        .distinct()
+    )
+    retained = (
+        ev.join(F.broadcast(purge), "user_id", "left_anti")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_retained"))
+    )
+    totals = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        totals.join(retained, "event_type", "left")
+        .select(
+            "event_type",
+            "n_events",
+            (F.col("n_events") - F.coalesce("n_retained", F.lit(0))).alias(
+                "n_purged"
+            ),
+            F.coalesce("n_retained", F.lit(0)).alias("n_retained"),
+        )
+    )
+
+
+@query(
+    "q_feature_scale",
+    extra=True,
+    oracle="""
+    WITH v AS (
+      SELECT u.dim, CAST(ROUND(u.val * 1000) AS BIGINT) AS vm
+      FROM (
+        SELECT unnest(range(1, 65)) AS dim,
+               unnest(embedding::DOUBLE[]) AS val
+        FROM embeddings
+      ) u
+    )
+    SELECT CAST(dim AS INTEGER) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           -- mean in ppm via the integer half-up device (mean itself is a
+           -- small-denominator rational — ROUND(double) straddles .5e-6
+           -- boundaries, measured at sf0.1 dim 29)
+           CAST(FLOOR((2 * CAST(SUM(vm) AS BIGINT) * 1000 + COUNT(*))
+                      / (2.0 * COUNT(*))) AS BIGINT) AS mean_ppm,
+           ROUND(sqrt(
+             CAST(SUM(vm * vm) AS BIGINT) / (COUNT(*)::DOUBLE * 1000000.0)
+             - POW(CAST(SUM(vm) AS BIGINT) / (COUNT(*) * 1000.0), 2)
+           ), 6) AS std
+    FROM v GROUP BY dim
+    """,
+)
+def q_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-standardization FIT over an array column: per-dimension
+    mean and population std of the 64-dim embeddings, computed from
+    MILLI-SNAPPED integer moments (each float32 value -> round(v*1e3)
+    long; Σvm and Σvm² are then exact and associative, so the two-pass
+    textbook formula reproduces across engines — the Spearman/OLS moment
+    device applied feature-wise). The fitted 64-row relation is what a
+    transform stage broadcast-joins to normalize vectors.
+
+    Scale: posexplode is a narrow 64x row fan-out feeding ONE
+    map-side-combining groupBy on dim — the exchange carries
+    64 x n_partitions partial moments, never the corpus. Long moments
+    hold to ~1e8 rows per the |vm|<=2^17 bound; beyond that the same
+    plan runs on DECIMAL(38) moments."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = fan_out(emb).select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim0", "val"
+        )
+    )
+    vm = v.select(
+        (F.col("dim0") + 1).cast("int").alias("dim"),
+        F.round(F.col("val") * 1000, 0).cast("long").alias("vm"),
+    )
+    return vm.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.floor(
+            (2 * F.sum("vm") * 1000 + F.count(F.lit(1)))
+            / (2.0 * F.count(F.lit(1)))
+        )
+        .cast("long")
+        .alias("mean_ppm"),
+        F.round(
+            F.sqrt(
+                F.sum(F.col("vm") * F.col("vm"))
+                / (F.count(F.lit(1)).cast("double") * 1000000.0)
+                - F.pow(F.sum("vm") / (F.count(F.lit(1)) * 1000.0), F.lit(2.0))
+            ),
+            6,
+        ).alias("std"),
+    )

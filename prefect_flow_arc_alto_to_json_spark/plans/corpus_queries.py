@@ -334,3 +334,57 @@ def text_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("rate_micro") / float(MICRO), 6).alias("rate"),
         )
     )
+
+
+@query(
+    "corpus_shuffle_order",
+    extra=True,
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             md5_number_lower('shuf-v1:' || CAST(doc_id AS VARCHAR))
+               % 2147483647 AS hv
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY hv, doc_id) - 1 AS BIGINT) AS pos
+      FROM h
+    )
+    SELECT doc_id, pos,
+           CAST(pos % 8 AS INTEGER) AS shard,
+           pos // 8 AS shard_pos
+    FROM p
+    """,
+)
+def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle + round-robin epoch
+    sharding: order = stable hash of a version-tagged doc id (reshuffle =
+    bump the tag), global position WITHOUT a single-partition window
+    (operators/ids.py:assign_dense_ids over the hash order), sample i ->
+    shard i mod 8 at in-shard offset i div 8 — the striped assignment a
+    W-worker data loader consumes directly. The oracle is the plain
+    ROW_NUMBER-over-hash definition, pinning the distributed rank to the
+    textbook semantics.
+
+    Scale: one range exchange on the hash (uniform by construction — a
+    hash order cannot skew), per-partition local ranking; complements
+    corpus_shard_plan (size-balanced LPT) with the order-randomizing
+    variant."""
+    from ..functions.scalar import stable_hash_p31
+    from ..operators.ids import assign_dense_ids
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    h = docs.withColumn(
+        "hv",
+        stable_hash_p31(
+            F.concat(F.lit("shuf-v1:"), F.col("doc_id").cast("string"))
+        ),
+    )
+    ranked = assign_dense_ids(h, ["hv", "doc_id"], "pos")
+    return ranked.select(
+        "doc_id",
+        "pos",
+        F.pmod("pos", F.lit(8)).cast("int").alias("shard"),
+        F.expr("pos DIV 8").alias("shard_pos"),
+    )

@@ -1223,3 +1223,66 @@ def text_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("doc_id", "term", "score_micro", F.col("rank").cast("int").alias("rank"))
     )
+
+
+@query(
+    "text_perplexity_buckets",
+    extra=True,
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    counts AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM counts),
+    micro AS (
+      SELECT doc_id,
+             CAST(ROUND(ln(c / n_total::DOUBLE) * 1000000) AS BIGINT) AS m
+      FROM tok JOIN counts USING (tok) CROSS JOIN tot
+    ),
+    score AS (
+      SELECT doc_id,
+             ROUND((CAST(SUM(m) AS BIGINT) / COUNT(*)::DOUBLE) / 1000000, 6)
+               AS mean_logprob
+      FROM micro GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, mean_logprob,
+             ROW_NUMBER() OVER (ORDER BY mean_logprob, doc_id) - 1 AS rn,
+             (SELECT COUNT(*) FROM score) AS n_docs
+      FROM score
+    )
+    SELECT CAST(rn * 3 // n_docs AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(mean_logprob) AS lo,
+           MAX(mean_logprob) AS hi
+    FROM ranked GROUP BY 1
+    """,
+)
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM-perplexity terciles: score every doc with the
+    corpus-self-trained unigram LM (the text_unigram_logprob machinery,
+    identical micro-snapped arithmetic), rank by score WITHOUT a
+    single-partition window (operators/ids.py:assign_dense_ids), and cut
+    into head/middle/tail buckets (0 = lowest logprob = most surprising)
+    with each bucket's boundary scores — the quality-tier split used to
+    keep head+middle and drop tail in crawl cleaning.
+
+    Scale: the LM fit is two grouped aggregates (vocab-sized exchange);
+    ranking is one range exchange on the 1-double-per-doc score relation;
+    the census is 3 rows."""
+    from ..operators.ids import assign_dense_ids
+    from ..operators.textstats import unigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    score = unigram_logprob(docs).select("doc_id", "mean_logprob")
+    ranked = assign_dense_ids(score, ["mean_logprob", "doc_id"], "rn")
+    n = score.agg(F.count(F.lit(1)).alias("n_docs_total"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .withColumn("bucket", F.expr("CAST(rn * 3 DIV n_docs_total AS INT)"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("mean_logprob").alias("lo"),
+            F.max("mean_logprob").alias("hi"),
+        )
+    )

@@ -43,6 +43,7 @@ from prefect_flow_arc_alto_to_json_spark.operators.similarity import (  # noqa: 
     embedding_near_dup_pairs,
     int8_topk,
     lsh_bucketed_topk,
+    pq_topk,
     semantic_dedup,
 )
 from prefect_flow_arc_alto_to_json_spark.operators.textstats import (  # noqa: E402
@@ -216,6 +217,11 @@ def main() -> None:
         "mg_heavy_hitters": lambda d, e: misra_gries_heavy_hitters(
             d.select(F.explode(token_array("text")).alias("term")), "term", 30
         ),
+        # round-8 addition: PQ ADC retrieval — encode is N·M·K broadcast
+        # work, the ADC scan is an (m, code)-keyed join against a
+        # broadcast LUT, rerank touches only |q|·shortlist vectors; all
+        # three stages should scale linearly in N
+        "pq_topk": lambda d, e: pq_topk(e, queries, k=10, shortlist=100),
     }
 
     results: dict[str, dict[int, float]] = {p: {} for p in probes}
