@@ -326,7 +326,9 @@ def text_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept_c = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
     return (
-        rates.join(kept_c, "source", "left")
+        # both report sides are |sources|-rows; without the hint the
+        # planner SMJs two post-agg relations (measured round 8)
+        rates.join(F.broadcast(kept_c), "source", "left")
         .select(
             "source",
             "n_total",

@@ -284,6 +284,29 @@ _SHUFFLE_BUDGETS = {
     "sim_decontaminate": 7,
     # tokenize → sequence → posexplode → slice: map-only
     "text_chunk_overlap": 0,
+    # round-8 family — measured static counts at test scale:
+    # PQ: encode min_by agg + ADC (query_id, vid) agg + shortlist window
+    # + rerank topk window; codebook/LUT/subspace joins all broadcast
+    "sim_pq_topk": 6,
+    # signature agg + band probe join (broadcast probe) + candidate
+    # distinct + verification joins on the persisted sigs
+    "dedup_incremental_minhash": 5,
+    # stratum counts + 1-row min + broadcast-joined rates + kept recount;
+    # corpus-sized pass stays a narrow hash predicate
+    "text_temperature_mix": 7,
+    # one grouped COUNT(DISTINCT) (two-phase expand)
+    "q_l_diversity": 2,
+    # range exchange (dense ids) + per-partition counts + bin census
+    "q_quantile_binning": 5,
+    # hash-order range exchange + partition counts agg
+    "corpus_shuffle_order": 3,
+    # purge-list distinct + broadcast anti-join + per-type census
+    "q_gdpr_purge": 3,
+    # posexplode fan-out + ONE map-side-combining groupBy on dim
+    "q_feature_scale": 2,
+    # unigram LM fit (vocab + totals + per-doc agg) + dense-id ranking
+    # + tercile census — the full CCNet composition
+    "text_perplexity_buckets": 14,
 }
 
 
