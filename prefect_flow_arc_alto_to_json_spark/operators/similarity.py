@@ -1112,3 +1112,58 @@ def pq_topk(
     return exact.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
+
+
+def rrf_fuse(
+    ranked: dict[str, DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "r",
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of named ranked candidate lists (the
+    standard hybrid-retrieval combiner): each list contributes
+    ``1/(c + rank)`` for every id it ranks; ids are scored by the sum.
+
+    Contributions are INTEGER ppm — ``round(1e6 / (c + r))`` via the
+    half-up device ``floor((2e6 + d) / (2d))`` with d = c + rank — so the
+    fusion is associative-exact and oracle-replayable. The merge is a
+    UNION + re-aggregate, never a full-outer join (a full outer of N
+    candidate lists cannot broadcast and would SMJ; the union groupBy is
+    one exchange over |candidates| rows — see q_daily_backlog for the
+    same device on time series).
+
+    Returns (id, <name>_ppm per input list, rrf_ppm, rank) for the top-k
+    fused ids; ``<name>_ppm > 0`` doubles as the membership flag.
+    """
+    names = list(ranked)
+    parts = []
+    for name, df in ranked.items():
+        d = F.lit(c) + F.col(rank_col)
+        ppm = F.floor(
+            (2 * 1000000 + d) / (2.0 * d.cast("double"))
+        ).cast("long")
+        cols = [F.col(id_col)]
+        for other in names:
+            cols.append(
+                (ppm if other == name else F.lit(0).cast("long")).alias(
+                    f"{other}_ppm"
+                )
+            )
+        parts.append(df.select(*cols))
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    fused = unioned.groupBy(id_col).agg(
+        *[F.sum(f"{n}_ppm").alias(f"{n}_ppm") for n in names]
+    )
+    rrf = fused.withColumn(
+        "rrf_ppm",
+        sum((F.col(f"{n}_ppm") for n in names[1:]), F.col(f"{names[0]}_ppm")),
+    )
+    w = Window.orderBy(F.col("rrf_ppm").desc(), F.col(id_col))
+    # candidate relation is Σ|lists| · k_list rows — constant-sized, so
+    # the global ranking window is safe (the documented exception)
+    return rrf.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )

@@ -313,7 +313,9 @@ def text_extract_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS = ("dup", "merge", "scan")
 
 
-def _bm25_oracle() -> str:
+def _bm25_oracle(k: int = 10) -> str:
+    """BM25 top-``k`` oracle SQL; embeddable as a subquery (the hybrid-RRF
+    oracle reuses it at k=20, plans/similarity_queries.py:sim_hybrid_rrf)."""
     tf_cols = ",\n           ".join(
         f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf{i}"
         for i, t in enumerate(_BM25_TERMS)
@@ -347,7 +349,7 @@ def _bm25_oracle() -> str:
       SELECT m.doc_id, ROUND({parts}, 6) AS bm25 FROM m, s
     ) WHERE bm25 > 0
     ORDER BY bm25 DESC, doc_id
-    LIMIT 10
+    LIMIT {k}
     """
 
 
