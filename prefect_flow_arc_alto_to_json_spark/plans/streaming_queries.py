@@ -35,7 +35,7 @@ import tempfile
 import uuid
 from datetime import timedelta
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalar import cents
@@ -1506,3 +1506,66 @@ def stream_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         foreach_batch=lambda df, _bid: df.write.mode("append").parquet(out),
     )
     return spark.read.parquet(out)
+
+
+@query(
+    "stream_topk_windowed",
+    extra=True,
+    oracle="""
+    WITH c AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+             event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT hour, event_type, n_events, CAST(r AS INTEGER) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY hour ORDER BY n_events DESC, event_type
+      ) AS r FROM c
+    ) WHERE r <= 3
+    """,
+)
+def stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous per-window leaderboard: the streaming job maintains the
+    tumbling 1-hour (window, event_type) counts (the stateful part —
+    ranking is NOT expressible inside a streaming aggregation), and the
+    top-3-per-window rank runs as a cheap batch window over the sink
+    table at read time — the standard serving split for live
+    leaderboards (state holds the counts, the dashboard query ranks).
+    The oracle recomputes the hourly census + rank from the raw events,
+    so both the streamed counts and the serving rank are hash-pinned.
+
+    Scale: streaming state is one row per (window, type); the serving
+    rank partitions by window — no global window, no unbounded state
+    (with a watermark the complete-mode table becomes an append of
+    closed windows; AvailableNow + complete keeps the demo
+    deterministic)."""
+    src_dir = tempfile.mkdtemp(prefix="stream_topk_src_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    ev = stream_events(spark, src_dir)
+    agg = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    table = f"stream_topk_{uuid.uuid4().hex[:10]}"
+    run_available_now(
+        agg,
+        checkpoint_dir=tempfile.mkdtemp(prefix="stream_topk_ckpt_"),
+        output_mode="complete",
+        memory_table=table,
+    )
+    counts = spark.table(table).select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour"
+        ),
+        "event_type",
+        "n_events",
+    )
+    w = Window.partitionBy("hour").orderBy(
+        F.col("n_events").desc(), "event_type"
+    )
+    return counts.withColumn("rank", F.row_number().over(w).cast("int")).where(
+        F.col("rank") <= 3
+    )

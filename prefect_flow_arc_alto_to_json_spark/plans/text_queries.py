@@ -1288,3 +1288,78 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("mean_logprob").alias("hi"),
         )
     )
+
+
+@query(
+    "text_zipf_slope",
+    extra=True,
+    oracle=f"""
+    WITH counts AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest({_SQL_TOKS}) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS r FROM counts
+    ),
+    pts AS (
+      SELECT CAST(ROUND(ln(r) * 1000) AS BIGINT) AS x,
+             CAST(ROUND(ln(c) * 1000) AS BIGINT) AS y
+      FROM ranked
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM pts
+    )
+    SELECT n AS n_types,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx)::DOUBLE, 6)
+             AS zipf_slope
+    FROM s
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf law fit: OLS slope of ln(frequency) on ln(rank) over the
+    corpus vocabulary (a natural-language corpus sits near -1; this
+    synthetic word-soup's near-uniform vocabulary sits near 0 — exactly
+    the kind of distributional fingerprint that flags machine-generated
+    text). The normal-equation moments are computed over MILLI-SNAPPED
+    integer log points (the Spearman/OLS device), one snapped division
+    at the end.
+
+    Scale: token count agg (vocab-sized exchange) + a rank over the
+    vocab relation + a 1-row moment aggregate. The rank window is
+    global but VOCAB-sized (types, not tokens — bounded by the language,
+    not the corpus); for an unbounded key space the dense-ids device
+    substitutes."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    counts = (
+        docs.select(F.explode(token_array("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), "tok")
+    pts = counts.withColumn("r", F.row_number().over(w)).select(
+        F.round(F.log("r") * 1000, 0).cast("long").alias("x"),
+        F.round(F.log("c") * 1000, 0).cast("long").alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return s.select(
+        F.col("n").alias("n_types"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            ),
+            6,
+        ).alias("zipf_slope"),
+    )
