@@ -392,3 +392,68 @@ def test_pq_encoding_shape(emb):
     codes = {r["code"] for r in cb.select("code").collect()}
     bad = enc.where(~F.col("code").isin(list(codes))).count()
     assert bad == 0
+
+
+# ---------------------------------------------------------------------------
+# rrf_fuse property test: exact equality against a pure-Python model on
+# random ranked lists (the integer-ppm contributions make the fusion
+# bit-replayable, so the check is ==, not approximate).
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _rrf_model(lists: dict[str, list[int]], k: int, c: int = 60):
+    scores: dict[int, dict[str, int]] = {}
+    for name, ids in lists.items():
+        for r, i in enumerate(ids, start=1):
+            d = c + r
+            ppm = (2 * 1000000 + d) // (2 * d)
+            scores.setdefault(i, {n: 0 for n in lists})[name] += ppm
+    rows = sorted(
+        (
+            (i, *(parts[n] for n in lists), sum(parts.values()))
+            for i, parts in scores.items()
+        ),
+        key=lambda t: (-t[-1], t[0]),
+    )
+    return [(*row, rank) for rank, row in enumerate(rows[:k], start=1)]
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    data=st.data(),
+    k=st.integers(min_value=1, max_value=8),
+)
+def test_rrf_fuse_matches_python_model(spark, data, k):
+    ids = st.lists(
+        st.integers(min_value=0, max_value=30),
+        min_size=1,
+        max_size=12,
+        unique=True,
+    )
+    lists = {
+        name: data.draw(ids) for name in ("lexical", "vector", "sparse")
+    }
+    from prefect_flow_arc_alto_to_json_spark.operators.similarity import rrf_fuse
+
+    dfs = {
+        name: spark.createDataFrame(
+            [(i, r) for r, i in enumerate(vals, start=1)],
+            "doc_id long, r int",
+        )
+        for name, vals in lists.items()
+    }
+    got = sorted(
+        (tuple(row) for row in rrf_fuse(dfs, k=k).collect()),
+        key=lambda t: t[-1],
+    )
+    want = _rrf_model(lists, k)
+    assert [tuple(map(int, g)) for g in got] == [
+        tuple(map(int, w)) for w in want
+    ], (lists, got, want)
