@@ -1167,3 +1167,108 @@ def rrf_fuse(
     return rrf.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
+
+
+def ivfadc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    shortlist: int = 50,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_subspaces: int = PQ_SUBSPACES,
+    n_codes: int = PQ_CODES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Full IVFADC retrieval (the FAISS ``IVFx,PQy`` serving shape):
+    IVF coarse quantizer prunes the corpus to ``n_probe`` cells per query
+    (:func:`ivf_index`), PQ asymmetric-distance scores ONLY the surviving
+    candidates from their 8-byte codes (:func:`pq_index` + broadcast
+    LUTs, micro-snapped integer sums), and the exact cosine reranks the
+    ``shortlist``. Candidate volume is O(|q| * cell * n_probe); the ADC
+    join is candidate-bounded (never the corpus x LUT of
+    :func:`pq_topk`), and full float vectors are touched only by the
+    |q| * shortlist rerank lookups.
+
+    Returns (query_id, neighbor_id, cosine, rank) — deterministic end to
+    end, so the whole composed index replays in a SQL oracle.
+    """
+    cents, assigned = ivf_index(corpus, n_centroids, id_col, vec_col)
+    cb, enc = pq_index(corpus, n_subspaces, n_codes, id_col, vec_col)
+    d = EMB_DIM // n_subspaces
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qvec")
+    )
+    qdist = q.join(F.broadcast(cents)).select(
+        "query_id",
+        "qvec",
+        "cent_id",
+        dot(F.col("qvec"), F.col("cvec")).alias("sim"),
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("cent_id")
+    )
+    probes = (
+        qdist.withColumn("pr", F.row_number().over(wprobe))
+        .where(F.col("pr") <= n_probe)
+        .select("query_id", "cent_id")
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "cent_id")
+        .where(F.col("vid") != F.col("query_id"))
+        .select("query_id", "vid")
+    )
+    sub = corpus.sparkSession.range(n_subspaces).select(
+        F.col("id").cast("int").alias("m")
+    )
+    partial = F.expr(
+        f"aggregate(sequence(1, {d}), 0D, (acc, i) -> acc + "
+        f"element_at(qvec, m*{d}+i) * element_at(cvec, m*{d}+i))"
+    )
+    lut = (
+        q.join(F.broadcast(sub))
+        .join(F.broadcast(cb))
+        .select(
+            "query_id",
+            "m",
+            "code",
+            F.round(partial * 1000000.0, 0).cast("long").alias("pm"),
+        )
+    )
+    # the candidate relation is |q|·cell·n_probe rows — query-bounded, so
+    # it broadcasts into the (corpus-sized) encoded relation; for a
+    # corpus-sized offline query set swap to a shuffle-hash hint instead
+    adc = (
+        enc.join(F.broadcast(cand), "vid")
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", "vid")
+        .agg(F.sum("pm").alias("am"))
+    )
+    wshort = Window.partitionBy("query_id").orderBy(
+        F.col("am").desc(), F.col("vid")
+    )
+    short = (
+        adc.withColumn("sr", F.row_number().over(wshort))
+        .where(F.col("sr") <= shortlist)
+        .select("query_id", F.col("vid").alias("neighbor_id"))
+    )
+    qv = q.select("query_id", F.col("qvec").alias("qa"))
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cb")
+    )
+    exact = (
+        short.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qa"), F.col("cb")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return exact.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )

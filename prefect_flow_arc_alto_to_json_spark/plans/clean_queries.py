@@ -1256,3 +1256,68 @@ def q_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("std"),
     )
+
+
+@query(
+    "text_ngram_novelty",
+    extra=True,
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    shg AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM toks),
+    post AS (SELECT doc_id, unnest(sh) AS g FROM shg),
+    dfreq AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY g),
+    per AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique
+      FROM post JOIN dfreq USING (g)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams, n_unique,
+           CAST(FLOOR((2 * n_unique * 1000000 + n_grams) / (2.0 * n_grams))
+                AS BIGINT) AS novelty_ppm
+    FROM per
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty — the memorization-risk / boilerplate
+    signal: what fraction of a doc's distinct 3-gram shingles appears in
+    NO other document (df = 1). Low novelty = the doc is assembled from
+    corpus-common phrasing (template/boilerplate, or a near-copy the
+    pair-level dedup family localizes); the score is the cheap per-doc
+    triage that runs BEFORE pair generation. Shares the shingle
+    normalizer with the dedup family (operators/dedup.py:shingles), so
+    the df relation is the same posting list minhash already builds.
+
+    Scale: posting explode -> map-side-combining df count (vocab-of-
+    grams exchange) -> posting join back -> per-doc agg; no pair
+    relation anywhere, all shuffles carry (gram, count) or (doc, count)
+    rows. Novelty reports in integer ppm via the half-up device (the
+    ratio is a small-denominator rational)."""
+    from ..operators.dedup import shingles
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    post = fan_out(docs).select(
+        "doc_id", F.explode(shingles("text", 3)).alias("g")
+    )
+    dfreq = post.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    per = (
+        post.join(dfreq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("df") == 1).cast("long")).alias("n_unique"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_grams",
+        "n_unique",
+        F.floor(
+            (2 * F.col("n_unique") * 1000000 + F.col("n_grams"))
+            / (2.0 * F.col("n_grams"))
+        )
+        .cast("long")
+        .alias("novelty_ppm"),
+    )

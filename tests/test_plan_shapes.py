@@ -307,6 +307,18 @@ _SHUFFLE_BUDGETS = {
     # unigram LM fit (vocab + totals + per-doc agg) + dense-id ranking
     # + tercile census — the full CCNet composition
     "text_perplexity_buckets": 14,
+    # round-8 late additions:
+    # two index builds (IVF assign, PQ encode) + candidate-bounded ADC agg
+    # + shortlist/rerank windows; candidates and LUTs broadcast
+    "sim_ivfadc_topk": 11,
+    # posting explode + gram-df agg + posting join back + per-doc agg
+    "text_ngram_novelty": 4,
+    # two bounded top-k branches + the union re-aggregate + fused rank
+    "sim_hybrid_rrf": 6,
+    # two brute-force branches (broadcast query) + broadcast set join
+    "sim_matryoshka_overlap": 4,
+    # vocab count agg + vocab-sized rank + 1-row moments
+    "text_zipf_slope": 3,
 }
 
 
