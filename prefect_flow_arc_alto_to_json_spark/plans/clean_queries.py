@@ -20,7 +20,7 @@ from ..operators.textclean import (
     repetition_stats,
     shared_shingle_counts,
 )
-from ..functions.scalar import cents
+from ..functions.scalar import cents, stable_hash_p31
 from ..functions.scale import fan_out
 from ..sources import load_table
 from .dedup_queries import _SQL_SHINGLE_HASHES, _SQL_SHINGLES, _SQL_TOKS
@@ -1320,4 +1320,184 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("novelty_ppm"),
+    )
+
+
+@query(
+    "q_winsorize",
+    extra=True,
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag, l_extendedprice,
+             ROW_NUMBER() OVER (
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+             ) - 1 AS rn
+      FROM lineitem
+    ),
+    n AS (SELECT COUNT(*) AS n_total FROM lineitem),
+    cuts AS (
+      SELECT
+        (SELECT l_extendedprice FROM r, n
+         WHERE rn = (n_total - 1) * 5 // 100) AS lo_val,
+        (SELECT l_extendedprice FROM r, n
+         WHERE rn = (n_total - 1) * 95 // 100) AS hi_val
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN l_extendedprice < lo_val THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_lo,
+           CAST(SUM(CASE WHEN l_extendedprice > hi_val THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_hi,
+           CAST(SUM(CAST(ROUND(
+             CASE WHEN l_extendedprice < lo_val THEN lo_val
+                  WHEN l_extendedprice > hi_val THEN hi_val
+                  ELSE l_extendedprice END * 100) AS BIGINT)) AS BIGINT)
+             AS clipped_cents
+    FROM r, cuts
+    GROUP BY l_returnflag
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (p05/p95-clipped) revenue prep — the robust-statistics
+    transform that precedes mean-based features when heavy tails would
+    dominate: EXACT percentile cut values from the distributed global
+    rank (operators/ids.py:assign_dense_ids — never a single-partition
+    window), broadcast back as two scalars, CASE-clip in the scan stage,
+    per-flag census of clip counts + clipped money in integer cents.
+    The oracle is the textbook ROW_NUMBER definition of the same cuts."""
+    from ..operators.ids import assign_dense_ids
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    ranked = assign_dense_ids(
+        li, ["l_extendedprice", "l_orderkey", "l_linenumber"], "rn"
+    )
+    n = li.agg(F.count(F.lit(1)).alias("n_total"))
+    marked = ranked.crossJoin(F.broadcast(n))
+    lo = marked.where(
+        F.col("rn") == F.expr("(n_total - 1) * 5 DIV 100")
+    ).select(F.col("l_extendedprice").alias("lo_val"))
+    hi = marked.where(
+        F.col("rn") == F.expr("(n_total - 1) * 95 DIV 100")
+    ).select(F.col("l_extendedprice").alias("hi_val"))
+    clipped = (
+        li.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "l_returnflag",
+            "l_extendedprice",
+            "lo_val",
+            "hi_val",
+            F.when(F.col("l_extendedprice") < F.col("lo_val"), F.col("lo_val"))
+            .when(F.col("l_extendedprice") > F.col("hi_val"), F.col("hi_val"))
+            .otherwise(F.col("l_extendedprice"))
+            .alias("cv"),
+        )
+    )
+    return clipped.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            (F.col("l_extendedprice") < F.col("lo_val")).cast("long")
+        ).alias("n_clipped_lo"),
+        F.sum(
+            (F.col("l_extendedprice") > F.col("hi_val")).cast("long")
+        ).alias("n_clipped_hi"),
+        F.sum(cents("cv")).alias("clipped_cents"),
+    )
+
+
+@query(
+    "q_bootstrap_ci",
+    extra=True,
+    oracle="""
+    WITH b AS (SELECT unnest(range(1, 21)) AS b),
+    draws AS (
+      SELECT b.b, d.n_chars
+      FROM documents d, b
+      WHERE md5_number_lower('boot-v1:' || CAST(b.b AS VARCHAR) || ':'
+                             || CAST(d.doc_id AS VARCHAR))
+            % 2147483647 % 1000000 < 500000
+    ),
+    means AS (
+      SELECT b,
+             CAST(FLOOR((2 * CAST(SUM(n_chars) AS BIGINT) * 1000000
+                         + COUNT(*)) / (2.0 * COUNT(*))) AS BIGINT) AS m_ppm
+      FROM draws GROUP BY b
+    ),
+    ranked AS (
+      SELECT m_ppm, ROW_NUMBER() OVER (ORDER BY m_ppm, b) AS r FROM means
+    ),
+    point AS (
+      SELECT CAST(FLOOR((2 * CAST(SUM(n_chars) AS BIGINT) * 1000000
+                         + COUNT(*)) / (2.0 * COUNT(*))) AS BIGINT) AS p_ppm
+      FROM documents
+    )
+    SELECT (SELECT p_ppm FROM point) AS point_ppm,
+           (SELECT m_ppm FROM ranked WHERE r = 2) AS lo_ppm,
+           (SELECT m_ppm FROM ranked WHERE r = 19) AS hi_ppm,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM means) AS n_resamples
+    """,
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resampling confidence interval for the corpus mean doc length: 20
+    deterministic half-rate hash subsamples (the stratified_sample draw
+    contract keyed by (resample, doc)), each subsample's mean in integer
+    ppm via the half-up device, CI = [2nd, 19th] order statistic of the
+    20 means — subsampling ("m out of n bootstrap") rather than
+    with-replacement draws, which keeps every step a pure hash predicate.
+    The oracle replays all 20 subsample memberships row-for-row.
+
+    Scale: ONE pass over a 20x narrow fan-out (explode of a constant
+    range, filtered in the scan stage), a 20-row aggregate, and a
+    constant-size rank — no corpus shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    b = spark.range(1, 21).select(F.col("id").alias("b"))
+    draws = (
+        fan_out(docs)
+        .crossJoin(F.broadcast(b))
+        .where(
+            F.pmod(
+                F.pmod(
+                    stable_hash_p31(
+                        F.concat(
+                            F.lit("boot-v1:"),
+                            F.col("b").cast("string"),
+                            F.lit(":"),
+                            F.col("doc_id").cast("string"),
+                        )
+                    ),
+                    F.lit(2147483647).cast("long"),
+                ),
+                F.lit(1000000),
+            )
+            < 500000
+        )
+    )
+    means = draws.groupBy("b").agg(
+        F.floor(
+            (2 * F.sum("n_chars") * 1000000 + F.count(F.lit(1)))
+            / (2.0 * F.count(F.lit(1)))
+        )
+        .cast("long")
+        .alias("m_ppm")
+    )
+    ranked = means.withColumn(
+        "r", F.row_number().over(Window.orderBy("m_ppm", "b"))
+    )
+    point = docs.agg(
+        F.floor(
+            (2 * F.sum("n_chars") * 1000000 + F.count(F.lit(1)))
+            / (2.0 * F.count(F.lit(1)))
+        )
+        .cast("long")
+        .alias("point_ppm")
+    )
+    lo = ranked.where(F.col("r") == 2).select(F.col("m_ppm").alias("lo_ppm"))
+    hi = ranked.where(F.col("r") == 19).select(F.col("m_ppm").alias("hi_ppm"))
+    nr = means.agg(F.count(F.lit(1)).alias("n_resamples"))
+    return (
+        point.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .crossJoin(F.broadcast(nr))
     )

@@ -1569,3 +1569,51 @@ def stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.withColumn("rank", F.row_number().over(w).cast("int")).where(
         F.col("rank") <= 3
     )
+
+
+@query(
+    "stream_gdpr_purge",
+    extra=True,
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CASE WHEN user_id % 97 = 3 THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_retained
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_gdpr_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming right-to-be-forgotten filter: the live event stream is
+    LEFT-ANTI joined against the static deletion-request table (the one
+    stream-static join type the streaming matrix didn't yet exercise —
+    inner/semi/outer are covered elsewhere), then censused per type. The
+    oracle is q_gdpr_purge's declarative CASE census restricted to
+    retained rows, so the stream provably drops exactly the requested
+    users. At scale the request table broadcasts under every micro-batch
+    (refreshable by restart or foreachBatch re-read)."""
+    from ..sources import load_table
+
+    src_dir = tempfile.mkdtemp(prefix="stream_purge_src_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    purge = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .where(F.col("user_id") % 97 == 3)
+        .distinct()
+    )
+    ev = stream_events(spark, src_dir).select("event_type", "user_id")
+    retained = ev.join(F.broadcast(purge), "user_id", "left_anti")
+    agg = retained.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_retained")
+    )
+    table = f"stream_purge_{uuid.uuid4().hex[:10]}"
+    run_available_now(
+        agg,
+        checkpoint_dir=tempfile.mkdtemp(prefix="stream_purge_ckpt_"),
+        output_mode="complete",
+        memory_table=table,
+    )
+    return spark.table(table)
