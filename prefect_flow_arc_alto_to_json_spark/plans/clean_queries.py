@@ -1501,3 +1501,151 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(hi))
         .crossJoin(F.broadcast(nr))
     )
+
+
+@query(
+    "q_t_closeness",
+    extra=True,
+    oracle="""
+    WITH c AS (
+      SELECT c_mktsegment AS seg, c_nationkey AS nat,
+             LEAST(9, GREATEST(0,
+               (CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000)
+               // 110000)) AS b
+      FROM customer
+    ),
+    cls AS (SELECT seg, nat, CAST(COUNT(*) AS BIGINT) AS n_c
+            FROM c GROUP BY seg, nat),
+    spine AS (
+      SELECT seg, nat, n_c, bk.b
+      FROM cls CROSS JOIN (SELECT unnest(range(0, 10)) AS b) bk
+    ),
+    cnt AS (SELECT seg, nat, b, CAST(COUNT(*) AS BIGINT) AS n
+            FROM c GROUP BY seg, nat, b),
+    gl AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n_b FROM c GROUP BY b),
+    glc AS (
+      SELECT bk.b,
+             CAST(COALESCE(SUM(gl.n_b) FILTER (WHERE gl.b <= bk.b), 0)
+                  AS BIGINT) AS cum_g,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_g
+      FROM (SELECT unnest(range(0, 10)) AS b) bk LEFT JOIN gl ON TRUE
+      GROUP BY bk.b
+    ),
+    cum AS (
+      SELECT s.seg, s.nat, s.n_c, s.b,
+             CAST(SUM(COALESCE(cnt.n, 0)) OVER (
+               PARTITION BY s.seg, s.nat ORDER BY s.b) AS BIGINT) AS cum_c
+      FROM spine s LEFT JOIN cnt
+        ON cnt.seg = s.seg AND cnt.nat = s.nat AND cnt.b = s.b
+    ),
+    emd AS (
+      SELECT cum.seg, cum.nat, cum.n_c,
+             CAST(SUM(ABS(cum.cum_c * g.n_g - g.cum_g * cum.n_c))
+                  AS BIGINT) AS sum_abs,
+             MAX(g.n_g) AS n_g
+      FROM cum JOIN glc g ON g.b = cum.b
+      WHERE cum.b < 9
+      GROUP BY cum.seg, cum.nat, cum.n_c
+    )
+    SELECT seg, nat, n_c,
+           CAST((2 * sum_abs * 1000000 + 9 * n_c * n_g)
+                // (2 * 9 * n_c * n_g) AS BIGINT) AS emd_ppm,
+           CAST((2 * sum_abs * 1000000 + 9 * n_c * n_g)
+                // (2 * 9 * n_c * n_g) AS BIGINT) <= 200000 AS t_close
+    FROM emd
+    """,
+)
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (k-anonymity/l-diversity's distribution-aware
+    companion): per quasi-identifier class (mktsegment, nationkey), the
+    Earth Mover's Distance between the class's sensitive-attribute
+    distribution (acctbal in 10 fixed-width buckets over the full
+    [-1000, 10000) domain) and the global one; a class leaks when its
+    distribution is far from the crowd's even if every value is
+    distinct. EMD over an ordered attribute is the mean |cumulative
+    share difference| (Li et al.'s ordered-distance form); shares are
+    never materialized — the cumulative diff is cross-multiplied to the
+    EXACT INTEGER cum_c*N_g - cum_g*N_c over denominator N_c*N_g, summed
+    over the first b-1 cut points, and reported via the half-up ppm
+    device. (Long headroom: sum_abs <= 9*N_c*N_g; the 2e6 multiplier
+    keeps products under 2^63 up to N_c*N_g ~ 4.6e11 — beyond that,
+    pre-divide the global side to ppk shares first.)
+
+    Scale: one narrow scan bucketized in codegen; class histogram +
+    global histogram are two map-side-combining groupBys; the dense
+    bucket spine (classes x 10) restores absent buckets BEFORE the
+    bounded 10-row-per-class cumulative window; the 10-row global CDF
+    broadcasts. No driver loops, no unbounded window."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nat"),
+        F.least(
+            F.lit(9),
+            F.greatest(
+                F.lit(0),
+                F.call_function(
+                    "div", cents("c_acctbal") + 100000, F.lit(110000)
+                ),
+            ),
+        ).alias("b"),
+    )
+    cls = cust.groupBy("seg", "nat").agg(F.count(F.lit(1)).alias("n_c"))
+    spine = cls.crossJoin(
+        F.broadcast(spark.range(10).select(F.col("id").alias("b")))
+    )
+    cnt = cust.groupBy("seg", "nat", "b").agg(F.count(F.lit(1)).alias("n"))
+    gl = cust.groupBy("b").agg(F.count(F.lit(1)).alias("n_b"))
+    glc = (
+        spark.range(10)
+        .select(F.col("id").alias("b"))
+        .join(gl, "b", "left")
+        .select("b", F.coalesce("n_b", F.lit(0)).alias("n_b"))
+        .withColumn(
+            "cum_g",
+            F.sum("n_b").over(
+                Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .crossJoin(
+            F.broadcast(cust.agg(F.count(F.lit(1)).alias("n_g")))
+        )
+        .select("b", "cum_g", "n_g")
+    )
+    w = (
+        Window.partitionBy("seg", "nat")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        spine.join(cnt, ["seg", "nat", "b"], "left")
+        .select(
+            "seg", "nat", "n_c", "b", F.coalesce("n", F.lit(0)).alias("n")
+        )
+        .withColumn("cum_c", F.sum("n").over(w))
+    )
+    emd = (
+        cum.where(F.col("b") < 9)
+        .join(F.broadcast(glc), "b")
+        .groupBy("seg", "nat", "n_c")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cum_c") * F.col("n_g")
+                    - F.col("cum_g") * F.col("n_c")
+                )
+            ).alias("sum_abs"),
+            F.max("n_g").alias("n_g"),
+        )
+    )
+    from ..functions.scalar import half_up_units
+
+    emd_ppm = half_up_units(
+        F.col("sum_abs"), F.lit(9) * F.col("n_c") * F.col("n_g"), 1_000_000
+    )
+    return emd.select(
+        "seg",
+        "nat",
+        "n_c",
+        emd_ppm.alias("emd_ppm"),
+        (emd_ppm <= 200000).alias("t_close"),
+    )

@@ -220,3 +220,109 @@ def q_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges.createOrReplaceTempView("edges")
     return spark.sql("WITH RECURSIVE " + _SQL_REACH_BODY)
+
+
+@query(
+    "q_degree_assortativity",
+    extra=True,
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    dc AS (SELECT ck, CAST(COUNT(*) AS BIGINT) AS j FROM e GROUP BY ck),
+    ds AS (SELECT sk, CAST(COUNT(*) AS BIGINT) AS k FROM e GROUP BY sk),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m_edges,
+             CAST(SUM(j * k) AS BIGINT) AS s_jk,
+             CAST(SUM(j + k) AS BIGINT) AS s_jpk,
+             CAST(SUM(j * j + k * k) AS BIGINT) AS s_j2k2
+      FROM e JOIN dc USING (ck) JOIN ds USING (sk)
+    )
+    SELECT m_edges, s_jk,
+           CASE WHEN num >= 0
+                THEN CAST((2 * (ABS(num) // g) * 1000000 + den // g)
+                          // (2 * (den // g)) AS BIGINT)
+                ELSE -CAST((2 * (ABS(num) // g) * 1000000 + den // g)
+                           // (2 * (den // g)) AS BIGINT)
+           END AS r_ppm
+    FROM (
+      SELECT m_edges, s_jk, num, den,
+             GREATEST(CAST(1 AS BIGINT), den // 1000000000) AS g
+      FROM (
+        SELECT m_edges, s_jk,
+               4 * m_edges * s_jk - s_jpk * s_jpk AS num,
+               2 * m_edges * s_j2k2 - s_jpk * s_jpk AS den
+        FROM m
+      )
+    )
+    """,
+)
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the customer-supplier trading graph
+    (distinct who-buys-from-whom edges): Newman's r — the Pearson
+    correlation of endpoint degrees across edges — answers whether
+    high-degree hubs link to other hubs (r>0) or to the periphery (r<0),
+    the structural question behind sampling bias in graph-derived
+    training data. With integer sums S_jk, S_(j+k), S_(j2+k2) and edge
+    count M, r = (4*M*S_jk - S_(j+k)^2) / (2*M*S_(j2+k2) - S_(j+k)^2) —
+    EVERY moment is an exact long, and the signed ppm report applies the
+    half-away-from-zero integer device to |num| (both engines truncate
+    positive `div` identically; negation restores the sign). No float
+    enters at any step. num/den reach ~1e17 at sf0.1 (measured), so the
+    raw device's 2*num*1e6 product would overflow a long: both sides
+    first right-shift num and den by the SAME divisor g = max(1,
+    den div 1e9) — the shifted integers are identical in both engines,
+    so cross-engine determinism is preserved while the introduced
+    relative error (~1e-9) sits three orders below ppm granularity.
+
+    Scale: the distinct-edge shuffle is keyed (ck, sk); both degree
+    relations are node-sized (<< edges) and BROADCAST onto the edge list
+    — no edge-relation reshuffle; the moment reduce is a single partial
+    agg to one row. At true scale with node tables too big to broadcast,
+    the two joins run keyed on ck then sk — still two bounded shuffles
+    of a (long, long) relation."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    e = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    dc = e.groupBy("ck").agg(F.count(F.lit(1)).alias("j"))
+    ds = e.groupBy("sk").agg(F.count(F.lit(1)).alias("k"))
+    m = (
+        e.join(F.broadcast(dc), "ck")
+        .join(F.broadcast(ds), "sk")
+        .agg(
+            F.count(F.lit(1)).alias("m_edges"),
+            F.sum(F.col("j") * F.col("k")).alias("s_jk"),
+            F.sum(F.col("j") + F.col("k")).alias("s_jpk"),
+            F.sum(
+                F.col("j") * F.col("j") + F.col("k") * F.col("k")
+            ).alias("s_j2k2"),
+        )
+    )
+    num = (
+        F.lit(4) * F.col("m_edges") * F.col("s_jk")
+        - F.col("s_jpk") * F.col("s_jpk")
+    )
+    den = (
+        F.lit(2) * F.col("m_edges") * F.col("s_j2k2")
+        - F.col("s_jpk") * F.col("s_jpk")
+    )
+    g = F.greatest(
+        F.lit(1).cast("long"), F.call_function("div", den, F.lit(1_000_000_000))
+    )
+    a_s = F.call_function("div", F.abs(num), g)
+    den_s = F.call_function("div", den, g)
+    scaled = F.call_function(
+        "div", F.lit(2) * a_s * 1_000_000 + den_s, F.lit(2) * den_s
+    )
+    return m.select(
+        "m_edges",
+        "s_jk",
+        F.when(num >= 0, scaled).otherwise(-scaled).alias("r_ppm"),
+    )

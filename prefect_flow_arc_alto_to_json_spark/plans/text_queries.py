@@ -1363,3 +1363,59 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("zipf_slope"),
     )
+
+
+@query(
+    "text_simpson_diversity",
+    extra=True,
+    oracle=f"""
+    WITH t AS (SELECT source, unnest({_SQL_TOKS}) AS tok FROM documents),
+    tc AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM t GROUP BY source, tok
+    ),
+    s AS (
+      SELECT source,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_terms,
+             CAST(SUM(c * (c - 1)) AS BIGINT) AS coll
+      FROM tc GROUP BY source
+    )
+    SELECT source, n_tokens, n_terms,
+           CAST((2 * coll * 1000000 + n_tokens * (n_tokens - 1))
+                // (2 * n_tokens * (n_tokens - 1)) AS BIGINT) AS simpson_ppm
+    FROM s
+    """,
+)
+def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson concentration index per source — P(two random tokens are
+    the same type), the lexical-diversity fingerprint that separates
+    templated/boilerplate sources (high lambda) from organic prose: the
+    unbiased estimator lambda = sum n_i(n_i-1) / (N(N-1)) is a ratio of
+    two EXACT LONG sums, reported via the half-up ppm device with zero
+    float steps (registry.py determinism rules).
+
+    Scale: tokenize+explode is codegen; groupBy(source, tok) count gets
+    map-side partial agg (the term histogram shuffle is the corpus
+    vocabulary, not the corpus); the per-source reduce is |vocab|-sized.
+    Both shuffles are keyed aggs — no joins, nothing driver-side."""
+    from ..functions.scalar import half_up_units
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    tc = (
+        docs.select("source", F.explode(token_array("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s = tc.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum(F.col("c") * (F.col("c") - 1)).alias("coll"),
+    )
+    pairs = F.col("n_tokens") * (F.col("n_tokens") - 1)
+    return s.select(
+        "source",
+        "n_tokens",
+        "n_terms",
+        half_up_units(F.col("coll"), pairs, 1_000_000).alias("simpson_ppm"),
+    )
