@@ -2181,3 +2181,56 @@ def q_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.first("m"), 2).alias("median_cents"),
         F.round(F.expr("percentile(adev, 0.5)"), 2).alias("mad_cents"),
     ).select("event_type", "median_cents", "mad_cents")
+
+
+@query(
+    "q_audience_overlap",
+    extra=True,
+    oracle="""
+    WITH a AS (
+      SELECT DISTINCT o_orderpriority AS prio, o_custkey AS ck FROM orders
+    )
+    SELECT x.prio AS prio_a, y.prio AS prio_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM a x JOIN a y ON x.ck = y.ck AND x.prio < y.prio
+    GROUP BY 1, 2
+    """,
+)
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience-overlap matrix — for every pair of order
+    priorities, how many customers appear in BOTH audiences (the
+    co-occurrence counts behind segment-similarity and campaign-overlap
+    reports). The membership relation is distinct-ed FIRST (one keyed
+    shuffle on (prio, ck)), then self-joined on the member key: each
+    member carries at most |priorities| = 5 rows, so the join fan-out is
+    bounded by 25 per member — never |audience|² — and the pair census
+    is a map-side-combining groupBy over 10 unordered pairs.
+
+    Scale: this is the audience-sketch-free EXACT form; the shuffle is
+    member-keyed (no hot keys — every customer is one group), and the
+    p1 < p2 predicate halves the pair space in the join itself. With
+    thousands of segments the same plan holds because the per-member
+    fan-out is segments-per-member choose 2, not |segments|²."""
+    a = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("prio"),
+            F.col("o_custkey").alias("ck"),
+        )
+        .distinct()
+    )
+    x = a.alias("x")
+    y = a.select(
+        F.col("prio").alias("prio_y"), F.col("ck").alias("ck_y")
+    ).alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.ck") == F.col("ck_y"))
+            & (F.col("x.prio") < F.col("prio_y")),
+        )
+        .groupBy(
+            F.col("x.prio").alias("prio_a"), F.col("prio_y").alias("prio_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

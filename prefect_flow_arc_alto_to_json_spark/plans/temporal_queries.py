@@ -759,3 +759,94 @@ def q_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("acf1_ppm"),
     )
+
+
+#: Truncated-EWMA weights, alpha = 1/4, horizon K = 14 observed days:
+#: w_k = alpha*(1-alpha)^k scaled by 4^14/alpha -> INTEGER 3^k * 4^(13-k).
+#: Sum(w) = 263652487 (~2.6e8): with daily spend <= ~1e9 cents the
+#: weighted sum stays under ~2.6e17, inside long headroom.
+_EWMA_W = [3**k * 4 ** (13 - k) for k in range(14)]
+
+_EWMA_ORACLE = (
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    lagged AS (
+      SELECT day, y, """
+    + ",\n             ".join(
+        "LAG(y, %d) OVER (ORDER BY day) AS l%d" % (k, k) for k in range(1, 14)
+    )
+    + """
+      FROM daily
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST((2 * ("""
+    + " + ".join(
+        ["y * %d" % _EWMA_W[0]]
+        + ["COALESCE(l%d, 0) * %d" % (k, _EWMA_W[k]) for k in range(1, 14)]
+    )
+    + """) + ("""
+    + " + ".join(
+        ["%d" % _EWMA_W[0]]
+        + [
+            "(CASE WHEN l%d IS NOT NULL THEN %d ELSE 0 END)" % (k, _EWMA_W[k])
+            for k in range(1, 14)
+        ]
+    )
+    + """))
+                // (2 * ("""
+    + " + ".join(
+        ["%d" % _EWMA_W[0]]
+        + [
+            "(CASE WHEN l%d IS NOT NULL THEN %d ELSE 0 END)" % (k, _EWMA_W[k])
+            for k in range(1, 14)
+        ]
+    )
+    + """)) AS BIGINT) AS ewma_cents
+    FROM lagged
+    """
+)
+
+
+@query("q_ewma_daily", extra=True, oracle=_EWMA_ORACLE)
+def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated exponentially-weighted moving average of daily spend —
+    the smoothing baseline behind drift monitors and rate limiters.
+    alpha = 1/4 over a 14-observed-day horizon makes every weight the
+    EXACT INTEGER 3^k * 4^(13-k) (the geometric tail beyond k=13 carries
+    < 2% mass and is renormalized away): the EWMA is then a ratio of two
+    long sums — weights renormalize over PRESENT lags so the series head
+    is exact, not zero-padded — reported in integer cents via the
+    half-up device. No float enters.
+
+    Scale: the daily pre-aggregate is a map-side-combining groupBy to a
+    date-spine-sized relation (bounded by calendar days, not data), so
+    the 14 lag() calls over one global ordered window follow the
+    q_autocorr_lag1 precedent; the fixed-K unroll keeps the whole
+    smoother in whole-stage codegen — no UDF, no iterative state."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), cents("value").alias("v")
+    )
+    daily = ev.groupBy("day").agg(F.sum("v").alias("y"))
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "day",
+        "y",
+        *[F.lag("y", k).over(w).alias("l%d" % k) for k in range(1, 14)],
+    )
+    num = F.col("y") * _EWMA_W[0]
+    den = F.lit(_EWMA_W[0]).cast("long")
+    for k in range(1, 14):
+        num = num + F.coalesce(F.col("l%d" % k), F.lit(0)) * _EWMA_W[k]
+        den = den + F.when(
+            F.col("l%d" % k).isNotNull(), F.lit(_EWMA_W[k])
+        ).otherwise(F.lit(0))
+    from ..functions.scalar import half_up_units
+
+    return lagged.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        half_up_units(num, den, 1).alias("ewma_cents"),
+    )

@@ -1419,3 +1419,70 @@ def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_terms",
         half_up_units(F.col("coll"), pairs, 1_000_000).alias("simpson_ppm"),
     )
+
+
+@query(
+    "text_burstiness",
+    extra=True,
+    oracle=f"""
+    WITH t AS (SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents),
+    dc AS (
+      SELECT tok, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM t GROUP BY tok, doc_id
+    ),
+    tot AS (
+      SELECT tok, CAST(SUM(c) AS BIGINT) AS total,
+             CAST(SUM(c * c) AS BIGINT) AS sum_c2
+      FROM dc GROUP BY tok
+    ),
+    top AS (
+      SELECT tok, total, sum_c2
+      FROM tot ORDER BY total DESC, tok LIMIT 10
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT tok, total,
+           CAST((2 * (n_docs * sum_c2 - total * total) * 1000
+                 + n_docs * total) // (2 * n_docs * total) AS BIGINT)
+             AS fano_milli
+    FROM top, nd
+    """,
+)
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness (Fano factor: variance-to-mean ratio of per-document
+    counts, zeros included) for the 10 highest-frequency tokens —
+    function words sit near 1 (Poisson), topical/boilerplate terms run
+    bursty (>1), the signal behind stopword induction and
+    templated-source detection. Var and mean over ALL docs need only
+    N_docs, sum(c), sum(c^2) — absent docs contribute zero to both sums,
+    so the zeros are NEVER materialized — and Fano = (N*sum_c2 -
+    total^2)/(N*total) is a ratio of exact longs (non-negative by
+    Cauchy-Schwarz), reported in milli-units via the half-up device.
+
+    Scale: per-(tok, doc) counts get map-side partial agg; the token
+    rollup is vocabulary-sized; top-10 carries a total-order tiebreaker
+    and the 1-row doc count joins by broadcast. No zero-fill, no
+    doc x vocab blow-up."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    dc = (
+        docs.select("doc_id", F.explode(token_array("text")).alias("tok"))
+        .groupBy("tok", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = dc.groupBy("tok").agg(
+        F.sum("c").alias("total"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+    )
+    top = tot.orderBy(F.col("total").desc(), "tok").limit(10)
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    from ..functions.scalar import half_up_units
+
+    j = top.crossJoin(F.broadcast(nd))
+    return j.select(
+        "tok",
+        "total",
+        half_up_units(
+            F.col("n_docs") * F.col("sum_c2") - F.col("total") * F.col("total"),
+            F.col("n_docs") * F.col("total"),
+            1000,
+        ).alias("fano_milli"),
+    )
