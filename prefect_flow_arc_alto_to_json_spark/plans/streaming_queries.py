@@ -1617,3 +1617,89 @@ def stream_gdpr_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         memory_table=table,
     )
     return spark.table(table)
+
+
+@query(
+    "stream_full_outer_join",
+    extra=True,
+    oracle="""
+    WITH e AS (SELECT * FROM events WHERE event_type = 'error'),
+    p AS (SELECT * FROM events WHERE event_type = 'purchase')
+    SELECT COALESCE(e.user_id, p.user_id) AS user_id,
+           e.event_id AS l_event_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS l_ts,
+           p.event_id AS r_event_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS r_ts,
+           p.value AS r_value
+    FROM e FULL JOIN p
+      ON e.user_id = p.user_id
+     AND p.ts > e.ts
+     AND p.ts <= e.ts + INTERVAL 10 MINUTE
+    """,
+)
+def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM FULL OUTER interval join — completes the
+    stream-stream matrix (inner / leftOuter graded earlier; the anti
+    side lives in stream_gdpr_purge's stream-static LEFT ANTI): BOTH
+    buffers now emit null-padded rows at state-watermark eviction, so a
+    purchase no error ever preceded surfaces as (NULL left columns,
+    purchase ids) exactly once. Same sentinel replay as
+    stream_outer_join — two later-timestamped flush batches typed to
+    survive both side filters push the watermark past every real row,
+    flushing BOTH sides' unmatched state (outer emissions trail the
+    watermark by one micro-batch). The oracle is the batch FULL JOIN
+    with the identical interval predicate; the key column is
+    COALESCE(l, r) on both engines because right-only rows carry the
+    key on the purchase side.
+
+    Scale: identical bounded-state shape as the inner form — two-sided
+    watermarks + two-sided time bound derive an eviction watermark per
+    side; fullOuter changes only what eviction EMITS, not what it
+    stores."""
+    from ..streaming.pipeline import stream_stream_interval_join
+
+    src = tempfile.mkdtemp(prefix="stream_foj_src_")
+    out = tempfile.mkdtemp(prefix="stream_foj_out_")
+    ckpt = tempfile.mkdtemp(prefix="stream_foj_ckpt_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src, "events.parquet"),
+    )
+    from ..sources import load_table
+
+    mx = load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+
+    def drain() -> None:
+        errors = stream_events(spark, src).where("event_type = 'error'")
+        purchases = stream_events(spark, src).where(
+            "event_type = 'purchase'"
+        )
+        joined = stream_stream_interval_join(
+            errors, purchases, how="fullOuter"
+        ).select(
+            "user_id",
+            "l_event_id",
+            F.date_format("l_ts", "yyyy-MM-dd HH:mm:ss").alias("l_ts"),
+            "r_event_id",
+            F.date_format("r_ts", "yyyy-MM-dd HH:mm:ss").alias("r_ts"),
+            "r_value",
+        )
+        run_available_now(
+            joined,
+            ckpt,
+            output_mode="append",
+            foreach_batch=lambda df, _bid: df.write.mode("append").parquet(out),
+        )
+
+    drain()
+    for name, h in (("flush_a.parquet", 2), ("flush_b.parquet", 4)):
+        rows = [
+            (10**13 + h, mx + timedelta(hours=h), -1, "error", 1.0, None),
+            (10**13 + 100 + h, mx + timedelta(hours=h, minutes=30), -1,
+             "purchase", 1.0, None),
+        ]
+        _plant_events_like_source(
+            spark, src, spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA), name
+        )
+        drain()
+    return spark.read.parquet(out).where(F.col("user_id") != -1)

@@ -350,8 +350,10 @@ def stream_stream_interval_join(
         & (F.col("r_ts") > F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {interval}"))
     )
+    # coalesce, not l_key: fullOuter's right-only rows carry the key on
+    # the r side (no-op for inner/leftOuter where l_key is never null).
     return l.join(r, cond, how).select(
-        F.col("l_key").alias(key),
+        F.coalesce(F.col("l_key"), F.col("r_key")).alias(key),
         "l_event_id",
         "l_ts",
         "r_event_id",
