@@ -777,3 +777,114 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_minhash_pairs(
         docs, F.col("doc_id") % 5 == 4, threshold=0.5
     )
+
+
+@query(
+    "dedup_minhash_calibration",
+    extra=True,
+    oracle=f"""
+    WITH {_SQL_DOCS_WITH_SIG},
+    hsd AS (SELECT doc_id, list_distinct(hs) AS hsd FROM hsh),
+    bands AS (
+      SELECT doc_id, u.j, [{_SQL_BANDS}][u.j + 1] AS bh
+      FROM docs, (SELECT unnest(range(0, {MINHASH_BANDS})) AS j) u
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.j = b.j AND a.bh = b.bh
+      WHERE a.doc_id < b.doc_id
+    ),
+    per_pair AS (
+      SELECT
+        CAST(len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i]))
+             AS BIGINT) AS m,
+        CAST(len(list_distinct(list_intersect(ha.hsd, hb.hsd)))
+             AS BIGINT) AS inter,
+        CAST(len(ha.hsd) + len(hb.hsd)
+             - len(list_distinct(list_intersect(ha.hsd, hb.hsd)))
+             AS BIGINT) AS uni
+      FROM cand
+      JOIN docs sa ON sa.doc_id = id_a JOIN docs sb ON sb.doc_id = id_b
+      JOIN hsd ha ON ha.doc_id = id_a JOIN hsd hb ON hb.doc_id = id_b
+    ),
+    scored AS (
+      SELECT (m * 10) // 32 AS bucket,
+             (2 * m * 1000000 + 32) // 64 AS est_ppm,
+             (2 * inter * 1000000 + uni) // (2 * uni) AS jacc_ppm
+      FROM per_pair WHERE uni > 0
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST((2 * SUM(est_ppm) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+             AS mean_est_ppm,
+           CAST((2 * SUM(jacc_ppm) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+             AS mean_exact_ppm
+    FROM scored GROUP BY bucket
+    """,
+)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash calibration report — the eval that tells you whether the
+    32-hash signature is trustworthy at your chosen LSH threshold: every
+    band candidate pair scored BOTH ways (signature-estimated Jaccard =
+    matching positions / 32, and exact distinct-shingle-hash Jaccard),
+    bucketed by estimate decile, reporting per-bucket pair counts and
+    the two means. A well-calibrated sketch shows mean_est ~ mean_exact
+    per bucket; systematic gaps mean the signature is too short for the
+    threshold. Everything is integer: match counts m, inter/union set
+    sizes, per-pair ppm via the half-up device, bucket = (m*10) div 32,
+    and the means average the EXACT per-pair ppm longs.
+
+    Scale: candidates come from the same banded self-join as
+    dedup_minhash_pairs (sum bucket^2, never corpus^2); the exact-side
+    verification intersects the two distinct-shingle-hash arrays only
+    for CANDIDATE pairs (per-pair O(|sh|), the verify step's cost — at
+    boilerplate-skew scale the posting-join form with max_doc_freq
+    substitutes); the report reduce is 10 groups."""
+    from ..operators.dedup import shingle_hashes, shingles
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = minhash_lsh_pairs(docs, threshold=0.0)
+    hsd = docs.select(
+        "doc_id",
+        F.array_distinct(shingle_hashes(shingles("text"))).alias("hsd"),
+    )
+    ha = hsd.select(F.col("doc_id").alias("id_a"), F.col("hsd").alias("ha"))
+    hb = hsd.select(F.col("doc_id").alias("id_b"), F.col("hsd").alias("hb"))
+    inter = F.size(F.array_distinct(F.array_intersect("ha", "hb"))).cast(
+        "long"
+    )
+    per_pair = (
+        pairs.join(ha, "id_a")
+        .join(hb, "id_b")
+        .select(
+            F.round(F.col("est_jaccard") * 32).cast("long").alias("m"),
+            inter.alias("inter"),
+            (F.size("ha") + F.size("hb")).cast("long").alias("sz"),
+        )
+        .select(
+            "m", "inter", (F.col("sz") - F.col("inter")).alias("uni")
+        )
+        .where(F.col("uni") > 0)
+    )
+    d = F.call_function
+    scored = per_pair.select(
+        d("div", F.col("m") * 10, F.lit(32)).alias("bucket"),
+        d("div", F.lit(2) * F.col("m") * 1_000_000 + 32, F.lit(64)).alias(
+            "est_ppm"
+        ),
+        d(
+            "div",
+            F.lit(2) * F.col("inter") * 1_000_000 + F.col("uni"),
+            F.lit(2) * F.col("uni"),
+        ).alias("jacc_ppm"),
+    )
+    n = F.count(F.lit(1))
+    return scored.groupBy("bucket").agg(
+        n.alias("n_pairs"),
+        d("div", F.lit(2) * F.sum("est_ppm") + n, F.lit(2) * n).alias(
+            "mean_est_ppm"
+        ),
+        d("div", F.lit(2) * F.sum("jacc_ppm") + n, F.lit(2) * n).alias(
+            "mean_exact_ppm"
+        ),
+    )

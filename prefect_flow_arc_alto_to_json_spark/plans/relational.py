@@ -2234,3 +2234,82 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+@query(
+    "q_mutual_information",
+    extra=True,
+    oracle="""
+    WITH cells AS (
+      SELECT c_mktsegment AS seg, c_nationkey AS nat,
+             CAST(COUNT(*) AS BIGINT) AS n_ij
+      FROM customer GROUP BY 1, 2
+    ),
+    mseg AS (SELECT seg, CAST(SUM(n_ij) AS BIGINT) AS n_i
+             FROM cells GROUP BY seg),
+    mnat AS (SELECT nat, CAST(SUM(n_ij) AS BIGINT) AS n_j
+             FROM cells GROUP BY nat),
+    tot AS (SELECT CAST(SUM(n_ij) AS BIGINT) AS n FROM cells),
+    contrib AS (
+      SELECT c.seg, c.nat,
+             CAST(ROUND(
+               (CAST(c.n_ij AS DOUBLE) / t.n)
+               * ln(CAST(c.n_ij AS DOUBLE) * t.n
+                    / (CAST(s.n_i AS DOUBLE) * g.n_j))
+               * 1000000
+             ) AS BIGINT) AS mi_micro
+      FROM cells c
+      JOIN mseg s USING (seg) JOIN mnat g USING (nat) CROSS JOIN tot t
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(mi_micro) AS BIGINT) AS mi_micro
+    FROM contrib
+    """,
+)
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between market segment and nation — the
+    dependence measure completing the chi-square contingency audit (MI
+    answers "how MUCH structure", chi-square "is there any"): I(X;Y) =
+    sum p_ij * ln(p_ij / (p_i p_j)) in nats. Determinism device: each
+    CELL's contribution is snapped to an integer micro-nat FIRST (the
+    ln of a data-sized ratio is irrational, so the .5 boundary is
+    measure-zero — the round-8 ROUND rule), then the total is a SUM OF
+    LONGS, immune to the cross-engine float-summation-order hazard that
+    a single ROUND(SUM(double)) would hit. Both engines evaluate the
+    identical operand order: (n_ij/N) * ln(n_ij*N / (n_i*n_j)) * 1e6.
+
+    Scale: one map-side-combining groupBy builds the contingency cells;
+    margins reduce FROM THE CELLS (|X| + |Y| rows, never a fact rescan);
+    the 1-row total and both margins broadcast back onto the cells."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"), F.col("c_nationkey").alias("nat")
+    )
+    cells = cust.groupBy("seg", "nat").agg(F.count(F.lit(1)).alias("n_ij"))
+    from ..functions.scale import scoped_persist
+
+    cells = scoped_persist(cells, "q_mutual_information.cells")
+    mseg = cells.groupBy("seg").agg(F.sum("n_ij").alias("n_i"))
+    mnat = cells.groupBy("nat").agg(F.sum("n_ij").alias("n_j"))
+    tot = cells.agg(F.sum("n_ij").alias("n"))
+    contrib = (
+        cells.join(F.broadcast(mseg), "seg")
+        .join(F.broadcast(mnat), "nat")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                (F.col("n_ij").cast("double") / F.col("n"))
+                * F.log(
+                    F.col("n_ij").cast("double")
+                    * F.col("n")
+                    / (F.col("n_i").cast("double") * F.col("n_j"))
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("mi_micro")
+        )
+    )
+    return contrib.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("mi_micro").alias("mi_micro"),
+    )
