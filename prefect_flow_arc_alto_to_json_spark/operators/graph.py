@@ -151,3 +151,63 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         F.explode(F.array("x", "y", "z")).alias("node")
     )
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+
+
+def lpa_communities(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Weighted synchronous label propagation (Raghavan et al.): every
+    node starts in its own community; each round it adopts the label
+    with the LARGEST total edge weight among its neighbors (ties ->
+    smallest label, the total order that makes synchronous LPA — which
+    is otherwise notoriously tie-unstable — fully deterministic and
+    therefore SQL-replayable by unrolling).
+
+    Input ``edges``: (src, dst, w) directed; symmetrized here, self-loops
+    dropped (a self-loop is a constant self-vote that only dampens
+    propagation).
+
+    Scale: per iteration ONE labels⋈edges join keyed on the neighbor
+    endpoint + one max_by groupBy on the node — the dedup_components
+    shape with weighted votes; localCheckpoint truncates lineage each
+    round so iteration count multiplies wall-clock, not plan depth.
+    Returns (node, community).
+    """
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select("src", "dst", "w")
+        .unionByName(
+            edges.where(F.col("src") != F.col("dst")).select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint()
+    )
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("community"))
+        .localCheckpoint()
+    )
+    for _ in range(iterations):
+        votes = (
+            und.join(
+                labels.select(
+                    F.col("node").alias("dst"),
+                    F.col("community").alias("nbr_label"),
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"), F.col("nbr_label"))
+            .agg(F.sum("w").alias("vw"))
+        )
+        labels = (
+            votes.groupBy("node")
+            .agg(
+                F.max_by(
+                    "nbr_label", F.struct(F.col("vw"), -F.col("nbr_label"))
+                ).alias("community")
+            )
+            .localCheckpoint()
+        )
+    return labels

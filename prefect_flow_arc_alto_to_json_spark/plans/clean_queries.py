@@ -1649,3 +1649,89 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         emd_ppm.alias("emd_ppm"),
         (emd_ppm <= 200000).alias("t_close"),
     )
+
+
+@query(
+    "q_abtest_proportions",
+    extra=True,
+    oracle="""
+    WITH a AS (
+      SELECT user_id % 2 AS arm, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN arm = 0 THEN n END) AS n_a,
+        MAX(CASE WHEN arm = 0 THEN x END) AS x_a,
+        MAX(CASE WHEN arm = 1 THEN n END) AS n_b,
+        MAX(CASE WHEN arm = 1 THEN x END) AS x_b
+      FROM a
+    )
+    SELECT n_a, x_a, n_b, x_b,
+      CAST(ROUND(
+        (CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b) * 1000
+        / sqrt(
+            (CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+            * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+            * (1.0 / n_a + 1.0 / n_b)
+          )
+      ) AS BIGINT) AS z_milli
+    FROM wide
+    """,
+)
+def q_abtest_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test — the experimentation primitive that pairs
+    with q_wilson_bounds (per-arm intervals) and q_bootstrap_ci
+    (resampled CI): events split into arms by the deterministic
+    user_id % 2 assignment; the tested proportion is the purchase share
+    of events per arm (strictly interior at every SF — the all-users-
+    convert degeneracy at sf0.001 zeroes a per-user pooled variance),
+    compared by the pooled z-statistic. All counts are exact
+    longs; the one composite double (rate difference over the pooled
+    standard error, an irrational sqrt) is evaluated in IDENTICAL
+    operand order on both engines and milli-snapped — the
+    q_autocorr_lag1 device.
+
+    Scale: one map-side-combining groupBy straight to 2 arm rows; the pivot and the statistic are
+    driver-free 1-row algebra."""
+    a = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            (F.col("user_id") % 2).alias("arm"),
+            (F.col("event_type") == "purchase").cast("int").alias("is_p"),
+        )
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("is_p").cast("long").alias("x"),
+        )
+    )
+    wide = a.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == 0, F.col("x"))).alias("x_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == 1, F.col("x"))).alias("x_b"),
+    )
+    pooled = F.col("x_a").cast("double") + F.col("x_b")
+    tot = F.col("n_a").cast("double") + F.col("n_b")
+    z = (
+        (
+            F.col("x_a").cast("double") / F.col("n_a")
+            - F.col("x_b").cast("double") / F.col("n_b")
+        )
+        * 1000
+        / F.sqrt(
+            (pooled / tot)
+            * (F.lit(1.0) - pooled / tot)
+            * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+        )
+    )
+    return wide.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        F.round(z).cast("long").alias("z_milli"),
+    )

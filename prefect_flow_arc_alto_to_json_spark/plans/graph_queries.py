@@ -326,3 +326,94 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_jk",
         F.when(num >= 0, scaled).otherwise(-scaled).alias("r_ppm"),
     )
+
+
+def _lpa_iter_sql(t: int, prev: str) -> str:
+    """One unrolled LPA round: weighted neighbor vote, max weight then
+    min label (plain-string assembly, no braces)."""
+    return (
+        "    v%d AS (\n"
+        "      SELECT e.src AS node, l.community AS nbr_label,\n"
+        "             CAST(SUM(e.w) AS BIGINT) AS vw\n"
+        "      FROM und e JOIN %s l ON l.node = e.dst\n"
+        "      GROUP BY 1, 2\n"
+        "    ),\n"
+        "    l%d AS (\n"
+        "      SELECT node, nbr_label AS community FROM (\n"
+        "        SELECT node, nbr_label, ROW_NUMBER() OVER (\n"
+        "          PARTITION BY node ORDER BY vw DESC, nbr_label ASC\n"
+        "        ) AS rn FROM v%d\n"
+        "      ) WHERE rn = 1\n"
+        "    )" % (t, prev, t, t)
+    )
+
+
+_LPA_ORACLE = (
+    "WITH base AS (" + _SQL_EDGES + "),\n"
+    "    und AS (\n"
+    "      SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (\n"
+    "        SELECT src, dst, w FROM base WHERE src <> dst\n"
+    "        UNION ALL\n"
+    "        SELECT dst AS src, src AS dst, w FROM base WHERE src <> dst\n"
+    "      ) GROUP BY src, dst\n"
+    "    ),\n"
+    "    l0 AS (SELECT DISTINCT src AS node, src AS community FROM und),\n"
+    + ",\n".join(_lpa_iter_sql(t, "l%d" % (t - 1)) for t in (1, 2, 3))
+    + """
+    SELECT l.node, l.community,
+           CAST(c.n_members AS BIGINT) AS n_members
+    FROM l3 l JOIN (
+      SELECT community, COUNT(*) AS n_members FROM l3 GROUP BY community
+    ) c ON c.community = l.community
+    """
+)
+
+
+@query("q_lpa_communities", extra=True, oracle=_LPA_ORACLE)
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by weighted label propagation over the
+    nation-trade graph — the clustering companion to
+    dedup_components (reachability) and q_pagerank_trade (centrality):
+    3 synchronous rounds, each node adopting its neighbors'
+    weight-heaviest label with a total-order tie-break, so the
+    notoriously tie-unstable algorithm becomes deterministic and the
+    oracle replays all three rounds unrolled (operators/graph.py:
+    lpa_communities).
+
+    Scale: per round one labels⋈edges join keyed on the neighbor
+    endpoint + one max_by agg per node; lineage checkpoint-truncated.
+    The trade graph keeps the oracle's 3-round unroll cheap while the
+    Spark loop is the shape a billion-edge graph runs."""
+    from ..operators.graph import lpa_communities
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    labels = lpa_communities(edges, iterations=3)
+    sizes = labels.groupBy("community").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return labels.join(F.broadcast(sizes), "community").select(
+        F.col("node").cast("long").alias("node"),
+        F.col("community").cast("long").alias("community"),
+        "n_members",
+    )

@@ -2313,3 +2313,68 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_cells"),
         F.sum("mi_micro").alias("mi_micro"),
     )
+
+
+@query(
+    "q_skyline_pareto",
+    extra=True,
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey,
+             CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents,
+             CAST(p_size AS BIGINT) AS size
+      FROM part
+    )
+    SELECT a.p_partkey, a.price_cents, a.size
+    FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.price_cents <= a.price_cents AND b.size >= a.size
+        AND (b.price_cents < a.price_cents OR b.size > a.size)
+    )
+    """,
+)
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE (Pareto-dominance) query — parts on the
+    minimize-price / maximize-size frontier, the multi-criteria
+    shortlist operator (Borzsony et al.'s SKYLINE OF) that no
+    aggregate or top-k expresses. A part survives iff nothing is
+    cheaper-or-equal AND bigger-or-equal with one strict.
+
+    Spark plan — the 2D skyline NEVER needs the quadratic NOT EXISTS
+    the oracle uses: collapse to the per-price max size (map-side
+    combining groupBy to a PRICE-DOMAIN-sized spine — the vocabulary,
+    not the corpus), take the running max over price ascending on that
+    spine (exclusive M_lt and inclusive M_le), broadcast the spine
+    back, and keep rows with size > M_lt AND size = M_le-group max —
+    algebraically exactly the dominance test. Duplicated frontier
+    points all survive (no strict dominator), matching the oracle.
+
+    Scale: one keyed agg + a compressed-spine window + one broadcast
+    join; at an unbounded price domain the spine itself two-levels
+    (bucket partial maxima -> prefix over bucket summaries), same
+    device as the dense-ids rank."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        cents("p_retailprice").alias("price_cents"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    spine = p.groupBy("price_cents").agg(F.max("size").alias("gmax"))
+    w = Window.orderBy("price_cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    spine = spine.select(
+        "price_cents",
+        F.max("gmax").over(w).alias("m_le"),
+        F.lag(F.max("gmax").over(w))
+        .over(Window.orderBy("price_cents"))
+        .alias("m_lt"),
+    )
+    return (
+        p.join(F.broadcast(spine), "price_cents")
+        .where(
+            (F.col("m_lt").isNull() | (F.col("size") > F.col("m_lt")))
+            & (F.col("size") == F.col("m_le"))
+        )
+        .select("p_partkey", "price_cents", "size")
+    )
