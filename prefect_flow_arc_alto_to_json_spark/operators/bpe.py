@@ -1,0 +1,139 @@
+"""Deterministic byte-pair-encoding merge learning — the tokenizer-
+training primitive of an LLM data pipeline, distributed the way BPE
+actually scales: after ONE corpus pass collapses text to the (word,
+count) vocabulary, every iteration runs on vocabulary-sized relations
+only (the corpus is never rescanned), which is why single-machine BPE
+trainers survive on web-scale data and why this shape is the right one
+for 100 TB: the corpus pass is a map-side-combining groupBy; the loop
+cost is |vocab| per merge.
+
+Determinism contract (what makes the unrolled SQL replay hash-exact):
+pair counts are exact longs; the winning merge is the (count DESC,
+left ASC, right ASC) total order; merge application is the canonical
+LEFT-TO-RIGHT NON-OVERLAPPING fold, implemented as the SAME
+fold-over-symbols in both engines (Spark ``F.aggregate``, DuckDB
+``list_reduce``) on space-joined symbol strings — symbols never contain
+spaces, so token boundaries are unambiguous.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scalar import token_array
+
+#: Pair-key separator (symbols are word characters/concatenations and
+#: never contain control characters).
+SEP = "\x1f"
+
+
+def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n_w) vocabulary with initial per-character symbol arrays —
+    the one corpus-sized pass; everything after is vocabulary-sized."""
+    words = docs.select(
+        F.explode(token_array(text_col)).alias("word")
+    ).groupBy("word").agg(F.count(F.lit(1)).alias("n_w"))
+    # split's zero-width lookahead also matches at end-of-string and the
+    # default limit=-1 KEEPS the resulting trailing "" — filter it.
+    return words.select(
+        "word",
+        "n_w",
+        F.filter(F.split("word", "(?!^)"), lambda c: c != "").alias("syms"),
+    )
+
+
+def _pair_keys(syms) -> F.Column:
+    """All ADJACENT symbol pairs of one word as SEP-joined keys (with
+    positional multiplicity — BPE counts every position)."""
+    n = F.size(syms)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat(
+                F.element_at(syms, i), F.lit(SEP), F.element_at(syms, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _apply_merge(syms, pa, pb) -> F.Column:
+    """Left-to-right non-overlapping replacement of the adjacent pair
+    (pa, pb) by its concatenation, as a fold over the symbol array with
+    a space-joined string accumulator. A freshly merged token is never
+    re-used as the LEFT side within the same pass because the
+    comparison is against the full last token (pa||pb != pa — pb is
+    non-empty)."""
+    last = lambda acc: F.regexp_extract(acc, "([^ ]+)$", 1)  # noqa: E731
+    merged = F.aggregate(
+        F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))),
+        F.element_at(syms, 1),
+        lambda acc, x: F.when(
+            (last(acc) == pa) & (x == pb),
+            F.concat(
+                F.regexp_replace(acc, "([^ ]+)$", ""), pa, pb
+            ),
+        ).otherwise(F.concat(acc, F.lit(" "), x)),
+    )
+    return F.split(merged, " ")
+
+
+def bpe_learn_merges(
+    docs: DataFrame, k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Learn the first ``k`` BPE merges; returns one row per merge:
+    (step, lhs, rhs, merged, pair_count).
+
+    Scale: the loop never touches the corpus — each iteration is one
+    vocabulary-sized pair-count groupBy (map-side combined), a 1-row
+    winner (orderBy-limit-1, broadcast back), and a codegen fold over
+    the vocabulary's symbol arrays; lineage is checkpoint-truncated per
+    merge so k merges plan like one."""
+    vocab = word_vocab(docs, text_col).localCheckpoint()
+    out = None
+    for step in range(1, k + 1):
+        counts = (
+            vocab.select(
+                "n_w", F.explode(_pair_keys(F.col("syms"))).alias("pk")
+            )
+            .groupBy("pk")
+            .agg(F.sum("n_w").alias("pair_count"))
+        )
+        top = (
+            counts.orderBy(F.col("pair_count").desc(), F.col("pk").asc())
+            .limit(1)
+            .select(
+                F.lit(step).alias("step"),
+                F.split("pk", SEP)[0].alias("lhs"),
+                F.split("pk", SEP)[1].alias("rhs"),
+                "pair_count",
+            )
+            .localCheckpoint()
+        )
+        row = top.select(
+            "step",
+            "lhs",
+            "rhs",
+            F.concat("lhs", "rhs").alias("merged"),
+            "pair_count",
+        )
+        out = row if out is None else out.unionByName(row)
+        vocab = (
+            vocab.crossJoin(
+                F.broadcast(
+                    top.select(
+                        F.col("lhs").alias("pa"), F.col("rhs").alias("pb")
+                    )
+                )
+            )
+            .select(
+                "word",
+                "n_w",
+                _apply_merge(
+                    F.col("syms"), F.col("pa"), F.col("pb")
+                ).alias("syms"),
+            )
+            .localCheckpoint()
+        )
+    return out

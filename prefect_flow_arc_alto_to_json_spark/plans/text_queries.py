@@ -1486,3 +1486,87 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             1000,
         ).alias("fano_milli"),
     )
+
+
+def _bpe_iter_sql(t: int) -> str:
+    """One unrolled BPE round (plain-string assembly, no braces): pair
+    counts from s{t-1}, winner t{t}, fold-applied vocabulary s{t}."""
+    p = (
+        "p%d AS (\n"
+        "  SELECT pk, CAST(SUM(n_w) AS BIGINT) AS pair_count FROM (\n"
+        "    SELECT n_w, unnest(CASE WHEN len(syms) >= 2 THEN\n"
+        "      [syms[i] || chr(31) || syms[i+1] for i in"
+        " range(1, len(syms))]\n"
+        "      ELSE [] END) AS pk\n"
+        "    FROM s%d\n"
+        "  ) GROUP BY pk\n"
+        ")" % (t, t - 1)
+    )
+    w = (
+        "t%d AS (\n"
+        "  SELECT %d AS step,\n"
+        "         string_split(pk, chr(31))[1] AS lhs,\n"
+        "         string_split(pk, chr(31))[2] AS rhs,\n"
+        "         pair_count\n"
+        "  FROM p%d ORDER BY pair_count DESC, pk ASC LIMIT 1\n"
+        ")" % (t, t, t)
+    )
+    s = (
+        "s%d AS (\n"
+        "  SELECT w.word, w.n_w,\n"
+        "    string_split(list_reduce(w.syms, (acc, x) -> CASE\n"
+        "       WHEN regexp_extract(acc, '([^ ]+)$', 1) = t.lhs"
+        " AND x = t.rhs\n"
+        "         THEN regexp_replace(acc, '([^ ]+)$', '')"
+        " || t.lhs || t.rhs\n"
+        "       ELSE acc || ' ' || x END), ' ') AS syms\n"
+        "  FROM s%d w CROSS JOIN t%d t\n"
+        ")" % (t, t - 1, t)
+    )
+    return ",\n".join([p, w, s])
+
+
+_BPE_ORACLE = (
+    "WITH w AS (\n"
+    "  SELECT word, CAST(COUNT(*) AS BIGINT) AS n_w FROM (\n"
+    "    SELECT unnest(" + _SQL_TOKS + ") AS word FROM documents\n"
+    "  ) GROUP BY word\n"
+    "),\n"
+    "s0 AS (\n"
+    "  SELECT word, n_w,\n"
+    "         [word[i] for i in range(1, len(word) + 1)] AS syms\n"
+    "  FROM w\n"
+    "),\n"
+    + ",\n".join(_bpe_iter_sql(t) for t in (1, 2, 3))
+    + """
+    SELECT step, lhs, rhs, lhs || rhs AS merged, pair_count FROM t1
+    UNION ALL
+    SELECT step, lhs, rhs, lhs || rhs AS merged, pair_count FROM t2
+    UNION ALL
+    SELECT step, lhs, rhs, lhs || rhs AS merged, pair_count FROM t3
+    """
+)
+
+
+@query("text_bpe_merges", extra=True, oracle=_BPE_ORACLE)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING (operators/bpe.py) — the first 3 learned
+    merges over the corpus vocabulary, the iterative primitive behind
+    every modern subword tokenizer. One corpus pass collapses text to
+    (word, count); after that each merge round is vocabulary-sized:
+    exact long pair counts with positional multiplicity, a totally
+    ordered winner (count DESC, pair key ASC), and the canonical
+    left-to-right non-overlapping merge applied as THE SAME
+    fold-over-symbols in both engines (Spark F.aggregate with a
+    space-joined accumulator, DuckDB list_reduce) — an iterative
+    string algorithm holding a full value oracle, the text-side
+    sibling of the unrolled kmeans/LPA/PageRank replays.
+
+    Scale: the corpus never re-enters the loop — that is WHY BPE
+    trains on web-scale data; here the loop is |vocab| groupBys with
+    map-side combine, 1-row broadcast winners, and codegen folds,
+    checkpoint-truncated per round."""
+    from ..operators.bpe import bpe_learn_merges
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return bpe_learn_merges(docs, k=3)
