@@ -850,3 +850,81 @@ def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         half_up_units(num, den, 1).alias("ewma_cents"),
     )
+
+
+@query(
+    "q_event_pattern_match",
+    extra=True,
+    oracle="""
+    WITH enc AS (
+      SELECT user_id, ts, event_id,
+             CASE event_type
+               WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+               WHEN 'purchase' THEN 'p' WHEN 'error' THEN 'e'
+               ELSE 's' END AS ch
+      FROM events
+    ),
+    seqs AS (
+      SELECT user_id,
+             string_agg(ch, '' ORDER BY ts, event_id) AS seq
+      FROM enc GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(seq) AS BIGINT) AS seq_len,
+           CAST(len(regexp_extract_all(seq, 'vc*p')) AS BIGINT)
+             AS n_conv_paths,
+           CAST(len(regexp_extract_all(seq, 'ec')) AS BIGINT)
+             AS n_error_retries,
+           CAST(len(regexp_extract_all(seq, 'vc*e')) AS BIGINT)
+             AS n_abandons
+    FROM seqs
+    """,
+)
+def q_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern matching (the MATCH_RECOGNIZE
+    capability, regex-over-sequences form): each user's event history is
+    collapsed to a character-encoded sequence in strict (ts, event_id)
+    total order, then behavioral patterns are counted as non-overlapping
+    regex matches — view→clicks→purchase conversion paths (vc*p),
+    error-then-click retries (ec), view→clicks→error abandons (vc*e).
+    Patterns are deterministic RE2/Java-common constructs (no
+    alternation-order or lookaround divergence), and both engines scan
+    left-to-right non-overlapping, so the counts are exact.
+
+    Scale: ONE shuffle (groupBy user) carrying (ts, event_id, 1 char);
+    the sort is per-user inside the aggregated array (bounded by a
+    user's history, the sessionize assumption); the regex pass is
+    codegen over the encoded string — no UDF, no self-join, no window.
+    Per-session (rather than per-user) sequences bound state further at
+    true scale."""
+    enc = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "error", "e")
+        .otherwise("s")
+        .alias("ch"),
+    )
+    seqs = enc.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "ch"))
+                ),
+                lambda x: x["ch"],
+            ),
+        ).alias("seq")
+    )
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("long").alias("seq_len"),
+        F.regexp_count("seq", F.lit("vc*p")).cast("long").alias("n_conv_paths"),
+        F.regexp_count("seq", F.lit("ec")).cast("long").alias(
+            "n_error_retries"
+        ),
+        F.regexp_count("seq", F.lit("vc*e")).cast("long").alias("n_abandons"),
+    )
