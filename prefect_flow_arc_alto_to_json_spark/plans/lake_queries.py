@@ -890,3 +890,92 @@ def q_partition_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path).select(
         "event_id", "event_type", "v_cents"
     )
+
+
+@query(
+    "q_cdc_apply",
+    extra=True,
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, 0 AS seq, 'I' AS op,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderstatus AS status
+      FROM orders
+    ),
+    upd AS (
+      SELECT o_orderkey AS k, 1 AS seq, 'U' AS op,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) + 1000 AS cents,
+             'X' AS status
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    del AS (
+      SELECT o_orderkey AS k, 2 AS seq, 'D' AS op,
+             CAST(NULL AS BIGINT) AS cents, CAST(NULL AS VARCHAR) AS status
+      FROM orders WHERE o_orderkey % 20 = 0
+    ),
+    log AS (
+      SELECT * FROM base UNION ALL SELECT * FROM upd
+      UNION ALL SELECT * FROM del
+    ),
+    last AS (
+      SELECT k, op, cents, status FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY k ORDER BY seq DESC
+        ) AS rn FROM log
+      ) WHERE rn = 1
+    )
+    SELECT k AS orderkey, cents AS final_cents, status AS final_status
+    FROM last WHERE op <> 'D'
+    """,
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC APPLY — reconstruct the current table state from a snapshot
+    plus an ordered change log with inserts, updates AND DELETES (the
+    op the MERGE/upsert twins never exercise): the change stream is
+    planted deterministically from orders (every 10th key updated with
+    +10.00 and status 'X' at seq 1, every 20th then deleted at seq 2),
+    and apply = last-writer-wins per key by change sequence, deletes
+    dropping the key. This is the Debezium/lakehouse change-data
+    ingestion primitive; at scale it is exactly the foreachBatch MERGE
+    loop's batch form.
+
+    Scale: ONE shuffle keys the log by primary key; last-per-key is a
+    max_by aggregate (no sort, map-side partial); the snapshot is never
+    rescanned per op type — base and both change sets are one union off
+    the same pruned scan."""
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(0).alias("seq"),
+        F.lit("I").alias("op"),
+        cents("o_totalprice").alias("cents"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    upd = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 10 == 0
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+        (cents("o_totalprice") + 1000).alias("cents"),
+        F.lit("X").alias("status"),
+    )
+    dele = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 20 == 0
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(2).alias("seq"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("long").alias("cents"),
+        F.lit(None).cast("string").alias("status"),
+    )
+    log = base.unionByName(upd).unionByName(dele)
+    last = log.groupBy("k").agg(
+        F.max_by("op", F.col("seq")).alias("op"),
+        F.max_by("cents", F.col("seq")).alias("cents"),
+        F.max_by("status", F.col("seq")).alias("status"),
+    )
+    return last.where(F.col("op") != "D").select(
+        F.col("k").alias("orderkey"),
+        F.col("cents").alias("final_cents"),
+        F.col("status").alias("final_status"),
+    )
