@@ -1703,3 +1703,129 @@ def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         drain()
     return spark.read.parquet(out).where(F.col("user_id") != -1)
+
+
+@query(
+    "stream_conversion_paths",
+    extra=True,
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS m FROM events),
+    planted AS (
+      SELECT * FROM (
+        SELECT CAST(20000000000001 AS BIGINT) AS event_id,
+               (SELECT m + INTERVAL 1 HOUR FROM mx) AS ts,
+               CAST(999991 AS BIGINT) AS user_id, 'view' AS event_type
+        UNION ALL
+        SELECT CAST(20000000000002 AS BIGINT),
+               (SELECT m + INTERVAL 90 MINUTE FROM mx),
+               CAST(999991 AS BIGINT), 'click'
+        UNION ALL
+        SELECT CAST(20000000000003 AS BIGINT),
+               (SELECT m + INTERVAL 2 HOUR FROM mx),
+               CAST(999991 AS BIGINT), 'purchase'
+      )
+    ),
+    ev AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      UNION ALL SELECT user_id, ts, event_id, event_type FROM planted
+    ),
+    o AS (
+      SELECT user_id, ts, event_id, event_type,
+        ROW_NUMBER() OVER w AS rn,
+        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cc
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    m AS (
+      SELECT *,
+        MAX(CASE WHEN event_type = 'view' THEN rn END)
+          OVER wp AS v_rn,
+        MAX(CASE WHEN event_type IN ('error', 'purchase') THEN rn END)
+          OVER wp AS b_rn,
+        LAST_VALUE(CASE WHEN event_type = 'view' THEN epoch_us(ts) END
+                   IGNORE NULLS) OVER wp AS v_us,
+        LAST_VALUE(CASE WHEN event_type = 'view' THEN cc END
+                   IGNORE NULLS) OVER wp AS v_cc
+      FROM o
+      WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, v_us AS view_us, epoch_us(ts) AS purchase_us,
+           cc - v_cc AS n_clicks
+    FROM m
+    WHERE event_type = 'purchase' AND v_rn IS NOT NULL
+      AND (b_rn IS NULL OR v_rn > b_rn)
+    """,
+)
+def stream_conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CEP on Spark 4's transformWithStateInPandas
+    (streaming/pipeline.py:conversion_paths — the typed
+    StatefulProcessor successor to applyInPandasWithState, completing
+    the stateful-API matrix on the newest surface): per-user
+    view → clicks* → purchase detection with error abandons, one output
+    row per completed path carrying provenance (view/purchase event
+    times, clicks between). The replay drains the real events, then
+    plants a view+click in one file and the closing purchase in a
+    LATER file and drains after each — the emitted path for the
+    planted user proves the open-path state SURVIVES micro-batch
+    boundaries (and the query restart between drains). The oracle is
+    the batch window-form of the same state machine: running last-view
+    vs last-blocker indexes per user in (ts, event_id) total order —
+    valid purchases are exactly those whose latest view is newer than
+    any error/purchase before them.
+
+    Scale: state is one tiny tuple per user in a ValueState (RocksDB-
+    sharded by the groupBy); rows sort by event time only WITHIN each
+    key-batch; no window over the stream, no join."""
+    from ..streaming.pipeline import conversion_paths
+
+    src = tempfile.mkdtemp(prefix="stream_cep_src_")
+    out = tempfile.mkdtemp(prefix="stream_cep_out_")
+    ckpt = tempfile.mkdtemp(prefix="stream_cep_ckpt_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src, "events.parquet"),
+    )
+    from ..sources import load_table
+
+    mx = load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+
+    def drain() -> None:
+        paths = conversion_paths(stream_events(spark, src))
+        run_available_now(
+            paths,
+            ckpt,
+            output_mode="append",
+            foreach_batch=lambda df, _bid: df.write.mode("append").parquet(out),
+        )
+
+    drain()
+    opener = [
+        (20000000000001, mx + timedelta(hours=1), 999991, "view", 1.0, None),
+        (
+            20000000000002,
+            mx + timedelta(minutes=90),
+            999991,
+            "click",
+            1.0,
+            None,
+        ),
+    ]
+    closer = [
+        (
+            20000000000003,
+            mx + timedelta(hours=2),
+            999991,
+            "purchase",
+            1.0,
+            None,
+        )
+    ]
+    for name, rows in (("open.parquet", opener), ("close.parquet", closer)):
+        _plant_events_like_source(
+            spark, src, spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA), name
+        )
+        drain()
+    return spark.read.parquet(out)

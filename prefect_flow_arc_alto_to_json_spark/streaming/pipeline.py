@@ -454,3 +454,128 @@ def stateful_last_touch(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def _detect_paths(rows_iter, open_path):
+    """Shared CEP core for both stateful APIs: fold (ts, event_id)-sorted
+    event rows through the path state machine. Returns (emits, new_state)
+    with timestamps in epoch µs. A view OPENS (replacing any open path),
+    clicks on an open path count, an error ABANDONS, a purchase EMITS and
+    closes."""
+    import pandas as pd
+
+    out = []
+    for pdf in rows_iter:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for ts, eid, etype, uid in zip(
+            pdf["ts"], pdf["event_id"], pdf["event_type"], pdf["user_id"]
+        ):
+            us = int(pd.Timestamp(ts).value // 1000)
+            if etype == "view":
+                open_path = (us, int(eid), 0)
+            elif etype == "click" and open_path is not None:
+                open_path = (open_path[0], open_path[1], open_path[2] + 1)
+            elif etype == "error":
+                open_path = None
+            elif etype == "purchase" and open_path is not None:
+                out.append((int(uid), open_path[0], us, open_path[2]))
+                open_path = None
+    return out, open_path
+
+
+_PATHS_OUT_SCHEMA = (
+    "user_id long, view_us long, purchase_us long, n_clicks long"
+)
+
+
+def conversion_paths(events: DataFrame) -> DataFrame:
+    """Streaming CEP — per-user view → clicks* → purchase detection with
+    error abandons (the MATCH_RECOGNIZE semantics of the batch
+    q_event_pattern_match, with per-row provenance), as a custom
+    stateful operator over ``applyInPandasWithState``.
+
+    Determinism: rows are sorted by (ts, event_id) inside each
+    key-batch (arrival order within a micro-batch is not event order);
+    state is one tiny open-path tuple per user, sharded by the groupBy
+    across shuffle partitions (RocksDB-backed at scale); emission order
+    is irrelevant downstream (the drained relation is compared
+    order-insensitively). The detector core (_detect_paths) is shared
+    with the typed transformWithState twin below."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        open_path = tuple(state.get) if state.exists else None
+        out, open_path = _detect_paths(pdfs, open_path)
+        if open_path is None:
+            state.remove()
+        else:
+            state.update(open_path)
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["user_id", "view_us", "purchase_us", "n_clicks"],
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_PATHS_OUT_SCHEMA,
+        stateStructType="view_us long, view_eid long, clicks long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def conversion_paths_tws(events: DataFrame) -> DataFrame:
+    """The SAME detector on Spark 4's typed transformWithStateInPandas
+    (StatefulProcessor + ValueState handles — the applyInPandasWithState
+    successor). Its state-server protocol requires the ``protobuf``
+    package, which this environment does not ship, so construction is
+    import-guarded exactly like the boto3 branch of sinks/objects.py;
+    tests skip when protobuf is absent and the API contract is otherwise
+    identical to :func:`conversion_paths` (same core, same output)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "transformWithStateInPandas requires the protobuf package "
+            "(absent in this environment); use conversion_paths()"
+        ) from exc
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class PathDetector(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._open = handle.getValueState(
+                "open", "view_us long, view_eid long, clicks long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            open_path = (
+                tuple(self._open.get()) if self._open.exists() else None
+            )
+            out, open_path = _detect_paths(rows, open_path)
+            if open_path is None:
+                self._open.clear()
+            else:
+                self._open.update(open_path)
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=["user_id", "view_us", "purchase_us", "n_clicks"],
+                )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        PathDetector(),
+        outputStructType=_PATHS_OUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )

@@ -466,3 +466,59 @@ def test_catalog_poll_reader_offsets_replay(tmp_path):
     # replay of each committed range is bit-identical
     for i, page in enumerate(pages[:3]):
         assert list(r.readBetweenOffsets(offsets[i], offsets[i + 1])) == page
+
+
+def test_detect_paths_core():
+    """CEP state-machine core: replace/abandon/emit rules + state carry."""
+    import pandas as pd
+
+    from prefect_flow_arc_alto_to_json_spark.streaming.pipeline import (
+        _detect_paths,
+    )
+
+    def mk(rows):
+        return pd.DataFrame(
+            rows, columns=["ts", "event_id", "event_type", "user_id"]
+        ).assign(ts=lambda d: pd.to_datetime(d["ts"], unit="s"))
+
+    # view replaced by newer view; click counts; purchase emits and closes
+    out, st = _detect_paths(
+        iter([mk([(1, 1, "view", 7), (2, 2, "view", 7), (3, 3, "click", 7),
+                  (4, 4, "purchase", 7), (5, 5, "purchase", 7)])]),
+        None,
+    )
+    assert out == [(7, 2_000_000, 4_000_000, 1)] and st is None
+    # error abandons
+    out, st = _detect_paths(
+        iter([mk([(1, 1, "view", 7), (2, 2, "error", 7),
+                  (3, 3, "purchase", 7)])]),
+        None,
+    )
+    assert out == [] and st is None
+    # state carries an open path across batches
+    out, st = _detect_paths(iter([mk([(1, 1, "view", 7)])]), None)
+    assert out == [] and st == (1_000_000, 1, 0)
+    out, st = _detect_paths(iter([mk([(2, 2, "purchase", 7)])]), st)
+    assert out == [(7, 1_000_000, 2_000_000, 0)] and st is None
+
+
+def test_conversion_paths_tws_guard(spark):
+    """The typed transformWithState twin is import-guarded on protobuf
+    (absent here): construction must raise the documented
+    NotImplementedError, not crash a streaming worker."""
+    import pytest
+
+    from prefect_flow_arc_alto_to_json_spark.streaming.pipeline import (
+        conversion_paths_tws,
+    )
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        pytest.skip("protobuf present: guard not exercisable")
+    except ImportError:
+        pass
+    df = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    with pytest.raises(NotImplementedError, match="protobuf"):
+        conversion_paths_tws(df)
