@@ -116,6 +116,12 @@ HEADLINE = [
     # the heaviest new plan shape) and the incremental band-index probe
     "sim_pq_topk",
     "dedup_incremental_minhash",
+    # round-8 late additions: BPE merge training (3 vocab-fold rounds),
+    # the MinHash calibration join (band self-join + per-pair exact
+    # verify), and weighted LPA (3 join+agg rounds)
+    "text_bpe_merges",
+    "dedup_minhash_calibration",
+    "q_lpa_communities",
 ]
 
 

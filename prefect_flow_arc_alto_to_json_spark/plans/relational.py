@@ -2378,3 +2378,95 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "price_cents", "size")
     )
+
+
+@query(
+    "q_market_basket",
+    extra=True,
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT l.l_orderkey AS k, p.p_brand AS br
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    nb AS (SELECT br, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY br),
+    nt AS (SELECT CAST(COUNT(DISTINCT k) AS BIGINT) AS n_orders FROM b),
+    co AS (
+      SELECT x.br AS ante, y.br AS cons, CAST(COUNT(*) AS BIGINT) AS n_co
+      FROM b x JOIN b y ON x.k = y.k AND x.br <> y.br
+      GROUP BY 1, 2
+    )
+    SELECT ante, cons, n_co,
+           CAST((2 * n_co * 1000000 + t.n_orders)
+                // (2 * t.n_orders) AS BIGINT) AS support_ppm,
+           CAST((2 * n_co * 1000000 + a.n) // (2 * a.n) AS BIGINT)
+             AS confidence_ppm,
+           CAST((2 * n_co * t.n_orders * 1000 + a.n * c.n)
+                // (2 * a.n * c.n) AS BIGINT) AS lift_milli
+    FROM co
+    JOIN nb a ON a.br = ante JOIN nb c ON c.br = cons CROSS JOIN nt t
+    WHERE (2 * n_co * 1000000 + a.n) // (2 * a.n) >= 150000
+    """,
+)
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket ASSOCIATION RULES (support / confidence / lift) over
+    brand pairs co-purchased in one order — the classic frequent-
+    itemset analytics operator the registry lacked: rules ante→cons
+    with confidence ≥ 15% (the basket fan-out over 25 brands caps
+    achievable confidence well under 50% — measured before registration
+    so the rule set is non-vacuous at every SF), every metric an EXACT integer ratio
+    (support = n_co/n_orders, confidence = n_co/n_ante in half-up ppm;
+    lift = n_co·n_orders/(n_ante·n_cons) in half-up milli — numerators
+    cross-multiplied, no division until the final snapped one).
+
+    Scale: the basket relation distinct-s on (order, brand) — one keyed
+    shuffle; the pair join is keyed on the ORDER (fan-out bounded by
+    brands-per-order squared, never |brand-audience|²  — the
+    q_audience_overlap argument); brand margins are dimension-sized and
+    broadcast; the global order count is a 1-row broadcast. The
+    confidence filter re-states the snapped expression so predicate
+    and projection agree exactly."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("br"))
+        .distinct()
+    )
+    from ..functions.scale import scoped_persist
+
+    b = scoped_persist(b, "q_market_basket.baskets")
+    nb = b.groupBy("br").agg(F.count(F.lit(1)).alias("n"))
+    nt = b.agg(F.countDistinct("k").alias("n_orders"))
+    x = b.alias("x")
+    y = b.select(F.col("k").alias("k_y"), F.col("br").alias("br_y"))
+    co = (
+        x.join(y, (F.col("x.k") == F.col("k_y")) & (F.col("x.br") != F.col("br_y")))
+        .groupBy(F.col("x.br").alias("ante"), F.col("br_y").alias("cons"))
+        .agg(F.count(F.lit(1)).alias("n_co"))
+    )
+    d = F.call_function
+    j = (
+        co.join(F.broadcast(nb.select(F.col("br").alias("ante"), F.col("n").alias("n_a"))), "ante")
+        .join(F.broadcast(nb.select(F.col("br").alias("cons"), F.col("n").alias("n_c"))), "cons")
+        .crossJoin(F.broadcast(nt))
+    )
+    conf = d("div", F.lit(2) * F.col("n_co") * 1_000_000 + F.col("n_a"), F.lit(2) * F.col("n_a"))
+    return j.where(conf >= 150_000).select(
+        "ante",
+        "cons",
+        "n_co",
+        d(
+            "div",
+            F.lit(2) * F.col("n_co") * 1_000_000 + F.col("n_orders"),
+            F.lit(2) * F.col("n_orders"),
+        ).alias("support_ppm"),
+        conf.alias("confidence_ppm"),
+        d(
+            "div",
+            F.lit(2) * F.col("n_co") * F.col("n_orders") * 1_000
+            + F.col("n_a") * F.col("n_c"),
+            F.lit(2) * F.col("n_a") * F.col("n_c"),
+        ).alias("lift_milli"),
+    )
