@@ -80,6 +80,10 @@ def alto_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "alto_lines",
+    # round-8 rotation: ALTO parsing stays graded via alto_simplify; the
+    # line-level projection moves to the pytest tier so CEP pattern
+    # matching takes a driver-graded slot.
+    extra=True,
     oracle="""
     SELECT * FROM (VALUES
       ('alto_v2', 0, 'Hello',  100,  200,  50,   20),

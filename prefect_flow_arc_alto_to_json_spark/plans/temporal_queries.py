@@ -854,7 +854,9 @@ def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_event_pattern_match",
-    extra=True,
+    # Promoted to the graded window in round 8: CEP/MATCH_RECOGNIZE is a
+    # new operator class with no graded representative (displaces
+    # alto_lines).
     oracle="""
     WITH enc AS (
       SELECT user_id, ts, event_id,

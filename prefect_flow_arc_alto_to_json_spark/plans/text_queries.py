@@ -1548,7 +1548,10 @@ _BPE_ORACLE = (
 )
 
 
-@query("text_bpe_merges", extra=True, oracle=_BPE_ORACLE)
+# Promoted to the graded window in round 8: tokenizer training is a new
+# operator class with no graded representative (displaces
+# q_rollup_acctbal).
+@query("text_bpe_merges", oracle=_BPE_ORACLE)
 def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer TRAINING (operators/bpe.py) — the first 3 learned
     merges over the corpus vocabulary, the iterative primitive behind
