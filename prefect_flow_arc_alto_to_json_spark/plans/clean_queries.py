@@ -1735,3 +1735,139 @@ def q_abtest_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x_b",
         F.round(z).cast("long").alias("z_milli"),
     )
+
+
+@query(
+    "q_ols_regression",
+    extra=True,
+    oracle="""
+    WITH r AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS d,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(d) AS BIGINT) AS sd,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * d) AS BIGINT) AS sxd,
+             CAST(SUM(d * d) AS BIGINT) AS sdd,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(d * y) AS BIGINT) AS sdy
+      FROM r
+    )
+    SELECT n,
+      CAST(ROUND(1000.0 * (
+          (sy::DOUBLE) * ((sxx::DOUBLE) * (sdd::DOUBLE)
+                          - (sxd::DOUBLE) * (sxd::DOUBLE))
+        - (sx::DOUBLE) * ((sxy::DOUBLE) * (sdd::DOUBLE)
+                          - (sxd::DOUBLE) * (sdy::DOUBLE))
+        + (sd::DOUBLE) * ((sxy::DOUBLE) * (sxd::DOUBLE)
+                          - (sxx::DOUBLE) * (sdy::DOUBLE))
+      ) / (
+          (n::DOUBLE) * ((sxx::DOUBLE) * (sdd::DOUBLE)
+                         - (sxd::DOUBLE) * (sxd::DOUBLE))
+        - (sx::DOUBLE) * ((sx::DOUBLE) * (sdd::DOUBLE)
+                          - (sxd::DOUBLE) * (sd::DOUBLE))
+        + (sd::DOUBLE) * ((sx::DOUBLE) * (sxd::DOUBLE)
+                          - (sxx::DOUBLE) * (sd::DOUBLE))
+      )) AS BIGINT) AS b0_milli,
+      CAST(ROUND(1000.0 * (
+          (n::DOUBLE) * ((sxy::DOUBLE) * (sdd::DOUBLE)
+                         - (sxd::DOUBLE) * (sdy::DOUBLE))
+        - (sy::DOUBLE) * ((sx::DOUBLE) * (sdd::DOUBLE)
+                          - (sxd::DOUBLE) * (sd::DOUBLE))
+        + (sd::DOUBLE) * ((sx::DOUBLE) * (sdy::DOUBLE)
+                          - (sxy::DOUBLE) * (sd::DOUBLE))
+      ) / (
+          (n::DOUBLE) * ((sxx::DOUBLE) * (sdd::DOUBLE)
+                         - (sxd::DOUBLE) * (sxd::DOUBLE))
+        - (sx::DOUBLE) * ((sx::DOUBLE) * (sdd::DOUBLE)
+                          - (sxd::DOUBLE) * (sd::DOUBLE))
+        + (sd::DOUBLE) * ((sx::DOUBLE) * (sxd::DOUBLE)
+                          - (sxx::DOUBLE) * (sd::DOUBLE))
+      )) AS BIGINT) AS b1_milli,
+      CAST(ROUND(1000.0 * (
+          (n::DOUBLE) * ((sxx::DOUBLE) * (sdy::DOUBLE)
+                         - (sxy::DOUBLE) * (sxd::DOUBLE))
+        - (sx::DOUBLE) * ((sx::DOUBLE) * (sdy::DOUBLE)
+                          - (sxy::DOUBLE) * (sd::DOUBLE))
+        + (sy::DOUBLE) * ((sx::DOUBLE) * (sxd::DOUBLE)
+                          - (sxx::DOUBLE) * (sd::DOUBLE))
+      ) / (
+          (n::DOUBLE) * ((sxx::DOUBLE) * (sdd::DOUBLE)
+                         - (sxd::DOUBLE) * (sxd::DOUBLE))
+        - (sx::DOUBLE) * ((sx::DOUBLE) * (sdd::DOUBLE)
+                          - (sxd::DOUBLE) * (sd::DOUBLE))
+        + (sd::DOUBLE) * ((sx::DOUBLE) * (sxd::DOUBLE)
+                          - (sxx::DOUBLE) * (sd::DOUBLE))
+      )) AS BIGINT) AS b2_milli
+    FROM m
+    """,
+)
+def q_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form MULTIVARIATE linear regression (normal equations,
+    Cramer's rule) — price_cents ~ b0 + b1*quantity + b2*discount_pct,
+    the one-pass distributed OLS fit that completes the statistics
+    family's modeling end (q_daily_trend_slope is the 1-var case).
+    Determinism device: the nine sufficient moments are EXACT LONGS
+    (order-independent integer sums — the largest, sum x*y, stays under
+    ~1.5e14 at sf0.1); the 3x3 determinants would overflow a long
+    (~5e24), so they are evaluated in DOUBLE over the exact integer
+    moments with IDENTICAL operand order in both engines — every
+    int->double conversion and IEEE op rounds the same way given the
+    same order — and the coefficients snap to milli (ratio outputs,
+    .5-straddles measure-zero).
+
+    Scale: ONE map-side-combining aggregate over the fact scan produces
+    all nine moments; the solve is 1-row algebra. This is why
+    distributed closed-form OLS beats iterative fits for low dim: no
+    second pass, no state, no convergence."""
+    r = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("d"),
+        cents("l_extendedprice").alias("y"),
+    )
+    m = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("d").alias("sd"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("d")).alias("sxd"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("d") * F.col("y")).alias("sdy"),
+    )
+    c = {
+        k: F.col(k).cast("double")
+        for k in ("n", "sx", "sd", "sy", "sxx", "sxd", "sdd", "sxy", "sdy")
+    }
+    det = (
+        c["n"] * (c["sxx"] * c["sdd"] - c["sxd"] * c["sxd"])
+        - c["sx"] * (c["sx"] * c["sdd"] - c["sxd"] * c["sd"])
+        + c["sd"] * (c["sx"] * c["sxd"] - c["sxx"] * c["sd"])
+    )
+    det0 = (
+        c["sy"] * (c["sxx"] * c["sdd"] - c["sxd"] * c["sxd"])
+        - c["sx"] * (c["sxy"] * c["sdd"] - c["sxd"] * c["sdy"])
+        + c["sd"] * (c["sxy"] * c["sxd"] - c["sxx"] * c["sdy"])
+    )
+    det1 = (
+        c["n"] * (c["sxy"] * c["sdd"] - c["sxd"] * c["sdy"])
+        - c["sy"] * (c["sx"] * c["sdd"] - c["sxd"] * c["sd"])
+        + c["sd"] * (c["sx"] * c["sdy"] - c["sxy"] * c["sd"])
+    )
+    det2 = (
+        c["n"] * (c["sxx"] * c["sdy"] - c["sxy"] * c["sxd"])
+        - c["sx"] * (c["sx"] * c["sdy"] - c["sxy"] * c["sd"])
+        + c["sy"] * (c["sx"] * c["sxd"] - c["sxx"] * c["sd"])
+    )
+    return m.select(
+        "n",
+        F.round(F.lit(1000.0) * det0 / det).cast("long").alias("b0_milli"),
+        F.round(F.lit(1000.0) * det1 / det).cast("long").alias("b1_milli"),
+        F.round(F.lit(1000.0) * det2 / det).cast("long").alias("b2_milli"),
+    )
