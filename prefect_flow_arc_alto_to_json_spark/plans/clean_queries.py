@@ -1871,3 +1871,157 @@ def q_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(1000.0) * det1 / det).cast("long").alias("b1_milli"),
         F.round(F.lit(1000.0) * det2 / det).cast("long").alias("b2_milli"),
     )
+
+
+@query(
+    "q_ab_cuped",
+    extra=True,
+    oracle="""
+    WITH bounds AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+    u AS (
+      SELECT user_id, user_id % 2 AS arm,
+        CAST(SUM(CASE WHEN CAST(ts AS DATE) < d0 + 15 THEN 1 ELSE 0 END)
+             AS BIGINT) AS x,
+        CAST(SUM(CASE WHEN CAST(ts AS DATE) >= d0 + 15
+                       AND event_type = 'purchase'
+                      THEN CAST(ROUND(value * 100) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS y
+      FROM events CROSS JOIN bounds
+      GROUP BY user_id, user_id % 2
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM u
+    ),
+    a AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_arm,
+             CAST(SUM(x) AS BIGINT) AS sx_arm,
+             CAST(SUM(y) AS BIGINT) AS sy_arm
+      FROM u GROUP BY arm
+    ),
+    w AS (
+      SELECT
+        MAX(CASE WHEN arm = 0 THEN n_arm END) AS n_a,
+        MAX(CASE WHEN arm = 0 THEN sx_arm END) AS sxa,
+        MAX(CASE WHEN arm = 0 THEN sy_arm END) AS sya,
+        MAX(CASE WHEN arm = 1 THEN n_arm END) AS n_b,
+        MAX(CASE WHEN arm = 1 THEN sx_arm END) AS sxb,
+        MAX(CASE WHEN arm = 1 THEN sy_arm END) AS syb
+      FROM a
+    )
+    SELECT n_a, n_b,
+      CAST(ROUND(1000.0 * ((g.n::DOUBLE) * (g.sxy::DOUBLE)
+                           - (g.sx::DOUBLE) * (g.sy::DOUBLE))
+                 / ((g.n::DOUBLE) * (g.sxx::DOUBLE)
+                    - (g.sx::DOUBLE) * (g.sx::DOUBLE))) AS BIGINT)
+        AS theta_milli,
+      CAST(ROUND(1000.0 * (
+          ((sya::DOUBLE) / (n_a::DOUBLE) - (syb::DOUBLE) / (n_b::DOUBLE))
+          - (((g.n::DOUBLE) * (g.sxy::DOUBLE)
+              - (g.sx::DOUBLE) * (g.sy::DOUBLE))
+             / ((g.n::DOUBLE) * (g.sxx::DOUBLE)
+                - (g.sx::DOUBLE) * (g.sx::DOUBLE)))
+            * ((sxa::DOUBLE) / (n_a::DOUBLE)
+               - (sxb::DOUBLE) / (n_b::DOUBLE))
+      )) AS BIGINT) AS adj_diff_milli_cents,
+      CAST(ROUND(1000000.0 * (1.0 -
+          ((g.n::DOUBLE) * (g.sxy::DOUBLE) - (g.sx::DOUBLE) * (g.sy::DOUBLE))
+          * ((g.n::DOUBLE) * (g.sxy::DOUBLE) - (g.sx::DOUBLE) * (g.sy::DOUBLE))
+          / (((g.n::DOUBLE) * (g.sxx::DOUBLE)
+              - (g.sx::DOUBLE) * (g.sx::DOUBLE))
+             * ((g.n::DOUBLE) * (g.syy::DOUBLE)
+                - (g.sy::DOUBLE) * (g.sy::DOUBLE)))
+      )) AS BIGINT) AS var_reduction_ppm
+    FROM w CROSS JOIN g
+    """,
+)
+def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED covariate adjustment (Deng et al.) — the industry-standard
+    experiment variance-reduction: pre-period activity (events in the
+    first 15 days) as covariate x, post-period purchase spend as
+    outcome y, theta = cov(x,y)/var(x) fitted POOLED, arm difference
+    reported after subtracting theta * (pre-period imbalance), plus the
+    achieved variance reduction 1 - rho^2. Determinism: all sufficient
+    moments are exact longs from ONE user-level aggregate; the three
+    reported statistics are operand-order-pinned double compositions
+    (the q_ols_regression device — the squared-covariance product would
+    overflow a long), snapped at milli/ppm.
+
+    Scale: one groupBy(user) builds (x, y) per user — map-side
+    combined; the global and arm moment reduces are 1-row/2-row; the
+    date bound broadcasts. Nothing about the fit grows with users
+    beyond the one keyed aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    d0 = ev.agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    u = (
+        ev.crossJoin(F.broadcast(d0))
+        .select(
+            "user_id",
+            (F.col("user_id") % 2).alias("arm"),
+            F.when(
+                F.col("ts").cast("date") < F.date_add(F.col("d0"), 15), 1
+            )
+            .otherwise(0)
+            .alias("pre"),
+            F.when(
+                (F.col("ts").cast("date") >= F.date_add(F.col("d0"), 15))
+                & (F.col("event_type") == "purchase"),
+                cents("value"),
+            )
+            .otherwise(0)
+            .alias("post_cents"),
+        )
+        .groupBy("user_id", "arm")
+        .agg(
+            F.sum("pre").cast("long").alias("x"),
+            F.sum("post_cents").cast("long").alias("y"),
+        )
+    )
+    from ..functions.scale import scoped_persist
+
+    u = scoped_persist(u, "q_ab_cuped.users")
+    g = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    a = u.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_arm"),
+        F.sum("x").alias("sx_arm"),
+        F.sum("y").alias("sy_arm"),
+    )
+    w = a.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n_arm"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == 0, F.col("sx_arm"))).alias("sxa"),
+        F.max(F.when(F.col("arm") == 0, F.col("sy_arm"))).alias("sya"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_arm"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == 1, F.col("sx_arm"))).alias("sxb"),
+        F.max(F.when(F.col("arm") == 1, F.col("sy_arm"))).alias("syb"),
+    )
+    j = w.crossJoin(F.broadcast(g))
+    D = lambda c: F.col(c).cast("double")  # noqa: E731
+    cov = D("n") * D("sxy") - D("sx") * D("sy")
+    varx = D("n") * D("sxx") - D("sx") * D("sx")
+    vary = D("n") * D("syy") - D("sy") * D("sy")
+    theta = cov / varx
+    adj_diff = (
+        D("sya") / D("n_a") - D("syb") / D("n_b")
+    ) - theta * (D("sxa") / D("n_a") - D("sxb") / D("n_b"))
+    return j.select(
+        "n_a",
+        "n_b",
+        F.round(F.lit(1000.0) * theta).cast("long").alias("theta_milli"),
+        F.round(F.lit(1000.0) * adj_diff)
+        .cast("long")
+        .alias("adj_diff_milli_cents"),
+        F.round(F.lit(1_000_000.0) * (F.lit(1.0) - cov * cov / (varx * vary)))
+        .cast("long")
+        .alias("var_reduction_ppm"),
+    )
