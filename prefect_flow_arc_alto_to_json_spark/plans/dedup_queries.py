@@ -857,15 +857,18 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     post = hsd.select("doc_id", F.explode("hsd").alias("h"))
     pa = post.select(F.col("doc_id").alias("id_a"), "h")
     pb = post.select(F.col("doc_id").alias("id_b"), "h")
+    # persisted relations carry no stats -> Catalyst would SMJ; the
+    # per-shingle posting lists are bounded, so shuffle-hash (no sorts)
+    # is the right large-large strategy (semantic_dedup precedent).
     inter_all = (
-        pa.join(pb, ["h"])
+        pa.join(pb.hint("shuffle_hash"), ["h"])
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sizes = hsd.select("doc_id", F.size("hsd").cast("long").alias("n_sh"))
     per_pair = (
-        pairs.join(inter_all, ["id_a", "id_b"], "left")
+        pairs.join(inter_all.hint("shuffle_hash"), ["id_a", "id_b"], "left")
         .join(
             F.broadcast(sizes.select(F.col("doc_id").alias("id_a"),
                                      F.col("n_sh").alias("na"))),

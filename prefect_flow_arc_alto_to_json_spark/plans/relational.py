@@ -2456,8 +2456,14 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     nt = b.agg(F.countDistinct("k").alias("n_orders"))
     x = b.alias("x")
     y = b.select(F.col("k").alias("k_y"), F.col("br").alias("br_y"))
+    # order-keyed self-join of the persisted basket relation: stats are
+    # gone, so hint shuffle-hash — per-order brand lists are bounded and
+    # SHJ skips both sort passes (the large-large non-broadcast shape).
     co = (
-        x.join(y, (F.col("x.k") == F.col("k_y")) & (F.col("x.br") != F.col("br_y")))
+        x.join(
+            y.hint("shuffle_hash"),
+            (F.col("x.k") == F.col("k_y")) & (F.col("x.br") != F.col("br_y")),
+        )
         .groupBy(F.col("x.br").alias("ante"), F.col("br_y").alias("cons"))
         .agg(F.count(F.lit(1)).alias("n_co"))
     )

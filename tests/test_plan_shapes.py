@@ -537,3 +537,48 @@ def test_aqe_coalesces_small_shuffles(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead" in plan, plan
     assert "coalesced" in plan, plan
+
+
+#: Round-8 family: exchange budgets measured under the suite session
+#: (sf0.001 fixtures; fan_out's round-robin adds an Exchange vs a bare
+#: probe session). Every plan must also stay SortMergeJoin-free —
+#: the two large-large self-joins (basket pairs, posting verify) are
+#: shuffle-hash hinted because their persisted inputs carry no stats.
+_R8_SHUFFLE_BUDGETS = {
+    "q_market_basket": 12,
+    "dedup_minhash_calibration": 9,
+    "q_audience_overlap": 3,
+    "q_mutual_information": 8,
+    "q_skyline_pareto": 2,
+    "q_event_pattern_match": 1,
+    "q_ols_regression": 1,
+    "q_ab_cuped": 7,
+    "sim_mips_topk": 1,
+    "q_cdc_apply": 1,
+    "text_bpe_merges": 0,  # vocab loop checkpoints at construction time
+    "q_lpa_communities": 1,
+    "q_t_closeness": 5,
+    "q_degree_assortativity": 6,
+    "text_simpson_diversity": 3,
+    "text_burstiness": 5,
+    "q_ewma_daily": 2,
+    "sim_ivf_recall_curve": 11,
+    "sim_cluster_purity": 5,
+    "q_abtest_proportions": 2,
+}
+
+
+def test_round8_family_shuffle_budgets(spark, sf_dir):
+    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+
+    spark.catalog.clearCache()
+    all_q = {**QUERIES, **EXTRA_QUERIES}
+    over = {}
+    for name, budget in _R8_SHUFFLE_BUDGETS.items():
+        df = all_q[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        shuffles = data_shuffles(plan)
+        assert "SortMergeJoin" not in plan, (name, plan[:2000])
+        if shuffles > budget:
+            over[name] = (shuffles, budget)
+    assert not over, f"shuffle-count regressions (got, budget): {over}"
