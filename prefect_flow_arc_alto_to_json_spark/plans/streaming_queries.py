@@ -1829,3 +1829,114 @@ def stream_conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         drain()
     return spark.read.parquet(out)
+
+
+@query(
+    "stream_cdc_apply",
+    extra=True,
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, 0 AS seq, 'I' AS op,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderstatus AS status
+      FROM orders
+    ),
+    upd AS (
+      SELECT o_orderkey AS k, 1 AS seq, 'U' AS op,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) + 1000 AS cents,
+             'X' AS status
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    del AS (
+      SELECT o_orderkey AS k, 2 AS seq, 'D' AS op,
+             CAST(NULL AS BIGINT) AS cents, CAST(NULL AS VARCHAR) AS status
+      FROM orders WHERE o_orderkey % 20 = 0
+    ),
+    log AS (
+      SELECT * FROM base UNION ALL SELECT * FROM upd
+      UNION ALL SELECT * FROM del
+    ),
+    last AS (
+      SELECT k, op, cents, status FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY k ORDER BY seq DESC
+        ) AS rn FROM log
+      ) WHERE rn = 1
+    )
+    SELECT k AS orderkey, cents AS final_cents, status AS final_status
+    FROM last WHERE op <> 'D'
+    """,
+)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CDC ingestion — the change log of q_cdc_apply drained
+    as a file stream in event order (base inserts in file one, the
+    update+delete wave in file two, maxFilesPerTrigger=1 forcing two
+    micro-batches) through a foreachBatch applying
+    sinks/upsert.py:apply_cdc_parquet: last-writer-wins by change
+    sequence WITH DELETE SUPPORT — the op the foreachBatch MERGE twin
+    (stream_foreachbatch_upsert) cannot express, completing the
+    streaming lake-maintenance matrix. The state table persists (seq,
+    op) so replays are idempotent; deleted keys leave the state
+    entirely and must NOT resurrect when the second drain re-runs.
+    Oracle: the batch last-writer reconstruction.
+
+    Scale: per batch, one key-partitioned window over |state| +
+    |batch| rows and a rewrite — the plain-parquet price; a table
+    format's MERGE ... WHEN MATCHED THEN DELETE runs the same
+    dataflow with file pruning."""
+    from ..sinks.upsert import apply_cdc_parquet
+    from ..sources import load_table
+
+    src = tempfile.mkdtemp(prefix="cdc_src_")
+    state = tempfile.mkdtemp(prefix="cdc_state_") + "/orders_state"
+    ckpt = tempfile.mkdtemp(prefix="cdc_ckpt_")
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(0).alias("seq"),
+        F.lit("I").alias("op"),
+        cents("o_totalprice").alias("cents"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    wave = (
+        orders.where(F.col("o_orderkey") % 10 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.lit(1).alias("seq"),
+            F.lit("U").alias("op"),
+            (cents("o_totalprice") + 1000).alias("cents"),
+            F.lit("X").alias("status"),
+        )
+        .unionByName(
+            orders.where(F.col("o_orderkey") % 20 == 0).select(
+                F.col("o_orderkey").alias("k"),
+                F.lit(2).alias("seq"),
+                F.lit("D").alias("op"),
+                F.lit(None).cast("long").alias("cents"),
+                F.lit(None).cast("string").alias("status"),
+            )
+        )
+    )
+    _write_single_parquet(base, os.path.join(src, "00_base.parquet"))
+    _write_single_parquet(wave, os.path.join(src, "01_wave.parquet"))
+
+    log_stream = (
+        spark.readStream.schema(
+            "k long, seq int, op string, cents long, status string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_available_now(
+        log_stream,
+        ckpt,
+        output_mode="append",
+        foreach_batch=lambda batch, _bid: apply_cdc_parquet(
+            batch.sparkSession, state, batch, key="k"
+        ),
+    )
+    return spark.read.parquet(state).select(
+        F.col("k").alias("orderkey"),
+        F.col("cents").alias("final_cents"),
+        F.col("status").alias("final_status"),
+    )

@@ -89,3 +89,53 @@ def compact_parquet(
     parts = max(1, math.ceil(n / target_records_per_file))
     _swap_write(df.repartition(parts), path)
     return before, _nfiles()
+
+
+def apply_cdc_parquet(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    key: str,
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> None:
+    """Apply an ordered CDC batch (inserts/updates/DELETES) to the
+    parquet state at ``path`` — the Debezium-ingestion counterpart of
+    :func:`merge_parquet`, which cannot remove keys. ``changes`` rows
+    carry ``op_col`` in ('I','U','D') and a monotonically increasing
+    ``seq_col``; the state table persists both columns, so conflict
+    resolution is pure last-writer-wins on (seq, incoming-priority) and
+    a key whose winning op is 'D' leaves the state entirely. Re-applying
+    a batch is a no-op (the same winners win; a re-applied delete
+    re-deletes nothing) — the idempotence that makes the foreachBatch
+    form exactly-once on a plain-parquet lake.
+
+    Scale: same rewrite-on-change economics as merge_parquet — the
+    shuffle carries |state| + |batch keys| rows keyed on the primary
+    key; a table format's MERGE WHEN MATCHED THEN DELETE executes the
+    identical dataflow with file pruning on top."""
+    if not os.path.exists(path):
+        survivors = _last_writer(changes, key, seq_col, op_col)
+        survivors.write.mode("overwrite").parquet(path)
+        return
+    current = spark.read.parquet(path).withColumn("__prio", F.lit(0))
+    incoming = changes.withColumn("__prio", F.lit(1))
+    merged = _last_writer(
+        current.unionByName(incoming), key, seq_col, op_col
+    )
+    _swap_write(merged, path)
+
+
+def _last_writer(
+    df: DataFrame, key: str, seq_col: str, op_col: str
+) -> DataFrame:
+    w = Window.partitionBy(key).orderBy(
+        F.col(seq_col).desc(), F.col("__prio").desc()
+    )
+    if "__prio" not in df.columns:
+        df = df.withColumn("__prio", F.lit(1))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where((F.col("__rn") == 1) & (F.col(op_col) != "D"))
+        .drop("__rn", "__prio")
+    )
