@@ -211,3 +211,77 @@ def lpa_communities(edges: DataFrame, iterations: int = 3) -> DataFrame:
             .localCheckpoint()
         )
     return labels
+
+
+def hits_scores(edges: DataFrame, iterations: int = 2) -> DataFrame:
+    """Kleinberg's HITS on the directed weighted graph: authority(i) =
+    sum of hub scores over in-edges, hub(i) = sum of authority scores
+    over out-edges, each half-iteration renormalized to max = 1e6 in
+    HALF-UP INTEGER micro-units — so every score is an exact long and
+    the fixed iteration count unrolls into a value-exact SQL replay
+    (the pagerank determinism contract applied to the two-score
+    recurrence). Ties in the max are value-ties (same long), harmless.
+
+    Scale: each half-iteration is one scores⋈edges join keyed on the
+    contributing endpoint + a map-side-combined groupBy + a 1-row max
+    broadcast back; localCheckpoint truncates lineage per round.
+    Returns (node, hub_micro, auth_micro)."""
+    from ..functions.scalar import half_up_units
+
+    und = edges.select("src", "dst", "w").localCheckpoint()
+    nodes = (
+        und.select(F.col("src").alias("node"))
+        .unionByName(und.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    hubs = nodes.select("node", F.lit(1_000_000).cast("long").alias("h"))
+    auths = nodes.select("node", F.lit(1_000_000).cast("long").alias("a"))
+
+    def _normalize(df: DataFrame, col: str) -> DataFrame:
+        mx = df.agg(F.max(col).alias("mx"))
+        return (
+            df.crossJoin(F.broadcast(mx))
+            .select(
+                "node",
+                half_up_units(F.col(col), F.col("mx"), 1_000_000).alias(col),
+            )
+            .localCheckpoint()
+        )
+
+    for _ in range(iterations):
+        raw_a = (
+            und.join(
+                hubs.select(F.col("node").alias("src"), "h"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("w") * F.col("h")).alias("a"))
+        )
+        auths = _normalize(
+            nodes.join(raw_a, "node", "left").select(
+                "node", F.coalesce("a", F.lit(0)).alias("a")
+            ),
+            "a",
+        )
+        raw_h = (
+            und.join(
+                auths.select(F.col("node").alias("dst"), "a"), "dst"
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum(F.col("w") * F.col("a")).alias("h"))
+        )
+        hubs = _normalize(
+            nodes.join(raw_h, "node", "left").select(
+                "node", F.coalesce("h", F.lit(0)).alias("h")
+            ),
+            "h",
+        )
+    return (
+        nodes.join(hubs, "node")
+        .join(auths, "node")
+        .select(
+            "node",
+            F.col("h").alias("hub_micro"),
+            F.col("a").alias("auth_micro"),
+        )
+    )

@@ -417,3 +417,96 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("community").cast("long").alias("community"),
         "n_members",
     )
+
+
+def _hits_half_sql(t: int, score: str, prev_rel: str, key_in: str,
+                   key_out: str, out_rel: str) -> str:
+    """One HITS half-iteration (plain-string assembly): contribution
+    join + per-node sum + half-up micro renormalization."""
+    return (
+        "    %s_raw AS (\n"
+        "      SELECT e.%s AS node, CAST(SUM(e.w * p.s) AS BIGINT) AS v\n"
+        "      FROM und e JOIN %s p ON p.node = e.%s\n"
+        "      GROUP BY e.%s\n"
+        "    ),\n"
+        "    %s_fill AS (\n"
+        "      SELECT n.node, COALESCE(r.v, 0) AS v\n"
+        "      FROM nodes n LEFT JOIN %s_raw r ON r.node = n.node\n"
+        "    ),\n"
+        "    %s AS (\n"
+        "      SELECT node, CAST((2 * v * 1000000 + mx) // (2 * mx)"
+        " AS BIGINT) AS s\n"
+        "      FROM %s_fill, (SELECT MAX(v) AS mx FROM %s_fill)\n"
+        "    )" % (
+            out_rel, key_out, prev_rel, key_in, key_out,
+            out_rel, out_rel, out_rel, out_rel, out_rel,
+        )
+    )
+
+
+_HITS_ORACLE = (
+    "WITH base AS (" + _SQL_EDGES + "),\n"
+    "    und AS (SELECT src, dst, CAST(w AS BIGINT) AS w FROM base),\n"
+    "    nodes AS (\n"
+    "      SELECT DISTINCT node FROM (\n"
+    "        SELECT src AS node FROM und UNION ALL SELECT dst FROM und\n"
+    "      )\n"
+    "    ),\n"
+    "    h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS s FROM nodes),\n"
+    + ",\n".join(
+        [
+            _hits_half_sql(1, "a", "h0", "src", "dst", "a1"),
+            _hits_half_sql(1, "h", "a1", "dst", "src", "h1"),
+            _hits_half_sql(2, "a", "h1", "src", "dst", "a2"),
+            _hits_half_sql(2, "h", "a2", "dst", "src", "h2"),
+        ]
+    )
+    + """
+    SELECT n.node, h2.s AS hub_micro, a2.s AS auth_micro
+    FROM nodes n JOIN h2 ON h2.node = n.node JOIN a2 ON a2.node = n.node
+    """
+)
+
+
+@query("q_hits_ranking", extra=True, oracle=_HITS_ORACLE)
+def q_hits_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (operators/graph.py:hits_scores) over the
+    directed nation-trade graph — the second classic link-analysis
+    recurrence beside PageRank, distinguishing who BUYS from everywhere
+    (hub) from who SELLS to everyone (authority): 2 synchronous
+    iterations, every half-step renormalized to max = 1e6 in half-up
+    integer micro-units so all scores stay exact longs and the oracle
+    unrolls all four half-iterations value-exactly.
+
+    Scale: per half-iteration one scores⋈edges join keyed on the
+    contributing endpoint + a map-side partial agg + a 1-row max
+    broadcast; checkpoint-truncated lineage, no driver state."""
+    from ..operators.graph import hits_scores
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return hits_scores(edges, iterations=2).select(
+        F.col("node").cast("long").alias("node"),
+        "hub_micro",
+        "auth_micro",
+    )
