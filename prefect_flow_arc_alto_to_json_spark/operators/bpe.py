@@ -79,11 +79,14 @@ def _apply_merge(syms, pa, pb) -> F.Column:
     return F.split(merged, " ")
 
 
-def bpe_learn_merges(
+def bpe_train(
     docs: DataFrame, k: int = 3, text_col: str = "text"
-) -> DataFrame:
-    """Learn the first ``k`` BPE merges; returns one row per merge:
-    (step, lhs, rhs, merged, pair_count).
+) -> tuple[DataFrame, DataFrame]:
+    """Learn the first ``k`` BPE merges; returns ``(merges, vocab)`` —
+    one merge row per step (step, lhs, rhs, merged, pair_count) AND the
+    post-merge vocabulary (word, n_w, syms), which IS the encode table:
+    tokenizing a document under the learned merges is a per-word lookup
+    of its final symbol array, never a re-fold over the corpus.
 
     Scale: the loop never touches the corpus — each iteration is one
     vocabulary-sized pair-count groupBy (map-side combined), a 1-row
@@ -136,4 +139,11 @@ def bpe_learn_merges(
             )
             .localCheckpoint()
         )
-    return out
+    return out, vocab
+
+
+def bpe_learn_merges(
+    docs: DataFrame, k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Merge table only — see :func:`bpe_train`."""
+    return bpe_train(docs, k, text_col)[0]

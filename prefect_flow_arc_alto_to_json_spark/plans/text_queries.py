@@ -1573,3 +1573,88 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     return bpe_learn_merges(docs, k=3)
+
+
+_BPE_ENCODE_ORACLE = (
+    "WITH w AS (\n"
+    "  SELECT word, CAST(COUNT(*) AS BIGINT) AS n_w FROM (\n"
+    "    SELECT unnest(" + _SQL_TOKS + ") AS word FROM documents\n"
+    "  ) GROUP BY word\n"
+    "),\n"
+    "s0 AS (\n"
+    "  SELECT word, n_w,\n"
+    "         [word[i] for i in range(1, len(word) + 1)] AS syms\n"
+    "  FROM w\n"
+    "),\n"
+    + ",\n".join(_bpe_iter_sql(t) for t in (1, 2, 3))
+    + """,
+    sw AS (
+      SELECT source, word, CAST(COUNT(*) AS BIGINT) AS n_sw FROM (
+        SELECT source, unnest(_TOKS_) AS word FROM documents
+      ) GROUP BY source, word
+    ),
+    agg AS (
+      SELECT sw.source,
+             CAST(SUM(sw.n_sw) AS BIGINT) AS n_words,
+             CAST(SUM(sw.n_sw * len(s3.syms)) AS BIGINT) AS n_subwords,
+             CAST(SUM(sw.n_sw * len(sw.word)) AS BIGINT) AS n_chars
+      FROM sw JOIN s3 ON sw.word = s3.word
+      GROUP BY sw.source
+    )
+    SELECT source, n_words, n_subwords, n_chars,
+           CAST((2 * n_subwords * 1000 + n_words) // (2 * n_words)
+                AS BIGINT) AS subwords_per_word_milli
+    FROM agg
+    """.replace("_TOKS_", _SQL_TOKS)
+)
+
+
+@query("text_bpe_encode", oracle=_BPE_ENCODE_ORACLE, extra=True)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION — encode the corpus under the k=3
+    merge table learned by `text_bpe_merges` and report the per-source
+    subword census (word/subword/char totals and exact milli subwords
+    per word). The encode table IS the trainer's post-merge vocabulary
+    (operators/bpe.py `bpe_train`): tokenizing is a (source, word)
+    count relation joined to (word -> final symbol array), so the
+    corpus is touched exactly once more after training and the merges
+    are never re-folded per occurrence — the same reason real
+    tokenizers memoize word encodings.
+
+    Scale: the (source, word) counts get map-side partial agg; the
+    encode join is vocabulary-sized on both sides (shuffle-hash at
+    100 TB vocab cardinality, broadcast below the threshold); every
+    output is exact long arithmetic, the ratio via the half-up
+    device."""
+    from ..functions.scalar import half_up_units
+    from ..operators.bpe import bpe_train
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    _, vocab = bpe_train(docs, k=3)
+    sw = (
+        docs.select("source", F.explode(token_array("text")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("n_sw"))
+    )
+    enc = sw.join(
+        vocab.select(
+            "word",
+            F.size("syms").alias("n_sub"),
+            F.length("word").alias("n_ch"),
+        ),
+        "word",
+    )
+    agg = enc.groupBy("source").agg(
+        F.sum("n_sw").alias("n_words"),
+        F.sum(F.col("n_sw") * F.col("n_sub")).alias("n_subwords"),
+        F.sum(F.col("n_sw") * F.col("n_ch")).alias("n_chars"),
+    )
+    return agg.select(
+        "source",
+        "n_words",
+        "n_subwords",
+        "n_chars",
+        half_up_units(F.col("n_subwords"), F.col("n_words"), 1000).alias(
+            "subwords_per_word_milli"
+        ),
+    )
