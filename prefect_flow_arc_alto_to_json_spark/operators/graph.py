@@ -276,9 +276,13 @@ def hits_scores(edges: DataFrame, iterations: int = 2) -> DataFrame:
             ),
             "h",
         )
+    # the checkpointed score relations carry no stats, so Catalyst would
+    # sort-merge the final assembly; all three sides are node-keyed and
+    # node-sized, so shuffle-hash co-partitions them without the sorts
+    # (and at dim-graph scale AQE may still upgrade to broadcast)
     return (
-        nodes.join(hubs, "node")
-        .join(auths, "node")
+        nodes.join(hubs.hint("shuffle_hash"), "node")
+        .join(auths.hint("shuffle_hash"), "node")
         .select(
             "node",
             F.col("h").alias("hub_micro"),
