@@ -324,3 +324,217 @@ def fps_oracle_sql(
     if idx != -1:
         out = out[:idx] + ")\n" + out[idx + 3 :]
     return out
+
+
+def gram_matrix_milli(
+    emb: DataFrame, vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """Exact integer gram matrix of the milli-snapped embedding corpus:
+    (i, j, g) with g = Σ_v round(v_i·1e3)·round(v_j·1e3) as longs —
+    1-based dims, all dim² entries.
+
+    The kernel is ``mapInArrow``: each Arrow batch reshapes to an int64
+    (n, dim) matrix and emits ONE dim²-row partial E.T@E — integer sums
+    are associative, so any batch/partition split reproduces the same
+    longs and the relation stays value-oracle-able (the pure-SQL twin
+    pair-explodes 64²× per row; BLAS-shaped partials are the 100 TB
+    plan: the exchange carries dim² longs per partition, never corpus
+    rows). Long headroom: |g| ≤ N·(max|v|·1e3)² — ~2^34 per million
+    rows at |v|≤2 — so the int64 partials hold to ~10^9 rows; beyond
+    that snap coarser or move the final reduce to DECIMAL(38).
+    """
+    import pyarrow as pa
+
+    def partials(batches):
+        import numpy as np
+
+        acc = np.zeros((dim, dim), dtype=np.int64)
+        seen = False
+        for batch in batches:
+            col = batch.column(batch.schema.get_field_index(vec_col))
+            n = len(col)
+            if n == 0:
+                continue
+            values = np.asarray(col.values, dtype=np.float64)
+            offsets = np.asarray(col.offsets)
+            lens = offsets[1:] - offsets[:-1]
+            if col.null_count or lens.min() != dim or lens.max() != dim:
+                raise ValueError(
+                    f"gram_matrix_milli requires non-null uniform "
+                    f"{dim}-dim vectors"
+                )
+            m = values[offsets[0] : offsets[-1]].reshape(n, dim) * 1000.0
+            # half-AWAY rounding (matching SQL ROUND) — np.round is
+            # half-even and would diverge on exact .5 boundaries
+            mq = (np.floor(np.abs(m) + 0.5) * np.sign(m)).astype(np.int64)
+            acc += mq.T @ mq
+            seen = True
+        if seen:
+            ii, jj = np.meshgrid(
+                np.arange(1, dim + 1), np.arange(1, dim + 1), indexing="ij"
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ii.ravel(), type=pa.int32()),
+                    pa.array(jj.ravel(), type=pa.int32()),
+                    pa.array(acc.ravel(), type=pa.int64()),
+                ],
+                names=["i", "j", "g"],
+            )
+
+    part = emb.select(vec_col).mapInArrow(partials, schema="i int, j int, g long")
+    return part.groupBy("i", "j").agg(F.sum("g").alias("g"))
+
+
+def _signed_shift(val, divisor):
+    """sign(val)·(|val| div divisor) — truncating signed right-shift,
+    identical in Spark and DuckDB (both truncate positive ``div``)."""
+    mag = F.call_function("div", F.abs(val), divisor)
+    return F.when(val >= 0, mag).otherwise(-mag)
+
+
+def _signed_half_up(val, den, mul: int):
+    """Half-away-from-zero integer (val·mul/den) for positive den — the
+    assortativity device: half-up on |val|, sign restored."""
+    from ..functions.scalar import half_up_units
+
+    mag = half_up_units(F.abs(val), den, mul)
+    return F.when(val >= 0, mag).otherwise(-mag)
+
+
+def pca_top_component_micro(
+    emb: DataFrame,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Dominant principal direction of the (uncentered) gram matrix by
+    POWER ITERATION in exact integer arithmetic: (dim, loading_micro),
+    the max-abs component pinned to ±1e6.
+
+    The data-sized work is ONE gram pass (gram_matrix_milli); every
+    iteration after runs on the constant dim²-row relation: u = G_r·v
+    (join on j + map-side-combined groupBy i), then renormalize to
+    micro-units by the max-|u| 1-row broadcast. G is first right-shifted
+    by the SAME data-derived divisor in both engines (R = max(1,
+    max|g| div 1e10)) so |G_r·v| stays ≤ dim·1e10·1e6 ≈ 2^59 for ANY
+    corpus size — the assortativity overflow valve applied to a matrix.
+    Starting vector all-ones·1e6; fixed iteration count keeps the
+    relation replayable (callers loop externally for convergence).
+    """
+    gram = gram_matrix_milli(emb, vec_col, dim).localCheckpoint()
+    mx = gram.agg(F.max(F.abs(F.col("g"))).alias("mxg"))
+    gr = (
+        gram.crossJoin(F.broadcast(mx))
+        .select(
+            "i",
+            "j",
+            _signed_shift(
+                F.col("g"),
+                F.greatest(
+                    F.lit(1).cast("long"),
+                    F.call_function("div", F.col("mxg"), F.lit(10_000_000_000)),
+                ),
+            ).alias("g"),
+        )
+        .localCheckpoint()
+    )
+    v = gr.select(F.col("i").alias("vj")).distinct().select(
+        "vj", F.lit(MICRO).cast("long").alias("v")
+    )
+    for _ in range(iterations):
+        u = (
+            gr.join(v.hint("shuffle_hash"), gr["j"] == v["vj"])
+            .groupBy("i")
+            .agg(F.sum(F.col("g") * F.col("v")).alias("u"))
+        )
+        m = u.agg(F.max(F.abs(F.col("u"))).alias("m"))
+        # |u| ≤ dim·1e10·1e6 ≈ 2^59, so the half-up numerator 2·|u|·1e6
+        # would overflow a long: right-shift u AND m by the same
+        # data-derived s = max(1, m div 1e9) first (both engines shift
+        # the identical integers; relative error ~1e-9, three orders
+        # below micro granularity — the assortativity valve again)
+        v = (
+            u.crossJoin(F.broadcast(m))
+            .select(
+                "i",
+                "u",
+                F.greatest(
+                    F.lit(1).cast("long"),
+                    F.call_function("div", F.col("m"), F.lit(1_000_000_000)),
+                ).alias("s"),
+                F.col("m"),
+            )
+            .select(
+                F.col("i").alias("vj"),
+                _signed_half_up(
+                    _signed_shift(F.col("u"), F.col("s")),
+                    F.greatest(
+                        F.call_function("div", F.col("m"), F.col("s")),
+                        F.lit(1).cast("long"),
+                    ),
+                    MICRO,
+                ).alias("v"),
+            )
+            .localCheckpoint()
+        )
+    return v.select(F.col("vj").alias("dim"), F.col("v").alias("loading_micro"))
+
+
+def pca_oracle_sql(iterations: int = 2, dim: int = 64) -> str:
+    """Unrolled SQL replay of pca_top_component_micro: pair-exploded
+    exact gram, the same right-shift, v0 = 1e6, each u/m/v round as
+    chained CTEs (the pagerank/kmeans unroll applied to a matrix
+    recurrence)."""
+    parts = [
+        "WITH ex AS (",
+        "  SELECT vec_id, u.dim AS i,",
+        "         CAST(ROUND(u.val * 1000) AS BIGINT) AS x",
+        "  FROM (",
+        f"    SELECT vec_id, unnest(range(1, {dim + 1})) AS dim,",
+        "           unnest(embedding::DOUBLE[]) AS val",
+        "    FROM embeddings",
+        "  ) u",
+        "),",
+        "gm AS (",
+        "  SELECT a.i, b.i AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS g",
+        "  FROM ex a JOIN ex b USING (vec_id) GROUP BY a.i, b.i",
+        "),",
+        "r AS (SELECT GREATEST(CAST(1 AS BIGINT),",
+        "             MAX(ABS(g)) // 10000000000) AS rr FROM gm),",
+        "gr AS (SELECT i, j, CASE WHEN g >= 0 THEN g // rr",
+        "                         ELSE -((-g) // rr) END AS g FROM gm, r),",
+        "v0 AS (SELECT DISTINCT i AS vj, CAST(1000000 AS BIGINT) AS v"
+        " FROM gr),",
+    ]
+    for t in range(1, iterations + 1):
+        parts += [
+            f"u{t} AS (",
+            "  SELECT gr.i, CAST(SUM(gr.g * v.v) AS BIGINT) AS u",
+            f"  FROM gr JOIN v{t - 1} v ON v.vj = gr.j GROUP BY gr.i",
+            "),",
+            f"m{t} AS (SELECT MAX(ABS(u)) AS m,",
+            "             GREATEST(CAST(1 AS BIGINT),",
+            "                      MAX(ABS(u)) // 1000000000) AS s",
+            f"      FROM u{t}),",
+            f"v{t} AS (",
+            "  SELECT i AS vj, CASE WHEN u >= 0",
+            "    THEN (2 * (ABS(u) // s) * 1000000 + GREATEST(m // s, 1))",
+            "         // (2 * GREATEST(m // s, 1))",
+            "    ELSE -((2 * (ABS(u) // s) * 1000000 + GREATEST(m // s, 1))",
+            "           // (2 * GREATEST(m // s, 1))) END AS v",
+            f"  FROM u{t}, m{t}",
+            "),",
+        ]
+    last = f"v{iterations}"
+    parts[-1] = parts[-1].rstrip(",")  # close the final CTE cleanly
+    parts.append(
+        f"SELECT CAST(vj AS INTEGER) AS dim, v AS loading_micro FROM {last}"
+    )
+    return "\n".join(parts)
+
+
+from ..functions.selfship import self_ship  # noqa: E402
+
+# gram_matrix_milli's Arrow kernel executes on workers — ship by value.
+self_ship(__name__)
