@@ -1760,10 +1760,12 @@ def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stream_conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming CEP on Spark 4's transformWithStateInPandas
-    (streaming/pipeline.py:conversion_paths — the typed
-    StatefulProcessor successor to applyInPandasWithState, completing
-    the stateful-API matrix on the newest surface): per-user
+    """Streaming CEP as a custom stateful operator
+    (streaming/pipeline.py:conversion_paths, applyInPandasWithState;
+    the Spark 4 typed twin conversion_paths_tws shares the same
+    detector core but its transformWithStateInPandas state server
+    needs protobuf, absent here, so it is import-guarded like the
+    boto3 sink branch): per-user
     view → clicks* → purchase detection with error abandons, one output
     row per completed path carrying provenance (view/purchase event
     times, clicks between). The replay drains the real events, then
