@@ -122,6 +122,10 @@ HEADLINE = [
     "text_bpe_merges",
     "dedup_minhash_calibration",
     "q_lpa_communities",
+    # round-8 close-out: the PCA gram kernel (one mapInArrow corpus pass
+    # + 4 constant-size matrix-vector rounds) — the heaviest new Arrow
+    # surface of the close-out batch
+    "sim_pca_top_component",
 ]
 
 

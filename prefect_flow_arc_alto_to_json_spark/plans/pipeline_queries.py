@@ -28,12 +28,13 @@ _QUALITY_THRESHOLD = 0.7
 _NEAR_DUP_MAX_DF = 20
 
 
-@query(
-    "pipeline_clean_corpus",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents),
+#: the clean-corpus CTE chain (quality gate -> exact dedup -> capped
+#: near-dup drop list), shared by pipeline_clean_corpus and the
+#: tokenizer-ready composition. Ends at the `drops` CTE; consumers
+#: append their own final SELECT (and further CTEs).
+_CLEAN_CTES = f"""t AS (SELECT doc_id, source, text, {_SQL_TOKS} AS toks FROM documents),
     m AS (
-      SELECT doc_id, text, toks,
+      SELECT doc_id, source, text, toks,
         CAST(len(text) AS BIGINT) AS n,
         CAST(len(toks) AS BIGINT) AS ntok,
         CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS a,
@@ -42,7 +43,7 @@ _NEAR_DUP_MAX_DF = 20
       FROM t
     ),
     q AS (
-      SELECT doc_id, text, toks, ntok,
+      SELECT doc_id, source, text, toks, ntok,
         CAST(3 * (CASE WHEN ntok >= 10 AND ntok <= 5000 THEN 1000000
                        WHEN ntok > 0 THEN 500000 ELSE 0 END)
            + 3 * (CASE WHEN n > 0 THEN (2 * a * 1000000 + n) // (2 * n) ELSE 0 END)
@@ -57,7 +58,7 @@ _NEAR_DUP_MAX_DF = 20
     ),
     gated AS (SELECT * FROM q WHERE quality >= {_QUALITY_THRESHOLD}),
     exact_kept AS (
-      SELECT doc_id, text, toks, ntok, quality FROM (
+      SELECT doc_id, source, text, toks, ntok, quality FROM (
         SELECT *, ROW_NUMBER() OVER (
           PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
           ORDER BY doc_id
@@ -84,7 +85,13 @@ _NEAR_DUP_MAX_DF = 20
       JOIN sizes sa ON sa.doc_id = id_a
       JOIN sizes sb ON sb.doc_id = id_b
       WHERE ROUND(n_common / (sa.n_sh + sb.n_sh - n_common)::DOUBLE, 6) >= 0.8
-    )
+    )"""
+
+
+@query(
+    "pipeline_clean_corpus",
+    oracle=f"""
+    WITH {_CLEAN_CTES}
     SELECT k.doc_id, CAST(k.ntok AS BIGINT) AS n_tokens, k.quality
     FROM exact_kept k LEFT JOIN drops d ON k.doc_id = d.doc_id
     WHERE d.doc_id IS NULL
@@ -224,4 +231,134 @@ def pipeline_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     return exact_kept.join(F.broadcast(drops), "doc_id", "left_anti").select(
         "doc_id", "n_tokens"
+    )
+
+
+_TOKREADY_BUDGET = 1024
+
+
+def _tokready_oracle() -> str:
+    """Clean chain (verbatim `_CLEAN_CTES`) → BPE training on the CLEAN
+    survivors (the same unrolled 3-round chain text_bpe_merges uses,
+    re-based on `cleank`) → per-doc subword encode → concat-then-chunk
+    packing — the full tokenizer-ready layout replayed in SQL."""
+    from .text_queries import _bpe_iter_sql
+
+    return (
+        "WITH " + _CLEAN_CTES + ",\n"
+        "cleank AS (\n"
+        "  SELECT k.doc_id, k.source, k.text, k.toks\n"
+        "  FROM exact_kept k LEFT JOIN drops d ON k.doc_id = d.doc_id\n"
+        "  WHERE d.doc_id IS NULL\n"
+        "),\n"
+        "w AS (\n"
+        "  SELECT word, CAST(COUNT(*) AS BIGINT) AS n_w FROM (\n"
+        "    SELECT unnest(toks) AS word FROM cleank\n"
+        "  ) GROUP BY word\n"
+        "),\n"
+        "s0 AS (\n"
+        "  SELECT word, n_w,\n"
+        "         [word[i] for i in range(1, len(word) + 1)] AS syms\n"
+        "  FROM w\n"
+        "),\n"
+        + ",\n".join(_bpe_iter_sql(t) for t in (1, 2, 3))
+        + f""",
+    sw AS (
+      SELECT doc_id, source, word, CAST(COUNT(*) AS BIGINT) AS n_sw
+      FROM (SELECT doc_id, source, unnest(toks) AS word FROM cleank)
+      GROUP BY doc_id, source, word
+    ),
+    encd AS (
+      SELECT sw.doc_id, sw.source,
+             CAST(SUM(sw.n_sw * len(s3.syms)) AS BIGINT) AS n_subwords
+      FROM sw JOIN s3 ON sw.word = s3.word
+      GROUP BY sw.doc_id, sw.source
+    ),
+    packed AS (
+      SELECT doc_id, source, n_subwords,
+             CAST(SUM(n_subwords) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_subwords AS BIGINT) AS start_off
+      FROM encd
+    )
+    SELECT doc_id, source, n_subwords, start_off,
+           start_off // {_TOKREADY_BUDGET} AS pack_id,
+           GREATEST(start_off + n_subwords - 1, start_off)
+             // {_TOKREADY_BUDGET}
+             - start_off // {_TOKREADY_BUDGET} + 1 AS pack_spans
+    FROM packed
+    """
+    )
+
+
+@query("pipeline_tokenizer_ready", extra=True, oracle=_tokready_oracle())
+def pipeline_tokenizer_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The THIRD flagship composition — the training-data ENDGAME in one
+    lazy chain: clean (quality gate → exact dedup → capped near-dup,
+    the pipeline_clean_corpus stages verbatim) → BPE tokenizer TRAINING
+    on the surviving corpus (k=3, operators/bpe.py) → per-doc subword
+    ENCODE via the post-merge vocabulary join → concat-then-chunk
+    PACKING of the subword stream into {budget}-token context windows
+    (operators/corpus.py:chunk_pack). Returns per surviving document
+    (doc_id, source, n_subwords, start_off, pack_id, pack_spans) — the
+    layout a pretraining writer materializes directly.
+
+    Training on the CLEANED corpus (not raw documents) is what makes
+    this a composition rather than a union of parts: the merge table —
+    and therefore every downstream subword count and pack boundary —
+    depends on the dedup/quality stages upstream, and the oracle
+    replays that dependency end to end (clean CTEs → re-based BPE
+    chain → encode join → cumulative window).
+
+    Scale: the clean stages keep their pinned shapes (narrow scoring
+    scan, one digest shuffle, capped posting join, broadcast
+    anti-join); BPE rounds are vocabulary-sized; the encode join is
+    (doc, word)-counts × vocab (shuffle-hash at real vocab
+    cardinality); packing is ONE window shuffle sharded by source. No
+    stage rescans raw text after the clean pass."""
+    from ..operators.bpe import bpe_train
+    from ..operators.corpus import chunk_pack
+    from ..functions.scalar import token_array
+
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "text"
+    )
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        quality_score("text").alias("quality"),
+    )
+    gated = scored.where(F.col("quality") >= _QUALITY_THRESHOLD)
+    keeper = F.row_number().over(
+        Window.partitionBy(F.md5(normalize_text("text"))).orderBy("doc_id")
+    )
+    exact_kept = (
+        gated.withColumn("__rn", keeper).where(F.col("__rn") == 1).drop("__rn")
+    )
+    pairs = ngram_jaccard_pairs(
+        exact_kept.select("doc_id", "text"),
+        threshold=0.8,
+        max_doc_freq=_NEAR_DUP_MAX_DF,
+    )
+    drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    clean = exact_kept.join(F.broadcast(drops), "doc_id", "left_anti").select(
+        "doc_id", "source", "text"
+    )
+    _, vocab = bpe_train(clean, k=3)
+    sw = (
+        clean.select(
+            "doc_id", "source", F.explode(token_array("text")).alias("word")
+        )
+        .groupBy("doc_id", "source", "word")
+        .agg(F.count(F.lit(1)).alias("n_sw"))
+    )
+    encd = (
+        sw.join(vocab.select("word", F.size("syms").alias("n_sub_w")), "word")
+        .groupBy("doc_id", "source")
+        .agg(F.sum(F.col("n_sw") * F.col("n_sub_w")).alias("n_subwords"))
+    )
+    return chunk_pack(encd, _TOKREADY_BUDGET, "n_subwords", "source").select(
+        "doc_id", "source", "n_subwords", "start_off", "pack_id", "pack_spans"
     )

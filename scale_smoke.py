@@ -46,6 +46,9 @@ from prefect_flow_arc_alto_to_json_spark.operators.similarity import (  # noqa: 
     pq_topk,
     semantic_dedup,
 )
+from prefect_flow_arc_alto_to_json_spark.operators.clustering import (  # noqa: E402
+    pca_top_component_micro,
+)
 from prefect_flow_arc_alto_to_json_spark.operators.bpe import (  # noqa: E402
     bpe_learn_merges,
 )
@@ -232,6 +235,13 @@ def main() -> None:
         # checkpointing loop runs at CONSTRUCTION time, which is why the
         # timing below wraps build+materialize, not materialize alone.
         "bpe_merges": lambda d, e: bpe_learn_merges(d, k=2),
+        # round-8 late addition: the PCA gram kernel is ONE linear
+        # corpus pass emitting dim²-long partials per partition; the
+        # 4 power-iteration rounds after run on the constant 4096-row
+        # gram, so wall should track the scan, never N²
+        "pca_top_component": lambda d, e: pca_top_component_micro(
+            e, iterations=4
+        ),
     }
 
     results: dict[str, dict[int, float]] = {p: {} for p in probes}
