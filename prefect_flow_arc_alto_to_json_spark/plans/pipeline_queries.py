@@ -343,8 +343,16 @@ def pipeline_tokenizer_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_doc_freq=_NEAR_DUP_MAX_DF,
     )
     drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    clean = exact_kept.join(F.broadcast(drops), "doc_id", "left_anti").select(
-        "doc_id", "source", "text"
+    # THREE consumers descend from the cleaned corpus (the eager BPE
+    # vocab pass at construction, the encode tokenization, and the
+    # lineage the pack window replays) — unlike pipeline_clean_corpus's
+    # two, so here the checkpoint wins: the quality/dedup chain runs
+    # once and downstream stages scan the materialized survivors, never
+    # raw text (at 100 TB this is the bronze-parquet handoff).
+    clean = (
+        exact_kept.join(F.broadcast(drops), "doc_id", "left_anti")
+        .select("doc_id", "source", "text")
+        .localCheckpoint()
     )
     _, vocab = bpe_train(clean, k=3)
     sw = (
