@@ -39,6 +39,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.scalar import half_up_units
+
 MICRO = 1_000_000
 
 
@@ -396,8 +398,6 @@ def _signed_shift(val, divisor):
 def _signed_half_up(val, den, mul: int):
     """Half-away-from-zero integer (val·mul/den) for positive den — the
     assortativity device: half-up on |val|, sign restored."""
-    from ..functions.scalar import half_up_units
-
     mag = half_up_units(F.abs(val), den, mul)
     return F.when(val >= 0, mag).otherwise(-mag)
 
