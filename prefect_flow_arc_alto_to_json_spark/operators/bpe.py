@@ -114,6 +114,12 @@ def bpe_train(
             )
             .localCheckpoint()
         )
+        # pairs run dry once every word is a single symbol; without this
+        # break the crossJoin below would EMPTY the vocabulary (0-row
+        # winner x vocab = 0 rows) and poison the encode table. The
+        # isEmpty probe reads the 1-row checkpoint, not the corpus.
+        if top.isEmpty():
+            break
         row = top.select(
             "step",
             "lhs",
@@ -138,6 +144,14 @@ def bpe_train(
                 ).alias("syms"),
             )
             .localCheckpoint()
+        )
+    if out is None:
+        # degenerate corpus (every word one symbol): no merges, but the
+        # contract stays a typed relation, never None
+        out = docs.sparkSession.createDataFrame(
+            [],
+            "step int, lhs string, rhs string, merged string,"
+            " pair_count long",
         )
     return out, vocab
 

@@ -54,3 +54,63 @@ def test_learn_merges_on_tiny_corpus(spark, sf_dir):
     assert rows[1] == ("a", "a", "aa", 6)
     # after merge: aaab -> [aa, a, b]; pairs: (aa,a)=3, (a,b)=3+1=4.
     assert rows[2] == ("a", "b", "ab", 4)
+
+
+def _ref_train(texts: list[str], k: int):
+    """Pure-Python BPE reference: same tokenizer, same (count DESC, pair
+    key ASC) total order, same left-to-right fold — the independent
+    model the distributed trainer must reproduce."""
+    from collections import Counter
+
+    from prefect_flow_arc_alto_to_json_spark.operators.bpe import SEP
+
+    words: Counter = Counter()
+    for t in texts:
+        for w in t.lower().strip().split():
+            if w:
+                words[w] += 1
+    vocab = {w: list(w) for w in words}
+    merges = []
+    for step in range(1, k + 1):
+        pc: Counter = Counter()
+        for w, n in words.items():
+            syms = vocab[w]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += n
+        if not pc:
+            break
+        (a, b), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0] + SEP + kv[0][1])
+        )
+        merges.append((step, a, b, a + b, cnt))
+        for w in vocab:
+            vocab[w] = _ref_merge(vocab[w], a, b)
+    return merges, vocab
+
+
+WORD = st.text(alphabet="ab", min_size=1, max_size=4)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.lists(WORD, min_size=1, max_size=6), min_size=1, max_size=3), st.integers(1, 3))
+def test_bpe_train_matches_python_model(spark, docs_words, k):
+    """End-to-end fuzz: random tiny corpora through the full distributed
+    trainer (merges AND the post-merge encode vocabulary) vs the
+    reference model — including corpora whose pairs run dry mid-loop
+    (all-single-char words), the edge where the winner relation goes
+    empty."""
+    from prefect_flow_arc_alto_to_json_spark.operators.bpe import bpe_train
+
+    texts = [" ".join(ws) for ws in docs_words]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    m_df, v_df = bpe_train(docs, k=k)
+    got_merges = sorted(
+        (r["step"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+        for r in m_df.collect()
+    )
+    got_vocab = {r["word"]: list(r["syms"]) for r in v_df.collect()}
+    ref_merges, ref_vocab = _ref_train(texts, k)
+    assert got_merges == sorted(ref_merges), (texts, k)
+    assert got_vocab == ref_vocab, (texts, k)
