@@ -930,3 +930,98 @@ def q_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.regexp_count("seq", F.lit("vc*e")).cast("long").alias("n_abandons"),
     )
+
+
+@query(
+    "q_theil_sen_slope",
+    extra=True,
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS y
+      FROM events GROUP BY 1
+    ),
+    x0 AS (SELECT MIN(day) AS d0 FROM daily),
+    xy AS (SELECT CAST(day - d0 AS BIGINT) AS x, y FROM daily, x0),
+    p AS (
+      SELECT a.x AS xi, b.x AS xj,
+             b.y - a.y AS dy, b.x - a.x AS dx
+      FROM xy a JOIN xy b ON a.x < b.x
+    ),
+    sl AS (
+      SELECT xi, xj,
+             CASE WHEN dy >= 0
+                  THEN (2 * dy * 1000000 + dx) // (2 * dx)
+                  ELSE -((2 * (-dy) * 1000000 + dx) // (2 * dx))
+             END AS slope_ppm
+      FROM p
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM sl),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+    ranked AS (
+      SELECT slope_ppm,
+             ROW_NUMBER() OVER (ORDER BY slope_ppm, xi, xj) AS rn
+      FROM sl
+    )
+    SELECT nd.n_days, n.n_pairs, r.slope_ppm AS theil_sen_ppm
+    FROM ranked r, n, nd WHERE r.rn = (n.n_pairs + 1) // 2
+    """,
+)
+def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of corpus-wide daily spend: the MEDIAN of
+    all pairwise day-over-day slopes — the outlier-immune twin of
+    q_daily_trend_slope's OLS (one wild day corrupts the OLS slope but
+    moves the pairwise-slope median by at most one order statistic).
+    Each pair slope is an exact signed half-up ppm long
+    ((y_j−y_i)·1e6 / (x_j−x_i), cents over day index, |dy|·2e6 ≪ 2^63),
+    and the median is the ⌈n/2⌉-th smallest VALUE — deterministic under
+    ties regardless of tie order; the (xi, xj) tiebreaker only pins
+    WHICH row reports it.
+
+    Scale: the pair relation is (days choose 2) — it grows with the
+    TIME RANGE, never the corpus, but a decade is still ~6.6M pairs, so
+    the median uses the dense-ids device (range-repartition + offset
+    ranks, operators/ids.py) instead of a single-partition global
+    window; the day aggregate itself is one map-side-combined groupBy.
+    """
+    from ..operators.ids import assign_dense_ids
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), cents("value").alias("v")
+    )
+    daily = ev.groupBy("day").agg(F.sum("v").alias("y"))
+    mn = daily.agg(F.min("day").alias("d0"))
+    xy = daily.crossJoin(F.broadcast(mn)).select(
+        F.datediff("day", "d0").cast("long").alias("x"), "y"
+    )
+    a = xy.select(F.col("x").alias("xi"), F.col("y").alias("yi"))
+    b = xy.select(F.col("x").alias("xj"), F.col("y").alias("yj"))
+    p = a.join(F.broadcast(b), F.col("xi") < F.col("xj")).select(
+        "xi",
+        "xj",
+        (F.col("yj") - F.col("yi")).alias("dy"),
+        (F.col("xj") - F.col("xi")).alias("dx"),
+    )
+    d = F.call_function
+    mag = d(
+        "div",
+        F.lit(2) * F.abs(F.col("dy")) * 1_000_000 + F.col("dx"),
+        F.lit(2) * F.col("dx"),
+    )
+    sl = p.select(
+        "xi",
+        "xj",
+        F.when(F.col("dy") >= 0, mag).otherwise(-mag).alias("slope_ppm"),
+    )
+    ranked = assign_dense_ids(sl, ["slope_ppm", "xi", "xj"], "rn")
+    counts = sl.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+    ).crossJoin(F.broadcast(daily.agg(F.count(F.lit(1)).alias("n_days"))))
+    return (
+        ranked.crossJoin(F.broadcast(counts))
+        .where(
+            F.col("rn")
+            == d("div", F.col("n_pairs") + 1, F.lit(2)) - 1
+        )
+        .select("n_days", "n_pairs", F.col("slope_ppm").alias("theil_sen_ppm"))
+    )
