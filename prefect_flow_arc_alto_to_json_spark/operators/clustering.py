@@ -481,13 +481,13 @@ def pca_top_component_micro(
     return v.select(F.col("vj").alias("dim"), F.col("v").alias("loading_micro"))
 
 
-def pca_oracle_sql(iterations: int = 2, dim: int = 64) -> str:
-    """Unrolled SQL replay of pca_top_component_micro: pair-exploded
-    exact gram, the same right-shift, v0 = 1e6, each u/m/v round as
-    chained CTEs (the pagerank/kmeans unroll applied to a matrix
-    recurrence)."""
+def pca_cte_sql(iterations: int = 2, dim: int = 64) -> str:
+    """The unrolled pca_top_component_micro CTE chain (ex → gm → gr →
+    v0 → u1/m1/v1 → …), WITHOUT the WITH keyword or final SELECT — so
+    downstream oracles (projection, whitening) can append their own
+    CTEs against `ex` and the final `v{iterations}`."""
     parts = [
-        "WITH ex AS (",
+        "ex AS (",
         "  SELECT vec_id, u.dim AS i,",
         "         CAST(ROUND(u.val * 1000) AS BIGINT) AS x",
         "  FROM (",
@@ -526,15 +526,54 @@ def pca_oracle_sql(iterations: int = 2, dim: int = 64) -> str:
             f"  FROM u{t}, m{t}",
             "),",
         ]
-    last = f"v{iterations}"
     parts[-1] = parts[-1].rstrip(",")  # close the final CTE cleanly
-    parts.append(
-        f"SELECT CAST(vj AS INTEGER) AS dim, v AS loading_micro FROM {last}"
-    )
     return "\n".join(parts)
+
+
+def pca_oracle_sql(iterations: int = 2, dim: int = 64) -> str:
+    """Full SQL replay of pca_top_component_micro: the CTE chain plus
+    the (dim, loading_micro) final SELECT (the pagerank/kmeans unroll
+    applied to a matrix recurrence)."""
+    return (
+        "WITH "
+        + pca_cte_sql(iterations, dim)
+        + f"\nSELECT CAST(vj AS INTEGER) AS dim, v AS loading_micro"
+        f" FROM v{iterations}"
+    )
 
 
 from ..functions.selfship import self_ship  # noqa: E402
 
 # gram_matrix_milli's Arrow kernel executes on workers — ship by value.
 self_ship(__name__)
+
+
+def pca_project_micro(
+    emb: DataFrame,
+    loadings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Project every vector onto a learned component: (vec_id, proj)
+    with proj = Σ_i round(v_i·1e3)·loading_micro(i) — exact longs
+    (|proj| ≤ dim·2e3·1e6 ≈ 2^37), the transform half of the PCA fit.
+
+    Scale: posexplode is a narrow dim× fan-out; the loadings relation is
+    dim rows and broadcast; the per-vector reduce is one map-side
+    combining groupBy on the id — vectors never shuffle."""
+    v = emb.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+            "dim0", "val"
+        ),
+    ).select(
+        "vid",
+        (F.col("dim0") + 1).alias("dim"),
+        F.round(F.col("val") * 1000, 0).cast("long").alias("x"),
+    )
+    return (
+        v.join(F.broadcast(loadings), "dim")
+        .groupBy("vid")
+        .agg(F.sum(F.col("x") * F.col("loading_micro")).alias("proj"))
+        .select(F.col("vid").alias(id_col), "proj")
+    )
