@@ -2025,3 +2025,123 @@ def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("var_reduction_ppm"),
     )
+
+
+@query(
+    "q_mann_whitney",
+    extra=True,
+    oracle="""
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS arm,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS y
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT y, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS ca
+      FROM u GROUP BY y
+    ),
+    r AS (
+      SELECT y, c, ca,
+             2 * COALESCE(SUM(c) OVER (
+               ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) + c + 1 AS r2
+      FROM g
+    ),
+    s AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+             CAST(SUM(c - ca) AS BIGINT) AS n_b,
+             CAST(SUM(ca * r2) AS BIGINT) AS r2_a,
+             CAST(SUM(c * c * c - c) AS BIGINT) AS ties
+      FROM r
+    )
+    SELECT n_a, n_b,
+           r2_a - n_a * (n_a + 1) AS u2,
+           CAST((2 * (r2_a - n_a * (n_a + 1)) * 1000000 + 2 * n_a * n_b)
+                // (2 * 2 * n_a * n_b) AS BIGINT) AS cles_ppm,
+           ROUND(
+             (r2_a - n_a * (n_a + 1) - n_a * n_b)
+             / (2.0 * SQRT(
+                 n_a * n_b
+                 * ((n_a + n_b + 1)
+                    - ties / (CAST(n_a + n_b AS DOUBLE)
+                              * (n_a + n_b - 1)))
+                 / 12.0
+               )),
+             6
+           ) AS z
+    FROM s
+    """,
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (rank-sum) between the two experiment arms
+    (user_id % 2, the q_abtest_proportions split) on per-user total
+    spend — the NONPARAMETRIC two-sample test that completes the A/B
+    family (z-test on proportions, CUPED on means, KS on distributions;
+    this one is rank-based, outlier-immune). TIE-EXACT via the doubled
+    midrank histogram device (the Spearman formulation): 2·R_A, 2·U and
+    the common-language effect size U/(n_a·n_b) are exact longs (CLES
+    in half-up ppm — the probability a random A-user outspends a random
+    B-user); only the tie-corrected z is a composite double, snapped at
+    6dp with identical operand order in both engines.
+
+    Scale: one per-user aggregate, one value-distribution-sized rank
+    relation (the window is over distinct spend values, not users),
+    one 1-row moment reduce."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", cents("value").alias("v_cents")
+    )
+    u = ev.groupBy("user_id").agg(F.sum("v_cents").alias("y")).select(
+        (F.col("user_id") % 2).alias("arm"), "y"
+    )
+    g = u.groupBy("y").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("ca"),
+    )
+    w = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, -1)
+    r = g.select(
+        "c",
+        "ca",
+        (2 * F.coalesce(F.sum("c").over(w), F.lit(0)) + F.col("c") + 1).alias(
+            "r2"
+        ),
+    )
+    s = r.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum(F.col("c") - F.col("ca")).cast("long").alias("n_b"),
+        F.sum(F.col("ca") * F.col("r2")).cast("long").alias("r2_a"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("long")
+        .alias("ties"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    u2 = F.col("r2_a") - na * (na + 1)
+    d = F.call_function
+    return s.select(
+        "n_a",
+        "n_b",
+        u2.alias("u2"),
+        d(
+            "div",
+            F.lit(2) * u2 * 1_000_000 + 2 * na * nb,
+            F.lit(2) * 2 * na * nb,
+        ).alias("cles_ppm"),
+        F.round(
+            (u2 - na * nb)
+            / (
+                2.0
+                * F.sqrt(
+                    na
+                    * nb
+                    * (
+                        (na + nb + 1)
+                        - F.col("ties")
+                        / ((na + nb).cast("double") * (na + nb - 1))
+                    )
+                    / 12.0
+                )
+            ),
+            6,
+        ).alias("z"),
+    )
