@@ -292,7 +292,10 @@ def _tokready_oracle() -> str:
     )
 
 
-@query("pipeline_tokenizer_ready", extra=True, oracle=_tokready_oracle())
+# Promoted to the graded window in round 8 close-out: the third flagship
+# composition (clean -> BPE train -> encode -> pack) had no graded
+# representative (displaces q_map_functions).
+@query("pipeline_tokenizer_ready", oracle=_tokready_oracle())
 def pipeline_tokenizer_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The THIRD flagship composition — the training-data ENDGAME in one
     lazy chain: clean (quality gate → exact dedup → capped near-dup,

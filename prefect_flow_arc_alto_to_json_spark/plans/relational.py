@@ -810,6 +810,9 @@ def q_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_map_functions",
+    extra=True,  # rotated to the pytest tier in round 8 close-out (the JSON/map
+    # scalar family keeps q_json_extract graded); freed the slot for the
+    # third flagship composition
     oracle="""
     SELECT n_regionkey, n_name AS nation, CAST(n_nationkey AS BIGINT) AS nationkey
     FROM nation
