@@ -1,0 +1,166 @@
+"""Geospatial grid queries (operators/geo.py) — the spatial-join family:
+grid-cell density, lossless grid-blocked radius join, bounded
+nearest-neighbor. Coordinates are deterministic synthetic micro-degrees
+derived from the md5 stable hash (the TPC-H-ish tables carry no
+geography), so the DuckDB oracles replay the derivation verbatim
+(``md5_number_lower(x) % 4294967296`` ≡ ``stable_hash_u32``) and every
+distance compares as an exact long — the whole family is hash-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.geo import nearest_in_ring, radius_join, with_grid
+from ..sources import load_table
+from .registry import query
+
+
+def _sql_pt(key: str) -> str:
+    """Point CTE body: lat/lon micro-degrees + grid cell for ``key``.
+
+    Textually mirrors operators/geo.py: u32 hash -> modulus shift ->
+    floor-division cell (the shifted coords are < 2^29 so the double
+    division is exact in both engines).
+    """
+    return f"""
+      SELECT {key} AS k,
+             CAST(md5_number_lower('geo-v1:lat:' || CAST({key} AS VARCHAR))
+                  % 4294967296 % 180000001 AS BIGINT) - 90000000 AS lat,
+             CAST(md5_number_lower('geo-v1:lon:' || CAST({key} AS VARCHAR))
+                  % 4294967296 % 360000001 AS BIGINT) - 180000000 AS lon
+    """
+
+
+def _sql_cells(cell: int) -> str:
+    return f"""
+      CAST(FLOOR((lon + 180000000) / {cell}) AS BIGINT) AS cx,
+      CAST(FLOOR((lat + 90000000) / {cell}) AS BIGINT) AS cy
+    """
+
+
+@query(
+    "q_geo_grid_density",
+    extra=True,
+    oracle=f"""
+    WITH pts AS ({_sql_pt('c_custkey')} FROM customer),
+    cells AS (SELECT k, {_sql_cells(5_000_000)} FROM pts)
+    SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS n
+    FROM cells GROUP BY cx, cy
+    ORDER BY n DESC, cx, cy LIMIT 25
+    """,
+)
+def q_geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-cell density map (5-degree cells): the hotspot census that
+    sizes the blocking grid for the joins below — at scale it is ALSO the
+    skew probe (a cell whose count dwarfs the rest needs a finer grid,
+    exactly like freqItems gates the salted join). One map-side-combining
+    groupBy on the synthetic cells; top-25 with a (n, cx, cy) total
+    order."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    g = with_grid(cust, "c_custkey", 5_000_000)
+    return (
+        g.groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "cx", "cy")
+        .limit(25)
+    )
+
+
+@query(
+    "q_geo_radius_join",
+    extra=True,
+    oracle=f"""
+    WITH c AS ({_sql_pt('c_custkey')} FROM customer),
+    cc AS (SELECT k, lat, lon, {_sql_cells(2_000_000)} FROM c),
+    s AS ({_sql_pt('s_suppkey')} FROM supplier),
+    sc AS (SELECT k, lat, lon, {_sql_cells(2_000_000)} FROM s),
+    probes AS (
+      SELECT cc.*, cc.cx + dx.dx AS px, cc.cy + dy.dy AS py
+      FROM cc
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dx) dx
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy) dy
+    )
+    SELECT p.k AS c_custkey, sc.k AS s_suppkey,
+           (p.lat - sc.lat) * (p.lat - sc.lat)
+             + (p.lon - sc.lon) * (p.lon - sc.lon) AS d2
+    FROM probes p JOIN sc ON sc.cx = p.px AND sc.cy = p.py
+    WHERE (p.lat - sc.lat) * (p.lat - sc.lat)
+            + (p.lon - sc.lon) * (p.lon - sc.lon)
+          <= {2_000_000 * 2_000_000}
+    """,
+)
+def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius join: every (customer, supplier) pair within 2 degrees,
+    via the lossless grid blocking (cell = radius, 3x3 probe ring, exact
+    integer d2 verify — operators/geo.py). The oracle replays the SAME
+    blocked plan; tests/test_geo.py separately proves the blocking equals
+    the quadratic definition, so correctness does not ride on the shared
+    shape.
+
+    100 TB: suppliers (the small dim) broadcast — the fact side never
+    shuffles; with two fact-sized inputs the index side shuffles once on
+    (cx, cy) and candidate volume is the grid-density bound."""
+    cust = with_grid(
+        load_table(spark, sf_dir, "customer").select("c_custkey"),
+        "c_custkey",
+        2_000_000,
+    )
+    supp = with_grid(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey"),
+        "s_suppkey",
+        2_000_000,
+    )
+    pairs = radius_join(cust, supp, 2_000_000, broadcast_right=True)
+    return pairs.select(
+        "c_custkey", "s_suppkey", F.col("d2").cast("long").alias("d2")
+    )
+
+
+@query(
+    "q_geo_nearest_supplier",
+    extra=True,
+    oracle=f"""
+    WITH c AS ({_sql_pt('c_custkey')} FROM customer),
+    cc AS (SELECT k, lat, lon, {_sql_cells(15_000_000)} FROM c),
+    s AS ({_sql_pt('s_suppkey')} FROM supplier),
+    sc AS (SELECT k, lat, lon, {_sql_cells(15_000_000)} FROM s),
+    probes AS (
+      SELECT cc.*, cc.cx + dx.dx AS px, cc.cy + dy.dy AS py
+      FROM cc
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dx) dx
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy) dy
+    )
+    SELECT c_custkey, s_suppkey, d2 FROM (
+      SELECT p.k AS c_custkey, sc.k AS s_suppkey,
+             (p.lat - sc.lat) * (p.lat - sc.lat)
+               + (p.lon - sc.lon) * (p.lon - sc.lon) AS d2
+      FROM probes p JOIN sc ON sc.cx = p.px AND sc.cy = p.py
+    ) QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY c_custkey ORDER BY d2, s_suppkey) = 1
+    """,
+)
+def q_geo_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded nearest-neighbor: for each customer, the closest supplier
+    inside its 3x3 ring of 15-degree cells (argmin by (d2, s_suppkey) —
+    a total order, hash-exact). Customers whose ring is empty are absent:
+    bounded-kNN semantics; production coverage comes from the documented
+    expanding-ring re-probe of the misses, each round a constant-fan-out
+    join, never a cross product."""
+    cust = with_grid(
+        load_table(spark, sf_dir, "customer").select("c_custkey"),
+        "c_custkey",
+        15_000_000,
+    )
+    supp = with_grid(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey"),
+        "s_suppkey",
+        15_000_000,
+    )
+    best = nearest_in_ring(
+        cust, supp, "c_custkey", "s_suppkey", broadcast_right=True
+    )
+    return best.select(
+        "c_custkey", "s_suppkey", F.col("d2").cast("long").alias("d2")
+    )
