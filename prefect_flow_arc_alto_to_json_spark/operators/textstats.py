@@ -282,3 +282,100 @@ def unigram_logprob(
             ),
         )
     )
+
+
+def naive_bayes_language(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Multinomial Naive Bayes classifier, trained AND applied in one lazy
+    plan: per-class Laplace-smoothed token log-likelihoods + class priors,
+    argmax per document — the classic supervised twin of the n-gram
+    ``language_id`` heuristic (and the template for any bag-of-words
+    label model: spam/quality/topic).
+
+    Determinism: every model weight is ln() of a ratio of exact integers,
+    micro-unit snapped BEFORE the per-document summation (the
+    unigram_logprob contract), and the argmax breaks score ties on the
+    label string — hash-exact across engines.
+
+    100 TB shape: training is two token-key shuffles (count by
+    (label, tok), then by label); the model is a V x L relation — vocab-
+    bounded, usually broadcastable — and scoring is a posting join of the
+    exploded corpus against it (tok-key shuffle at worst). The per-doc
+    argmax window sees exactly L rows per document. No Python anywhere.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.scale import fan_out, scoped_persist
+
+    tk = scoped_persist(
+        fan_out(df).select(
+            F.col(id_col),
+            F.col(label_col).alias("label"),
+            F.explode(token_array(text_col)).alias("tok"),
+        ),
+        "naive_bayes.tokens",
+    )
+    cls = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("d_l")
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("d"))
+    cnt = tk.groupBy("label", "tok").agg(F.count(F.lit(1)).alias("c"))
+    nl = cnt.groupBy("label").agg(F.sum("c").alias("n_l"))
+    vocab = tk.select("tok").distinct()
+    v_size = vocab.agg(F.count(F.lit(1)).alias("v"))
+    weights = (
+        vocab.crossJoin(F.broadcast(cls.join(nl, "label").select("label", "n_l")))
+        .crossJoin(F.broadcast(v_size))
+        .join(cnt, ["label", "tok"], "left")
+        .select(
+            "label",
+            "tok",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1)
+                    / (F.col("n_l") + F.col("v"))
+                )
+                * 1e6,
+                0,
+            )
+            .cast("long")
+            .alias("wm"),
+        )
+    )
+    prior = (
+        cls.crossJoin(F.broadcast(n_docs))
+        .select(
+            "label",
+            F.round(F.log(F.col("d_l") / F.col("d")) * 1e6, 0)
+            .cast("long")
+            .alias("pm"),
+        )
+    )
+    scores = (
+        tk.select(id_col, "tok")
+        .join(weights, "tok")
+        .groupBy(id_col, "label")
+        .agg(F.sum("wm").alias("sw"))
+        .join(F.broadcast(prior), "label")
+        .select(
+            F.col(id_col),
+            F.col("label"),
+            (F.col("pm") + F.col("sw")).cast("long").alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score_micro"), F.asc("label")
+    )
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("label").alias("pred_lang"),
+            "score_micro",
+        )
+    )

@@ -1658,3 +1658,67 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "subwords_per_word_milli"
         ),
     )
+
+
+@query(
+    "text_naive_bayes",
+    extra=True,
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    ltok AS (SELECT lang AS label, unnest(toks) AS tok FROM t),
+    cls AS (
+      SELECT lang AS label, CAST(COUNT(*) AS BIGINT) AS d_l
+      FROM documents GROUP BY lang
+    ),
+    dtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS d FROM documents),
+    cnt AS (
+      SELECT label, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM ltok GROUP BY label, tok
+    ),
+    nl AS (
+      SELECT label, CAST(SUM(c) AS BIGINT) AS n_l FROM cnt GROUP BY label
+    ),
+    vocab AS (SELECT DISTINCT tok FROM tok),
+    vs AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+    w AS (
+      SELECT nl.label, vocab.tok,
+             CAST(ROUND(ln((COALESCE(cnt.c, 0) + 1)
+                           / CAST(nl.n_l + vs.v AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS wm
+      FROM vocab CROSS JOIN nl CROSS JOIN vs
+      LEFT JOIN cnt ON cnt.label = nl.label AND cnt.tok = vocab.tok
+    ),
+    prior AS (
+      SELECT label,
+             CAST(ROUND(ln(d_l / CAST(d AS DOUBLE)) * 1000000) AS BIGINT)
+               AS pm
+      FROM cls CROSS JOIN dtot
+    ),
+    scores AS (
+      SELECT tok.doc_id, w.label,
+             CAST(ANY_VALUE(prior.pm) + SUM(w.wm) AS BIGINT) AS score_micro
+      FROM tok
+      JOIN w ON w.tok = tok.tok
+      JOIN prior ON prior.label = w.label
+      GROUP BY tok.doc_id, w.label
+    )
+    SELECT doc_id, label AS pred_lang, score_micro FROM scores
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score_micro DESC, label) = 1
+    """,
+)
+def text_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes lang model trained on the corpus's own
+    labels and applied back to it in ONE lazy plan
+    (operators/textstats.naive_bayes_language): Laplace-smoothed
+    micro-snapped token log-likelihoods, class priors, per-doc argmax
+    with a (score, label) total order. The oracle rebuilds the identical
+    model — counts, smoothing, snapping, argmax — so train AND inference
+    are both value-adjudicated, not just the output shape."""
+    from ..operators.textstats import naive_bayes_language
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    return naive_bayes_language(docs)
