@@ -162,3 +162,67 @@ def misra_gries_heavy_hitters(
 
 
 self_ship(__name__)
+
+
+KMV_MOD = 2147483647  # hash space of stable_hash_p31
+
+
+def kmv_sketch(
+    df: DataFrame, key: Column | str, group_cols: list[str], k: int = 32
+) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct-count sketch as a
+    RELATION: per group, the k smallest DISTINCT md5-residue hashes of
+    ``key`` — at most k rows per group regardless of cardinality.
+    Completes the sketch family's cardinality corner with a sketch whose
+    every byte is cross-engine deterministic (unlike HLL, whose estimate
+    is engine-internal): union/merge = concatenate rows and re-take the
+    bottom k, an associative, order-free fold, so fine-grain sketches
+    roll up without rescanning the fact.
+
+    Shape: one distinct-by-(group, h) shuffle, then a bounded per-group
+    window (rank <= k). The distinct is the only data-sized exchange.
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    from pyspark.sql import Window
+
+    h = stable_hash_p31(F.concat(F.lit("kmv-v1:"), c.cast("string")))
+    hashed = df.select(*group_cols, h.alias("h")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def kmv_merge_estimate(
+    sketches: DataFrame, merge_to: list[str], k: int = 32
+) -> DataFrame:
+    """Merge finer-grain KMV sketch rows up to ``merge_to`` grain and
+    estimate distinct counts: bottom-k of the unioned hash sets, then
+    the classic KMV estimator ``(k-1) * M / h_k`` when the merged sketch
+    is full, or the exact count of surviving hashes when not (fewer than
+    k distinct keys — the sketch IS the exact set). Touches only sketch
+    rows — never the fact table — which is the mergeability contract.
+
+    The estimate is one double division of exact integers, rounded once:
+    hash-exact across engines.
+    """
+    from pyspark.sql import Window
+
+    merged = sketches.select(*merge_to, "h").distinct()
+    w = Window.partitionBy(*merge_to).orderBy("h")
+    topk = merged.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= k
+    )
+    return topk.groupBy(*merge_to).agg(
+        F.when(
+            F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("long")
+        )
+        .otherwise(
+            F.round(F.lit(float(k - 1)) * F.lit(KMV_MOD) / F.max("h"), 0).cast(
+                "long"
+            )
+        )
+        .alias("est_kmv")
+    )

@@ -298,3 +298,79 @@ def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(token_array("text")).alias("term"))
     return misra_gries_heavy_hitters(toks, "term", k=30)
+
+
+@query(
+    "q_kmv_distinct_rollup",
+    extra=True,
+    oracle="""
+    WITH d1 AS (
+      SELECT DISTINCT event_type, CAST(ts AS DATE) AS day,
+             CAST(md5_number_lower('kmv-v1:' || CAST(user_id AS VARCHAR))
+                  % 2147483647 AS BIGINT) AS h
+      FROM events
+    ),
+    sk AS (
+      SELECT event_type, day, h FROM d1
+      QUALIFY ROW_NUMBER() OVER (
+          PARTITION BY event_type, day ORDER BY h) <= 32
+    ),
+    m AS (SELECT DISTINCT event_type, h FROM sk),
+    mk AS (
+      SELECT event_type, h FROM m
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) <= 32
+    ),
+    est AS (
+      SELECT event_type,
+             CASE WHEN COUNT(*) < 32 THEN CAST(COUNT(*) AS BIGINT)
+                  ELSE CAST(ROUND(31.0 * 2147483647 / MAX(h)) AS BIGINT)
+             END AS est_kmv
+      FROM mk GROUP BY event_type
+    ),
+    ex AS (
+      SELECT event_type,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY event_type
+    )
+    SELECT ex.event_type, ex.n_exact, est.est_kmv,
+           ABS(est.est_kmv - ex.n_exact) * 10 <= 4 * ex.n_exact AS ok
+    FROM ex JOIN est USING (event_type)
+    """,
+)
+def q_kmv_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k distinct sketch with a two-level MERGE: per-(type,
+    day) sketches of active users, unioned up to event_type WITHOUT
+    rescanning the fact (operators/sketch.kmv_sketch /
+    kmv_merge_estimate). Unlike q_hll_rollup's engine-internal sketch
+    (adjudicated only through a tolerance boolean), every KMV byte — the
+    hash set, the k-th order statistic, the (k-1)*M/h_k estimate — is
+    md5-deterministic, so the ORACLE REPLAYS THE FULL SKETCH STATE and
+    the estimate is value-adjudicated. The union-of-day-bottom-k's is a
+    superset of the type-level bottom-k (any global k-smallest hash is
+    among its own day's k smallest), so the merge is lossless by
+    construction. ``ok`` (within 40%, ~2 sigma at k=32) is computed
+    identically on both sides — informative, not a flake risk.
+
+    Scale: one distinct-(type, day, h) shuffle builds every sketch;
+    merges touch <= k rows per fine-grain group forever after — the
+    100 TB rollup contract shared with the HLL twin."""
+    from ..operators.sketch import kmv_merge_estimate, kmv_sketch
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    day_sk = kmv_sketch(ev, "user_id", ["event_type", "day"], k=32)
+    est = kmv_merge_estimate(day_sk, ["event_type"], k=32)
+    exact = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return exact.join(est, "event_type").select(
+        "event_type",
+        "n_exact",
+        "est_kmv",
+        (F.abs(F.col("est_kmv") - F.col("n_exact")) * 10
+         <= F.col("n_exact") * 4).alias("ok"),
+    )
