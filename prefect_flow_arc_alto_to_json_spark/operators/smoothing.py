@@ -1,0 +1,76 @@
+"""Sequential per-key smoothers that are NOT window-unrollable — the
+grouped-recurrence operator class (Holt linear trend here; Kalman-style
+filters follow the same shape).
+
+``q_ewma_daily`` shows the window-unroll trick for smoothers whose tail
+mass truncates; Holt's level+trend recurrence has no such finite unroll
+(the trend feeds back), so the scalable Spark shape is a grouped Arrow
+pass: ONE shuffle on the key, each group's (small, bounded) time series
+smoothed sequentially inside a vectorized worker. At 100 TB the key
+cardinality (millions of series) carries the parallelism; the per-series
+loop is bounded by calendar days, not data volume.
+
+Determinism contract: all state is integer cents; each half-step rounds
+with ``floor((x + 1) / 2)`` (exact integer, defined identically in the
+recursive-CTE oracle), so the recurrence is replayable hash-exact — the
+same device that makes dedup_components and q_pagerank_trade's iterative
+floats adjudicable.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..functions.selfship import self_ship
+
+HOLT_SCHEMA = (
+    "grp string, day string, y_cents long, level_cents long, "
+    "trend_cents long, forecast_cents long"
+)
+
+
+def _half2(x: int) -> int:
+    # floor((x+1)/2): exact integer halving, biased +1/2 toward +inf on
+    # odd values — mirrored verbatim by FLOOR((x+1)/2.0) in the oracle
+    return (x + 1) // 2
+
+
+def _holt_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("day").reset_index(drop=True)
+    level = trend = 0
+    out_l, out_b, out_f = [], [], []
+    for i, y in enumerate(int(v) for v in pdf["y_cents"]):
+        if i == 0:
+            level, trend = y, 0
+        else:
+            prev_l = level
+            # alpha = 1/2: new level averages the observation with the
+            # previous forecast; beta = 1/2: new trend averages the level
+            # delta with the previous trend
+            level = _half2(y + prev_l + trend)
+            trend = _half2(trend + (level - prev_l))
+        out_l.append(level)
+        out_b.append(trend)
+        out_f.append(level + trend)
+    pdf["level_cents"] = pd.Series(out_l, dtype="int64")
+    pdf["trend_cents"] = pd.Series(out_b, dtype="int64")
+    pdf["forecast_cents"] = pd.Series(out_f, dtype="int64")
+    return pdf[
+        ["grp", "day", "y_cents", "level_cents", "trend_cents", "forecast_cents"]
+    ]
+
+
+def holt_linear(daily: DataFrame) -> DataFrame:
+    """Holt double-exponential smoothing (alpha = beta = 1/2, integer
+    half-step rounding) over per-key daily series.
+
+    ``daily`` must carry ``grp`` (series key), ``day`` (sortable string),
+    ``y_cents`` (long). Output adds level/trend/one-step forecast, all
+    exact integers. One shuffle (groupBy grp); the Arrow worker holds one
+    series at a time.
+    """
+    return daily.groupBy("grp").applyInPandas(_holt_group, HOLT_SCHEMA)
+
+
+self_ship(__name__)

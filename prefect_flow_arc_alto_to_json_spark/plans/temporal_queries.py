@@ -1025,3 +1025,61 @@ def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_days", "n_pairs", F.col("slope_ppm").alias("theil_sen_ppm"))
     )
+
+
+@query(
+    "q_holt_linear_trend",
+    extra=True,
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type AS grp,
+             strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT grp, day, y,
+             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY day) AS rn
+      FROM daily
+    ),
+    rec AS (
+      SELECT grp, day, rn, y, y AS l, CAST(0 AS BIGINT) AS b
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.grp, s.day, s.rn, s.y,
+             CAST(FLOOR((s.y + r.l + r.b + 1) / 2.0) AS BIGINT) AS l,
+             CAST(FLOOR((r.b
+                         + (CAST(FLOOR((s.y + r.l + r.b + 1) / 2.0)
+                                 AS BIGINT) - r.l)
+                         + 1) / 2.0) AS BIGINT) AS b
+      FROM rec r
+      JOIN seq s ON s.grp = r.grp AND s.rn = r.rn + 1
+    )
+    SELECT grp, day, y AS y_cents, l AS level_cents, b AS trend_cents,
+           l + b AS forecast_cents
+    FROM rec
+    """,
+)
+def q_holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing of daily spend per event_type —
+    the grouped-recurrence operator class (operators/smoothing.py):
+    level+trend feedback has NO finite window unroll (unlike
+    q_ewma_daily's truncatable tail), so the Spark shape is ONE key
+    shuffle into an Arrow grouped pass, each bounded per-key series
+    smoothed sequentially. All state is integer cents with
+    floor((x+1)/2) half-steps, so the recursive-CTE oracle replays the
+    recurrence hash-exact — an applyInPandas STATEFUL op holding a full
+    value oracle.
+
+    Scale: key cardinality carries the parallelism (millions of series,
+    one Arrow batch each); the per-series loop is calendar-bounded. The
+    daily pre-aggregate is a map-side-combining groupBy."""
+    from ..operators.smoothing import holt_linear
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+        cents("value").alias("v"),
+    )
+    daily = ev.groupBy("grp", "day").agg(F.sum("v").alias("y_cents"))
+    return holt_linear(daily)
