@@ -2145,3 +2145,21 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z"),
     )
+
+
+from ..operators.clustering import logreg_oracle_sql as _logreg_oracle_sql  # noqa: E402
+
+
+@query("q_logreg_gd", extra=True, oracle=_logreg_oracle_sql())
+def q_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary logistic regression fit by two unrolled distributed
+    gradient-descent steps + training accuracy, all ONE lazy plan
+    (operators/clustering.logreg_gd): the iterative-ML representative
+    beside closed-form OLS — per-row nano-snapped gradient terms,
+    map-side-combined exact long sums, 1-row weight relations broadcast
+    into the next step. The oracle replays both steps and the accuracy
+    pass with identical operand ordering."""
+    from ..operators.clustering import logreg_gd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding", "label")
+    return logreg_gd(emb)
