@@ -289,3 +289,45 @@ def hits_scores(edges: DataFrame, iterations: int = 2) -> DataFrame:
             F.col("a").alias("auth_micro"),
         )
     )
+
+
+def bellman_ford(
+    edges: DataFrame, source: int, rounds: int = 3
+) -> DataFrame:
+    """Single-source shortest paths by ``rounds`` synchronous
+    Bellman-Ford relaxations — the MIN-PLUS member of the iterative
+    graph family (pagerank: sum/scale, lpa: argmax votes, reachability:
+    boolean closure). ``edges`` carries (src, dst, cost) with INTEGER
+    costs, so every relaxation is exact long arithmetic — no snapping
+    needed, the oracle unrolls the rounds verbatim.
+
+    Output: (node, dist) for nodes reachable within ``rounds`` hops;
+    unreached nodes are absent (standard sparse-frontier semantics).
+
+    Scale: per round ONE dist⋈edges join on src + ONE groupBy(dst) MIN —
+    both map-side-combinable; localCheckpoint truncates lineage so the
+    per-round plan is constant. k rounds bound path length by k hops —
+    the bounded-depth contract shared with q_recursive_reachability.
+    """
+    e = edges.select("src", "dst", "cost").localCheckpoint()
+    dist = (
+        e.sparkSession.range(1)
+        .select(F.lit(source).cast("long").alias("node"))
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        relaxed = (
+            dist.join(e, dist["node"] == e["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("cost")).alias("d"),
+            )
+            .unionByName(dist.select("node", F.col("dist").alias("d")))
+        )
+        dist = (
+            relaxed.groupBy("node")
+            .agg(F.min("d").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist

@@ -510,3 +510,79 @@ def q_hits_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hub_micro",
         "auth_micro",
     )
+
+
+_SQL_BF_ITER = """
+    d{K} AS (
+      SELECT node, CAST(MIN(d) AS BIGINT) AS dist FROM (
+        SELECT e.dst AS node, r.dist + e.cost AS d
+        FROM d{P} r JOIN ce e ON e.src = r.node
+        UNION ALL SELECT node, dist AS d FROM d{P}
+      ) GROUP BY node
+    )
+"""
+
+
+@query(
+    "q_bellman_ford_trade",
+    extra=True,
+    oracle=f"""
+    WITH edges AS ({_SQL_EDGES}),
+    ce AS (
+      SELECT src, dst,
+             CAST(FLOOR(1000000.0 / w) AS BIGINT) + 1 AS cost
+      FROM edges
+    ),
+    d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
+    {_SQL_BF_ITER.format(K=1, P=0)},
+    {_SQL_BF_ITER.format(K=2, P=1)},
+    {_SQL_BF_ITER.format(K=3, P=2)}
+    SELECT node, dist FROM d3
+    """,
+)
+def q_bellman_ford_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest trade routes from nation 0: 3 Bellman-Ford
+    relaxations over the nation trade graph with integer edge costs
+    ``floor(1e6 / lineitem_count) + 1`` (stronger trade = cheaper hop) —
+    the MIN-PLUS iterative-graph representative (operators/graph.py).
+    All-long arithmetic, so the triple-unrolled oracle is value-exact
+    with NO snapping device at all — the cleanest of the iterative
+    oracles.
+
+    Scale: the edge build is the q7 join shape (facts shuffle once,
+    dims broadcast); each relaxation is a frontier⋈edges join + a
+    map-side-combining MIN."""
+    from ..operators.graph import bellman_ford
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .select(
+            "src",
+            "dst",
+            (F.floor(F.lit(1000000.0) / F.col("w")).cast("long") + 1).alias(
+                "cost"
+            ),
+        )
+    )
+    return bellman_ford(edges, source=0, rounds=3).select(
+        F.col("node").cast("long").alias("node"), "dist"
+    )
