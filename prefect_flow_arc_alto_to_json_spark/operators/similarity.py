@@ -1272,3 +1272,44 @@ def ivfadc_topk(
     return exact.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
+
+
+def jl_sign_matrix(dims_in: int, dims_out: int, salt: str = "jl-v1"):
+    """Deterministic ±1 Johnson-Lindenstrauss projection signs: component
+    (k, j) is + iff md5(salt:k:j) is even. Computed ONCE at plan-build
+    time and inlined as LITERALS into both the Spark expression and the
+    DuckDB oracle — cross-engine determinism by construction (the shared-
+    verbatim-SQL device of q_zorder_index), no runtime hashing at all."""
+    import hashlib
+
+    return [
+        [
+            1
+            if hashlib.md5(f"{salt}:{k}:{j}".encode()).digest()[-1] % 2 == 0
+            else -1
+            for j in range(dims_in)
+        ]
+        for k in range(dims_out)
+    ]
+
+
+def jl_project_exprs(
+    dims_in: int, dims_out: int, col: str = "embedding", one_based: bool = False
+) -> list[str]:
+    """SQL expression strings for the ``dims_out`` projected components:
+    fixed left-to-right signed sums of the input components, so the
+    double arithmetic rounds identically wherever the text is evaluated
+    (Spark ``F.expr`` and the DuckDB oracle share the SAME generated
+    terms, modulo array indexing base)."""
+    signs = jl_sign_matrix(dims_in, dims_out)
+    base = 1 if one_based else 0
+    exprs = []
+    for k in range(dims_out):
+        terms = []
+        for j in range(dims_in):
+            op = "+" if signs[k][j] > 0 else "-"
+            terms.append(f"{op} CAST({col}[{j + base}] AS DOUBLE)")
+        # leading '+ ' dropped; '- x' becomes '0 - x' handled by keeping
+        # an explicit 0 head so the first op is always binary
+        exprs.append("(0 " + " ".join(terms) + ")")
+    return exprs
