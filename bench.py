@@ -126,6 +126,14 @@ HEADLINE = [
     # + 4 constant-size matrix-vector rounds) — the heaviest new Arrow
     # surface of the close-out batch
     "sim_pca_top_component",
+    # round-9 additions: the Naive Bayes train+score plan (two token-key
+    # shuffles + a V x L model join), the Holt grouped Arrow recurrence,
+    # the Bellman-Ford edge build (q7 join shape) + 3 relaxations, and
+    # the bounded mutual-NN reciprocity self-join
+    "text_naive_bayes",
+    "q_holt_linear_trend",
+    "q_bellman_ford_trade",
+    "sim_mutual_nn",
 ]
 
 

@@ -70,7 +70,8 @@ def q_geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_geo_radius_join",
-    extra=True,
+    # graded since round 7: the spatial-join family's representative
+    # (displaces sim_ivf_topk)
     oracle=f"""
     WITH c AS ({_sql_pt('c_custkey')} FROM customer),
     cc AS (SELECT k, lat, lon, {_sql_cells(2_000_000)} FROM c),

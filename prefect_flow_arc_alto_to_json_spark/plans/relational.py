@@ -747,6 +747,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_approx_distinct",
+    # rotated to the pytest tier in round 7: q_kmv_distinct_rollup now
+    # grades cardinality estimation with a FULL value oracle (every
+    # sketch byte deterministic), a strictly stronger check
+    extra=True,
     oracle="""
     SELECT event_type,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,

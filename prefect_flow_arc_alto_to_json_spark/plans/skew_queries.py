@@ -302,7 +302,8 @@ def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_kmv_distinct_rollup",
-    extra=True,
+    # graded since round 7: value-exact mergeable-sketch representative
+    # (displaces q_approx_distinct)
     oracle="""
     WITH d1 AS (
       SELECT DISTINCT event_type, CAST(ts AS DATE) AS day,

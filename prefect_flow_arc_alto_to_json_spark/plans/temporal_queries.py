@@ -1029,7 +1029,8 @@ def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_holt_linear_trend",
-    extra=True,
+    # graded since round 7: the grouped-recurrence (stateful Arrow)
+    # family's representative (displaces mm_payload_stats)
     oracle="""
     WITH RECURSIVE daily AS (
       SELECT event_type AS grp,
@@ -1083,3 +1084,81 @@ def q_holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     daily = ev.groupBy("grp", "day").agg(F.sum("v").alias("y_cents"))
     return holt_linear(daily)
+
+
+@query(
+    "q_weekday_seasonality",
+    extra=True,
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    wd AS (SELECT *, dayofweek(day) + 1 AS dow FROM daily),
+    season AS (
+      SELECT event_type, dow,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(FLOOR((2 * SUM(y) + COUNT(*)) / (2.0 * COUNT(*)))
+                  AS BIGINT) AS mean_cents
+      FROM wd GROUP BY event_type, dow
+    ),
+    resid AS (
+      SELECT w.event_type, w.dow, w.y - s.mean_cents AS r
+      FROM wd w JOIN season s
+        ON s.event_type = w.event_type AND s.dow = w.dow
+    ),
+    spread AS (
+      SELECT event_type, dow,
+             CAST(MAX(ABS(r)) AS BIGINT) AS max_abs_resid
+      FROM resid GROUP BY event_type, dow
+    )
+    SELECT s.event_type, s.dow, s.n_days, s.mean_cents, p.max_abs_resid
+    FROM season s JOIN spread p
+      ON p.event_type = s.event_type AND p.dow = s.dow
+    """,
+)
+def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal decomposition of daily spend per event_type:
+    the seasonal component is the per-(type, weekday) mean (half-up
+    integer cents via the floor((2s+n)/2n) device), and the residual
+    spread (max |observed - seasonal|) is the anomaly headroom that
+    calibrates alert thresholds — the additive-seasonality baseline
+    behind every 'is Tuesday unusually low?' monitor, and the seasonal
+    complement of q_rolling_zscore_anomaly's trend-local z-test.
+
+    Scale: two map-side-combining groupBys (daily pre-agg, then the
+    42-row seasonal matrix) + one broadcast-sized join back — no
+    window, no data-sized state. Spark's dayofweek is 1-based
+    (Sunday = 1) while DuckDB's is 0-based — the oracle shifts by +1."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            cents("value").alias("v"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v").alias("y"))
+    )
+    wd = daily.withColumn("dow", F.dayofweek("day").cast("long"))
+    season = wd.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.call_function(
+            "div",
+            2 * F.sum("y") + F.count(F.lit(1)),
+            2 * F.count(F.lit(1)),
+        ).alias("mean_cents"),
+    )
+    resid = wd.join(F.broadcast(season), ["event_type", "dow"]).select(
+        "event_type",
+        "dow",
+        (F.col("y") - F.col("mean_cents")).alias("r"),
+    )
+    spread = resid.groupBy("event_type", "dow").agg(
+        F.max(F.abs(F.col("r"))).alias("max_abs_resid")
+    )
+    return season.join(spread, ["event_type", "dow"]).select(
+        "event_type", "dow", "n_days", "mean_cents", "max_abs_resid"
+    )

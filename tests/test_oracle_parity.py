@@ -35,7 +35,11 @@ def test_every_query_runs(spark, sf_dir):
 def test_approx_distinct_within_tolerance(spark, sf_dir):
     """The query now emits the tolerance check itself (hash-checkable since
     round 3): every group's HLL estimate must land within 5% of exact."""
-    rows = QUERIES["q_approx_distinct"](spark, sf_dir).collect()
+    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+
+    # rotated to the extra tier in round 7 (q_kmv_distinct_rollup grades
+    # cardinality now); the tolerance invariant stays pinned here
+    rows = EXTRA_QUERIES["q_approx_distinct"](spark, sf_dir).collect()
     assert rows
     for r in rows:
         assert r["within_5pct"] is True and r["exact_users"] > 0
