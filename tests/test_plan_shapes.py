@@ -665,3 +665,63 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
             spark.conf.set(
                 "spark.sql.optimizer.dynamicPartitionPruning.useStats", saved
             )
+
+
+def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
+    """Catalyst's OptimizeSkewedJoin — the RUNTIME complement of the
+    manual salting pair (q_salted_agg_skew / q_salted_join_skew): under
+    AQE, a sort-merge join whose one partition dwarfs the advisory size
+    must be split in place (skew=true in the final plan) without any
+    query rewrite. Pinned with a planted 70%-hot-key join and thresholds
+    scaled to the local fixture (1KB vs the production 256MB defaults); at fleet scale the same mechanism fires
+    on real 256 MB partitions."""
+    import pyspark.sql.functions as F
+
+    from prefect_flow_arc_alto_to_json_spark.sources import load_table
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # repartition(8): the sf0.001 scan is ONE map task, and a skewed
+        # reduce partition with a single map block has nothing to split —
+        # the optimizer (correctly) skips it. Real clusters always have
+        # map parallelism; the fixture must too.
+        li = (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_quantity")
+            .repartition(8)
+        )
+        # plant the hot key: ~70% of fact rows collapse onto key 1. Both
+        # join inputs must be PLAIN shuffles feeding the SMJ directly —
+        # a same-key aggregate on one side satisfies the join's
+        # distribution without a re-readable shuffle stage, and
+        # OptimizeSkewedJoin then has nothing to split (first version of
+        # this test proved that the hard way).
+        skewed = li.withColumn(
+            "k",
+            F.when(F.pmod(F.col("l_orderkey"), 10) < 7, F.lit(1)).otherwise(
+                F.col("l_orderkey")
+            ),
+        )
+        right = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("k"), "o_totalprice"
+        )
+        j = skewed.join(right, "k").select(
+            F.sum(F.col("l_quantity") + F.col("o_totalprice"))
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:3000]
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
