@@ -1942,3 +1942,79 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cents").alias("final_cents"),
         F.col("status").alias("final_status"),
     )
+
+
+@query(
+    "stream_geo_radius",
+    extra=True,
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id,
+             CAST(md5_number_lower('geo-v1:lat:' || CAST(user_id AS VARCHAR))
+                  % 4294967296 % 180000001 AS BIGINT) - 90000000 AS lat,
+             CAST(md5_number_lower('geo-v1:lon:' || CAST(user_id AS VARCHAR))
+                  % 4294967296 % 360000001 AS BIGINT) - 180000000 AS lon
+      FROM events
+    ),
+    s AS (
+      SELECT s_suppkey,
+             CAST(md5_number_lower('geo-v1:lat:' || CAST(s_suppkey AS VARCHAR))
+                  % 4294967296 % 180000001 AS BIGINT) - 90000000 AS lat,
+             CAST(md5_number_lower('geo-v1:lon:' || CAST(s_suppkey AS VARCHAR))
+                  % 4294967296 % 360000001 AS BIGINT) - 180000000 AS lon
+      FROM supplier
+    )
+    SELECT ev.event_id, s.s_suppkey,
+           (ev.lat - s.lat) * (ev.lat - s.lat)
+             + (ev.lon - s.lon) * (ev.lon - s.lon) AS d2
+    FROM ev JOIN s
+      ON (ev.lat - s.lat) * (ev.lat - s.lat)
+           + (ev.lon - s.lon) * (ev.lon - s.lon) <= 16000000000000
+    """,
+)
+def stream_geo_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING x SPATIAL: each arriving event (synthetic coords from
+    its user key) probes the STATIC supplier grid for suppliers within
+    4 degrees — the geofence/nearby-alert shape. The blocking plan runs
+    UNCHANGED on the stream (operators/geo.radius_join: the 9-cell probe
+    explode is a narrow map, the cell join is stream-static broadcast,
+    the d2 verify a filter — zero streaming state), which is the point:
+    a lossless spatial join per arrival whose cost is the probe ring,
+    not |suppliers|. Drained via AvailableNow into parquet. The oracle
+    is the QUADRATIC batch distance join — deliberately blocking-free,
+    so the stream result is checked against the pure definition, an
+    independent leg from test_geo's batch losslessness proof.
+
+    Scale: per micro-batch cost = rows x 9 broadcast lookups; a
+    continent-sized supplier index shards by cell range into multiple
+    probe joins, still stateless."""
+    from ..operators.geo import radius_join, with_grid
+    from ..sources import load_table
+
+    src_dir = tempfile.mkdtemp(prefix="stream_geo_src_")
+    out = tempfile.mkdtemp(prefix="stream_geo_out_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    cell = 4_000_000
+    ev = with_grid(
+        stream_events(spark, src_dir).select("event_id", "user_id"),
+        "user_id",
+        cell,
+    )
+    supp = with_grid(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey"),
+        "s_suppkey",
+        cell,
+    )
+    pairs = radius_join(ev, supp, cell, broadcast_right=True).select(
+        "event_id", "s_suppkey", F.col("d2").cast("long").alias("d2")
+    )
+    run_available_now(
+        pairs,
+        checkpoint_dir=tempfile.mkdtemp(prefix="stream_geo_ckpt_"),
+        output_mode="append",
+        foreach_batch=lambda df, _bid: df.write.mode("append").parquet(out),
+    )
+    return spark.read.parquet(out)

@@ -52,7 +52,12 @@ from prefect_flow_arc_alto_to_json_spark.operators.clustering import (  # noqa: 
 from prefect_flow_arc_alto_to_json_spark.operators.bpe import (  # noqa: E402
     bpe_learn_merges,
 )
+from prefect_flow_arc_alto_to_json_spark.operators.geo import (  # noqa: E402
+    radius_join,
+    with_grid,
+)
 from prefect_flow_arc_alto_to_json_spark.operators.textstats import (  # noqa: E402
+    naive_bayes_language,
     token_count,
 )
 from prefect_flow_arc_alto_to_json_spark.operators.textstats import (  # noqa: E402
@@ -242,6 +247,25 @@ def main() -> None:
         "pca_top_component": lambda d, e: pca_top_component_micro(
             e, iterations=4
         ),
+        # round-9 additions: Naive Bayes (model relation is vocab x L —
+        # salted replicas mint new tokens, so V grows ~linearly and cost
+        # must track V and corpus, never V·corpus) and the geo radius
+        # join (candidate volume is grid-density-bound: 9·N²/cells, so
+        # at fixed cell size the ratio bends up only when density does —
+        # the skew valve is a finer grid, same law as LSH bands)
+        "naive_bayes": lambda d, e: naive_bayes_language(
+            d.withColumn(
+                "lang",
+                F.concat(F.lit("l"), F.pmod("doc_id", 4).cast("string")),
+            )
+        ),
+        "geo_radius_join": lambda d, e: radius_join(
+            with_grid(d.select(F.col("doc_id").alias("lid")), "lid", 1_000_000),
+            with_grid(
+                d.select((F.col("doc_id") + 777).alias("rid")), "rid", 1_000_000
+            ),
+            1_000_000,
+        ).select("lid", "rid", "d2"),
     }
 
     results: dict[str, dict[int, float]] = {p: {} for p in probes}
