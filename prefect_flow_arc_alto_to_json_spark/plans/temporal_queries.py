@@ -1162,3 +1162,92 @@ def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return season.join(spread, ["event_type", "dow"]).select(
         "event_type", "dow", "n_days", "mean_cents", "max_abs_resid"
     )
+
+
+@query(
+    "q_rfm_segments",
+    extra=True,
+    oracle="""
+    WITH ua AS (
+      SELECT user_id,
+             MAX(CAST(ts AS DATE)) AS last_day,
+             CAST(COUNT(*) AS BIGINT) AS f,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS m
+      FROM events GROUP BY user_id
+    ),
+    mx AS (SELECT MAX(CAST(ts AS DATE)) AS max_day FROM events),
+    base AS (
+      SELECT user_id, f, m,
+             CAST(date_diff('day', last_day, max_day) AS BIGINT) AS rec
+      FROM ua CROSS JOIN mx
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+    ranked AS (
+      SELECT user_id, f, m, rec,
+             ROW_NUMBER() OVER (ORDER BY rec DESC, user_id) - 1 AS rr,
+             ROW_NUMBER() OVER (ORDER BY f, user_id) - 1 AS fr,
+             ROW_NUMBER() OVER (ORDER BY m, user_id) - 1 AS mr
+      FROM base
+    )
+    SELECT user_id,
+           CAST(1 + (rr * 5) // n AS BIGINT) AS r_score,
+           CAST(1 + (fr * 5) // n AS BIGINT) AS f_score,
+           CAST(1 + (mr * 5) // n AS BIGINT) AS m_score,
+           CAST(1 + (rr * 5) // n AS VARCHAR)
+             || CAST(1 + (fr * 5) // n AS VARCHAR)
+             || CAST(1 + (mr * 5) // n AS VARCHAR) AS segment
+    FROM ranked CROSS JOIN nn
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — per-user Recency/Frequency/Monetary
+    quintile scores (5 = best) and the concatenated segment code, the
+    marketing-analytics staple. Each metric's equi-depth quintile comes
+    from the dense-ids rank device (operators/ids.py: range-repartition
+    + per-partition offsets — NEVER a single-partition global window),
+    rank ordered so higher = better with user_id tiebreaks; score =
+    1 + rank*5 div n. The oracle is the textbook ROW_NUMBER form, so
+    the scale-shaped plan is pinned to the plain definition.
+
+    Scale: one map-side-combining per-user aggregate, then three rank
+    passes over the USER-GRAIN relation (each a range exchange of three
+    longs per user); the 1-row n/max-day relations broadcast."""
+    from ..operators.ids import assign_dense_ids
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        cents("value").alias("v"),
+    )
+    ua = ev.groupBy("user_id").agg(
+        F.max("day").alias("last_day"),
+        F.count(F.lit(1)).alias("f"),
+        F.sum("v").alias("m"),
+    )
+    mx = ev.agg(F.max("day").alias("max_day"))
+    base = ua.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        "f",
+        "m",
+        F.datediff("max_day", "last_day").cast("long").alias("rec"),
+        (-F.datediff("max_day", "last_day").cast("long")).alias("neg_rec"),
+    )
+    n = base.agg(F.count(F.lit(1)).alias("n"))
+    r1 = assign_dense_ids(base, ["neg_rec", "user_id"], "rr")
+    r2 = assign_dense_ids(
+        r1.drop("neg_rec"), ["f", "user_id"], "fr"
+    )
+    r3 = assign_dense_ids(r2, ["m", "user_id"], "mr")
+    out = r3.crossJoin(F.broadcast(n))
+    score = lambda c: (1 + F.expr(f"{c} * 5 DIV n")).cast("long")  # noqa: E731
+    return out.select(
+        "user_id",
+        score("rr").alias("r_score"),
+        score("fr").alias("f_score"),
+        score("mr").alias("m_score"),
+        F.concat(
+            score("rr").cast("string"),
+            score("fr").cast("string"),
+            score("mr").cast("string"),
+        ).alias("segment"),
+    )
