@@ -1251,3 +1251,88 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             score("mr").cast("string"),
         ).alias("segment"),
     )
+
+
+@query(
+    "q_cusum_changepoint",
+    extra=True,
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, CAST(SUM(y) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM daily GROUP BY event_type
+    ),
+    cum AS (
+      SELECT d.event_type, d.day, t.n, t.s,
+             CAST(SUM(d.y) OVER (
+               PARTITION BY d.event_type ORDER BY d.day
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.event_type ORDER BY d.day) AS t
+      FROM daily d JOIN tot t ON t.event_type = d.event_type
+    )
+    SELECT event_type, day AS cp_day,
+           ABS(n * c - t * s) AS peak_abs_scaled, n AS n_days
+    FROM cum
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY event_type
+        ORDER BY ABS(n * c - t * s) DESC, day) = 1
+    """,
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint estimation per event_type: the day maximizing
+    the absolute cumulative deviation of daily spend from the series
+    mean — the classic level-shift locator. Determinism device: instead
+    of the fractional mean, everything is SCALED BY n: cusum_t of
+    (y - S/n) times n equals n*C_t - t*S, exact long arithmetic end to
+    end (|n*C| < 2^40 at sf0.1), so the argmax and its peak value are
+    hash-exact with a (|dev|, day) total order.
+
+    Scale: daily pre-agg (map-side), per-type totals joined back
+    broadcast, ONE event_type window carries both the running sum and
+    the argmax — calendar-bounded state, millions of series
+    parallelize on the partition key."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            cents("value").alias("v"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v").alias("y"))
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.sum("y").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    cum = daily.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        "s",
+        F.sum("y").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("c"),
+        F.row_number().over(w).alias("t"),
+    )
+    dev = F.abs(F.col("n") * F.col("c") - F.col("t") * F.col("s"))
+    pick = Window.partitionBy("event_type").orderBy(
+        dev.desc(), F.asc("day")
+    )
+    return (
+        cum.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("cp_day"),
+            dev.alias("peak_abs_scaled"),
+            F.col("n").alias("n_days"),
+        )
+    )
