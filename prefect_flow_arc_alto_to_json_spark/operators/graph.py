@@ -331,3 +331,36 @@ def bellman_ford(
             .localCheckpoint()
         )
     return dist
+
+
+def kcore_peel(edges: DataFrame, k: int, rounds: int = 3) -> DataFrame:
+    """Bounded-round k-core peeling: repeatedly drop nodes of degree
+    < k and restrict the edge set, ``rounds`` times — the degeneracy
+    peel behind community cores and spam-cluster mining. ``edges`` must
+    be the UNDIRECTED distinct pair relation (both orientations
+    present). Full k-core iterates to fixpoint; the fixed-round form is
+    the oracle-unrollable prefix (same contract as the bounded
+    reachability/Bellman-Ford rounds), and each round is ONE degree
+    aggregate + two semi-join restrictions — all map-side-combinable.
+
+    Output: (node, deg) for nodes surviving round ``rounds``, with
+    their degree in the restricted graph (a row with deg < k signals
+    the peel has not yet converged — visible, not hidden).
+    """
+    e = edges.select("a", "b").localCheckpoint()
+    for _ in range(rounds):
+        keep = (
+            e.groupBy(F.col("a").alias("node"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= k)
+            .select("node")
+        )
+        e = (
+            e.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+    return e.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )

@@ -2163,3 +2163,71 @@ def q_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").select("embedding", "label")
     return logreg_gd(emb)
+
+
+@query(
+    "q_dp_noisy_counts",
+    extra=True,
+    oracle="""
+    WITH g AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type
+    ),
+    u AS (
+      SELECT event_type, n,
+             (CAST(md5_number_lower('dp-v1:' || event_type) % 4294967296
+                   AS BIGINT) + 0.5) / 4294967296.0 AS p
+      FROM g
+    )
+    SELECT event_type, n,
+           n + CAST(ROUND(
+             -1.0 * CASE WHEN p < 0.5 THEN -1.0 ELSE 1.0 END
+                  * ln(1.0 - 2.0 * ABS(p - 0.5))
+           ) AS BIGINT) AS noisy_n,
+           CAST(1000000 AS BIGINT) AS epsilon_micro
+    FROM u
+    """,
+)
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy release MECHANISM: per-group counts with
+    Laplace(1/epsilon) noise (epsilon = 1, sensitivity 1 for a count)
+    added via the inverse-CDF transform — completing the privacy family
+    (k-anonymity / l-diversity / t-closeness audit the data; this is
+    the releasing side). The uniform draw is md5-derived from the group
+    key and the ln() is single-op-snapped, so the oracle replays noise
+    and release exactly.
+
+    HONESTY NOTE (the sim_jl_topk discipline): a hash-seeded draw is a
+    DETERMINISTIC demo of the mechanism's plumbing — real DP requires
+    fresh randomness per release, or the noise cancels across repeated
+    queries. The operator shape (group counts -> per-group draw ->
+    inverse CDF -> integer release) is exactly what ships; only the
+    entropy source is swapped, which is why it can carry a value oracle
+    at all.
+
+    Scale: one map-side-combining groupBy; the noise is a per-row
+    expression. The +0.5/2^32 centering keeps the draw strictly inside
+    (0,1), so ln never sees 0."""
+    from ..functions.scalar import stable_hash_u32
+
+    g = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    p = (
+        stable_hash_u32(F.concat(F.lit("dp-v1:"), F.col("event_type")))
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    noise = F.round(
+        F.lit(-1.0)
+        * F.when(p < 0.5, F.lit(-1.0)).otherwise(F.lit(1.0))
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(p - F.lit(0.5))),
+        0,
+    ).cast("long")
+    return g.select(
+        "event_type",
+        "n",
+        (F.col("n") + noise).alias("noisy_n"),
+        F.lit(1000000).cast("long").alias("epsilon_micro"),
+    )

@@ -586,3 +586,79 @@ def q_bellman_ford_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bellman_ford(edges, source=0, rounds=3).select(
         F.col("node").cast("long").alias("node"), "dist"
     )
+
+
+_SQL_CS_EDGES = """
+    SELECT DISTINCT c.c_custkey AS cust, s.s_suppkey + 1000000 AS supp
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+"""
+
+_SQL_KCORE_ROUND = """
+    k{R} AS (
+      SELECT a AS node FROM e{P} GROUP BY a HAVING COUNT(*) >= 4
+    ),
+    e{R} AS (
+      SELECT e.a, e.b FROM e{P} e
+      JOIN k{R} x ON x.node = e.a
+      JOIN k{R} y ON y.node = e.b
+    )
+"""
+
+
+@query(
+    "q_kcore_trade",
+    extra=True,
+    oracle=f"""
+    WITH ce AS ({_SQL_CS_EDGES}),
+    e0 AS (
+      SELECT cust AS a, supp AS b FROM ce
+      UNION ALL SELECT supp AS a, cust AS b FROM ce
+    ),
+    {_SQL_KCORE_ROUND.format(R=1, P=0)},
+    {_SQL_KCORE_ROUND.format(R=2, P=1)},
+    {_SQL_KCORE_ROUND.format(R=3, P=2)}
+    SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg
+    FROM e3 GROUP BY a
+    """,
+)
+def q_kcore_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-core peeling of the bipartite customer-supplier trade graph
+    (operators/graph.kcore_peel, 3 bounded rounds): customers with
+    fewer than 4 supplier partners peel off first, which degrades
+    supplier degrees and cascades — the degeneracy-core miner behind
+    dense-community extraction. Supplier ids are namespaced +1e6. The
+    triple-unrolled oracle replays every peel exactly (all-integer, no
+    snapping device needed — the Bellman-Ford discipline).
+
+    Scale: the edge build is the q7 join shape; each round is one
+    map-side-combining degree agg + two semi-join restrictions on the
+    (long, long) edge relation, lineage truncated per round."""
+    from ..operators.graph import kcore_peel
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    ce = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .select(
+            F.col("c_custkey").alias("cust"),
+            (F.col("s_suppkey") + 1000000).alias("supp"),
+        )
+        .distinct()
+    )
+    und = ce.select(
+        F.col("cust").alias("a"), F.col("supp").alias("b")
+    ).unionByName(ce.select(F.col("supp").alias("a"), F.col("cust").alias("b")))
+    return kcore_peel(und, k=4, rounds=3).select(
+        F.col("node").cast("long").alias("node"), "deg"
+    )

@@ -2498,3 +2498,62 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(2) * F.col("n_a") * F.col("n_c"),
         ).alias("lift_milli"),
     )
+
+
+@query(
+    "q_exact_median_by_group",
+    extra=True,
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, c,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY c) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM v
+    )
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+           CAST((2 * SUM(c) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+             AS median_cents
+    FROM r
+    WHERE rn * 2 = n OR rn * 2 = n + 1 OR rn * 2 = n + 2
+    GROUP BY event_type
+    """,
+)
+def q_exact_median_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group median (integer cents): select the middle one or
+    two order statistics by rank arithmetic (rn*2 ∈ {n, n+1, n+2} picks
+    exactly the two middles for even n and the single middle for odd n
+    — for odd n only rn = (n+1)/2 matches), then average them with the
+    half-up integer device. The distributed shape is ONE group-key
+    window (rank + count share the exchange) — the exact complement of
+    q_approx_percentile's sketch and q_winsorize's global dense-ids
+    rank, at per-group grain.
+
+    Scale: one exchange on the group key; the middle-row filter drops
+    everything else before the 1-or-2-row-per-group aggregate."""
+    v = load_table(spark, sf_dir, "events").select(
+        "event_type", cents("value").alias("c")
+    )
+    w = Window.partitionBy("event_type")
+    r = v.select(
+        "event_type",
+        "c",
+        F.row_number().over(w.orderBy("c")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    mid = r.where(
+        (F.col("rn") * 2 == F.col("n"))
+        | (F.col("rn") * 2 == F.col("n") + 1)
+        | (F.col("rn") * 2 == F.col("n") + 2)
+    )
+    return mid.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.call_function(
+            "div", 2 * F.sum("c") + F.count(F.lit(1)), 2 * F.count(F.lit(1))
+        ).alias("median_cents"),
+    )
