@@ -1727,3 +1727,106 @@ def text_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", "lang"
     )
     return naive_bayes_language(docs)
+
+
+@query(
+    "text_tfidf_cosine_pairs",
+    extra=True,
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents WHERE doc_id < 600
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS d FROM tf GROUP BY tok),
+    nn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+    w AS (
+      SELECT doc_id, tf.tok,
+             c * CAST(ROUND(ln((n + 1.0) / (d + 1.0)) * 1000) AS BIGINT)
+               AS w
+      FROM tf JOIN df ON df.tok = tf.tok CROSS JOIN nn
+    ),
+    nrm AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2 FROM w GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+      FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(ROUND(dot / sqrt(CAST(na.n2 AS DOUBLE) * nb.n2) * 1000000)
+                AS BIGINT) AS cos_micro
+    FROM dots
+    JOIN nrm na ON na.doc_id = id_a
+    JOIN nrm nb ON nb.doc_id = id_b
+    WHERE dot / sqrt(CAST(na.n2 AS DOUBLE) * nb.n2) >= 0.9
+    """,
+)
+def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF WEIGHTED cosine near-dup pairs (>= 0.9) — the weighted
+    sibling of dedup_ngram_jaccard: raw-tf x milli-snapped-idf integer
+    weights, exact long dots via the shared-token posting join, cosine
+    from IEEE sqrt of exact operands (identical op order both engines).
+    BOUNDED ORACLE BASELINE like sim_near_dup: this corpus's 31-type
+    near-uniform vocabulary makes every posting list corpus-length, so
+    the slice is capped (doc_id < 600) and the SCALE path for weighted
+    similarity is prefix filtering on the weight-ordered token lists —
+    dedup_prefix_jaccard's AllPairs bound applies verbatim to TF-IDF
+    weights (Bayardo et al.'s original setting)."""
+    from ..functions.scale import scoped_persist
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 600
+    )
+    tf = (
+        docs.select(
+            "doc_id", F.explode(token_array("text")).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tf = scoped_persist(tf, "tfidf_pairs.tf")
+    df_rel = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("d"))
+    n = tf.agg(F.countDistinct("doc_id").alias("n"))
+    w = (
+        tf.join(df_rel, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            (
+                F.col("c")
+                * F.round(
+                    F.log((F.col("n") + 1.0) / (F.col("d") + 1.0)) * 1000, 0
+                ).cast("long")
+            ).alias("w"),
+        )
+    )
+    w = scoped_persist(w, "tfidf_pairs.w")
+    nrm = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    a = w.select(F.col("doc_id").alias("id_a"), "tok", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("id_b"), "tok", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "tok")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = nrm.select(F.col("doc_id").alias("id_a"), F.col("n2").alias("na2"))
+    nb = nrm.select(F.col("doc_id").alias("id_b"), F.col("n2").alias("nb2"))
+    cos = F.col("dot") / F.sqrt(
+        F.col("na2").cast("double") * F.col("nb2")
+    )
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .where(cos >= 0.9)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cos * 1000000, 0).cast("long").alias("cos_micro"),
+        )
+    )
