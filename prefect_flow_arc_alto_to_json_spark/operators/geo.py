@@ -180,3 +180,60 @@ def nearest_in_ring(
         .where(F.col("rn") == 1)
         .drop("rn", "px", "py")
     )
+
+
+def grid_dbscan(
+    pts: DataFrame, cell_micro: int, rounds: int = 3
+) -> DataFrame:
+    """Grid-density clustering (DBSCAN's grid approximation): snap
+    points to cells, keep cells whose count >= a DATA-DERIVED density
+    threshold (max(2, ceil(2·N/cells)) — twice the mean occupancy, so
+    the dense set stays sparse at every corpus size instead of
+    percolating as N grows), then merge 8-adjacent dense cells into
+    clusters by ``rounds`` synchronous min-label steps over the
+    adjacency — the bounded-round prefix of label convergence (the
+    reachability/Bellman-Ford contract; labels are hash-exact at any
+    round count because the oracle replays the same rounds).
+
+    ``pts`` must carry cx/cy (``with_grid``). Output: (cx, cy, n,
+    cluster) — cluster is the min cell-id label after ``rounds``.
+
+    Scale: ONE cell groupBy builds the histogram (map-side combine);
+    the adjacency is the 3x3 probe-ring equi-join ON THE DENSE CELLS
+    ONLY (a relation bounded by grid size, not points); each label
+    round is a join + min-agg on that same bounded relation.
+    """
+    n_cells = (360 * MICRO // cell_micro) * (180 * MICRO // cell_micro)
+    cells = pts.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("n"))
+    tot = pts.agg(
+        F.greatest(
+            F.lit(2).cast("long"),
+            F.ceil(F.count(F.lit(1)) * 2.0 / n_cells).cast("long"),
+        ).alias("minpts")
+    )
+    dense = (
+        cells.crossJoin(F.broadcast(tot))
+        .where(F.col("n") >= F.col("minpts"))
+        .select("cx", "cy", "n", (F.col("cx") * 100 + F.col("cy")).alias("cid"))
+        .localCheckpoint()
+    )
+    ring = _probe_ring(dense.select("cx", "cy", "cid"))
+    other = dense.select(
+        F.col("cx").alias("ox"), F.col("cy").alias("oy"),
+        F.col("cid").alias("ocid"),
+    )
+    edges = ring.join(
+        other, (ring["px"] == other["ox"]) & (ring["py"] == other["oy"])
+    ).select(F.col("cid").alias("a"), F.col("ocid").alias("b")).localCheckpoint()
+    labels = dense.select("cid", F.col("cid").alias("lab")).localCheckpoint()
+    for _ in range(rounds):
+        labels = (
+            edges.join(labels, edges["b"] == labels["cid"])
+            .groupBy(F.col("a").alias("cid2"))
+            .agg(F.min("lab").alias("lab"))
+            .select(F.col("cid2").alias("cid"), "lab")
+            .localCheckpoint()
+        )
+    return dense.join(labels, "cid").select(
+        "cx", "cy", "n", F.col("lab").alias("cluster")
+    )

@@ -165,3 +165,66 @@ def q_geo_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.select(
         "c_custkey", "s_suppkey", F.col("d2").cast("long").alias("d2")
     )
+
+
+_SQL_DBSCAN_ROUND = """
+    l{R} AS (
+      SELECT e.a AS cid, CAST(MIN(l.lab) AS BIGINT) AS lab
+      FROM edges e JOIN l{P} l ON l.cid = e.b GROUP BY e.a
+    )
+"""
+
+
+@query(
+    "q_geo_grid_dbscan",
+    extra=True,
+    oracle=f"""
+    WITH pts AS ({_sql_pt('c_custkey')} FROM customer),
+    cc AS (SELECT k, {_sql_cells(5_000_000)} FROM pts),
+    cells0 AS (
+      SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS n
+      FROM cc GROUP BY cx, cy
+    ),
+    mp AS (
+      SELECT GREATEST(2, CAST(CEIL(COUNT(*) * 2.0 / 2592) AS BIGINT))
+               AS minpts
+      FROM customer
+    ),
+    dense AS (
+      SELECT cx, cy, n, cx * 100 + cy AS cid
+      FROM cells0 CROSS JOIN mp WHERE n >= minpts
+    ),
+    edges AS (
+      SELECT a.cid AS a, b.cid AS b
+      FROM dense a JOIN dense b
+        ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+    ),
+    l0 AS (SELECT cid, cid AS lab FROM dense),
+    {_SQL_DBSCAN_ROUND.format(R=1, P=0)},
+    {_SQL_DBSCAN_ROUND.format(R=2, P=1)},
+    {_SQL_DBSCAN_ROUND.format(R=3, P=2)}
+    SELECT d.cx, d.cy, d.n, l3.lab AS cluster
+    FROM dense d JOIN l3 ON l3.cid = d.cid
+    """,
+)
+def q_geo_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density clustering of customers (operators/geo.grid_dbscan):
+    5-degree cells, DATA-DERIVED density threshold (2x mean occupancy —
+    fixed minPts would percolate into one giant cluster as N grows),
+    8-adjacent dense cells merged by 3 synchronous min-label rounds —
+    the density-clustering member of the spatial family (radius join:
+    pairs, NN: argmin, DBSCAN: regions). Bounded-round labels are
+    hash-exact by construction (the oracle replays the same rounds);
+    convergence beyond the prefix follows the dedup_components
+    convergence-flag pattern at production depth.
+
+    Scale: one cell histogram (map-side), then all label work happens
+    on the DENSE-CELL relation — bounded by grid area, not points."""
+    from ..operators.geo import grid_dbscan, with_grid
+
+    cust = with_grid(
+        load_table(spark, sf_dir, "customer").select("c_custkey"),
+        "c_custkey",
+        5_000_000,
+    )
+    return grid_dbscan(cust, 5_000_000, rounds=3)
