@@ -364,3 +364,50 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int = 3) -> DataFrame:
     return e.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient over the undirected graph of
+    ``edges`` (src, dst): cc(u) = 2·tri(u) / (deg(u)·(deg(u)−1)) — the
+    transitivity signal behind community cohesion scoring and bot/spam
+    farm detection (link farms have high degree but near-zero closure).
+
+    Emitted as integer PPM via the half-up device (numerator 2·tri·1e6,
+    denominator deg·(deg−1), both exact longs), so the ratio of two
+    integer counts never rides a float — the q_exact_median_by_group
+    contract. Nodes with deg < 2 are excluded (coefficient undefined).
+
+    Scale: reuses triangle_counts' canonical wedge closure (its cost
+    profile and skew note apply verbatim); the degree relation is one
+    extra map-side-combined groupBy over the same canonical edge list,
+    and the final join is node-keyed — dim-sized output.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .where(F.col("deg") >= 2)
+    )
+    tri = triangle_counts(und.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+    pairs = (F.col("deg") * (F.col("deg") - F.lit(1).cast("long"))).cast("long")
+    num = 2 * (2 * F.coalesce(F.col("n_tri"), F.lit(0).cast("long"))) * F.lit(
+        1_000_000
+    ).cast("long") + pairs
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce(F.col("n_tri"), F.lit(0).cast("long")).alias("n_tri"),
+            F.call_function("div", num, 2 * pairs).alias("cc_ppm"),
+        )
+    )

@@ -662,3 +662,88 @@ def q_kcore_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_peel(und, k=4, rounds=3).select(
         F.col("node").cast("long").alias("node"), "deg"
     )
+
+
+@query(
+    "q_clustering_coefficient",
+    extra=True,
+    oracle=f"""
+    WITH edges AS ({_SQL_EDGES}),
+    stats AS (
+      SELECT CAST(SUM(w) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS ne
+      FROM edges
+    ),
+    strong AS (
+      SELECT src, dst FROM edges CROSS JOIN stats WHERE w * ne >= s
+    ),
+    und AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM strong WHERE src <> dst
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b FROM und
+      ) GROUP BY node HAVING COUNT(*) >= 2
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    ntri AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ) GROUP BY node
+    )
+    SELECT d.node, d.deg, COALESCE(t.n_tri, 0) AS n_tri,
+           CAST((2 * (2 * COALESCE(t.n_tri, 0)) * 1000000
+                   + d.deg * (d.deg - 1))
+                // (2 * (d.deg * (d.deg - 1))) AS BIGINT) AS cc_ppm
+    FROM deg d LEFT JOIN ntri t ON t.node = d.node
+    """,
+)
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per nation over the STRONG trade
+    graph (operators/graph.py:clustering_coefficient) — edges kept only
+    at-or-above the mean edge weight (w·|E| >= Σw, integer-exact), so the
+    closure structure stays non-degenerate as the full nation graph
+    saturates with SF. Completes the graph family's transitivity axis
+    (components: membership, PageRank/HITS: importance, triangles: counts,
+    cc: normalized closure). PPM output via the half-up integer device —
+    no float ratio crosses the engine boundary.
+
+    Scale: the mean threshold is a 1-row broadcast crossJoin (no driver
+    collect); everything downstream runs on the thresholded dim-sized
+    edge relation (wedge-closure cost note in triangle_counts applies).
+    """
+    from ..operators.graph import clustering_coefficient
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    stats = edges.agg(
+        F.sum("w").cast("long").alias("s"),
+        F.count(F.lit(1)).alias("ne"),
+    )
+    strong = (
+        edges.crossJoin(F.broadcast(stats))
+        .where(F.col("w") * F.col("ne") >= F.col("s"))
+        .select("src", "dst")
+    )
+    return clustering_coefficient(strong).select(
+        F.col("node").cast("long").alias("node"), "deg", "n_tri", "cc_ppm"
+    )
