@@ -204,6 +204,11 @@ def grid_dbscan(
     round is a join + min-agg on that same bounded relation.
     """
     n_cells = (360 * MICRO // cell_micro) * (180 * MICRO // cell_micro)
+    # Collision-free cell-id pairing: cy ranges over 0..180*MICRO//cell_micro,
+    # so a stride one past that bound keeps distinct (cx, cy) cells on
+    # distinct cids at ANY cell_micro (the old fixed *100 encoding merged
+    # unrelated clusters once cell_micro dropped below ~1.8e6).
+    cid_stride = 180 * MICRO // cell_micro + 2
     cells = pts.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("n"))
     tot = pts.agg(
         F.greatest(
@@ -214,7 +219,10 @@ def grid_dbscan(
     dense = (
         cells.crossJoin(F.broadcast(tot))
         .where(F.col("n") >= F.col("minpts"))
-        .select("cx", "cy", "n", (F.col("cx") * 100 + F.col("cy")).alias("cid"))
+        .select(
+            "cx", "cy", "n",
+            (F.col("cx") * cid_stride + F.col("cy")).alias("cid"),
+        )
         .localCheckpoint()
     )
     ring = _probe_ring(dense.select("cx", "cy", "cid"))

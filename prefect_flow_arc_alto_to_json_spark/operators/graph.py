@@ -377,6 +377,13 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
     integer counts never rides a float — the q_exact_median_by_group
     contract. Nodes with deg < 2 are excluded (coefficient undefined).
 
+    Degree bound: the PPM numerator is 4·tri·1e6 + deg·(deg−1) and
+    tri(u) can grow ~deg², so signed-long exactness holds up to
+    deg ≈ 2^21 (~2M neighbours); beyond that hubs need a decimal
+    intermediate. Real-graph hubs (web, social) sit far below this,
+    and degree-capped preprocessing (k_core / degree truncation above)
+    is the standard guard at fleet scale.
+
     Scale: reuses triangle_counts' canonical wedge closure (its cost
     profile and skew note apply verbatim); the degree relation is one
     extra map-side-combined groupBy over the same canonical edge list,

@@ -191,7 +191,7 @@ _SQL_DBSCAN_ROUND = """
       FROM customer
     ),
     dense AS (
-      SELECT cx, cy, n, cx * 100 + cy AS cid
+      SELECT cx, cy, n, cx * {180_000_000 // 5_000_000 + 2} + cy AS cid
       FROM cells0 CROSS JOIN mp WHERE n >= minpts
     ),
     edges AS (

@@ -1100,7 +1100,7 @@ def q_holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     season AS (
       SELECT event_type, dow,
              CAST(COUNT(*) AS BIGINT) AS n_days,
-             CAST(FLOOR((2 * SUM(y) + COUNT(*)) / (2.0 * COUNT(*)))
+             CAST((2 * SUM(y) + COUNT(*)) // (2 * COUNT(*))
                   AS BIGINT) AS mean_cents
       FROM wd GROUP BY event_type, dow
     ),
