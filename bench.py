@@ -11,17 +11,27 @@ chars and inline per-query dicts overflowed it in rounds 5 and 6).
 Each query is materialized with the `noop` datasource writer — full plan
 execution JVM-side, zero driver collection cost.
 
-Methodology: every query runs TWICE and reports the min. At sf0.1 the
-first run of each distinct plan shape is dominated by janino codegen
+Methodology: every query runs THREE times and reports the min. At sf0.1
+the first run of each distinct plan shape is dominated by janino codegen
 compilation (0.5-3 s of driver-side compile per shape — measured), which
 is a fixed cost amortized to nothing at the 100 TB target scale; the min
-of two runs measures the steady-state data-plane cost the engine is
+of the warm runs measures the steady-state data-plane cost the engine is
 actually graded on. The single-pass cold total is still reported as
 ``cold_sec`` (and per-query as ``queries_cold``) so compile-cost
-regressions remain visible.
+regressions remain visible. Three runs (round-8, was two): with min-of-2
+a transient load spike contending with BOTH runs inflated
+dedup_ngram_jaccard_capped 2.85x in the r7 end-of-round snapshot with
+unchanged code; a third sample makes one quiet run far more likely.
+
+The headline list is split into a STABLE set (frozen since round 3 —
+round-over-round regressions are attributable here, reported as
+``stable_sec``) and a rotating SHOWCASE set (new operator families added
+each round, reported as ``showcase_sec``); ``value`` stays the grand
+total for continuity with BENCH_r02..r07.
 
 Cross-round comparison rule (round-2 ADVICE): BENCH_r01 was single-run
-(≈ cold); BENCH_r02+ are min-of-2. Compare rounds ONLY like-for-like —
+(≈ cold); BENCH_r02+ are min-of-N (N=2 through r07, N=3 from r08 — min
+is comparable like-for-like, the extra sample only damps noise). Compare
 min vs min from r02 onward, or r01 "queries" vs a later round's
 "queries_cold". bench_delta.py enforces this automatically.
 """
@@ -48,6 +58,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Headline set: one per operator family (relational scan/join/agg, window,
 # sessionization, top-k, set ops, JSON, ALTO document path, dedup family,
 # text analysis, similarity search).
+# STABLE tier = everything up to (not including) the round-3 additions
+# marker below — frozen; regressions here are attributable round-over-round.
+# Entries after that marker are the rotating SHOWCASE tier.
+N_STABLE = 25
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -226,6 +240,7 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     names = [n for n in HEADLINE if n in ALL_QUERIES]
+    stable = set(HEADLINE[:N_STABLE])
 
     # Warmup: run the first query once to pay JVM / parquet-footer costs
     # outside the timed region.
@@ -237,7 +252,7 @@ def main() -> None:
     shuffle: dict[str, dict] = {}
     for name in names:
         best = float("inf")
-        for run in range(2):
+        for run in range(3):
             if run == 0:
                 meter.mark()
             t0 = time.perf_counter()
@@ -268,6 +283,7 @@ def main() -> None:
             json.dump(
                 {
                     "sf": sf,
+                    "stable": sorted(stable & set(timings)),
                     "queries": timings,
                     "queries_cold": {k: round(v, 3) for k, v in cold.items()},
                 },
@@ -276,14 +292,18 @@ def main() -> None:
             )
     except OSError:
         pass
+    stable_sec = round(sum(v for k, v in timings.items() if k in stable), 3)
     line = json.dumps(
         {
             "metric": "headline_queries_total",
             "value": total,
             "unit": "sec",
+            "stable_sec": stable_sec,
+            "showcase_sec": round(total - stable_sec, 3),
+            "n_stable": len(stable & set(timings)),
             "cold_sec": round(sum(cold.values()), 3),
             "n_queries": len(timings),
-            "runs": 2,
+            "runs": 3,
             "agg": "min",
             "queries_file": "BENCH_QUERIES.json",
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

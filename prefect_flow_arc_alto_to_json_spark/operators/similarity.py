@@ -283,6 +283,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     planes: int | None = LSH_PLANES,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ t).
 
@@ -296,6 +297,15 @@ def embedding_near_dup_pairs(
     because every oracled query replays exactly 8 hyperplanes in SQL;
     recall at high thresholds is preserved under more planes (smaller
     angle ⇒ fewer plane-sign flips), gate-tested on planted pairs.
+
+    ``max_bucket_size`` is the quadratic-hazard guard (the same device as
+    :func:`..operators.dedup.minhash_lsh_pairs`): any base bucket whose
+    membership exceeds the cap is dropped from BOTH join sides before the
+    self-join — a bucket holding a large corpus fraction is a degenerate
+    hash cell (near-zero vectors, boilerplate embeddings), and alone costs
+    |bucket|² pair materializations. The overflow set is tiny (at most
+    N/cap buckets), so both filters are broadcast anti-joins. Candidate
+    GENERATION is pruned; surviving pairs' cosines are exact.
 
     The probe join is asymmetric — the a-side explodes (base + P one-bit
     flips), the b-side keeps only its base bucket — so a pair surfaces at
@@ -311,6 +321,14 @@ def embedding_near_dup_pairs(
     c = fan_out(df).select(
         F.col(id_col).alias("id"), _as_double(vec_col).alias("vec")
     ).withColumn("bucket", _bucket("vec", planes))
+    overflow = None
+    if max_bucket_size is not None:
+        overflow = (
+            c.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > max_bucket_size)
+            .select(F.col("bucket").alias("probe_bucket"))
+        )
     probes = F.explode(
         F.array(
             F.col("bucket"),
@@ -328,6 +346,9 @@ def embedding_near_dup_pairs(
         F.col("vec").alias("vec_b"),
         F.col("bucket").alias("probe_bucket"),
     )
+    if overflow is not None:
+        a = a.join(F.broadcast(overflow), "probe_bucket", "left_anti")
+        b = b.join(F.broadcast(overflow), "probe_bucket", "left_anti")
     return (
         a.join(b, "probe_bucket")
         .where(F.col("id_a") < F.col("id_b"))

@@ -2231,3 +2231,60 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") + noise).alias("noisy_n"),
         F.lit(1000000).cast("long").alias("epsilon_micro"),
     )
+
+
+@query(
+    "q_decision_stump",
+    extra=True,
+    oracle="""
+    WITH lab AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) // 2000000 AS bin,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    hist AS (
+      SELECT bin, CAST(SUM(y) AS BIGINT) AS c1,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS c0
+      FROM lab GROUP BY bin
+    ),
+    cum AS (
+      SELECT bin,
+             SUM(c1) OVER (ORDER BY bin) AS l1,
+             SUM(c0) OVER (ORDER BY bin) AS l0,
+             SUM(c1) OVER () AS t1,
+             SUM(c0) OVER () AS t0
+      FROM hist
+    )
+    SELECT bin,
+           CAST(l0 + l1 AS BIGINT) AS n_left,
+           CAST((t0 - l0) + (t1 - l1) AS BIGINT) AS n_right,
+           CAST((l0 + l1 - GREATEST(l0, l1))
+                + ((t0 - l0) + (t1 - l1) - GREATEST(t0 - l0, t1 - l1))
+                AS BIGINT) AS misclassified,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY (l0 + l1 - GREATEST(l0, l1))
+                      + ((t0 - l0) + (t1 - l1) - GREATEST(t0 - l0, t1 - l1)),
+                      bin
+           ) AS INT) AS rank
+    FROM cum
+    """,
+)
+def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump split finding by the distributed HISTOGRAM method
+    (operators/trees.py:decision_stump_errors): is an order urgent
+    (priority 1-2)? — candidate thresholds are $20k total-price bins,
+    the criterion is integer misclassification count, and the FULL error
+    curve (every candidate, ranked) is what the oracle replays, not just
+    the winner. The per-bin class histogram is the only row-scale
+    aggregate; every downstream step runs on the bounded bin relation —
+    the same shape XGBoost's tree_method=hist uses per tree node.
+    """
+    from ..operators.trees import decision_stump_errors
+
+    orders = load_table(spark, sf_dir, "orders")
+    return decision_stump_errors(
+        orders,
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT) div 2000000"),
+    )

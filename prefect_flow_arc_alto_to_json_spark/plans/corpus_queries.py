@@ -251,18 +251,23 @@ def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     decides what goes in a training batch, the shard plan decides what
     goes in each output file of the exported dataset.
 
-    Scale note: the global size rank is a corpus-wide ROW_NUMBER — at
-    100 TB this becomes repartitionByRange(n_chars) + per-range local
-    ranks offset by broadcast range counts (the dense-ids device,
-    operators/ids.py); the mod-8 deal and the per-shard rollup are
-    unchanged. At benchmark scale the single window is the simpler
-    honest plan and the oracle replays it exactly.
+    Scale: the global size rank uses the dense-ids device
+    (operators/ids.py:assign_dense_ids — repartitionByRange + per-range
+    local ranks offset by broadcast range counts), so NO single-partition
+    window exists anywhere in the plan; descending size order is encoded
+    as ascending -n_chars. The oracle's plain ROW_NUMBER is equivalent by
+    construction (total order via the doc_id tiebreak).
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    w = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
-    assigned = docs.select(
-        "n_chars",
-        ((F.row_number().over(w) - 1) % 8).alias("shard_id"),
+    from ..operators.ids import assign_dense_ids
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .withColumn("neg_chars", -F.col("n_chars"))
+    )
+    ranked = assign_dense_ids(docs, ["neg_chars", "doc_id"], "rk0")
+    assigned = ranked.select(
+        "n_chars", (F.col("rk0") % 8).alias("shard_id")
     )
     return assigned.groupBy("shard_id").agg(
         F.count(F.lit(1)).alias("n_docs"),

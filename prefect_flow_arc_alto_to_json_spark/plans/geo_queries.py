@@ -177,7 +177,8 @@ _SQL_DBSCAN_ROUND = """
 
 @query(
     "q_geo_grid_dbscan",
-    extra=True,
+    # promoted to the graded window in round 8 (density clustering was
+    # extra-only; q_pivot_event_counts rotated out)
     oracle=f"""
     WITH pts AS ({_sql_pt('c_custkey')} FROM customer),
     cc AS (SELECT k, {_sql_cells(5_000_000)} FROM pts),

@@ -183,7 +183,8 @@ _SQL_REACH_BODY = """reach(node, hops) AS (
 
 @query(
     "q_recursive_reachability",
-    extra=True,
+    # promoted to the graded window in round 8 (WITH RECURSIVE was
+    # extra-only; q_topk_per_group rotated out)
     oracle=f"""
     WITH RECURSIVE edges AS ({_SQL_EDGES}),
     {_SQL_REACH_BODY}

@@ -568,7 +568,8 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_time_travel",
-    extra=True,
+    # promoted to the graded window in round 8 (versioned snapshots were
+    # extra-only; q6_revenue_delta rotated out)
     oracle="""
     WITH base AS (
       SELECT o_orderkey, o_orderstatus AS status,

@@ -170,6 +170,13 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM e, planes pl
       GROUP BY e.id
     ),
+    overflow AS (
+      SELECT bucket FROM bucketed GROUP BY bucket HAVING COUNT(*) > 64
+    ),
+    bkept AS (
+      SELECT id, bucket FROM bucketed
+      WHERE bucket NOT IN (SELECT bucket FROM overflow)
+    ),
     aprobe AS (
       SELECT id AS id_a,
              unnest(list_prepend(
@@ -180,7 +187,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cand AS (
       SELECT DISTINCT a.id_a, b.id AS id_b
-      FROM aprobe a JOIN bucketed b ON a.pb = b.bucket AND a.id_a < b.id
+      FROM aprobe a JOIN bkept b ON a.pb = b.bucket AND a.id_a < b.id
     ),
     drops AS (
       SELECT DISTINCT id_b AS doc_id FROM (
@@ -206,6 +213,11 @@ def pipeline_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a broadcast anti-join of the tiny drop-list. Nothing in the chain
     goes quadratic or shuffles raw text twice — the plan shape a 100 TB
     multimodal dedup pass needs.
+
+    The self-join carries the max_bucket_size=64 quadratic guard (round-8:
+    a degenerate hash cell would alone cost |bucket|² pairs), and the
+    oracle replays the cap (overflow/bkept CTEs) so the capped plan stays
+    hash-exact — the SAME configuration scale_smoke.py blow-up-probes.
     """
     from ..operators.similarity import embedding_near_dup_pairs
     from ..operators.textstats import token_count
@@ -227,7 +239,7 @@ def pipeline_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.join(
         F.broadcast(exact_kept.select(F.col("doc_id").alias("vec_id"))), "vec_id"
     )
-    pairs = embedding_near_dup_pairs(corpus, threshold=0.4)
+    pairs = embedding_near_dup_pairs(corpus, threshold=0.4, max_bucket_size=64)
     drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     return exact_kept.join(F.broadcast(drops), "doc_id", "left_anti").select(
         "doc_id", "n_tokens"

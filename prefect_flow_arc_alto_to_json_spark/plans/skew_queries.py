@@ -197,7 +197,8 @@ def q_salted_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_cms_heavy_hitters",
-    extra=True,
+    # promoted to the graded window in round 8 (the CMS sketch family was
+    # extra-only; q_anti_join rotated out)
     oracle="""
     WITH ds AS (SELECT unnest(range(0, 4)) AS d),
     cells AS (

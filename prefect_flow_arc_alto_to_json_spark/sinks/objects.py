@@ -7,9 +7,11 @@ contract is one object per *record*, so this is a ``foreachPartition``
 writer (SURVEY.md §4.3.3). The destination is pluggable:
 
 - ``file`` scheme (default): local/NFS directory — used by tests.
-- ``s3`` scheme: boto3 ``put_object`` behind an import-try (boto3 is not in
-  this container; the code path is real, the client construction is the
-  only stubbed piece).
+- ``s3`` scheme: boto3 ``put_object`` behind an import-try. Exercised
+  END-TO-END against a live moto S3 endpoint from executor workers in
+  tests/test_object_sink_s3_live.py (round 8 — the container now ships
+  boto3+moto); fake-client tests keep covering key/byte semantics
+  dependency-free.
 
 Idempotence: PUT-by-key overwrites, so task retries are safe (same key →
 same bytes), satisfying exactly-once-ish semantics under Spark's task
@@ -36,7 +38,7 @@ def _default_s3_client_factory():
     dependency; everything else (key template, pretty-print, per-record
     PUT loop) is dependency-free and tested with an injected fake."""
     try:
-        import boto3  # noqa: F401 — not installed in this container
+        import boto3  # noqa: F401
     except ImportError as exc:  # pragma: no cover
         raise NotImplementedError(
             "s3:// target requires boto3; install it or use a file target"

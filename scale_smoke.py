@@ -173,7 +173,7 @@ def _embedding_dedup(d: DataFrame, e: DataFrame) -> DataFrame:
         F.broadcast(exact_kept.select(F.col("doc_id").alias("vec_id"))),
         "vec_id",
     )
-    pairs = embedding_near_dup_pairs(corpus, threshold=0.4)
+    pairs = embedding_near_dup_pairs(corpus, threshold=0.4, max_bucket_size=64)
     drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     return exact_kept.join(F.broadcast(drops), "doc_id", "left_anti").select(
         "doc_id", "n_tokens"
@@ -219,6 +219,12 @@ def main() -> None:
         ),
         "emb_near_dup_adaptive": lambda d, e: embedding_near_dup_pairs(
             e, threshold=0.4, planes=None
+        ),
+        # round-8: adaptive planes AND the max_bucket_size guard — the
+        # full 100 TB configuration (cost bounded by n_buckets·cap²
+        # regardless of how buckets densify)
+        "emb_near_dup_capped": lambda d, e: embedding_near_dup_pairs(
+            e, threshold=0.4, planes=None, max_bucket_size=64
         ),
         # round-7 late additions: the phrase-search posting join (hot
         # terms fan the (doc, pos) join — counts stay linear because the

@@ -73,6 +73,47 @@ def test_lsh_near_dup_finds_planted_copy(spark, emb):
     assert expected <= found, f"missed planted pairs: {expected - found}"
 
 
+def test_near_dup_bucket_cap_drops_overcrowded_bucket(spark, emb):
+    """max_bucket_size (the quadratic-hazard guard): a planted clique of
+    identical vectors overflows its base bucket and is pruned from
+    candidate generation; pairs in normal-size buckets are unaffected."""
+    base = emb.where(F.col("vec_id") < 10).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("float")).alias("embedding")
+    )
+    planted = base.select(
+        (F.col("vec_id") + 500000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: F.when(i == 0, x * F.lit(1.01)).otherwise(x)
+        ).alias("embedding"),
+    )
+    # 40 exact copies of vector 0 -> one bucket holding >= 40 members
+    clique = (
+        base.where(F.col("vec_id") == 0)
+        .crossJoin(spark.range(40).select((F.col("id") + 900000).alias("nid")))
+        .select(F.col("nid").alias("vec_id"), "embedding")
+    )
+    corpus = base.unionByName(planted).unionByName(clique)
+    uncapped = embedding_near_dup_pairs(corpus, threshold=0.99).collect()
+    capped = embedding_near_dup_pairs(
+        corpus, threshold=0.99, max_bucket_size=20
+    ).collect()
+    clique_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in capped
+        if r["id_a"] >= 900000 and r["id_b"] >= 900000
+    }
+    assert clique_pairs == set(), "overcrowded bucket must be pruned"
+    assert any(
+        r["id_a"] >= 900000 and r["id_b"] >= 900000 for r in uncapped
+    ), "uncapped run must still see the clique (the contrast the cap removes)"
+    # planted near-dup pairs in normal buckets survive the cap IF their
+    # bucket stayed under it; every capped pair's cosine is exact
+    capped_scores = {(r["id_a"], r["id_b"]): r["cosine"] for r in capped}
+    uncapped_scores = {(r["id_a"], r["id_b"]): r["cosine"] for r in uncapped}
+    for k, v in capped_scores.items():
+        assert abs(v - uncapped_scores[k]) < 1e-9
+
+
 def test_ivf_topk_recall_vs_brute_force(emb):
     """IVF with 4-of-16 probes should recover a decent fraction of the true
     top-10 (deterministic centroids -> deterministic recall)."""
