@@ -409,8 +409,12 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
     num = 2 * (2 * F.coalesce(F.col("n_tri"), F.lit(0).cast("long"))) * F.lit(
         1_000_000
     ).cast("long") + pairs
+    # Both join inputs descend from the stats-free localCheckpoint, so
+    # Catalyst defaults to SortMergeJoin; the node-keyed relation needs no
+    # ordering — hint the hash form (the statless-self-join convention,
+    # tests/test_plan_shapes.py round-8 budgets).
     return (
-        deg.join(tri, "node", "left")
+        deg.join(tri.hint("shuffle_hash"), "node", "left")
         .select(
             "node",
             "deg",

@@ -325,6 +325,13 @@ def main() -> None:
             "Probed at threshold 0.4 — far below the 0.95 production\n"
             "setting — to force dense buckets; recall under derived P is\n"
             "gate-tested at 0.99 in tests/test_similarity.py.\n\n"
+            "emb_near_dup_capped (round 8) is the FULL production\n"
+            "configuration: derived planes PLUS max_bucket_size=64, which\n"
+            "drops overcrowded base buckets from both join sides before the\n"
+            "self-join — candidate volume is bounded by n_buckets·cap²\n"
+            "regardless of how buckets densify, so the row should stay\n"
+            "near-linear at ANY blow-up. pipeline_embedding_dedup runs the\n"
+            "same cap (its oracle replays the overflow CTEs — hash-exact).\n\n"
         )
         fh.write(
             "Input rows per factor — documents: "

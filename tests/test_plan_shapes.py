@@ -608,6 +608,49 @@ _R9_SHUFFLE_BUDGETS = {
 }
 
 
+#: Round-10 block (session round 8): the round-7 close-out family that
+#: landed after the last sweep (grid DBSCAN, k-core, CUSUM, RFM, TF-IDF
+#: pairs, DP noise, clustering coefficient) plus the round-8 additions
+#: (decision stump, de-windowed shard plan, KMV join estimate) and the
+#: freshly graded promotions. Budgets are the measured static counts at
+#: sf0.001 under the suite session; every plan must be SMJ- and
+#: cartesian-free (clustering_coefficient's statless deg x tri join is
+#: shuffle_hash hinted for exactly this pin).
+_R10_SHUFFLE_BUDGETS = {
+    "q_geo_grid_dbscan": 0,  # label rounds hide behind localCheckpoint
+    "q_kcore_trade": 1,
+    "q_cusum_changepoint": 4,
+    "q_rfm_segments": 6,
+    "text_tfidf_cosine_pairs": 27,  # tf/df/norm stages + posting self-join
+    "q_dp_noisy_counts": 1,
+    "q_clustering_coefficient": 2,
+    "q_decision_stump": 4,  # bin histogram + bounded-relation ranks
+    "corpus_shard_plan": 4,  # dense-ids range exchange + offsets + rollup
+    "q_kmv_join_estimate": 12,  # 2 sketch distincts + tiny scalar combines
+    "q_time_travel": 0,
+    "q_recursive_reachability": 1,
+    "sim_ivfadc_topk": 11,
+    "q_cms_heavy_hitters": 3,
+}
+
+
+def test_round10_family_shuffle_budgets(spark, sf_dir):
+    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+
+    spark.catalog.clearCache()
+    all_q = {**QUERIES, **EXTRA_QUERIES}
+    over = {}
+    for name, budget in _R10_SHUFFLE_BUDGETS.items():
+        df = all_q[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        shuffles = data_shuffles(plan)
+        assert "SortMergeJoin" not in plan, (name, plan[:2000])
+        assert "CartesianProduct" not in plan, (name, plan[:2000])
+        if shuffles > budget:
+            over[name] = (shuffles, budget)
+    assert not over, f"shuffle-count regressions (got, budget): {over}"
+
+
 def test_round9_family_shuffle_budgets(spark, sf_dir):
     from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
 
