@@ -911,3 +911,114 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_exact_ppm"
         ),
     )
+
+
+@query(
+    "pipeline_leakage_safe_split",
+    extra=True,
+    oracle=_SQL_COMPONENTS_CTES + """
+    , grp AS (
+      SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS g
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ),
+    sp AS (
+      SELECT doc_id, g,
+             CASE WHEN md5_number_lower('split-v1:' || CAST(g AS VARCHAR))
+                       % 2147483647 % 10 < 8
+                  THEN 'train' ELSE 'val' END AS split
+      FROM grp
+    ),
+    leak AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS leaked_pairs
+      FROM pairs p
+      JOIN sp a ON a.doc_id = p.id_a
+      JOIN sp b ON b.doc_id = p.id_b
+      WHERE a.split <> b.split
+    ),
+    naive AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS naive_leaked
+      FROM pairs p
+      WHERE (md5_number_lower('split-v1:' || CAST(p.id_a AS VARCHAR))
+             % 2147483647 % 10 < 8)
+         <> (md5_number_lower('split-v1:' || CAST(p.id_b AS VARCHAR))
+             % 2147483647 % 10 < 8)
+    )
+    SELECT s.split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT s.g) AS BIGINT) AS n_groups,
+           MAX(l.leaked_pairs) AS leaked_pairs,
+           MAX(n.naive_leaked) AS naive_leaked
+    FROM sp s CROSS JOIN leak l CROSS JOIN naive n
+    GROUP BY s.split
+    """,
+)
+def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val assignment — split by NEAR-DUP COMPONENT,
+    not by document: near-dup pairs (3-gram jaccard ≥ 0.8) close into
+    components, every doc's split is a deterministic hash of its
+    component label (singletons hash their own id), so a near-duplicate
+    of a validation doc can never land in train. The report carries the
+    receipts: ``leaked_pairs`` (near-dup pairs crossing the split — 0 BY
+    CONSTRUCTION, and the oracle proves the engine's components deliver
+    it) next to ``naive_leaked``, the SAME corpus split by doc-id hash
+    (> 0 — the contamination a per-doc split silently ships). This is
+    the eval-integrity control every training pipeline needs and the
+    composition the dedup family exists for: pairs → components →
+    group-keyed assignment.
+
+    Scale: pairs/components are pair-derived relations (≪ corpus); the
+    split hash is a narrow map; leak counting joins the pair list to the
+    doc-level split relation on ids only. The pair relation is persisted
+    once for its two consumers (components, leak counts) — at 100 TB it
+    is the checkpoint-to-parquet relation, same note as the LSH
+    signature pass.
+    """
+    from ..functions.scalar import stable_hash_p31
+    from ..operators.dedup import duplicate_components
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = scoped_persist(
+        ngram_jaccard_pairs(docs, threshold=0.8).select("id_a", "id_b"),
+        "leakage_safe_split.pairs",
+    )
+    comp = duplicate_components(pairs)
+    grp = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_id", "doc_id").alias("g"),
+        )
+    )
+
+    def split_of(c):
+        h = stable_hash_p31(F.concat(F.lit("split-v1:"), c.cast("string")))
+        return F.when(h % 10 < 8, F.lit("train")).otherwise(F.lit("val"))
+
+    sp = scoped_persist(
+        grp.withColumn("split", split_of(F.col("g"))),
+        "leakage_safe_split.sp",
+    )
+    # id-keyed hash joins (shuffle_hash: both inputs are statless persisted
+    # relations — never SMJ-sort id pairs); the doc-level split relation is
+    # the big side at 100 TB, so it is NOT broadcast
+    a = sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
+    b = sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
+    leak = (
+        pairs.join(a.hint("shuffle_hash"), "id_a")
+        .join(b.hint("shuffle_hash"), "id_b")
+        .where(F.col("sa") != F.col("sb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("leaked_pairs"))
+    )
+    naive = pairs.where(
+        (split_of(F.col("id_a")) != split_of(F.col("id_b")))
+    ).agg(F.count(F.lit(1)).cast("long").alias("naive_leaked"))
+    return (
+        sp.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("g").cast("long").alias("n_groups"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .crossJoin(F.broadcast(naive))
+    )
