@@ -422,3 +422,117 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
             F.call_function("div", num, 2 * pairs).alias("cc_ppm"),
         )
     )
+
+
+def spectral_bipartition(
+    edges: DataFrame, iterations: int = 4, scale: int = 1_000_000
+) -> DataFrame:
+    """Fiedler-style spectral bipartition of the undirected weighted
+    graph of ``edges`` (src, dst, w): power iteration on the shifted
+    Laplacian M = c·I − L (c = 2·max_deg so every eigenvalue of M is
+    nonnegative and the dominant one, c, belongs to the constant
+    vector), with the constant component deflated EXACTLY each round by
+    the division-free centering ``n·x − Σx`` — after deflation the
+    dominant remaining direction is the Fiedler vector (algebraic
+    connectivity), whose sign structure is the classic minimum-ish cut.
+
+    Determinism (the pagerank device, applied to an eigen-solve): the
+    matvec ``(c − deg)·v + Σ w·v(neighbor)`` is pure long arithmetic;
+    centering multiplies by n instead of dividing; the ONE float op per
+    round is the max-abs normalization ``round(cv / max|cv| · scale)``,
+    replayed operand-for-operand in SQL (boundary hits are measure-zero
+    — the ln/sqrt precedent). Fixed iteration count keeps the operator a
+    replayable relation; magnitudes stay < ~1e14 ≪ 2^52.
+
+    Returns (node, v_scaled, side) — side = 'A' where the final iterate
+    is ≥ 0.
+
+    Scale: per round ONE v⋈edges join on the neighbor id + a map-side
+    partial sum (identical profile to pagerank's contrib join) and two
+    1-row aggregates broadcast back; localCheckpoint truncates lineage
+    per round. The state relation is node-sized — tiny for the nation
+    graph, partition-parallel for a billion-node one.
+    """
+    sym = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"), "w")
+        .unionAll(
+            edges.where(F.col("src") != F.col("dst")).select(
+                F.col("dst").alias("a"), F.col("src").alias("b"), "w"
+            )
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint()
+    )
+    deg = (
+        sym.groupBy(F.col("a").alias("node"))
+        .agg(F.sum("w").alias("deg"))
+        .localCheckpoint()
+    )
+    consts = deg.agg(
+        (F.lit(2) * F.max("deg")).cast("long").alias("c"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+    def center_norm(rel: DataFrame, col: str) -> DataFrame:
+        """n·x − Σx, then round(cv / max|cv| · scale) — one snapped
+        division; GREATEST(max,1) guards the all-zero degenerate."""
+        stats = rel.agg(F.sum(col).alias("sx"))
+        cent = (
+            rel.crossJoin(F.broadcast(consts))
+            .crossJoin(F.broadcast(stats))
+            .select(
+                "node",
+                (F.col("n") * F.col(col) - F.col("sx")).alias("cv"),
+            )
+        )
+        mx = cent.agg(
+            F.greatest(F.max(F.abs(F.col("cv"))), F.lit(1)).alias("mx")
+        )
+        return cent.crossJoin(F.broadcast(mx)).select(
+            "node",
+            F.round(
+                F.col("cv").cast("double") / F.col("mx") * F.lit(float(scale)),
+                0,
+            )
+            .cast("long")
+            .alias("v"),
+        )
+
+    from ..functions.scalar import stable_hash_p31
+
+    h0 = deg.select(
+        "node",
+        (
+            stable_hash_p31(
+                F.concat(F.lit("spec-v1:"), F.col("node").cast("string"))
+            )
+            % 2001
+        ).alias("x"),
+    )
+    v = center_norm(h0, "x").localCheckpoint()
+    for _ in range(iterations):
+        neigh = (
+            sym.join(v.select(F.col("node").alias("b"), "v"), "b")
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.sum(F.col("w") * F.col("v")).alias("nv"))
+        )
+        mv = (
+            deg.join(v, "node")
+            .join(neigh, "node", "left")
+            .crossJoin(F.broadcast(consts))
+            .select(
+                "node",
+                (
+                    (F.col("c") - F.col("deg")) * F.col("v")
+                    + F.coalesce(F.col("nv"), F.lit(0).cast("long"))
+                ).alias("mv"),
+            )
+        )
+        v = center_norm(mv, "mv").localCheckpoint()
+    return v.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("v").alias("v_scaled"),
+        F.when(F.col("v") >= 0, F.lit("A")).otherwise(F.lit("B")).alias("side"),
+    )

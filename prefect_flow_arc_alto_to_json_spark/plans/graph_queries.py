@@ -748,3 +748,115 @@ def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering_coefficient(strong).select(
         F.col("node").cast("long").alias("node"), "deg", "n_tri", "cc_ppm"
     )
+
+
+def _spectral_oracle(iterations: int = 4) -> str:
+    """Unrolled SQL replay of operators/graph.py:spectral_bipartition —
+    the pagerank/kmeans unroll device applied to a deflated power
+    iteration: exact-long matvec, division-free centering (n·x − Σx),
+    one ROUND-snapped max-abs normalization per round."""
+    head = f"""
+    WITH edges AS MATERIALIZED ({_SQL_EDGES}),
+    sym AS MATERIALIZED (
+      SELECT a, b, CAST(SUM(w) AS BIGINT) AS w FROM (
+        SELECT src AS a, dst AS b, w FROM edges WHERE src <> dst
+        UNION ALL
+        SELECT dst AS a, src AS b, w FROM edges WHERE src <> dst
+      ) GROUP BY a, b
+    ),
+    deg AS MATERIALIZED (
+      SELECT a AS node, CAST(SUM(w) AS BIGINT) AS deg FROM sym GROUP BY a
+    ),
+    consts AS MATERIALIZED (
+      SELECT CAST(2 * MAX(deg) AS BIGINT) AS c, CAST(COUNT(*) AS BIGINT) AS n
+      FROM deg
+    ),
+    h0 AS MATERIALIZED (
+      SELECT node,
+             CAST(md5_number_lower('spec-v1:' || CAST(node AS VARCHAR))
+                  % 2147483647 % 2001 AS BIGINT) AS x
+      FROM deg
+    ),
+    c0 AS MATERIALIZED (
+      SELECT node, (SELECT n FROM consts) * x - (SELECT SUM(x) FROM h0) AS cv
+      FROM h0
+    ),
+    v0 AS MATERIALIZED (
+      SELECT node,
+             CAST(ROUND(cv / GREATEST((SELECT MAX(ABS(cv)) FROM c0), 1)
+                        * 1000000.0) AS BIGINT) AS v
+      FROM c0
+    )"""
+    rounds = []
+    for k in range(1, iterations + 1):
+        p = k - 1
+        rounds.append(f"""
+    nb{k} AS MATERIALIZED (
+      SELECT s.a AS node, CAST(SUM(s.w * vb.v) AS BIGINT) AS nv
+      FROM sym s JOIN v{p} vb ON vb.node = s.b GROUP BY s.a
+    ),
+    mv{k} AS MATERIALIZED (
+      SELECT d.node,
+             ((SELECT c FROM consts) - d.deg) * v.v + COALESCE(nb.nv, 0) AS mv
+      FROM deg d JOIN v{p} v ON v.node = d.node
+      LEFT JOIN nb{k} nb ON nb.node = d.node
+    ),
+    c{k} AS MATERIALIZED (
+      SELECT node,
+             (SELECT n FROM consts) * mv - (SELECT SUM(mv) FROM mv{k}) AS cv
+      FROM mv{k}
+    ),
+    v{k} AS MATERIALIZED (
+      SELECT node,
+             CAST(ROUND(cv / GREATEST((SELECT MAX(ABS(cv)) FROM c{k}), 1)
+                        * 1000000.0) AS BIGINT) AS v
+      FROM c{k}
+    )""")
+    tail = f"""
+    SELECT CAST(node AS BIGINT) AS node, v AS v_scaled,
+           CASE WHEN v >= 0 THEN 'A' ELSE 'B' END AS side
+    FROM v{iterations}
+    """
+    return head + "," + ",".join(rounds) + tail
+
+
+@query("q_spectral_partition", extra=True, oracle=_spectral_oracle(4))
+def q_spectral_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral bipartition of the nation trade graph
+    (operators/graph.py:spectral_bipartition): 4 deflated power-iteration
+    rounds on the shifted Laplacian 2·maxdeg·I − L, sign of the final
+    iterate = side — the eigen-analysis member of the graph family
+    (components: connectivity, PageRank: centrality, triangles: closure,
+    spectral: STRUCTURE). The iterate is exact-long except ONE snapped
+    max-abs normalization per round, so the oracle unrolls all four
+    rounds and the partition is value-adjudicated, not just shaped.
+
+    Scale: per round one v⋈edges join + map-side partial sum (the
+    pagerank contrib profile) and two 1-row broadcast aggregates; state
+    is node-sized. More eigenvectors = deflate-and-repeat, same plan.
+    """
+    from ..operators.graph import spectral_bipartition
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return spectral_bipartition(edges, iterations=4)
