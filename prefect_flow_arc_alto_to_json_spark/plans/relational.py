@@ -2569,3 +2569,107 @@ def q_exact_median_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div", 2 * F.sum("c") + F.count(F.lit(1)), 2 * F.count(F.lit(1))
         ).alias("median_cents"),
     )
+
+
+@query(
+    "q_item_cf",
+    extra=True,
+    oracle="""
+    WITH ui AS (SELECT DISTINCT user_id, event_type FROM events),
+    n AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_u FROM ui GROUP BY 1
+    ),
+    co AS (
+      SELECT a.event_type AS ia, b.event_type AS ib,
+             CAST(COUNT(*) AS BIGINT) AS co
+      FROM ui a
+      JOIN ui b ON b.user_id = a.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    ),
+    sym AS (
+      SELECT ia AS item, ib AS neighbor, co FROM co
+      UNION ALL
+      SELECT ib AS item, ia AS neighbor, co FROM co
+    ),
+    scored AS (
+      SELECT s.item, s.neighbor, s.co,
+             CAST((2 * s.co * s.co * 1000000 + na.n_u * nb.n_u)
+                  // (2 * na.n_u * nb.n_u) AS BIGINT) AS cos2_ppm
+      FROM sym s
+      JOIN n na ON na.event_type = s.item
+      JOIN n nb ON nb.event_type = s.neighbor
+    )
+    SELECT item, neighbor, co, cos2_ppm, CAST(rn AS INT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY item ORDER BY cos2_ppm DESC, neighbor
+      ) AS rn FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering over user behavior — the
+    co-occurrence recommender (the classic 'users who did X also did Y'):
+    distinct (user, item) interactions, per-user item-pair co-counts,
+    squared-cosine affinity co²/(n_a·n_b) as exact integer ppm via the
+    half-up device (squaring keeps the score rational so NO irrational
+    division exists anywhere — same dodge as the z-test clearing), top-3
+    neighbors per item. Completes the behavioral-analytics family beside
+    q_market_basket (sets→rules) and q_event_transitions (sequence):
+    this is the similarity form recommenders actually serve.
+
+    Scale: the pair generation is keyed on user_id and each user
+    contributes at most C(k,2) pairs for k distinct items — bounded
+    fan-out, never corpus-quadratic; item-count joins are broadcast
+    (vocabulary-sized); the rank window partitions by item.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ui = ev.select("user_id", "event_type").distinct()
+    n = ui.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_u"))
+    a = ui.select("user_id", F.col("event_type").alias("ia"))
+    b = ui.select(F.col("user_id").alias("uid_b"), F.col("event_type").alias("ib"))
+    co = (
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("user_id") == F.col("uid_b")) & (F.col("ia") < F.col("ib")),
+        )
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    sym = co.select(
+        F.col("ia").alias("item"), F.col("ib").alias("neighbor"), "co"
+    ).unionAll(
+        co.select(
+            F.col("ib").alias("item"), F.col("ia").alias("neighbor"), "co"
+        )
+    )
+    d = F.call_function
+    scored = (
+        sym.join(
+            F.broadcast(n.select(F.col("event_type").alias("item"), F.col("n_u").alias("na"))),
+            "item",
+        )
+        .join(
+            F.broadcast(n.select(F.col("event_type").alias("neighbor"), F.col("n_u").alias("nb"))),
+            "neighbor",
+        )
+        .select(
+            "item",
+            "neighbor",
+            "co",
+            d(
+                "div",
+                F.lit(2) * F.col("co") * F.col("co") * 1_000_000
+                + F.col("na") * F.col("nb"),
+                F.lit(2) * F.col("na") * F.col("nb"),
+            ).alias("cos2_ppm"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.col("cos2_ppm").desc(), F.col("neighbor")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select("item", "neighbor", "co", "cos2_ppm", "rank")
+    )

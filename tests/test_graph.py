@@ -108,3 +108,40 @@ def test_triangle_counts_triangle_free(spark):
         [(1, 2), (2, 3), (3, 4)], "src long, dst long"
     )
     assert triangle_counts(edges).count() == 0
+
+
+def test_spectral_bipartition_separates_planted_clusters(spark):
+    """Barbell graph: two dense 4-cliques bridged by ONE weak edge — the
+    sign split must put each clique whole on one side, opposite sides."""
+    from prefect_flow_arc_alto_to_json_spark.operators.graph import (
+        spectral_bipartition,
+    )
+
+    edges = []
+    for base in (0, 10):
+        nodes = [base + i for i in range(4)]
+        for i in nodes:
+            for j in nodes:
+                if i < j:
+                    edges.append((i, j, 100))
+    edges.append((0, 10, 1))  # the weak bridge
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    out = {r["node"]: r["side"] for r in spectral_bipartition(df).collect()}
+    left = {out[i] for i in range(4)}
+    right = {out[10 + i] for i in range(4)}
+    assert len(left) == 1 and len(right) == 1, (left, right, out)
+    assert left != right, out
+
+
+def test_spectral_bipartition_deterministic(spark):
+    from prefect_flow_arc_alto_to_json_spark.operators.graph import (
+        spectral_bipartition,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 9, 1 + (i % 3)) for i in range(30) if i != (i * 7 + 1) % 9],
+        "src long, dst long, w long",
+    )
+    a = sorted(map(tuple, spectral_bipartition(df).collect()))
+    b = sorted(map(tuple, spectral_bipartition(df).collect()))
+    assert a == b
