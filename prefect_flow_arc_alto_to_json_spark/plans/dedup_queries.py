@@ -977,9 +977,15 @@ def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import duplicate_components
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    pairs = scoped_persist(
-        ngram_jaccard_pairs(docs, threshold=0.8).select("id_a", "id_b"),
-        "leakage_safe_split.pairs",
+    # localCheckpoint (not a lazy persist): the pair relation feeds THREE
+    # consumers (components, split-leak count, naive-leak count) and a
+    # lazy persist leaves the full shingle-join lineage replicated in the
+    # static plan — the dedup_components precedent, where truncation is
+    # what keeps the composed plan linear
+    pairs = (
+        ngram_jaccard_pairs(docs, threshold=0.8)
+        .select("id_a", "id_b")
+        .localCheckpoint()
     )
     comp = duplicate_components(pairs)
     grp = (
@@ -995,10 +1001,7 @@ def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         h = stable_hash_p31(F.concat(F.lit("split-v1:"), c.cast("string")))
         return F.when(h % 10 < 8, F.lit("train")).otherwise(F.lit("val"))
 
-    sp = scoped_persist(
-        grp.withColumn("split", split_of(F.col("g"))),
-        "leakage_safe_split.sp",
-    )
+    sp = grp.withColumn("split", split_of(F.col("g"))).localCheckpoint()
     # id-keyed hash joins (shuffle_hash: both inputs are statless persisted
     # relations — never SMJ-sort id pairs); the doc-level split relation is
     # the big side at 100 TB, so it is NOT broadcast

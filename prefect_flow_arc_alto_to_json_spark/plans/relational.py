@@ -2673,3 +2673,39 @@ def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("item", "neighbor", "co", "cos2_ppm", "rank")
     )
+
+
+#: shared LATERAL text — both engines run it verbatim (the recursive-CTE
+#: device applied to correlated lateral subqueries)
+_SQL_LATERAL_TOPK = """
+SELECT c.c_custkey, o.o_orderkey, o.totalprice_cents
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS totalprice_cents
+  FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY totalprice_cents DESC, o_orderkey
+  LIMIT 2
+) o
+"""
+
+
+@query("q_lateral_topk", extra=True, oracle=_SQL_LATERAL_TOPK)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (Spark 4 lateral join — the SQL-surface
+    breadth item beside WITH RECURSIVE): each customer's top-2 orders by
+    price, expressed as a per-row dependent subquery with ORDER BY +
+    LIMIT. The text is SHARED VERBATIM with the oracle, so the lateral
+    decorrelation machinery itself is what's adjudicated — Spark plans
+    this as the window top-k (the q_topk_per_group plan), proving the
+    declarative form reaches the same physical shape.
+
+    Scale: Catalyst decorrelates to a partitioned rank — one customer-key
+    exchange, WindowGroupLimit pre-cutting per partition; never an
+    actual per-row subquery execution.
+    """
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_SQL_LATERAL_TOPK)

@@ -631,6 +631,14 @@ _R10_SHUFFLE_BUDGETS = {
     "q_recursive_reachability": 1,
     "sim_ivfadc_topk": 11,
     "q_cms_heavy_hitters": 3,
+    # round-8 late additions: composed leak-counting (pair relation
+    # localCheckpointed for its 3 consumers), the spectral eigen-solve
+    # (rounds hide behind per-round checkpoints), bounded-fan-out CF,
+    # and the decorrelated LATERAL (one customer-key exchange)
+    "pipeline_leakage_safe_split": 8,
+    "q_spectral_partition": 0,
+    "q_item_cf": 15,
+    "q_lateral_topk": 1,
 }
 
 
