@@ -127,3 +127,94 @@ def test_fetch_hanging_url_cannot_stall_the_stage(spark):
     others = [r for u, r in by_url.items() if not u.endswith("/0")]
     assert len(others) == 5
     assert all(r["fetch_error"] is None and r["body"] for r in others)
+
+
+def test_polite_fetch_paces_within_host(spark):
+    """Per-host request starts must be >= per_host_interval_s apart, on a
+    fully deterministic injected clock (concurrency=1 so the fake clock
+    has a single writer)."""
+    from prefect_flow_arc_alto_to_json_spark.sources.fetch import (
+        fetch_urls_polite,
+    )
+
+    urls = [f"http://host-a.example/{i}" for i in range(4)] + [
+        f"http://host-b.example/{i}" for i in range(4)
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "premis_stored_at string")
+    clock = {"t": 0.0}
+
+    def fake_sleep(s):
+        clock["t"] += s
+
+    def fake_now():
+        return clock["t"]
+
+    def fake_fetch(url, timeout):
+        return f"{clock['t']:.3f}", None
+
+    out = fetch_urls_polite(
+        df,
+        per_host_interval_s=10.0,
+        max_hosts_concurrency=1,
+        n_host_buckets=1,
+        fetcher=fake_fetch,
+        sleep_fn=fake_sleep,
+        time_fn=fake_now,
+    ).collect()
+    assert all(r["fetch_error"] is None for r in out)
+    starts: dict[str, list[float]] = {}
+    for r in out:
+        host = r["premis_stored_at"].split("/")[2]
+        starts.setdefault(host, []).append(float(r["body"]))
+    assert set(starts) == {"host-a.example", "host-b.example"}
+    for host, ts in starts.items():
+        ts.sort()
+        gaps = [b - a for a, b in zip(ts, ts[1:])]
+        assert all(g >= 10.0 - 1e-9 for g in gaps), (host, ts)
+
+
+def test_polite_fetch_host_colocation(spark):
+    """The repartition key (parse_url HOST) must land every URL of a host
+    in exactly one partition — the property that makes a task-local
+    timestamp a correct global rate limiter."""
+    urls = [
+        f"http://h{i % 5}.example/p/{i}" for i in range(50)
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "premis_stored_at string")
+    placed = (
+        df.repartition(8, F.expr("parse_url(premis_stored_at, 'HOST')"))
+        .select(
+            F.expr("parse_url(premis_stored_at, 'HOST')").alias("host"),
+            F.spark_partition_id().alias("pid"),
+        )
+        .groupBy("host")
+        .agg(F.countDistinct("pid").alias("n_pids"))
+        .collect()
+    )
+    assert len(placed) == 5
+    assert all(r["n_pids"] == 1 for r in placed)
+
+
+def test_polite_fetch_hosts_run_concurrently(spark):
+    """With a host-pool > 1 the batch completes for every host even while
+    one host's queue is long — no global serialization on errors either."""
+    from prefect_flow_arc_alto_to_json_spark.sources.fetch import (
+        fetch_urls_polite,
+    )
+
+    urls = [f"http://big.example/{i}" for i in range(20)] + [
+        "http://small.example/only"
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "premis_stored_at string")
+    clock = {"t": 0.0}
+    out = fetch_urls_polite(
+        df,
+        per_host_interval_s=0.0,
+        max_hosts_concurrency=4,
+        n_host_buckets=1,
+        fetcher=lambda u, t: (u, None),
+        sleep_fn=lambda s: None,
+        time_fn=lambda: clock["t"],
+    ).collect()
+    assert len(out) == 21
+    assert all(r["body"] == r["premis_stored_at"] for r in out)
