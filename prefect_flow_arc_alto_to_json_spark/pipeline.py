@@ -101,6 +101,7 @@ def run_pipeline(
     cfg: PipelineConfig,
     representation_conn_factory=None,
     transcript_url_conn_factory=None,
+    objects_client_factory=None,
 ) -> dict[str, int]:
     """Execute the full flow. Returns row counts per outcome.
 
@@ -122,7 +123,15 @@ def run_pipeline(
             F.col("fetch_error").isNotNull() | F.col("alto_error").isNotNull()
         )
 
-        write_json_objects(ok, cfg.objects_target, key_col="s3_key", json_col="json")
+        write_json_objects(
+            ok,
+            cfg.objects_target,
+            key_col="s3_key",
+            json_col="json",
+            # None -> the default boto3 client; tests inject a moto-endpoint
+            # factory (the reference's endpoint override, main_flow.py:126)
+            client_factory=objects_client_factory,
+        )
 
         if representation_conn_factory is not None:
             from .sinks import write_keyed_updates
