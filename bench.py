@@ -148,6 +148,11 @@ HEADLINE = [
     "q_holt_linear_trend",
     "q_bellman_ford_trade",
     "sim_mutual_nn",
+    # round-10 additions: the composed leakage-safe split (pairs ->
+    # components -> group-hash split -> leak counting, the heaviest new
+    # composition) and the 4-round spectral eigen-solve
+    "pipeline_leakage_safe_split",
+    "q_spectral_partition",
 ]
 
 
