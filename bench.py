@@ -61,6 +61,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # STABLE tier = everything up to (not including) the round-3 additions
 # marker below — frozen; regressions here are attributable round-over-round.
 # Entries after that marker are the rotating SHOWCASE tier.
+# Baseline note: round 8 re-based ONE stable member —
+# pipeline_embedding_dedup gained the max_bucket_size quadratic guard
+# (plan + output change, oracle-replayed) — so r8's stable_sec is the new
+# attribution baseline; the freeze holds from r8 forward.
 N_STABLE = 25
 HEADLINE = [
     "q1_pricing_summary",

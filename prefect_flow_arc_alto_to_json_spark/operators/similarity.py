@@ -323,6 +323,12 @@ def embedding_near_dup_pairs(
     ).withColumn("bucket", _bucket("vec", planes))
     overflow = None
     if max_bucket_size is not None:
+        # THREE consumers of the bucketed relation under the cap (overflow
+        # counts, a-side, b-side): checkpoint it once instead of paying the
+        # upstream scan+normalize+bucket pass three times — the
+        # multi-consumer localCheckpoint convention. The uncapped path
+        # keeps the documented lazy two-scan trade above.
+        c = c.localCheckpoint()
         overflow = (
             c.groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("__n"))

@@ -391,18 +391,21 @@ def q_kmv_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE c_mktsegment = 'BUILDING'
     ),
     ska AS (
-      SELECT CAST(md5_number_lower('kmv-v1:' || CAST(key AS VARCHAR))
-                  % 2147483647 AS BIGINT) AS h
-      FROM a QUALIFY ROW_NUMBER() OVER (
-        ORDER BY md5_number_lower('kmv-v1:' || CAST(key AS VARCHAR))
-                 % 2147483647) <= 64
+      -- DISTINCT h BEFORE ranking: the engine sketches distinct hash
+      -- VALUES (.distinct() on h), so two keys colliding inside a side's
+      -- bottom-64 must collapse here too or the merged sketch diverges
+      SELECT h FROM (
+        SELECT DISTINCT CAST(md5_number_lower('kmv-v1:' || CAST(key AS VARCHAR))
+                             % 2147483647 AS BIGINT) AS h
+        FROM a
+      ) QUALIFY ROW_NUMBER() OVER (ORDER BY h) <= 64
     ),
     skb AS (
-      SELECT CAST(md5_number_lower('kmv-v1:' || CAST(key AS VARCHAR))
-                  % 2147483647 AS BIGINT) AS h
-      FROM b QUALIFY ROW_NUMBER() OVER (
-        ORDER BY md5_number_lower('kmv-v1:' || CAST(key AS VARCHAR))
-                 % 2147483647) <= 64
+      SELECT h FROM (
+        SELECT DISTINCT CAST(md5_number_lower('kmv-v1:' || CAST(key AS VARCHAR))
+                             % 2147483647 AS BIGINT) AS h
+        FROM b
+      ) QUALIFY ROW_NUMBER() OVER (ORDER BY h) <= 64
     ),
     uk AS (
       SELECT h FROM (

@@ -174,6 +174,12 @@ def fetch_urls_polite(
 
     ``sleep_fn``/``time_fn`` inject a fake clock for tests (no wall-clock
     sleeps in CI); ``fetcher`` injects the transport like fetch_urls.
+
+    The module's stall guarantee HOLDS here too: each host queue runs
+    under a hard deadline sized to its length (every request at full
+    ``timeout_s`` plus its pacing wait, plus one timeout of margin), and
+    rows a hung transport never reached resolve to error rows — the
+    stage completes no matter what one origin does.
     """
     import time as _time
 
@@ -189,14 +195,19 @@ def fetch_urls_polite(
     fetch = fetcher or _fetch_one
     _sleep = sleep_fn or _time.sleep
     _now = time_fn or _time.monotonic
+    fake_clock = sleep_fn is not None or time_fn is not None
 
     def _host_of(url) -> str:
+        # urlparse().hostname (port/userinfo stripped, lowercased) — the
+        # SAME key semantics as the partitioner's parse_url(url, 'HOST'),
+        # so http://h/a and http://h:80/b can never land in one partition
+        # yet pace on separate keys
         if url is None:
             return ""
         try:
             from urllib.parse import urlparse
 
-            return urlparse(str(url)).netloc or ""
+            return urlparse(str(url)).hostname or ""
         except Exception:  # noqa: BLE001
             return ""
 
@@ -204,15 +215,15 @@ def fetch_urls_polite(
         last_start: dict[str, float] = {}  # host pacing state, cross-batch
         pool = ThreadPoolExecutor(max_workers=max_hosts_concurrency)
 
-        def run_host(host: str, items: list) -> list:
-            out = []
+        def run_host(host: str, items: list, done: list) -> None:
+            # appends (idx, result) to `done` as it goes, so a deadline
+            # abandon keeps every row the host DID finish
             for idx, u in items:
                 wait = last_start.get(host, float("-inf")) + per_host_interval_s - _now()
                 if wait > 0:
                     _sleep(wait)
                 last_start[host] = _now()
-                out.append((idx, fetch(u, timeout_s)))
-            return out
+                done.append((idx, fetch(u, timeout_s)))
 
         try:
             for pdf in it:
@@ -220,13 +231,37 @@ def fetch_urls_polite(
                 for idx, u in enumerate(pdf[url_col]):
                     by_host.setdefault(_host_of(u), []).append((idx, u))
                 results: list = [None] * len(pdf)
-                futs = [
-                    pool.submit(run_host, h, items)
-                    for h, items in by_host.items()
-                ]
-                for f in futs:
-                    for idx, r in f.result():
+                host_done: list[list] = []
+                futs = []
+                for h, items in by_host.items():
+                    done: list = []
+                    host_done.append(done)
+                    futs.append(pool.submit(run_host, h, items, done))
+                for f, done in zip(futs, host_done):
+                    # hard per-host-queue deadline (fetch_urls' stall
+                    # contract): every request in the batch at full
+                    # timeout + its pacing wait, + one timeout of margin.
+                    # None under an injected fake clock, where wall time
+                    # is fiction and a hang is the test's own bug.
+                    deadline = (
+                        None
+                        if fake_clock
+                        else (timeout_s + per_host_interval_s) * max(1, len(pdf))
+                        + timeout_s
+                    )
+                    try:
+                        f.result(timeout=deadline)
+                    except FutureTimeoutError:
+                        pass  # keep partial `done`; unreached rows error below
+                    for idx, r in done:
                         results[idx] = r
+                for i, r in enumerate(results):
+                    if r is None:
+                        results[i] = (
+                            None,
+                            "FetchDeadlineExceeded: host queue did not "
+                            "finish within its hard deadline",
+                        )
                 pdf = pdf.copy()
                 pdf[body_col] = [r[0] for r in results]
                 pdf[error_col] = [r[1] for r in results]

@@ -218,3 +218,74 @@ def test_polite_fetch_hosts_run_concurrently(spark):
     ).collect()
     assert len(out) == 21
     assert all(r["body"] == r["premis_stored_at"] for r in out)
+
+
+def test_polite_fetch_hung_host_cannot_stall_the_stage(spark):
+    """fetch_urls' stall contract holds for the polite variant: a
+    transport that ignores timeout_s resolves to error rows via the
+    per-host-queue hard deadline; other hosts' rows still succeed."""
+    from prefect_flow_arc_alto_to_json_spark.sources.fetch import (
+        fetch_urls_polite,
+    )
+
+    def hanging_fetch(url, timeout):
+        if "hang" in str(url):
+            import time
+
+            time.sleep(30)
+        return str(url), None
+
+    urls = [
+        "http://ok.example/1",
+        "http://hang.example/2",
+        "http://ok.example/3",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "premis_stored_at string")
+    out = fetch_urls_polite(
+        df,
+        per_host_interval_s=0.0,
+        timeout_s=0.2,
+        max_hosts_concurrency=4,
+        n_host_buckets=1,
+        fetcher=hanging_fetch,
+    ).collect()
+    by = {r["premis_stored_at"]: r for r in out}
+    assert by["http://hang.example/2"]["fetch_error"].startswith(
+        "FetchDeadlineExceeded"
+    )
+    assert by["http://ok.example/1"]["body"] == "http://ok.example/1"
+    assert by["http://ok.example/3"]["fetch_error"] is None
+
+
+def test_polite_fetch_port_variants_pace_as_one_host(spark):
+    """Pacing keys on urlparse().hostname — the SAME semantics as the
+    partitioner's parse_url(HOST) — so http://h/a and http://h:8080/b
+    share one rate limit instead of racing on distinct netloc keys."""
+    from prefect_flow_arc_alto_to_json_spark.sources.fetch import (
+        fetch_urls_polite,
+    )
+
+    urls = [
+        "http://h.example/a",
+        "http://h.example:8080/b",
+        "http://h.example/c",
+        "http://h.example:9090/d",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "premis_stored_at string")
+    clock = {"t": 0.0}
+
+    def fake_sleep(s):
+        clock["t"] += s
+
+    out = fetch_urls_polite(
+        df,
+        per_host_interval_s=10.0,
+        max_hosts_concurrency=1,
+        n_host_buckets=1,
+        fetcher=lambda u, t: (f"{clock['t']:.3f}", None),
+        sleep_fn=fake_sleep,
+        time_fn=lambda: clock["t"],
+    ).collect()
+    starts = sorted(float(r["body"]) for r in out)
+    gaps = [b - a for a, b in zip(starts, starts[1:])]
+    assert all(g >= 10.0 - 1e-9 for g in gaps), starts

@@ -405,22 +405,10 @@ def test_tpch_q19_pushes_implied_predicates(spark, sf_dir):
 
 
 def test_dedup_similarity_shuffle_budgets(spark, sf_dir):
-    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
-
-    # If an earlier test left a scoped_persist relation cached, the plan
-    # dump embeds the InMemoryRelation's OWN subtree — its exchanges would
-    # double-count against the budget. Audit uncached plans.
-    spark.catalog.clearCache()
-    all_q = {**QUERIES, **EXTRA_QUERIES}
-    over = {}
-    for name, budget in _SHUFFLE_BUDGETS.items():
-        df = all_q[name](spark, sf_dir)
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        shuffles = data_shuffles(plan)
-        assert "SortMergeJoin" not in plan, (name, plan)
-        if shuffles > budget:
-            over[name] = (shuffles, budget)
-    assert not over, f"shuffle-count regressions (got, budget): {over}"
+    # clearCache in the helper matters here most: if an earlier test left
+    # a scoped_persist relation cached, the plan dump embeds the
+    # InMemoryRelation's OWN subtree and double-counts its exchanges.
+    _assert_family_budgets(spark, sf_dir, _SHUFFLE_BUDGETS)
 
 
 def test_salted_join_exercises_shuffled_path(spark, sf_dir):
@@ -542,6 +530,25 @@ def test_aqe_coalesces_small_shuffles(spark, sf_dir):
     assert "coalesced" in plan, plan
 
 
+def _assert_family_budgets(spark, sf_dir, budgets, forbid=("SortMergeJoin",)):
+    """Shared body of the per-round budget families: audit uncached static
+    plans, forbid the listed join strategies, collect shuffle overages."""
+    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+
+    spark.catalog.clearCache()
+    all_q = {**QUERIES, **EXTRA_QUERIES}
+    over = {}
+    for name, budget in budgets.items():
+        df = all_q[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for bad in forbid:
+            assert bad not in plan, (name, bad, plan[:2000])
+        shuffles = data_shuffles(plan)
+        if shuffles > budget:
+            over[name] = (shuffles, budget)
+    assert not over, f"shuffle-count regressions (got, budget): {over}"
+
+
 #: Round-8 family: exchange budgets measured under the suite session
 #: (sf0.001 fixtures; fan_out's round-robin adds an Exchange vs a bare
 #: probe session). Every plan must also stay SortMergeJoin-free —
@@ -572,19 +579,7 @@ _R8_SHUFFLE_BUDGETS = {
 
 
 def test_round8_family_shuffle_budgets(spark, sf_dir):
-    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
-
-    spark.catalog.clearCache()
-    all_q = {**QUERIES, **EXTRA_QUERIES}
-    over = {}
-    for name, budget in _R8_SHUFFLE_BUDGETS.items():
-        df = all_q[name](spark, sf_dir)
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        shuffles = data_shuffles(plan)
-        assert "SortMergeJoin" not in plan, (name, plan[:2000])
-        if shuffles > budget:
-            over[name] = (shuffles, budget)
-    assert not over, f"shuffle-count regressions (got, budget): {over}"
+    _assert_family_budgets(spark, sf_dir, _R8_SHUFFLE_BUDGETS)
 
 
 _R9_SHUFFLE_BUDGETS = {
@@ -643,36 +638,16 @@ _R10_SHUFFLE_BUDGETS = {
 
 
 def test_round10_family_shuffle_budgets(spark, sf_dir):
-    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
-
-    spark.catalog.clearCache()
-    all_q = {**QUERIES, **EXTRA_QUERIES}
-    over = {}
-    for name, budget in _R10_SHUFFLE_BUDGETS.items():
-        df = all_q[name](spark, sf_dir)
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        shuffles = data_shuffles(plan)
-        assert "SortMergeJoin" not in plan, (name, plan[:2000])
-        assert "CartesianProduct" not in plan, (name, plan[:2000])
-        if shuffles > budget:
-            over[name] = (shuffles, budget)
-    assert not over, f"shuffle-count regressions (got, budget): {over}"
+    _assert_family_budgets(
+        spark,
+        sf_dir,
+        _R10_SHUFFLE_BUDGETS,
+        forbid=("SortMergeJoin", "CartesianProduct"),
+    )
 
 
 def test_round9_family_shuffle_budgets(spark, sf_dir):
-    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
-
-    spark.catalog.clearCache()
-    all_q = {**QUERIES, **EXTRA_QUERIES}
-    over = {}
-    for name, budget in _R9_SHUFFLE_BUDGETS.items():
-        df = all_q[name](spark, sf_dir)
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        shuffles = data_shuffles(plan)
-        assert "SortMergeJoin" not in plan, (name, plan[:2000])
-        if shuffles > budget:
-            over[name] = (shuffles, budget)
-    assert not over, f"shuffle-count regressions (got, budget): {over}"
+    _assert_family_budgets(spark, sf_dir, _R9_SHUFFLE_BUDGETS)
 
 
 def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
