@@ -860,3 +860,114 @@ def q_spectral_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
     )
     return spectral_bipartition(edges, iterations=4)
+
+
+def _boruvka_oracle(rounds: int = 2, merge_steps: int = 3) -> str:
+    """Unrolled SQL replay of operators/graph.py:boruvka_components —
+    per round: crossing filter, per-label (w, a, b)-ordered min edge,
+    DISTINCT chosen set, then ``merge_steps`` min-label steps over the
+    chosen pseudo-forest. MATERIALIZED throughout (every level is
+    multi-referenced — the spectral-oracle lesson)."""
+    parts = [f"""
+    WITH edges AS MATERIALIZED ({_SQL_EDGES}),
+    und AS MATERIALIZED (
+      SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+             CAST(MIN(w) AS BIGINT) AS w
+      FROM edges WHERE src <> dst GROUP BY 1, 2
+    ),
+    nodes AS MATERIALIZED (
+      SELECT DISTINCT node FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b FROM und
+      )
+    ),
+    s0_{merge_steps} AS MATERIALIZED (SELECT node, node AS comp FROM nodes)"""]
+    for k in range(1, rounds + 1):
+        prev = f"s{k - 1}_{merge_steps}"
+        parts.append(f"""
+    cross{k} AS MATERIALIZED (
+      SELECT u.a, u.b, u.w, la.comp AS ca, lb.comp AS cb
+      FROM und u
+      JOIN {prev} la ON la.node = u.a
+      JOIN {prev} lb ON lb.node = u.b
+      WHERE la.comp <> lb.comp
+    ),
+    cand{k} AS MATERIALIZED (
+      SELECT ca AS l, a, b, w FROM cross{k}
+      UNION ALL
+      SELECT cb AS l, a, b, w FROM cross{k}
+    ),
+    chosen{k} AS MATERIALIZED (
+      SELECT DISTINCT a, b FROM (
+        SELECT l, a, b,
+               ROW_NUMBER() OVER (PARTITION BY l ORDER BY w, a, b) AS rn
+        FROM cand{k}
+      ) WHERE rn = 1
+    ),
+    s{k}_0 AS MATERIALIZED (SELECT node, comp FROM {prev})""")
+        for j in range(1, merge_steps + 1):
+            parts.append(f"""
+    s{k}_{j} AS MATERIALIZED (
+      SELECT m.node, LEAST(m.comp, COALESCE(nb.nmin, m.comp)) AS comp
+      FROM s{k}_{j - 1} m LEFT JOIN (
+        SELECT node, MIN(nc) AS nmin FROM (
+          SELECT c.a AS node, mm.comp AS nc
+          FROM chosen{k} c JOIN s{k}_{j - 1} mm ON mm.node = c.b
+          UNION ALL
+          SELECT c.b AS node, mm.comp AS nc
+          FROM chosen{k} c JOIN s{k}_{j - 1} mm ON mm.node = c.a
+        ) GROUP BY node
+      ) nb ON nb.node = m.node
+    )""")
+    sel = ", ".join(
+        f"CAST(s{k}_{merge_steps}.comp AS BIGINT) AS comp_r{k}"
+        for k in range(1, rounds + 1)
+    )
+    joins = " ".join(
+        f"JOIN s{k}_{merge_steps} ON s{k}_{merge_steps}.node = n.node"
+        for k in range(1, rounds + 1)
+    )
+    parts.append(f"""
+    SELECT CAST(n.node AS BIGINT) AS node, {sel}
+    FROM nodes n {joins}
+    """)
+    return ",".join(parts[:1]) + "," + ",".join(p for p in parts[1:-1]) + parts[-1]
+
+
+@query("q_mst_boruvka", extra=True, oracle=_boruvka_oracle(2, 3))
+def q_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Borůvka minimum-spanning-forest contraction over the weighted
+    nation trade graph (operators/graph.py:boruvka_components): two
+    rounds of per-component minimum-outgoing-edge selection under the
+    deterministic (w, a, b) total order, components merged by 3 min-label
+    steps per round, labels after EACH round adjudicated — the
+    greedy/matroid member of the graph family. At 100 TB this is the
+    skeleton pass behind single-linkage clustering and network-cost
+    planning; per round one labels⋈edges join + one map-side-combinable
+    per-label min — the pagerank cost profile with a vanishing chosen-
+    edge relation.
+    """
+    from ..operators.graph import boruvka_components
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return boruvka_components(edges, rounds=2, merge_steps=3)
