@@ -971,3 +971,103 @@ def q_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
     )
     return boruvka_components(edges, rounds=2, merge_steps=3)
+
+
+_SQL_PPR_ITER = """
+    p{K} AS MATERIALIZED (
+      SELECT n2.node, n2.is_seed,
+             CAST(n2.is_seed * (SELECT base FROM pconsts)
+                  + COALESCE(SUM(c), 0) AS BIGINT) AS rank_nano
+      FROM pnodes n2 LEFT JOIN (
+        SELECT e.dst AS node,
+               CAST(ROUND(r.rank_nano * 0.85 * e.w / o.out_w) AS BIGINT) AS c
+        FROM edges e
+        JOIN outw o ON o.src = e.src
+        JOIN p{P} r ON r.node = e.src
+      ) contrib ON contrib.node = n2.node
+      GROUP BY n2.node, n2.is_seed
+    )
+"""
+
+
+@query(
+    "q_personalized_pagerank",
+    extra=True,
+    oracle=f"""
+    WITH edges AS MATERIALIZED ({_SQL_EDGES}),
+    outw AS MATERIALIZED (SELECT src, SUM(w) AS out_w FROM edges GROUP BY src),
+    seeds AS (
+      SELECT n_nationkey AS node FROM nation WHERE n_regionkey = 0
+    ),
+    pnodes AS MATERIALIZED (
+      SELECT n.node,
+             CASE WHEN s.node IS NOT NULL THEN 1 ELSE 0 END AS is_seed
+      FROM (
+        SELECT DISTINCT node FROM (
+          SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+        )
+      ) n LEFT JOIN seeds s ON s.node = n.node
+    ),
+    pconsts AS (
+      SELECT CAST(ROUND((1.0 - 0.85) * 1000000000 / SUM(is_seed)) AS BIGINT)
+               AS base,
+             CAST(ROUND(1000000000.0 / SUM(is_seed)) AS BIGINT) AS r_init
+      FROM pnodes
+    ),
+    p0 AS MATERIALIZED (
+      SELECT node, is_seed,
+             CAST(is_seed * (SELECT r_init FROM pconsts) AS BIGINT)
+               AS rank_nano
+      FROM pnodes
+    ),
+    {_SQL_PPR_ITER.format(K=1, P=0)},
+    {_SQL_PPR_ITER.format(K=2, P=1)},
+    {_SQL_PPR_ITER.format(K=3, P=2)}
+    SELECT CAST(node AS BIGINT) AS node, CAST(is_seed AS INTEGER) AS is_seed,
+           rank_nano
+    FROM p3
+    """,
+)
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the region-0 nations as the seed set
+    (operators/graph.py:personalized_pagerank): the teleport mass
+    restarts at the seeds only, so rank = proximity to the seed set —
+    the graph-based RECOMMENDATION primitive ('trade partners closest to
+    my region') beside global PageRank's topic-free centrality. Same
+    nano-snap determinism contract, triple-unrolled seed-conditional
+    replay, every iterate value-adjudicated.
+
+    Scale: identical per-iteration profile to q_pagerank_trade; the seed
+    flag is one broadcast semi-join on the node list.
+    """
+    from ..operators.graph import personalized_pagerank
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    seeds = nation.where(F.col("n_regionkey") == 0).select(
+        F.col("n_nationkey").alias("node")
+    )
+    return personalized_pagerank(edges, seeds, iterations=3)

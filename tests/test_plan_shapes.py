@@ -635,6 +635,7 @@ _R10_SHUFFLE_BUDGETS = {
     "q_item_cf": 15,
     "q_lateral_topk": 1,
     "q_mst_boruvka": 3,  # node-keyed label joins; rounds behind checkpoints
+    "q_personalized_pagerank": 0,  # iterations hide behind checkpoints
 }
 
 
