@@ -2288,3 +2288,100 @@ def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int"),
         F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT) div 2000000"),
     )
+
+
+@query(
+    "q_als_half_step",
+    extra=True,
+    oracle="""
+    WITH iv AS (
+      SELECT DISTINCT event_type,
+        CAST(md5_number_lower('alsx1-v1:' || event_type) % 4294967296 % 5
+             AS BIGINT) - 2 AS x1,
+        CAST(md5_number_lower('alsx2-v1:' || event_type) % 4294967296 % 5
+             AS BIGINT) - 2 AS x2
+      FROM events
+    ),
+    obs AS (
+      SELECT e.user_id, iv.x1, iv.x2,
+             CAST(ROUND(e.value * 100) AS BIGINT) AS y
+      FROM events e JOIN iv ON iv.event_type = e.event_type
+    ),
+    norm AS (
+      SELECT user_id,
+             CAST(SUM(x1 * x1) + 1 AS BIGINT) AS a11,
+             CAST(SUM(x1 * x2) AS BIGINT) AS a12,
+             CAST(SUM(x2 * x2) + 1 AS BIGINT) AS a22,
+             CAST(SUM(x1 * y) AS BIGINT) AS b1,
+             CAST(SUM(x2 * y) AS BIGINT) AS b2
+      FROM obs GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(a22 * b1 - a12 * b2 AS BIGINT) AS w1_num,
+           CAST(a11 * b2 - a12 * b1 AS BIGINT) AS w2_num,
+           CAST(a11 * a22 - a12 * a12 AS BIGINT) AS det
+    FROM norm
+    """,
+)
+def q_als_half_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One ALS half-step — the matrix-factorization building block: with
+    item vectors FIXED (deterministic hash-derived 2-dim integer vectors
+    per event_type), solve each user's ridge least squares
+    (XᵀX + I)w = Xᵀy in closed form via Cramer's rule and emit the EXACT
+    rational solution as (numerator, numerator, determinant) longs — no
+    division anywhere, so signed values need no rounding device at all
+    (the strongest form of the integer-exactness contract; w = num/det
+    reconstructs the float solution losslessly). Alternating these
+    per-user and per-item solves IS distributed ALS; each half-step is
+    what's shown here: one observation join + ONE map-side-combined
+    groupBy per entity — the 100 TB recommender-training shape.
+
+    Completes the supervised/recsys set: Naive Bayes, logreg GD, kNN,
+    decision stump, item-item CF, and now the factorization half-step.
+    """
+    from ..functions.scalar import stable_hash_u32
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", cents("value").alias("y")
+    )
+    iv = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            (
+                stable_hash_u32(
+                    F.concat(F.lit("alsx1-v1:"), F.col("event_type"))
+                )
+                % 5
+                - 2
+            ).alias("x1"),
+            (
+                stable_hash_u32(
+                    F.concat(F.lit("alsx2-v1:"), F.col("event_type"))
+                )
+                % 5
+                - 2
+            ).alias("x2"),
+        )
+    )
+    obs = ev.join(F.broadcast(iv), "event_type")
+    norm = obs.groupBy("user_id").agg(
+        (F.sum(F.col("x1") * F.col("x1")) + F.lit(1)).cast("long").alias("a11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("a12"),
+        (F.sum(F.col("x2") * F.col("x2")) + F.lit(1)).cast("long").alias("a22"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").alias("b1"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").alias("b2"),
+    )
+    return norm.select(
+        "user_id",
+        (F.col("a22") * F.col("b1") - F.col("a12") * F.col("b2"))
+        .cast("long")
+        .alias("w1_num"),
+        (F.col("a11") * F.col("b2") - F.col("a12") * F.col("b1"))
+        .cast("long")
+        .alias("w2_num"),
+        (F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12"))
+        .cast("long")
+        .alias("det"),
+    )

@@ -636,6 +636,7 @@ _R10_SHUFFLE_BUDGETS = {
     "q_lateral_topk": 1,
     "q_mst_boruvka": 3,  # node-keyed label joins; rounds behind checkpoints
     "q_personalized_pagerank": 0,  # iterations hide behind checkpoints
+    "q_als_half_step": 2,  # item-vector distinct + one user-key groupBy
 }
 
 
