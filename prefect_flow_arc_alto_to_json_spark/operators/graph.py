@@ -686,8 +686,12 @@ def personalized_pagerank(
     )
     n_seeds = nodes.where(F.col("is_seed") == 1).count()
     if n_seeds == 0:
-        return nodes.select("node").withColumn(
-            "rank_nano", F.lit(0).cast("long")
+        # keep the schema IDENTICAL to the normal path (node, is_seed,
+        # rank_nano) so downstream consumers / oracle compare never branch
+        return nodes.select(
+            F.col("node").cast("long").alias("node"),
+            F.col("is_seed").cast("int").alias("is_seed"),
+            F.lit(0).cast("long").alias("rank_nano"),
         )
     base = int((1.0 - damping) * NANO / n_seeds + 0.5)
     init = int(NANO / n_seeds + 0.5)

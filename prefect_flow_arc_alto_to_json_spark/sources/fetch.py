@@ -187,7 +187,10 @@ def fetch_urls_polite(
     buckets = (
         n_host_buckets or df.sparkSession.sparkContext.defaultParallelism
     )
-    df = df.repartition(buckets, F.expr(f"parse_url({url_col}, 'HOST')"))
+    # lower(...) so the co-location key matches the LOWERCASED pacing key
+    # (urlparse().hostname): case-variant URLs of one host must land in one
+    # partition or they would rate-limit independently.
+    df = df.repartition(buckets, F.expr(f"lower(parse_url({url_col}, 'HOST'))"))
     out_schema = ", ".join(
         f"`{c}` {df.schema[c].dataType.simpleString()}" for c in in_cols
     )
@@ -213,7 +216,7 @@ def fetch_urls_polite(
 
     def fetch_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         last_start: dict[str, float] = {}  # host pacing state, cross-batch
-        pool = ThreadPoolExecutor(max_workers=max_hosts_concurrency)
+        hung_hosts: set[str] = set()  # hosts whose runner breached its deadline
 
         def run_host(host: str, items: list, done: list) -> None:
             # appends (idx, result) to `done` as it goes, so a deadline
@@ -225,34 +228,49 @@ def fetch_urls_polite(
                 last_start[host] = _now()
                 done.append((idx, fetch(u, timeout_s)))
 
-        try:
-            for pdf in it:
+        for pdf in it:
+            # fresh pool per batch: a hung runner from an earlier batch keeps
+            # its (detached) thread but never occupies a slot here, so healthy
+            # hosts in later batches are never starved by accumulated hangs.
+            pool = ThreadPoolExecutor(max_workers=max_hosts_concurrency)
+            try:
                 by_host: dict[str, list] = {}
                 for idx, u in enumerate(pdf[url_col]):
                     by_host.setdefault(_host_of(u), []).append((idx, u))
                 results: list = [None] * len(pdf)
-                host_done: list[list] = []
-                futs = []
+                work: list = []  # (future, host, items, done)
                 for h, items in by_host.items():
+                    if h in hung_hosts:
+                        # a possibly-still-running runner owns this host's
+                        # pacing clock — submitting a second runner would race
+                        # it (politeness violation). Error these rows now.
+                        for idx, _u in items:
+                            results[idx] = (
+                                None,
+                                "FetchHostHung: an earlier batch's runner for "
+                                "this host breached its deadline and may still "
+                                "be running; skipping to preserve politeness",
+                            )
+                        continue
                     done: list = []
-                    host_done.append(done)
-                    futs.append(pool.submit(run_host, h, items, done))
-                for f, done in zip(futs, host_done):
-                    # hard per-host-queue deadline (fetch_urls' stall
-                    # contract): every request in the batch at full
+                    work.append((pool.submit(run_host, h, items, done), h, items, done))
+                for f, h, items, done in work:
+                    # hard deadline PER HOST QUEUE (fetch_urls' stall
+                    # contract): every request in THIS host's queue at full
                     # timeout + its pacing wait, + one timeout of margin.
                     # None under an injected fake clock, where wall time
                     # is fiction and a hang is the test's own bug.
                     deadline = (
                         None
                         if fake_clock
-                        else (timeout_s + per_host_interval_s) * max(1, len(pdf))
+                        else (timeout_s + per_host_interval_s) * len(items)
                         + timeout_s
                     )
                     try:
                         f.result(timeout=deadline)
                     except FutureTimeoutError:
-                        pass  # keep partial `done`; unreached rows error below
+                        hung_hosts.add(h)  # never submit this host again
+                        # keep partial `done`; unreached rows error below
                     for idx, r in done:
                         results[idx] = r
                 for i, r in enumerate(results):
@@ -266,8 +284,9 @@ def fetch_urls_polite(
                 pdf[body_col] = [r[0] for r in results]
                 pdf[error_col] = [r[1] for r in results]
                 yield pdf
-        finally:
-            pool.shutdown(wait=False, cancel_futures=True)
+            finally:
+                # never wait: a hung fetch thread must not block the stage.
+                pool.shutdown(wait=False, cancel_futures=True)
 
     return df.mapInPandas(fetch_batches, schema=out_schema)
 

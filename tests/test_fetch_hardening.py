@@ -289,3 +289,123 @@ def test_polite_fetch_port_variants_pace_as_one_host(spark):
     starts = sorted(float(r["body"]) for r in out)
     gaps = [b - a for a, b in zip(starts, starts[1:])]
     assert all(g >= 10.0 - 1e-9 for g in gaps), starts
+
+
+def test_polite_fetch_deadline_sized_per_host_queue(spark):
+    """ADVICE r8 (medium): the hard deadline must be sized to the HOST's
+    own queue length, not the whole Arrow batch — a 1-URL hung host inside
+    a 30-row batch resolves in ~(timeout + interval) + timeout, not
+    ~len(batch) * timeout (hours at production defaults)."""
+    import time
+
+    from prefect_flow_arc_alto_to_json_spark.sources.fetch import (
+        fetch_urls_polite,
+    )
+
+    def hanging_fetch(url, timeout):
+        if "hang" in str(url):
+            time.sleep(30)
+        return str(url), None
+
+    urls = ["http://hang.example/only"] + [
+        f"http://ok.example/{i}" for i in range(30)
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "premis_stored_at string")
+    t0 = time.monotonic()
+    out = fetch_urls_polite(
+        df,
+        per_host_interval_s=0.05,
+        timeout_s=0.3,
+        max_hosts_concurrency=4,
+        n_host_buckets=1,
+        fetcher=hanging_fetch,
+    ).collect()
+    elapsed = time.monotonic() - t0
+    by = {r["premis_stored_at"]: r for r in out}
+    assert by["http://hang.example/only"]["fetch_error"].startswith(
+        "FetchDeadlineExceeded"
+    )
+    assert sum(1 for r in out if r["fetch_error"] is None) == 30
+    # batch-sized deadline would be (0.35 * 31 + 0.3) ≈ 11.2 s; the
+    # per-host-queue deadline is 0.65 s + ok-host pacing (~1.5 s)
+    assert elapsed < 8.0, elapsed
+
+
+def test_polite_fetch_hung_host_skipped_in_later_batches(spark):
+    """ADVICE r8 (low): a host whose runner breached its deadline may
+    still be running — later batches must NOT submit a second runner for
+    it (politeness race) nor let it eat a pool slot; its rows error
+    immediately with FetchHostHung."""
+    import time
+
+    from prefect_flow_arc_alto_to_json_spark.sources.fetch import (
+        fetch_urls_polite,
+    )
+
+    def hanging_fetch(url, timeout):
+        if "hang" in str(url):
+            time.sleep(30)
+        return str(url), None
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+    try:
+        urls = ["http://hang.example/1", "http://hang.example/2"]
+        df = spark.createDataFrame(
+            [(u,) for u in urls], "premis_stored_at string"
+        )
+        out = fetch_urls_polite(
+            df,
+            per_host_interval_s=0.0,
+            timeout_s=0.2,
+            max_hosts_concurrency=2,
+            n_host_buckets=1,
+            fetcher=hanging_fetch,
+        ).collect()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    errs = sorted(r["fetch_error"].split(":")[0] for r in out)
+    # one row hits the deadline live; the other (its own 1-row batch) is
+    # skipped because the host is known-hung
+    assert errs == ["FetchDeadlineExceeded", "FetchHostHung"], errs
+
+
+def test_polite_fetch_case_variant_hosts_colocate_and_pace_as_one(spark):
+    """ADVICE r8 (low): the partition key lowercases (lower(parse_url))
+    to match the lowercased pacing key — http://Host/a and http://host/b
+    must land in ONE partition and share ONE rate limit."""
+    from prefect_flow_arc_alto_to_json_spark.sources.fetch import (
+        fetch_urls_polite,
+    )
+
+    urls = [
+        "http://H.example/a",
+        "http://h.example/b",
+        "http://H.EXAMPLE/c",
+        "http://h.example/d",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "premis_stored_at string")
+    placed = (
+        df.repartition(8, F.expr("lower(parse_url(premis_stored_at, 'HOST'))"))
+        .select(F.spark_partition_id().alias("pid"))
+        .distinct()
+        .collect()
+    )
+    assert len(placed) == 1, "case variants must co-locate"
+    clock = {"t": 0.0}
+
+    def fake_sleep(s):
+        clock["t"] += s
+
+    out = fetch_urls_polite(
+        df,
+        per_host_interval_s=10.0,
+        max_hosts_concurrency=1,
+        n_host_buckets=1,
+        fetcher=lambda u, t: (f"{clock['t']:.3f}", None),
+        sleep_fn=fake_sleep,
+        time_fn=lambda: clock["t"],
+    ).collect()
+    starts = sorted(float(r["body"]) for r in out)
+    gaps = [b - a for a, b in zip(starts, starts[1:])]
+    assert all(g >= 10.0 - 1e-9 for g in gaps), starts

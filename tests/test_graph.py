@@ -145,3 +145,28 @@ def test_spectral_bipartition_deterministic(spark):
     a = sorted(map(tuple, spectral_bipartition(df).collect()))
     b = sorted(map(tuple, spectral_bipartition(df).collect()))
     assert a == b
+
+
+def test_personalized_pagerank_empty_seed_schema_matches_normal_path(spark):
+    """ADVICE r8 (low): the n_seeds == 0 early return must emit the SAME
+    (node, is_seed, rank_nano) schema as the normal path, so downstream
+    consumers and the registered oracle never branch on the degenerate
+    case."""
+    from prefect_flow_arc_alto_to_json_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 1), (2, 0, 1)], "src long, dst long, w long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    no_seeds = seeds.where(F.lit(False))
+    normal = personalized_pagerank(edges, seeds, iterations=1)
+    degenerate = personalized_pagerank(edges, no_seeds, iterations=1)
+    assert degenerate.schema == normal.schema, (
+        degenerate.schema.simpleString(),
+        normal.schema.simpleString(),
+    )
+    rows = degenerate.collect()
+    assert len(rows) == 3
+    assert all(r["rank_nano"] == 0 and r["is_seed"] == 0 for r in rows)
