@@ -2385,3 +2385,90 @@ def q_als_half_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("det"),
     )
+
+
+_ALS_ITERATION_ORACLE = """
+    WITH iv AS (
+      SELECT DISTINCT event_type,
+        CAST(md5_number_lower('alsx1-v1:' || event_type) % 4294967296 % 5
+             AS BIGINT) - 2 AS x1,
+        CAST(md5_number_lower('alsx2-v1:' || event_type) % 4294967296 % 5
+             AS BIGINT) - 2 AS x2
+      FROM events
+    ),
+    obs AS (
+      SELECT e.user_id, e.event_type, iv.x1, iv.x2,
+             CAST(ROUND(e.value * 100) AS BIGINT) AS y,
+             CAST(ROUND(e.value) AS BIGINT) AS y_d
+      FROM events e JOIN iv ON iv.event_type = e.event_type
+    ),
+    unorm AS (
+      SELECT user_id,
+             CAST(SUM(x1 * x1) + 1 AS BIGINT) AS a11,
+             CAST(SUM(x1 * x2) AS BIGINT) AS a12,
+             CAST(SUM(x2 * x2) + 1 AS BIGINT) AS a22,
+             CAST(SUM(x1 * y) AS BIGINT) AS b1,
+             CAST(SUM(x2 * y) AS BIGINT) AS b2
+      FROM obs GROUP BY user_id
+    ),
+    usolve AS (
+      SELECT user_id,
+             CAST(a22 * b1 - a12 * b2 AS BIGINT) AS w1_num,
+             CAST(a11 * b2 - a12 * b1 AS BIGINT) AS w2_num,
+             CAST(a11 * a22 - a12 * a12 AS BIGINT) AS det
+      FROM unorm
+    ),
+    uq AS (
+      SELECT user_id,
+             GREATEST(-200, LEAST(200,
+               CAST(FLOOR((2 * w1_num * 2 + det * 100)
+                          / (2.0 * (det * 100))) AS BIGINT))) AS u1,
+             GREATEST(-200, LEAST(200,
+               CAST(FLOOR((2 * w2_num * 2 + det * 100)
+                          / (2.0 * (det * 100))) AS BIGINT))) AS u2
+      FROM usolve
+    ),
+    obsq AS (
+      SELECT o.event_type, u.u1, u.u2, o.y_d
+      FROM obs o JOIN uq u ON u.user_id = o.user_id
+    ),
+    inorm AS (
+      SELECT event_type,
+             CAST(SUM(u1 * u1) + 4 AS BIGINT) AS a11,
+             CAST(SUM(u1 * u2) AS BIGINT) AS a12,
+             CAST(SUM(u2 * u2) + 4 AS BIGINT) AS a22,
+             CAST(SUM(u1 * y_d) AS BIGINT) AS b1,
+             CAST(SUM(u2 * y_d) AS BIGINT) AS b2,
+             COUNT(*) AS n_obs
+      FROM obsq GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_obs AS BIGINT) AS n_obs,
+           CAST(a22 * b1 - a12 * b2 AS BIGINT) AS v1_num,
+           CAST(a11 * b2 - a12 * b1 AS BIGINT) AS v2_num,
+           CAST(a11 * a22 - a12 * a12 AS BIGINT) AS det
+    FROM inorm
+"""
+
+
+@query("q_als_iteration", extra=True, oracle=_ALS_ITERATION_ORACLE)
+def q_als_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One FULL ALS alternation (operators/factorization.py:als_iteration)
+    — completes q_als_half_step per the round-8 verdict: user ridge solve
+    with hash-init item vectors fixed, half-up snap of the rational user
+    factors to clamped half-dollar integers, then the symmetric ITEM
+    ridge solve with those users fixed. Every arithmetic step is integer-
+    exact (Cramer numerator/determinant longs; the one division — the
+    snap — uses the FLOOR half-up device), so the oracle replays the
+    entire alternation and hash-matches the item factors. The monotone
+    objective-decrease gate lives in tests/test_trees.py.
+
+    Scale: two observation joins + two map-side-combined groupBys;
+    factor state is entity-sized, never driver-side. Rank 2 keeps the
+    normal equations as columns — the same decomposition MLlib ALS uses,
+    minus the black box.
+    """
+    from ..operators.factorization import als_iteration
+
+    return als_iteration(load_table(spark, sf_dir, "events"))
+
