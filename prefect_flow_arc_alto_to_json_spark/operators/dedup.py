@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.scalar import stable_hash_p31, stable_hash_u32, token_array
-from ..functions.scale import fan_out, scoped_persist
+from ..functions.scale import fan_out, loop_ckpt, loop_rounds, scoped_persist
 
 #: Mersenne prime 2^31-1: (a*h+b) % P stays < 2^62 → safe in bigint.
 MINHASH_PRIME = 2147483647
@@ -777,7 +777,7 @@ def _propagate_min_labels(edges: DataFrame, max_iter: int) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for _ in range(loop_rounds(max_iter)):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
@@ -794,7 +794,7 @@ def _propagate_min_labels(edges: DataFrame, max_iter: int) -> DataFrame:
                     F.coalesce(F.col("nmin"), F.col("label")) < F.col("label")
                 ).alias("changed"),
             )
-            .localCheckpoint()
+            .transform(loop_ckpt)
         )
         changed = stepped.agg(
             F.sum(F.col("changed").cast("int")).alias("n")

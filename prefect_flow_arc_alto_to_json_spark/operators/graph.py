@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.scale import loop_ckpt, loop_rounds
+
 NANO = 1_000_000_000
 
 
@@ -72,7 +74,7 @@ def pagerank(
     ranks = nodes.withColumn(
         "rank_nano", F.lit(int(NANO / n + 0.5)).cast("long")
     )
-    for _ in range(iterations):
+    for _ in range(loop_rounds(iterations)):
         contrib = (
             e.join(ranks, e["src"] == ranks["node"])
             .select(
@@ -95,7 +97,7 @@ def pagerank(
                 .cast("long")
                 .alias("rank_nano"),
             )
-            .localCheckpoint()
+            .transform(loop_ckpt)
         )
     return ranks
 
@@ -189,7 +191,7 @@ def lpa_communities(edges: DataFrame, iterations: int = 3) -> DataFrame:
         .select("node", F.col("node").alias("community"))
         .localCheckpoint()
     )
-    for _ in range(iterations):
+    for _ in range(loop_rounds(iterations)):
         votes = (
             und.join(
                 labels.select(
@@ -208,7 +210,7 @@ def lpa_communities(edges: DataFrame, iterations: int = 3) -> DataFrame:
                     "nbr_label", F.struct(F.col("vw"), -F.col("nbr_label"))
                 ).alias("community")
             )
-            .localCheckpoint()
+            .transform(loop_ckpt)
         )
     return labels
 
@@ -246,10 +248,10 @@ def hits_scores(edges: DataFrame, iterations: int = 2) -> DataFrame:
                 "node",
                 half_up_units(F.col(col), F.col("mx"), 1_000_000).alias(col),
             )
-            .localCheckpoint()
+            .transform(loop_ckpt)
         )
 
-    for _ in range(iterations):
+    for _ in range(loop_rounds(iterations)):
         raw_a = (
             und.join(
                 hubs.select(F.col("node").alias("src"), "h"), "src"
@@ -316,7 +318,7 @@ def bellman_ford(
         .withColumn("dist", F.lit(0).cast("long"))
         .localCheckpoint()
     )
-    for _ in range(rounds):
+    for _ in range(loop_rounds(rounds)):
         relaxed = (
             dist.join(e, dist["node"] == e["src"])
             .select(
@@ -328,7 +330,7 @@ def bellman_ford(
         dist = (
             relaxed.groupBy("node")
             .agg(F.min("d").alias("dist"))
-            .localCheckpoint()
+            .transform(loop_ckpt)
         )
     return dist
 
@@ -348,7 +350,7 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int = 3) -> DataFrame:
     the peel has not yet converged — visible, not hidden).
     """
     e = edges.select("a", "b").localCheckpoint()
-    for _ in range(rounds):
+    for _ in range(loop_rounds(rounds)):
         keep = (
             e.groupBy(F.col("a").alias("node"))
             .agg(F.count(F.lit(1)).alias("deg"))
@@ -359,7 +361,7 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int = 3) -> DataFrame:
             e.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
             .select("a", "b")
-            .localCheckpoint()
+            .transform(loop_ckpt)
         )
     return e.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
@@ -512,7 +514,7 @@ def spectral_bipartition(
         ).alias("x"),
     )
     v = center_norm(h0, "x").localCheckpoint()
-    for _ in range(iterations):
+    for _ in range(loop_rounds(iterations)):
         neigh = (
             sym.join(v.select(F.col("node").alias("b"), "v"), "b")
             .groupBy(F.col("a").alias("node"))
@@ -530,7 +532,7 @@ def spectral_bipartition(
                 ).alias("mv"),
             )
         )
-        v = center_norm(mv, "mv").localCheckpoint()
+        v = center_norm(mv, "mv").transform(loop_ckpt)
     return v.select(
         F.col("node").cast("long").alias("node"),
         F.col("v").alias("v_scaled"),
@@ -583,7 +585,7 @@ def boruvka_components(
     )
     lab = nodes.select("node", F.col("node").alias("comp"))
     out = nodes
-    for k in range(1, rounds + 1):
+    for k in range(1, loop_rounds(rounds) + 1):
         la = lab.select(F.col("node").alias("a"), F.col("comp").alias("ca"))
         lb = lab.select(F.col("node").alias("b"), F.col("comp").alias("cb"))
         crossing = (
@@ -602,11 +604,11 @@ def boruvka_components(
             .agg(F.min("e").alias("e"))
             .select("e.a", "e.b")
             .distinct()
-            .localCheckpoint()
+            .transform(loop_ckpt)
         )
         # merge: min-label propagation over the chosen pseudo-forest
         m = lab
-        for _ in range(merge_steps):
+        for _ in range(loop_rounds(merge_steps)):
             n1 = chosen.join(
                 m.select(F.col("node").alias("b"), F.col("comp").alias("nc")),
                 "b",
@@ -629,7 +631,7 @@ def boruvka_components(
                         F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
                     ).alias("comp"),
                 )
-                .localCheckpoint()
+                .transform(loop_ckpt)
             )
         lab = m
         # statless checkpoint x checkpoint node join — hash, never SMJ
@@ -642,7 +644,7 @@ def boruvka_components(
         )
     return out.select(
         F.col("node").cast("long").alias("node"),
-        *[F.col(f"comp_r{k}").cast("long") for k in range(1, rounds + 1)],
+        *[F.col(f"comp_r{k}").cast("long") for k in range(1, loop_rounds(rounds) + 1)],
     )
 
 
@@ -700,7 +702,7 @@ def personalized_pagerank(
         "is_seed",
         (F.col("is_seed") * F.lit(init)).cast("long").alias("rank_nano"),
     )
-    for _ in range(iterations):
+    for _ in range(loop_rounds(iterations)):
         contrib = (
             e.join(ranks.select("node", "rank_nano"), e["src"] == F.col("node"))
             .select(
@@ -727,7 +729,7 @@ def personalized_pagerank(
                 .cast("long")
                 .alias("rank_nano"),
             )
-            .localCheckpoint()
+            .transform(loop_ckpt)
         )
     return ranks.select(
         F.col("node").cast("long").alias("node"),

@@ -2235,7 +2235,7 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_decision_stump",
-    extra=True,
+    # graded since round 9: the hist-GBDT split-finding representative
     oracle="""
     WITH lab AS (
       SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) // 2000000 AS bin,
@@ -2472,3 +2472,95 @@ def q_als_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return als_iteration(load_table(spark, sf_dir, "events"))
 
+
+
+def _boosted_oracle(rounds: int) -> str:
+    """Unrolled DuckDB replay of boosted_stump_curves: per round one
+    weighted histogram + curve + best-split CTE, then the reweighted row
+    relation. AS MATERIALIZED throughout — rows_t is referenced by both
+    curve_t and rows_t+1, and plain CTEs would re-inline the whole chain
+    exponentially (the q_spectral_partition fd-exhaustion incident)."""
+    parts = [
+        """
+    WITH rows1 AS MATERIALIZED (
+      SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) // 2000000 AS bin,
+             CAST(1 AS BIGINT) AS w
+      FROM orders
+    )"""
+    ]
+    curve_tpl = """,
+    hist{t} AS MATERIALIZED (
+      SELECT bin, CAST(SUM(w * y) AS BIGINT) AS c1,
+             CAST(SUM(w * (1 - y)) AS BIGINT) AS c0
+      FROM rows{t} GROUP BY bin
+    ),
+    cum{t} AS MATERIALIZED (
+      SELECT bin,
+             SUM(c1) OVER (ORDER BY bin) AS l1,
+             SUM(c0) OVER (ORDER BY bin) AS l0,
+             SUM(c1) OVER () AS t1,
+             SUM(c0) OVER () AS t0
+      FROM hist{t}
+    ),
+    curve{t} AS MATERIALIZED (
+      SELECT bin,
+             CAST(l0 + l1 AS BIGINT) AS w_left,
+             CAST((t0 - l0) + (t1 - l1) AS BIGINT) AS w_right,
+             CAST((l0 + l1 - GREATEST(l0, l1))
+                  + ((t0 - l0) + (t1 - l1) - GREATEST(t0 - l0, t1 - l1))
+                  AS BIGINT) AS w_misclassified,
+             CAST(l1 > l0 AS INT) AS maj_left,
+             CAST((t1 - l1) > (t0 - l0) AS INT) AS maj_right
+      FROM cum{t}
+    ),
+    ranked{t} AS MATERIALIZED (
+      SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY w_misclassified, bin)
+                     AS INT) AS rank
+      FROM curve{t}
+    )"""
+    rows_tpl = """,
+    best{t} AS (
+      SELECT bin AS b, maj_left AS m_l, maj_right AS m_r
+      FROM ranked{t} WHERE rank = 1
+    ),
+    rows{n} AS MATERIALIZED (
+      SELECT y, r.bin,
+             CAST(w * CASE WHEN (r.bin <= b AND y <> m_l)
+                             OR (r.bin > b AND y <> m_r)
+                      THEN 2 ELSE 1 END AS BIGINT) AS w
+      FROM rows{t} r, best{t}
+    )"""
+    for t in range(1, rounds + 1):
+        parts.append(curve_tpl.format(t=t))
+        if t < rounds:
+            parts.append(rows_tpl.format(t=t, n=t + 1))
+    selects = [
+        "SELECT CAST({t} AS INT) AS boost_round, * FROM ranked{t}".format(t=t)
+        for t in range(1, rounds + 1)
+    ]
+    return "".join(parts) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+@query("q_boosted_stumps", extra=True, oracle=_boosted_oracle(3))
+def q_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boosted stump ensemble (operators/trees.py:boosted_stump_curves):
+    3 rounds of reweight -> refit over the urgent-order stump's exact
+    feature/label/bin contract, integer weights doubling on each round's
+    misclassified rows, the FULL weighted error curve of every round
+    replayed by the oracle — the hist-GBDT training loop the decision
+    stump's docstring names as its reason to exist (round-9 VERDICT
+    item 6). Per round: one map-side-combined groupBy(bin) + bounded
+    #bins arithmetic; the best stump rides back as a broadcast 1-row
+    cross join, never a driver collect.
+    """
+    from ..operators.trees import boosted_stump_curves
+
+    orders = load_table(spark, sf_dir, "orders")
+    return boosted_stump_curves(
+        orders,
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT) div 2000000"),
+        rounds=3,
+    )

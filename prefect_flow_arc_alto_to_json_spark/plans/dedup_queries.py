@@ -915,7 +915,7 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pipeline_leakage_safe_split",
-    extra=True,
+    # graded since round 9: contamination-free split composition
     oracle=_SQL_COMPONENTS_CTES + """
     , grp AS (
       SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS g

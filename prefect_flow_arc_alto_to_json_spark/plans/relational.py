@@ -269,6 +269,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_semi_join",
+    extra=True,  # rotated out round 9 (J6 family: q_anti_join holds the shape)
     oracle="""
     SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal
     FROM customer
@@ -374,6 +375,7 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_window_analytic",
+    extra=True,  # rotated out round 9 (window family: q_rank_family stays graded)
     oracle="""
     SELECT
       event_id,
@@ -743,7 +745,7 @@ _Q10_SQL = """
 """
 
 
-@query("q10_returned_items", oracle=_Q10_SQL)
+@query("q10_returned_items", extra=True, oracle=_Q10_SQL)  # rotated out r9 (TPC-H join+agg: q3/q5 stay)
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape expressed in PURE SQL via ``spark.sql`` — the same
     string runs on both engines (the SQL front-end is part of the query
@@ -2573,7 +2575,7 @@ def q_exact_median_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_item_cf",
-    extra=True,
+    # graded since round 9: bounded-fan-out co-occurrence recsys shape
     oracle="""
     WITH ui AS (SELECT DISTINCT user_id, event_type FROM events),
     n AS (
@@ -2691,7 +2693,7 @@ LATERAL (
 """
 
 
-@query("q_lateral_topk", extra=True, oracle=_SQL_LATERAL_TOPK)
+@query("q_lateral_topk", oracle=_SQL_LATERAL_TOPK)  # graded since r9: decorrelated LATERAL
 def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated LATERAL subquery (Spark 4 lateral join — the SQL-surface
     breadth item beside WITH RECURSIVE): each customer's top-2 orders by

@@ -303,8 +303,7 @@ def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_kmv_distinct_rollup",
-    # graded since round 7: value-exact mergeable-sketch representative
-    # (displaces q_approx_distinct)
+    extra=True,  # rotated out round 9 (KMV family: q_kmv_join_estimate promoted)
     oracle="""
     WITH d1 AS (
       SELECT DISTINCT event_type, CAST(ts AS DATE) AS day,
@@ -380,7 +379,7 @@ def q_kmv_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_kmv_join_estimate",
-    extra=True,
+    # graded since round 9: sketch-based join-cardinality estimation
     oracle="""
     WITH a AS (
       SELECT DISTINCT o_custkey AS key FROM orders

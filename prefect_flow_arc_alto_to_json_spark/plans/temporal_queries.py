@@ -1029,8 +1029,7 @@ def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_holt_linear_trend",
-    # graded since round 7: the grouped-recurrence (stateful Arrow)
-    # family's representative (displaces mm_payload_stats)
+    extra=True,  # rotated out round 9 (grouped-recurrence shape stays via extra tier)
     oracle="""
     WITH RECURSIVE daily AS (
       SELECT event_type AS grp,

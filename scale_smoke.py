@@ -52,9 +52,16 @@ from prefect_flow_arc_alto_to_json_spark.operators.clustering import (  # noqa: 
 from prefect_flow_arc_alto_to_json_spark.operators.bpe import (  # noqa: E402
     bpe_learn_merges,
 )
+from prefect_flow_arc_alto_to_json_spark.operators.factorization import (  # noqa: E402
+    als_iteration,
+)
 from prefect_flow_arc_alto_to_json_spark.operators.geo import (  # noqa: E402
     radius_join,
     with_grid,
+)
+from prefect_flow_arc_alto_to_json_spark.operators.trees import (  # noqa: E402
+    boosted_stump_curves,
+    decision_stump_errors,
 )
 from prefect_flow_arc_alto_to_json_spark.operators.textstats import (  # noqa: E402
     naive_bayes_language,
@@ -119,6 +126,93 @@ def blow_up_emb(emb: DataFrame, factor: int) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def blow_up_events(ev: DataFrame, factor: int) -> DataFrame:
+    """factor distinct replicas of the interaction table: user ids offset
+    per replica (users grow linearly) while the ITEM vocabulary
+    (event_type, 5 values) stays fixed — exactly the shape that makes
+    item-CF's per-user pair fan-out the thing under test: co-occurrence
+    output is bounded by users * C(5,2) (linear), never corpus²."""
+    parts = [
+        ev.select(
+            (F.col("user_id") + r * 10_000_000).alias("user_id"),
+            "event_type",
+            "value",
+        )
+        for r in range(factor)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def blow_up_orders(o: DataFrame, factor: int) -> DataFrame:
+    """factor replicas of the label/feature projection. No ids involved —
+    the stump/boosting probes are pure bin-keyed aggregations, so
+    replicas only have to multiply the row count."""
+    parts = [o for _ in range(factor)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _leakage_split(d: DataFrame) -> DataFrame:
+    """pipeline_leakage_safe_split's composition (plans/dedup_queries.py)
+    over the blown-up documents: near-dup pairs → components → component-
+    hash split → leak counts. The pair relation feeds THREE consumers off
+    one localCheckpoint — the exact multi-consumer shape TRISCALE once
+    caught re-expanding into a 50-shuffle plan."""
+    from prefect_flow_arc_alto_to_json_spark.functions.scalar import (
+        stable_hash_p31,
+    )
+    from prefect_flow_arc_alto_to_json_spark.operators.dedup import (
+        duplicate_components,
+    )
+
+    pairs = (
+        ngram_jaccard_pairs(d, threshold=0.8, max_doc_freq=20)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    comp = duplicate_components(pairs)
+    grp = (
+        d.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select("doc_id", F.coalesce("component_id", "doc_id").alias("g"))
+    )
+    h = stable_hash_p31(F.concat(F.lit("split-v1:"), F.col("g").cast("string")))
+    sp = grp.select(
+        "doc_id",
+        F.when(h % 10 < 8, F.lit("train")).otherwise(F.lit("val")).alias("split"),
+    ).localCheckpoint()
+    a = sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
+    b = sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
+    return (
+        pairs.join(a.hint("shuffle_hash"), "id_a")
+        .join(b.hint("shuffle_hash"), "id_b")
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _item_cf(ev: DataFrame) -> DataFrame:
+    """q_item_cf's pair-generation core: distinct (user, item) → per-user
+    item-pair co-counts. The per-user fan-out is the quadratic risk the
+    probe watches (bounded here by the fixed 5-item vocabulary)."""
+    ui = ev.select("user_id", "event_type").distinct()
+    a = ui.select("user_id", F.col("event_type").alias("ia"))
+    b = ui.select(F.col("user_id").alias("uid_b"), F.col("event_type").alias("ib"))
+    return (
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("user_id") == F.col("uid_b")) & (F.col("ia") < F.col("ib")),
+        )
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
 
 
 def _clean_corpus(d: DataFrame) -> DataFrame:
@@ -190,67 +284,73 @@ def main() -> None:
     spark = get_spark(app_name="scale-smoke")
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
     emb = load_table(spark, SF_DIR, "embeddings")
+    events = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_type", "value"
+    )
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
     queries = emb.limit(32)
 
     probes = {
-        "exact_dedup": lambda d, e: exact_dedup_groups(d),
-        "minhash_lsh_pairs": lambda d, e: minhash_lsh_pairs(
+        "exact_dedup": lambda d, e, ev, o: exact_dedup_groups(d),
+        "minhash_lsh_pairs": lambda d, e, ev, o: minhash_lsh_pairs(
             d, threshold=0.5, max_bucket_size=64
         ),
-        "text_quality": lambda d, e: d.select(
+        "text_quality": lambda d, e, ev, o: d.select(
             "doc_id", quality_score("text").alias("q")
         ),
-        "lsh_topk": lambda d, e: lsh_bucketed_topk(e, F.broadcast(queries), k=10),
+        "lsh_topk": lambda d, e, ev, o: lsh_bucketed_topk(e, F.broadcast(queries), k=10),
         # round-6 late additions: the quantized scorer and the clustered
         # semantic dedup (cell-confined pair search is the O(N) claim)
-        "int8_topk": lambda d, e: int8_topk(e, queries, k=10),
-        "semantic_dedup": lambda d, e: semantic_dedup(e, threshold=0.95),
+        "int8_topk": lambda d, e, ev, o: int8_topk(e, queries, k=10),
+        "semantic_dedup": lambda d, e, ev, o: semantic_dedup(e, threshold=0.95),
         # round-7 additions: the two flagship COMPOSITIONS — the 100 TB
         # workload is the composed pipeline, so linearity of the stages
         # individually is necessary but not sufficient
-        "pipeline_clean_corpus": lambda d, e: _clean_corpus(d),
-        "pipeline_embedding_dedup": _embedding_dedup,
+        "pipeline_clean_corpus": lambda d, e, ev, o: _clean_corpus(d),
+        "pipeline_embedding_dedup": lambda d, e, ev, o: _embedding_dedup(d, e),
         # fixed-vs-adaptive plane count: candidate volume of the LSH
         # bucket self-join is ~N²·(1+P)/2^P, so fixed P=8 reverts toward
         # quadratic as buckets densify; planes=None derives P from a
         # count (derive_planes) and should hold the ratio down
-        "emb_near_dup_fixed8": lambda d, e: embedding_near_dup_pairs(
+        "emb_near_dup_fixed8": lambda d, e, ev, o: embedding_near_dup_pairs(
             e, threshold=0.4
         ),
-        "emb_near_dup_adaptive": lambda d, e: embedding_near_dup_pairs(
+        "emb_near_dup_adaptive": lambda d, e, ev, o: embedding_near_dup_pairs(
             e, threshold=0.4, planes=None
         ),
         # round-8: adaptive planes AND the max_bucket_size guard — the
         # full 100 TB configuration (cost bounded by n_buckets·cap²
         # regardless of how buckets densify)
-        "emb_near_dup_capped": lambda d, e: embedding_near_dup_pairs(
+        "emb_near_dup_capped": lambda d, e, ev, o: embedding_near_dup_pairs(
             e, threshold=0.4, planes=None, max_bucket_size=64
         ),
         # round-7 late additions: the phrase-search posting join (hot
         # terms fan the (doc, pos) join — counts stay linear because the
         # join key is near-unique) and the two-phase MG heavy hitters
         # (the exchange is candidate-bounded, not vocabulary-bounded)
-        "phrase_search": lambda d, e: phrase_search(d, ["table", "scan"]),
-        "mg_heavy_hitters": lambda d, e: misra_gries_heavy_hitters(
+        "phrase_search": lambda d, e, ev, o: phrase_search(d, ["table", "scan"]),
+        "mg_heavy_hitters": lambda d, e, ev, o: misra_gries_heavy_hitters(
             d.select(F.explode(token_array("text")).alias("term")), "term", 30
         ),
         # round-8 addition: PQ ADC retrieval — encode is N·M·K broadcast
         # work, the ADC scan is an (m, code)-keyed join against a
         # broadcast LUT, rerank touches only |q|·shortlist vectors; all
         # three stages should scale linearly in N
-        "pq_topk": lambda d, e: pq_topk(e, queries, k=10, shortlist=100),
+        "pq_topk": lambda d, e, ev, o: pq_topk(e, queries, k=10, shortlist=100),
         # round-8 late addition: BPE merge training (k=2 probe rounds).
         # The salted replicas mint NEW word types, so the vocabulary —
         # the relation every BPE round runs on — grows ~linearly with
         # the blow-up; cost should track vocab, not corpus^2. NOTE its
         # checkpointing loop runs at CONSTRUCTION time, which is why the
         # timing below wraps build+materialize, not materialize alone.
-        "bpe_merges": lambda d, e: bpe_learn_merges(d, k=2),
+        "bpe_merges": lambda d, e, ev, o: bpe_learn_merges(d, k=2),
         # round-8 late addition: the PCA gram kernel is ONE linear
         # corpus pass emitting dim²-long partials per partition; the
         # 4 power-iteration rounds after run on the constant 4096-row
         # gram, so wall should track the scan, never N²
-        "pca_top_component": lambda d, e: pca_top_component_micro(
+        "pca_top_component": lambda d, e, ev, o: pca_top_component_micro(
             e, iterations=4
         ),
         # round-9 additions: Naive Bayes (model relation is vocab x L —
@@ -259,13 +359,36 @@ def main() -> None:
         # join (candidate volume is grid-density-bound: 9·N²/cells, so
         # at fixed cell size the ratio bends up only when density does —
         # the skew valve is a finer grid, same law as LSH bands)
-        "naive_bayes": lambda d, e: naive_bayes_language(
+        "naive_bayes": lambda d, e, ev, o: naive_bayes_language(
             d.withColumn(
                 "lang",
                 F.concat(F.lit("l"), F.pmod("doc_id", 4).cast("string")),
             )
         ),
-        "geo_radius_join": lambda d, e: radius_join(
+        # round-9 additions (verdict item 5 + the two new families):
+        # leakage-safe split is three consumers of one persisted pair
+        # relation; item CF's per-user fan-out is the quadratic risk
+        # (bounded by the fixed item vocabulary); the stump family is
+        # pure bin-keyed aggregation (map-side combine, #bins output);
+        # ALS alternation is two obs joins + two entity-keyed aggs —
+        # every one should hold x8/x1 well under 8
+        "leakage_split": lambda d, e, ev, o: _leakage_split(d),
+        "item_cf": lambda d, e, ev, o: _item_cf(ev),
+        "decision_stump": lambda d, e, ev, o: decision_stump_errors(
+            o,
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int"),
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT) div 2000000"),
+        ),
+        "boosted_stumps": lambda d, e, ev, o: boosted_stump_curves(
+            o,
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int"),
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT) div 2000000"),
+            rounds=3,
+        ),
+        "als_iteration": lambda d, e, ev, o: als_iteration(
+            ev.withColumn("value", F.col("value"))
+        ),
+        "geo_radius_join": lambda d, e, ev, o: radius_join(
             with_grid(d.select(F.col("doc_id").alias("lid")), "lid", 1_000_000),
             with_grid(
                 d.select((F.col("doc_id") + 777).alias("rid")), "rid", 1_000_000
@@ -280,6 +403,8 @@ def main() -> None:
     for factor in FACTORS:
         d = blow_up_docs(docs, factor).localCheckpoint()
         e = blow_up_emb(emb, factor).localCheckpoint()
+        ev = blow_up_events(events, factor).localCheckpoint()
+        o = blow_up_orders(orders, factor).localCheckpoint()
         rows[factor] = d.count()
         emb_rows[factor] = e.count()
         for name, build in probes.items():
@@ -290,7 +415,7 @@ def main() -> None:
             # this is identical to timing the materialize alone.
             def run_once() -> float:
                 t0 = time.perf_counter()
-                timed(build(d, e))
+                timed(build(d, e, ev, o))
                 return time.perf_counter() - t0
 
             t = min(run_once(), run_once())

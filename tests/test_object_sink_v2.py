@@ -93,3 +93,27 @@ def test_composes_with_reference_json_emit(spark, sf_dir):
     got = open(os.path.join(out, "d1.json"), encoding="utf-8").read()
     expect = payloads.collect()[0]["payload"]
     assert got == expect and got.startswith("{")
+
+
+def test_boto3_missing_guard_message(monkeypatch):
+    """VERDICT r8 item 7: boto3 now ships in the container, so the
+    ImportError guard is otherwise dead code here — pin its contract by
+    simulating the import failing."""
+    import builtins
+
+    import pytest
+
+    from prefect_flow_arc_alto_to_json_spark.sinks.objects import (
+        _default_s3_client_factory,
+    )
+
+    real_import = builtins.__import__
+
+    def no_boto3(name, *args, **kwargs):
+        if name == "boto3":
+            raise ImportError("No module named 'boto3'")
+        return real_import(name, *args, **kwargs)
+
+    monkeypatch.setattr(builtins, "__import__", no_boto3)
+    with pytest.raises(NotImplementedError, match="requires boto3"):
+        _default_s3_client_factory()
