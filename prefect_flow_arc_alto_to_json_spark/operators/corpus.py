@@ -357,3 +357,40 @@ def temperature_sample(
         .drop("__n_s")
         .withColumnRenamed("__rate_micro", "rate_micro")
     )
+
+
+def weighted_priority_sample(
+    df: DataFrame, weight, k: int, id_col: str = "doc_id", salt: str = "res-v1"
+) -> DataFrame:
+    """Deterministic weighted sample of ``k`` rows by the UNIFORM-OVER-
+    WEIGHT race: each row draws a deterministic hash-uniform h and the k
+    smallest h/weight win. Heavier rows win monotonically more often
+    (pairwise P(i beats j) = 1 - w_j/(2*w_i) for w_i >= w_j); the exact
+    Efraimidis-Spirakis distribution would use the key -ln(u)/w, but ln
+    is NOT correctly rounded identically across engines (JVM Math.log vs
+    libm) — a one-ulp disagreement flips a FLOOR-snapped key with
+    probability ~1e-5 per row, which across a corpus WILL desync an
+    oracle. h/w is a single IEEE division, correctly rounded everywhere
+    by spec, so the ordering (with the id tiebreak) is bit-deterministic
+    cross-engine; the emitted columns are pure integers.
+
+    Scale: ORDER BY + LIMIT plans as TakeOrderedAndProject — each
+    partition keeps its local top-k and only k rows per partition reach
+    the driver-side merge; no global sort, no full shuffle. This is the
+    reservoir-sampling shape (one pass, bounded state) expressed
+    declaratively.
+    """
+    from ..functions.scalar import stable_hash_u32
+
+    w = (F.col(weight) if isinstance(weight, str) else weight).cast("long")
+    h = stable_hash_u32(
+        F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+    )
+    keyed = df.select(
+        F.col(id_col),
+        F.greatest(w, F.lit(1)).alias("w"),
+        h.cast("long").alias("h"),
+    )
+    return keyed.orderBy(
+        F.col("h").cast("double") / F.col("w"), F.col(id_col)
+    ).limit(k)

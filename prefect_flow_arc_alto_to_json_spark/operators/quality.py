@@ -246,3 +246,98 @@ def roc_auc_by_group(
             ).cast("long"),
         ).alias("auc_ppm"),
     )
+
+
+def mad_outliers(
+    df: DataFrame, grp: str, value: Column, z_milli: int = 3500
+) -> DataFrame:
+    """Per-group robust outlier counts by MEDIAN / MAD — the
+    breakdown-resistant twin of the z-score (one extreme value moves a
+    mean/stddev arbitrarily; it moves the median/MAD not at all). Flags
+    values whose robust z-score 0.6745*|v - med|/MAD exceeds
+    ``z_milli``/1000 (3.5 is the Iglewicz-Hoaglin convention).
+
+    Exactness contract: ``value`` must be an integer column (cents).
+    Medians use the DOUBLED-median device: med2 = the sum of the two
+    middle order statistics (twice the middle one when n is odd), an
+    integer for integer inputs — no .5 ever exists to round. Deviations
+    d = |2v - med2| = 2|v - med| stay integers; mad2 (the med2 of the
+    d's) = 4*MAD. The flag rule folds to pure longs:
+    0.6745*|v-med|/MAD > z_milli/1000, with |v-med| = d/2 and
+    MAD = mad2/4, is 1.349*d/mad2 > z_milli/1000, i.e.
+    ``1349 * d > z_milli * mad2`` — exact integer comparison, no float
+    anywhere in the operator.
+
+    Scale shape: NO row-level sort. Pass 1 folds rows into a per-(group,
+    value) HISTOGRAM (map-side combined; the shuffle carries distinct
+    values, not rows). Median selection is a cumulative scan of each
+    group's ordered histogram — a window over the histogram relation.
+    Pass 2 re-keys the same histogram by deviation and selects again.
+    The group count here is small (order priorities); for high-cardinality
+    values the histogram is the standard exact-selection compromise —
+    the approximate path is approx_percentile, already covered.
+    """
+    v = value.cast("long").alias("v")
+    hist = (
+        df.select(F.col(grp).alias("grp"), v)
+        .groupBy("grp", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    def med2_of(h: DataFrame, val_col: str) -> DataFrame:
+        """Doubled median from an ordered histogram: the two middle ranks
+        m1=(n+1)/2, m2=(n+2)/2 fall inside the value whose cumulative
+        range covers them."""
+        w = Window.partitionBy("grp").orderBy(val_col)
+        cum = h.select(
+            "grp",
+            F.col(val_col).alias("val"),
+            "c",
+            F.sum("c").over(w).alias("cum"),
+        )
+        tot = cum.groupBy("grp").agg(F.max("cum").alias("n"))
+        j = cum.join(F.broadcast(tot), "grp")
+        lo = F.col("cum") - F.col("c")  # ranks covered: (lo, cum]
+        m1 = (F.col("n") + 1) / 2
+        m2 = (F.col("n") + 2) / 2
+        m1 = F.floor(m1).cast("long")
+        m2 = F.floor(m2).cast("long")
+        return j.groupBy("grp").agg(
+            F.sum(
+                F.when((m1 > lo) & (m1 <= F.col("cum")), F.col("val")).otherwise(0)
+                + F.when((m2 > lo) & (m2 <= F.col("cum")), F.col("val")).otherwise(0)
+            )
+            .cast("long")
+            .alias("med2"),
+            F.max("n").cast("long").alias("n"),
+        )
+
+    med = med2_of(hist, "v")
+    dev = (
+        hist.join(F.broadcast(med.select("grp", "med2")), "grp")
+        .select(
+            "grp",
+            F.abs(F.lit(2) * F.col("v") - F.col("med2")).alias("d"),
+            "c",
+        )
+        .groupBy("grp", "d")
+        .agg(F.sum("c").alias("c"))
+    )
+    mad = med2_of(dev, "d").select("grp", F.col("med2").alias("mad2"))
+    flagged = (
+        dev.join(F.broadcast(mad), "grp")
+        .where(F.lit(1349) * F.col("d") > F.lit(z_milli) * F.col("mad2"))
+        .groupBy("grp")
+        .agg(F.sum("c").cast("long").alias("n_outliers"))
+    )
+    return (
+        med.join(F.broadcast(mad), "grp")
+        .join(flagged, "grp", "left")
+        .select(
+            "grp",
+            "n",
+            "med2",
+            "mad2",
+            F.coalesce("n_outliers", F.lit(0)).cast("long").alias("n_outliers"),
+        )
+    )

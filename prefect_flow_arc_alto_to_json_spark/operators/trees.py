@@ -191,3 +191,118 @@ def boosted_stump_curves(
     for c in curves[1:]:
         out = out.unionByName(c)
     return out
+
+
+def cv_stump_oof(df: DataFrame, label: Column, bin_: Column, fold: Column) -> DataFrame:
+    """K-fold out-of-fold stump evaluation from ONE scan — the histogram-
+    additivity trick: the per-(fold, bin) class histogram is aggregated
+    once, and every fold's TRAINING histogram is the sum of the other
+    folds' rows (train_f = global - fold_f), so fitting k models costs k
+    passes over a #folds*#bins relation instead of k passes over the
+    data. The held-out error evaluates the winning split against the
+    fold's own histogram — the honest generalization number a training
+    pipeline needs next to the in-sample error curve.
+
+    Returns one row per fold: (fold, split_bin, train_misclassified,
+    holdout_misclassified, n_train, n_holdout) — all exact longs (the
+    stump family's integer-misclassification contract).
+
+    Scale: the ONLY row-scale operation is the first groupBy (map-side
+    combined, output bounded by #folds * #bins). Everything downstream —
+    the leave-one-fold-out sum, the cumulative split scan, the argmin,
+    the holdout join — runs on that bounded relation.
+    """
+    hist = (
+        df.select(
+            fold.cast("int").alias("fold"),
+            label.cast("long").alias("y"),
+            bin_.cast("long").alias("bin"),
+        )
+        .groupBy("fold", "bin")
+        .agg(
+            F.sum("y").alias("c1"),
+            (F.count(F.lit(1)) - F.sum("y")).alias("c0"),
+        )
+    )
+    folds = hist.select("fold").distinct()
+    # leave-one-fold-out training histogram: tiny cross join (k * k*#bins)
+    train = (
+        folds.withColumnRenamed("fold", "f")
+        .join(hist, F.col("f") != F.col("fold"))
+        .groupBy("f", "bin")
+        .agg(F.sum("c1").alias("c1"), F.sum("c0").alias("c0"))
+    )
+    w = Window.partitionBy("f").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = train.groupBy("f").agg(
+        F.sum("c1").alias("t1"), F.sum("c0").alias("t0")
+    )
+    cum = train.select(
+        "f",
+        "bin",
+        F.sum("c1").over(w).alias("l1"),
+        F.sum("c0").over(w).alias("l0"),
+    ).join(F.broadcast(tot), "f")
+    r0 = F.col("t0") - F.col("l0")
+    r1 = F.col("t1") - F.col("l1")
+    err = (
+        F.col("l0")
+        + F.col("l1")
+        - F.greatest(F.col("l0"), F.col("l1"))
+        + (r0 + r1)
+        - F.greatest(r0, r1)
+    )
+    scored = cum.select(
+        "f",
+        "bin",
+        err.cast("long").alias("train_misclassified"),
+        (F.col("l1") > F.col("l0")).cast("int").alias("maj_left"),
+        (r1 > r0).cast("int").alias("maj_right"),
+        (F.col("t0") + F.col("t1")).cast("long").alias("n_train"),
+    )
+    rk = Window.partitionBy("f").orderBy("train_misclassified", "bin")
+    best = (
+        scored.withColumn("rank", F.row_number().over(rk))
+        .where(F.col("rank") == 1)
+        .select(
+            "f",
+            F.col("bin").alias("split_bin"),
+            "train_misclassified",
+            "maj_left",
+            "maj_right",
+            "n_train",
+        )
+    )
+    holdout = (
+        hist.join(F.broadcast(best), hist["fold"] == best["f"])
+        .groupBy("fold")
+        .agg(
+            F.max("split_bin").alias("split_bin"),
+            F.max("train_misclassified").alias("train_misclassified"),
+            F.max("n_train").alias("n_train"),
+            F.sum(
+                F.when(
+                    F.col("bin") <= F.col("split_bin"),
+                    F.when(F.col("maj_left") == 1, F.col("c0")).otherwise(
+                        F.col("c1")
+                    ),
+                ).otherwise(
+                    F.when(F.col("maj_right") == 1, F.col("c0")).otherwise(
+                        F.col("c1")
+                    )
+                )
+            )
+            .cast("long")
+            .alias("holdout_misclassified"),
+            F.sum(F.col("c0") + F.col("c1")).cast("long").alias("n_holdout"),
+        )
+    )
+    return holdout.select(
+        "fold",
+        "split_bin",
+        "train_misclassified",
+        "holdout_misclassified",
+        "n_train",
+        "n_holdout",
+    )

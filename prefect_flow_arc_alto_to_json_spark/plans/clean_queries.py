@@ -2564,3 +2564,92 @@ def q_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT) div 2000000"),
         rounds=3,
     )
+
+
+@query(
+    "q_cv_stump_oof",
+    extra=True,
+    oracle="""
+    WITH rows_ AS (
+      SELECT CAST(md5_number_lower('fold-v1:' || CAST(o_orderkey AS VARCHAR))
+                  % 4294967296 % 5 AS INT) AS fold,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) // 2000000 AS bin
+      FROM orders
+    ),
+    hist AS (
+      SELECT fold, bin, CAST(SUM(y) AS BIGINT) AS c1,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS c0
+      FROM rows_ GROUP BY 1, 2
+    ),
+    folds AS (SELECT DISTINCT fold AS f FROM hist),
+    train AS (
+      SELECT f, bin, CAST(SUM(c1) AS BIGINT) AS c1,
+             CAST(SUM(c0) AS BIGINT) AS c0
+      FROM folds JOIN hist ON fold <> f GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT f, bin,
+             SUM(c1) OVER (PARTITION BY f ORDER BY bin) AS l1,
+             SUM(c0) OVER (PARTITION BY f ORDER BY bin) AS l0,
+             SUM(c1) OVER (PARTITION BY f) AS t1,
+             SUM(c0) OVER (PARTITION BY f) AS t0
+      FROM train
+    ),
+    scored AS (
+      SELECT f, bin,
+             CAST((l0 + l1 - GREATEST(l0, l1))
+                  + ((t0 - l0) + (t1 - l1)
+                     - GREATEST(t0 - l0, t1 - l1)) AS BIGINT)
+               AS train_misclassified,
+             CAST(l1 > l0 AS INT) AS maj_left,
+             CAST((t1 - l1) > (t0 - l0) AS INT) AS maj_right,
+             CAST(t0 + t1 AS BIGINT) AS n_train
+      FROM cum
+    ),
+    best AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY f ORDER BY train_misclassified, bin) AS rk
+        FROM scored
+      ) WHERE rk = 1
+    )
+    SELECT h.fold,
+           CAST(MAX(b.bin) AS BIGINT) AS split_bin,
+           MAX(b.train_misclassified) AS train_misclassified,
+           CAST(SUM(CASE WHEN h.bin <= b.bin
+                    THEN CASE WHEN b.maj_left = 1 THEN h.c0 ELSE h.c1 END
+                    ELSE CASE WHEN b.maj_right = 1 THEN h.c0 ELSE h.c1 END
+               END) AS BIGINT) AS holdout_misclassified,
+           MAX(b.n_train) AS n_train,
+           CAST(SUM(h.c0 + h.c1) AS BIGINT) AS n_holdout
+    FROM hist h JOIN best b ON h.fold = b.f
+    GROUP BY h.fold
+    """,
+)
+def q_cv_stump_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold OUT-OF-FOLD stump evaluation (operators/trees.py:
+    cv_stump_oof) — 5 deterministic hash folds over orders, one
+    per-(fold, bin) class histogram scan, every fold's training
+    histogram formed by LEAVE-ONE-FOLD-OUT SUBTRACTION-free addition
+    (train_f = sum of the other folds — histogram additivity, the reason
+    hist-GBDTs can cross-validate without re-scanning), winning split
+    per fold evaluated on the held-out fold's own histogram. Completes
+    the evaluation side of the stump family: q_decision_stump is the
+    in-sample curve, q_boosted_stumps the ensemble, this the honest
+    generalization number — all exact integer misclassification counts.
+    """
+    from ..functions.scalar import stable_hash_u32
+    from ..operators.trees import cv_stump_oof
+
+    orders = load_table(spark, sf_dir, "orders")
+    fold = stable_hash_u32(
+        F.concat(F.lit("fold-v1:"), F.col("o_orderkey").cast("string"))
+    ) % 5
+    return cv_stump_oof(
+        orders,
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT) div 2000000"),
+        fold,
+    )

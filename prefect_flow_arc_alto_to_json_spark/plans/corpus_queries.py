@@ -395,3 +395,36 @@ def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod("pos", F.lit(8)).cast("int").alias("shard"),
         F.expr("pos DIV 8").alias("shard_pos"),
     )
+
+
+@query(
+    "corpus_weighted_sample",
+    extra=True,
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id,
+             GREATEST(LENGTH(text), 1) AS w,
+             CAST(md5_number_lower('res-v1:' || CAST(doc_id AS VARCHAR))
+                  % 4294967296 AS BIGINT) AS h
+      FROM documents
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS w, h
+    FROM keyed
+    ORDER BY CAST(h AS DOUBLE) / w, doc_id
+    LIMIT 50
+    """,
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted deterministic document sample (operators/corpus.py:
+    weighted_priority_sample): 50 winners of the uniform-over-weight
+    race, longer documents proportionally likelier. The sampling shape
+    every mixture builder needs upstream of temperature mixing; the
+    docstring records why the race key is a single IEEE division rather
+    than the ES -ln(u)/w (cross-engine ln is not bit-deterministic; a
+    division is). Plans as TakeOrderedAndProject — per-partition local
+    top-k, k rows per partition to the merge, no global sort.
+    """
+    from ..operators.corpus import weighted_priority_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_priority_sample(docs, F.length("text"), k=50)

@@ -2711,3 +2711,89 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, "customer", "orders")
     return spark.sql(_SQL_LATERAL_TOPK)
+
+
+@query(
+    "q_mad_outliers",
+    extra=True,
+    oracle="""
+    WITH hist AS (
+      SELECT o_orderpriority AS grp,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+             COUNT(*) AS c
+      FROM orders GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT grp, v, c,
+             SUM(c) OVER (PARTITION BY grp ORDER BY v) AS cum
+      FROM hist
+    ),
+    tot AS (SELECT grp, MAX(cum) AS n FROM cum GROUP BY grp),
+    med AS (
+      SELECT c2.grp,
+             CAST(SUM(
+               CASE WHEN (n + 1) // 2 > cum - c AND (n + 1) // 2 <= cum
+                    THEN v ELSE 0 END
+               + CASE WHEN (n + 2) // 2 > cum - c AND (n + 2) // 2 <= cum
+                      THEN v ELSE 0 END) AS BIGINT) AS med2,
+             CAST(MAX(n) AS BIGINT) AS n
+      FROM cum c2 JOIN tot USING (grp) GROUP BY c2.grp
+    ),
+    dev AS (
+      SELECT h.grp, ABS(2 * h.v - m.med2) AS d, CAST(SUM(h.c) AS BIGINT) AS c
+      FROM hist h JOIN med m USING (grp) GROUP BY 1, 2
+    ),
+    dcum AS (
+      SELECT grp, d, c,
+             SUM(c) OVER (PARTITION BY grp ORDER BY d) AS cum
+      FROM dev
+    ),
+    dtot AS (SELECT grp, MAX(cum) AS n FROM dcum GROUP BY grp),
+    mad AS (
+      SELECT dc.grp,
+             CAST(SUM(
+               CASE WHEN (n + 1) // 2 > cum - c AND (n + 1) // 2 <= cum
+                    THEN d ELSE 0 END
+               + CASE WHEN (n + 2) // 2 > cum - c AND (n + 2) // 2 <= cum
+                      THEN d ELSE 0 END) AS BIGINT) AS mad2
+      FROM dcum dc JOIN dtot USING (grp) GROUP BY dc.grp
+    ),
+    fl AS (
+      SELECT dev.grp, CAST(SUM(c) AS BIGINT) AS n_outliers
+      FROM dev JOIN mad USING (grp)
+      WHERE 1349 * d > 1300 * mad2
+      GROUP BY dev.grp
+    )
+    SELECT m.grp, m.n, m.med2, mad.mad2,
+           CAST(COALESCE(fl.n_outliers, 0) AS BIGINT) AS n_outliers
+    FROM med m JOIN mad USING (grp) LEFT JOIN fl USING (grp)
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier counts by median/MAD
+    (operators/quality.py:mad_outliers): order totals per priority,
+    doubled-median device so every statistic is an exact long (med2 =
+    sum of the two middle order statistics; mad2 = 4*MAD; flag rule
+    1349*d > z_milli*mad2 — no float anywhere), robust z threshold 1.3
+    (the bounded uniform-ish price distribution tops out at robust z
+    ~1.35, so the conventional 3.5 flags nothing here; the DEVICE is
+    the deliverable, the threshold is the caller's).
+    Completes the data-quality family beside the rule checker and PSI
+    drift: mean/stddev z-scores break down under the very outliers they
+    hunt; median/MAD has a 50% breakdown point.
+
+    Scale: no row sort — rows fold into a per-(group, value) histogram
+    (map-side combined), selection runs on the histogram's cumulative
+    scan, deviations re-key the SAME histogram. Two passes over the
+    distinct-value relation, zero passes over raw rows after the first
+    aggregation.
+    """
+    from ..operators.quality import mad_outliers
+
+    orders = load_table(spark, sf_dir, "orders")
+    return mad_outliers(
+        orders.withColumnRenamed("o_orderpriority", "grp"),
+        "grp",
+        cents("o_totalprice"),
+        z_milli=1300,
+    )

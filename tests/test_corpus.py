@@ -376,3 +376,48 @@ def test_weighted_sample_is_size_biased(spark):
         .collect()[0]["m"]
     )
     assert sel_mean > corpus_mean * 1.15, (sel_mean, corpus_mean)
+
+
+def _py_hash_u32(s: str) -> int:
+    """Pure-Python replica of functions.scalar.stable_hash_u32: low 32
+    bits of the little-endian u64 of md5 bytes 8..15."""
+    import hashlib
+
+    hexpart = hashlib.md5(s.encode()).hexdigest()[16:32]
+    le = "".join(hexpart[i : i + 2] for i in range(14, -1, -2))
+    return int(le, 16) % (2**32)
+
+
+def test_weighted_sample_monotone_in_weight():
+    """The uniform-over-weight race must prefer heavier rows: over many
+    salts, an item with 9x the weight wins the pairwise race ~94% of the
+    time (P = 1 - w_light/(2*w_heavy) = 1 - 1/18). Pure-Python replay of
+    the exact hash/key the operator uses — no Spark needed."""
+    wins = 0
+    n = 400
+    for s in range(n):
+        h_heavy = _py_hash_u32(f"salt{s}:heavy")
+        h_light = _py_hash_u32(f"salt{s}:light")
+        if h_heavy / 9 < h_light / 1:
+            wins += 1
+    assert 0.88 * n < wins < 0.99 * n, wins
+
+
+def test_weighted_sample_operator_deterministic_topk(spark):
+    """Same call twice = identical rows; k bounds the output; weights
+    clamp at 1 (empty text cannot divide by zero)."""
+    from pyspark.sql import functions as F
+
+    from prefect_flow_arc_alto_to_json_spark.operators.corpus import (
+        weighted_priority_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "x" * (1 + i % 7) if i % 11 else "") for i in range(200)],
+        "doc_id long, text string",
+    )
+    a = weighted_priority_sample(df, F.length("text"), k=25).collect()
+    b = weighted_priority_sample(df, F.length("text"), k=25).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) == 25
+    assert all(r["w"] >= 1 for r in a)
