@@ -83,6 +83,7 @@ ITERATIVE = {
     "q_clustering_coefficient",
     "dedup_components",
     "q_boosted_stumps",
+    "q_scc_trade",
 }
 
 SMJ_EXPECTED = {

@@ -736,3 +736,88 @@ def personalized_pagerank(
         F.col("is_seed").cast("int").alias("is_seed"),
         "rank_nano",
     )
+
+
+def scc_first_peel(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """First peel of the distributed SCC COLORING algorithm (Orzan's
+    coloring / the label step of FW-BW) over directed ``edges``
+    (src, dst) — the directed completion of the connected-components
+    family: components answers "together under ANY path", SCC answers
+    "mutually reachable".
+
+    Round 1 (coloring): forward min-label propagation to a fixed-round
+    fixpoint gives color f(v) = min id that reaches v (v included).
+    Round 2 (peel): within each color class, the SCC containing the
+    class root p = f(v) is exactly {v : f(v) = p and v reaches p};
+    reachability of the OWN root propagates backward along the
+    color-preserving subgraph (an edge v->u can carry "reaches p" from u
+    to v only when both sides wear color p — crossing colors would leak
+    reachability through a different class). Nodes the peel does not
+    claim get scc_id -1: they are singletons or members of deeper SCCs a
+    second peel on the residual graph would extract — the documented
+    one-peel contract (same fixed-round honesty as components/pagerank).
+
+    Returns (node, color, scc_id) — scc_id = color for peeled nodes,
+    -1 otherwise.
+
+    Scale: identical profile to the other iterative graph operators —
+    per round ONE edges x state join + ONE map-side-combined min/max
+    agg; the colored subgraph is derived once after coloring converges.
+    loop_ckpt/loop_rounds make the per-iteration body plan-auditable.
+    """
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct().localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    f = nodes.withColumn("f", F.col("node")).transform(loop_ckpt)
+    for _ in range(loop_rounds(rounds)):
+        upd = (
+            e.join(f, e["src"] == f["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("f").alias("nmin"))
+        )
+        f = (
+            f.join(upd, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("f"), F.coalesce("nmin", F.col("f"))).alias("f"),
+            )
+            .transform(loop_ckpt)
+        )
+    # color-preserving subgraph, derived once (setup for the peel loop)
+    ecol = (
+        e.join(f.select(F.col("node").alias("src"), F.col("f").alias("fs")), "src")
+        .join(f.select(F.col("node").alias("dst"), F.col("f").alias("fd")), "dst")
+        .where(F.col("fs") == F.col("fd"))
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    r = f.withColumn("r", (F.col("node") == F.col("f")).cast("int")).transform(
+        loop_ckpt
+    )
+    for _ in range(loop_rounds(rounds)):
+        upd = (
+            ecol.join(r.where(F.col("r") == 1), ecol["dst"] == F.col("node"))
+            .select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("hit", F.lit(1))
+        )
+        r = (
+            r.join(upd, "node", "left")
+            .select(
+                "node",
+                "f",
+                F.greatest(F.col("r"), F.coalesce("hit", F.lit(0))).alias("r"),
+            )
+            .transform(loop_ckpt)
+        )
+    return r.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("f").cast("long").alias("color"),
+        F.when(F.col("r") == 1, F.col("f")).otherwise(F.lit(-1))
+        .cast("long")
+        .alias("scc_id"),
+    )

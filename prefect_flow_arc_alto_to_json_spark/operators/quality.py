@@ -278,10 +278,17 @@ def mad_outliers(
     the approximate path is approx_percentile, already covered.
     """
     v = value.cast("long").alias("v")
+    # localCheckpoint: hist feeds the median selection AND the deviation
+    # re-key; med/mad/dev each feed 2+ consumers — without truncation the
+    # static plan re-derives the row-scale histogram per consumer
+    # (measured 39 shuffles / 17 scans; truncated: one histogram pass).
+    # The leakage-safe-split precedent: at 100 TB this is the
+    # checkpoint-to-parquet relation.
     hist = (
         df.select(F.col(grp).alias("grp"), v)
         .groupBy("grp", "v")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
     )
 
     def med2_of(h: DataFrame, val_col: str) -> DataFrame:
@@ -312,7 +319,7 @@ def mad_outliers(
             F.max("n").cast("long").alias("n"),
         )
 
-    med = med2_of(hist, "v")
+    med = med2_of(hist, "v").localCheckpoint()
     dev = (
         hist.join(F.broadcast(med.select("grp", "med2")), "grp")
         .select(
@@ -322,8 +329,13 @@ def mad_outliers(
         )
         .groupBy("grp", "d")
         .agg(F.sum("c").alias("c"))
+        .localCheckpoint()
     )
-    mad = med2_of(dev, "d").select("grp", F.col("med2").alias("mad2"))
+    mad = (
+        med2_of(dev, "d")
+        .select("grp", F.col("med2").alias("mad2"))
+        .localCheckpoint()
+    )
     flagged = (
         dev.join(F.broadcast(mad), "grp")
         .where(F.lit(1349) * F.col("d") > F.lit(z_milli) * F.col("mad2"))
@@ -332,7 +344,7 @@ def mad_outliers(
     )
     return (
         med.join(F.broadcast(mad), "grp")
-        .join(flagged, "grp", "left")
+        .join(F.broadcast(flagged), "grp", "left")
         .select(
             "grp",
             "n",

@@ -1071,3 +1071,112 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("node")
     )
     return personalized_pagerank(edges, seeds, iterations=3)
+
+
+def _scc_oracle(rounds: int) -> str:
+    """Unrolled DuckDB replay of operators/graph.py:scc_first_peel over
+    the sparsified trade graph: ``rounds`` forward-min levels, the
+    color-preserving subgraph, ``rounds`` reaches-root levels. Every
+    level is AS MATERIALIZED — f_t and r_t are each referenced twice
+    (carry + update join), the exponential re-inline trap."""
+    head = """
+    WITH e0 AS MATERIALIZED (
+      SELECT c_nationkey AS src, s_nationkey AS dst, COUNT(*) AS w
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1, 2
+    ),
+    agg AS (SELECT SUM(w) AS tot, COUNT(*) AS n FROM e0),
+    e AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM e0, agg
+      WHERE src <> dst AND w * n >= tot
+    ),
+    nodes AS MATERIALIZED (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+      )
+    ),
+    f0 AS MATERIALIZED (SELECT node, node AS f FROM nodes)"""
+    f_tpl = """,
+    f{n} AS MATERIALIZED (
+      SELECT p.node, LEAST(p.f, COALESCE(m.nmin, p.f)) AS f
+      FROM f{t} p LEFT JOIN (
+        SELECT e.dst AS node, MIN(p2.f) AS nmin
+        FROM e JOIN f{t} p2 ON e.src = p2.node GROUP BY e.dst
+      ) m USING (node)
+    )"""
+    parts = [head]
+    for t in range(rounds):
+        parts.append(f_tpl.format(t=t, n=t + 1))
+    parts.append(""",
+    ecol AS MATERIALIZED (
+      SELECT e.src, e.dst
+      FROM e
+      JOIN f{R} fs ON e.src = fs.node
+      JOIN f{R} fd ON e.dst = fd.node
+      WHERE fs.f = fd.f
+    ),
+    r0 AS MATERIALIZED (
+      SELECT node, f, CAST(node = f AS INT) AS r FROM f{R}
+    )""".format(R=rounds))
+    r_tpl = """,
+    r{n} AS MATERIALIZED (
+      SELECT p.node, p.f, GREATEST(p.r, COALESCE(u.hit, 0)) AS r
+      FROM r{t} p LEFT JOIN (
+        SELECT DISTINCT ecol.src AS node, 1 AS hit
+        FROM ecol JOIN r{t} p2 ON ecol.dst = p2.node AND p2.r = 1
+      ) u USING (node)
+    )"""
+    for t in range(rounds):
+        parts.append(r_tpl.format(t=t, n=t + 1))
+    parts.append("""
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(f AS BIGINT) AS color,
+           CAST(CASE WHEN r = 1 THEN f ELSE -1 END AS BIGINT) AS scc_id
+    FROM r{R}
+    """.format(R=rounds))
+    return "".join(parts)
+
+
+@query("q_scc_trade", extra=True, oracle=_scc_oracle(4))
+def q_scc_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components — first coloring peel
+    (operators/graph.py:scc_first_peel) — over the STRONG-ROUTE trade
+    graph: the nation→nation edge relation of q_pagerank_trade kept only
+    where an edge's weight is at least the global mean (w*n >= tot in
+    exact integers — no float average), self-loops dropped. The directed
+    completion of the components family: dedup_components answers
+    undirected togetherness, this answers mutual reachability. 4
+    forward-min rounds + 4 reaches-root rounds (fixpoint at these graph
+    diameters — gate-tested against a deeper run in tests/test_graph.py).
+    """
+    from ..operators.graph import scc_first_peel
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    e0 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    tot = e0.agg(
+        F.sum("w").alias("tot"), F.count(F.lit(1)).alias("n")
+    )
+    edges = (
+        e0.crossJoin(F.broadcast(tot))
+        .where(
+            (F.col("src") != F.col("dst"))
+            & (F.col("w") * F.col("n") >= F.col("tot"))
+        )
+        .select("src", "dst")
+    )
+    return scc_first_peel(edges, rounds=4)

@@ -2797,3 +2797,91 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents("o_totalprice"),
         z_milli=1300,
     )
+
+
+@query(
+    "q_yannakakis_chain",
+    extra=True,
+    oracle="""
+    SELECT c.c_nationkey AS nationkey,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY c.c_nationkey
+    """,
+)
+def q_yannakakis_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yannakakis semi-join reduction over the acyclic chain
+    customer(BUILDING) ← orders(1996) ← lineitem: a full bottom-up
+    reducer pass (orders ⋉ qualifying customers, lineitem ⋉ reduced
+    orders) runs BEFORE any expensive join, so no dangling tuple ever
+    enters a join — the classic guarantee (Yannakakis 1981) that makes
+    acyclic joins linear-time, and the thing Catalyst only approximates
+    probabilistically (runtime Bloom filters / DPP). The oracle is the
+    plain 3-way join — the reduction must be answer-preserving by
+    construction; the DANGLING-FREE property itself is pinned in
+    tests/test_plan_shapes.py (every reduced lineitem row finds its
+    order; every reduced order finds both neighbors).
+
+    Scale: the reducer semi-joins ship only join KEYS (the semi side
+    carries no payload); the big fact is filtered to the qualifying ~2%
+    before its shuffle. At 100 TB this is the difference between
+    shuffling lineitem once at full width and once at reduced
+    cardinality — the reduction pass costs one key-only scan and pays
+    for itself whenever selectivity is real.
+    """
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_nationkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    # bottom-up reducer: keys-only semi joins, leaf to root
+    o_red = orders.join(
+        F.broadcast(
+            cust.select(F.col("c_custkey").alias("o_custkey")).distinct()
+        ),
+        "o_custkey",
+        "left_semi",
+    )
+    l_red = li.join(
+        o_red.select(F.col("o_orderkey").alias("l_orderkey")).distinct(),
+        "l_orderkey",
+        "left_semi",
+    )
+    # dangling-free join phase (fresh aliases — cust/o_red already fed the
+    # reducer, and a re-join on the same lineage trips the ambiguity check)
+    joined = l_red.join(
+        o_red.select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            F.col("o_custkey").alias("j_custkey"),
+        ),
+        "l_orderkey",
+    ).join(
+        F.broadcast(
+            cust.select(
+                F.col("c_custkey").alias("j_custkey"), "c_nationkey"
+            )
+        ),
+        "j_custkey",
+    )
+    return joined.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.sum(cents("l_extendedprice")).cast("long").alias("revenue_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )

@@ -170,3 +170,59 @@ def test_personalized_pagerank_empty_seed_schema_matches_normal_path(spark):
     rows = degenerate.collect()
     assert len(rows) == 3
     assert all(r["rank_nano"] == 0 and r["is_seed"] == 0 for r in rows)
+
+
+def test_scc_first_peel_hand_graph(spark):
+    """Cycle {1,2,3} with tail 4, 2-cycle {5,6}, DAG edge 7->8: the peel
+    claims exactly the cycles (plus the root singleton 7 — a root always
+    reaches itself); 4 and 8 stay unassigned (-1)."""
+    from prefect_flow_arc_alto_to_json_spark.operators.graph import (
+        scc_first_peel,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (5, 6), (6, 5), (7, 8)],
+        "src long, dst long",
+    )
+    out = {r["node"]: (r["color"], r["scc_id"]) for r in scc_first_peel(edges).collect()}
+    assert out[1] == (1, 1) and out[2] == (1, 1) and out[3] == (1, 1)
+    assert out[4] == (1, -1)
+    assert out[5] == (5, 5) and out[6] == (5, 5)
+    assert out[7] == (7, 7)
+    assert out[8] == (7, -1)
+
+
+def test_scc_trade_rounds_reach_fixpoint(spark):
+    """The registered query runs 4+4 rounds; a deeper run must agree —
+    the fixed-round contract is only honest if the fixpoint is reached."""
+    from prefect_flow_arc_alto_to_json_spark.operators.graph import (
+        scc_first_peel,
+    )
+    from prefect_flow_arc_alto_to_json_spark.plans.graph_queries import (
+        q_scc_trade,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        base = sorted(map(tuple, q_scc_trade(spark, sf_dir).collect()))
+        # rebuild the same sparsified edges, run deeper
+        from prefect_flow_arc_alto_to_json_spark.sources import load_table
+
+        cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+        orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+        supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+        e0 = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+            .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+            .groupBy(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+            .agg(F.count(F.lit(1)).alias("w"))
+        )
+        tot = e0.agg(F.sum("w").alias("tot"), F.count(F.lit(1)).alias("n"))
+        edges = (
+            e0.crossJoin(F.broadcast(tot))
+            .where((F.col("src") != F.col("dst")) & (F.col("w") * F.col("n") >= F.col("tot")))
+            .select("src", "dst")
+        )
+        deep = sorted(map(tuple, scc_first_peel(edges, rounds=7).collect()))
+        assert base == deep, sf_dir

@@ -754,3 +754,72 @@ def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
         for k, v in saved.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+#: Round-9 family: the ALS alternation, CV-by-histogram, robust MAD,
+#: weighted sampling, Yannakakis chain, boosted stumps + directed SCC
+#: (both loop-checkpointed — their normal static plans are stubs; the
+#: per-iteration bodies are audited in PLAN_AUDIT.md under per-iter).
+_R11_SHUFFLE_BUDGETS = {
+    "q_als_iteration": 4,
+    "q_cv_stump_oof": 10,  # fold-hist groupBy + bounded-relation passes
+    "q_mad_outliers": 1,
+    "corpus_weighted_sample": 0,  # TakeOrderedAndProject, no exchange
+    "q_yannakakis_chain": 4,  # 2 reducer semi-key passes + join + agg
+    "q_boosted_stumps": 2,
+    "q_scc_trade": 2,
+}
+
+
+def test_round11_family_shuffle_budgets(spark, sf_dir):
+    _assert_family_budgets(spark, sf_dir, _R11_SHUFFLE_BUDGETS)
+
+
+def test_yannakakis_reduction_is_dangling_free(spark, sf_dir):
+    """The Yannakakis property: after the bottom-up reducer pass, NO
+    dangling tuple enters a join — every reduced lineitem row finds its
+    order, every reduced order finds a customer AND at least one item.
+    This is what distinguishes the explicit reducer from Catalyst's
+    probabilistic Bloom pruning (which only shrinks, never guarantees)."""
+    from pyspark.sql import functions as F
+
+    from prefect_flow_arc_alto_to_json_spark.sources import load_table
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_nationkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o_red = orders.join(
+        F.broadcast(cust.select(F.col("c_custkey").alias("o_custkey")).distinct()),
+        "o_custkey",
+        "left_semi",
+    )
+    l_red = li.join(
+        o_red.select(F.col("o_orderkey").alias("l_orderkey")).distinct(),
+        "l_orderkey",
+        "left_semi",
+    )
+    n_l_red = l_red.count()
+    assert n_l_red > 0, "probe must be non-vacuous"
+    joined = l_red.join(
+        o_red.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey"
+    )
+    assert joined.count() == n_l_red  # every reduced item finds its order
+    # every reduced order has a customer (semi-join invariant) and, after
+    # the item-side reduction, at least one item — i.e. no dangling order
+    o_with_items = o_red.join(
+        l_red.select(F.col("l_orderkey").alias("o_orderkey")).distinct(),
+        "o_orderkey",
+        "left_semi",
+    )
+    assert o_with_items.count() == o_red.select("o_orderkey").distinct().count()
