@@ -157,6 +157,14 @@ HEADLINE = [
     # composition) and the 4-round spectral eigen-solve
     "pipeline_leakage_safe_split",
     "q_spectral_partition",
+    # round-11 additions (session round 9): the full ALS alternation (two
+    # obs joins + two entity-keyed Cramer aggs), the 3-round boosted
+    # ensemble (per-round weighted histogram + broadcast-best reweight),
+    # and the directed-SCC coloring peel (4+4 label rounds over the
+    # sparsified trade graph)
+    "q_als_iteration",
+    "q_boosted_stumps",
+    "q_scc_trade",
 ]
 
 
