@@ -74,3 +74,78 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def hilbert_rounds(bits: int = 4) -> list[dict[str, str]]:
+    """Per-round (d, x, y) SQL expression strings for the Hilbert xy→d
+    transform on a 2^bits x 2^bits grid — the SAME text drives Spark
+    (a selectExpr chain) and the DuckDB oracle (nested subqueries), the
+    morton_sql engine-portability device extended to a STAGED expression
+    (Hilbert's rotate/reflect is a loop-carried rewrite of (x, y); fully
+    inlining 4 rounds would blow the text up 3^4x, so each round is one
+    projection instead).
+
+    Why Hilbert next to Z-order: both linearize the grid for min/max
+    file skipping, but Z's bit-interleave takes long diagonal jumps, so
+    a box query's cells scatter into many curve RUNS (= files touched);
+    Hilbert moves to an adjacent cell every step and provably visits any
+    aligned box in few runs. q_hilbert_vs_zorder measures exactly that.
+
+    Algorithm (standard xy2d): per round s = 2^(bits-1-t): quadrant
+    digit (3*rx XOR ry) scales by s², then the lower bits rotate/reflect
+    into the quadrant's frame. The XOR folds to arithmetic
+    (3*rx + ry - 2*rx*ry on {0,1} flags); x/y are pre-masked to [0, s)
+    so every intermediate stays in range (no negative & semantics to
+    worry about cross-engine).
+    """
+    rounds = []
+    for t in range(bits):
+        s = 1 << (bits - 1 - t)
+        rx = f"(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
+        m = s - 1
+        rounds.append(
+            {
+                "d": f"(d + {s * s} * (3 * {rx} + {ry} - 2 * {rx} * {ry}))",
+                "x": (
+                    f"(CASE WHEN {ry} = 1 THEN (x & {m}) "
+                    f"WHEN {rx} = 1 THEN {m} - (y & {m}) "
+                    f"ELSE (y & {m}) END)"
+                ),
+                "y": (
+                    f"(CASE WHEN {ry} = 1 THEN (y & {m}) "
+                    f"WHEN {rx} = 1 THEN {m} - (x & {m}) "
+                    f"ELSE (x & {m}) END)"
+                ),
+            }
+        )
+    return rounds
+
+
+def hilbert_index(df: DataFrame, x_col: str, y_col: str, bits: int = 4) -> DataFrame:
+    """Append ``hilbert`` to ``df`` from integer grid coords in
+    [0, 2^bits) — the staged selectExpr chain over
+    :func:`hilbert_rounds` (narrow projections, no shuffle)."""
+    out = df.selectExpr("*", f"CAST({x_col} AS BIGINT) AS x",
+                        f"CAST({y_col} AS BIGINT) AS y", "CAST(0 AS BIGINT) AS d")
+    for r in hilbert_rounds(bits):
+        out = out.selectExpr(
+            *[c for c in df.columns],
+            f"{r['d']} AS d",
+            f"{r['x']} AS x",
+            f"{r['y']} AS y",
+        )
+    return out.select(*df.columns, F.col("d").alias("hilbert"))
+
+
+def hilbert_sql_nested(inner: str, bits: int = 4) -> str:
+    """DuckDB twin of :func:`hilbert_index`: wrap ``inner`` (a subquery
+    providing x, y and the carried columns) in one nested SELECT per
+    round — the identical per-round expression text."""
+    sql = f"(SELECT *, CAST(0 AS BIGINT) AS d FROM {inner})"
+    for r in hilbert_rounds(bits):
+        sql = (
+            f"(SELECT * EXCLUDE (d, x, y), {r['d']} AS d, {r['x']} AS x, "
+            f"{r['y']} AS y FROM {sql})"
+        )
+    return f"(SELECT * EXCLUDE (d, x, y), d AS hilbert FROM {sql})"

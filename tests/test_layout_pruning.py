@@ -181,3 +181,28 @@ def test_morton_code_is_a_bijection(spark):
     # locality spot-check: adjacent cells differ in few bits of z
     m = {(r["ub"], r["db"]): r["z"] for r in z.collect()}
     assert bin(m[(3, 3)] ^ m[(3, 4)]).count("1") <= 4
+
+
+def test_hilbert_index_is_bijective_and_unit_step(spark):
+    """The two properties that make Hilbert the better skipping curve:
+    the 16x16 transform is a bijection onto [0, 256), and consecutive
+    curve positions are GRID-ADJACENT cells (|dx|+|dy| = 1) — Z-order
+    violates the second (its diagonal jumps are why a box shatters into
+    more runs there)."""
+    from pyspark.sql import functions as F
+
+    from prefect_flow_arc_alto_to_json_spark.sinks.zorder import hilbert_index
+
+    grid = (
+        spark.range(256)
+        .select(
+            (F.col("id") % 16).alias("cell_x"),
+            (F.col("id") / 16).cast("long").alias("cell_y"),
+        )
+    )
+    rows = hilbert_index(grid, "cell_x", "cell_y", bits=4).collect()
+    by_d = {r["hilbert"]: (r["cell_x"], r["cell_y"]) for r in rows}
+    assert sorted(by_d) == list(range(256))  # bijective
+    for d in range(255):
+        (x1, y1), (x2, y2) = by_d[d], by_d[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, by_d[d], by_d[d + 1])
