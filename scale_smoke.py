@@ -76,6 +76,24 @@ from prefect_flow_arc_alto_to_json_spark.sources import load_table  # noqa: E402
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALE_SMOKE.md")
 FACTORS = (1, 2, 4, 8)
+#: optional 2nd arg: comma-separated probe names — run ONLY those and MERGE
+#: their rows into the existing SCALE_SMOKE.md (other rows kept verbatim).
+#: Lets the sweep run in chunks under the shell's command timeout instead
+#: of one monolithic ~10-minute job (round-7 gotcha).
+ONLY = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+
+
+def parse_existing_rows() -> dict[str, str]:
+    """name -> full table line from the current SCALE_SMOKE.md."""
+    out: dict[str, str] = {}
+    try:
+        lines = open(OUT).read().splitlines()
+    except FileNotFoundError:
+        return out
+    for line in lines:
+        if line.startswith("| ") and not line.startswith(("| operator", "|---")):
+            out[line.split("|")[1].strip()] = line
+    return out
 
 
 def blow_up_docs(docs: DataFrame, factor: int) -> DataFrame:
@@ -397,6 +415,10 @@ def main() -> None:
         ).select("lid", "rid", "d2"),
     }
 
+    if ONLY is not None:
+        unknown = ONLY - set(probes)
+        assert not unknown, f"unknown probes: {unknown}"
+        probes = {k: v for k, v in probes.items() if k in ONLY}
     results: dict[str, dict[int, float]] = {p: {} for p in probes}
     rows: dict[int, int] = {}
     emb_rows: dict[int, int] = {}
@@ -422,6 +444,8 @@ def main() -> None:
             results[name][factor] = round(t, 2)
             print(f"x{factor} {name}: {results[name][factor]}s", flush=True)
 
+    # parse BEFORE opening for write — open(..., "w") truncates
+    kept_rows = parse_existing_rows() if ONLY is not None else {}
     with open(OUT, "w") as fh:
         fh.write(
             "# SCALE_SMOKE — operator wall time vs synthetic data blow-up\n\n"
@@ -468,13 +492,16 @@ def main() -> None:
         fh.write("| operator | " + " | ".join(f"x{f}" for f in FACTORS))
         fh.write(" | x8/x1 ratio (linear=8) |\n")
         fh.write("|---|" + "---|" * (len(FACTORS) + 1) + "\n")
+        kept = kept_rows
         for name, t in results.items():
             ratio = round(t[8] / t[1], 1) if t[1] > 0 else float("inf")
-            fh.write(
+            kept[name] = (
                 f"| {name} | "
                 + " | ".join(f"{t[f]}s" for f in FACTORS)
-                + f" | {ratio} |\n"
+                + f" | {ratio} |"
             )
+        for line in kept.values():
+            fh.write(line + "\n")
     print(f"wrote {OUT}")
     spark.stop()
 
