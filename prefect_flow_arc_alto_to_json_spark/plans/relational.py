@@ -2885,3 +2885,237 @@ def q_yannakakis_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents("l_extendedprice")).cast("long").alias("revenue_cents"),
         F.count(F.lit(1)).cast("long").alias("n_items"),
     )
+
+
+@query(
+    "q_equidepth_stats",
+    extra=True,
+    oracle="""
+    WITH hist AS MATERIALIZED (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v, COUNT(*) AS c
+      FROM orders GROUP BY 1
+    ),
+    cum AS MATERIALIZED (
+      SELECT v, c, SUM(c) OVER (ORDER BY v) AS cum FROM hist
+    ),
+    tot AS (SELECT MAX(cum) AS n, MIN(v) AS vmin FROM cum),
+    ranks AS (
+      SELECT range AS k, vmin,
+             CAST(CEIL(range * n / 8.0) AS BIGINT) AS r
+      FROM range(1, 9), tot
+    ),
+    bounds AS (
+      SELECT k, MIN(v) AS hi, MIN(vmin) AS vmin
+      FROM ranks JOIN cum ON cum >= r GROUP BY k
+    ),
+    bks AS MATERIALIZED (
+      SELECT k, COALESCE(LAG(hi) OVER (ORDER BY k), vmin - 1) AS lo, hi
+      FROM bounds
+    ),
+    asg AS (
+      SELECT b.k, b.lo, b.hi, h.v, h.c
+      FROM hist h JOIN bks b ON h.v > b.lo AND h.v <= b.hi
+    )
+    SELECT CAST(k AS INT) AS bucket,
+           CAST(lo AS BIGINT) AS lo,
+           CAST(hi AS BIGINT) AS hi,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(FLOOR(
+             (2 * SUM(c)
+                * GREATEST(0, LEAST(hi, 20000000) - GREATEST(lo, 10000000))
+              + (hi - lo))
+             / (2.0 * (hi - lo))) AS BIGINT) AS est_probe_rows,
+           CAST(SUM(CASE WHEN v >= 10000000 AND v <= 20000000
+                    THEN c ELSE 0 END) AS BIGINT) AS actual_probe_rows
+    FROM asg GROUP BY k, lo, hi
+    """,
+)
+def q_equidepth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style equi-depth histogram + selectivity probe
+    (operators/stats.py:equidepth_selectivity) over order totals: 8
+    equal-height buckets whose boundaries are TRUE order statistics
+    (selected from the cumulative value histogram — the mad_outliers
+    device, no row sort anywhere), then the optimizer's
+    uniform-within-bucket cardinality estimate for the $100k-$200k
+    probe range next to the exact per-bucket answer. The
+    estimate-vs-actual gap is the modeling error every cost-based
+    planner carries — here it is itself an oracled relation. Completes
+    the engine-internals family beside q_kmv_join_estimate (sketch-based
+    join cardinality) and the Bloom/DPP runtime pruning pins.
+    """
+    from ..operators.stats import equidepth_selectivity
+
+    orders = load_table(spark, sf_dir, "orders")
+    return equidepth_selectivity(
+        orders,
+        cents("o_totalprice"),
+        probe_lo=10_000_000,
+        probe_hi=20_000_000,
+        buckets=8,
+    )
+
+
+@query(
+    "q_frequent_triples",
+    extra=True,
+    oracle="""
+    WITH b AS MATERIALIZED (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+      FROM events
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n
+      FROM (SELECT DISTINCT user_id, day FROM b)
+    ),
+    f1 AS (
+      SELECT event_type FROM b, tot
+      GROUP BY event_type, n HAVING COUNT(*) * 100 >= n * 5
+    ),
+    bf AS MATERIALIZED (
+      SELECT * FROM b WHERE event_type IN (SELECT event_type FROM f1)
+    ),
+    p AS (
+      SELECT x.event_type AS ia, y.event_type AS ib, COUNT(*) AS c
+      FROM bf x
+      JOIN bf y ON x.user_id = y.user_id AND x.day = y.day
+               AND x.event_type < y.event_type
+      GROUP BY 1, 2
+    ),
+    f2 AS MATERIALIZED (
+      SELECT ia, ib FROM p, tot WHERE c * 100 >= n * 5
+    ),
+    cand AS (
+      SELECT ab.ia AS ca, ab.ib AS cb, ac.ib AS cc
+      FROM f2 ab
+      JOIN f2 ac ON ac.ia = ab.ia AND ac.ib > ab.ib
+      JOIN f2 bc ON bc.ia = ab.ib AND bc.ib = ac.ib
+    ),
+    t AS (
+      SELECT x.event_type AS item_a, y.event_type AS item_b,
+             z.event_type AS item_c, COUNT(*) AS support
+      FROM bf x
+      JOIN bf y ON x.user_id = y.user_id AND x.day = y.day
+               AND x.event_type < y.event_type
+      JOIN bf z ON y.user_id = z.user_id AND y.day = z.day
+               AND y.event_type < z.event_type
+      JOIN cand ON ca = x.event_type AND cb = y.event_type
+               AND cc = z.event_type
+      GROUP BY 1, 2, 3
+    )
+    SELECT item_a, item_b, item_c, CAST(support AS BIGINT) AS support
+    FROM t, tot WHERE support * 100 >= n * 5
+    """,
+)
+def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets by the SON/Apriori two-stage shape over daily
+    (user, day) interaction baskets: frequent singles gate the basket
+    relation, frequent pairs prune the triple CANDIDATES (Apriori
+    monotonicity — a triple can only be frequent if all three sub-pairs
+    are), and only the surviving candidate set (broadcast, bounded by
+    C(|frequent items|, 3)) is counted against the baskets. Extends
+    q_market_basket (pairs → rules) to the level-wise lattice walk every
+    frequent-itemset miner runs; all supports are exact integers and
+    the 5% threshold is the cross-multiplied integer comparison
+    (support * 100 >= n_baskets * 5 — no float ratio).
+
+    Scale: each counting pass is a basket-keyed self-join whose per-
+    basket fan-out is bounded by the item vocabulary (C(k,2)/C(k,3) per
+    basket, never corpus²); candidate generation runs on the PAIRS
+    relation (vocabulary-sized); the final count only materializes
+    triples that survived pruning.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.select(
+            "user_id", F.to_date("ts").alias("day"), "event_type"
+        )
+        .distinct()
+        .localCheckpoint()  # feeds singles, pairs and triple counting
+    )
+    tot = b.select("user_id", "day").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    f1 = (
+        b.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("c") * 100 >= F.col("n") * 5)
+        .select("event_type")
+    )
+    bf = b.join(F.broadcast(f1), "event_type", "left_semi").localCheckpoint()
+    bx = bf.select("user_id", "day", F.col("event_type").alias("ia"))
+    by = bf.select(
+        F.col("user_id").alias("u2"),
+        F.col("day").alias("d2"),
+        F.col("event_type").alias("ib"),
+    )
+    bz = bf.select(
+        F.col("user_id").alias("u3"),
+        F.col("day").alias("d3"),
+        F.col("event_type").alias("ic"),
+    )
+    pairs = (
+        bx.join(
+            by,
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("day") == F.col("d2"))
+            & (F.col("ia") < F.col("ib")),
+        )
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    f2 = (
+        pairs.crossJoin(F.broadcast(tot))
+        .where(F.col("c") * 100 >= F.col("n") * 5)
+        .select("ia", "ib")
+        .localCheckpoint()  # tiny; feeds three candidate-join sides
+    )
+    cand = (
+        f2.select(F.col("ia").alias("ca"), F.col("ib").alias("cb"))
+        .join(
+            f2.select(F.col("ia").alias("ca2"), F.col("ib").alias("cc")),
+            (F.col("ca2") == F.col("ca")) & (F.col("cc") > F.col("cb")),
+        )
+        .join(
+            f2.select(F.col("ia").alias("cb2"), F.col("ib").alias("cc2")),
+            (F.col("cb2") == F.col("cb")) & (F.col("cc2") == F.col("cc")),
+            "left_semi",
+        )
+        .select("ca", "cb", "cc")
+    )
+    triples = (
+        bx.join(
+            by,
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("day") == F.col("d2"))
+            & (F.col("ia") < F.col("ib")),
+        )
+        .join(
+            bz,
+            (F.col("user_id") == F.col("u3"))
+            & (F.col("day") == F.col("d3"))
+            & (F.col("ib") < F.col("ic")),
+        )
+        .join(
+            F.broadcast(cand),
+            (F.col("ca") == F.col("ia"))
+            & (F.col("cb") == F.col("ib"))
+            & (F.col("cc") == F.col("ic")),
+        )
+        .groupBy(
+            F.col("ia").alias("item_a"),
+            F.col("ib").alias("item_b"),
+            F.col("ic").alias("item_c"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    return (
+        triples.crossJoin(F.broadcast(tot))
+        .where(F.col("support") * 100 >= F.col("n") * 5)
+        .select(
+            "item_a",
+            "item_b",
+            "item_c",
+            F.col("support").cast("long").alias("support"),
+        )
+    )
