@@ -3054,9 +3054,12 @@ def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day").alias("d3"),
         F.col("event_type").alias("ic"),
     )
+    # shuffle_hash hints: the basket stubs are checkpointed (stats-less)
+    # large-large self-joins — the q_market_basket precedent; never SMJ-
+    # sort id pairs
     pairs = (
         bx.join(
-            by,
+            by.hint("shuffle_hash"),
             (F.col("user_id") == F.col("u2"))
             & (F.col("day") == F.col("d2"))
             & (F.col("ia") < F.col("ib")),
@@ -3070,14 +3073,20 @@ def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ia", "ib")
         .localCheckpoint()  # tiny; feeds three candidate-join sides
     )
+    # the candidate lattice joins run on the vocabulary-sized f2 stub —
+    # broadcast both probe sides (stats-less stubs would SMJ otherwise)
     cand = (
         f2.select(F.col("ia").alias("ca"), F.col("ib").alias("cb"))
         .join(
-            f2.select(F.col("ia").alias("ca2"), F.col("ib").alias("cc")),
+            F.broadcast(
+                f2.select(F.col("ia").alias("ca2"), F.col("ib").alias("cc"))
+            ),
             (F.col("ca2") == F.col("ca")) & (F.col("cc") > F.col("cb")),
         )
         .join(
-            f2.select(F.col("ia").alias("cb2"), F.col("ib").alias("cc2")),
+            F.broadcast(
+                f2.select(F.col("ia").alias("cb2"), F.col("ib").alias("cc2"))
+            ),
             (F.col("cb2") == F.col("cb")) & (F.col("cc2") == F.col("cc")),
             "left_semi",
         )
@@ -3085,13 +3094,13 @@ def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     triples = (
         bx.join(
-            by,
+            by.hint("shuffle_hash"),
             (F.col("user_id") == F.col("u2"))
             & (F.col("day") == F.col("d2"))
             & (F.col("ia") < F.col("ib")),
         )
         .join(
-            bz,
+            bz.hint("shuffle_hash"),
             (F.col("user_id") == F.col("u3"))
             & (F.col("day") == F.col("d3"))
             & (F.col("ib") < F.col("ic")),
