@@ -84,6 +84,7 @@ ITERATIVE = {
     "dedup_components",
     "q_boosted_stumps",
     "q_scc_trade",
+    "q_pagerank_warm_start",
 }
 
 SMJ_EXPECTED = {

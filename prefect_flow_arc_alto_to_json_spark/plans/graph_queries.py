@@ -1180,3 +1180,120 @@ def q_scc_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     return scc_first_peel(edges, rounds=4)
+
+
+_SQL_EDGES_OLD = """
+    SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+           CAST(COUNT(*) AS BIGINT) AS w
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE o.o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY 1, 2
+"""
+
+_SQL_ITER_NEW = """
+    w{K} AS (
+      SELECT n2.node,
+             CAST((SELECT base FROM consts_new)
+                  + COALESCE(SUM(c), 0) AS BIGINT) AS rank_nano
+      FROM nodes_new n2 LEFT JOIN (
+        SELECT e.dst AS node,
+               CAST(ROUND(r.rank_nano * 0.85 * e.w / o.out_w) AS BIGINT) AS c
+        FROM edges_new e
+        JOIN outw_new o ON o.src = e.src
+        JOIN w{P} r ON r.node = e.src
+      ) contrib ON contrib.node = n2.node
+      GROUP BY n2.node
+    )
+"""
+
+
+@query(
+    "q_pagerank_warm_start",
+    extra=True,
+    oracle=f"""
+    WITH edges AS MATERIALIZED ({_SQL_EDGES_OLD}),
+    outw AS (SELECT src, SUM(w) AS out_w FROM edges GROUP BY src),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+      )
+    ),
+    consts AS (
+      SELECT CAST(ROUND((1.0 - 0.85) * 1000000000 / COUNT(*)) AS BIGINT)
+               AS base,
+             CAST(ROUND(1000000000.0 / COUNT(*)) AS BIGINT) AS r_init
+      FROM nodes
+    ),
+    r0 AS (
+      SELECT node, (SELECT r_init FROM consts) AS rank_nano FROM nodes
+    ),
+    {_SQL_ITER.format(K=1, P=0)},
+    {_SQL_ITER.format(K=2, P=1)},
+    {_SQL_ITER.format(K=3, P=2)},
+    edges_new AS MATERIALIZED ({_SQL_EDGES}),
+    outw_new AS (SELECT src, SUM(w) AS out_w FROM edges_new GROUP BY src),
+    nodes_new AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges_new UNION ALL SELECT dst FROM edges_new
+      )
+    ),
+    consts_new AS (
+      SELECT CAST(ROUND((1.0 - 0.85) * 1000000000 / COUNT(*)) AS BIGINT)
+               AS base,
+             CAST(ROUND(1000000000.0 / COUNT(*)) AS BIGINT) AS r_init
+      FROM nodes_new
+    ),
+    w0 AS (
+      SELECT n.node,
+             CAST(COALESCE(r.rank_nano,
+                           (SELECT r_init FROM consts_new)) AS BIGINT)
+               AS rank_nano
+      FROM nodes_new n LEFT JOIN r3 r ON r.node = n.node
+    ),
+    {_SQL_ITER_NEW.format(K=1, P=0)}
+    SELECT CAST(node AS BIGINT) AS node, rank_nano FROM w1
+    """,
+)
+def q_pagerank_warm_start(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PageRank by WARM START (operators/graph.py:
+    pagerank_resume): ranks computed on the pre-1999 trade graph resume
+    for ONE round on the full graph instead of re-running the whole
+    iteration from the uniform init — the incremental-maintenance
+    pattern for drifting graphs (per-round cost is unchanged, so the
+    saving is exactly the dropped rounds; at 100 TB rounds are full
+    scans). Nodes that only trade post-cutoff start at the new graph's
+    uniform init. Both phases replay in the unrolled oracle —
+    3 old-graph levels + the warm level — hash-exact.
+    """
+    from ..operators.graph import pagerank, pagerank_resume
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+
+    def build_edges(o: DataFrame) -> DataFrame:
+        return (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(F.broadcast(cust), o["o_custkey"] == cust["c_custkey"])
+            .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+            .groupBy(
+                F.col("c_nationkey").alias("src"),
+                F.col("s_nationkey").alias("dst"),
+            )
+            .agg(F.count(F.lit(1)).alias("w"))
+        )
+
+    old_edges = build_edges(
+        orders.where(F.col("o_orderdate") < "1999-01-01").select(
+            "o_orderkey", "o_custkey"
+        )
+    )
+    all_edges = build_edges(orders.select("o_orderkey", "o_custkey"))
+    r_old = pagerank(old_edges, iterations=3)
+    return pagerank_resume(all_edges, r_old, iterations=1)

@@ -226,3 +226,38 @@ def test_scc_trade_rounds_reach_fixpoint(spark):
         )
         deep = sorted(map(tuple, scc_first_peel(edges, rounds=7).collect()))
         assert base == deep, sf_dir
+
+
+def test_pagerank_warm_start_beats_cold_single_round(spark):
+    """The warm start's reason to exist: ONE resumed round on the grown
+    graph lands closer to the converged answer than ONE cold round from
+    the uniform init — so resuming saves the dropped rounds."""
+    from prefect_flow_arc_alto_to_json_spark.operators.graph import (
+        pagerank,
+        pagerank_resume,
+    )
+
+    # a directed path mixes ONE hop per round (slow convergence — the
+    # regime where resuming matters; a dense regular graph converges in
+    # ~1 round from any init and warm == cold there)
+    old = spark.createDataFrame(
+        [(i, i + 1, 1) for i in range(11)],  # open path: ranks decay along
+        # it nonuniformly (a closed cycle's fixpoint is uniform == the cold
+        # init, which would make warm and cold identical)
+        "src long, dst long, w long",
+    )
+    # drift: one added chord
+    new = old.unionByName(
+        spark.createDataFrame([(0, 6, 2)], "src long, dst long, w long")
+    )
+    ref = {r["node"]: r["rank_nano"] for r in pagerank(new, iterations=8).collect()}
+    r_old = pagerank(old, iterations=3)
+    warm = {
+        r["node"]: r["rank_nano"]
+        for r in pagerank_resume(new, r_old, iterations=1).collect()
+    }
+    cold = {r["node"]: r["rank_nano"] for r in pagerank(new, iterations=1).collect()}
+    assert warm != cold  # the init actually flowed through
+    err_warm = sum(abs(warm[n] - ref[n]) for n in ref)
+    err_cold = sum(abs(cold[n] - ref[n]) for n in ref)
+    assert err_warm < err_cold, (err_warm, err_cold)

@@ -768,7 +768,26 @@ _R11_SHUFFLE_BUDGETS = {
     "q_yannakakis_chain": 4,  # 2 reducer semi-key passes + join + agg
     "q_boosted_stumps": 2,
     "q_scc_trade": 2,
+    "q_equidepth_stats": 3,  # boundary/assign passes on the value stub
+    "q_frequent_triples": 8,  # basket distinct + pair/triple counting
 }
+
+
+def test_round11_smj_free(spark, sf_dir):
+    """The two self-join-heavy round-9 queries must stay SMJ-free: their
+    checkpointed stubs carry no stats, so without the shuffle_hash /
+    broadcast hints Catalyst silently SMJ-sorts the basket and lattice
+    joins (caught by plan_audit in-round; this pins it)."""
+    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+
+    for name in ("q_frequent_triples", "q_mad_outliers"):
+        plan = (
+            EXTRA_QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SortMergeJoin" not in plan, name
 
 
 def test_round11_family_shuffle_budgets(spark, sf_dir):
