@@ -1091,3 +1091,97 @@ def q_hilbert_vs_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return runs_of("hilbert").unionByName(runs_of("zorder"))
+
+
+@query(
+    "q_scd2_pointintime",
+    extra=True,
+    oracle="""
+    WITH src AS (
+      SELECT user_id, ts, event_id, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    changed AS (
+      SELECT * FROM (
+        SELECT user_id, ts, event_id, value,
+               lag(value) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS prev_value
+        FROM src
+      ) WHERE prev_value IS NULL OR value <> prev_value
+    ),
+    versioned AS (
+      SELECT user_id, ts, value,
+             row_number() OVER w AS version,
+             lead(ts) OVER w AS next_ts
+      FROM changed
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    facts AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    j AS (
+      SELECT f.user_id,
+             COALESCE(v.version, 0) AS version,
+             CAST(ROUND(v.value * 100) AS BIGINT) AS vcents
+      FROM facts f LEFT JOIN versioned v
+        ON v.user_id = f.user_id
+       AND f.ts >= v.ts
+       AND (v.next_ts IS NULL OR f.ts < v.next_ts)
+    )
+    SELECT user_id,
+           CAST(version AS BIGINT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_clicks,
+           CAST(MAX(vcents) AS BIGINT) AS dim_value_cents
+    FROM j GROUP BY 1, 2
+    """,
+)
+def q_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (effective-dated) dimension lookup — the query the
+    SCD2 history EXISTS for: every click joins the purchase-value
+    version in effect at the click's instant ([valid_from, valid_to)
+    containment; clicks before the user's first version attribute to
+    version 0). The lakehouse's 'AS OF the fact's own time' semantics —
+    distinct from q_asof_join (nearest key, one relation) and
+    q_time_travel (whole-table snapshot): here every fact row time-
+    travels independently.
+
+    Scale: the join carries the user_id EQUALITY key, so it shuffles on
+    user and evaluates the validity range as a residual — never a pure
+    range cross; version relations are change-collapsed (<= changes per
+    user, not events per user). Aggregated to (user, version) so the
+    output is version-bounded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    src = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = (
+        src.withColumn("prev_value", F.lag("value").over(w))
+        .where(
+            F.col("prev_value").isNull()
+            | (F.col("value") != F.col("prev_value"))
+        )
+        .drop("prev_value")
+    )
+    dim = changed.select(
+        F.col("user_id").alias("d_user"),
+        F.col("ts").alias("valid_from"),
+        cents("value").alias("vcents"),
+        F.row_number().over(w).alias("version"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    facts = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    j = facts.join(
+        dim,
+        (F.col("d_user") == F.col("user_id"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+        "left",
+    )
+    return j.groupBy(
+        "user_id", F.coalesce("version", F.lit(0)).cast("long").alias("version")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clicks"),
+        F.max("vcents").cast("long").alias("dim_value_cents"),
+    )
