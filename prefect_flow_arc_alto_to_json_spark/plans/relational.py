@@ -3128,3 +3128,82 @@ def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("support").cast("long").alias("support"),
         )
     )
+
+
+@query(
+    "q_k_anon_generalize",
+    extra=True,
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS group_size,
+             CAST(COUNT(DISTINCT CASE WHEN c_acctbal < 0
+                                      THEN 'neg' ELSE 'pos' END)
+                  AS BIGINT) AS l_diversity
+      FROM customer GROUP BY 1, 2
+    ),
+    rg AS (
+      SELECT g.*, n.n_regionkey
+      FROM g JOIN nation n ON n.n_nationkey = g.c_nationkey
+    ),
+    reg AS (
+      SELECT n_regionkey, c_mktsegment,
+             CAST(SUM(group_size) AS BIGINT) AS region_size
+      FROM rg GROUP BY 1, 2
+    )
+    SELECT rg.c_nationkey, rg.c_mktsegment, rg.group_size, rg.l_diversity,
+           CAST(CASE WHEN rg.group_size >= 5 THEN 0
+                     WHEN reg.region_size >= 5 THEN 1
+                     ELSE 2 END AS INT) AS anon_level
+    FROM rg JOIN reg ON reg.n_regionkey = rg.n_regionkey
+                    AND reg.c_mktsegment = rg.c_mktsegment
+    """,
+)
+def q_k_anon_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity GENERALIZATION ladder — completes q_k_anonymity (the
+    suppression census over documents) with the actual anonymizer MOVE:
+    quasi-identifier
+    groups (nation, segment) smaller than k=5 re-identify their members,
+    so each group gets the anonymization DECISION the k-anonymizer would
+    take: keep at nation level (anon_level 0), generalize the hierarchy
+    one step to region (1 — the standard domain-generalization move), or
+    suppress (2 — even the region-level group is under k). l-diversity
+    (distinct sensitive values per group — account-balance sign here)
+    rides the same aggregate: a k-anonymous group with l=1 still leaks
+    the sensitive attribute.
+
+    Scale: one map-side-combined groupBy on the quasi-identifiers (the
+    only row-scale operation), the hierarchy step is a broadcast dim
+    join, the region recheck aggregates the GROUP relation (bounded by
+    the QI domain, not rows).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_regionkey"
+    )
+    g = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        F.countDistinct(
+            F.when(F.col("c_acctbal") < 0, "neg").otherwise("pos")
+        )
+        .cast("long")
+        .alias("l_diversity"),
+    )
+    rg = g.join(F.broadcast(nation), "c_nationkey")
+    reg = rg.groupBy("n_regionkey", "c_mktsegment").agg(
+        F.sum("group_size").cast("long").alias("region_size")
+    )
+    return (
+        rg.join(F.broadcast(reg), ["n_regionkey", "c_mktsegment"])
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "group_size",
+            "l_diversity",
+            F.when(F.col("group_size") >= 5, 0)
+            .when(F.col("region_size") >= 5, 1)
+            .otherwise(2)
+            .cast("int")
+            .alias("anon_level"),
+        )
+    )

@@ -1335,3 +1335,121 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_days"),
         )
     )
+
+
+@query(
+    "q_autocorrelation",
+    extra=True,
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM daily),
+    spine AS (
+      SELECT t.event_type, CAST(g.d AS DATE) AS day
+      FROM (SELECT DISTINCT event_type FROM daily) t,
+           (SELECT UNNEST(generate_series(dmin, dmax, INTERVAL 1 DAY)) AS d
+            FROM bounds) g
+    ),
+    dense AS (
+      SELECT s.event_type, s.day,
+             CAST(COALESCE(d.c, 0) AS BIGINT) AS x
+      FROM spine s LEFT JOIN daily d
+        ON d.event_type = s.event_type AND d.day = s.day
+    ),
+    st AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s
+      FROM dense GROUP BY 1
+    ),
+    dev AS (
+      SELECT d.event_type, d.day,
+             CAST(st.n * d.x - st.s AS BIGINT) AS dv
+      FROM dense d JOIN st ON st.event_type = d.event_type
+    ),
+    lags AS (SELECT range AS lag FROM range(1, 8)),
+    num AS (
+      SELECT a.event_type, l.lag,
+             CAST(SUM(a.dv * b.dv) AS BIGINT) AS acf_num
+      FROM dev a
+      CROSS JOIN lags l
+      JOIN dev b ON b.event_type = a.event_type
+                AND b.day = a.day + CAST(l.lag AS INT)
+      GROUP BY 1, 2
+    ),
+    den AS (
+      SELECT event_type, CAST(SUM(dv * dv) AS BIGINT) AS acf_den
+      FROM dev GROUP BY 1
+    )
+    SELECT n.event_type, CAST(n.lag AS INT) AS lag, n.acf_num, d.acf_den
+    FROM num n JOIN den d ON d.event_type = n.event_type
+    """,
+)
+def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the per-type daily event-count series at
+    lags 1..7 — the time-series diagnostic the smoothing family
+    (Holt/seasonality/CUSUM) reads its periodicity from. DIVISION-FREE
+    exactness like the ALS Cramer outputs: deviations are pre-scaled by
+    n (dv = n*x - S is an integer), so ACF_k = acf_num/acf_den
+    reconstructs the float value losslessly and the whole relation
+    hash-matches with no snapping device.
+
+    Scale: one map-side-combined daily rollup (the only row-scale agg);
+    the dense calendar spine, deviations, lag self-join (day+k equality)
+    and sums all run on the #types x #days relation — bounded by the
+    calendar, not the corpus.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    bounds = daily.agg(
+        F.min("day").alias("dmin"), F.max("day").alias("dmax")
+    )
+    spine = (
+        daily.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("dmin", "dmax", F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    dense = spine.join(daily, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("c", F.lit(0)).cast("long").alias("x")
+    )
+    st = dense.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    dev = dense.join(F.broadcast(st), "event_type").select(
+        "event_type",
+        "day",
+        (F.col("n") * F.col("x") - F.col("s")).cast("long").alias("dv"),
+    ).localCheckpoint()  # feeds the lag join (both sides) and the denominator
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    a = dev.select("event_type", "day", F.col("dv").alias("dva"))
+    b = dev.select(
+        F.col("event_type").alias("et2"),
+        F.col("day").alias("day2"),
+        F.col("dv").alias("dvb"),
+    )
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b.hint("shuffle_hash"),
+            (F.col("et2") == F.col("event_type"))
+            & (F.col("day2") == F.date_add("day", F.col("lag"))),
+        )
+        .groupBy("event_type", "lag")
+        .agg(F.sum(F.col("dva") * F.col("dvb")).cast("long").alias("acf_num"))
+    )
+    den = dev.groupBy("event_type").agg(
+        F.sum(F.col("dv") * F.col("dv")).cast("long").alias("acf_den")
+    )
+    return num.join(F.broadcast(den), "event_type").select(
+        "event_type", "lag", "acf_num", "acf_den"
+    )
