@@ -3207,3 +3207,98 @@ def q_k_anon_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("anon_level"),
         )
     )
+
+
+#: Poisson(1) inverse-CDF thresholds on the u32 hash scale
+#: (floor(2^32 * P(Poisson(1) <= k)) for k = 0..4; counts cap at 5).
+#: Shared integer literals between the Spark plan and the oracle — the
+#: float CDF is evaluated ONCE here, never at query time.
+_POIS1_T = (1580030168, 3160060337, 3950075421, 4213413783, 4279248373)
+
+
+def _pois_case_sql(u_expr: str) -> str:
+    """Shared CASE text mapping a u32 uniform to a Poisson(1) count."""
+    whens = " ".join(
+        f"WHEN {u_expr} < {t} THEN {k}" for k, t in enumerate(_POIS1_T)
+    )
+    return f"(CASE {whens} ELSE 5 END)"
+
+
+@query(
+    "q_bootstrap_poisson",
+    extra=True,
+    oracle="""
+    WITH reps AS (SELECT range AS r FROM range(0, 32)),
+    drawn AS (
+      SELECT r,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS x,
+             POISCASE AS c
+      FROM orders o CROSS JOIN reps
+    )
+    SELECT CAST(r AS INT) AS replica,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(SUM(c * x) AS BIGINT) AS sum_cents,
+           CAST(FLOOR((2 * SUM(c * x) + SUM(c)) / (2.0 * SUM(c)))
+                AS BIGINT) AS mean_cents
+    FROM drawn GROUP BY r
+    """.replace(
+        "POISCASE",
+        _pois_case_sql(
+            "(md5_number_lower('boot-v1:' || CAST(r AS VARCHAR) || ':' "
+            "|| CAST(o.o_orderkey AS VARCHAR)) % 4294967296)"
+        ),
+    ),
+)
+def q_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed POISSON BOOTSTRAP of the mean order total — the
+    one-pass resampling scheme every large-scale system uses (exact
+    n-with-replacement needs a global multinomial; Poisson(1) row counts
+    are independent per row, so B = 32 replicas ride ONE scan with
+    map-side combine). Fully deterministic: each (row, replica) draws
+    its count by inverse-CDF on the hash uniform, with the five CDF
+    thresholds baked as shared INTEGER literals — no float boundary can
+    disagree across engines. Per-replica (n_rows, sum_cents) are exact
+    longs; the whole-cent mean uses the half-up device (safe here:
+    2·sum·1 < 2^52 and the quotient's ulp is far under 1/(2n)). The 32
+    replica means ARE the bootstrap distribution — quantile them for the
+    CI; their spread is the standard error, assumption-free.
+
+    Scale: replica fan-out multiplies MAP work only (the shuffle carries
+    B partial aggregates per partition, not B copies of the data) — the
+    statistical-inference member of the stats family beside OLS/CUPED/
+    Mann-Whitney.
+    """
+    from ..functions.scalar import stable_hash_u32
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", cents("o_totalprice").alias("x")
+    )
+    drawn = orders.select(
+        "o_orderkey",
+        "x",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("r"),
+    ).withColumn(
+        "u",
+        stable_hash_u32(
+            F.concat(
+                F.lit("boot-v1:"),
+                F.col("r").cast("string"),
+                F.lit(":"),
+                F.col("o_orderkey").cast("string"),
+            )
+        ),
+    )
+    c = F.lit(5)
+    for k, t in reversed(list(enumerate(_POIS1_T))):
+        c = F.when(F.col("u") < t, k).otherwise(c)
+    drawn = drawn.withColumn("c", c.cast("long"))
+    return drawn.groupBy(F.col("r").cast("int").alias("replica")).agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.sum(F.col("c") * F.col("x")).cast("long").alias("sum_cents"),
+        F.floor(
+            (2 * F.sum(F.col("c") * F.col("x")) + F.sum("c"))
+            / (2.0 * F.sum("c"))
+        )
+        .cast("long")
+        .alias("mean_cents"),
+    )
