@@ -770,6 +770,11 @@ _R11_SHUFFLE_BUDGETS = {
     "q_scc_trade": 2,
     "q_equidepth_stats": 3,  # boundary/assign passes on the value stub
     "q_frequent_triples": 8,  # basket distinct + pair/triple counting
+    "q_hilbert_vs_zorder": 2,
+    "q_scd2_pointintime": 2,  # version windows + user-keyed residual join
+    "q_k_anon_generalize": 4,  # QI groupBy + hierarchy recheck
+    "q_autocorrelation": 5,  # daily rollup + spine + lag join on the calendar
+    "q_bootstrap_poisson": 1,  # replica fan-out is map-side; ONE partial agg
 }
 
 
