@@ -85,6 +85,7 @@ ITERATIVE = {
     "q_boosted_stumps",
     "q_scc_trade",
     "q_pagerank_warm_start",
+    "q_pagerank_dangling",
 }
 
 SMJ_EXPECTED = {

@@ -896,3 +896,79 @@ def pagerank_resume(
             .transform(loop_ckpt)
         )
     return ranks.select(F.col("node").cast("long").alias("node"), "rank_nano")
+
+
+def pagerank_dangling(
+    edges: DataFrame, iterations: int = 3, damping: float = 0.85
+) -> DataFrame:
+    """PageRank with DANGLING-MASS REDISTRIBUTION — the textbook-complete
+    variant closing :func:`pagerank`'s documented simplification (sink
+    nodes' rank silently leaks there): each round the danglers' total
+    rank D is a 1-row aggregate, and every node receives
+    round(d * D / n) back alongside its in-edge contributions, so total
+    mass stays ~1.0 whatever the graph's sink structure (drift bounded
+    by per-term snapping only — gate-tested).
+
+    Exactness: D is an exact long (sum of longs); the redistribution
+    term is ONE snapped scalar double expression, identical cross-engine
+    — the same nano contract as the per-edge contributions. Scale: the
+    extra cost per round is one broadcast 1-row aggregate over the
+    rank relation; the join/agg shape is unchanged.
+    """
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    e = (
+        edges.join(out_w, "src")
+        .select("src", "dst", "w", "out_w")
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank_nano", F.lit(0).cast("long"))
+    base = int((1.0 - damping) * NANO / n + 0.5)
+    srcs = e.select("src").distinct()
+    dangling = nodes.join(
+        srcs, nodes["node"] == srcs["src"], "left_anti"
+    ).localCheckpoint()
+    ranks = nodes.withColumn(
+        "rank_nano", F.lit(int(NANO / n + 0.5)).cast("long")
+    )
+    for _ in range(loop_rounds(iterations)):
+        d_mass = dangling.join(ranks, "node").agg(
+            F.coalesce(F.sum("rank_nano"), F.lit(0)).alias("d_mass")
+        )
+        contrib = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.round(
+                    F.col("rank_nano") * damping * F.col("w") / F.col("out_w"),
+                    0,
+                )
+                .cast("long")
+                .alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_nano"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(d_mass))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.coalesce(F.col("in_nano"), F.lit(0))
+                    + F.round(F.col("d_mass") * damping / n, 0).cast("long")
+                )
+                .cast("long")
+                .alias("rank_nano"),
+            )
+            .transform(loop_ckpt)
+        )
+    return ranks.select(F.col("node").cast("long").alias("node"), "rank_nano")

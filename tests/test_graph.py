@@ -261,3 +261,24 @@ def test_pagerank_warm_start_beats_cold_single_round(spark):
     err_warm = sum(abs(warm[n] - ref[n]) for n in ref)
     err_cold = sum(abs(cold[n] - ref[n]) for n in ref)
     assert err_warm < err_cold, (err_warm, err_cold)
+
+
+def test_pagerank_dangling_conserves_mass_where_base_leaks(spark):
+    """The redistribution variant's reason to exist: on a graph with a
+    sink, base pagerank leaks the sink's damped mass every round while
+    pagerank_dangling returns it — total stays ~NANO within snapping
+    drift."""
+    from prefect_flow_arc_alto_to_json_spark.operators.graph import (
+        NANO,
+        pagerank,
+        pagerank_dangling,
+    )
+
+    e = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 1), (0, 2, 2), (3, 2, 1)],  # 2 is a sink
+        "src long, dst long, w long",
+    )
+    leaky = sum(r["rank_nano"] for r in pagerank(e, 3).collect())
+    tight = sum(r["rank_nano"] for r in pagerank_dangling(e, 3).collect())
+    assert leaky < NANO - 100_000_000  # the leak is real (>10% gone)
+    assert abs(tight - NANO) < 1_000  # redistribution conserves
