@@ -2018,3 +2018,91 @@ def stream_geo_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         foreach_batch=lambda df, _bid: df.write.mode("append").parquet(out),
     )
     return spark.read.parquet(out)
+
+
+@query(
+    "stream_weighted_reservoir",
+    extra=True,
+    oracle="""
+    WITH keyed AS (
+      SELECT event_id,
+             GREATEST(CAST(ROUND(value * 100) AS BIGINT), 1) AS w,
+             CAST(md5_number_lower('res-v1:' || CAST(event_id AS VARCHAR))
+                  % 4294967296 AS BIGINT) AS h
+      FROM events
+    )
+    SELECT event_id, CAST(w AS BIGINT) AS w, h
+    FROM keyed
+    ORDER BY CAST(h AS DOUBLE) / w, event_id
+    LIMIT 50
+    """,
+)
+def stream_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING weighted reservoir: maintain the k=50 winners of the
+    uniform-over-weight race (corpus_weighted_sample's key — one IEEE
+    division, bit-deterministic) across arriving micro-batches with
+    BOUNDED state: each foreachBatch takes its batch's local top-k,
+    merges with the carried k-row state, keeps the global top-k, and
+    writes a new state version. Correct for ANY arrival order because
+    min-k is associative (min-k(A ∪ B) = min-k(min-k(A) ∪ min-k(B))) —
+    so the stream's final reservoir hash-matches the batch race over
+    the full corpus, which is exactly what the oracle checks. The
+    checkpoint gives exactly-once file processing; state is k rows
+    forever, the defining property of a reservoir.
+
+    Scale: per batch one local top-k (TakeOrderedAndProject) + a k-row
+    merge; nothing grows with stream length.
+    """
+    from ..functions.scalar import stable_hash_u32
+    from ..sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    # stage the corpus as THREE arrival batches (separate files;
+    # maxFilesPerTrigger=1 makes each its own micro-batch)
+    src_dir = tempfile.mkdtemp(prefix="stream_resv_src_")
+    for i in range(3):
+        stage = tempfile.mkdtemp(prefix=f"stream_resv_stage{i}_")
+        ev.where(F.pmod("event_id", F.lit(3)) == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(src_dir, f"batch{i}.parquet"))
+    state_dir = tempfile.mkdtemp(prefix="stream_resv_state_")
+
+    def race_topk(df: DataFrame) -> DataFrame:
+        keyed = df.select(
+            "event_id",
+            F.greatest(cents("value"), F.lit(1)).alias("w"),
+            stable_hash_u32(
+                F.concat(F.lit("res-v1:"), F.col("event_id").cast("string"))
+            )
+            .cast("long")
+            .alias("h"),
+        )
+        return keyed.orderBy(
+            F.col("h").cast("double") / F.col("w"), "event_id"
+        ).limit(50)
+
+    def merge_batch(batch_df: DataFrame, bid: int) -> None:
+        cur = race_topk(batch_df)
+        versions = sorted(glob.glob(os.path.join(state_dir, "v*")))
+        if versions:
+            cur = spark.read.parquet(versions[-1]).unionByName(cur)
+            cur = cur.orderBy(
+                F.col("h").cast("double") / F.col("w"), "event_id"
+            ).limit(50)
+        cur.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{bid:06d}")
+        )
+
+    stream = spark.readStream.schema("event_id long, value double").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src_dir)
+    run_available_now(
+        stream,
+        checkpoint_dir=tempfile.mkdtemp(prefix="stream_resv_ckpt_"),
+        output_mode="append",
+        foreach_batch=merge_batch,
+    )
+    latest = sorted(glob.glob(os.path.join(state_dir, "v*")))[-1]
+    return spark.read.parquet(latest).select("event_id", "w", "h")
