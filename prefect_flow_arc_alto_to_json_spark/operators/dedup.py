@@ -935,3 +935,68 @@ def incremental_minhash_pairs(
         )
         .where(F.col("est_jaccard") >= threshold)
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 3,
+    threshold_ppm: int = 500_000,
+) -> DataFrame:
+    """SORTED-NEIGHBORHOOD blocking — the classic entity-resolution
+    blocking scheme this module didn't yet have (beside the LSH bands,
+    posting joins, prefix filter and grid blocks): totally order the
+    corpus by a sort key (normalized text here), pair each row with the
+    next ``window`` rows in that order, and verify candidates with the
+    exact distinct-token Jaccard. Near-duplicates sort adjacently, so
+    the candidate count is EXACTLY n*window whatever the data does —
+    the hardest cap any blocking scheme offers, bought by the weakness
+    the LSH family doesn't have: a difference in the first sort-key
+    characters defeats it (multi-pass SNM with rotated keys is the
+    classic fix; one pass is this operator's documented contract).
+
+    Returns verified pairs (id_a, id_b, inter, uni, jac_ppm) with
+    jac_ppm >= threshold_ppm (half-up integer ppm — token counts are
+    small, far inside the device's exactness bounds).
+
+    Scale: the global rank uses the dense-ids device (range exchange +
+    local ranks — never a single-partition window); neighbor pairing is
+    an EQUALITY join on rank+offset (broadcast offsets); verification
+    touches n*window candidate rows.
+    """
+    from ..functions.scalar import token_array
+    from ..operators.ids import assign_dense_ids
+
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        normalize_text(text_col).alias("sk"),
+        F.array_distinct(token_array(text_col)).alias("toks"),
+    )
+    ranked = assign_dense_ids(keyed, ["sk", "id"], "rk").localCheckpoint()
+    offsets = df.sparkSession.range(1, window + 1).select(
+        F.col("id").cast("long").alias("off")
+    )
+    a = ranked.select(
+        F.col("rk").alias("rka"), F.col("id").alias("id_a"),
+        F.col("toks").alias("ta"),
+    )
+    b = ranked.select(
+        F.col("rk").alias("rkb"), F.col("id").alias("id_b"),
+        F.col("toks").alias("tb"),
+    )
+    cand = a.crossJoin(F.broadcast(offsets)).join(
+        b.hint("shuffle_hash"), F.col("rkb") == F.col("rka") + F.col("off")
+    )
+    inter = F.size(F.array_intersect("ta", "tb"))
+    uni = F.size("ta") + F.size("tb") - inter
+    scored = cand.select(
+        "id_a",
+        "id_b",
+        inter.cast("long").alias("inter"),
+        uni.cast("long").alias("uni"),
+        F.floor((2 * inter * F.lit(1_000_000) + uni) / (2.0 * uni))
+        .cast("long")
+        .alias("jac_ppm"),
+    )
+    return scored.where(F.col("jac_ppm") >= threshold_ppm)

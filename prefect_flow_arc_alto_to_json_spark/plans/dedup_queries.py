@@ -1025,3 +1025,50 @@ def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(leak))
         .crossJoin(F.broadcast(naive))
     )
+
+
+@query(
+    "dedup_sorted_neighborhood",
+    extra=True,
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id AS id,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS sk,
+             list_distinct({_SQL_TOKS}) AS toks
+      FROM documents
+    ),
+    ranked AS (
+      SELECT id, toks, ROW_NUMBER() OVER (ORDER BY sk, id) - 1 AS rk
+      FROM keyed
+    ),
+    scored AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
+             CAST(len(a.toks) + len(b.toks)
+                  - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS uni
+      FROM ranked a JOIN ranked b
+        ON b.rk BETWEEN a.rk + 1 AND a.rk + 3
+    )
+    SELECT id_a, id_b, inter, uni,
+           CAST(FLOOR((2 * inter * 1000000 + uni) / (2.0 * uni))
+                AS BIGINT) AS jac_ppm
+    FROM scored
+    WHERE CAST(FLOOR((2 * inter * 1000000 + uni) / (2.0 * uni))
+               AS BIGINT) >= 500000
+    """,
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup candidates (operators/dedup.py:
+    sorted_neighborhood_pairs): the classic ER blocking — total order by
+    normalized text, pair each row with its next 3 neighbors, verify by
+    exact distinct-token Jaccard >= 0.5. Candidate count is EXACTLY
+    n*window whatever the data does (the hardest cap of any blocking
+    scheme; the trade — first-character sensitivity — is documented on
+    the operator). Global rank via the dense-ids device, never a
+    single-partition window; the Spark side and this oracle agree on
+    the full verified relation, hash-exact.
+    """
+    from ..operators.dedup import sorted_neighborhood_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return sorted_neighborhood_pairs(docs, window=3, threshold_ppm=500_000)
