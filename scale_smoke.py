@@ -38,6 +38,7 @@ from prefect_flow_arc_alto_to_json_spark.operators.dedup import (  # noqa: E402
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     normalize_text,
+    sorted_neighborhood_pairs,
 )
 from prefect_flow_arc_alto_to_json_spark.operators.similarity import (  # noqa: E402
     embedding_near_dup_pairs,
@@ -405,6 +406,13 @@ def main() -> None:
         ),
         "als_iteration": lambda d, e, ev, o: als_iteration(
             ev.withColumn("value", F.col("value"))
+        ),
+        # round-9 late additions: sorted-neighborhood's candidate count is
+        # EXACTLY n*w by construction (the hardest blocking cap — this row
+        # is the measurement of that claim); the triples counting passes
+        # are basket-keyed with vocabulary-bounded fan-out
+        "sorted_neighborhood": lambda d, e, ev, o: sorted_neighborhood_pairs(
+            d, window=3, threshold_ppm=500_000
         ),
         "geo_radius_join": lambda d, e, ev, o: radius_join(
             with_grid(d.select(F.col("doc_id").alias("lid")), "lid", 1_000_000),
