@@ -86,6 +86,7 @@ ITERATIVE = {
     "q_scc_trade",
     "q_pagerank_warm_start",
     "q_pagerank_dangling",
+    "q_ktruss_trade",
 }
 
 SMJ_EXPECTED = {

@@ -1399,3 +1399,95 @@ def q_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst", "w")
     )
     return pagerank_dangling(edges, iterations=3)
+
+
+def _ktruss_oracle(k: int, rounds: int) -> str:
+    """Unrolled DuckDB replay of operators/graph.py:ktruss_edges over the
+    top-2-routes trade graph. MATERIALIZED per level — e_t feeds the
+    adjacency (twice), the support join (twice) and the carry."""
+    head = """
+    WITH e0raw AS MATERIALIZED (
+      SELECT c_nationkey AS src, s_nationkey AS dst, COUNT(*) AS w
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1, 2
+    ),
+    top2 AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst)
+                 AS rn
+        FROM e0raw WHERE src <> dst
+      ) WHERE rn <= 3
+    ),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM top2
+    )"""
+    lvl = """,
+    adj{t} AS MATERIALIZED (
+      SELECT a AS u, b AS v FROM e{t}
+      UNION ALL SELECT b, a FROM e{t}
+    ),
+    sup{t} AS (
+      SELECT e.a, e.b, COUNT(*) AS c
+      FROM e{t} e
+      JOIN adj{t} x ON x.u = e.a
+      JOIN adj{t} y ON y.u = e.b AND y.v = x.v
+      GROUP BY e.a, e.b
+    ),
+    e{n} AS MATERIALIZED (
+      SELECT e.a, e.b, CAST(COALESCE(s.c, 0) AS BIGINT) AS support
+      FROM e{t} e LEFT JOIN sup{t} s ON s.a = e.a AND s.b = e.b
+      WHERE COALESCE(s.c, 0) >= KMIN
+    )"""
+    parts = [head]
+    for t in range(rounds):
+        parts.append(lvl.format(t=t, n=t + 1).replace("KMIN", str(k - 2)))
+    parts.append(
+        "\n    SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, "
+        f"support FROM e{rounds}\n    "
+    )
+    return "".join(parts)
+
+
+@query("q_ktruss_trade", extra=True, oracle=_ktruss_oracle(4, 4))
+def q_ktruss_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the top-3-routes trade graph (operators/graph.py:
+    ktruss_edges) — the EDGE-cohesion member completing the graph
+    family's density axis: k-core peels by node degree, triangle counts
+    measure closure, the truss keeps only edges embedded in >= k-2
+    surviving triangles (the standard community-core definition;
+    Cohen 2008). Four peeling rounds, unrolled MATERIALIZED oracle,
+    convergence gate-tested against a deeper run in tests/test_graph.py.
+    """
+    from pyspark.sql import Window as W
+
+    from ..operators.graph import ktruss_edges
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    e0 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    rn = F.row_number().over(
+        W.partitionBy("src").orderBy(F.col("w").desc(), "dst")
+    )
+    top3 = (
+        e0.where(F.col("src") != F.col("dst"))
+        .withColumn("rn", rn)
+        .where(F.col("rn") <= 3)
+        .select("src", "dst")
+    )
+    return ktruss_edges(top3, k=4, rounds=4)

@@ -282,3 +282,49 @@ def test_pagerank_dangling_conserves_mass_where_base_leaks(spark):
     tight = sum(r["rank_nano"] for r in pagerank_dangling(e, 3).collect())
     assert leaky < NANO - 100_000_000  # the leak is real (>10% gone)
     assert abs(tight - NANO) < 1_000  # redistribution conserves
+
+
+def test_ktruss_hand_graph_and_fixpoint(spark):
+    """Triangle {1,2,3} + pendant 3-4: the 3-truss (support >= 1) keeps
+    exactly the triangle; the 4-truss is empty (each edge sits in only
+    one triangle). A deeper run must agree with the registered depth."""
+    from prefect_flow_arc_alto_to_json_spark.operators.graph import (
+        ktruss_edges,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
+    )
+    t3 = sorted(map(tuple, ktruss_edges(edges, k=3, rounds=2).collect()))
+    assert t3 == [(1, 2, 1), (1, 3, 1), (2, 3, 1)], t3
+    assert ktruss_edges(edges, k=4, rounds=2).count() == 0
+    # registered-depth fixpoint on the actual trade construction
+    from prefect_flow_arc_alto_to_json_spark.plans.graph_queries import (
+        q_ktruss_trade,
+    )
+
+    base = sorted(map(tuple, q_ktruss_trade(spark, "/root/testdata/sf0.001").collect()))
+    # deeper: rebuild with rounds=4 via the operator on the same edges
+    from prefect_flow_arc_alto_to_json_spark.sources import load_table
+    from pyspark.sql import Window as W
+
+    cust = load_table(spark, "/root/testdata/sf0.001", "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select("l_orderkey", "l_suppkey")
+    supp = load_table(spark, "/root/testdata/sf0.001", "supplier").select("s_suppkey", "s_nationkey")
+    e0 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    rn = F.row_number().over(W.partitionBy("src").orderBy(F.col("w").desc(), "dst"))
+    top3 = (
+        e0.where(F.col("src") != F.col("dst"))
+        .withColumn("rn", rn)
+        .where(F.col("rn") <= 3)
+        .select("src", "dst")
+    )
+    deep = sorted(map(tuple, ktruss_edges(top3, k=4, rounds=6).collect()))
+    assert base == deep
