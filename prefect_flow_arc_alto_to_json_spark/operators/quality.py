@@ -353,3 +353,59 @@ def mad_outliers(
             F.coalesce("n_outliers", F.lit(0)).cast("long").alias("n_outliers"),
         )
     )
+
+
+def isotonic_fit(bins: DataFrame, *, mul: int = 1_000_000) -> DataFrame:
+    """Isotonic (PAVA) regression over a BOUNDED ordered bin relation —
+    the calibration step that turns a reliability table into a monotone
+    calibrated score map (the classic post-hoc classifier calibrator).
+
+    ``bins`` carries (bin long, n long, pos long), at most a few dozen
+    rows: the output of an equi-width/equi-depth binning aggregate (the
+    one data-sized pass happens BEFORE this operator). Returns (bin,
+    iso_ppm), the non-decreasing least-squares fit of pos/n in half-up
+    integer ppm.
+
+    Device: PAVA's pool-adjacent loop is sequential, but its solution has
+    the closed minimax form ``fit_i = max_{k<=i} min_{j>=i}
+    mean(pos[k..j] / n[k..j])`` over interval means — three bounded joins
+    and two aggs instead of a loop. Every interval mean snaps to integer
+    ppm FIRST (the half-up device), so the max/min lattice is pure integer
+    comparison and the fit replays hash-exact in the oracle. Monotonicity
+    of the minimax holds for ANY matrix (snapped included): growing i
+    shrinks the inner min's domain and grows the outer max's.
+
+    Scale: every relation here is at most |bins|^2 rows (~4k at 64 bins);
+    the non-equi joins are broadcast by construction, never data-sized.
+    """
+    kk = bins.select(F.col("bin").alias("k"))
+    jj = bins.select(F.col("bin").alias("j"))
+    spine = F.broadcast(kk).crossJoin(F.broadcast(jj)).where(
+        F.col("k") <= F.col("j")
+    )
+    members = spine.join(
+        F.broadcast(bins),
+        (F.col("bin") >= F.col("k")) & (F.col("bin") <= F.col("j")),
+    )
+    iv = members.groupBy("k", "j").agg(
+        F.sum("n").alias("n_kj"), F.sum("pos").alias("p_kj")
+    )
+    ivm = iv.select(
+        "k",
+        "j",
+        F.call_function(
+            "div",
+            2 * F.col("p_kj") * F.lit(mul).cast("long") + F.col("n_kj"),
+            2 * F.col("n_kj"),
+        ).alias("mean_ppm"),
+    )
+    inner = bins.select("bin").join(
+        F.broadcast(ivm),
+        (F.col("k") <= F.col("bin")) & (F.col("j") >= F.col("bin")),
+    )
+    return (
+        inner.groupBy("bin", "k")
+        .agg(F.min("mean_ppm").alias("minm"))
+        .groupBy("bin")
+        .agg(F.max("minm").cast("long").alias("iso_ppm"))
+    )

@@ -2653,3 +2653,93 @@ def q_cv_stump_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT) div 2000000"),
         fold,
     )
+
+
+@query(
+    "q_isotonic_calibration",
+    extra=True,
+    oracle="""
+    WITH r AS (
+      SELECT CAST(MIN(n_chars) AS BIGINT) AS lo, CAST(MAX(n_chars) AS BIGINT) AS hi
+      FROM documents
+    ),
+    b AS (
+      SELECT LEAST(CAST(FLOOR((d.n_chars - r.lo) * 10.0 / (r.hi - r.lo + 1))
+                        AS BIGINT), 9) AS bin,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents d, r
+    ),
+    bins AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos
+      FROM b GROUP BY bin
+    ),
+    iv AS (
+      SELECT k.bin AS k, j.bin AS j,
+             CAST(SUM(m.n) AS BIGINT) AS n_kj, CAST(SUM(m.pos) AS BIGINT) AS p_kj
+      FROM bins k JOIN bins j ON k.bin <= j.bin
+      JOIN bins m ON m.bin BETWEEN k.bin AND j.bin
+      GROUP BY 1, 2
+    ),
+    ivm AS (
+      SELECT k, j, (2 * p_kj * 1000000 + n_kj) // (2 * n_kj) AS mean_ppm FROM iv
+    ),
+    inner_min AS (
+      SELECT i.bin AS bin, v.k AS k, MIN(v.mean_ppm) AS minm
+      FROM bins i JOIN ivm v ON v.k <= i.bin AND v.j >= i.bin
+      GROUP BY 1, 2
+    ),
+    fit AS (
+      SELECT bin, CAST(MAX(minm) AS BIGINT) AS iso_ppm FROM inner_min GROUP BY bin
+    )
+    SELECT s.bin, s.n AS n_docs, s.pos AS n_pos,
+           CAST((2 * s.pos * 1000000 + s.n) // (2 * s.n) AS BIGINT) AS raw_ppm,
+           f.iso_ppm
+    FROM bins s JOIN fit f USING (bin)
+    """,
+)
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAVA) calibration of the q_calibration_bins reliability
+    table (operators/quality.py:isotonic_fit): the monotone score map a
+    production classifier actually serves, next to the raw per-bin rates.
+    Raw empirical rates are non-monotone under sampling noise; isotonic
+    regression pools adjacent violators into the closest non-decreasing
+    fit — here via the closed minimax form ``fit_i = max_{k<=i} min_{j>=i}
+    mean(k..j)`` over interval means, every mean ppm-snapped FIRST so the
+    whole lattice is integer-exact in both engines.
+
+    Scale: ONE data-sized pass (the binning groupBy, map-side combining
+    into <=10 rows); everything downstream is |bins|^2-bounded broadcast
+    joins. The non-equi joins here are BroadcastNestedLoopJoins over
+    10-row inputs — bounded by construction, never data-sized."""
+    from ..operators.quality import isotonic_fit
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "n_chars", (F.col("lang") == "en").cast("int").alias("y")
+    )
+    r = F.broadcast(
+        docs.agg(F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi"))
+    )
+    binned = docs.crossJoin(r).select(
+        F.least(
+            F.floor(
+                (F.col("n_chars") - F.col("lo"))
+                * 10.0
+                / (F.col("hi") - F.col("lo") + 1)
+            ).cast("long"),
+            F.lit(9).cast("long"),
+        ).alias("bin"),
+        "y",
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").cast("long").alias("pos")
+    )
+    fit = isotonic_fit(bins)
+    return bins.join(fit, "bin").select(
+        "bin",
+        F.col("n").alias("n_docs"),
+        F.col("pos").alias("n_pos"),
+        F.call_function(
+            "div", 2 * F.col("pos") * 1000000 + F.col("n"), 2 * F.col("n")
+        ).alias("raw_ppm"),
+        "iso_ppm",
+    )

@@ -108,3 +108,42 @@ def test_roc_auc_matches_numpy_reference(spark):
     eq = (pos[:, None] == neg[None, :]).sum()
     auc = (gt + 0.5 * eq) / (len(pos) * len(neg))
     assert abs(out["auc_ppm"] - round(auc * 1e6)) <= 1
+
+
+def _iso(spark, triples):
+    from prefect_flow_arc_alto_to_json_spark.operators.quality import isotonic_fit
+
+    bins = spark.createDataFrame(triples, "bin long, n long, pos long")
+    rows = isotonic_fit(bins).orderBy("bin").collect()
+    return [r["iso_ppm"] for r in rows]
+
+
+def test_isotonic_fit_is_monotone_and_identity_on_monotone(spark):
+    # already-monotone rates: PAVA must return them unchanged (snapped)
+    fit = _iso(spark, [(0, 10, 1), (1, 10, 3), (2, 10, 5), (3, 10, 9)])
+    assert fit == [100000, 300000, 500000, 900000]
+    assert fit == sorted(fit)
+
+
+def test_isotonic_fit_pools_adjacent_violators(spark):
+    # textbook violator: rates (0.8, 0.2) with equal weights pool to 0.5;
+    # the neighbors stay untouched
+    fit = _iso(spark, [(0, 10, 1), (1, 10, 8), (2, 10, 2), (3, 10, 9)])
+    assert fit == [100000, 500000, 500000, 900000]
+    # weighted pooling: (n=10, 0.8) with (n=30, 0.2) pools to 14/40 = 0.35
+    fit = _iso(spark, [(0, 10, 8), (1, 30, 6)])
+    assert fit == [350000, 350000]
+
+
+def test_isotonic_fit_monotone_on_noise(spark):
+    import random
+
+    rng = random.Random(11)
+    triples = [
+        (b, n, rng.randint(0, n))
+        for b, n in ((i, rng.randint(1, 50)) for i in range(12))
+    ]
+    fit = _iso(spark, triples)
+    assert fit == sorted(fit)
+    ppm = [(2 * p * 10**6 + n) // (2 * n) for _, n, p in triples]
+    assert min(ppm) <= fit[0] and fit[-1] <= max(ppm)
