@@ -226,3 +226,74 @@ def kmv_merge_estimate(
         )
         .alias("est_kmv")
     )
+
+
+def value_sample_sketch(
+    df: DataFrame,
+    val_col: str,
+    id_col: str,
+    group_cols: list[str],
+    k: int = 64,
+) -> DataFrame:
+    """Bottom-k VALUE-SAMPLE sketch — the quantile corner of the sketch
+    family (CMS = frequency, KMV/HLL = cardinality, MG = heavy hitters,
+    this = distribution shape). Per group: the k rows whose row-identity
+    md5 residue is smallest, CARRYING the value column. The hash induces
+    a uniform random total order over rows, so the survivors are a simple
+    random sample without replacement, and — the mergeability contract —
+    min-k is associative: union finer sketches and re-take the bottom k
+    to roll up to any coarser grain without rescanning the fact.
+
+    Total order is (h, id) so hash collisions can never make the sample
+    partition-order-dependent. One data-sized exchange (the group-key
+    window); merges touch <= k rows per fine group forever after.
+    """
+    from pyspark.sql import Window
+
+    h = stable_hash_p31(
+        F.concat(F.lit("qsk-v1:"), F.col(id_col).cast("string"))
+    )
+    base = df.select(
+        *group_cols,
+        F.col(id_col).alias("sid"),
+        F.col(val_col).alias("v"),
+        h.alias("h"),
+    )
+    w = Window.partitionBy(*group_cols).orderBy("h", "sid")
+    return (
+        base.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def sample_merge_quantile(
+    sketches: DataFrame, merge_to: list[str], k: int = 64, pct: int = 50
+) -> DataFrame:
+    """Merge value-sample sketches up to ``merge_to`` grain and read the
+    ``pct``-th percentile as the merged sample's order statistic at
+    position ceil(k_used * pct / 100) (ties broken by the sample's own
+    (v, h, sid) total order — deterministic, engine-exact). Touches only
+    sketch rows, never the fact. Rank error of a k-sample quantile is
+    ~0.5/sqrt(k) at one sigma (k=64 -> ~6 percentile points), which the
+    caller should surface as an oracle-checked rank tolerance.
+    """
+    from pyspark.sql import Window
+
+    wm = Window.partitionBy(*merge_to).orderBy("h", "sid")
+    merged = (
+        sketches.withColumn("rn", F.row_number().over(wm))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+    cnt = merged.groupBy(*merge_to).agg(F.count(F.lit(1)).alias("k_used"))
+    wv = Window.partitionBy(*merge_to).orderBy("v", "h", "sid")
+    ranked = merged.withColumn("vr", F.row_number().over(wv)).join(
+        cnt, merge_to
+    )
+    pos = F.call_function(
+        "div", F.col("k_used") * pct + 99, F.lit(100).cast("long")
+    )
+    return ranked.where(F.col("vr") == pos).select(
+        *merge_to, "k_used", F.col("v").alias("est_v")
+    )

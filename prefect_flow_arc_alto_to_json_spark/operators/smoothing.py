@@ -73,4 +73,56 @@ def holt_linear(daily: DataFrame) -> DataFrame:
     return daily.groupBy("grp").applyInPandas(_holt_group, HOLT_SCHEMA)
 
 
+HW_SCHEMA = (
+    "grp string, day string, y_cents long, level_cents long, "
+    "season_cents long, fitted_cents long"
+)
+
+
+def _hw_group(pdf: pd.DataFrame, period: int = 7) -> pd.DataFrame:
+    pdf = pdf.sort_values("day").reset_index(drop=True)
+    ys = [int(v) for v in pdf["y_cents"]]
+    # level enters the uniform recurrence as y_0 so step 0 reproduces
+    # itself exactly: half2(2*y0) = y0, s_0 = half2(0) = 0 — no special
+    # anchor arithmetic anywhere (mirrored by the oracle's anchor row)
+    level = ys[0] if ys else 0
+    slist = [0] * period
+    out_l, out_s, out_f = [], [], []
+    for y in ys:
+        s_prev = slist[0]
+        # alpha = 1/2: new level averages the deseasonalized observation
+        # with the previous level; gamma = 1/2: new seasonal averages the
+        # delevelled observation with last cycle's seasonal
+        level = _half2(y - s_prev + level)
+        s_new = _half2(y - level + s_prev)
+        slist = slist[1:] + [s_new]
+        out_l.append(level)
+        out_s.append(s_new)
+        out_f.append(level + s_prev)
+    pdf["level_cents"] = pd.Series(out_l, dtype="int64")
+    pdf["season_cents"] = pd.Series(out_s, dtype="int64")
+    pdf["fitted_cents"] = pd.Series(out_f, dtype="int64")
+    return pdf[
+        ["grp", "day", "y_cents", "level_cents", "season_cents", "fitted_cents"]
+    ]
+
+
+def holt_winters_add(daily: DataFrame, period: int = 7) -> DataFrame:
+    """Additive Holt-Winters seasonal smoothing (alpha = gamma = 1/2, no
+    trend term) over per-key daily series — the grouped-recurrence class
+    member whose STATE is a ``period``-slot seasonal ring buffer, not a
+    scalar: level_t = half2(y_t - s_{t-m} + level_{t-1}), s_t =
+    half2(y_t - level_t + s_{t-m}), seasonals initialized to 0 (the first
+    cycle learns them). All state integer cents with floor((x+1)/2)
+    half-steps, so the recurrence replays hash-exact through a
+    recursive-CTE oracle carrying the ring buffer as a LIST column.
+
+    Same scale shape as holt_linear: ONE shuffle on the key; per-series
+    work is calendar-bounded; key cardinality carries the parallelism.
+    """
+    return daily.groupBy("grp").applyInPandas(
+        lambda pdf: _hw_group(pdf, period), HW_SCHEMA
+    )
+
+
 self_ship(__name__)

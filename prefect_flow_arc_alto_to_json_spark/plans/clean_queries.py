@@ -2743,3 +2743,82 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("raw_ppm"),
         "iso_ppm",
     )
+
+
+@query(
+    "q_target_encode_loo",
+    extra=True,
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority AS cat,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    cs AS (
+      SELECT cat, CAST(COUNT(*) AS BIGINT) AS n_cat,
+             CAST(SUM(y) AS BIGINT) AS s_cat
+      FROM base GROUP BY cat
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+             CAST(SUM(y) AS BIGINT) AS s_all
+      FROM base
+    )
+    SELECT b.o_orderkey, b.cat, CAST(b.y AS BIGINT) AS y,
+           CAST(CASE WHEN c.n_cat > 1
+             THEN (2 * (c.s_cat - b.y) * 1000000 + (c.n_cat - 1))
+                  // (2 * (c.n_cat - 1))
+             ELSE (2 * (g.s_all - b.y) * 1000000 + (g.n_all - 1))
+                  // (2 * (g.n_all - 1))
+           END AS BIGINT) AS enc_ppm
+    FROM base b JOIN cs c ON c.cat = b.cat CROSS JOIN g
+    """,
+)
+def q_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out TARGET ENCODING of a categorical feature — the
+    feature-engineering step gradient-boosted models consume in place of
+    one-hot for high-cardinality categories. Naive mean encoding leaks
+    each row's own label into its feature (train metrics inflate, the
+    q_cv_stump_oof / pipeline_leakage_safe_split failure class at the
+    FEATURE level); the LOO form subtracts the row's own label first:
+    enc_i = (sum_y(cat) - y_i) / (n(cat) - 1), half-up integer ppm.
+    Singleton categories (n=1, where LOO is undefined) fall back to the
+    leave-one-out GLOBAL prior — same device, corpus-level sums.
+
+    Scale: one map-side-combining groupBy builds the per-category sums
+    (category-cardinality exchange); both the category relation and the
+    1-row global relation broadcast back onto the fact, so the encode is
+    a map-side expression — no fact-sized shuffle anywhere."""
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("cat"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+    )
+    cs = base.groupBy("cat").agg(
+        F.count(F.lit(1)).alias("n_cat"),
+        F.sum("y").cast("long").alias("s_cat"),
+    )
+    g = base.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum("y").cast("long").alias("s_all"),
+    )
+    loo = F.call_function(
+        "div",
+        2 * (F.col("s_cat") - F.col("y")) * 1000000 + (F.col("n_cat") - 1),
+        2 * (F.col("n_cat") - 1),
+    )
+    prior = F.call_function(
+        "div",
+        2 * (F.col("s_all") - F.col("y")) * 1000000 + (F.col("n_all") - 1),
+        2 * (F.col("n_all") - 1),
+    )
+    return (
+        base.join(F.broadcast(cs), "cat")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "o_orderkey",
+            "cat",
+            F.col("y").cast("long").alias("y"),
+            F.when(F.col("n_cat") > 1, loo).otherwise(prior).alias("enc_ppm"),
+        )
+    )

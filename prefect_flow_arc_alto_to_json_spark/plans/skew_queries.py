@@ -528,3 +528,160 @@ def q_kmv_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fin.crossJoin(F.broadcast(exact_u)).crossJoin(
         F.broadcast(exact_i)
     )
+
+
+@query(
+    "q_quantile_sketch_rollup",
+    extra=True,
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS v,
+             CAST(md5_number_lower('qsk-v1:' || CAST(event_id AS VARCHAR))
+                  % 2147483647 AS BIGINT) AS h
+      FROM events
+    ),
+    day_sk AS (
+      SELECT event_type, day, event_id AS sid, v, h FROM base
+      QUALIFY ROW_NUMBER() OVER (
+          PARTITION BY event_type, day ORDER BY h, event_id) <= 64
+    ),
+    merged AS (
+      SELECT event_type, sid, v, h FROM day_sk
+      QUALIFY ROW_NUMBER() OVER (
+          PARTITION BY event_type ORDER BY h, sid) <= 64
+    ),
+    cnt AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k_used
+      FROM merged GROUP BY 1
+    ),
+    est AS (
+      SELECT m.event_type, c.k_used, m.v AS est_p50_cents
+      FROM (SELECT event_type, v, h, sid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type ORDER BY v, h, sid) AS vr
+            FROM merged) m
+      JOIN cnt c ON c.event_type = m.event_type
+      WHERE m.vr = (c.k_used * 50 + 99) // 100
+    ),
+    hist AS (
+      SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM base GROUP BY 1, 2
+    ),
+    exw AS (
+      SELECT event_type, v, c,
+             CAST(SUM(c) OVER (
+                 PARTITION BY event_type ORDER BY v) AS BIGINT) AS cum,
+             CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM hist
+    ),
+    exact AS (
+      SELECT event_type, n AS n_rows, v AS exact_p50_cents
+      FROM exw WHERE cum - c < (n + 1) // 2 AND (n + 1) // 2 <= cum
+    ),
+    rk AS (
+      SELECT b.event_type,
+             CAST(SUM(CASE WHEN b.v <= e.est_p50_cents THEN 1 ELSE 0 END)
+                  AS BIGINT) AS le
+      FROM base b JOIN est e ON e.event_type = b.event_type GROUP BY 1
+    )
+    SELECT x.event_type, x.n_rows, s.k_used, s.est_p50_cents,
+           x.exact_p50_cents,
+           (2 * r.le * 1000000 + x.n_rows) // (2 * x.n_rows) AS rank_ppm,
+           ABS((2 * r.le * 1000000 + x.n_rows) // (2 * x.n_rows) - 500000)
+             <= 200000 AS ok
+    FROM exact x
+    JOIN est s ON s.event_type = x.event_type
+    JOIN rk r ON r.event_type = x.event_type
+    """,
+)
+def q_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE sketch with a two-level rollup — the
+    distribution-shape corner of the sketch family (CMS = frequency,
+    KMV/HLL = cardinality, MG = heavy hitters): per-(type, day) bottom-64
+    value samples (operators/sketch.py:value_sample_sketch — row-identity
+    md5 order makes the survivors a uniform random sample, every byte
+    cross-engine deterministic), merged up to event_type WITHOUT
+    rescanning the fact (min-k associativity, the KMV contract), and the
+    merged sample's ceil(k/2)-th order statistic read as the median
+    estimate. The oracle replays the full sketch state. ``rank_ppm`` —
+    the estimate's true rank in the exact distribution — is the honest
+    error measure (sample-median rank error ~0.5/sqrt(64) ≈ 6 points at
+    one sigma; ``ok`` gates at ±20 points, computed identically on both
+    sides), next to the exact lower median from the cumulative value
+    histogram (no row sort).
+
+    Scale: one group-key window builds every day sketch; the type-level
+    merge, estimate and rank join touch <= 64 rows per group forever —
+    the rollup serves any coarser grain from stored fine sketches."""
+    from pyspark.sql import Window
+
+    from ..operators.sketch import sample_merge_quantile, value_sample_sketch
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+        "event_id",
+        cents("value").alias("v_cents"),
+    )
+    day_sk = value_sample_sketch(
+        ev, "v_cents", "event_id", ["event_type", "day"], k=64
+    )
+    est = sample_merge_quantile(day_sk, ["event_type"], k=64, pct=50).select(
+        "event_type", "k_used", F.col("est_v").alias("est_p50_cents")
+    )
+    hist = ev.groupBy("event_type", "v_cents").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("v_cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    exw = hist.select(
+        "event_type",
+        "v_cents",
+        "c",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    pos = F.call_function("div", F.col("n") + 1, F.lit(2).cast("long"))
+    exact = exw.where(
+        ((F.col("cum") - F.col("c")) < pos) & (pos <= F.col("cum"))
+    ).select(
+        "event_type",
+        F.col("n").alias("n_rows"),
+        F.col("v_cents").alias("exact_p50_cents"),
+    )
+    rk = (
+        ev.join(F.broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                (F.col("v_cents") <= F.col("est_p50_cents")).cast("long")
+            ).alias("le")
+        )
+    )
+    rank_ppm = F.call_function(
+        "div",
+        2 * F.col("le") * 1000000 + F.col("n_rows"),
+        2 * F.col("n_rows"),
+    )
+    # est/rk are <= |groups| rows but statless post-window stubs —
+    # without the hint Catalyst SMJ-sorts these 5-row joins
+    return (
+        exact.join(F.broadcast(est), "event_type")
+        .join(F.broadcast(rk), "event_type")
+        .select(
+            "event_type",
+            "n_rows",
+            "k_used",
+            "est_p50_cents",
+            "exact_p50_cents",
+            rank_ppm.alias("rank_ppm"),
+            (F.abs(rank_ppm - 500000) <= 200000).alias("ok"),
+        )
+    )

@@ -1453,3 +1453,68 @@ def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return num.join(F.broadcast(den), "event_type").select(
         "event_type", "lag", "acf_num", "acf_den"
     )
+
+
+@query(
+    "q_holt_winters_seasonal",
+    extra=True,
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type AS grp,
+             strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT grp, day, y,
+             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY day) AS rn
+      FROM daily
+    ),
+    rec AS (
+      SELECT grp, day, rn, y,
+             y AS l, CAST(0 AS BIGINT) AS s, CAST(0 AS BIGINT) AS sp,
+             [CAST(0 AS BIGINT), 0, 0, 0, 0, 0, 0] AS sl
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT q.grp, q.day, q.rn, q.y,
+             CAST(FLOOR((q.y - r.sl[1] + r.l + 1) / 2.0) AS BIGINT) AS l,
+             CAST(FLOOR((q.y
+                         - CAST(FLOOR((q.y - r.sl[1] + r.l + 1) / 2.0)
+                                AS BIGINT)
+                         + r.sl[1] + 1) / 2.0) AS BIGINT) AS s,
+             r.sl[1] AS sp,
+             list_append(
+               r.sl[2:7],
+               CAST(FLOOR((q.y
+                           - CAST(FLOOR((q.y - r.sl[1] + r.l + 1) / 2.0)
+                                  AS BIGINT)
+                           + r.sl[1] + 1) / 2.0) AS BIGINT)) AS sl
+      FROM rec r JOIN seq q ON q.grp = r.grp AND q.rn = r.rn + 1
+    )
+    SELECT grp, day, y AS y_cents, l AS level_cents, s AS season_cents,
+           l + sp AS fitted_cents
+    FROM rec
+    """,
+)
+def q_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (level + weekly seasonal, alpha = gamma =
+    1/2) of daily spend per event_type — the grouped-recurrence family's
+    VECTOR-STATE member (operators/smoothing.py:holt_winters_add):
+    unlike holt_linear's two scalars, the state is a 7-slot seasonal
+    ring buffer, which the recursive-CTE oracle carries as a LIST column
+    (sl[1] is s_{t-7}; each step shifts and appends). Where
+    q_weekday_seasonality fits STATIC per-weekday means, this one tracks
+    a drifting level and adapting seasonals — the forecasting twin.
+
+    Scale: the daily pre-aggregate is a map-side-combining groupBy; the
+    recurrence is ONE key shuffle into an Arrow grouped pass, per-series
+    loops calendar-bounded, parallelism = series cardinality."""
+    from ..operators.smoothing import holt_winters_add
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+        cents("value").alias("v"),
+    )
+    daily = ev.groupBy("grp", "day").agg(F.sum("v").alias("y_cents"))
+    return holt_winters_add(daily, period=7)

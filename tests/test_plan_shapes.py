@@ -847,3 +847,25 @@ def test_yannakakis_reduction_is_dangling_free(spark, sf_dir):
         "left_semi",
     )
     assert o_with_items.count() == o_red.select("o_orderkey").distinct().count()
+
+
+#: Round-12 block (session round 9, second wave): calibration, the
+#: vector-state recurrence, the quantile sketch and LOO encoding.
+#: Budgets measured at sf0.001 (PLAN_AUDIT rows). Isotonic's 8
+#: BroadcastNestedLoopJoins are 10-row bounded lattice joins by
+#: construction — SMJ/cartesian stay forbidden.
+_R12_SHUFFLE_BUDGETS = {
+    "q_isotonic_calibration": 10,  # 1 data-sized binning + 9 tiny-lattice aggs
+    "q_holt_winters_seasonal": 2,  # daily pre-agg + the grouped Arrow pass
+    "q_quantile_sketch_rollup": 11,  # day/type sketch windows + hist + joins
+    "q_target_encode_loo": 2,  # category sums + global 1-row agg
+}
+
+
+def test_round12_family_shuffle_budgets(spark, sf_dir):
+    _assert_family_budgets(
+        spark,
+        sf_dir,
+        _R12_SHUFFLE_BUDGETS,
+        forbid=("SortMergeJoin", "CartesianProduct"),
+    )
