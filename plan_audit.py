@@ -87,6 +87,7 @@ ITERATIVE = {
     "q_pagerank_warm_start",
     "q_pagerank_dangling",
     "q_ktruss_trade",
+    "text_textrank_keywords",
 }
 
 SMJ_EXPECTED = {

@@ -1039,3 +1039,61 @@ def ktruss_edges(edges: DataFrame, k: int = 4, rounds: int = 2) -> DataFrame:
         F.col("b").cast("long").alias("b"),
         "support",
     )
+
+
+def link_prediction_scores(edges: DataFrame) -> DataFrame:
+    """Link prediction over the undirected graph of ``edges`` (src, dst):
+    for every NON-adjacent pair sharing at least one neighbor, the two
+    classic proximity scores — common-neighbor count and Adamic-Adar
+    (sum over shared neighbors z of 1/ln(deg(z)), which discounts hub
+    intermediaries). The graph-task class the centrality/closure family
+    doesn't cover: predicting edges that aren't there yet (recommender
+    candidate generation, knowledge-graph completion).
+
+    Returns (u, v, cn, aa_micro) with u < v; ``aa_micro`` sums per-z
+    terms ROUND-snapped to integer micro-units FIRST, so the order-free
+    long sum is engine-exact (1/ln of an integer degree is irrational —
+    boundary hits are measure-zero; never FLOOR-snap a transcendental).
+    A wedge center has >= 2 neighbors, so ln(deg(z)) >= ln 2 and the
+    division is always defined.
+
+    Shape: degree agg + one wedge self-join on the center node + an
+    anti-join against the edge set — triangle_counts' complexity
+    (sum of deg(z)^2 candidate pairs); on power-law graphs cap hub
+    degrees upstream the way the dedup posting joins cap df.
+    """
+    # und feeds four consumers (both wedge sides via adj, deg, the
+    # anti-join): localCheckpoint or the whole edge lineage re-plans per
+    # consumer AND the statless stubs SMJ (the mad_outliers precedent)
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    adj = und.select(F.col("a").alias("z"), F.col("b").alias("n")).unionAll(
+        und.select(F.col("b").alias("z"), F.col("a").alias("n"))
+    )
+    deg = adj.groupBy("z").agg(F.count(F.lit(1)).alias("deg"))
+    nbr = adj.join(F.broadcast(deg), "z")
+    l = nbr.select("z", F.col("n").alias("u"), "deg")
+    r = nbr.select(F.col("z").alias("z2"), F.col("n").alias("v"))
+    # wedge self-join on the center node: shuffle_hash, not broadcast —
+    # the one join that stays data-sized on a vocabulary/entity graph
+    wedge = l.join(
+        r.hint("shuffle_hash"),
+        (F.col("z") == F.col("z2")) & (F.col("u") < F.col("v")),
+    )
+    cand = wedge.join(
+        F.broadcast(und),
+        (F.col("u") == F.col("a")) & (F.col("v") == F.col("b")),
+        "left_anti",
+    )
+    return cand.groupBy("u", "v").agg(
+        F.count(F.lit(1)).alias("cn"),
+        F.sum(F.round(1000000.0 / F.log(F.col("deg").cast("double")), 0).cast("long"))
+        .alias("aa_micro"),
+    )

@@ -2822,3 +2822,73 @@ def q_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("n_cat") > 1, loo).otherwise(prior).alias("enc_ppm"),
         )
     )
+
+
+@query(
+    "q_randomized_response",
+    extra=True,
+    oracle="""
+    WITH base AS (
+      SELECT source,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS truth,
+             CAST(md5_number_lower('rr-v1:' || CAST(doc_id AS VARCHAR))
+                  % 4294967296 AS BIGINT) AS u
+      FROM documents
+    ),
+    rep AS (
+      SELECT source, truth,
+             CASE WHEN u < 3221225472 THEN truth ELSE 1 - truth END AS reported
+      FROM base
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(truth) AS BIGINT) AS n_true,
+           CAST(SUM(reported) AS BIGINT) AS n_reported,
+           CAST(4 * SUM(reported) - COUNT(*) AS BIGINT) AS est_x2,
+           (4 * SUM(reported) - COUNT(*) - 2 * SUM(truth))
+             * (4 * SUM(reported) - COUNT(*) - 2 * SUM(truth))
+             <= 64 * COUNT(*) AS ok
+    FROM rep GROUP BY source
+    """,
+)
+def q_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomized response — the LOCAL differential-privacy member of
+    the governance family (q_dp_noisy_counts is the central-DP one):
+    each row reports its sensitive bit (lang = 'en') truthfully with
+    p = 3/4, flipped otherwise (epsilon = ln 3 per row), and the curator
+    debiases the per-source rate as n_hat = (4*n_reported - n) / 2. The
+    coin is a deterministic md5-uniform (u32 < 3 * 2^30), so the whole
+    mechanism — flips, counts, debias — replays hash-exact; ``est_x2``
+    stays an exact integer (2 * n_hat) so no signed division device is
+    needed, and ``ok`` checks the debiased estimate against the truth
+    within 4*sqrt(n) via a cross-multiplied integer square (sd of n_hat
+    is ~0.87*sqrt(n) at p = 3/4).
+
+    Scale: one map-side-combining groupBy; the mechanism is a per-row
+    expression. Real deployments emit only (n, n_reported, est) — the
+    truth column here exists to adjudicate the estimator itself."""
+    from ..functions.scalar import stable_hash_u32
+
+    base = load_table(spark, sf_dir, "documents").select(
+        "source",
+        (F.col("lang") == "en").cast("long").alias("truth"),
+        stable_hash_u32(
+            F.concat(F.lit("rr-v1:"), F.col("doc_id").cast("string"))
+        ).alias("u"),
+    )
+    rep = base.select(
+        "source",
+        "truth",
+        F.when(F.col("u") < 3221225472, F.col("truth"))
+        .otherwise(1 - F.col("truth"))
+        .alias("reported"),
+    )
+    est = 4 * F.sum("reported") - F.count(F.lit(1))
+    diff = est - 2 * F.sum("truth")
+    return rep.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("truth").cast("long").alias("n_true"),
+        F.sum("reported").cast("long").alias("n_reported"),
+        est.cast("long").alias("est_x2"),
+        (diff * diff <= 64 * F.count(F.lit(1))).alias("ok"),
+    )

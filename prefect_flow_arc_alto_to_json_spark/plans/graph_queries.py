@@ -1491,3 +1491,90 @@ def q_ktruss_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     return ktruss_edges(top3, k=4, rounds=4)
+
+
+@query(
+    "q_link_prediction",
+    extra=True,
+    oracle=f"""
+    WITH edges AS ({_SQL_EDGES}),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS ne, CAST(SUM(w) AS BIGINT) AS sw
+      FROM edges
+    ),
+    strong AS (SELECT src, dst FROM edges, tot WHERE w * ne >= sw),
+    und AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM strong WHERE src <> dst
+    ),
+    adj AS (SELECT a AS z, b AS n FROM und UNION ALL SELECT b, a FROM und),
+    deg AS (SELECT z, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY z),
+    nbr AS (SELECT adj.z, adj.n, deg.deg FROM adj JOIN deg USING (z)),
+    wedge AS (
+      SELECT l.z, l.n AS u, r.n AS v, l.deg
+      FROM nbr l JOIN adj r ON r.z = l.z AND l.n < r.n
+    ),
+    cand AS (
+      SELECT w.u, w.v, w.deg FROM wedge w
+      WHERE NOT EXISTS (
+        SELECT 1 FROM und e WHERE e.a = w.u AND e.b = w.v
+      )
+    )
+    SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
+           CAST(COUNT(*) AS BIGINT) AS cn,
+           CAST(SUM(CAST(ROUND(1000000.0 / LN(deg)) AS BIGINT)) AS BIGINT)
+             AS aa_micro
+    FROM cand GROUP BY u, v
+    """,
+)
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the mean-thresholded trade graph
+    (operators/graph.py:link_prediction_scores): common-neighbor and
+    Adamic-Adar scores for every non-adjacent nation pair with at least
+    one shared strong trading partner — the graph-task class the
+    centrality/closure family doesn't cover (predicting MISSING edges:
+    recommender candidates, KG completion). Thresholding keeps edges
+    with w >= mean weight via the cross-multiplied integer comparison
+    (w * n_edges >= sum_w — no float mean), leaving a sparse graph whose
+    non-edges are meaningful. Adamic-Adar's irrational 1/ln(deg) terms
+    ROUND-snap to micro-units before the order-free sum.
+
+    Scale: the edge build is the q7 fact join; everything after runs on
+    the nation-level relation. The wedge self-join's candidate volume is
+    sum-of-deg^2 — on power-law graphs cap hub degrees upstream exactly
+    like the dedup posting joins cap df."""
+    from ..operators.graph import link_prediction_scores
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    # edges feeds the 1-row total AND the threshold filter: checkpoint so
+    # the q7 fact join runs once, not once per consumer
+    edges = edges.localCheckpoint()
+    tot = F.broadcast(
+        edges.agg(
+            F.count(F.lit(1)).alias("ne"), F.sum("w").alias("sw")
+        )
+    )
+    strong = (
+        edges.crossJoin(tot)
+        .where(F.col("w") * F.col("ne") >= F.col("sw"))
+        .select("src", "dst")
+    )
+    return link_prediction_scores(strong).select(
+        F.col("u").cast("long").alias("u"),
+        F.col("v").cast("long").alias("v"),
+        "cn",
+        "aa_micro",
+    )

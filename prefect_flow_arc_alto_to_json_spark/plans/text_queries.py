@@ -1830,3 +1830,99 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cos * 1000000, 0).cast("long").alias("cos_micro"),
         )
     )
+
+
+@query(
+    "text_textrank_keywords",
+    extra=True,
+    oracle=None,  # assembled below (shares graph_queries' iteration text)
+)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction — PageRank over the token
+    CO-OCCURRENCE graph (nodes = tokens, undirected edges = adjacent
+    pairs weighted by corpus count), the composition of the graph family
+    onto text: where TF-IDF ranks tokens by document discrimination,
+    TextRank ranks by centrality in the adjacency structure (the
+    classic unsupervised keyphrase baseline). Reuses operators/graph.py:
+    pagerank verbatim — 3 synchronous rounds, per-edge contributions
+    nano-snapped before the per-node sum — so the oracle is the same
+    triple-unrolled SQL as q_pagerank_trade over token-typed nodes.
+
+    Scale: the bigram relation collapses map-side into the (w1, w2)
+    count shuffle (vocabulary-bounded output); PageRank then runs
+    entirely on the vocab-sized graph. The top-20 window is
+    vocabulary-bounded (the PSI-bins exception), never corpus-sized."""
+    from pyspark.sql import Window
+
+    from ..functions.scalar import token_array
+    from ..operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(token_array("text").alias("toks")).where(
+        F.size("toks") >= 2
+    )
+    n = F.size("toks")
+    bg = t.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("toks", 1, n - 1).alias("w1"),
+                F.expr("slice(toks, 2, size(toks) - 1)").alias("w2"),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    e = (
+        bg.select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
+        .unionAll(bg.select(F.col("w2").alias("src"), F.col("w1").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    pr = pagerank(e, iterations=3)
+    w20 = Window.orderBy(F.col("rank_nano").desc(), "token")
+    return (
+        pr.select(F.col("node").alias("token"), "rank_nano")
+        .withColumn("rn", F.row_number().over(w20))
+        .where(F.col("rn") <= 20)
+    )
+
+
+from .registry import EXTRA_ORACLES as _EO  # noqa: E402
+from .graph_queries import _SQL_ITER as _PR_ITER  # noqa: E402
+
+_EO["text_textrank_keywords"] = f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    bg AS (
+      SELECT toks[i] AS w1, toks[i + 1] AS w2
+      FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i)
+      WHERE len(toks) >= 2
+    ),
+    edges AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM (
+        SELECT w1 AS src, w2 AS dst FROM bg
+        UNION ALL SELECT w2, w1 FROM bg
+      ) WHERE src <> dst GROUP BY 1, 2
+    ),
+    outw AS (SELECT src, SUM(w) AS out_w FROM edges GROUP BY src),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+      )
+    ),
+    consts AS (
+      SELECT CAST(ROUND((1.0 - 0.85) * 1000000000 / COUNT(*)) AS BIGINT)
+               AS base,
+             CAST(ROUND(1000000000.0 / COUNT(*)) AS BIGINT) AS r_init
+      FROM nodes
+    ),
+    r0 AS (
+      SELECT node, (SELECT r_init FROM consts) AS rank_nano FROM nodes
+    ),
+    {_PR_ITER.format(K=1, P=0)},
+    {_PR_ITER.format(K=2, P=1)},
+    {_PR_ITER.format(K=3, P=2)}
+    SELECT node AS token, rank_nano,
+           CAST(ROW_NUMBER() OVER (ORDER BY rank_nano DESC, node)
+                AS INTEGER) AS rn
+    FROM r3
+    QUALIFY rn <= 20
+"""

@@ -859,6 +859,11 @@ _R12_SHUFFLE_BUDGETS = {
     "q_holt_winters_seasonal": 2,  # daily pre-agg + the grouped Arrow pass
     "q_quantile_sketch_rollup": 11,  # day/type sketch windows + hist + joins
     "q_target_encode_loo": 2,  # category sums + global 1-row agg
+    # wave 3: graph link prediction (edge build behind localCheckpoint,
+    # wedge join shuffle_hash), local-DP randomized response, and the
+    # vocab-bounded TextRank composition (audited per-iter in PLAN_AUDIT)
+    "q_link_prediction": 5,
+    "q_randomized_response": 1,
 }
 
 
