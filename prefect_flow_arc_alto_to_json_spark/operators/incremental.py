@@ -74,3 +74,82 @@ def merge_states(
     return unioned.groupBy(*keys).agg(
         *[MERGEABLE[fn][1](name).alias(name) for name, (_, fn) in aggs.items()]
     )
+
+
+def incremental_components(
+    old_labels: DataFrame,
+    new_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Incremental connected components: fold a NEW batch of near-dup
+    edges into yesterday's (doc_id, component_id) labels without
+    recomputing over the historical edge set — the graph-state member of
+    this module's O(batch)-per-ingest contract (dedup_incremental_minhash
+    covers candidate GENERATION incrementally; this covers the grouping
+    step).
+
+    Device: CONTRACTION. Old components collapse to their label node
+    (component_id = min member id, so the contracted node id IS the
+    component's min), each new edge maps its endpoints through the old
+    labels (unlabeled endpoints map to themselves), and min-label
+    propagation runs on the contracted graph only — size O(|new edges|),
+    never O(|history|). min-of-mins = global min, so merged labels are
+    exactly the labels a full recompute over old ∪ new edges produces
+    (the oracle adjudicates precisely that equality).
+
+    Returns labels for every node of old ∪ new edges: old members route
+    through the contraction map (component_id -> merged label, identity
+    where untouched); contracted nodes that aren't old component ids
+    (new docs, old docs first linked today) emit directly.
+    """
+    from .dedup import duplicate_components
+
+    la = old_labels.select(
+        F.col("doc_id").alias("__a"), F.col("component_id").alias("__la")
+    )
+    lb = old_labels.select(
+        F.col("doc_id").alias("__b"), F.col("component_id").alias("__lb")
+    )
+    contracted_edges = (
+        new_pairs.select(F.col(id_a).alias("__a"), F.col(id_b).alias("__b"))
+        .join(la, "__a", "left")
+        .join(lb, "__b", "left")
+        .select(
+            F.coalesce("__la", "__a").alias("ca"),
+            F.coalesce("__lb", "__b").alias("cb"),
+        )
+        .where(F.col("ca") != F.col("cb"))
+    )
+    contracted = (
+        duplicate_components(contracted_edges, "ca", "cb", max_iter=max_iter)
+        .select(
+            F.col("doc_id").alias("cnode"),
+            F.col("component_id").alias("mlabel"),
+        )
+        .localCheckpoint()  # two consumers below
+    )
+    # the contraction map is batch-sized while old_labels is
+    # history-sized: broadcast the map (the incremental regime's whole
+    # point); without hints the statless checkpoint stubs plan SMJ
+    mapped = (
+        old_labels.join(
+            F.broadcast(contracted),
+            old_labels["component_id"] == contracted["cnode"],
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("mlabel", "component_id").alias("component_id"),
+        )
+    )
+    old_comp_ids = old_labels.select(
+        F.col("component_id").alias("cnode")
+    ).distinct()
+    direct = contracted.join(
+        old_comp_ids.hint("shuffle_hash"), "cnode", "left_anti"
+    ).select(
+        F.col("cnode").alias("doc_id"), F.col("mlabel").alias("component_id")
+    )
+    return mapped.unionByName(direct)

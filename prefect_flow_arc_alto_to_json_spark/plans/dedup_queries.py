@@ -29,7 +29,7 @@ from ..operators.dedup import (
     with_minhash,
     with_simhash,
 )
-from ..functions.scale import scoped_persist
+from ..functions.scale import fan_out, scoped_persist
 from ..sources import load_table
 from .registry import query
 
@@ -1072,3 +1072,279 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return sorted_neighborhood_pairs(docs, window=3, threshold_ppm=500_000)
+
+
+@query(
+    "dedup_incremental_components",
+    extra=True,
+    oracle=_SQL_COMPONENTS_CTES + """
+    SELECT doc_id, component_id FROM comp
+    """,
+)
+def dedup_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL connected components (operators/incremental.py:
+    incremental_components): docs with doc_id % 5 == 2 play today's
+    ingest batch; yesterday's labels come from min-label propagation
+    over old-old pairs only, and today's new edges (any pair touching a
+    new doc) fold in by CONTRACTION — old components collapse to their
+    min-id label node, propagation runs on the contracted graph of size
+    O(|new edges|), never O(|history|). The ORACLE IS THE FULL BATCH
+    RECOMPUTE over all pairs (the dedup_components closure CTEs
+    verbatim), so the hash match adjudicates exactly the claim that the
+    incremental fold lands on the from-scratch answer.
+
+    Scale: this is the dedup-at-ingest shape for a growing 100 TB
+    corpus — daily cost is pair generation for the batch (the
+    dedup_incremental_minhash probe) plus label propagation over edges
+    the batch actually created; historical components are touched only
+    through the contraction map join."""
+    from ..operators.dedup import duplicate_components
+    from ..operators.incremental import incremental_components
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_new_a = F.pmod(F.col("id_a"), F.lit(5)) == 2
+    is_new_b = F.pmod(F.col("id_b"), F.lit(5)) == 2
+    # one pair computation feeds both eras (pairwise jaccard is
+    # corpus-independent, so old-old pairs here == pairs over the old
+    # corpus alone); checkpoint for the two consumers
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8).localCheckpoint()
+    old_pairs = pairs.where(~is_new_a & ~is_new_b)
+    new_pairs = pairs.where(is_new_a | is_new_b)
+    old_labels = duplicate_components(old_pairs)
+    return incremental_components(old_labels, new_pairs)
+
+
+@query(
+    "dedup_fellegi_sunter",
+    extra=True,
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang, source, n_chars, {_SQL_TOKS} AS toks
+                  FROM documents),
+    shg AS (SELECT doc_id, lang, source, n_chars, {_SQL_SHINGLES} AS sh
+            FROM toks),
+    hsh AS (SELECT doc_id, lang, source, n_chars,
+                   {_SQL_SHINGLE_HASHES} AS hs FROM shg),
+    sk AS (SELECT doc_id, lang, source, n_chars, hs,
+                  list_sort(hs)[1:8] AS sk8 FROM hsh),
+    post AS (SELECT doc_id, unnest(sk8) AS h FROM sk),
+    big AS (SELECT h FROM post GROUP BY h HAVING COUNT(*) > 64),
+    postk AS (
+      SELECT p.doc_id, p.h FROM post p
+      WHERE NOT EXISTS (SELECT 1 FROM big WHERE big.h = p.h)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM postk a JOIN postk b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    cmp AS (
+      SELECT c.id_a, c.id_b,
+        CASE WHEN x.lang = y.lang THEN 1 ELSE 0 END AS g_lang,
+        CASE WHEN x.source = y.source THEN 1 ELSE 0 END AS g_src,
+        CASE WHEN ABS(x.n_chars - y.n_chars) * 10
+                  <= GREATEST(x.n_chars, y.n_chars) THEN 1 ELSE 0 END AS g_len,
+        CASE WHEN len(list_intersect(x.sk8, y.sk8)) >= 4
+             THEN 1 ELSE 0 END AS g_sk,
+        CASE WHEN len(list_intersect(x.hs, y.hs)) * 2
+                  >= len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))
+             THEN 1 ELSE 0 END AS pseudo_match
+      FROM cand c
+      JOIN sk x ON x.doc_id = c.id_a
+      JOIN sk y ON y.doc_id = c.id_b
+    ),
+    st AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nc,
+             CAST(SUM(pseudo_match) AS BIGINT) AS nm,
+             CAST(SUM(g_lang * pseudo_match) AS BIGINT) AS m1,
+             CAST(SUM(g_src * pseudo_match) AS BIGINT) AS m2,
+             CAST(SUM(g_len * pseudo_match) AS BIGINT) AS m3,
+             CAST(SUM(g_sk * pseudo_match) AS BIGINT) AS m4,
+             CAST(SUM(g_lang * (1 - pseudo_match)) AS BIGINT) AS u1,
+             CAST(SUM(g_src * (1 - pseudo_match)) AS BIGINT) AS u2,
+             CAST(SUM(g_len * (1 - pseudo_match)) AS BIGINT) AS u3,
+             CAST(SUM(g_sk * (1 - pseudo_match)) AS BIGINT) AS u4
+      FROM cmp
+    ),
+    w AS (
+      SELECT *, nc - nm AS nu FROM st
+    ),
+    ww AS (
+      SELECT
+        CAST(ROUND(1000000 * LN(((m1 + 1) * (nu + 2))::DOUBLE
+                                / ((nm + 2) * (u1 + 1)))) AS BIGINT) AS wa1,
+        CAST(ROUND(1000000 * LN(((nm - m1 + 1) * (nu + 2))::DOUBLE
+                                / ((nm + 2) * (nu - u1 + 1)))) AS BIGINT) AS wd1,
+        CAST(ROUND(1000000 * LN(((m2 + 1) * (nu + 2))::DOUBLE
+                                / ((nm + 2) * (u2 + 1)))) AS BIGINT) AS wa2,
+        CAST(ROUND(1000000 * LN(((nm - m2 + 1) * (nu + 2))::DOUBLE
+                                / ((nm + 2) * (nu - u2 + 1)))) AS BIGINT) AS wd2,
+        CAST(ROUND(1000000 * LN(((m3 + 1) * (nu + 2))::DOUBLE
+                                / ((nm + 2) * (u3 + 1)))) AS BIGINT) AS wa3,
+        CAST(ROUND(1000000 * LN(((nm - m3 + 1) * (nu + 2))::DOUBLE
+                                / ((nm + 2) * (nu - u3 + 1)))) AS BIGINT) AS wd3,
+        CAST(ROUND(1000000 * LN(((m4 + 1) * (nu + 2))::DOUBLE
+                                / ((nm + 2) * (u4 + 1)))) AS BIGINT) AS wa4,
+        CAST(ROUND(1000000 * LN(((nm - m4 + 1) * (nu + 2))::DOUBLE
+                                / ((nm + 2) * (nu - u4 + 1)))) AS BIGINT) AS wd4
+      FROM w
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(c.g_lang AS INTEGER) AS g_lang,
+           CAST(c.g_src AS INTEGER) AS g_src,
+           CAST(c.g_len AS INTEGER) AS g_len,
+           CAST(c.g_sk AS INTEGER) AS g_sk,
+           CAST(c.pseudo_match AS INTEGER) AS pseudo_match,
+           CAST(c.g_lang * ww.wa1 + (1 - c.g_lang) * ww.wd1
+              + c.g_src * ww.wa2 + (1 - c.g_src) * ww.wd2
+              + c.g_len * ww.wa3 + (1 - c.g_len) * ww.wd3
+              + c.g_sk * ww.wa4 + (1 - c.g_sk) * ww.wd4 AS BIGINT)
+             AS score_micro
+    FROM cmp c CROSS JOIN ww
+    """,
+)
+def dedup_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage — the SCORING step of
+    entity resolution, completing the family whose candidate step is
+    dedup_sorted_neighborhood / the LSH blockers: candidate pairs from a
+    bottom-8 shingle-sketch posting join, per-pair field-agreement vector
+    (lang, source, length-within-10% via cross-multiplied integers,
+    sketch-overlap >= 4), and per-field log-likelihood weights
+    ln(m_k/u_k) / ln((1-m_k)/(1-u_k)) ESTIMATED FROM THE DATA with
+    add-one smoothing — pseudo-labels are shingle-Jaccard >= 1/2 on the
+    candidate space (the textbook move when no hand labels exist; the
+    comparison space is the blocked candidates, as FS prescribes). Each
+    weight is ONE integer-product ratio, one IEEE division, one ln,
+    ROUND-snapped to micro-units — engine-exact; the score is an integer
+    sum of snapped weights.
+
+    Scale: blocking emits 8 postings/doc (bucket sizes bounded by
+    near-dup group sizes; boilerplate-skewed corpora apply the
+    max_bucket_size anti-join cap exactly as the minhash blockers do);
+    the m/u relation is ONE 1-row aggregate broadcast back; scoring is a
+    map-side expression over candidates."""
+    from ..operators.dedup import shingle_hashes, shingles
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars", "text"
+    )
+    sk = fan_out(docs).select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        shingle_hashes(shingles("text", 3)).alias("hs"),
+    ).withColumn("sk8", F.slice(F.array_sort("hs"), 1, 8))
+    post = sk.select("doc_id", F.explode("sk8").alias("h"))
+    # bottom-of-corpus sketch hashes concentrate (the globally smallest
+    # shingle hashes post in MANY docs), so uncapped buckets go quadratic
+    # — the minhash blockers' max_bucket_size anti-join, same device
+    # (scale_smoke's fs_blocking x8 OOMed without it)
+    overflow = (
+        post.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > 64)
+        .select("h")
+    )
+    post = post.join(F.broadcast(overflow), "h", "left_anti")
+    a = post.select(F.col("doc_id").alias("id_a"), "h")
+    b = post.select(F.col("doc_id").alias("id_b"), "h")
+    cand = (
+        a.join(b, "h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    x = sk.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("source").alias("src_a"),
+        F.col("n_chars").alias("len_a"),
+        F.col("hs").alias("hs_a"),
+        F.col("sk8").alias("sk_a"),
+    )
+    y = sk.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("src_b"),
+        F.col("n_chars").alias("len_b"),
+        F.col("hs").alias("hs_b"),
+        F.col("sk8").alias("sk_b"),
+    )
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    cmp = (
+        cand.join(x, "id_a")
+        .join(y, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("lang_a") == F.col("lang_b")).cast("int").alias("g_lang"),
+            (F.col("src_a") == F.col("src_b")).cast("int").alias("g_src"),
+            (
+                F.abs(F.col("len_a") - F.col("len_b")) * 10
+                <= F.greatest("len_a", "len_b")
+            )
+            .cast("int")
+            .alias("g_len"),
+            (F.size(F.array_intersect("sk_a", "sk_b")) >= 4)
+            .cast("int")
+            .alias("g_sk"),
+            (inter * 2 >= F.size("hs_a") + F.size("hs_b") - inter)
+            .cast("int")
+            .alias("pseudo_match"),
+        )
+        .localCheckpoint()  # feeds the m/u aggregate AND the scoring pass
+    )
+    st = cmp.agg(
+        F.count(F.lit(1)).alias("nc"),
+        F.sum("pseudo_match").cast("long").alias("nm"),
+        *[
+            F.sum(F.col(g) * F.col("pseudo_match")).cast("long").alias(f"m{i}")
+            for i, g in enumerate(("g_lang", "g_src", "g_len", "g_sk"), 1)
+        ],
+        *[
+            F.sum(F.col(g) * (1 - F.col("pseudo_match")))
+            .cast("long")
+            .alias(f"u{i}")
+            for i, g in enumerate(("g_lang", "g_src", "g_len", "g_sk"), 1)
+        ],
+    ).withColumn("nu", F.col("nc") - F.col("nm"))
+
+    def wa(i):
+        return F.round(
+            1000000
+            * F.log(
+                ((F.col(f"m{i}") + 1) * (F.col("nu") + 2)).cast("double")
+                / ((F.col("nm") + 2) * (F.col(f"u{i}") + 1))
+            ),
+            0,
+        ).cast("long")
+
+    def wd(i):
+        return F.round(
+            1000000
+            * F.log(
+                (
+                    (F.col("nm") - F.col(f"m{i}") + 1) * (F.col("nu") + 2)
+                ).cast("double")
+                / ((F.col("nm") + 2) * (F.col("nu") - F.col(f"u{i}") + 1))
+            ),
+            0,
+        ).cast("long")
+
+    ww = st.select(
+        *[wa(i).alias(f"wa{i}") for i in range(1, 5)],
+        *[wd(i).alias(f"wd{i}") for i in range(1, 5)],
+    )
+    score = sum(
+        F.col(g) * F.col(f"wa{i}") + (1 - F.col(g)) * F.col(f"wd{i}")
+        for i, g in enumerate(("g_lang", "g_src", "g_len", "g_sk"), 1)
+    )
+    return cmp.crossJoin(F.broadcast(ww)).select(
+        "id_a",
+        "id_b",
+        "g_lang",
+        "g_src",
+        "g_len",
+        "g_sk",
+        "pseudo_match",
+        score.cast("long").alias("score_micro"),
+    )

@@ -58,6 +58,15 @@ def get_spark(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         )
+        # local[N] inherits the 1 GB driver-JVM default, which is the de
+        # facto executor-memory ceiling of the whole single-JVM harness —
+        # the x8 scale-smoke blow-ups OOMed against it while the box has
+        # 128 GiB. Must be set BEFORE the JVM launches (getOrCreate), so
+        # it lives here, env-overridable like the cpu count.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
         # AQE: coalesce small shuffle partitions, split skewed ones, and
         # switch sort-merge→broadcast when runtime stats allow.
         .config("spark.sql.adaptive.enabled", "true")

@@ -299,6 +299,53 @@ def timed(df: DataFrame) -> float:
     return time.perf_counter() - t0
 
 
+def _fs_blocking(d: DataFrame) -> DataFrame:
+    from prefect_flow_arc_alto_to_json_spark.operators.dedup import (
+        shingle_hashes,
+        shingles,
+    )
+
+    sk = d.select(
+        "doc_id",
+        F.slice(
+            F.array_sort(shingle_hashes(shingles("text", 3))), 1, 8
+        ).alias("sk8"),
+    )
+    post = sk.select("doc_id", F.explode("sk8").alias("h"))
+    overflow = (
+        post.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > 64)
+        .select("h")
+    )
+    post = post.join(F.broadcast(overflow), "h", "left_anti")
+    a = post.select(F.col("doc_id").alias("id_a"), "h")
+    b = post.select(F.col("doc_id").alias("id_b"), "h")
+    return (
+        a.join(b, "h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def _incr_components(d: DataFrame) -> DataFrame:
+    from prefect_flow_arc_alto_to_json_spark.operators.dedup import (
+        duplicate_components,
+    )
+    from prefect_flow_arc_alto_to_json_spark.operators.incremental import (
+        incremental_components,
+    )
+
+    pairs = ngram_jaccard_pairs(
+        d, threshold=0.8, max_doc_freq=64
+    ).localCheckpoint()
+    is_new_a = F.pmod(F.col("id_a"), F.lit(5)) == 2
+    is_new_b = F.pmod(F.col("id_b"), F.lit(5)) == 2
+    old_labels = duplicate_components(pairs.where(~is_new_a & ~is_new_b))
+    return incremental_components(old_labels, pairs.where(is_new_a | is_new_b))
+
+
 def main() -> None:
     spark = get_spark(app_name="scale-smoke")
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
@@ -414,6 +461,13 @@ def main() -> None:
         "sorted_neighborhood": lambda d, e, ev, o: sorted_neighborhood_pairs(
             d, window=3, threshold_ppm=500_000
         ),
+        # round-9 second-session additions: FS blocking's posting join
+        # emits 8 postings/doc (candidates bounded by bucket sizes — the
+        # same law as the minhash band join), and incremental components
+        # runs the propagation loop on the CONTRACTED graph only, so its
+        # wall should track pair generation, not history size
+        "fs_blocking": lambda d, e, ev, o: _fs_blocking(d),
+        "incr_components": lambda d, e, ev, o: _incr_components(d),
         "geo_radius_join": lambda d, e, ev, o: radius_join(
             with_grid(d.select(F.col("doc_id").alias("lid")), "lid", 1_000_000),
             with_grid(

@@ -864,6 +864,11 @@ _R12_SHUFFLE_BUDGETS = {
     # vocab-bounded TextRank composition (audited per-iter in PLAN_AUDIT)
     "q_link_prediction": 5,
     "q_randomized_response": 1,
+    # wave 4: ER scoring (blocking+cmp behind localCheckpoint; the BNLJ
+    # is the 1-row weight crossJoin) and the contraction fold (loops and
+    # pair gen behind checkpoints; final assembly only)
+    "dedup_fellegi_sunter": 1,
+    "dedup_incremental_components": 1,
 }
 
 
