@@ -158,7 +158,14 @@ def als_iteration(events: DataFrame) -> DataFrame:
     Plan shape: two observation joins (item init broadcast; snapped user
     factors shuffled on user_id, the same key the user solve just
     aggregated on — AQE reuses the exchange) and two map-side-combined
-    groupBys. Nothing driver-side; nothing quadratic.
+    groupBys. Nothing driver-side; nothing quadratic. The item-sized
+    n_obs relation is broadcast-pinned explicitly (it comes out of an
+    aggregate and carries no stats, so a conservative session threshold
+    would otherwise demote it to a shuffled join); the user-keyed
+    observation⋈factor join is left unhinted on purpose — the factor
+    side is already hash-partitioned on user_id by the solve's groupBy,
+    and Catalyst reuses that exchange, which a join-strategy hint would
+    forfeit.
     """
     ev = events.select(
         "user_id",
@@ -172,6 +179,6 @@ def als_iteration(events: DataFrame) -> DataFrame:
     obs_q = ev.select("user_id", "event_type", "y_d").join(users_q, "user_id")
     solved = als_item_solve(obs_q)
     n_obs = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_obs"))
-    return solved.join(n_obs, "event_type").select(
+    return solved.join(F.broadcast(n_obs), "event_type").select(
         "event_type", "n_obs", "v1_num", "v2_num", "det"
     )

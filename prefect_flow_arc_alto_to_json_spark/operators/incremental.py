@@ -103,6 +103,18 @@ def incremental_components(
     through the contraction map (component_id -> merged label, identity
     where untouched); contracted nodes that aren't old component ids
     (new docs, old docs first linked today) emit directly.
+
+    The is-an-old-component-id test is VALUE-DETERMINED (component ids
+    are labeled doc ids; an unlabeled endpoint's id can never equal one),
+    so instead of anti-joining the contraction map against the
+    history-sized component-id set — which would rescan history every
+    batch and defeat the O(batch) contract — the flag is ENCODED into
+    the contracted node id itself: ``2*id + came_from_label``. The
+    encoding is strictly monotone in id (distinct ids stay distinct,
+    same id always carries the same flag), so min-label propagation
+    commutes with it, and the post-propagation split into routed vs
+    direct rows is a pure filter on the low bit — zero extra shuffles,
+    zero history touch.
     """
     from .dedup import duplicate_components
 
@@ -117,8 +129,14 @@ def incremental_components(
         .join(la, "__a", "left")
         .join(lb, "__b", "left")
         .select(
-            F.coalesce("__la", "__a").alias("ca"),
-            F.coalesce("__lb", "__b").alias("cb"),
+            (
+                F.coalesce("__la", "__a") * 2
+                + F.col("__la").isNotNull().cast("long")
+            ).alias("ca"),
+            (
+                F.coalesce("__lb", "__b") * 2
+                + F.col("__lb").isNotNull().cast("long")
+            ).alias("cb"),
         )
         .where(F.col("ca") != F.col("cb"))
     )
@@ -126,30 +144,29 @@ def incremental_components(
         duplicate_components(contracted_edges, "ca", "cb", max_iter=max_iter)
         .select(
             F.col("doc_id").alias("cnode"),
-            F.col("component_id").alias("mlabel"),
+            F.shiftright(F.col("component_id"), 1).alias("mlabel"),
         )
         .localCheckpoint()  # two consumers below
     )
     # the contraction map is batch-sized while old_labels is
     # history-sized: broadcast the map (the incremental regime's whole
-    # point); without hints the statless checkpoint stubs plan SMJ
-    mapped = (
-        old_labels.join(
-            F.broadcast(contracted),
-            old_labels["component_id"] == contracted["cnode"],
-            "left",
-        )
-        .select(
-            "doc_id",
-            F.coalesce("mlabel", "component_id").alias("component_id"),
-        )
-    )
-    old_comp_ids = old_labels.select(
-        F.col("component_id").alias("cnode")
-    ).distinct()
-    direct = contracted.join(
-        old_comp_ids.hint("shuffle_hash"), "cnode", "left_anti"
+    # point); without hints the statless checkpoint stubs plan SMJ.
+    # Only flag-1 nodes are old component ids, but flag-0 nodes decode
+    # to ids that never match component_id, so no pre-filter is needed.
+    mapped = old_labels.join(
+        F.broadcast(
+            contracted.select(
+                F.shiftright(F.col("cnode"), 1).alias("cnode_dec"), "mlabel"
+            )
+        ),
+        old_labels["component_id"] == F.col("cnode_dec"),
+        "left",
     ).select(
-        F.col("cnode").alias("doc_id"), F.col("mlabel").alias("component_id")
+        "doc_id",
+        F.coalesce("mlabel", "component_id").alias("component_id"),
+    )
+    direct = contracted.where(F.pmod(F.col("cnode"), F.lit(2)) == 0).select(
+        F.shiftright(F.col("cnode"), 1).alias("doc_id"),
+        F.col("mlabel").alias("component_id"),
     )
     return mapped.unionByName(direct)

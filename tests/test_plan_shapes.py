@@ -751,8 +751,14 @@ def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
         plan = j._jdf.queryExecution().executedPlan().toString()
         assert "skew=true" in plan, plan[:3000]
     finally:
+        # conf.get(k, None) returns None for keys never explicitly set
+        # (NOT their built-in default) — those must be UNSET, not skipped,
+        # or autoBroadcastJoinThreshold=-1 leaks into every later test
+        # and flips their static join plans to SortMergeJoin.
         for k, v in saved.items():
-            if v is not None:
+            if v is None:
+                spark.conf.unset(k)
+            else:
                 spark.conf.set(k, v)
 
 
