@@ -1000,3 +1000,78 @@ def sorted_neighborhood_pairs(
         .alias("jac_ppm"),
     )
     return scored.where(F.col("jac_ppm") >= threshold_ppm)
+
+
+def cdc_chunk_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 16,
+    boundary_max: str = "03",
+    min_copies: int = 2,
+) -> DataFrame:
+    """CONTENT-DEFINED CHUNKING dedup — the storage-layer member of the
+    dedup family (beside the document-level exact/MinHash/SimHash tiers):
+    split every document at positions the CONTENT chooses, digest the
+    chunks, and surface chunk groups shared across the corpus. This is
+    what backup/dedup stores (LBFS, Venti, restic) and long-document
+    LLM-corpus pipelines use to find shared boilerplate spans that
+    document-level hashing can't see: an insertion near the top of a file
+    shifts every fixed-size block, but content-defined boundaries
+    re-synchronize right after the edit, so all downstream chunks still
+    match (pytest gates exactly that resynchronization property).
+
+    Boundary rule: position ``p`` (1-based, ``p >= window``) ends a chunk
+    iff the md5 of the trailing ``window``-char gram at ``p`` starts with
+    a hex prefix <= ``boundary_max`` ('03' → 4/256 = 1/64 of positions,
+    ~64-char expected chunks). A position-local gram hash replaces the
+    classic sequential gear/Rabin rolling hash so the rule is a pure
+    per-position expression — identical in Spark and the DuckDB oracle,
+    embarrassingly parallel, and still content-defined (the plan shape a
+    real gear hash would have — one narrow map pass — is unchanged; only
+    the per-position constant differs, md5-of-gram vs one gear step).
+
+    Returns one row per duplicated chunk content: (chunk_md5, chunk_len,
+    n_copies, n_docs) with ``n_copies >= min_copies``.
+
+    Scale: boundary detection + chunk extraction is ONE shuffle-free
+    JVM expression per document (no Python, no explode until the chunk
+    relation); the only exchange is the chunk-digest groupBy — the same
+    content-addressed shuffle any dedup store performs, keyed on a
+    uniform digest so it cannot skew.
+    """
+    w = window
+    t = text_col
+    bnds = (
+        f"CASE WHEN length({t}) >= {w} THEN "
+        f"filter(sequence(CAST({w} AS BIGINT), CAST(length({t}) AS BIGINT)), "
+        f"p -> substring(md5(substring({t}, CAST(p - {w - 1} AS INT), {w})), "
+        f"1, 2) <= '{boundary_max}') "
+        f"ELSE CAST(array() AS array<bigint>) END"
+    )
+    ends = (
+        f"CASE WHEN size({bnds}) > 0 "
+        f"AND element_at({bnds}, -1) = CAST(length({t}) AS BIGINT) "
+        f"THEN {bnds} "
+        f"ELSE concat({bnds}, array(CAST(length({t}) AS BIGINT))) END"
+    )
+    chunks = (
+        f"transform(sequence(1, size({ends})), i -> substring({t}, "
+        f"CAST(IF(i = 1, CAST(0 AS BIGINT), element_at({ends}, i - 1)) + 1 AS INT), "
+        f"CAST(element_at({ends}, i) "
+        f"- IF(i = 1, CAST(0 AS BIGINT), element_at({ends}, i - 1)) AS INT)))"
+    )
+    chunked = (
+        df.where(F.length(t) >= 1)
+        .select(F.col(id_col).alias("doc_id"), F.expr(chunks).alias("chunks"))
+        .select("doc_id", F.explode("chunks").alias("chunk"))
+    )
+    return (
+        chunked.groupBy(F.md5("chunk").alias("chunk_md5"))
+        .agg(
+            F.max(F.length("chunk")).cast("long").alias("chunk_len"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .where(F.col("n_copies") >= min_copies)
+    )

@@ -1348,3 +1348,59 @@ def dedup_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pseudo_match",
         score.cast("long").alias("score_micro"),
     )
+
+
+@query(
+    "dedup_cdc_chunks",
+    extra=True,
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+      FROM documents WHERE length(text) >= 1
+    ),
+    b AS (
+      SELECT doc_id, text, n,
+             CASE WHEN n >= 16 THEN list_filter(generate_series(16, n),
+                  p -> substr(md5(substr(text, CAST(p - 15 AS INT), 16)),
+                              1, 2) <= '03')
+                  ELSE [] END AS bnds
+      FROM docs
+    ),
+    e AS (
+      SELECT doc_id, text,
+             CASE WHEN len(bnds) > 0 AND bnds[-1] = n THEN bnds
+                  ELSE list_append(bnds, n) END AS ends
+      FROM b
+    ),
+    ch AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(ends)),
+        i -> substr(text,
+             CAST((CASE WHEN i = 1 THEN 0 ELSE ends[i - 1] END) + 1 AS INT),
+             CAST(ends[i]
+                  - (CASE WHEN i = 1 THEN 0 ELSE ends[i - 1] END) AS INT))))
+        AS chunk
+      FROM e
+    )
+    SELECT md5(chunk) AS chunk_md5,
+           CAST(MAX(length(chunk)) AS BIGINT) AS chunk_len,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM ch
+    GROUP BY 1
+    HAVING COUNT(*) >= 2
+    """,
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (operators/dedup.py:cdc_chunk_stats):
+    chunk every document at content-chosen boundaries (md5-of-16-gram
+    prefix <= '03' → 1/64 of positions, ~64-char chunks), digest chunks,
+    emit every chunk content shared >= 2 times across the corpus — the
+    sub-document dedup tier the document-level hashes can't see (the
+    planted near-dup pairs share most of their chunks; 150 duplicated
+    groups at sf0.001, 1520 at sf0.1). The oracle replays boundary
+    detection, chunk extraction and the digest rollup value-for-value.
+    """
+    from ..operators.dedup import cdc_chunk_stats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return cdc_chunk_stats(docs)
