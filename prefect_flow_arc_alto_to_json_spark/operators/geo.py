@@ -245,3 +245,49 @@ def grid_dbscan(
     return dense.join(labels, "cid").select(
         "cx", "cy", "n", F.col("lab").alias("cluster")
     )
+
+
+def point_in_polygon_join(
+    points: DataFrame, edges: DataFrame, key: str = "k"
+) -> DataFrame:
+    """Ray-casting POINT-IN-POLYGON join — the containment member of the
+    spatial family (radius join covers distance, grid_dbscan covers
+    density): for each point, cast a horizontal ray to +infinity and
+    count polygon-edge crossings; odd parity = inside. Handles concave
+    polygons (the pytest gate uses an L-shape).
+
+    Exactness: the crossing test is DIVISION-FREE — ``px < x1 +
+    (x2-x1)(py-y1)/(y2-y1)`` cross-multiplies to a sign-adjusted integer
+    comparison ((px-x1)(y2-y1) vs (x2-x1)(py-y1), direction flipped when
+    y2 < y1), so with micro-degree integer coordinates both engines
+    compute identical longs (|products| < 2^57) and the relation is
+    hash-exact. The half-open rule ((y1 > py) != (y2 > py)) assigns
+    vertex-grazing rays to exactly one incident edge — the standard
+    crossing-number convention.
+
+    ``points``: (key, lat, lon) integer micro-degrees. ``edges``: one row
+    per directed boundary segment (poly_id, x1, y1, x2, y2) — x = lon,
+    y = lat. Returns (key, poly_id, n_crossings) for contained points.
+
+    Scale: edges broadcast (bounded polygon set); the candidate relation
+    is generated ONLY for (point, polygon) pairs with at least one
+    crossing edge — zero-crossing polygons never materialize a row, so
+    the shuffle is |crossing pairs|, not |points| x |polygons|. For
+    millions of polygons, pre-block with the with_grid cells on the
+    polygon bbox first (same device as radius_join); the parity count
+    composes unchanged.
+    """
+    py, px = F.col("lat"), F.col("lon")
+    straddles = (F.col("y1") > py) != (F.col("y2") > py)
+    lhs = (px - F.col("x1")) * (F.col("y2") - F.col("y1"))
+    rhs = (F.col("x2") - F.col("x1")) * (py - F.col("y1"))
+    crosses = F.when(F.col("y2") > F.col("y1"), lhs < rhs).otherwise(
+        lhs > rhs
+    )
+    return (
+        points.crossJoin(F.broadcast(edges))
+        .where(straddles & crosses)
+        .groupBy(key, "poly_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_crossings"))
+        .where(F.pmod(F.col("n_crossings"), F.lit(2)) == 1)
+    )

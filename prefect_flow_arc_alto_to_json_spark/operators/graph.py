@@ -1097,3 +1097,46 @@ def link_prediction_scores(edges: DataFrame) -> DataFrame:
         F.sum(F.round(1000000.0 / F.log(F.col("deg").cast("double")), 0).cast("long"))
         .alias("aa_micro"),
     )
+
+
+def modularity_contributions(edges: DataFrame) -> DataFrame:
+    """Per-community Newman-modularity contributions for an undirected
+    edge list whose endpoint COMMUNITIES are already attached — input
+    columns (cn, sn) = community of each endpoint, one row per edge.
+    Emits (community, e_c, d_c, m, q_contrib_num) with q_contrib_num =
+    4m·e_c − d_c², i.e. Q·4m² split by community (division-free; see
+    q_graph_modularity for the reconstruction identity).
+
+    Scale: the input edge relation is read by three bounded aggs (1-row
+    m, intra count, endpoint-incidence count) — callers should
+    localCheckpoint a computed edge list; community keys are the only
+    shuffle keys.
+    """
+    m = edges.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    intra = (
+        edges.where(F.col("cn") == F.col("sn"))
+        .groupBy(F.col("cn").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_c"))
+    )
+    degsum = (
+        edges.select(F.col("cn").alias("community"))
+        .unionByName(edges.select(F.col("sn").alias("community")))
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).cast("long").alias("d_c"))
+    )
+    return (
+        degsum.join(F.broadcast(intra), "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            F.coalesce("e_c", F.lit(0)).cast("long").alias("e_c"),
+            "d_c",
+            "m",
+            (
+                4 * F.col("m") * F.coalesce("e_c", F.lit(0))
+                - F.col("d_c") * F.col("d_c")
+            )
+            .cast("long")
+            .alias("q_contrib_num"),
+        )
+    )

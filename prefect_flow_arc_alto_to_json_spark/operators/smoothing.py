@@ -126,3 +126,106 @@ def holt_winters_add(daily: DataFrame, period: int = 7) -> DataFrame:
 
 
 self_ship(__name__)
+
+
+def classical_decompose(daily: DataFrame, period: int = 7) -> DataFrame:
+    """CLASSICAL additive seasonal decomposition (the moving-average
+    y = trend + seasonal + residual split every TS textbook opens with —
+    statsmodels' seasonal_decompose) — unlike this module's recurrences it
+    is fully WINDOW/JOIN-EXPRESSIBLE, so it runs as a relational plan, not
+    a grouped Arrow pass: centered ``period``-day moving sum as the trend
+    (odd period → exact center), per-weekday means of the detrended series
+    as the seasonal component, the rest residual.
+
+    Determinism: DIVISION-FREE like q_autocorrelation — every output is an
+    integer numerator against an implied denominator: ``trend_psum`` is
+    period·trend, ``dtr`` = period·(y − trend) = period·y − trend_psum,
+    seasonal = seas_num/(period·seas_n), and ``resid_scaled`` =
+    period·seas_n·residual = dtr·seas_n − seas_num. Exact gate: for data
+    that IS linear + zero-sum weekly seasonal, resid_scaled ≡ 0
+    (the moving sum of a linear sequence is period·center exactly, and
+    Σ seasonal over any ``period`` consecutive days is constant).
+
+    Input: (grp string, day date, y long). Output: one row per interior
+    day — (grp, day string, y, trend_psum, weekday, seas_num, seas_n,
+    resid_scaled).
+
+    Scale: the daily pre-aggregate (callers') is the only row-scale
+    shuffle; the spine, the offset self-join and the weekday agg all run
+    on the #groups × #days relation, bounded by the calendar. The
+    seasonal relation is #groups × period rows — broadcast back.
+    """
+    from pyspark.sql import functions as F
+
+    spark = daily.sparkSession
+    half = period // 2
+    bounds = daily.agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))
+    spine = (
+        daily.select("grp")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "grp",
+            F.explode(
+                F.sequence("dmin", "dmax", F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    dense = (
+        spine.join(daily, ["grp", "day"], "left")
+        .select(
+            "grp", "day", F.coalesce("y", F.lit(0)).cast("long").alias("y")
+        )
+        .localCheckpoint()  # both sides of the offset join
+    )
+    offs = spark.range(-half, half + 1).select(
+        F.col("id").cast("int").alias("off")
+    )
+    b = dense.select(
+        F.col("grp").alias("g2"), F.col("day").alias("day2"),
+        F.col("y").alias("yb"),
+    )
+    interior = (
+        dense.crossJoin(F.broadcast(offs))
+        .join(
+            b.hint("shuffle_hash"),
+            (F.col("g2") == F.col("grp"))
+            & (F.col("day2") == F.date_add("day", F.col("off"))),
+        )
+        .groupBy("grp", "day", "y")
+        .agg(
+            F.count(F.lit(1)).alias("n_in_win"),
+            F.sum("yb").cast("long").alias("trend_psum"),
+        )
+        .where(F.col("n_in_win") == period)
+        .select(
+            "grp",
+            "day",
+            "y",
+            "trend_psum",
+            F.pmod(
+                F.datediff("day", F.lit("1970-01-01").cast("date")),
+                F.lit(period),
+            ).cast("int").alias("weekday"),
+            (F.lit(period) * F.col("y") - F.col("trend_psum"))
+            .cast("long")
+            .alias("dtr"),
+        )
+        .localCheckpoint()  # feeds the seasonal agg AND the final select
+    )
+    seas = interior.groupBy("grp", "weekday").agg(
+        F.sum("dtr").cast("long").alias("seas_num"),
+        F.count(F.lit(1)).cast("long").alias("seas_n"),
+    )
+    return interior.join(F.broadcast(seas), ["grp", "weekday"]).select(
+        "grp",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "y",
+        "trend_psum",
+        "weekday",
+        "seas_num",
+        "seas_n",
+        (F.col("dtr") * F.col("seas_n") - F.col("seas_num"))
+        .cast("long")
+        .alias("resid_scaled"),
+    )

@@ -229,3 +229,82 @@ def q_geo_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         5_000_000,
     )
     return grid_dbscan(cust, 5_000_000, rounds=3)
+
+
+#: Planted polygon set for q_geo_point_in_polygon (micro-degrees;
+#: x = lon, y = lat): a big mid-latitude box, a CONCAVE L-shape, a
+#: triangle and an irregular pentagon — one closed vertex ring each.
+PIP_POLYGONS: dict[int, list[tuple[int, int]]] = {
+    1: [(0, 30_000_000), (40_000_000, 30_000_000),
+        (40_000_000, 70_000_000), (0, 70_000_000)],
+    2: [(-120_000_000, -60_000_000), (-60_000_000, -60_000_000),
+        (-60_000_000, 0), (-90_000_000, 0),
+        (-90_000_000, -30_000_000), (-120_000_000, -30_000_000)],
+    3: [(120_000_000, -40_000_000), (179_000_000, 10_000_000),
+        (130_000_000, 40_000_000)],
+    4: [(60_000_000, -20_000_000), (90_000_000, -35_000_000),
+        (110_000_000, 0), (85_000_000, 25_000_000), (55_000_000, 5_000_000)],
+}
+
+
+def _pip_edges() -> list[tuple[int, int, int, int, int]]:
+    out = []
+    for pid, ring in PIP_POLYGONS.items():
+        for i, (x1, y1) in enumerate(ring):
+            x2, y2 = ring[(i + 1) % len(ring)]
+            out.append((pid, x1, y1, x2, y2))
+    return out
+
+
+_PIP_EDGE_VALUES = ",\n      ".join(
+    "({}, {}, {}, {}, {})".format(*e) for e in _pip_edges()
+)
+
+_PIP_ORACLE = """
+    WITH pts AS (""" + _sql_pt("c_custkey") + """ FROM customer),
+    edges(poly_id, x1, y1, x2, y2) AS (VALUES
+      """ + _PIP_EDGE_VALUES + """
+    ),
+    crossings AS (
+      SELECT p.k, e.poly_id
+      FROM pts p CROSS JOIN edges e
+      WHERE ((e.y1 > p.lat) != (e.y2 > p.lat))
+        AND (CASE WHEN e.y2 > e.y1
+             THEN (p.lon - e.x1) * (e.y2 - e.y1)
+                  < (e.x2 - e.x1) * (p.lat - e.y1)
+             ELSE (p.lon - e.x1) * (e.y2 - e.y1)
+                  > (e.x2 - e.x1) * (p.lat - e.y1) END)
+    )
+    SELECT k AS c_custkey, CAST(poly_id AS INT) AS poly_id,
+           CAST(COUNT(*) AS BIGINT) AS n_crossings
+    FROM crossings GROUP BY 1, 2
+    HAVING COUNT(*) % 2 = 1
+"""
+
+
+@query("q_geo_point_in_polygon", extra=True, oracle=_PIP_ORACLE)
+def q_geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ray-casting point-in-polygon containment join
+    (operators/geo.py:point_in_polygon_join) over the synthetic customer
+    coordinates and a planted 4-polygon set (box, CONCAVE L, triangle,
+    pentagon): horizontal-ray crossing parity, division-free integer
+    crossing test, hash-exact against the oracle's replay of the same
+    planted VALUES. The concave/convex correctness gates (plus the
+    square's closed-form containment) live in tests/test_geo.py.
+
+    Scale: polygon edges broadcast; candidate rows exist only for
+    (point, polygon) pairs with >= 1 crossing edge; the parity groupBy
+    is the single shuffle, keyed by point — unskewable."""
+    from ..operators.geo import point_in_polygon_join, synth_lat_micro, synth_lon_micro
+
+    pts = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        synth_lat_micro(F.col("c_custkey")).alias("lat"),
+        synth_lon_micro(F.col("c_custkey")).alias("lon"),
+    )
+    edges = spark.createDataFrame(
+        _pip_edges(), "poly_id int, x1 long, y1 long, x2 long, y2 long"
+    )
+    return point_in_polygon_join(pts, edges).select(
+        F.col("k").alias("c_custkey"), "poly_id", "n_crossings"
+    )

@@ -385,3 +385,141 @@ def pipeline_tokenizer_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_pack(encd, _TOKREADY_BUDGET, "n_subwords", "source").select(
         "doc_id", "source", "n_subwords", "start_off", "pack_id", "pack_spans"
     )
+
+
+_DSIR_B = 512  # hashed feature buckets
+_DSIR_K = 100  # selection size
+
+
+@query(
+    "pipeline_dsir_select",
+    extra=True,
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest({_SQL_TOKS}) AS tok FROM documents
+    ),
+    bkt AS (
+      SELECT doc_id, lang,
+             CAST(md5_number_lower('dsir-v1:' || tok) % 4294967296
+                  % {_DSIR_B} AS BIGINT) AS b
+      FROM toks
+    ),
+    raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM bkt GROUP BY b),
+    tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM bkt
+            WHERE lang = 'en' GROUP BY b),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nr,
+             CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS nt
+      FROM bkt
+    ),
+    w AS (
+      SELECT r.b,
+             CAST(ROUND(ln(
+               ((COALESCE(t.ct, 0) + 1) * (tot.nr + {_DSIR_B}))
+               / CAST((r.cr + 1) * (tot.nt + {_DSIR_B}) AS DOUBLE)
+             ) * 1000000) AS BIGINT) AS w_micro
+      FROM raw r LEFT JOIN tgt t ON t.b = r.b CROSS JOIN tot
+    ),
+    score AS (
+      SELECT k.doc_id, ANY_VALUE(k.lang) AS lang,
+             CAST(COUNT(*) AS BIGINT) AS n_toks,
+             CAST(SUM(w.w_micro) AS BIGINT) AS score_micro
+      FROM bkt k JOIN w ON w.b = k.b
+      GROUP BY k.doc_id
+    )
+    SELECT doc_id, lang, n_toks, score_micro,
+           CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id)
+                AS INT) AS rank
+    FROM score
+    QUALIFY rank <= {_DSIR_K}
+    """,
+)
+def pipeline_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection via importance resampling (Xie et al.
+    2023): score every raw document by the log-likelihood ratio of a
+    TARGET distribution (the 'en' slice here) vs the RAW pool under
+    hashed-unigram bag models, select the top-k — the
+    quality-via-distribution-match selector the pipeline family's
+    classifier scorers (logreg/NB) complement with a model-free device.
+    Bucket weights w_b = ln[(ct+1)(Nr+B) / ((cr+1)(Nt+B))] (add-one
+    smoothing over B=512 md5 buckets) are micro-snapped with ROUND —
+    the ln-of-rational is irrational, so boundary hits are measure-zero
+    (the Adamic-Adar discipline); a doc's score is the integer SUM of
+    its tokens' snapped weights, so the relation hash-matches exactly.
+
+    Scale: one token explode feeds three map-side-combined aggs (bucket
+    x2, 1-row totals); the 512-row weight table broadcasts back onto the
+    token stream; per-doc scores are one groupBy(doc_id); the top-k is a
+    TakeOrdered, never a global sort. Nothing driver-side.
+    """
+    from ..functions.scalar import stable_hash_u32, token_array
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    bkt = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(token_array("text")).alias("tok"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.pmod(
+            stable_hash_u32(F.concat(F.lit("dsir-v1:"), F.col("tok"))),
+            F.lit(_DSIR_B),
+        ).alias("b"),
+    ).localCheckpoint()  # raw agg, target agg, totals, and the score join
+    raw = bkt.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("cr"))
+    tgt = (
+        bkt.where(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    )
+    tot = bkt.agg(
+        F.count(F.lit(1)).cast("long").alias("nr"),
+        F.count(F.when(F.col("lang") == "en", 1)).cast("long").alias("nt"),
+    )
+    w = (
+        raw.join(F.broadcast(tgt), "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce("ct", F.lit(0)) + 1)
+                        * (F.col("nr") + _DSIR_B)
+                    )
+                    / (
+                        (F.col("cr") + 1) * (F.col("nt") + _DSIR_B)
+                    ).cast("double")
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("w_micro"),
+        )
+    )
+    score = (
+        bkt.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            F.sum("w_micro").cast("long").alias("score_micro"),
+        )
+    )
+    # top-k FIRST (TakeOrderedAndProject — never a corpus-sized global
+    # sort or single-partition window), then rank the k survivors with a
+    # constant-size window (the PSI-bins exemption).
+    topk = score.orderBy(F.desc("score_micro"), "doc_id").limit(_DSIR_K)
+    return topk.select(
+        "doc_id",
+        "lang",
+        "n_toks",
+        "score_micro",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score_micro"), "doc_id"))
+        .cast("int")
+        .alias("rank"),
+    )

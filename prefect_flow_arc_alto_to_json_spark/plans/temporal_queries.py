@@ -1518,3 +1518,76 @@ def q_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     daily = ev.groupBy("grp", "day").agg(F.sum("v").alias("y_cents"))
     return holt_winters_add(daily, period=7)
+
+
+@query(
+    "q_seasonal_decompose",
+    extra=True,
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM daily),
+    spine AS (
+      SELECT t.grp, CAST(g.d AS DATE) AS day
+      FROM (SELECT DISTINCT grp FROM daily) t,
+           (SELECT UNNEST(generate_series(dmin, dmax, INTERVAL 1 DAY)) AS d
+            FROM bounds) g
+    ),
+    dense AS (
+      SELECT s.grp, s.day, CAST(COALESCE(d.y, 0) AS BIGINT) AS y
+      FROM spine s LEFT JOIN daily d ON d.grp = s.grp AND d.day = s.day
+    ),
+    offs AS (SELECT range AS off FROM range(-3, 4)),
+    win AS (
+      SELECT a.grp, a.day, a.y, COUNT(*) AS n_in_win,
+             CAST(SUM(b.y) AS BIGINT) AS trend_psum
+      FROM dense a CROSS JOIN offs o
+      JOIN dense b ON b.grp = a.grp AND b.day = a.day + CAST(o.off AS INT)
+      GROUP BY 1, 2, 3 HAVING COUNT(*) = 7
+    ),
+    det AS (
+      SELECT grp, day, y, trend_psum,
+             CAST(date_diff('day', DATE '1970-01-01', day) % 7 AS INT)
+               AS weekday,
+             CAST(7 * y - trend_psum AS BIGINT) AS dtr
+      FROM win
+    ),
+    seas AS (
+      SELECT grp, weekday, CAST(SUM(dtr) AS BIGINT) AS seas_num,
+             CAST(COUNT(*) AS BIGINT) AS seas_n
+      FROM det GROUP BY 1, 2
+    )
+    SELECT d.grp, strftime(d.day, '%Y-%m-%d') AS day, d.y, d.trend_psum,
+           d.weekday, s.seas_num, s.seas_n,
+           CAST(d.dtr * s.seas_n - s.seas_num AS BIGINT) AS resid_scaled
+    FROM det d JOIN seas s ON s.grp = d.grp AND s.weekday = d.weekday
+    """,
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the per-type daily
+    revenue series (operators/smoothing.py:classical_decompose): centered
+    7-day moving sum as trend, per-weekday detrended means as the weekly
+    seasonal, the rest residual — division-free integer outputs
+    (trend_psum = 7·trend, seas_num/(7·seas_n) = seasonal,
+    resid_scaled = 7·seas_n·residual) so the whole relation hash-matches
+    with no snapping device, exactly like q_autocorrelation. The planted
+    linear+seasonal exactness gate (resid_scaled ≡ 0) lives in
+    tests/test_temporal.py.
+
+    Scale: one map-side-combined daily rollup is the only row-scale
+    shuffle; spine, offset join and weekday agg are calendar-bounded.
+    """
+    from ..operators.smoothing import classical_decompose
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("grp"), F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    return classical_decompose(daily, period=7)

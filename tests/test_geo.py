@@ -107,3 +107,63 @@ def test_radius_join_boundary_points(spark):
         if (la - lb) ** 2 + (lo - lob) ** 2 <= (10 * MICRO) ** 2
     )
     assert got == expect
+
+
+def test_point_in_polygon_concave_and_box(spark):
+    """Known-answer gates for the ray caster: (1) the box accepts exactly
+    the points its closed-form bounds accept; (2) the CONCAVE L-shape
+    excludes the notch — a point in the bbox but in the cut-out corner
+    must NOT match (the case bbox tests and convex-only code get wrong);
+    (3) parity survives the ray passing through both sides of the L."""
+    from pyspark.sql import functions as F
+
+    from prefect_flow_arc_alto_to_json_spark.operators.geo import (
+        point_in_polygon_join,
+    )
+    from prefect_flow_arc_alto_to_json_spark.plans.geo_queries import (
+        PIP_POLYGONS,
+        _pip_edges,
+    )
+
+    edges = spark.createDataFrame(
+        _pip_edges(), "poly_id int, x1 long, y1 long, x2 long, y2 long"
+    )
+    M = 1_000_000
+    pts = [
+        # (key, lat, lon, expect_set)
+        (1, 50 * M, 20 * M, {1}),          # middle of the box
+        (2, 29 * M, 20 * M, set()),        # just south of the box
+        (3, 70 * M + 1, 20 * M, set()),    # just north (boundary-adjacent)
+        (4, -45 * M, -100 * M, {2}),       # lower arm of the L
+        (5, -15 * M, -75 * M, {2}),        # upper-right arm of the L
+        (6, -15 * M, -105 * M, set()),     # the NOTCH: bbox yes, poly no
+        (7, 0, 0, set()),                  # origin, outside everything
+    ]
+    df = spark.createDataFrame(
+        [(k, lat, lon) for k, lat, lon, _ in pts], "k long, lat long, lon long"
+    )
+    got = {}
+    for r in point_in_polygon_join(df, edges).collect():
+        got.setdefault(r["k"], set()).add(r["poly_id"])
+    for k, _, _, want in pts:
+        assert got.get(k, set()) == want, (k, got.get(k), want)
+
+    # box closed form over a sweep grid: ray parity == coordinate bounds
+    box = PIP_POLYGONS[1]
+    xs = sorted({v[0] for v in box})
+    ys = sorted({v[1] for v in box})
+    grid = [
+        (100 + 10 * i + j, lat, lon)
+        for i, lat in enumerate(range(20 * M, 81 * M, 7 * M))
+        for j, lon in enumerate(range(-10 * M, 51 * M, 9 * M))
+    ]
+    gdf = spark.createDataFrame(grid, "k long, lat long, lon long")
+    inside = {
+        r["k"]
+        for r in point_in_polygon_join(gdf, edges)
+        .where(F.col("poly_id") == 1)
+        .collect()
+    }
+    for k, lat, lon in grid:
+        want = xs[0] < lon < xs[1] and ys[0] < lat < ys[1]
+        assert (k in inside) == want, (k, lat, lon)

@@ -328,3 +328,35 @@ def test_ktruss_hand_graph_and_fixpoint(spark):
     )
     deep = sorted(map(tuple, ktruss_edges(top3, k=4, rounds=6).collect()))
     assert base == deep
+
+
+def test_modularity_exact_on_planted_two_cliques(spark):
+    """Modularity of the true partition of two 4-cliques joined by one
+    bridge edge is known in closed form: m = 13, each community has
+    e_c = 6 intra edges and degree sum 13, so q_contrib_num =
+    4*13*6 - 169 = 143 per side and Q = 286/676 ~ 0.423. Also checks the
+    null-model identity: assigning ALL nodes one community gives Q = 0
+    (e_c = m, d_c = 2m -> 4m*m - 4m^2 = 0)."""
+    from prefect_flow_arc_alto_to_json_spark.operators.graph import (
+        modularity_contributions,
+    )
+
+    clique = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    edges = (
+        [(a, b, 1, 1) for a, b in clique]
+        + [(a + 4, b + 4, 2, 2) for a, b in clique]
+        + [(3, 4, 1, 2)]  # the bridge
+    )
+    df = spark.createDataFrame(
+        [(a, b, cn, sn) for a, b, cn, sn in edges],
+        "a long, b long, cn int, sn int",
+    ).select("cn", "sn")
+    rows = {r["community"]: r for r in modularity_contributions(df).collect()}
+    assert rows[1]["m"] == 13 and rows[2]["m"] == 13
+    assert rows[1]["e_c"] == 6 and rows[2]["e_c"] == 6
+    assert rows[1]["d_c"] == 13 and rows[2]["d_c"] == 13
+    assert rows[1]["q_contrib_num"] == 143 == rows[2]["q_contrib_num"]
+
+    allone = df.select(F.lit(0).alias("cn"), F.lit(0).alias("sn"))
+    one = modularity_contributions(allone).collect()
+    assert len(one) == 1 and one[0]["q_contrib_num"] == 0

@@ -43,3 +43,43 @@ def test_holt_winters_constant_series_is_exact(spark):
     assert all(r["level_cents"] == 500 for r in out)
     assert all(r["season_cents"] == 0 for r in out)
     assert all(r["fitted_cents"] == 500 for r in out)
+
+
+def test_classical_decompose_exact_on_planted_series(spark):
+    """For data that IS linear trend + zero-sum weekly seasonal, the
+    decomposition is EXACT: the centered 7-day moving sum of a linear
+    sequence is 7x the center value, detrending recovers 7x the seasonal
+    alone, per-weekday means equal it, and resid_scaled is identically 0.
+    Also pins the division-free identities trend_psum = 7*trend and
+    seas_num/(7*seas_n) = planted seasonal."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from prefect_flow_arc_alto_to_json_spark.operators.smoothing import (
+        classical_decompose,
+    )
+
+    seasonal = [30, -10, 25, -45, 5, 15, -20]  # sums to 0
+    assert sum(seasonal) == 0
+    base = dt.date(2024, 1, 1)
+    rows = [
+        (
+            "s1",
+            base + dt.timedelta(days=i),
+            1000 + 7 * i + seasonal[(base + dt.timedelta(days=i) - dt.date(1970, 1, 1)).days % 7],
+        )
+        for i in range(28)
+    ]
+    daily = spark.createDataFrame(rows, "grp string, day date, y long")
+    out = classical_decompose(daily, period=7).collect()
+    assert len(out) == 28 - 6  # 3 edge days lost each side
+    assert all(r["resid_scaled"] == 0 for r in out)
+    for r in out:
+        wd = r["weekday"]
+        # seasonal mean reconstructs the planted coefficient exactly
+        assert r["seas_num"] == 7 * r["seas_n"] * seasonal[wd], r
+        # trend_psum/7 is the linear component at the center day
+        day = dt.datetime.strptime(r["day"], "%Y-%m-%d").date()
+        i = (day - base).days
+        assert r["trend_psum"] == 7 * (1000 + 7 * i), r
