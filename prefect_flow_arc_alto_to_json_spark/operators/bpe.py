@@ -161,3 +161,144 @@ def bpe_learn_merges(
 ) -> DataFrame:
     """Merge table only — see :func:`bpe_train`."""
     return bpe_train(docs, k, text_col)[0]
+
+
+def unigram_viterbi(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_piece_len: int = 4,
+    max_word_len: int = 8,
+    score_scale: int = 1_000_000,
+) -> DataFrame:
+    """UNIGRAM-LM tokenization (the SentencePiece/Kudo-2018 family's
+    second member beside bpe_train): seed a piece vocabulary with every
+    character substring (length <= ``max_piece_len``) of the corpus
+    words, score pieces by corpus-frequency negative log-probability,
+    and VITERBI-segment each word — one hard-EM iteration of the unigram
+    tokenizer (the E-step's forward-backward is replaced by its argmax,
+    which is exactly SentencePiece's final inference mode).
+
+    Determinism: piece scores are ROUND-snapped micro-NLL longs (ln of a
+    rational — boundary hits measure-zero, the Adamic-Adar discipline);
+    the DP then runs in INTEGER cost space, so both engines walk the
+    same lattice. Viterbi ties break on (cost, start-of-last-piece):
+    equal-cost candidates prefer the LONGEST final piece; the
+    (word, pos) level relation makes the tie-break a ROW_NUMBER, never a
+    struct-min.
+
+    The DP is unrolled as ``max_word_len`` bounded levels (the corpus
+    max is 8 chars; raise the constant for longer-tailed corpora — words
+    beyond it are filtered, mirrored by the oracle): level i holds the
+    best path ending at character i, joining the segment relation
+    (word, j, i, piece, s_micro) against levels j in [i-4, i).
+
+    Returns per word: (word, wcount, vit_cost_micro, n_pieces, seg)
+    with ``seg`` the '|'-joined Viterbi pieces.
+
+    Scale: the ONLY corpus-scale work is the word-count groupBy; pieces,
+    segments and all DP levels live on the distinct-word vocabulary
+    (bounded), broadcast-joined — the same sharding story as bpe_train,
+    where a 100 TB corpus reduces to its word histogram in one pass.
+    """
+    from ..functions.scalar import token_array
+
+    words = (
+        docs.select(F.explode(token_array(text_col)).alias("word"))
+        .where(F.length("word") <= max_word_len)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wcount"))
+        .localCheckpoint()  # pieces, segs, DP base and the final join
+    )
+    L = max_piece_len
+    sub = words.select(
+        "word",
+        "wcount",
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(1, length(word)), j -> "
+                f"transform(sequence(1, least({L}, length(word) - j + 1)), "
+                f"l -> substring(word, j, l))))"
+            )
+        ).alias("piece"),
+    )
+    pieces = sub.groupBy("piece").agg(
+        F.sum("wcount").cast("long").alias("c_init")
+    )
+    ctot = pieces.agg(F.sum("c_init").cast("long").alias("c_tot"))
+    scored = pieces.crossJoin(F.broadcast(ctot)).select(
+        "piece",
+        F.round(
+            -F.log(F.col("c_init") / F.col("c_tot").cast("double"))
+            * score_scale
+        )
+        .cast("long")
+        .alias("s_micro"),
+    )
+    segs = (
+        words.select(
+            "word",
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(0, length(word) - 1), j -> "
+                    f"transform(sequence(j + 1, least(j + {L}, length(word))), "
+                    f"i -> struct(j AS j, i AS i, "
+                    f"substring(word, j + 1, i - j) AS piece))))"
+                )
+            ).alias("e"),
+        )
+        .select("word", "e.j", "e.i", "e.piece")
+        .join(F.broadcast(scored), "piece")
+        .localCheckpoint()  # read by every DP level
+    )
+    ball = words.select(
+        "word",
+        F.lit(0).alias("pos"),
+        F.lit(0).cast("long").alias("cost"),
+        F.lit("").alias("seg"),
+        F.lit(0).alias("np"),
+    )
+    from pyspark.sql import Window
+
+    for i in range(1, max_word_len + 1):
+        cand = (
+            segs.where(F.col("i") == i)
+            .join(
+                ball.select(
+                    "word",
+                    F.col("pos").alias("bpos"),
+                    F.col("cost").alias("bcost"),
+                    F.col("seg").alias("bseg"),
+                    F.col("np").alias("bnp"),
+                ),
+                "word",
+            )
+            .where(F.col("bpos") == F.col("j"))
+        )
+        win = Window.partitionBy("word").orderBy("cost", "j")
+        lvl = (
+            cand.select(
+                "word",
+                F.lit(i).alias("pos"),
+                (F.col("bcost") + F.col("s_micro")).alias("cost"),
+                F.concat("bseg", F.lit("|"), "piece").alias("seg"),
+                (F.col("bnp") + 1).alias("np"),
+                "j",
+            )
+            .withColumn("rn", F.row_number().over(win))
+            .where(F.col("rn") == 1)
+            .drop("rn", "j")
+        )
+        ball = ball.unionByName(lvl).localCheckpoint()
+    return (
+        words.join(
+            ball, (words["word"] == ball["word"])
+            & (ball["pos"] == F.length(words["word"])),
+        )
+        .select(
+            words["word"],
+            "wcount",
+            F.col("cost").alias("vit_cost_micro"),
+            F.col("np").alias("n_pieces"),
+            F.expr("substring(seg, 2)").alias("seg"),
+        )
+    )

@@ -1591,3 +1591,298 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y")
     )
     return classical_decompose(daily, period=7)
+
+
+@query(
+    "q_kaplan_meier",
+    extra=True,
+    oracle="""
+    WITH su AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ),
+    er AS (
+      SELECT e.user_id, MIN(e.ts) AS td
+      FROM events e JOIN su ON su.user_id = e.user_id
+      WHERE e.event_type = 'error' AND e.ts > su.t0
+      GROUP BY 1
+    ),
+    mx AS (SELECT MAX(CAST(ts AS DATE)) AS dmax FROM events),
+    subj AS (
+      SELECT su.user_id,
+             CAST(date_diff('day', CAST(su.t0 AS DATE),
+                  COALESCE(CAST(er.td AS DATE), mx.dmax)) AS INT)
+               AS duration,
+             er.td IS NOT NULL AS died
+      FROM su LEFT JOIN er ON er.user_id = su.user_id CROSS JOIN mx
+    ),
+    times AS (
+      SELECT duration AS t, CAST(COUNT(*) AS BIGINT) AS d
+      FROM subj WHERE died GROUP BY 1
+    ),
+    km AS (
+      SELECT tm.t, tm.d, CAST(COUNT(*) AS BIGINT) AS n_at_risk
+      FROM times tm JOIN subj s ON s.duration >= tm.t
+      GROUP BY 1, 2
+    ),
+    terms AS (
+      SELECT t, d, n_at_risk,
+             CASE WHEN d < n_at_risk THEN
+               CAST(ROUND(ln((n_at_risk - d)
+                    / CAST(n_at_risk AS DOUBLE)) * 1000000) AS BIGINT)
+             ELSE NULL END AS term_micro,
+             CAST(d >= n_at_risk AS INT) AS hit_zero
+      FROM km
+    )
+    SELECT a.t AS t_day, a.d, a.n_at_risk, a.term_micro,
+           CASE WHEN MAX(b.hit_zero) = 1 THEN NULL
+                ELSE CAST(SUM(b.term_micro) AS BIGINT) END
+             AS log_surv_micro
+    FROM terms a JOIN terms b ON b.t <= a.t
+    GROUP BY a.t, a.d, a.n_at_risk, a.term_micro
+    """,
+)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER survival estimator — the censoring-aware member of
+    the temporal family (retention/cohort count completed spells only;
+    KM uses every subject up to its censor time): subjects are signup
+    users, the event is their first subsequent 'error', censoring at the
+    observation end (global max date). Emits the KM table per event time
+    (d deaths, n at risk) plus the curve as a CUMULATIVE LOG —
+    log S(t) = Σ ln(1 - d_i/n_i) with each term micro-snapped (ln of a
+    rational, measure-zero boundary; the summed ints then match exactly)
+    and NULL once survival hits exactly zero (d = n strips the log), so
+    the relation is hash-adjudicable with no float product anywhere.
+
+    Scale: three row-scale aggs (first signup, first error, max date);
+    everything after lives on the #subjects and #distinct-duration
+    relations — the at-risk range join is times (calendar-bounded,
+    broadcast) x subjects, and the cumulative self-join is
+    calendar x calendar. The greenwood-variance extension rides the
+    same d/n columns.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    su = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    er = (
+        ev.where(F.col("event_type") == "error")
+        .join(su.select("user_id", "t0"), "user_id")
+        .where(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("td"))
+    )
+    mx = ev.agg(F.max(F.to_date("ts")).alias("dmax"))
+    subj = (
+        su.join(er, "user_id", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            F.datediff(
+                F.coalesce(F.to_date("td"), F.col("dmax")), F.to_date("t0")
+            )
+            .cast("int")
+            .alias("duration"),
+            F.col("td").isNotNull().alias("died"),
+        )
+        .localCheckpoint()  # times agg + the at-risk range join
+    )
+    times = (
+        subj.where("died")
+        .groupBy(F.col("duration").alias("t"))
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    km = (
+        times.hint("broadcast")
+        .join(subj, subj["duration"] >= times["t"])
+        .groupBy("t", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_at_risk"))
+    )
+    terms = km.select(
+        "t",
+        "d",
+        "n_at_risk",
+        F.when(
+            F.col("d") < F.col("n_at_risk"),
+            F.round(
+                F.log(
+                    (F.col("n_at_risk") - F.col("d"))
+                    / F.col("n_at_risk").cast("double")
+                )
+                * 1_000_000
+            ).cast("long"),
+        ).alias("term_micro"),
+        (F.col("d") >= F.col("n_at_risk")).cast("int").alias("hit_zero"),
+    ).localCheckpoint()  # both sides of the cumulative self-join
+    b = terms.select(
+        F.col("t").alias("t2"),
+        F.col("term_micro").alias("tm2"),
+        F.col("hit_zero").alias("hz2"),
+    )
+    return (
+        terms.join(F.broadcast(b), F.col("t2") <= F.col("t"))
+        .groupBy("t", "d", "n_at_risk", "term_micro")
+        .agg(
+            F.when(F.max("hz2") == 1, F.lit(None).cast("long"))
+            .otherwise(F.sum("tm2").cast("long"))
+            .alias("log_surv_micro"),
+        )
+        .select(
+            F.col("t").alias("t_day"), "d", "n_at_risk", "term_micro",
+            "log_surv_micro",
+        )
+    )
+
+
+@query(
+    "q_shapley_attribution",
+    extra=True,
+    oracle="""
+    WITH fp AS (
+      SELECT user_id, MIN(ts) AS tp FROM events
+      WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    touch AS (
+      SELECT fp.user_id,
+             CAST(COALESCE(bit_or(CASE e.event_type
+               WHEN 'click' THEN 1 WHEN 'view' THEN 2
+               WHEN 'signup' THEN 4 WHEN 'error' THEN 8 END), 0) AS BIGINT)
+               AS mask
+      FROM fp LEFT JOIN events e
+        ON e.user_id = fp.user_id AND e.ts < fp.tp
+       AND e.event_type IN ('click', 'view', 'signup', 'error')
+      GROUP BY 1
+    ),
+    mcnt AS (
+      SELECT mask, CAST(COUNT(*) AS BIGINT) AS cnt FROM touch GROUP BY 1
+    ),
+    subsets AS (SELECT range AS s FROM range(0, 16)),
+    v AS (
+      SELECT s.s, CAST(COALESCE(SUM(m.cnt), 0) AS BIGINT) AS v
+      FROM subsets s LEFT JOIN mcnt m ON (m.mask & s.s) = m.mask
+      GROUP BY 1
+    ),
+    chan(channel, bit) AS (VALUES
+      ('click', 1), ('view', 2), ('signup', 4), ('error', 8)
+    ),
+    contrib AS (
+      SELECT c.channel,
+             CAST(SUM(
+               (CASE bit_count(s.s) WHEN 0 THEN 6 WHEN 1 THEN 2
+                     WHEN 2 THEN 2 ELSE 6 END)
+               * (vw.v - vo.v)) AS BIGINT) AS phi24
+      FROM chan c
+      JOIN subsets s ON (s.s & c.bit) = 0
+      JOIN v vo ON vo.s = s.s
+      JOIN v vw ON vw.s = (s.s | c.bit)
+      GROUP BY 1
+    )
+    SELECT co.channel, co.phi24,
+           (SELECT v FROM v WHERE s = 15) AS v_full,
+           (SELECT v FROM v WHERE s = 0) AS v_empty,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM fp) AS n_converted
+    FROM contrib co
+    """,
+)
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value attribution over channel coalitions — the
+    game-theoretic member of the attribution family (first/last-touch
+    and position-decay split credit by rule; Shapley splits it by
+    marginal contribution averaged over ALL 4! orderings): the coalition
+    value v(S) counts converters whose pre-purchase touchset fits inside
+    S, and φ_c = Σ_S |S|!(3-|S|)!/4!·[v(S∪c) − v(S)]. Everything is
+    INTEGER: φ·24 is a weighted sum of count differences (weights
+    6/2/2/6), so the relation hash-matches with no device, and the
+    efficiency axiom Σφ24 = 24·(v_full − v_empty) is pytest-pinned.
+
+    Scale: two row-scale aggs (first purchase, per-user touch bitmask);
+    v(S) is a 16-row subset-sum over the 16-row mask histogram; the
+    Shapley sum is 4 channels x 8 subsets — all broadcast. The 2^k
+    lattice caps k at word width by design; for k beyond ~20 channels
+    the estimator switches to permutation sampling (q_bootstrap_poisson
+    shows the resampling shape).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    fp = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "view", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "error", 8)
+    )
+    ch = ev.where(
+        F.col("event_type").isin("click", "view", "signup", "error")
+    ).select(F.col("user_id").alias("cu"), "ts", bit.alias("bit"))
+    # the ts < tp predicate must live IN the join clause: a post-join
+    # filter would drop converters whose channel events are all
+    # post-purchase instead of keeping them with an empty mask.
+    touch = (
+        fp.join(
+            ch, (F.col("cu") == F.col("user_id")) & (F.col("ts") < F.col("tp")),
+            "left",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(F.bit_or("bit"), F.lit(0)).cast("long").alias("mask")
+        )
+    )
+    mcnt = touch.groupBy("mask").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    spark_ = ev.sparkSession
+    subsets = spark_.range(0, 16).select(F.col("id").alias("s"))
+    v = (
+        subsets.crossJoin(F.broadcast(mcnt))
+        .where(F.col("mask").bitwiseAND(F.col("s")) == F.col("mask"))
+        .groupBy("s")
+        .agg(F.sum("cnt").cast("long").alias("v"))
+        .unionByName(  # subsets containing NO observed mask still need v=0
+            subsets.join(
+                F.broadcast(mcnt.select(F.lit(0).alias("z"))).limit(0),
+                F.lit(False), "left",
+            ).select("s", F.lit(0).cast("long").alias("v"))
+        )
+        .groupBy("s")
+        .agg(F.max("v").alias("v"))
+        .localCheckpoint()  # joined twice by the Shapley sum
+    )
+    chan = spark_.createDataFrame(
+        [("click", 1), ("view", 2), ("signup", 4), ("error", 8)],
+        "channel string, bit long",
+    )
+    w = (
+        F.when(F.bit_count(F.col("s")) == 0, 6)
+        .when(F.bit_count(F.col("s")) == 1, 2)
+        .when(F.bit_count(F.col("s")) == 2, 2)
+        .otherwise(6)
+    )
+    vo = v.select(F.col("s").alias("so"), F.col("v").alias("v_out"))
+    vw = v.select(F.col("s").alias("sw"), F.col("v").alias("v_in"))
+    contrib = (
+        chan.crossJoin(F.broadcast(subsets))
+        .where(F.col("s").bitwiseAND(F.col("bit")) == 0)
+        .join(F.broadcast(vo), F.col("so") == F.col("s"))
+        .join(
+            F.broadcast(vw),
+            F.col("sw") == F.col("s").bitwiseOR(F.col("bit")),
+        )
+        .groupBy("channel")
+        .agg(
+            F.sum(w * (F.col("v_in") - F.col("v_out")))
+            .cast("long")
+            .alias("phi24")
+        )
+    )
+    scalars = (
+        v.where(F.col("s") == 15)
+        .select(F.col("v").alias("v_full"))
+        .crossJoin(v.where(F.col("s") == 0).select(F.col("v").alias("v_empty")))
+        .crossJoin(fp.agg(F.count(F.lit(1)).cast("long").alias("n_converted")))
+    )
+    return contrib.crossJoin(F.broadcast(scalars))

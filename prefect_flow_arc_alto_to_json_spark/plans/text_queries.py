@@ -1926,3 +1926,116 @@ _EO["text_textrank_keywords"] = f"""
     FROM r3
     QUALIFY rn <= 20
 """
+
+
+def _unigram_oracle(maxlen: int = 8, plen: int = 4) -> str:
+    """Unrolled-level DuckDB replay of operators/bpe.unigram_viterbi:
+    piece scoring, the segment lattice, then one MATERIALIZED CTE pair
+    (level + accumulated ball) per word position — levels are referenced
+    by up to ``plen`` later ones AND the final join, so plain CTEs would
+    re-inline the chain (the q_spectral_partition fd-exhaustion class)."""
+    head = (
+        """
+    WITH words AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS wcount FROM (
+        SELECT unnest("""
+        + _SQL_TOKS
+        + """) AS word FROM documents
+      ) WHERE length(word) <= """
+        + str(maxlen)
+        + """ GROUP BY word
+    ),
+    sub AS (
+      SELECT word, wcount,
+             unnest(flatten(list_transform(
+               generate_series(1, length(word)), j ->
+               list_transform(
+                 generate_series(1, least("""
+        + str(plen)
+        + """, length(word) - j + 1)),
+                 l -> substr(word, CAST(j AS INT), CAST(l AS INT))))))
+               AS piece
+      FROM words
+    ),
+    pieces AS (
+      SELECT piece, CAST(SUM(wcount) AS BIGINT) AS c_init
+      FROM sub GROUP BY piece
+    ),
+    ctot AS (SELECT CAST(SUM(c_init) AS BIGINT) AS c_tot FROM pieces),
+    scored AS MATERIALIZED (
+      SELECT piece,
+             CAST(ROUND(-ln(c_init / CAST(c_tot AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS s_micro
+      FROM pieces CROSS JOIN ctot
+    ),
+    js AS (
+      SELECT word, unnest(generate_series(0, length(word) - 1)) AS j
+      FROM words
+    ),
+    ji AS (
+      SELECT word, j,
+             unnest(generate_series(j + 1,
+               least(j + """
+        + str(plen)
+        + """, CAST(length(word) AS BIGINT)))) AS i
+      FROM js
+    ),
+    segs AS MATERIALIZED (
+      SELECT t.word, t.j, t.i,
+             substr(t.word, CAST(t.j + 1 AS INT), CAST(t.i - t.j AS INT))
+               AS piece,
+             sc.s_micro
+      FROM ji t JOIN scored sc
+        ON sc.piece = substr(t.word, CAST(t.j + 1 AS INT),
+                             CAST(t.i - t.j AS INT))
+    ),
+    ball0 AS MATERIALIZED (
+      SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS cost, '' AS seg, 0 AS np
+      FROM words
+    )"""
+    )
+    lvl_tpl = """,
+    lv{R} AS MATERIALIZED (
+      SELECT word, pos, cost, seg, np FROM (
+        SELECT s.word, {R} AS pos, b.cost + s.s_micro AS cost,
+               b.seg || '|' || s.piece AS seg, b.np + 1 AS np,
+               ROW_NUMBER() OVER (PARTITION BY s.word
+                 ORDER BY b.cost + s.s_micro, s.j) AS rn
+        FROM segs s JOIN ball{P} b ON b.word = s.word AND b.pos = s.j
+        WHERE s.i = {R}
+      ) WHERE rn = 1
+    ),
+    ball{R} AS MATERIALIZED (
+      SELECT * FROM ball{P} UNION ALL SELECT * FROM lv{R}
+    )"""
+    body = "".join(lvl_tpl.format(R=r, P=r - 1) for r in range(1, maxlen + 1))
+    tail = """
+    SELECT w.word, w.wcount, b.cost AS vit_cost_micro,
+           CAST(b.np AS INT) AS n_pieces, substr(b.seg, 2) AS seg
+    FROM words w JOIN ball{M} b
+      ON b.word = w.word AND b.pos = length(w.word)
+    """.format(M=maxlen)
+    return head + body + tail
+
+
+@query("text_unigram_tokenize", extra=True, oracle=_unigram_oracle())
+def text_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece/Kudo-2018) tokenization of the corpus
+    vocabulary (operators/bpe.py:unigram_viterbi) — the tokenizer
+    family's second member beside BPE: substring pieces scored by corpus
+    negative log-probability (micro-snapped), then an 8-level unrolled
+    Viterbi DP in INTEGER cost space over each word's segment lattice,
+    ties broken toward the longest final piece via (cost, start) rank.
+    The oracle replays piece scoring, the lattice and every DP level;
+    the segmentation-optimality and tie-break gates live in
+    tests/test_bpe.py.
+
+    Scale: the corpus appears only in the word-count groupBy; everything
+    downstream (pieces, lattice, 8 DP levels) is vocabulary-bounded and
+    broadcast-joined — a 100 TB corpus reduces to its word histogram in
+    one pass, the bpe_train sharding story.
+    """
+    from ..operators.bpe import unigram_viterbi
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return unigram_viterbi(docs)

@@ -114,3 +114,54 @@ def test_bpe_train_matches_python_model(spark, docs_words, k):
     ref_merges, ref_vocab = _ref_train(texts, k)
     assert got_merges == sorted(ref_merges), (texts, k)
     assert got_vocab == ref_vocab, (texts, k)
+
+
+def test_unigram_viterbi_matches_bruteforce_optimum(spark):
+    """Independent pure-Python replay: rebuild piece scores from word
+    counts, enumerate EVERY segmentation of every corpus word (len <= 8,
+    pieces <= 4 -> at most 2^7 candidates), and check the operator's
+    Viterbi cost equals the brute-force minimum, its reported pieces
+    concatenate back to the word, and their score sum equals the cost."""
+    import math
+    from collections import Counter
+
+    from prefect_flow_arc_alto_to_json_spark.operators.bpe import (
+        unigram_viterbi,
+    )
+    from prefect_flow_arc_alto_to_json_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "text"
+    )
+    rows = {r["word"]: r for r in unigram_viterbi(docs).collect()}
+
+    wc = Counter()
+    for (text,) in docs.collect():
+        for w in text.lower().split():
+            if w and len(w) <= 8:
+                wc[w] += 1
+    pc = Counter()
+    for w, c in wc.items():
+        for j in range(len(w)):
+            for l in range(1, min(4, len(w) - j) + 1):
+                pc[w[j : j + l]] += c
+    tot = sum(pc.values())
+    s = {p: round(-math.log(c / tot) * 1_000_000) for p, c in pc.items()}
+
+    def brute(w):
+        if not w:
+            return 0
+        return min(
+            s[w[:l]] + brute(w[l:]) for l in range(1, min(4, len(w)) + 1)
+        )
+
+    assert set(rows) == set(wc)
+    for w, r in rows.items():
+        assert r["wcount"] == wc[w]
+        want = brute(w)
+        assert r["vit_cost_micro"] == want, (w, r["vit_cost_micro"], want)
+        pieces = r["seg"].split("|")
+        assert "".join(pieces) == w
+        assert all(1 <= len(p) <= 4 for p in pieces)
+        assert sum(s[p] for p in pieces) == want
+        assert r["n_pieces"] == len(pieces)

@@ -83,3 +83,106 @@ def test_classical_decompose_exact_on_planted_series(spark):
         day = dt.datetime.strptime(r["day"], "%Y-%m-%d").date()
         i = (day - base).days
         assert r["trend_psum"] == 7 * (1000 + 7 * i), r
+
+
+def test_kaplan_meier_matches_pure_python_replay(spark, sf_dir):
+    """Independent pandas replay of the KM estimator: recompute signup
+    cohorts, first-error deaths, censoring at the global max date, the
+    per-time (d, n-at-risk) table and the cumulative log-survival, and
+    compare the operator's relation value-for-value. Also asserts the
+    curve is non-degenerate (at least one finite log-survival point,
+    strictly decreasing) before the terminal zero-survival NULL."""
+    import math
+
+    import pandas as pd
+
+    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+
+    got = (
+        EXTRA_QUERIES["q_kaplan_meier"](spark, sf_dir)
+        .toPandas()
+        .sort_values("t_day")
+        .reset_index(drop=True)
+    )
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["day"] = ev["ts"].dt.normalize()
+    su = (
+        ev[ev.event_type == "signup"].groupby("user_id")["ts"].min()
+    )
+    deaths = {}
+    for uid, t0 in su.items():
+        e = ev[(ev.user_id == uid) & (ev.event_type == "error") & (ev.ts > t0)]
+        deaths[uid] = e["ts"].min() if len(e) else None
+    dmax = ev["day"].max()
+    subj = []
+    for uid, t0 in su.items():
+        td = deaths[uid]
+        end = td.normalize() if td is not None else dmax
+        subj.append(((end - t0.normalize()).days, td is not None))
+    times = sorted({d for d, died in subj if died})
+    cum, hit_zero = 0, False
+    want = []
+    for t in times:
+        d = sum(1 for dur, died in subj if died and dur == t)
+        n = sum(1 for dur, _ in subj if dur >= t)
+        term = round(math.log((n - d) / n) * 1_000_000) if d < n else None
+        if d >= n:
+            hit_zero = True
+        if not hit_zero:
+            cum += term
+        want.append((t, d, n, term, None if hit_zero else cum))
+    assert len(got) == len(want)
+    for row, (t, d, n, term, logs) in zip(got.itertuples(index=False), want):
+        assert row.t_day == t and row.d == d and row.n_at_risk == n
+        assert (None if pd.isna(row.term_micro) else int(row.term_micro)) == term
+        assert (
+            None if pd.isna(row.log_surv_micro) else int(row.log_surv_micro)
+        ) == logs
+    finite = got["log_surv_micro"].dropna()
+    assert len(finite) >= 1
+    assert (finite.diff().dropna() < 0).all()
+
+
+def test_shapley_attribution_axioms_and_replay(spark, sf_dir):
+    """Independent pure-Python Shapley replay at sf0.001 (coalition
+    values from pandas, exact 4!-weighted marginal sums) plus the two
+    checkable axioms: EFFICIENCY (sum of phi24 equals
+    24*(v(full) - v(empty))) and MONOTONE MARGINALS (every phi24 >= 0 —
+    v is monotone in S by construction, supersets admit every subset's
+    converters)."""
+    import pandas as pd
+    from itertools import combinations
+
+    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+
+    got = EXTRA_QUERIES["q_shapley_attribution"](spark, sf_dir).toPandas()
+    assert got["phi24"].sum() == 24 * (
+        got["v_full"].iloc[0] - got["v_empty"].iloc[0]
+    )
+    assert (got["phi24"] >= 0).all()
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    bits = {"click": 1, "view": 2, "signup": 4, "error": 8}
+    fp = ev[ev.event_type == "purchase"].groupby("user_id")["ts"].min()
+    masks = []
+    for uid, tp in fp.items():
+        pre = ev[(ev.user_id == uid) & (ev.ts < tp)]
+        masks.append(
+            sum(bits[t] for t in set(pre.event_type) if t in bits)
+        )
+    def v(S):
+        return sum(1 for m in masks if (m & S) == m)
+    import math
+    fact = math.factorial
+    want = {}
+    for c, b in bits.items():
+        others = [x for x in bits.values() if x != b]
+        phi = 0
+        for r in range(4):
+            for combo in combinations(others, r):
+                S = sum(combo)
+                phi += fact(r) * fact(3 - r) * (v(S | b) - v(S))
+        want[c] = phi
+    got_map = dict(zip(got["channel"], got["phi24"]))
+    assert got_map == want, (got_map, want)
