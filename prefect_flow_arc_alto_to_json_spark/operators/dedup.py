@@ -1042,6 +1042,13 @@ def cdc_chunk_stats(
     """
     w = window
     t = text_col
+    # STAGED projections, not one nested expression: ``bnds`` (the
+    # md5-per-position scan) is referenced 3x by ``ends`` and ``ends``
+    # 3x by the chunk transform — textual nesting would re-inline the
+    # boundary scan into every reference (~10-50x the md5 work,
+    # measured 227 s -> 8 s at sf0.1). Staging through aliased columns
+    # keeps each computed once; CollapseProject leaves multiply-
+    # referenced non-cheap expressions staged (SPARK-36718).
     bnds = (
         f"CASE WHEN length({t}) >= {w} THEN "
         f"filter(sequence(CAST({w} AS BIGINT), CAST(length({t}) AS BIGINT)), "
@@ -1050,21 +1057,26 @@ def cdc_chunk_stats(
         f"ELSE CAST(array() AS array<bigint>) END"
     )
     ends = (
-        f"CASE WHEN size({bnds}) > 0 "
-        f"AND element_at({bnds}, -1) = CAST(length({t}) AS BIGINT) "
-        f"THEN {bnds} "
-        f"ELSE concat({bnds}, array(CAST(length({t}) AS BIGINT))) END"
+        "CASE WHEN size(bnds) > 0 "
+        "AND element_at(bnds, -1) = CAST(length(text) AS BIGINT) "
+        "THEN bnds "
+        "ELSE concat(bnds, array(CAST(length(text) AS BIGINT))) END"
     )
     chunks = (
-        f"transform(sequence(1, size({ends})), i -> substring({t}, "
-        f"CAST(IF(i = 1, CAST(0 AS BIGINT), element_at({ends}, i - 1)) + 1 AS INT), "
-        f"CAST(element_at({ends}, i) "
-        f"- IF(i = 1, CAST(0 AS BIGINT), element_at({ends}, i - 1)) AS INT)))"
+        "transform(sequence(1, size(ends)), i -> substring(text, "
+        "CAST(IF(i = 1, CAST(0 AS BIGINT), element_at(ends, i - 1)) + 1 "
+        "AS INT), CAST(element_at(ends, i) "
+        "- IF(i = 1, CAST(0 AS BIGINT), element_at(ends, i - 1)) AS INT)))"
     )
     chunked = (
         df.where(F.length(t) >= 1)
-        .select(F.col(id_col).alias("doc_id"), F.expr(chunks).alias("chunks"))
-        .select("doc_id", F.explode("chunks").alias("chunk"))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(t).alias("text"),
+            F.expr(bnds).alias("bnds"),
+        )
+        .select("doc_id", "text", F.expr(ends).alias("ends"))
+        .select("doc_id", F.explode(F.expr(chunks)).alias("chunk"))
     )
     return (
         chunked.groupBy(F.md5("chunk").alias("chunk_md5"))

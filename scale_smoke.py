@@ -34,6 +34,7 @@ from prefect_flow_arc_alto_to_json_spark.operators.textindex import (  # noqa: E
     phrase_search,
 )
 from prefect_flow_arc_alto_to_json_spark.operators.dedup import (  # noqa: E402
+    cdc_chunk_stats,
     exact_dedup_groups,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -346,6 +347,63 @@ def _incr_components(d: DataFrame) -> DataFrame:
     return incremental_components(old_labels, pairs.where(is_new_a | is_new_b))
 
 
+
+def _dsir(d: DataFrame) -> DataFrame:
+    """DSIR scoring shape on a synthetic-lang corpus: token explode ->
+    two bucket aggs -> broadcast 512-row weights -> per-doc sums ->
+    TakeOrdered. Cost must track the token stream linearly; the weight
+    table is constant-size at every factor."""
+    from prefect_flow_arc_alto_to_json_spark.functions.scalar import (
+        stable_hash_u32,
+    )
+
+    docs = d.withColumn(
+        "lang", F.concat(F.lit("l"), F.pmod("doc_id", 4).cast("string"))
+    )
+    bkt = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(token_array("text")).alias("tok"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.pmod(
+            stable_hash_u32(F.concat(F.lit("dsir-v1:"), F.col("tok"))),
+            F.lit(512),
+        ).alias("b"),
+    ).localCheckpoint()
+    raw = bkt.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("cr"))
+    tgt = (
+        bkt.where(F.col("lang") == "l0")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    )
+    tot = bkt.agg(
+        F.count(F.lit(1)).cast("long").alias("nr"),
+        F.count(F.when(F.col("lang") == "l0", 1)).cast("long").alias("nt"),
+    )
+    w = (
+        raw.join(F.broadcast(tgt), "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    ((F.coalesce("ct", F.lit(0)) + 1) * (F.col("nr") + 512))
+                    / ((F.col("cr") + 1) * (F.col("nt") + 512)).cast("double")
+                )
+                * 1_000_000
+            ).cast("long").alias("w_micro"),
+        )
+    )
+    score = (
+        bkt.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(F.sum("w_micro").cast("long").alias("score_micro"))
+    )
+    return score.orderBy(F.desc("score_micro"), "doc_id").limit(100)
+
+
 def main() -> None:
     spark = get_spark(app_name="scale-smoke")
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
@@ -468,6 +526,13 @@ def main() -> None:
         # wall should track pair generation, not history size
         "fs_blocking": lambda d, e, ev, o: _fs_blocking(d),
         "incr_components": lambda d, e, ev, o: _incr_components(d),
+        # round-9 third-session additions: CDC chunking is one narrow
+        # per-doc expression + a digest groupBy (the content-addressed
+        # shuffle cannot skew); DSIR is a token explode + constant-size
+        # weight broadcast + per-doc sums + TakeOrdered — both must
+        # track the corpus linearly
+        "cdc_chunks": lambda d, e, ev, o: cdc_chunk_stats(d, min_copies=1),
+        "dsir_select": lambda d, e, ev, o: _dsir(d),
         "geo_radius_join": lambda d, e, ev, o: radius_join(
             with_grid(d.select(F.col("doc_id").alias("lid")), "lid", 1_000_000),
             with_grid(
