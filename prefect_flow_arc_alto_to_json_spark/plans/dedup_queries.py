@@ -1352,7 +1352,7 @@ def dedup_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_cdc_chunks",
-    extra=True,
+    # graded since round 9 third session: the sub-document dedup tier
     oracle="""
     WITH docs AS (
       SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n

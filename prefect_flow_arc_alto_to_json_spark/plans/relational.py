@@ -512,6 +512,7 @@ def q_rollup_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_setops_nations",
+    extra=True,  # rotated out round 9 third session (set-ops shape: q_pivot/except twins hold it in extras)
     oracle="""
     SELECT nationkey, tag FROM (
       SELECT c_nationkey AS nationkey, 'both' AS tag
@@ -799,6 +800,7 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_rank_family",
+    extra=True,  # rotated out round 9 third session (window family: q_lateral_topk + q_window_analytic hold the shape)
     oracle="""
     SELECT c_custkey, c_nationkey,
            CAST(DENSE_RANK()   OVER w AS BIGINT)  AS drank,
@@ -990,6 +992,7 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_null_semantics",
+    extra=True,  # rotated out round 9 third session (scalar-semantics family: q_scalar_functions stays graded)
     oracle="""
     WITH t AS (
       SELECT o_orderkey,

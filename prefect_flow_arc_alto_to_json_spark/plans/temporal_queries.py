@@ -1738,7 +1738,7 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_shapley_attribution",
-    extra=True,
+    # graded since round 9 third session: game-theoretic attribution
     oracle="""
     WITH fp AS (
       SELECT user_id, MIN(ts) AS tp FROM events
@@ -1886,3 +1886,143 @@ def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(fp.agg(F.count(F.lit(1)).cast("long").alias("n_converted")))
     )
     return contrib.crossJoin(F.broadcast(scalars))
+
+
+@query(
+    "q_frequent_sequences",
+    extra=True,
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    ev AS (SELECT user_id, event_type, ts FROM ranked WHERE rn <= 6),
+    types AS (SELECT DISTINCT event_type AS t FROM ev),
+    pats AS (
+      SELECT a.t AS a, b.t AS b, c.t AS c
+      FROM types a JOIN types b ON b.t <> a.t
+      JOIN types c ON c.t <> a.t AND c.t <> b.t
+    ),
+    t1 AS (
+      SELECT user_id, event_type AS a, MIN(ts) AS ts1
+      FROM ev GROUP BY 1, 2
+    ),
+    t2 AS (
+      SELECT t1.user_id, t1.a, e.event_type AS b, MIN(e.ts) AS ts2
+      FROM t1 JOIN ev e
+        ON e.user_id = t1.user_id AND e.ts > t1.ts1
+       AND e.event_type <> t1.a
+      GROUP BY 1, 2, 3
+    ),
+    t3 AS (
+      SELECT t2.user_id, t2.a, t2.b, e.event_type AS c
+      FROM t2 JOIN ev e
+        ON e.user_id = t2.user_id AND e.ts > t2.ts2
+       AND e.event_type <> t2.a AND e.event_type <> t2.b
+      GROUP BY 1, 2, 3, 4
+    ),
+    sup AS (
+      SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS support
+      FROM t3 GROUP BY 1, 2, 3
+    )
+    SELECT p.a, p.b, p.c, CAST(COALESCE(s.support, 0) AS BIGINT) AS support,
+           (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM ev)
+             AS n_users
+    FROM pats p LEFT JOIN sup s
+      ON s.a = p.a AND s.b = p.b AND s.c = p.c
+    """,
+)
+def q_frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GSP-style frequent SUBSEQUENCE support — the ordered member of the
+    frequent-pattern family (q_frequent_triples counts unordered
+    co-occurrence; this counts a-THEN-b-THEN-c): for each of the 60
+    ordered distinct-type triples, how many users exhibit the pattern as
+    a temporal subsequence. The containment test is the GREEDY
+    EARLIEST-OCCURRENCE chain (t1 = first a, t2 = first b after t1,
+    t3 = first c after t2), which decides subsequence existence exactly
+    — the classic two-pointer argument, pinned by a hand-built pytest
+    fixture where the greedy must look PAST a too-early b.
+
+    All counts integer; zero-support patterns emitted via the pattern
+    lattice left join (the driver's hash sees the full 60-row lattice).
+
+    Scale: every join is user-keyed with per-user fan-out bounded by
+    that user's event count x 5 types (the item-CF bound); supports are
+    one map-side-combined groupBy on 60 keys. The pattern lattice
+    (|types|P3) broadcasts; longer patterns extend the same chain one
+    greedy level per element.
+    """
+    # each user's first 6 events only: over the full stream every user
+    # exhibits every ordering (support degenerates to n_users); the
+    # session HEAD is where order genuinely differs — and it is the
+    # honest GSP input (a user-keyed window, never global).
+    w6 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id", "event_type", "ts",
+            F.row_number().over(w6).alias("rn"),
+        )
+        .where(F.col("rn") <= 6)
+        .drop("rn")
+        .localCheckpoint()  # t1/t2/t3 chain + n_users all read it
+    )
+    types = ev.select(F.col("event_type").alias("t")).distinct()
+    ta = types.select(F.col("t").alias("a"))
+    tb = types.select(F.col("t").alias("b"))
+    tc = types.select(F.col("t").alias("c"))
+    pats = (
+        ta.crossJoin(tb)
+        .where(F.col("b") != F.col("a"))
+        .crossJoin(tc)
+        .where((F.col("c") != F.col("a")) & (F.col("c") != F.col("b")))
+    )
+    t1 = ev.groupBy("user_id", F.col("event_type").alias("a")).agg(
+        F.min("ts").alias("ts1")
+    )
+    e2 = ev.select(
+        F.col("user_id").alias("u2"), F.col("event_type").alias("b"),
+        F.col("ts").alias("tsb"),
+    )
+    t2 = (
+        t1.join(
+            e2,
+            (F.col("u2") == F.col("user_id"))
+            & (F.col("tsb") > F.col("ts1"))
+            & (F.col("b") != F.col("a")),
+        )
+        .groupBy("user_id", "a", "b")
+        .agg(F.min("tsb").alias("ts2"))
+    )
+    e3 = ev.select(
+        F.col("user_id").alias("u3"), F.col("event_type").alias("c"),
+        F.col("ts").alias("tsc"),
+    )
+    t3 = (
+        t2.join(
+            e3,
+            (F.col("u3") == F.col("user_id"))
+            & (F.col("tsc") > F.col("ts2"))
+            & (F.col("c") != F.col("a"))
+            & (F.col("c") != F.col("b")),
+        )
+        .select("user_id", "a", "b", "c")
+        .distinct()
+    )
+    sup = t3.groupBy("a", "b", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    )
+    n_users = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("n_users")
+    )
+    return (
+        pats.join(F.broadcast(sup), ["a", "b", "c"], "left")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "a", "b", "c",
+            F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+            "n_users",
+        )
+    )

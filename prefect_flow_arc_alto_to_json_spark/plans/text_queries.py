@@ -2018,7 +2018,9 @@ def _unigram_oracle(maxlen: int = 8, plen: int = 4) -> str:
     return head + body + tail
 
 
-@query("text_unigram_tokenize", extra=True, oracle=_unigram_oracle())
+@query(  # graded since round 9 third session: the 2nd tokenizer member
+    "text_unigram_tokenize", oracle=_unigram_oracle()
+)
 def text_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM (SentencePiece/Kudo-2018) tokenization of the corpus
     vocabulary (operators/bpe.py:unigram_viterbi) — the tokenizer
@@ -2039,3 +2041,100 @@ def text_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("text")
     return unigram_viterbi(docs)
+
+
+@query(
+    "text_kneser_ney_bigram",
+    extra=True,
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    big AS (
+      SELECT unnest(toks[1:len(toks) - 1]) AS w1,
+             unnest(toks[2:len(toks)]) AS w2
+      FROM t WHERE len(toks) >= 2
+    ),
+    c12 AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM big GROUP BY 1, 2
+    ),
+    c1 AS (
+      SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+             CAST(COUNT(*) AS BIGINT) AS n1r
+      FROM c12 GROUP BY 1
+    ),
+    n1l AS (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1l FROM c12 GROUP BY 1
+    ),
+    nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM c12)
+    SELECT b.w1, b.w2, b.c12, c1.c1, c1.n1r, n1l.n1l, nb.nb,
+           CAST(GREATEST(4 * b.c12 - 3, 0) * nb.nb
+                + 3 * c1.n1r * n1l.n1l AS BIGINT) AS p_num,
+           CAST(4 * c1.c1 * nb.nb AS BIGINT) AS p_den
+    FROM c12 b
+    JOIN c1 ON c1.w1 = b.w1
+    JOIN n1l ON n1l.w2 = b.w2
+    CROSS JOIN nb
+    """,
+)
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNESER-NEY smoothed bigram LM — the language-model family's
+    smoothing member (the MLE unigram/bigram scorers assign unseen pairs
+    zero; KN redistributes an absolute discount D = 3/4 to a
+    CONTINUATION-count back-off, the n-gram smoother every pre-neural LM
+    benchmark settled on): p(w2|w1) = max(c12 − D, 0)/c1 +
+    (D·N1+(w1,·)/c1) · N1+(·,w2)/N_bigrams. With D = 3/4 the whole
+    model is ONE EXACT RATIONAL per pair — emitted division-free as
+    p_num = max(4c12−3, 0)·NB + 3·n1r(w1)·n1l(w2) over p_den = 4·c1·NB
+    beside its sufficient statistics, so the relation hash-matches with
+    no snapping device and the textbook normalization identity
+    Σ_{{w2∈V}} p(w2|w1) = 1 is verifiable in exact Fraction arithmetic
+    (tests/test_bpe.py pins it per left context, unseen mass included).
+
+    Scale: one bigram explode feeding three vocabulary-keyed
+    map-side-combined aggs; the output is bigram-TYPE-bounded (V²), not
+    corpus-bounded — the same reduce-to-histogram story as bpe_train.
+    """
+    from ..functions.scalar import token_array
+
+    t = load_table(spark, sf_dir, "documents").select(
+        token_array("text").alias("toks")
+    )
+    n = F.size("toks")
+    big = (
+        t.where(n >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("toks", 1, n - 1).alias("w1"),
+                    F.slice("toks", 2, n - 1).alias("w2"),
+                )
+            ).alias("e")
+        )
+        .select("e.w1", "e.w2")
+    )
+    c12 = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    ).localCheckpoint()  # c1, n1l, nb and the final join all read it
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1r"),
+    )
+    n1l = c12.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n1l")
+    )
+    nb = c12.agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    return (
+        c12.join(F.broadcast(c1), "w1")
+        .join(F.broadcast(n1l), "w2")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1", "w2", "c12", "c1", "n1r", "n1l", "nb",
+            (
+                F.greatest(4 * F.col("c12") - 3, F.lit(0)) * F.col("nb")
+                + 3 * F.col("n1r") * F.col("n1l")
+            )
+            .cast("long")
+            .alias("p_num"),
+            (4 * F.col("c1") * F.col("nb")).cast("long").alias("p_den"),
+        )
+    )

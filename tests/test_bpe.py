@@ -165,3 +165,38 @@ def test_unigram_viterbi_matches_bruteforce_optimum(spark):
         assert all(1 <= len(p) <= 4 for p in pieces)
         assert sum(s[p] for p in pieces) == want
         assert r["n_pieces"] == len(pieces)
+
+
+def test_kneser_ney_normalizes_exactly(spark, sf_dir):
+    """The KN distribution must sum to EXACTLY 1 over the full vocabulary
+    for every left context, in exact Fraction arithmetic: observed pairs
+    contribute p_num/p_den; every unseen w2 contributes the back-off
+    mass 3*n1r(w1)*n1l(w2) / (4*c1*NB), and sum_w2 n1l(w2) = NB closes
+    the telescope. Also pins monotonicity: more-frequent continuations
+    never get smaller probability within a context."""
+    from fractions import Fraction
+
+    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+
+    rows = EXTRA_QUERIES["text_kneser_ney_bigram"](spark, sf_dir).collect()
+    nb = rows[0]["nb"]
+    n1l_by_w2 = {}
+    by_w1 = {}
+    for r in rows:
+        n1l_by_w2[r["w2"]] = r["n1l"]
+        by_w1.setdefault(r["w1"], []).append(r)
+    assert sum(n1l_by_w2.values()) == nb  # the telescoping identity
+    for w1, group in by_w1.items():
+        c1, n1r = group[0]["c1"], group[0]["n1r"]
+        seen_mass = sum(Fraction(r["p_num"], r["p_den"]) for r in group)
+        seen_n1l = sum(r["n1l"] for r in group)
+        unseen_mass = Fraction(3 * n1r * (nb - seen_n1l), 4 * c1 * nb)
+        assert seen_mass + unseen_mass == 1, w1
+        # monotone in c12 within the context (n1l varies, but the
+        # discount term dominates: check only pairs with equal n1l)
+        for a in group:
+            for b in group:
+                if a["n1l"] == b["n1l"] and a["c12"] > b["c12"]:
+                    assert Fraction(a["p_num"], a["p_den"]) >= Fraction(
+                        b["p_num"], b["p_den"]
+                    )

@@ -186,3 +186,38 @@ def test_shapley_attribution_axioms_and_replay(spark, sf_dir):
         want[c] = phi
     got_map = dict(zip(got["channel"], got["phi24"]))
     assert got_map == want, (got_map, want)
+
+
+def test_frequent_sequences_matches_true_subsequence_test(spark, sf_dir):
+    """The greedy earliest-occurrence chain must decide subsequence
+    containment EXACTLY: replay with the textbook two-pointer test (not
+    greedy) over each user's first-6 event stream in pandas and compare
+    every one of the 60 pattern supports."""
+    from itertools import permutations
+
+    import pandas as pd
+
+    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+
+    got = EXTRA_QUERIES["q_frequent_sequences"](spark, sf_dir).toPandas()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    heads = {
+        uid: list(g["event_type"].head(6))
+        for uid, g in ev.groupby("user_id")
+    }
+
+    def contains(seq, pat):
+        it = iter(seq)
+        return all(p in it for p in pat)
+
+    types = sorted(ev["event_type"].unique())
+    want = {
+        pat: sum(1 for s in heads.values() if contains(s, pat))
+        for pat in permutations(types, 3)
+    }
+    assert len(got) == len(want) == 60
+    for row in got.itertuples(index=False):
+        assert row.support == want[(row.a, row.b, row.c)], row
+    assert got["n_users"].iloc[0] == len(heads)
