@@ -1340,3 +1340,70 @@ def jl_project_exprs(
         # an explicit 0 head so the first op is always binary
         exprs.append("(0 " + " ".join(terms) + ")")
     return exprs
+
+
+def hbos_topk(
+    emb: DataFrame, n_dims: int = 4, n_bins: int = 16, k: int = 50
+) -> DataFrame:
+    """HBOS (histogram-based outlier score) top-k — see
+    plans/similarity_queries.q_hbos_anomaly for the full contract:
+    per-dimension equi-width histograms over the leading ``n_dims``
+    embedding coordinates, per-point Σ −ln(bin density) with
+    micro-snapped bin weights, top-``k`` by (score, vec_id).
+
+    Scale: bounded (n_dims·n_bins)-key histogram, broadcast weights,
+    one vec_id groupBy, TakeOrdered top-k.
+    """
+    from pyspark.sql import Window
+
+    spark = emb.sparkSession
+    dims = spark.range(1, n_dims + 1).select(F.col("id").alias("dim"))
+    vals = emb.crossJoin(F.broadcast(dims)).select(
+        "vec_id",
+        "dim",
+        F.element_at("embedding", F.col("dim").cast("int"))
+        .cast("double")
+        .alias("x"),
+    ).localCheckpoint()  # bounds agg + the binned projection read it
+    bounds = vals.groupBy("dim").agg(
+        F.min("x").alias("lo"),
+        F.max("x").alias("hi"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    binned = vals.join(F.broadcast(bounds), "dim").select(
+        "vec_id",
+        "dim",
+        F.least(
+            F.floor(
+                (F.col("x") - F.col("lo")) * n_bins
+                / (F.col("hi") - F.col("lo"))
+            ).cast("long"),
+            F.lit(n_bins - 1).cast("long"),
+        ).alias("bin"),
+        "n",
+    ).localCheckpoint()  # histogram agg + the score join read it
+    hist = binned.groupBy("dim", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.any_value("n").alias("n"),
+    )
+    w = hist.select(
+        "dim",
+        "bin",
+        F.round(-F.log(F.col("c") / F.col("n").cast("double")) * 1_000_000)
+        .cast("long")
+        .alias("w_micro"),
+    )
+    score = (
+        binned.join(F.broadcast(w), ["dim", "bin"])
+        .groupBy("vec_id")
+        .agg(F.sum("w_micro").cast("long").alias("score_micro"))
+    )
+    topk = score.orderBy(F.desc("score_micro"), "vec_id").limit(k)
+    return topk.select(
+        "vec_id",
+        "score_micro",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score_micro"), "vec_id"))
+        .cast("int")
+        .alias("rank"),
+    )

