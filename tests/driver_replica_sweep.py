@@ -2,7 +2,12 @@
 """Simulate the grading driver: vanilla SparkSession (NOT session.get_spark),
 every queries() entry vs oracle_sql() via DuckDB at the given sf dir.
 
-Usage: python tests/driver_replica_sweep.py [sf_dir]
+Usage: python tests/driver_replica_sweep.py [sf_dir] [start:stop]
+
+The optional 1-based slice (e.g. ``1:25``) runs a chunk of the graded
+window — sf0.1 sweeps exceed a single 600 s command budget (DuckDB
+replays some heavy oracles slowly there; the grading driver itself only
+runs sf0.01), so tri-scale verification runs them in halves.
 """
 
 from __future__ import annotations
@@ -17,6 +22,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession  # noqa: E402
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+if len(sys.argv) > 2:
+    _lo, _hi = sys.argv[2].split(":")
+    SLICE = (int(_lo) - 1, int(_hi))
+else:
+    SLICE = None
 
 
 def main() -> None:
@@ -40,6 +50,8 @@ def main() -> None:
 
     con = duck_con(SF)
     queries, oracles = mod.queries(), mod.oracle_sql()
+    if SLICE is not None:
+        queries = dict(list(queries.items())[SLICE[0] : SLICE[1]])
     n_pass = n_rows_only = n_fail = 0
     for i, (name, fn) in enumerate(queries.items()):
         t0 = time.perf_counter()
