@@ -1002,6 +1002,59 @@ def sorted_neighborhood_pairs(
     return scored.where(F.col("jac_ppm") >= threshold_ppm)
 
 
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 16,
+    boundary_max: str = "03",
+) -> DataFrame:
+    """Per-document content-defined chunk relation (doc_id, chunk) — the
+    extraction half of cdc_chunk_stats, factored out because it is pure
+    narrow projections (no shuffle, no checkpoint) and therefore
+    composes onto STREAMS unchanged (stream_cdc_chunk_dedup probes each
+    arrival's chunks against the persisted chunk store)."""
+    w = window
+    t = text_col
+    # STAGED projections, not one nested expression: ``bnds`` (the
+    # md5-per-position scan) is referenced 3x by ``ends`` and ``ends``
+    # 3x by the chunk transform — textual nesting would re-inline the
+    # boundary scan into every reference (~10-50x the md5 work,
+    # measured 227 s -> 8 s at sf0.1). Staging through aliased columns
+    # keeps each computed once; CollapseProject leaves multiply-
+    # referenced non-cheap expressions staged (SPARK-36718).
+    bnds = (
+        f"CASE WHEN length({t}) >= {w} THEN "
+        f"filter(sequence(CAST({w} AS BIGINT), CAST(length({t}) AS BIGINT)), "
+        f"p -> substring(md5(substring({t}, CAST(p - {w - 1} AS INT), {w})), "
+        f"1, 2) <= '{boundary_max}') "
+        f"ELSE CAST(array() AS array<bigint>) END"
+    )
+    ends = (
+        "CASE WHEN size(bnds) > 0 "
+        "AND element_at(bnds, -1) = CAST(length(text) AS BIGINT) "
+        "THEN bnds "
+        "ELSE concat(bnds, array(CAST(length(text) AS BIGINT))) END"
+    )
+    chunks = (
+        "transform(sequence(1, size(ends)), i -> substring(text, "
+        "CAST(IF(i = 1, CAST(0 AS BIGINT), element_at(ends, i - 1)) + 1 "
+        "AS INT), CAST(element_at(ends, i) "
+        "- IF(i = 1, CAST(0 AS BIGINT), element_at(ends, i - 1)) AS INT)))"
+    )
+    return (
+        df.where(F.length(t) >= 1)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(t).alias("text"),
+            F.expr(bnds).alias("bnds"),
+        )
+        .select("doc_id", "text", F.expr(ends).alias("ends"))
+        .select("doc_id", F.explode(F.expr(chunks)).alias("chunk"))
+    )
+
+
+
 def cdc_chunk_stats(
     df: DataFrame,
     text_col: str = "text",
@@ -1040,44 +1093,7 @@ def cdc_chunk_stats(
     content-addressed shuffle any dedup store performs, keyed on a
     uniform digest so it cannot skew.
     """
-    w = window
-    t = text_col
-    # STAGED projections, not one nested expression: ``bnds`` (the
-    # md5-per-position scan) is referenced 3x by ``ends`` and ``ends``
-    # 3x by the chunk transform — textual nesting would re-inline the
-    # boundary scan into every reference (~10-50x the md5 work,
-    # measured 227 s -> 8 s at sf0.1). Staging through aliased columns
-    # keeps each computed once; CollapseProject leaves multiply-
-    # referenced non-cheap expressions staged (SPARK-36718).
-    bnds = (
-        f"CASE WHEN length({t}) >= {w} THEN "
-        f"filter(sequence(CAST({w} AS BIGINT), CAST(length({t}) AS BIGINT)), "
-        f"p -> substring(md5(substring({t}, CAST(p - {w - 1} AS INT), {w})), "
-        f"1, 2) <= '{boundary_max}') "
-        f"ELSE CAST(array() AS array<bigint>) END"
-    )
-    ends = (
-        "CASE WHEN size(bnds) > 0 "
-        "AND element_at(bnds, -1) = CAST(length(text) AS BIGINT) "
-        "THEN bnds "
-        "ELSE concat(bnds, array(CAST(length(text) AS BIGINT))) END"
-    )
-    chunks = (
-        "transform(sequence(1, size(ends)), i -> substring(text, "
-        "CAST(IF(i = 1, CAST(0 AS BIGINT), element_at(ends, i - 1)) + 1 "
-        "AS INT), CAST(element_at(ends, i) "
-        "- IF(i = 1, CAST(0 AS BIGINT), element_at(ends, i - 1)) AS INT)))"
-    )
-    chunked = (
-        df.where(F.length(t) >= 1)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.col(t).alias("text"),
-            F.expr(bnds).alias("bnds"),
-        )
-        .select("doc_id", "text", F.expr(ends).alias("ends"))
-        .select("doc_id", F.explode(F.expr(chunks)).alias("chunk"))
-    )
+    chunked = cdc_chunks(df, text_col, id_col, window, boundary_max)
     return (
         chunked.groupBy(F.md5("chunk").alias("chunk_md5"))
         .agg(

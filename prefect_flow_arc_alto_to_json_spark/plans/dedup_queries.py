@@ -1350,37 +1350,46 @@ def dedup_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_cdc_chunks",
-    # graded since round 9 third session: the sub-document dedup tier
-    oracle="""
-    WITH docs AS (
+def _cdc_chunks_sql(src: str, prefix: str = "") -> str:
+    """DuckDB CTE chain computing the content-defined chunk relation
+    ``{prefix}ch(doc_id, chunk)`` of relation ``src(doc_id, text)`` —
+    shared by the batch rollup oracle and the streaming probe oracle so
+    both replay operators/dedup.cdc_chunks value-for-value."""
+    q = """
+    {px}docs AS (
       SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
-      FROM documents WHERE length(text) >= 1
+      FROM {src} WHERE length(text) >= 1
     ),
-    b AS (
+    {px}b AS (
       SELECT doc_id, text, n,
              CASE WHEN n >= 16 THEN list_filter(generate_series(16, n),
                   p -> substr(md5(substr(text, CAST(p - 15 AS INT), 16)),
                               1, 2) <= '03')
                   ELSE [] END AS bnds
-      FROM docs
+      FROM {px}docs
     ),
-    e AS (
+    {px}e AS (
       SELECT doc_id, text,
              CASE WHEN len(bnds) > 0 AND bnds[-1] = n THEN bnds
                   ELSE list_append(bnds, n) END AS ends
-      FROM b
+      FROM {px}b
     ),
-    ch AS (
+    {px}ch AS (
       SELECT doc_id, unnest(list_transform(generate_series(1, len(ends)),
         i -> substr(text,
              CAST((CASE WHEN i = 1 THEN 0 ELSE ends[i - 1] END) + 1 AS INT),
              CAST(ends[i]
                   - (CASE WHEN i = 1 THEN 0 ELSE ends[i - 1] END) AS INT))))
         AS chunk
-      FROM e
-    )
+      FROM {px}e
+    )"""
+    return q.format(src=src, px=prefix)
+
+
+@query(
+    "dedup_cdc_chunks",
+    # graded since round 9 third session: the sub-document dedup tier
+    oracle="WITH" + _cdc_chunks_sql("documents") + """
     SELECT md5(chunk) AS chunk_md5,
            CAST(MAX(length(chunk)) AS BIGINT) AS chunk_len,
            CAST(COUNT(*) AS BIGINT) AS n_copies,

@@ -2106,3 +2106,113 @@ def stream_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     latest = sorted(glob.glob(os.path.join(state_dir, "v*")))[-1]
     return spark.read.parquet(latest).select("event_id", "w", "h")
+
+
+def _stream_cdc_oracle() -> str:
+    from .dedup_queries import _cdc_chunks_sql
+
+    return (
+        """
+    WITH arrivals AS (
+      SELECT doc_id + 1000000 AS doc_id, 'zz9 ' || text AS text
+      FROM documents WHERE doc_id % 10 = 0
+    ),"""
+        + _cdc_chunks_sql("documents", "corp_")
+        + ","
+        + _cdc_chunks_sql("arrivals", "arr_")
+        + """,
+    store AS (SELECT DISTINCT md5(chunk) AS chunk_md5 FROM corp_ch),
+    probed AS (
+      SELECT a.doc_id, length(a.chunk) AS clen,
+             (s.chunk_md5 IS NOT NULL) AS known
+      FROM arr_ch a LEFT JOIN store s ON s.chunk_md5 = md5(a.chunk)
+    )
+    SELECT doc_id AS new_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) FILTER (WHERE known) AS BIGINT) AS n_known,
+           CAST(SUM(clen) AS BIGINT) AS total_len,
+           CAST(COALESCE(SUM(clen) FILTER (WHERE known), 0) AS BIGINT)
+             AS known_len
+    FROM probed GROUP BY 1
+    """
+    )
+
+
+@query("stream_cdc_chunk_dedup", extra=True, oracle=_stream_cdc_oracle())
+def stream_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING content-defined-chunk dedup probe against a STATIC chunk
+    store — the ingest-time twin of dedup_cdc_chunks, and the streaming
+    proof of the CDC resynchronization property: arrivals are re-crawls
+    of every 10th corpus doc with a PREFIX inserted ('zz9 '), the worst
+    case for fixed-size blocks (every block shifts) — yet all chunks
+    after the first content-defined boundary still hit the store, so
+    known_len/total_len stays high per arrival. Chunk extraction
+    (operators/dedup.cdc_chunks) is pure narrow projections, so it
+    composes onto the stream unchanged; the store probe is a
+    stream-static left join on the digest; the per-arrival rollup runs
+    as a batch aggregate over the landed matches (the stream_topk
+    read-time device — no streaming-agg watermark needed).
+
+    Scale: the chunk store is the relation a 100 TB corpus persists
+    bucketed by chunk_md5; per-arrival cost is its own chunk count —
+    independent of store size. The oracle replays store build, arrival
+    chunking, probe and rollup over the union corpus.
+    """
+    from ..operators.dedup import cdc_chunks
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text")
+    store = (
+        cdc_chunks(docs)
+        .select(F.md5("chunk").alias("chunk_md5"))
+        .distinct()
+    )
+    src = tempfile.mkdtemp(prefix="stream_cdc_src_")
+    (
+        docs.where(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.lit("zz9 "), F.col("text")).alias("text"),
+        )
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    arrivals = spark.readStream.schema("doc_id long, text string").parquet(
+        src
+    )
+    probed = (
+        cdc_chunks(arrivals)
+        .select(
+            F.col("doc_id").alias("new_id"),
+            F.length("chunk").cast("long").alias("clen"),
+            F.md5("chunk").alias("chunk_md5"),
+        )
+        .join(
+            store.withColumn("known", F.lit(True)), "chunk_md5", "left"
+        )
+        .select(
+            "new_id", "clen", F.coalesce("known", F.lit(False)).alias("known")
+        )
+    )
+    table = f"stream_cdc_{uuid.uuid4().hex[:10]}"
+    run_available_now(
+        probed,
+        checkpoint_dir=tempfile.mkdtemp(prefix="stream_cdc_ckpt_"),
+        output_mode="append",
+        memory_table=table,
+    )
+    return (
+        spark.table(table)
+        .groupBy("new_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.count(F.when(F.col("known"), 1)).cast("long").alias("n_known"),
+            F.sum("clen").cast("long").alias("total_len"),
+            F.coalesce(
+                F.sum(F.when(F.col("known"), F.col("clen"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("known_len"),
+        )
+    )
