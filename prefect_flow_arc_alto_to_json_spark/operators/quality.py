@@ -409,3 +409,68 @@ def isotonic_fit(bins: DataFrame, *, mul: int = 1_000_000) -> DataFrame:
         .groupBy("bin")
         .agg(F.max("minm").cast("long").alias("iso_ppm"))
     )
+
+
+def kth_smallest_binned(
+    vals: DataFrame,
+    k_col: str = "k",
+    val_col: str = "v",
+    tie_col: str = "tie",
+    n_bins: int = 1024,
+) -> DataFrame:
+    """EXACT k-th smallest of a value column by the classic two-pass
+    distributed selection (no global sort, no single-partition window
+    over the data): bin values into ``n_bins`` equi-width buckets, find
+    the bucket containing rank k from the BOUNDED bucket histogram, then
+    rank only inside that one bucket (~n/n_bins rows). Total order is
+    (value, tie) so the selected row is unique.
+
+    ``vals`` must carry (val_col >= 0 long, tie_col) plus a broadcastable
+    1-row rank spec is derived internally from ``k_col`` — callers pass
+    k as a column on every row (constant). Returns a 1-row DataFrame
+    (q = the k-th smallest value).
+
+    Scale: pass one is a map-side-combined n_bins-key histogram; the
+    cumulative runs on n_bins rows; pass two touches one bucket. This is
+    how exact distributed quantile selection is actually done — the
+    alternative (global orderBy + row_number) collapses to one
+    partition.
+    """
+    vmax = vals.agg(
+        F.max(val_col).cast("long").alias("vmax"),
+        F.max(k_col).cast("long").alias("ksel"),
+    )
+    binned = vals.drop(k_col).crossJoin(F.broadcast(vmax)).select(
+        val_col,
+        tie_col,
+        F.col("ksel").alias("k"),
+        F.least(
+            F.floor(F.col(val_col) * n_bins / (F.col("vmax") + 1)).cast(
+                "long"
+            ),
+            F.lit(n_bins - 1).cast("long"),
+        ).alias("bin"),
+    ).localCheckpoint()  # histogram pass + the in-bucket pass
+    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
+    cum = hist.select(
+        "bin",
+        "c",
+        F.sum("c")
+        .over(Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1))
+        .alias("before"),
+    ).fillna({"before": 0})
+    target = (
+        cum.crossJoin(F.broadcast(vmax.select(F.col("ksel").alias("k"))))
+        .where(
+            (F.col("before") < F.col("k"))
+            & (F.col("before") + F.col("c") >= F.col("k"))
+        )
+        .select("bin", (F.col("k") - F.col("before")).alias("offset"))
+    )
+    inb = binned.join(F.broadcast(target), "bin")
+    w = Window.partitionBy("bin").orderBy(val_col, tie_col)
+    return (
+        inb.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == F.col("offset"))
+        .select(F.col(val_col).alias("q"))
+    )

@@ -2892,3 +2892,129 @@ def q_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
         est.cast("long").alias("est_x2"),
         (diff * diff <= 64 * F.count(F.lit(1))).alias("ok"),
     )
+
+
+@query(
+    "q_conformal_interval",
+    extra=True,
+    oracle="""
+    WITH rows_ AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y,
+             CAST(md5_number_lower('conf-v1:' || CAST(o_orderkey AS VARCHAR))
+                  % 4294967296 % 4 AS BIGINT) AS fold
+      FROM orders
+    ),
+    model AS (
+      SELECT o_orderpriority,
+             CAST(FLOOR((2 * SUM(y) + COUNT(*)) / (2.0 * COUNT(*)))
+                  AS BIGINT) AS pred
+      FROM rows_ WHERE fold <= 1 GROUP BY 1
+    ),
+    cal AS (
+      SELECT r.o_orderkey, ABS(r.y - m.pred) AS resid
+      FROM rows_ r JOIN model m ON m.o_orderpriority = r.o_orderpriority
+      WHERE r.fold = 2
+    ),
+    kq AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_cal,
+             CAST((9 * (COUNT(*) + 1) + 9) // 10 AS BIGINT) AS k
+      FROM cal
+    ),
+    q AS (
+      SELECT resid AS q FROM cal CROSS JOIN kq
+      QUALIFY ROW_NUMBER() OVER (ORDER BY resid, o_orderkey) = k
+    ),
+    test AS (
+      SELECT r.o_orderpriority, r.y, m.pred
+      FROM rows_ r JOIN model m ON m.o_orderpriority = r.o_orderpriority
+      WHERE r.fold = 3
+    )
+    SELECT t.o_orderpriority, CAST(ANY_VALUE(t.pred) AS BIGINT) AS pred_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(COUNT(*) FILTER (WHERE ABS(t.y - t.pred) <= q.q) AS BIGINT)
+             AS n_covered,
+           CAST(q.q AS BIGINT) AS q_cents, kq.n_cal, kq.k
+    FROM test t CROSS JOIN q CROSS JOIN kq
+    GROUP BY 1, q.q, kq.n_cal, kq.k
+    """,
+)
+def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-CONFORMAL prediction intervals (Vovk; Lei et al.) — the
+    distribution-free uncertainty layer the ML-primitive family (stumps,
+    logreg, ALS) was missing: md5 folds split orders into train/
+    calibration/test, the model is the per-priority train mean (half-up
+    cents — any point predictor slots in), and the interval half-width q
+    is the ceil(0.9(n+1))-th smallest calibration |residual|, giving the
+    finite-sample ~90% marginal coverage guarantee. q is found by the
+    EXACT two-pass binned selection (operators/quality.py:
+    kth_smallest_binned — bounded histogram, then rank inside one
+    bucket), never a global sort; the oracle selects by plain QUALIFY
+    (value-identical by definition of order statistics). The coverage
+    gate lives in tests/test_quality.py.
+
+    Output per priority: prediction, test count, covered count, the
+    global q, n_cal and k — coverage reconstructs as n_covered/n_test.
+    """
+    from ..functions.scalar import stable_hash_u32
+    from ..operators.quality import kth_smallest_binned
+
+    rows = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
+        F.pmod(
+            stable_hash_u32(
+                F.concat(F.lit("conf-v1:"), F.col("o_orderkey").cast("string"))
+            ),
+            F.lit(4),
+        ).alias("fold"),
+    ).localCheckpoint()  # model, calibration and test all read it
+    model = (
+        rows.where(F.col("fold") <= 1)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.floor(
+                (2 * F.sum("y") + F.count(F.lit(1)))
+                / (2.0 * F.count(F.lit(1)))
+            )
+            .cast("long")
+            .alias("pred")
+        )
+    )
+    cal = rows.where(F.col("fold") == 2).join(
+        F.broadcast(model), "o_orderpriority"
+    ).select(
+        F.abs(F.col("y") - F.col("pred")).cast("long").alias("v"),
+        F.col("o_orderkey").alias("tie"),
+    )
+    kq = cal.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cal"),
+        F.floor((9 * (F.count(F.lit(1)) + 1) + 9) / 10)
+        .cast("long")
+        .alias("k"),
+    )
+    q = kth_smallest_binned(
+        cal.crossJoin(F.broadcast(kq.select("k"))), "k", "v", "tie"
+    )
+    test = rows.where(F.col("fold") == 3).join(
+        F.broadcast(model), "o_orderpriority"
+    )
+    return (
+        test.crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(kq))
+        .groupBy("o_orderpriority", "q", "n_cal", "k")
+        .agg(
+            F.any_value("pred").cast("long").alias("pred_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.count(
+                F.when(F.abs(F.col("y") - F.col("pred")) <= F.col("q"), 1)
+            )
+            .cast("long")
+            .alias("n_covered"),
+        )
+        .select(
+            "o_orderpriority", "pred_cents", "n_test", "n_covered",
+            F.col("q").cast("long").alias("q_cents"), "n_cal", "k",
+        )
+    )

@@ -2026,3 +2026,168 @@ def q_frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+@query(
+    "q_borda_fusion",
+    extra=True,
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT day, event_type,
+             ROW_NUMBER() OVER (PARTITION BY day
+               ORDER BY y DESC, event_type) AS rk,
+             COUNT(*) OVER (PARTITION BY day) AS k
+      FROM daily
+    )
+    SELECT event_type,
+           CAST(SUM(k - rk) AS BIGINT) AS borda_score,
+           CAST(COUNT(*) AS BIGINT) AS n_ballots,
+           CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_firsts
+    FROM ranked GROUP BY 1
+    """,
+)
+def q_borda_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BORDA-count rank aggregation — the rank-FUSION member of the
+    ranking family (windows rank WITHIN one ballot; this aggregates
+    ACROSS ballots, the device LLM judge ensembles and metasearch use):
+    each day ranks the event types by revenue (a ballot, ties broken by
+    name for determinism), a rank r among k candidates scores k − r
+    points, and scores sum across days. All integer; n_firsts
+    (plurality count) rides along so Borda-vs-plurality disagreement is
+    visible in the relation itself.
+
+    Scale: the daily rollup is the only row-scale shuffle; ballots are
+    calendar x |types| rows, ranked by a day-keyed window (bounded
+    partitions, never global)."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    w = Window.partitionBy("day").orderBy(F.desc("y"), "event_type")
+    ranked = daily.select(
+        "day",
+        "event_type",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("day")).alias("k"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.sum(F.col("k") - F.col("rk")).cast("long").alias("borda_score"),
+        F.count(F.lit(1)).cast("long").alias("n_ballots"),
+        F.sum(F.when(F.col("rk") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_firsts"),
+    )
+
+
+def _bt_oracle(rounds: int = 3) -> str:
+    """Unrolled DuckDB replay of operators/preference.bradley_terry_nano
+    over the daily event-type contests: per round one snapped pair-sum
+    CTE and one snapped update CTE (the pagerank unroll discipline)."""
+    head = """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    cmp AS (
+      SELECT x.event_type AS a, y.event_type AS b,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM daily x JOIN daily y
+        ON y.day = x.day AND y.event_type <> x.event_type
+      WHERE x.y > y.y GROUP BY 1, 2
+    ),
+    sym AS MATERIALIZED (
+      SELECT a, b, CAST(SUM(n) AS BIGINT) AS n_tot FROM (
+        SELECT a, b, n FROM cmp
+        UNION ALL SELECT b AS a, a AS b, n FROM cmp
+      ) GROUP BY 1, 2
+    ),
+    wins AS (
+      SELECT a AS item, CAST(SUM(n) AS BIGINT) AS wins FROM cmp GROUP BY 1
+    ),
+    base AS MATERIALIZED (
+      SELECT i.item, CAST(COALESCE(w.wins, 0) AS BIGINT) AS wins
+      FROM (SELECT DISTINCT a AS item FROM sym) i
+      LEFT JOIN wins w ON w.item = i.item
+    ),
+    pi0 AS MATERIALIZED (
+      SELECT item, CAST(1000000000 AS BIGINT) AS pi FROM base
+    )"""
+    rnd = """,
+    s{R} AS MATERIALIZED (
+      SELECT s.a,
+             CAST(SUM(CAST(FLOOR((2 * s.n_tot * 1000000000000
+                  + (pa.pi + pb.pi)) / (2.0 * (pa.pi + pb.pi)))
+                  AS BIGINT)) AS BIGINT) AS ssum
+      FROM sym s
+      JOIN pi{P} pa ON pa.item = s.a
+      JOIN pi{P} pb ON pb.item = s.b
+      GROUP BY 1
+    ),
+    pi{R} AS MATERIALIZED (
+      SELECT b.item,
+             CAST(FLOOR((2 * b.wins * 1000000000000 + t.ssum)
+                  / (2.0 * t.ssum)) AS BIGINT) AS pi
+      FROM base b JOIN s{R} t ON t.a = b.item
+    )"""
+    body = "".join(rnd.format(R=r, P=r - 1) for r in range(1, rounds + 1))
+    tail = """
+    SELECT b.item, b.wins, nc.n_contests, p.pi AS pi_nano
+    FROM base b
+    JOIN pi{M} p ON p.item = b.item
+    JOIN (SELECT a AS item, CAST(SUM(n_tot) AS BIGINT) AS n_contests
+          FROM sym GROUP BY 1) nc ON nc.item = b.item
+    """.format(M=rounds)
+    return head + body + tail
+
+
+@query("q_bradley_terry", extra=True, oracle=_bt_oracle(3))
+def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRADLEY-TERRY pairwise-preference strengths
+    (operators/preference.py:bradley_terry_nano) — the preference-
+    aggregation primitive under RLHF reward modeling and ranking
+    evaluation, fit by 3 snapped MM rounds (Hunter 2004) over daily
+    event-type revenue contests (a beats b on a day iff its daily sum is
+    larger; ties contribute nothing). Strengths are NANO ints, every
+    division half-up-snapped, so the oracle's unrolled replay
+    hash-matches. The planted-dominance ordering and uniform-init
+    symmetry gates live in tests/test_trees.py.
+
+    Scale: the corpus appears only in the daily rollup; contests, MM
+    rounds and the final join run on |items| / |items|² relations,
+    broadcast throughout — millions of items shuffle only entity-keyed
+    nano longs, the ALS/pagerank story.
+    """
+    from ..operators.preference import bradley_terry_nano
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    x = daily.select("day", F.col("event_type").alias("a"), F.col("y").alias("ya"))
+    y = daily.select(F.col("day").alias("d2"), F.col("event_type").alias("b"), F.col("y").alias("yb"))
+    contests = (
+        x.join(y, (F.col("d2") == F.col("day")) & (F.col("b") != F.col("a")))
+        .where(F.col("ya") > F.col("yb"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return bradley_terry_nano(contests, rounds=3).select(
+        F.col("item").alias("item"), "wins", "n_contests", "pi_nano"
+    )

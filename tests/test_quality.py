@@ -147,3 +147,41 @@ def test_isotonic_fit_monotone_on_noise(spark):
     assert fit == sorted(fit)
     ppm = [(2 * p * 10**6 + n) // (2 * n) for _, n, p in triples]
     assert min(ppm) <= fit[0] and fit[-1] <= max(ppm)
+
+
+def test_kth_smallest_binned_equals_sorted_selection(spark):
+    """The two-pass binned selection must return exactly the k-th order
+    statistic for arbitrary k — compared against plain Python sorting on
+    a deterministic pseudo-random multiset (duplicates included, so the
+    bucket-offset arithmetic is exercised on ties)."""
+    from pyspark.sql import functions as F
+
+    from prefect_flow_arc_alto_to_json_spark.operators.quality import (
+        kth_smallest_binned,
+    )
+
+    vals = [(i, (i * 2654435761) % 997) for i in range(2000)]
+    want_sorted = sorted(v for _, v in vals)
+    df = spark.createDataFrame(vals, "tie long, v long")
+    for k in (1, 2, 17, 1000, 1800, 1999, 2000):
+        got = kth_smallest_binned(
+            df.withColumn("k", F.lit(k).cast("long")), "k", "v", "tie"
+        ).collect()
+        assert len(got) == 1
+        assert got[0]["q"] == want_sorted[k - 1], (k, got)
+
+
+def test_conformal_interval_coverage(spark, sf_dir):
+    """Split-conformal 90% intervals must actually cover ~90% of held-out
+    test rows (finite-sample marginal guarantee; +-4pp tolerance for the
+    fixed split), and the calibration rank identity must hold:
+    k = ceil(0.9 * (n_cal + 1))."""
+    import math
+
+    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+
+    rows = EXTRA_QUERIES["q_conformal_interval"](spark, sf_dir).toPandas()
+    cov = rows["n_covered"].sum() / rows["n_test"].sum()
+    assert 0.86 <= cov <= 0.96, cov
+    n_cal, k = rows["n_cal"].iloc[0], rows["k"].iloc[0]
+    assert k == math.ceil(0.9 * (n_cal + 1))

@@ -50,3 +50,36 @@ def test_stump_error_curve_is_consistent(spark):
     assert all(r["n_left"] + r["n_right"] == n for r in out)
     pairs = [(r["misclassified"], r["bin"]) for r in out]
     assert pairs == sorted(pairs)
+
+
+def test_bradley_terry_recovers_planted_dominance(spark):
+    """MM strengths must order a planted total dominance a > b > c > d
+    correctly after 3 snapped rounds, with a strictly decreasing pi
+    chain; a perfectly symmetric contest matrix must keep all strengths
+    EQUAL (the uniform fixed point survives snapping exactly: every
+    item sees identical sums)."""
+    from prefect_flow_arc_alto_to_json_spark.operators.preference import (
+        bradley_terry_nano,
+    )
+
+    dom = spark.createDataFrame(
+        [
+            ("a", "b", 9), ("b", "a", 1),
+            ("b", "c", 8), ("c", "b", 2),
+            ("c", "d", 9), ("d", "c", 1),
+            ("a", "c", 9), ("c", "a", 1),
+            ("b", "d", 8), ("d", "b", 2),
+            ("a", "d", 10),
+        ],
+        "a string, b string, n long",
+    )
+    out = {r["item"]: r["pi_nano"] for r in bradley_terry_nano(dom).collect()}
+    assert out["a"] > out["b"] > out["c"] > out["d"], out
+
+    sym = spark.createDataFrame(
+        [("a", "b", 5), ("b", "a", 5), ("b", "c", 5), ("c", "b", 5),
+         ("a", "c", 5), ("c", "a", 5)],
+        "a string, b string, n long",
+    )
+    pis = {r["item"]: r["pi_nano"] for r in bradley_terry_nano(sym).collect()}
+    assert len(set(pis.values())) == 1, pis
