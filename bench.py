@@ -165,6 +165,14 @@ HEADLINE = [
     "q_als_iteration",
     "q_boosted_stumps",
     "q_scc_trade",
+    # round-9 third-session additions: content-defined chunking (the
+    # per-position md5 boundary scan + digest rollup — heaviest new
+    # narrow-map shape), the 8-level unigram Viterbi DP, the DSIR
+    # token-bucket scoring pipeline, and the streaming chunk-store probe
+    "dedup_cdc_chunks",
+    "text_unigram_tokenize",
+    "pipeline_dsir_select",
+    "stream_cdc_chunk_dedup",
 ]
 
 
