@@ -601,3 +601,91 @@ def mm_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("isl")
     )
+
+
+@query(
+    "mm_audio_fingerprint",
+    extra=True,
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS len
+      FROM documents
+      WHERE {_SQL_MODALITY} = 'audio'
+    ),
+    s AS (
+      SELECT doc_id, k.k // 128 AS f,
+             ({_sql_byte("(2*k.k) % len")})
+             + 256 * ({_sql_byte("(2*k.k + 1) % len")})
+             - CASE WHEN ({_sql_byte("(2*k.k + 1) % len")}) >= 128
+                    THEN 65536 ELSE 0 END AS v
+      FROM base, (SELECT unnest(range(0, 2048)) AS k) k
+    ),
+    e AS (
+      SELECT doc_id, CAST(f AS INT) AS f, CAST(SUM(v * v) AS BIGINT) AS e
+      FROM s GROUP BY 1, 2
+    ),
+    nb AS (
+      SELECT doc_id, f, e,
+             LAG(e) OVER (PARTITION BY doc_id ORDER BY f) AS ep,
+             LEAD(e) OVER (PARTITION BY doc_id ORDER BY f) AS en
+      FROM e
+    ),
+    peaks AS (
+      SELECT doc_id, f, e FROM nb
+      WHERE ep IS NOT NULL AND en IS NOT NULL AND e > ep AND e > en
+    ),
+    prs AS (
+      SELECT a.doc_id AS doc, a.f AS f1, CAST(b.f - a.f AS INT) AS dt,
+             CAST((16 * b.e) // (a.e + b.e) AS INT) AS rb,
+             CAST(length(bin(a.e)) AS INT) AS lb
+      FROM peaks a JOIN peaks b
+        ON b.doc_id = a.doc_id AND b.f > a.f AND b.f <= a.f + 4
+    ),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc) AS BIGINT) AS n FROM prs),
+    hot AS (
+      SELECT f1, dt, rb, lb FROM prs CROSS JOIN nd
+      GROUP BY 1, 2, 3, 4, nd.n
+      HAVING COUNT(DISTINCT doc) > GREATEST(64, nd.n // 8)
+    ),
+    kept AS (
+      SELECT p.* FROM prs p
+      WHERE NOT EXISTS (SELECT 1 FROM hot h
+        WHERE h.f1 = p.f1 AND h.dt = p.dt AND h.rb = p.rb AND h.lb = p.lb)
+    )
+    SELECT x.doc AS id_a, y.doc AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM kept x JOIN kept y
+      ON y.f1 = x.f1 AND y.dt = x.dt AND y.rb = x.rb AND y.lb = x.lb
+     AND y.doc > x.doc
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 3
+    """,
+)
+def mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shazam-style audio LANDMARK fingerprint matching
+    (operators/multimodal.py:audio_frame_energy_int +
+    audio_fingerprint_pairs) — the audio member of the perceptual
+    near-dup family (mm_image_near_dup covers images): REAL WAV decode →
+    exact integer 128-sample frame energies → strict-local-max landmarks
+    → in-window landmark-pair keys (f1, Δt, energy-ratio bucket,
+    magnitude bucket) → df-capped key join → assets sharing ≥ 3 keys.
+    Top matches are the planted near-dup re-encodes (token-jaccard
+    0.54–0.73 at the head). Every key component is integer arithmetic
+    over exact energies, so the oracle replays decode-to-match from the
+    raw byte pairs.
+
+    Scale: energies via one narrow Arrow pass; the match join is
+    fingerprint-key-posting-shaped with the SAME >64-doc hot-key cap as
+    the MinHash band join — candidate volume n_keys·cap², never
+    all-pairs."""
+    from ..operators.multimodal import (
+        audio_fingerprint_pairs,
+        audio_frame_energy_int,
+        wavify_audio,
+    )
+
+    assets = wavify_audio(
+        synth_assets(spark, sf_dir).where(F.col("modality") == "audio")
+    )
+    fe = audio_frame_energy_int(assets)
+    return audio_fingerprint_pairs(fe)

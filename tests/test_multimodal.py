@@ -360,3 +360,36 @@ def test_media_decoder_video_without_avify_errors(spark, assets):
 from prefect_flow_arc_alto_to_json_spark.operators.multimodal import (  # noqa: E402
     default_fake_decoder,
 )
+
+
+def test_audio_fingerprint_matches_identical_and_rejects_noise(spark):
+    """Landmark matching on a planted frame-energy relation: an exact
+    re-encode (identical energies, new id) must share EVERY landmark key
+    with its source; an unrelated energy profile must share none. Also
+    pins the landmark definition: only strict interior local maxima
+    fingerprint (a monotone ramp yields no peaks, hence no pairs)."""
+    from prefect_flow_arc_alto_to_json_spark.operators.multimodal import (
+        audio_fingerprint_pairs,
+    )
+
+    prof = [10, 500, 20, 30, 900, 40, 50, 700, 60, 25, 650, 30, 15, 800, 35, 20]
+    noise = [5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20]
+    rows = []
+    for aid, series in ((1, prof), (2, prof), (3, noise)):
+        rows += [(aid, i, e, None) for i, e in enumerate(series)]
+    fe = spark.createDataFrame(
+        rows, "asset_id long, frame_idx int, e long, frame_error string"
+    )
+    out = audio_fingerprint_pairs(fe, min_shared=1)
+    pairs = {(r["id_a"], r["id_b"]): r["n_shared"] for r in out.collect()}
+    assert (1, 2) in pairs
+    # every landmark-pair key of asset 1 is shared with its clone:
+    # peaks at frames 1,4,7,10,13 -> in-window (dt<=4) ordered pairs
+    want_keys = sum(
+        1
+        for i, f1 in enumerate([1, 4, 7, 10, 13])
+        for f2 in [1, 4, 7, 10, 13][i + 1 :]
+        if f2 - f1 <= 4
+    )
+    assert pairs[(1, 2)] == want_keys, pairs
+    assert not any(3 in k for k in pairs), pairs
