@@ -1140,3 +1140,38 @@ def modularity_contributions(edges: DataFrame) -> DataFrame:
             .alias("q_contrib_num"),
         )
     )
+
+
+def temporal_wedges(e: DataFrame, window_days: int = 7) -> DataFrame:
+    """Time-respecting wedge counts over a temporal bipartite edge list
+    ``e(c, s, d)`` (customer, supplier, integer day): ordered pairs of
+    DISTINCT customers hitting the same supplier with the second arrival
+    in [d1, d1 + window]. The window join is the LOSSLESS binned range
+    join — ``window_days``-wide bins, each edge probes its own and the
+    next bin (a 0..window successor always lands in one of the two) —
+    so candidates are bounded per (supplier, bin), never per supplier.
+    Returns (s, n_wedges, n_src_customers).
+    """
+    spark = e.sparkSession
+    a = e.select(
+        "s", F.col("c").alias("c1"), F.col("d").alias("d1"),
+        F.floor(F.col("d") / window_days).alias("bin"),
+    )
+    offs = spark.range(0, 2).select(F.col("id").alias("off"))
+    b = e.select(
+        F.col("s").alias("s2"), F.col("c").alias("c2"),
+        F.col("d").alias("d2"),
+        F.floor(F.col("d") / window_days).alias("bin2"),
+    )
+    w = a.crossJoin(F.broadcast(offs)).join(
+        b.hint("shuffle_hash"),
+        (F.col("s2") == F.col("s"))
+        & (F.col("bin2") == F.col("bin") + F.col("off"))
+        & (F.col("c2") != F.col("c1"))
+        & (F.col("d2") >= F.col("d1"))
+        & (F.col("d2") <= F.col("d1") + window_days),
+    )
+    return w.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("n_wedges"),
+        F.countDistinct("c1").cast("long").alias("n_src_customers"),
+    )

@@ -1658,3 +1658,66 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import modularity_contributions
 
     return modularity_contributions(ce)
+
+
+@query(
+    "q_temporal_wedges",
+    extra=True,
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s,
+             CAST(date_diff('day', DATE '1970-01-01', o.o_orderdate)
+                  AS BIGINT) AS d
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    w AS (
+      SELECT a.s, a.c AS c1, b.c AS c2
+      FROM e a JOIN e b
+        ON b.s = a.s AND b.c <> a.c
+       AND b.d >= a.d AND b.d <= a.d + 7
+    )
+    SELECT s AS s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_wedges,
+           CAST(COUNT(DISTINCT c1) AS BIGINT) AS n_src_customers
+    FROM w GROUP BY 1
+    """,
+)
+def q_temporal_wedges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-RESPECTING temporal-motif counting — the temporal member of
+    the graph-mining family (q_clustering_coefficient / link prediction
+    count STATIC wedges; this counts wedges whose edges occur in ORDER
+    within a window, the burst-co-purchase / cascade primitive of
+    temporal graph mining): ordered customer pairs hitting the same
+    supplier within 7 days. The window join runs as the LOSSLESS binned
+    range join (q_range_bin_join's device): 7-day bins, each edge probes
+    its own and the next bin — a 0..7-day successor always lands there —
+    so candidates are bounded per (supplier, bin), never per supplier.
+    The oracle replays the plain date-range semantics (bin probing is
+    plan shape, not semantics).
+
+    Scale: the edge build is the q7 join shape; the wedge join keys on
+    (supplier, bin) with per-bin bounded fan-out; per-supplier counts
+    are one map-side-combined groupBy.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    e = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("c"),
+            F.col("l_suppkey").alias("s"),
+            F.datediff("o_orderdate", F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("d"),
+        )
+        .distinct()
+        .localCheckpoint()  # both sides of the wedge join
+    )
+    from ..operators.graph import temporal_wedges
+
+    return temporal_wedges(e).select(
+        F.col("s").alias("s_suppkey"), "n_wedges", "n_src_customers"
+    )

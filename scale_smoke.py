@@ -43,6 +43,7 @@ from prefect_flow_arc_alto_to_json_spark.operators.dedup import (  # noqa: E402
 )
 from prefect_flow_arc_alto_to_json_spark.operators.similarity import (  # noqa: E402
     embedding_near_dup_pairs,
+    hbos_topk,
     int8_topk,
     lsh_bucketed_topk,
     pq_topk,
@@ -404,6 +405,27 @@ def _dsir(d: DataFrame) -> DataFrame:
     return score.orderBy(F.desc("score_micro"), "doc_id").limit(100)
 
 
+
+def _kn_bigram(d: DataFrame) -> DataFrame:
+    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES  # noqa
+    # inline the corpus-scale part: bigram counting + vocab-keyed aggs
+    toks = d.select(token_array("text").alias("toks"))
+    n = F.size("toks")
+    big = toks.where(n >= 2).select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("toks", 1, n - 1).alias("w1"),
+                F.slice("toks", 2, n - 1).alias("w2"),
+            )
+        ).alias("e")
+    ).select("e.w1", "e.w2")
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1r")
+    )
+    return c12.join(F.broadcast(c1), "w1")
+
+
 def main() -> None:
     spark = get_spark(app_name="scale-smoke")
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
@@ -532,6 +554,12 @@ def main() -> None:
         # weight broadcast + per-doc sums + TakeOrdered — both must
         # track the corpus linearly
         "cdc_chunks": lambda d, e, ev, o: cdc_chunk_stats(d, min_copies=1),
+        # round-9 third-session late additions: KN bigram counting is
+        # the reduce-to-vocabulary story (salted replicas mint bigram
+        # types ~linearly); HBOS is bounded-histogram + broadcast
+        # weights + one vec_id groupBy
+        "kn_bigram": lambda d, e, ev, o: _kn_bigram(d),
+        "hbos_topk": lambda d, e, ev, o: hbos_topk(e),
         "dsir_select": lambda d, e, ev, o: _dsir(d),
         "geo_radius_join": lambda d, e, ev, o: radius_join(
             with_grid(d.select(F.col("doc_id").alias("lid")), "lid", 1_000_000),

@@ -360,3 +360,43 @@ def test_modularity_exact_on_planted_two_cliques(spark):
     allone = df.select(F.lit(0).alias("cn"), F.lit(0).alias("sn"))
     one = modularity_contributions(allone).collect()
     assert len(one) == 1 and one[0]["q_contrib_num"] == 0
+
+
+def test_temporal_wedges_bin_probe_is_lossless(spark):
+    """The 2-bin probe must equal the naive date-range join on a planted
+    edge set engineered to straddle bin boundaries (d2 in the NEXT bin,
+    d2 exactly at d1 + window, same-day forward pairs in both orders,
+    and an out-of-window edge that must NOT count)."""
+    e = spark.createDataFrame(
+        [
+            # supplier 1: days 6 (c1), 7 (c2, next bin, in window),
+            # 13 (c3, = 6+7 boundary, in window for c1; 7+6 for c2),
+            # 30 (c4, out of every window)
+            (101, 1, 6), (102, 1, 7), (103, 1, 13), (104, 1, 30),
+            # supplier 2: same-day pair -> both ordered directions count
+            (201, 2, 10), (202, 2, 10),
+        ],
+        "c long, s long, d long",
+    )
+    from prefect_flow_arc_alto_to_json_spark.operators.graph import (
+        temporal_wedges,
+    )
+
+    got = {r["s"]: (r["n_wedges"], r["n_src_customers"])
+           for r in temporal_wedges(e).collect()}
+    # supplier 1 wedges: (c1,c2), (c1,c3), (c2,c3) = 3, sources {c1,c2}
+    # supplier 2: (c5,c6) and (c6,c5) = 2, sources both
+    assert got[1] == (3, 2), got
+    assert got[2] == (2, 2), got
+
+    # brute-force equality on the same frame
+    rows = e.collect()
+    brute = {}
+    for x in rows:
+        for y in rows:
+            if (x["s"] == y["s"] and x["c"] != y["c"]
+                    and x["d"] <= y["d"] <= x["d"] + 7):
+                w, srcs = brute.get(x["s"], (0, set()))
+                srcs = srcs | {x["c"]}
+                brute[x["s"]] = (w + 1, srcs)
+    assert got == {s: (w, len(srcs)) for s, (w, srcs) in brute.items()}

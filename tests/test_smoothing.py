@@ -154,9 +154,10 @@ def test_shapley_attribution_axioms_and_replay(spark, sf_dir):
     import pandas as pd
     from itertools import combinations
 
-    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES, QUERIES
 
-    got = EXTRA_QUERIES["q_shapley_attribution"](spark, sf_dir).toPandas()
+    all_q = {**QUERIES, **EXTRA_QUERIES}  # survives tier rotation
+    got = all_q["q_shapley_attribution"](spark, sf_dir).toPandas()
     assert got["phi24"].sum() == 24 * (
         got["v_full"].iloc[0] - got["v_empty"].iloc[0]
     )
