@@ -1721,3 +1721,195 @@ def q_temporal_wedges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal_wedges(e).select(
         F.col("s").alias("s_suppkey"), "n_wedges", "n_src_customers"
     )
+
+
+def _katz_oracle(rounds: int = 3) -> str:
+    """Unrolled replay of the β = 1/8 Katz recursion in PURE integer
+    arithmetic: x' = 1e9 + (Σ_in x) // 8 — the one division is an exact
+    integer floor-div both engines define identically, so no snapping
+    device is needed anywhere."""
+    head = f"""
+    WITH ce AS ({_SQL_CS_EDGES}),
+    e AS MATERIALIZED (
+      SELECT cust AS src, supp AS dst FROM ce
+      UNION ALL SELECT supp AS src, cust AS dst FROM ce
+    ),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+    x0 AS MATERIALIZED (
+      SELECT node, CAST(1000000000 AS BIGINT) AS x FROM nodes
+    )"""
+    rnd = """,
+    x{R} AS MATERIALIZED (
+      SELECT n.node,
+             CAST(1000000000
+                  + COALESCE(SUM(p.x), 0) // 8 AS BIGINT) AS x
+      FROM nodes n
+      LEFT JOIN e ON e.dst = n.node
+      LEFT JOIN x{P} p ON p.node = e.src
+      GROUP BY n.node
+    )"""
+    body = "".join(rnd.format(R=r, P=r - 1) for r in range(1, rounds + 1))
+    tail = """
+    SELECT node, x AS katz_nano FROM x{M}
+    """.format(M=rounds)
+    return head + body + tail
+
+
+@query("q_katz_centrality", extra=True, oracle=_katz_oracle(3))
+def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KATZ centrality over the undirected trade graph — the
+    attenuated-walk member of the centrality family (degree counts
+    1-hop, PageRank normalizes by out-degree; Katz sums ALL walks with
+    β^length damping, so well-connected-to-well-connected nodes rise
+    even at equal degree): 3 unrolled rounds of x' = 1 + β·Aᵀx with
+    β = 1/8, kept in PURE INTEGER nano arithmetic (the one division is
+    an exact floor-div — no snapping device at all, the cleanest member
+    of the iterative-nano family). β < 1/λ_max territory keeps the
+    series contractive.
+
+    Scale: per round one edge⋈x join + a map-side-combined node agg —
+    the pagerank shape exactly; state is node-sized nano longs.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    ce = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .select(
+            F.col("c_custkey").alias("cust"),
+            (F.col("s_suppkey") + 1000000).alias("supp"),
+        )
+        .distinct()
+    )
+    e = (
+        ce.select(F.col("cust").alias("src"), F.col("supp").alias("dst"))
+        .unionByName(
+            ce.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+        )
+        .localCheckpoint()  # read every round
+    )
+    nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    x = nodes.select("node", F.lit(1_000_000_000).cast("long").alias("x"))
+    from ..functions.scale import loop_ckpt, loop_rounds
+
+    for _ in range(loop_rounds(3)):
+        inc = (
+            e.join(
+                x.hint("shuffle_hash").withColumnRenamed("node", "src"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("x").alias("xin"))
+        )
+        x = loop_ckpt(
+            nodes.join(F.broadcast(inc), "node", "left").select(
+                "node",
+                (
+                    F.lit(1_000_000_000)
+                    + F.floor(F.coalesce("xin", F.lit(0)) / 8)
+                )
+                .cast("long")
+                .alias("x"),
+            )
+        )
+    return x.select("node", F.col("x").alias("katz_nano"))
+
+
+@query(
+    "q_rich_club",
+    extra=True,
+    oracle=f"""
+    WITH ce AS ({_SQL_CS_EDGES}),
+    und AS (SELECT cust AS a, supp AS b FROM ce),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b FROM und
+      ) GROUP BY 1
+    ),
+    ks(k) AS (VALUES (2), (4), (8), (16), (32), (64), (128), (256)),
+    club AS (
+      SELECT k.k, d.node FROM ks k JOIN deg d ON d.deg > k.k
+    ),
+    nk AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n_k FROM club GROUP BY 1
+    ),
+    ek AS (
+      SELECT c1.k, CAST(COUNT(*) AS BIGINT) AS e_k
+      FROM und u
+      JOIN club c1 ON c1.node = u.a
+      JOIN club c2 ON c2.node = u.b AND c2.k = c1.k
+      GROUP BY 1
+    )
+    SELECT nk.k, nk.n_k, CAST(COALESCE(ek.e_k, 0) AS BIGINT) AS e_k,
+           CAST(nk.n_k * (nk.n_k - 1) AS BIGINT) AS max2_k
+    FROM nk LEFT JOIN ek ON ek.k = nk.k
+    """,
+)
+def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RICH-CLUB coefficient ladder over the bipartite trade graph — the
+    hub-interconnection diagnostic the centrality family reads off
+    (does the well-connected core trade preferentially with ITSELF?):
+    for each degree threshold k, the subgraph induced on nodes of
+    degree > k yields φ(k) = 2·e_k/(n_k(n_k−1)), emitted division-free
+    as (k, n_k, e_k, max2_k = n_k(n_k−1)). The doubling k-ladder (2..256,
+    spanning every SF's degree range) is a bounded broadcast; membership and induced-edge counting are two
+    joins keyed on node / (node, k).
+
+    Scale: degree census is the only row-scale agg; the ladder fan-out
+    is x8 on the node census, and induced edges restrict the edge
+    relation through two broadcastable membership joins.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    und = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .select(
+            F.col("c_custkey").alias("a"),
+            (F.col("s_suppkey") + 1000000).alias("b"),
+        )
+        .distinct()
+        .localCheckpoint()  # degree census + induced-edge count
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    ks = spark.createDataFrame(
+        [(2,), (4,), (8,), (16,), (32,), (64,), (128,), (256,)], "k long"
+    )
+    club = ks.join(deg, deg["deg"] > ks["k"]).select("k", "node")
+    club = club.localCheckpoint()  # n_k census + two membership joins
+    nk = club.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n_k"))
+    c1 = club.select(F.col("k").alias("k1"), F.col("node").alias("a"))
+    c2 = club.select(F.col("k").alias("k2"), F.col("node").alias("b2"))
+    ek = (
+        und.join(F.broadcast(c1), "a")
+        .join(
+            F.broadcast(c2),
+            (F.col("b") == F.col("b2")) & (F.col("k2") == F.col("k1")),
+        )
+        .groupBy(F.col("k1").alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_k"))
+    )
+    return nk.join(F.broadcast(ek), "k", "left").select(
+        "k",
+        "n_k",
+        F.coalesce("e_k", F.lit(0)).cast("long").alias("e_k"),
+        (F.col("n_k") * (F.col("n_k") - 1)).cast("long").alias("max2_k"),
+    )
