@@ -88,6 +88,7 @@ ITERATIVE = {
     "q_pagerank_dangling",
     "q_ktruss_trade",
     "text_textrank_keywords",
+    "q_katz_centrality",
 }
 
 SMJ_EXPECTED = {
