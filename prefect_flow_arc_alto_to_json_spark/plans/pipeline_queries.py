@@ -523,3 +523,137 @@ def pipeline_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("rank"),
     )
+
+
+def _pref_oracle(rounds: int = 3) -> str:
+    """Quality-judge preference pipeline replay: the shared quality CTEs,
+    block ranking, adjacent pairing (LEAD), cross-lang contests, then
+    the same snapped Bradley-Terry MM unroll as q_bradley_terry's
+    oracle (template kept textually identical — both replay
+    operators/preference.bradley_terry_nano)."""
+    from .text_queries import _QUALITY_CTES
+
+    head = _QUALITY_CTES + """,
+    docs2 AS (
+      SELECT d.doc_id, d.lang, d.source,
+             CAST(FLOOR(d.n_chars / 100.0) AS BIGINT) AS lb, q.quality
+      FROM documents d JOIN q ON q.doc_id = d.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, lang, source, lb, quality,
+             LEAD(doc_id) OVER w AS nxt_id,
+             LEAD(lang) OVER w AS nxt_lang,
+             LEAD(quality) OVER w AS nxt_q
+      FROM docs2
+      WINDOW w AS (PARTITION BY source, lb ORDER BY quality DESC, doc_id)
+    ),
+    prefs AS (
+      SELECT CASE WHEN quality > nxt_q THEN lang ELSE nxt_lang END AS a,
+             CASE WHEN quality > nxt_q THEN nxt_lang ELSE lang END AS b
+      FROM ranked
+      WHERE nxt_id IS NOT NULL AND lang <> nxt_lang AND quality <> nxt_q
+    ),
+    cmp AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n FROM prefs GROUP BY 1, 2
+    ),
+    sym AS MATERIALIZED (
+      SELECT a, b, CAST(SUM(n) AS BIGINT) AS n_tot FROM (
+        SELECT a, b, n FROM cmp
+        UNION ALL SELECT b AS a, a AS b, n FROM cmp
+      ) GROUP BY 1, 2
+    ),
+    wins AS (
+      SELECT a AS item, CAST(SUM(n) AS BIGINT) AS wins FROM cmp GROUP BY 1
+    ),
+    base AS MATERIALIZED (
+      SELECT i.item, CAST(COALESCE(w.wins, 0) AS BIGINT) AS wins
+      FROM (SELECT DISTINCT a AS item FROM sym) i
+      LEFT JOIN wins w ON w.item = i.item
+    ),
+    pi0 AS MATERIALIZED (
+      SELECT item, CAST(1000000000 AS BIGINT) AS pi FROM base
+    )"""
+    rnd = """,
+    s{R} AS MATERIALIZED (
+      SELECT s.a,
+             CAST(SUM(CAST(FLOOR((2 * s.n_tot * 1000000000000
+                  + (pa.pi + pb.pi)) / (2.0 * (pa.pi + pb.pi)))
+                  AS BIGINT)) AS BIGINT) AS ssum
+      FROM sym s
+      JOIN pi{P} pa ON pa.item = s.a
+      JOIN pi{P} pb ON pb.item = s.b
+      GROUP BY 1
+    ),
+    pi{R} AS MATERIALIZED (
+      SELECT b.item,
+             CAST(FLOOR((2 * b.wins * 1000000000000 + t.ssum)
+                  / (2.0 * t.ssum)) AS BIGINT) AS pi
+      FROM base b JOIN s{R} t ON t.a = b.item
+    )"""
+    body = "".join(rnd.format(R=r, P=r - 1) for r in range(1, rounds + 1))
+    tail = """
+    SELECT b.item, b.wins, nc.n_contests, p.pi AS pi_nano
+    FROM base b
+    JOIN pi{M} p ON p.item = b.item
+    JOIN (SELECT a AS item, CAST(SUM(n_tot) AS BIGINT) AS n_contests
+          FROM sym GROUP BY 1) nc ON nc.item = b.item
+    """.format(M=rounds)
+    return head + body + tail
+
+
+@query("pipeline_preference_pairs", extra=True, oracle=_pref_oracle(3))
+def pipeline_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RLHF-style PREFERENCE-DATA PREP composition — the reward-modeling
+    loop as one lazy chain: an automated judge (the integer-exact
+    quality_score) scores every document; candidates pair WITHIN
+    (source, length-bucket) blocks by adjacent quality rank (the
+    sorted-neighborhood device — n pairs total, never blockwise
+    quadratic); strict cross-lang pairs become (chosen, rejected)
+    contests; and operators/preference.bradley_terry_nano aggregates the
+    judge's pairwise verdicts into per-lang strengths (3 snapped MM
+    rounds). This is the chosen/rejected-pair pipeline reward-model
+    training data goes through, with the MM fit standing in for the
+    reward model.
+
+    Scale: scoring is one narrow pass; ranking windows are block-keyed;
+    pairing is LEAD over the same window (no self-join); contests are a
+    |langs|²-bounded relation and the MM rounds run broadcast — the
+    corpus is touched exactly twice (score, rank).
+    """
+    from ..operators.preference import bradley_terry_nano
+    from ..operators.textstats import quality_score
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / 100.0).cast("long").alias("lb"),
+        quality_score("text").alias("quality"),
+    )
+    w = Window.partitionBy("source", "lb").orderBy(
+        F.desc("quality"), "doc_id"
+    )
+    ranked = docs.select(
+        "doc_id",
+        "lang",
+        "quality",
+        F.lead("doc_id").over(w).alias("nxt_id"),
+        F.lead("lang").over(w).alias("nxt_lang"),
+        F.lead("quality").over(w).alias("nxt_q"),
+    )
+    prefs = ranked.where(
+        F.col("nxt_id").isNotNull()
+        & (F.col("lang") != F.col("nxt_lang"))
+        & (F.col("quality") != F.col("nxt_q"))
+    ).select(
+        F.when(F.col("quality") > F.col("nxt_q"), F.col("lang"))
+        .otherwise(F.col("nxt_lang"))
+        .alias("a"),
+        F.when(F.col("quality") > F.col("nxt_q"), F.col("nxt_lang"))
+        .otherwise(F.col("lang"))
+        .alias("b"),
+    )
+    contests = prefs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return bradley_terry_nano(contests, rounds=3)

@@ -246,3 +246,19 @@ def test_dsir_scores_rank_target_language_first(spark, sf_dir):
     # first at the head; the full-relation ordering is pinned by the
     # registered oracle values in the docstring.
     assert top.loc[top["rank"] == 1, "lang"].iloc[0] is not None
+
+
+def test_preference_pipeline_contest_identities(spark, sf_dir):
+    """Composition invariants of the preference pipeline: every contest
+    has exactly one winner (2 * total wins = total contest incidences),
+    every item's wins fit inside its contest count, and the judge is
+    discriminative (strengths are not all equal — the uniform fixed
+    point only survives a perfectly symmetric matrix)."""
+    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+
+    rows = EXTRA_QUERIES["pipeline_preference_pairs"](
+        spark, sf_dir
+    ).toPandas()
+    assert 2 * rows["wins"].sum() == rows["n_contests"].sum()
+    assert (rows["wins"] <= rows["n_contests"]).all()
+    assert rows["pi_nano"].nunique() > 1
