@@ -3018,3 +3018,215 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("q").cast("long").alias("q_cents"), "n_cal", "k",
         )
     )
+
+
+@query(
+    "q_fd_repair",
+    extra=True,
+    oracle="""
+    WITH r AS (
+      SELECT c.c_custkey, c.c_nationkey AS nk,
+             CASE WHEN md5_number_lower('fd-v1:' ||
+                    CAST(c.c_custkey AS VARCHAR)) % 4294967296 % 20 = 0
+                  THEN (n.n_regionkey + 1) % 5
+                  ELSE n.n_regionkey END AS rk
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    votes AS (
+      SELECT nk, rk, CAST(COUNT(*) AS BIGINT) AS c FROM r GROUP BY 1, 2
+    ),
+    winner AS (
+      SELECT nk, rk AS maj_rk, c AS maj_c FROM (
+        SELECT nk, rk, c,
+               ROW_NUMBER() OVER (PARTITION BY nk ORDER BY c DESC, rk) AS rn
+        FROM votes
+      ) WHERE rn = 1
+    ),
+    stats AS (
+      SELECT r.nk, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) FILTER (WHERE r.rk <> w.maj_rk) AS BIGINT)
+               AS n_repaired
+      FROM r JOIN winner w ON w.nk = r.nk
+      GROUP BY 1
+    )
+    SELECT s.nk AS nationkey, w.maj_rk AS regionkey_repaired,
+           w.maj_c, s.n_rows, s.n_repaired
+    FROM stats s JOIN winner w ON w.nk = s.nk
+    """,
+)
+def q_fd_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUNCTIONAL-DEPENDENCY violation repair by majority vote — the
+    HoloClean-style data-repair member of the quality family (the
+    audits DETECT: orphans, duplicate keys, drift; this one FIXES): the
+    FD nationkey → regionkey is planted-corrupted on ~5% of customer
+    rows (md5-selected, +1 mod 5 — built identically in both engines),
+    then each nation's regionkey is re-derived as the majority vote
+    with a (count, value) tie-break, and violating rows are counted as
+    repairs. The pytest gate proves the repair RECOVERS THE TRUTH:
+    every majority value equals the uncorrupted regionkey and the
+    repair count equals the planted corruption count exactly.
+
+    Scale: one vote census groupBy (nation × region keys), a bounded
+    per-nation winner window, and one broadcast re-join — the repair
+    itself never shuffles the fact twice.
+    """
+    from ..functions.scalar import stable_hash_u32
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    r = (
+        cust.join(
+            F.broadcast(nation),
+            cust["c_nationkey"] == nation["n_nationkey"],
+        )
+        .select(
+            F.col("c_nationkey").alias("nk"),
+            F.when(
+                F.pmod(
+                    stable_hash_u32(
+                        F.concat(
+                            F.lit("fd-v1:"),
+                            F.col("c_custkey").cast("string"),
+                        )
+                    ),
+                    F.lit(20),
+                )
+                == 0,
+                F.pmod(F.col("n_regionkey") + 1, F.lit(5)),
+            )
+            .otherwise(F.col("n_regionkey"))
+            .alias("rk"),
+        )
+        .localCheckpoint()  # vote census + repair count read it
+    )
+    votes = r.groupBy("nk", "rk").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = Window.partitionBy("nk").orderBy(F.desc("c"), "rk")
+    winner = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "nk", F.col("rk").alias("maj_rk"), F.col("c").alias("maj_c")
+        )
+    )
+    stats = (
+        r.join(F.broadcast(winner), "nk")
+        .groupBy("nk")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count(F.when(F.col("rk") != F.col("maj_rk"), 1))
+            .cast("long")
+            .alias("n_repaired"),
+        )
+    )
+    return stats.join(F.broadcast(winner), "nk").select(
+        F.col("nk").alias("nationkey"),
+        F.col("maj_rk").alias("regionkey_repaired"),
+        "maj_c",
+        "n_rows",
+        "n_repaired",
+    )
+
+
+@query(
+    "q_group_impute",
+    extra=True,
+    oracle="""
+    WITH r AS (
+      SELECT event_id, event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS y,
+             md5_number_lower('imp-v1:' || CAST(event_id AS VARCHAR))
+               % 4294967296 % 10 = 0 AS missing
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, y AS med_y FROM (
+        SELECT event_type, y,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY y, event_id)
+                 AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM r WHERE NOT missing
+      ) WHERE rn = (n + 1) // 2
+    )
+    SELECT r.event_type,
+           CAST(COUNT(*) FILTER (WHERE r.missing) AS BIGINT) AS n_imputed,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           m.med_y AS imputed_cents,
+           CAST(SUM(CASE WHEN r.missing THEN ABS(r.y - m.med_y)
+                         ELSE 0 END) AS BIGINT) AS abs_err_cents
+    FROM r JOIN med m ON m.event_type = r.event_type
+    GROUP BY 1, m.med_y
+    """,
+)
+def q_group_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-MEDIAN imputation — the repair member for NUMERIC columns
+    (q_fd_repair fixes categorical FD breaks; this fills
+    planted-missing measurements): ~10% of event values are md5-marked
+    missing, the per-type exact LOWER MEDIAN of the observed rows
+    (rank = (n+1)//2 with an (value, id) total order — group-keyed
+    windows, never global) becomes the fill value, and the relation
+    reports the imputation count plus the TRUE absolute error against
+    the held-back values — the judge of whether group-median was an
+    acceptable imputer at all. All cents-integer arithmetic.
+
+    Scale: one group-keyed rank window over observed rows + one
+    broadcast median join; the error audit reuses the same pass.
+    """
+    from ..functions.scalar import stable_hash_u32
+
+    r = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+        (
+            F.pmod(
+                stable_hash_u32(
+                    F.concat(
+                        F.lit("imp-v1:"), F.col("event_id").cast("string")
+                    )
+                ),
+                F.lit(10),
+            )
+            == 0
+        ).alias("missing"),
+    ).localCheckpoint()  # median window + the error audit read it
+    w = Window.partitionBy("event_type").orderBy("y", "event_id")
+    obs = r.where(~F.col("missing")).select(
+        "event_type",
+        "y",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("n"),
+    )
+    med = obs.where(
+        F.col("rn") == F.floor((F.col("n") + 1) / 2)
+    ).select(
+        "event_type", F.col("y").alias("med_y")
+    )
+    return (
+        r.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med_y")
+        .agg(
+            F.count(F.when(F.col("missing"), 1))
+            .cast("long")
+            .alias("n_imputed"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(
+                F.when(
+                    F.col("missing"), F.abs(F.col("y") - F.col("med_y"))
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("abs_err_cents"),
+        )
+        .select(
+            "event_type", "n_imputed", "n_rows",
+            F.col("med_y").alias("imputed_cents"), "abs_err_cents",
+        )
+    )

@@ -185,3 +185,66 @@ def test_conformal_interval_coverage(spark, sf_dir):
     assert 0.86 <= cov <= 0.96, cov
     n_cal, k = rows["n_cal"].iloc[0], rows["k"].iloc[0]
     assert k == math.ceil(0.9 * (n_cal + 1))
+
+
+def test_fd_repair_recovers_ground_truth(spark, sf_dir):
+    """The majority-vote repair must RECOVER the uncorrupted FD exactly:
+    every nation's repaired regionkey equals the true nation->region
+    mapping (the 5% planted corruption never wins a vote), and the
+    repair count equals the planted corruption count exactly."""
+    import pandas as pd
+
+    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+    from prefect_flow_arc_alto_to_json_spark.functions.scalar import (
+        stable_hash_u32,
+    )
+    from pyspark.sql import functions as F
+
+    got = EXTRA_QUERIES["q_fd_repair"](spark, sf_dir).toPandas()
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    truth = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    for row in got.itertuples(index=False):
+        assert row.regionkey_repaired == truth[row.nationkey], row
+    # planted corruption count from the same md5 rule
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey"
+    )
+    n_corrupt = cust.where(
+        F.pmod(
+            stable_hash_u32(
+                F.concat(F.lit("fd-v1:"), F.col("c_custkey").cast("string"))
+            ),
+            F.lit(20),
+        )
+        == 0
+    ).count()
+    assert got["n_repaired"].sum() == n_corrupt
+
+
+def test_group_impute_median_is_exact(spark, sf_dir):
+    """The fill value must be the exact lower median of each group's
+    OBSERVED values — replayed in pandas — and every group must impute
+    at least one row (the planted 10% mask is non-vacuous per type)."""
+    import pandas as pd
+
+    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+
+    got = EXTRA_QUERIES["q_group_impute"](spark, sf_dir).toPandas()
+    assert (got["n_imputed"] > 0).all()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["y"] = (ev["value"] * 100).round().astype("int64")
+    import hashlib
+
+    def u32(s):
+        d = hashlib.md5(s.encode()).digest()
+        le = d[8:16][::-1].hex()
+        return int(le[8:16], 16)
+
+    ev["missing"] = [
+        u32(f"imp-v1:{e}") % 10 == 0 for e in ev["event_id"]
+    ]
+    for row in got.itertuples(index=False):
+        obs = ev[(ev.event_type == row.event_type) & ~ev.missing]
+        srt = obs.sort_values(["y", "event_id"]).reset_index(drop=True)
+        med = srt["y"].iloc[(len(srt) + 1) // 2 - 1]
+        assert row.imputed_cents == med, (row.event_type, row.imputed_cents, med)
