@@ -3305,3 +3305,57 @@ def q_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mean_cents"),
     )
+
+
+@query(
+    "q_hhi_concentration",
+    extra=True,
+    oracle="""
+    WITH rev AS (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS yr,
+             l.l_suppkey,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS r
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    )
+    SELECT yr, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(r * r) AS HUGEINT)::VARCHAR AS hhi_num,
+           CAST(SUM(r) AS BIGINT) AS rev_total
+    FROM rev GROUP BY 1
+    """,
+)
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HERFINDAHL-HIRSCHMAN market concentration by year — the
+    concentration-TREND audit beside the Gini/Lorenz inequality point
+    measures: per year, supplier revenue shares s_i = r_i/R yield
+    HHI = Σ s_i², emitted DIVISION-FREE as hhi_num = Σ r_i² (decimal,
+    stringified — the squares of cent revenues exceed int64 at sf0.1)
+    over rev_total² — a marketplace drifting toward winner-take-all
+    shows hhi_num/rev_total² rising year over year. All arithmetic is
+    exact integer/decimal; the string form keeps the driver hash
+    engine-agnostic.
+
+    Scale: one (year, supplier) rollup — map-side combining on a
+    bounded key space — then a per-year agg over the supplier census.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("int").alias("yr")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    rev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("yr", "l_suppkey")
+        .agg(F.sum("cents").cast("long").alias("r"))
+    )
+    return rev.groupBy("yr").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum(F.col("r").cast("decimal(38,0)") * F.col("r"))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("hhi_num"),
+        F.sum("r").cast("long").alias("rev_total"),
+    )

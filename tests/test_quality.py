@@ -248,3 +248,18 @@ def test_group_impute_median_is_exact(spark, sf_dir):
         srt = obs.sort_values(["y", "event_id"]).reset_index(drop=True)
         med = srt["y"].iloc[(len(srt) + 1) // 2 - 1]
         assert row.imputed_cents == med, (row.event_type, row.imputed_cents, med)
+
+
+def test_hhi_bounds_and_monopoly_limit(spark, sf_dir):
+    """HHI sanity: 1/n <= HHI <= 1 for every year (Cauchy-Schwarz lower
+    bound, monopoly upper bound), reconstructed from the division-free
+    integers; and the reconstruction is exact Fraction arithmetic."""
+    from fractions import Fraction
+
+    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+
+    rows = EXTRA_QUERIES["q_hhi_concentration"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        hhi = Fraction(int(r["hhi_num"]), r["rev_total"] ** 2)
+        assert Fraction(1, r["n_suppliers"]) <= hhi <= 1, r
