@@ -303,20 +303,49 @@ def main() -> None:
             json.dump({"sf": sf, "shuffle": shuffle}, fh, indent=1)
     except OSError:
         pass
+    # Round provenance (round-9 VERDICT #1): BENCH_QUERIES.json is
+    # overwritten on every run, so a cross-round bench_delta that resolved
+    # two BENCH_r{N}.json wrappers through the same side file silently
+    # compared a snapshot against itself. Stamp each run with the round it
+    # belongs to (1 + the highest committed BENCH_r{N}.json — the driver
+    # writes that wrapper only at round close, so every in-round run is
+    # "next round") and ALSO write a round-stamped copy
+    # BENCH_QUERIES_r{N:02d}.json that is never overwritten by later
+    # rounds. bench_delta.py prefers the stamped file when diffing
+    # BENCH_r{N}.json wrappers. Historical snapshots for r08/r09 were
+    # recovered from git (commits a8b2472 / 8735645).
+    import glob
+    import re
+
+    round_ids = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(repo_dir, "BENCH_r[0-9]*.json"))
+        if (m := re.match(r"BENCH_r(\d+)\.json$", os.path.basename(p)))
+    ]
+    this_round = (max(round_ids) + 1) if round_ids else 1
     try:
-        with open(os.path.join(repo_dir, "BENCH_QUERIES.json"), "w") as fh:
-            json.dump(
-                {
-                    "sf": sf,
-                    "stable": sorted(stable & set(timings)),
-                    "queries": timings,
-                    "queries_cold": {k: round(v, 3) for k, v in cold.items()},
-                },
-                fh,
-                indent=1,
-            )
-    except OSError:
-        pass
+        import subprocess
+
+        git_sha = subprocess.run(
+            ["git", "-C", repo_dir, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        git_sha = None
+    side = {
+        "sf": sf,
+        "round": this_round,
+        "git_sha": git_sha,
+        "stable": sorted(stable & set(timings)),
+        "queries": timings,
+        "queries_cold": {k: round(v, 3) for k, v in cold.items()},
+    }
+    for fname in ("BENCH_QUERIES.json", f"BENCH_QUERIES_r{this_round:02d}.json"):
+        try:
+            with open(os.path.join(repo_dir, fname), "w") as fh:
+                json.dump(side, fh, indent=1)
+        except OSError:
+            pass
     stable_sec = round(sum(v for k, v in timings.items() if k in stable), 3)
     line = json.dumps(
         {

@@ -42,16 +42,39 @@ def load(path: str) -> dict:
     if obj is None:
         raise SystemExit(f"no bench JSON found in {path}")
     if "queries" not in obj and obj.get("queries_file"):
-        side = os.path.join(os.path.dirname(os.path.abspath(path)),
-                            obj["queries_file"])
-        try:
-            with open(side) as f:
-                sideobj = json.load(f)
+        base = os.path.dirname(os.path.abspath(path))
+        # Provenance (round-9 VERDICT #1): the mutable BENCH_QUERIES.json is
+        # overwritten every run, so diffing two BENCH_r{N}.json wrappers
+        # through it compared one snapshot against itself. Prefer the
+        # round-stamped immutable copy BENCH_QUERIES_r{N}.json matching the
+        # wrapper's round number; fall back to the pointer only when no
+        # stamped file exists, and say so.
+        import re
+
+        candidates = []
+        m = re.match(r"BENCH_r(\d+)\.json$", os.path.basename(path))
+        if m:
+            candidates.append(f"BENCH_QUERIES_r{int(m.group(1)):02d}.json")
+        candidates.append(obj["queries_file"])
+        for name in candidates:
+            side = os.path.join(base, name)
+            try:
+                with open(side) as f:
+                    sideobj = json.load(f)
+            except OSError:
+                continue
+            if m and name == obj["queries_file"]:
+                print(
+                    f"WARNING: no round-stamped side file for {path}; "
+                    f"falling back to mutable {name} — timings may belong "
+                    "to a later round.",
+                    file=sys.stderr,
+                )
             obj = {**obj,
                    "queries": sideobj.get("queries", {}),
-                   "queries_cold": sideobj.get("queries_cold", {})}
-        except OSError:
-            pass
+                   "queries_cold": sideobj.get("queries_cold", {}),
+                   "queries_side_file": name}
+            break
     return obj
 
 

@@ -91,6 +91,16 @@ ITERATIVE = {
     "q_katz_centrality",
 }
 
+# Queries ALLOWED to carry an unpartitioned Window (round-9 VERDICT #2):
+# a global window collapses its input to ONE partition, so it is only
+# legitimate over a relation BOUNDED before the window runs (a top-k
+# survivor set, a constant bin table, a vocab-bounded model relation) —
+# each entry documents that bound. Every other query showing one is a
+# single-partition collapse waiting for scale.
+# tests/test_plan_shapes.py::test_global_windows_only_on_bounded_relations
+# cross-references PLAN_AUDIT.md rows against this dict.
+GLOBAL_WINDOW_ALLOWED: dict[str, str] = {}
+
 SMJ_EXPECTED = {
     "pipeline_embedding_dedup": (
         "LSH probe-bucket pair self-join: both sides are the bucketed "
@@ -100,6 +110,34 @@ SMJ_EXPECTED = {
         "corpus is a bare scan with small stats."
     ),
 }
+
+
+def global_windows(plan: str) -> int:
+    """Count UNPARTITIONED Window nodes (round-9 VERDICT #2): a Window
+    with no partitionSpec moves ALL data to one partition (the WindowExec
+    warning in every bench tail) — fatal on a data-sized relation, fine
+    on a bounded one (top-k survivors, PSI's 10 bins). The plan string
+    renders a partitioned window as ``Window [exprs], [part], [order]``
+    and an unpartitioned one as ``Window [exprs], [order]`` — count
+    top-level bracket groups per Window line (inner brackets are nested,
+    so depth-0 counting is exact; WindowGroupLimit doesn't match the
+    node-name regex)."""
+    n = 0
+    for line in plan.splitlines():
+        m = re.search(r"\bWindow(?:InPandas)? \[", line)
+        if not m:
+            continue
+        groups = depth = 0
+        for ch in line[m.end() - 1:]:
+            if ch == "[":
+                if depth == 0:
+                    groups += 1
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+        if groups < 3:
+            n += 1
+    return n
 
 
 def audit_one(df) -> dict:
@@ -124,6 +162,7 @@ def audit_one(df) -> dict:
         "scans": scans,
         "pushed": pushed,
         "widest_scan_cols": widest,
+        "global_windows": global_windows(plan),
     }
 
 
@@ -179,7 +218,9 @@ def parse_existing() -> dict[str, dict | str]:
                 or line.startswith("|---")):
             continue
         cells = [c.strip() for c in line.strip("|").split("|")]
-        if len(cells) != 9:
+        # 10 cells since round 10 (global-window column); legacy 9-cell
+        # rows are treated as missing so --update re-audits them once.
+        if len(cells) != 10:
             continue
         name = cells[0]
         if cells[2] == "\u2014":
@@ -201,6 +242,7 @@ def parse_existing() -> dict[str, dict | str]:
             "scans": int(m.group(1)) if m else 0,
             "pushed": int(m.group(2)) if m else 0,
             "widest_scan_cols": int(cells[8]),
+            "global_windows": int(cells[9]),
         }
     return out
 
@@ -254,12 +296,23 @@ def write_report(rows: list[tuple[str, str, dict | str]]) -> None:
         and n not in SMJ_EXPECTED
         and n not in ITERATIVE
     ]
+    gw_offenders = [
+        n
+        for n, _, a in rows
+        if isinstance(a, dict)
+        and a.get("global_windows", 0) > 0
+        and n not in GLOBAL_WINDOW_ALLOWED
+    ]
     with open(OUT, "w") as fh:
         fh.write(
             "# PLAN_AUDIT — physical-plan health of every registered query\n\n"
             f"Generated by `plan_audit.py` at `{SF_DIR}`. Columns: data\n"
             "shuffles (Exchange net of broadcast/reuse), join strategies,\n"
-            "parquet scans with pushed filters, widest scan column count\n(a lower bound: Spark truncates ReadSchema metadata at ~100 chars).\n"
+            "parquet scans with pushed filters, widest scan column count\n(a lower bound: Spark truncates ReadSchema metadata at ~100 chars),\n"
+            "and global win = UNPARTITIONED Window nodes (single-partition\n"
+            "collapse — legitimate only over bounded relations; every row\n"
+            "with one must appear in plan_audit.GLOBAL_WINDOW_ALLOWED with\n"
+            "its bound, gated by tests/test_plan_shapes.py).\n"
             "Budgets for the pinned families\n"
             "live in tests/test_plan_shapes.py — this file is the full-\n"
             "registry view.\n\n"
@@ -274,8 +327,15 @@ def write_report(rows: list[tuple[str, str, dict | str]]) -> None:
         fh.write(
             f"Registry: {len(QUERIES)} graded + {len(EXTRA_QUERIES)} extra. "
             f"Unexpected SortMergeJoins at this SF: "
-            f"{smj_offenders if smj_offenders else 'none'}.\n\n"
+            f"{smj_offenders if smj_offenders else 'none'}. "
+            f"Unallowed global windows: "
+            f"{gw_offenders if gw_offenders else 'none'}.\n\n"
         )
+        if GLOBAL_WINDOW_ALLOWED:
+            fh.write("Allowed (bounded-relation) global windows:\n\n")
+            for n, why in GLOBAL_WINDOW_ALLOWED.items():
+                fh.write(f"- `{n}`: {why}\n")
+            fh.write("\n")
         if SMJ_EXPECTED:
             fh.write("Expected (designed) SortMergeJoins:\n\n")
             for n, why in SMJ_EXPECTED.items():
@@ -283,23 +343,28 @@ def write_report(rows: list[tuple[str, str, dict | str]]) -> None:
             fh.write("\n")
         fh.write(
             "| query | tier | shuffles | BHJ | SMJ | SHJ | BNLJ | scans "
-            "(pushed) | widest scan |\n|---|---|---|---|---|---|"
-            "---|---|---|\n"
+            "(pushed) | widest scan | global win |\n|---|---|---|---|---|---|"
+            "---|---|---|---|\n"
         )
         for name, tier, a in rows:
             if isinstance(a, str):
-                fh.write(f"| {name} | {tier} | — | — | — | — | — | {a} | — |\n")
+                fh.write(
+                    f"| {name} | {tier} | — | — | — | — | — | {a} | — | — |\n"
+                )
                 continue
             j = a["joins"]
             fh.write(
                 f"| {name} | {tier} | {a['shuffles']} | {j['BHJ']} | "
                 f"{j['SMJ']} | {j['SHJ']} | {j['BNLJ']} | "
-                f"{a['scans']} ({a['pushed']}) | {a['widest_scan_cols']} |\n"
+                f"{a['scans']} ({a['pushed']}) | {a['widest_scan_cols']} | "
+                f"{a.get('global_windows', 0)} |\n"
             )
     audited = sum(1 for _, _, a in rows if isinstance(a, dict))
     print(f"wrote {OUT}: {audited} plans audited, "
           f"{len(rows) - audited} skipped/errored, "
-          f"SMJ offenders: {smj_offenders if smj_offenders else 'none'}")
+          f"SMJ offenders: {smj_offenders if smj_offenders else 'none'}, "
+          f"global-window offenders: "
+          f"{gw_offenders if gw_offenders else 'none'}")
 
 
 if __name__ == "__main__":

@@ -115,6 +115,20 @@ def incremental_components(
     commutes with it, and the post-propagation split into routed vs
     direct rows is a pure filter on the low bit — zero extra shuffles,
     zero history touch.
+
+    CONTRACT (round-10 ADVICE — the encoding's correctness is
+    value-determined, not structural): ``old_labels.component_id`` must
+    be drawn from the historical ``doc_id`` domain (min-member labeling,
+    as duplicate_components and this function itself produce), and doc
+    ids must be globally unique and never reused. A caller passing
+    arbitrary/synthetic component labels, or reusing a retired doc_id
+    for a new document, voids the "an unlabeled endpoint's id can never
+    equal a historical component_id" invariant and gets SILENT
+    mislabeling where the (history-rescanning) anti-join formulation was
+    correct by construction. Feed it only label relations produced by
+    this module. Additionally asserted per-row at execution time: ids
+    must be non-negative and below 2^62 so the 2*id+flag encoding
+    cannot overflow or collide across signs.
     """
     from .dedup import duplicate_components
 
@@ -124,19 +138,26 @@ def incremental_components(
     lb = old_labels.select(
         F.col("doc_id").alias("__b"), F.col("component_id").alias("__lb")
     )
+    def _enc(val_col: str, lab_col: str):
+        # cheap debug assertion (see CONTRACT above): the 2*id+flag
+        # encoding needs 0 <= id < 2^62; out-of-range ids would overflow
+        # long or collide across signs, so fail loudly per row.
+        v = F.coalesce(lab_col, val_col)
+        ok = (v >= 0) & (v < F.lit(1 << 62))
+        guard = F.assert_true(
+            ok, F.lit("incremental_components: id outside [0, 2^62)")
+        )
+        return F.when(
+            guard.isNull(), v * 2 + F.col(lab_col).isNotNull().cast("long")
+        )
+
     contracted_edges = (
         new_pairs.select(F.col(id_a).alias("__a"), F.col(id_b).alias("__b"))
         .join(la, "__a", "left")
         .join(lb, "__b", "left")
         .select(
-            (
-                F.coalesce("__la", "__a") * 2
-                + F.col("__la").isNotNull().cast("long")
-            ).alias("ca"),
-            (
-                F.coalesce("__lb", "__b") * 2
-                + F.col("__lb").isNotNull().cast("long")
-            ).alias("cb"),
+            _enc("__a", "__la").alias("ca"),
+            _enc("__b", "__lb").alias("cb"),
         )
         .where(F.col("ca") != F.col("cb"))
     )

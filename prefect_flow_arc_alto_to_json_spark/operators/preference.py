@@ -25,9 +25,37 @@ NANO = 1_000_000_000
 _SCALE = 1_000_000_000_000  # per-term snap scale (nano * 1e3)
 
 
+# Exactness bound for the double-division half-up device (round-10
+# ADVICE): with num, den <= 2^51 the numerator 2*num+den < 2^53 is an
+# exactly-representable double, and the single correctly-rounded division
+# cannot cross an integer boundary (the true quotient is a rational with
+# denominator 2*den, whose minimum nonzero distance to an integer,
+# 1/(2*den), exceeds one ulp of the quotient whenever num*den < 2^51 *
+# 2^51 / quotient — implied by the per-operand bound). Beyond the bound
+# the device silently deviates from true half-up, so it is ASSERTED at
+# execution time instead of documented away. At n_tot*1e12 scale this
+# admits n_tot up to ~2251 per pair — plenty for lang-pair contests; a
+# larger corpus should re-derive with a smaller per-term scale.
+_EXACT_BOUND = 1 << 51
+
+
 def _half_up(num, den):
-    """FLOOR((2*num + den) / (2*den)) — exact half-up integer division."""
-    return F.floor((2 * num + den) / (2.0 * den)).cast("long")
+    """FLOOR((2*num + den) / (2.0*den)) — half-up integer division,
+    exact while 0 <= num <= 2^51 and 0 < den <= 2^51 (asserted at
+    runtime via assert_true; out-of-range inputs fail loudly rather
+    than silently drifting)."""
+    ok = (
+        (num >= 0)
+        & (num <= F.lit(_EXACT_BOUND))
+        & (den > 0)
+        & (den <= F.lit(_EXACT_BOUND))
+    )
+    guard = F.assert_true(
+        ok, F.lit("_half_up operand outside the 2^51 exactness bound")
+    )
+    return F.when(
+        guard.isNull(), F.floor((2 * num + den) / (2.0 * den)).cast("long")
+    )
 
 
 def bradley_terry_nano(contests: DataFrame, rounds: int = 3) -> DataFrame:

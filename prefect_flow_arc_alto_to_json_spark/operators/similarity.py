@@ -1373,13 +1373,22 @@ def hbos_topk(
     binned = vals.join(F.broadcast(bounds), "dim").select(
         "vec_id",
         "dim",
-        F.least(
-            F.floor(
-                (F.col("x") - F.col("lo")) * n_bins
-                / (F.col("hi") - F.col("lo"))
-            ).cast("long"),
-            F.lit(n_bins - 1).cast("long"),
-        ).alias("bin"),
+        # round-10 ADVICE: a constant dimension (hi == lo) makes the bin
+        # expression 0/0 = NaN, which Spark's least() silently coerces to
+        # bin 0 while DuckDB's CAST(FLOOR(NaN) AS BIGINT) errors — guard
+        # the divisor in BOTH engines so degenerate input lands every
+        # point in bin 0 (density 1, weight 0: the correct HBOS limit).
+        F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("long"))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("x") - F.col("lo")) * n_bins
+                    / (F.col("hi") - F.col("lo"))
+                ).cast("long"),
+                F.lit(n_bins - 1).cast("long"),
+            )
+        )
+        .alias("bin"),
         "n",
     ).localCheckpoint()  # histogram agg + the score join read it
     hist = binned.groupBy("dim", "bin").agg(

@@ -157,6 +157,18 @@ def classical_decompose(daily: DataFrame, period: int = 7) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
+    # Round-10 ADVICE: with an EVEN period the offset window spans
+    # 2*(period//2)+1 = period+1 days, so the n_in_win == period interior
+    # filter never matches and the operator silently emits zero rows.
+    # The classical even-period fix (a 2x-centered moving average) is a
+    # different estimator with a different determinism contract; until a
+    # caller needs it, misuse fails loudly here instead.
+    if period % 2 != 1 or period < 3:
+        raise ValueError(
+            f"classical_decompose requires an odd period >= 3 (got "
+            f"{period}): the centered moving window spans period+1 days "
+            "for even periods and the interior filter would drop every row"
+        )
     spark = daily.sparkSession
     half = period // 2
     bounds = daily.agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))

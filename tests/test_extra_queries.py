@@ -26,6 +26,35 @@ def con(sf_dir):
     c.close()
 
 
+# Queries whose semantics are genuinely not SQL-expressible may register
+# without an oracle (the driver then records a weaker rows-only check) —
+# but ONLY by appearing here with a reason, so the exemption is visible
+# in review instead of rotting silently (round-9 VERDICT #7).
+NON_SQL_EXEMPT: dict[str, str] = {}
+
+
+def test_registry_oracle_coverage_is_total():
+    """CI guard (round-9 VERDICT #7): every registered query — graded
+    window AND extra tier — must carry a DuckDB oracle, so the
+    parametrized oracle tests below (and the driver's sweep) cover the
+    whole registry. A query may opt out only via NON_SQL_EXEMPT, which
+    makes the exemption explicit. Without this guard, an oracle-less
+    registration would silently degrade to the rows-only tier now that
+    the extra tier is ~6x the graded window."""
+    dangling_extra = set(EXTRA_QUERIES) - set(EXTRA_ORACLES) - set(NON_SQL_EXEMPT)
+    dangling_graded = set(QUERIES) - set(ORACLES) - set(NON_SQL_EXEMPT)
+    assert not dangling_extra, f"extra queries without oracle: {sorted(dangling_extra)}"
+    assert not dangling_graded, f"graded queries without oracle: {sorted(dangling_graded)}"
+    # exemptions must reference live registry entries (no stale names)
+    stale = set(NON_SQL_EXEMPT) - set(QUERIES) - set(EXTRA_QUERIES)
+    assert not stale, f"NON_SQL_EXEMPT references unknown queries: {sorted(stale)}"
+    # and an exempt query must not ALSO have an oracle (contradictory)
+    contradictory = set(NON_SQL_EXEMPT) & (set(ORACLES) | set(EXTRA_ORACLES))
+    assert not contradictory, (
+        f"NON_SQL_EXEMPT entries that do have oracles: {sorted(contradictory)}"
+    )
+
+
 def test_graded_registry_fits_driver_window():
     # The driver adjudicates only the first 50 entries of queries().
     assert len(QUERIES) <= 50, "graded registry exceeds the driver's 50-slot window"

@@ -885,3 +885,40 @@ def test_round12_family_shuffle_budgets(spark, sf_dir):
         _R12_SHUFFLE_BUDGETS,
         forbid=("SortMergeJoin", "CartesianProduct"),
     )
+
+
+def test_global_windows_only_on_bounded_relations():
+    """Round-9 VERDICT #2: every `WindowExec: No Partition Defined`
+    warning in the bench tail must be attributable. plan_audit.py now
+    counts unpartitioned Window nodes per query (the `global win`
+    column); this gate cross-references the committed PLAN_AUDIT.md
+    against plan_audit.GLOBAL_WINDOW_ALLOWED — a query may carry a
+    global window ONLY with a documented bounded-relation justification.
+    Freshness of PLAN_AUDIT.md itself is enforced by the pre-commit
+    `plan_audit.py --check` gate, so the artifact this reads tracks the
+    live registry."""
+    import os
+    import re
+
+    import plan_audit as pa
+
+    path = os.path.join(os.path.dirname(__file__), "..", "PLAN_AUDIT.md")
+    rows = {}
+    for line in open(path):
+        if not line.startswith("| ") or line.startswith(("| query", "|---")):
+            continue
+        cells = [c.strip() for c in line.strip().strip("|").split("|")]
+        if len(cells) == 10 and re.fullmatch(r"\d+", cells[9]):
+            rows[cells[0]] = int(cells[9])
+    assert rows, "PLAN_AUDIT.md has no parseable 10-column rows"
+    offenders = sorted(
+        n for n, gw in rows.items()
+        if gw > 0 and n not in pa.GLOBAL_WINDOW_ALLOWED
+    )
+    assert not offenders, (
+        "queries with an unpartitioned Window but no documented bound in "
+        f"plan_audit.GLOBAL_WINDOW_ALLOWED: {offenders}"
+    )
+    # the allowlist must not rot: every entry names a live audited query
+    stale = sorted(set(pa.GLOBAL_WINDOW_ALLOWED) - set(rows))
+    assert not stale, f"GLOBAL_WINDOW_ALLOWED references unaudited rows: {stale}"
