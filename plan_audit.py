@@ -99,7 +99,37 @@ ITERATIVE = {
 # single-partition collapse waiting for scale.
 # tests/test_plan_shapes.py::test_global_windows_only_on_bounded_relations
 # cross-references PLAN_AUDIT.md rows against this dict.
-GLOBAL_WINDOW_ALLOWED: dict[str, str] = {}
+GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
+    # --- distinct-VALUE histogram relations (bounded by the score/value
+    # domain, constant in corpus size — the roc_auc_histogram device)
+    "q_roc_auc": "window over distinct n_chars scores (value-domain-bounded)",
+    "text_quality_auc": "same roc_auc_histogram device over distinct quality scores",
+    "q_spearman_correlation": "midrank windows over distinct per-user x/y values",
+    "q_ks_two_sample": "prefix sums over distinct n_chars values",
+    "q_mann_whitney": "rank relation over distinct spend values, not users",
+    "q_skyline_pareto": "running max over the distinct-price spine (price-domain-bounded; two-level escalation documented)",
+    # --- fixed-bin / constant-size relations
+    "q_psi_drift": "PSI math on the 10-bin relation",
+    "q_t_closeness": "cumulative window over the 10-bucket spine per class",
+    "q_bootstrap_ci": "rank over the 20 bootstrap replicate means",
+    "q_decision_stump": "error curve over $20k-bin candidate thresholds",
+    "q_boosted_stumps": "same binned-histogram split finding per round",
+    "q_conformal_interval": "kth_smallest_binned: prefix over the bounded bin histogram",
+    "q_hilbert_vs_zorder": "lag over occupied grid cells (<= 2^(2*bits))",
+    "q_event_trigrams": "top-20 over the |event types|^3 <= 125 cell relation",
+    # --- calendar / day-grain spines (bounded by the time range)
+    "q_daily_backlog": "cumulative window over the date spine",
+    "q_autocorr_lag1": "lag window over the date spine",
+    "q_ewma_daily": "14 lags over the date spine",
+    "q_cumulative_distinct_users": "running sum over first-seen day rows",
+    # --- vocabulary-bounded relations
+    "text_zipf_slope": "rank over token types (language-bounded vocabulary)",
+    "text_textrank_keywords": "top-20 over the vocab-sized rank relation",
+    # --- rank AFTER a limit/top-k (constant k survivors)
+    "pipeline_dsir_select": "row_number after .limit(100) — k rows",
+    "q_hbos_anomaly": "row_number after .limit(50) — k rows",
+    "sim_hybrid_rrf": "fusion rank over the union of two top-k lists (<= 2k rows)",
+}
 
 SMJ_EXPECTED = {
     "pipeline_embedding_dedup": (
@@ -117,26 +147,38 @@ def global_windows(plan: str) -> int:
     with no partitionSpec moves ALL data to one partition (the WindowExec
     warning in every bench tail) — fatal on a data-sized relation, fine
     on a bounded one (top-k survivors, PSI's 10 bins). The plan string
-    renders a partitioned window as ``Window [exprs], [part], [order]``
-    and an unpartitioned one as ``Window [exprs], [order]`` — count
-    top-level bracket groups per Window line (inner brackets are nested,
-    so depth-0 counting is exact; WindowGroupLimit doesn't match the
-    node-name regex)."""
+    renders a window as ``Window [exprs](, [part])(, [order])`` — both
+    the partition and order groups are OPTIONAL, so a 2-group line is
+    disambiguated by its second group's content: order columns carry
+    ASC/DESC, partition columns don't. Two bounded-by-construction
+    shapes are excluded: WindowGroupLimit (doesn't match the node-name
+    regex) and the dense-ids offset device (operators/ids.py — a global
+    prefix-sum ORDERED BY the __pid partition id, whose input is one
+    row per partition, O(partitions) not O(data))."""
     n = 0
     for line in plan.splitlines():
         m = re.search(r"\bWindow(?:InPandas)? \[", line)
         if not m:
             continue
-        groups = depth = 0
+        groups: list[str] = []
+        depth = 0
         for ch in line[m.end() - 1:]:
             if ch == "[":
                 if depth == 0:
-                    groups += 1
+                    groups.append("")
                 depth += 1
             elif ch == "]":
                 depth -= 1
-        if groups < 3:
-            n += 1
+            if depth > 0:
+                groups[-1] += ch
+        if len(groups) >= 3:
+            continue  # exprs + partition + order
+        if len(groups) == 2 and not re.search(r" (ASC|DESC)\b", groups[1]):
+            continue  # exprs + partition (unordered frame) — partitioned
+        order = groups[1] if len(groups) == 2 else ""
+        if re.match(r"\[__pid#\d+ (ASC|DESC)", order):
+            continue  # dense-ids offset device: O(partitions) input
+        n += 1
     return n
 
 

@@ -583,18 +583,23 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     over ascending (y, user_id)-ranked totals — integers until the one
     ppm-snapped division.
 
-    Scale note: the rank window rides over the per-user AGGREGATE
-    relation (user-cardinality, the psi_drift small-relation exception),
-    never raw events; at billions of users the ranked prefix-sum would
-    move to the histogram formulation (the roc_auc_histogram device) —
-    same algebra, score-distribution-sized window.
+    Scale note (round-10: the global rank window here was the audit's
+    one genuinely user-grain unpartitioned Window): the exact ascending
+    rank now comes from operators/ids.py:assign_dense_ids
+    (range-repartition + per-partition offset ranks — the same total
+    order, full parallelism), so the per-user aggregate never funnels
+    through one partition; the oracle stays the textbook ROW_NUMBER
+    definition, pinning the device to the window semantics.
     """
+    from ..operators.ids import assign_dense_ids
+
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", cents("value").alias("v_cents")
     )
     u = ev.groupBy("user_id").agg(F.sum("v_cents").alias("y"))
-    w = Window.orderBy("y", "user_id")
-    r = u.select("y", F.row_number().over(w).alias("i"))
+    r = assign_dense_ids(u, ["y", "user_id"], "i0").select(
+        "y", (F.col("i0") + 1).alias("i")
+    )
     t = r.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("y").alias("sy"),
@@ -2235,7 +2240,7 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_decision_stump",
-    # graded since round 9: the hist-GBDT split-finding representative
+    extra=True,  # rotated out round 10 (eval: q_roc_auc graded; stump form re-adjudicated by q_boosted_stumps extra oracle)
     oracle="""
     WITH lab AS (
       SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) // 2000000 AS bin,

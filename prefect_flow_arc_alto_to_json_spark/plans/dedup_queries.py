@@ -1232,7 +1232,13 @@ def dedup_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_chars",
         shingle_hashes(shingles("text", 3)).alias("hs"),
-    ).withColumn("sk8", F.slice(F.array_sort("hs"), 1, 8))
+    ).withColumn("sk8", F.slice(F.array_sort("hs"), 1, 8)).localCheckpoint()
+    # ^ localCheckpoint: sk feeds FIVE consumers (post -> overflow/a/b,
+    # plus the x and y pair sides) and the md5-per-shingle projection is
+    # the dominant cost — uncheckpointed, the whole shingle pipeline
+    # re-derived per consumer (the CDC 28x re-inlining class; the
+    # round-9 scale probe measured this query's blocking at a flat ~42 s
+    # independent of corpus scale — all constant recompute, ~6 s after).
     post = sk.select("doc_id", F.explode("sk8").alias("h"))
     # bottom-of-corpus sketch hashes concentrate (the globally smallest
     # shingle hashes post in MANY docs), so uncapped buckets go quadratic

@@ -526,7 +526,7 @@ _SQL_BF_ITER = """
 
 @query(
     "q_bellman_ford_trade",
-    extra=True,
+    # graded since round 10: the relaxation-loop shortest-path representative
     oracle=f"""
     WITH edges AS ({_SQL_EDGES}),
     ce AS (

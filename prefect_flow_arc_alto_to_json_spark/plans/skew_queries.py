@@ -303,7 +303,7 @@ def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_kmv_distinct_rollup",
-    extra=True,  # rotated out round 9 (KMV family: q_kmv_join_estimate promoted)
+    # graded since round 10: the mergeable-KMV hierarchy rollup (the richer KMV form)
     oracle="""
     WITH d1 AS (
       SELECT DISTINCT event_type, CAST(ts AS DATE) AS day,
@@ -379,7 +379,7 @@ def q_kmv_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_kmv_join_estimate",
-    # graded since round 9: sketch-based join-cardinality estimation
+    extra=True,  # rotated out round 10 (KMV family now graded via q_kmv_distinct_rollup)
     oracle="""
     WITH a AS (
       SELECT DISTINCT o_custkey AS key FROM orders

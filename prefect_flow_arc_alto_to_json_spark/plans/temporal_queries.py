@@ -1457,7 +1457,7 @@ def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_holt_winters_seasonal",
-    extra=True,
+    # graded since round 10: the grouped seasonal recurrence representative
     oracle="""
     WITH RECURSIVE daily AS (
       SELECT event_type AS grp,

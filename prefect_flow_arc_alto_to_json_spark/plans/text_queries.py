@@ -2019,7 +2019,8 @@ def _unigram_oracle(maxlen: int = 8, plen: int = 4) -> str:
 
 
 @query(  # graded since round 9 third session: the 2nd tokenizer member
-    "text_unigram_tokenize", oracle=_unigram_oracle()
+    "text_unigram_tokenize", extra=True, oracle=_unigram_oracle()
+    # rotated out round 10 (tokenization graded via pipeline_tokenizer_ready + text_bpe_merges)
 )
 def text_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM (SentencePiece/Kudo-2018) tokenization of the corpus

@@ -574,24 +574,26 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q15: supplier(s) with the maximum quarterly revenue (the view
     becomes a CTE; ties all surface, exactly like the spec's = MAX form).
 
-    The max-equality is a rank()==1 window over an empty partition — one
-    extra exchange of the ~|suppliers| aggregated rows instead of a
-    driver-side max scalar, so the plan stays fully distributed.
-    Determinism: revenue totals are exact BIGINT units, so = MAX has no
-    float hazard. Scale: the agg shrinks lineitem to one row per supplier
-    before any join; supplier is broadcast.
+    The max-equality is a 1-row MAX aggregate broadcast back onto the
+    supplier-grain revenue relation (round 10 — previously a rank()==1
+    unpartitioned window, which funnels the per-supplier relation
+    through ONE partition: supplier grows with SF, so that relation is
+    dim-sized, not bounded). rank()==1 and total == max(total) keep
+    ties identically. Determinism: revenue totals are exact BIGINT
+    units, so = MAX has no float hazard. Scale: the agg shrinks
+    lineitem to one row per supplier before any join; the max is a
+    1-row broadcast; supplier is broadcast.
     """
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
     rev = li.groupBy("l_suppkey").agg(F.sum(_amt()).alias("total"))
+    mx = rev.agg(F.max("total").alias("mx"))
     top = (
-        rev.withColumn(
-            "rk", F.rank().over(Window.orderBy(F.col("total").desc()))
-        )
-        .where(F.col("rk") == 1)
-        .drop("rk")
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total") == F.col("mx"))
+        .drop("mx")
     )
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return top.join(

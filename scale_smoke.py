@@ -312,7 +312,10 @@ def _fs_blocking(d: DataFrame) -> DataFrame:
         F.slice(
             F.array_sort(shingle_hashes(shingles("text", 3))), 1, 8
         ).alias("sk8"),
-    )
+    ).localCheckpoint()  # post feeds overflow + both self-join sides:
+    # without the pin the md5-per-shingle projection re-derives per
+    # consumer and the probe measures constant recompute (~42 s flat),
+    # not the blocking join it exists to scale-test
     post = sk.select("doc_id", F.explode("sk8").alias("h"))
     overflow = (
         post.groupBy("h")
