@@ -84,16 +84,40 @@ FACTORS = (1, 2, 4, 8)
 #: Lets the sweep run in chunks under the shell's command timeout instead
 #: of one monolithic ~10-minute job (round-7 gotcha).
 ONLY = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+#: optional 3rd arg: comma-separated blow-up factors (e.g. "1,8,32") —
+#: EXTENDED-FACTOR mode (round-9 verdict #5: push the capped
+#: pair-generators one octave past x8). Rows land in a separate
+#: marker-delimited section of SCALE_SMOKE.md (merged by probe name
+#: across chunked invocations); the x1..x8 main table is untouched.
+EXT_FACTORS = (
+    tuple(int(x) for x in sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+)
+if EXT_FACTORS:
+    FACTORS = EXT_FACTORS
+
+EXT_MARK = "## Extended factors (x32 octave)"
+
+
+def split_existing() -> tuple[str, dict[str, str]]:
+    """(main part of SCALE_SMOKE.md verbatim, extended-section rows by
+    probe name). The extended section lives after EXT_MARK so the two
+    tables can't bleed into each other when either mode merges rows."""
+    try:
+        text = open(OUT).read()
+    except FileNotFoundError:
+        return "", {}
+    mainpart, _, extpart = text.partition(EXT_MARK)
+    rows: dict[str, str] = {}
+    for line in extpart.splitlines():
+        if line.startswith("| ") and not line.startswith(("| operator", "|---")):
+            rows[line.split("|")[1].strip()] = line
+    return mainpart, rows
 
 
 def parse_existing_rows() -> dict[str, str]:
-    """name -> full table line from the current SCALE_SMOKE.md."""
+    """name -> full MAIN-table line from the current SCALE_SMOKE.md."""
     out: dict[str, str] = {}
-    try:
-        lines = open(OUT).read().splitlines()
-    except FileNotFoundError:
-        return out
-    for line in lines:
+    for line in split_existing()[0].splitlines():
         if line.startswith("| ") and not line.startswith(("| operator", "|---")):
             out[line.split("|")[1].strip()] = line
     return out
@@ -602,8 +626,52 @@ def main() -> None:
             results[name][factor] = round(t, 2)
             print(f"x{factor} {name}: {results[name][factor]}s", flush=True)
 
+    if EXT_FACTORS:
+        # EXTENDED-FACTOR mode: leave the main x1..x8 table verbatim and
+        # rewrite only the marker-delimited extended section, merging
+        # rows by probe name so chunked per-probe invocations accumulate.
+        # Always invoke with the SAME factor list (columns are shared).
+        mainpart, ext_rows = split_existing()
+        for name, t in results.items():
+            lo, hi = FACTORS[0], FACTORS[-1]
+            ratio = round(t[hi] / t[lo], 1) if t[lo] > 0 else float("inf")
+            ext_rows[name] = (
+                f"| {name} | "
+                + " | ".join(f"{t[f]}s" for f in FACTORS)
+                + f" | {ratio} |"
+            )
+        with open(OUT, "w") as fh:
+            fh.write(mainpart.rstrip() + "\n\n" + EXT_MARK + "\n\n")
+            fh.write(
+                "One octave past the x8 main table (round-9 verdict #5):\n"
+                "same salted self-union blow-up, factors "
+                + ", ".join(f"x{f}" for f in FACTORS)
+                + " — documents "
+                + ", ".join(f"x{f}={rows[f]:,}" for f in FACTORS)
+                + "; embeddings "
+                + ", ".join(f"x{f}={emb_rows[f]:,}" for f in FACTORS)
+                + ".\nA capped/banded/cell-confined pair generator must "
+                "hold the last/first\nratio near linear with no "
+                "super-linear knee appearing in the new octave.\n\n"
+            )
+            fh.write("| operator | " + " | ".join(f"x{f}" for f in FACTORS))
+            fh.write(
+                f" | x{FACTORS[-1]}/x{FACTORS[0]} ratio "
+                f"(linear={FACTORS[-1] // FACTORS[0]}) |\n"
+            )
+            fh.write("|---|" + "---|" * (len(FACTORS) + 1) + "\n")
+            for line in ext_rows.values():
+                fh.write(line + "\n")
+        print(f"wrote {OUT} (extended section)")
+        spark.stop()
+        return
+
     # parse BEFORE opening for write — open(..., "w") truncates
     kept_rows = parse_existing_rows() if ONLY is not None else {}
+    try:
+        _, _ext_sep, _ext_text = open(OUT).read().partition(EXT_MARK)
+    except FileNotFoundError:
+        _ext_sep = _ext_text = ""
     with open(OUT, "w") as fh:
         fh.write(
             "# SCALE_SMOKE — operator wall time vs synthetic data blow-up\n\n"
@@ -652,7 +720,8 @@ def main() -> None:
         fh.write("|---|" + "---|" * (len(FACTORS) + 1) + "\n")
         kept = kept_rows
         for name, t in results.items():
-            ratio = round(t[8] / t[1], 1) if t[1] > 0 else float("inf")
+            lo, hi = FACTORS[0], FACTORS[-1]
+            ratio = round(t[hi] / t[lo], 1) if t[lo] > 0 else float("inf")
             kept[name] = (
                 f"| {name} | "
                 + " | ".join(f"{t[f]}s" for f in FACTORS)
@@ -660,6 +729,8 @@ def main() -> None:
             )
         for line in kept.values():
             fh.write(line + "\n")
+        if _ext_sep:
+            fh.write("\n" + EXT_MARK + _ext_text)
     print(f"wrote {OUT}")
     spark.stop()
 
