@@ -173,6 +173,11 @@ HEADLINE = [
     "text_unigram_tokenize",
     "pipeline_dsir_select",
     "stream_cdc_chunk_dedup",
+    # round-10 additions (session round 10): apriori triple mining (the
+    # pruned three-way basket self-join — heaviest new join shape) and
+    # windowed sequential patterns (two user-keyed interval self-joins)
+    "q_apriori_triples",
+    "q_sequential_patterns",
 ]
 
 

@@ -3359,3 +3359,147 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("hhi_num"),
         F.sum("r").cast("long").alias("rev_total"),
     )
+
+
+@query(
+    "q_apriori_triples",
+    extra=True,
+    # The oracle is the SPEC (brute three-way basket join, no pruning):
+    # apriori pruning is a plan-side optimization whose result set is
+    # provably identical (every subset of a frequent itemset is
+    # frequent), so a hash match certifies the pruned plan against the
+    # unpruned definition.
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT l.l_orderkey AS k, p.p_brand AS br
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    ms AS (
+      SELECT CAST(COUNT(DISTINCT k) AS BIGINT) AS n_orders,
+             GREATEST(3, CAST(COUNT(DISTINCT k) AS BIGINT) // 250) AS m
+      FROM b
+    ),
+    tri AS (
+      SELECT x.br AS br_a, y.br AS br_b, z.br AS br_c,
+             CAST(COUNT(*) AS BIGINT) AS n_tri
+      FROM b x
+      JOIN b y ON y.k = x.k AND y.br > x.br
+      JOIN b z ON z.k = x.k AND z.br > y.br
+      GROUP BY 1, 2, 3
+    )
+    SELECT br_a, br_b, br_c, n_tri,
+           CAST((2 * n_tri * 1000000 + ms.n_orders)
+                // (2 * ms.n_orders) AS BIGINT) AS support_ppm
+    FROM tri, ms WHERE n_tri >= ms.m
+    """,
+)
+def q_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APRIORI frequent-itemset mining one level past q_market_basket's
+    pairs: brand TRIPLES bought together in one order with support >=
+    max(3, n_orders/250), the candidate space pruned by the apriori
+    property (a triple can be frequent only if all three of its pairs
+    are) — the classic Agrawal-Srikant lattice climb, here as one
+    relational plan instead of the iterative candidate-generation loop.
+
+    Spark plan: the distinct (order, brand) basket relation is pinned
+    once (localCheckpoint — five consumers); frequent items and
+    frequent pairs are brand-lattice-sized (<= 25 and <= 300 rows) and
+    BROADCAST back as semi-join prunes, so the three-way order-keyed
+    self-join only ever fans over baskets whose items survived level-1
+    and whose pairs survived level-2. The oracle replays the unpruned
+    textbook definition — identical output by the apriori guarantee.
+
+    Scale: per-order fan-out is (basket width choose 3) AFTER pruning;
+    the lattice relations stay broadcast-sized at any corpus scale
+    (they are bounded by the brand vocabulary, not the order count);
+    the support threshold scales with n_orders, keeping the output the
+    frequent head of the lattice rather than growing with the corpus.
+    """
+    from ..functions.scale import scoped_persist
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("br"))
+        .distinct()
+        .localCheckpoint()  # nt, f1, pair and triple joins all read it
+    )
+    d = F.call_function
+    nt = b.agg(
+        F.countDistinct("k").cast("long").alias("n_orders")
+    ).withColumn(
+        "m", F.greatest(F.lit(3).cast("long"), d("div", F.col("n_orders"), F.lit(250)))
+    )
+    f1 = (
+        b.groupBy("br")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(nt))
+        .where(F.col("n") >= F.col("m"))
+        .select("br")
+    )
+    b1 = b.join(F.broadcast(f1), "br", "semi")
+    x = b1.select("k", F.col("br").alias("br_a"))
+    y = b1.select(F.col("k").alias("k_y"), F.col("br").alias("br_b"))
+    z = b1.select(F.col("k").alias("k_z"), F.col("br").alias("br_c"))
+    pairs = (
+        x.join(
+            y.hint("shuffle_hash"),
+            (F.col("k") == F.col("k_y")) & (F.col("br_a") < F.col("br_b")),
+        )
+        .groupBy("br_a", "br_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    f2 = (
+        pairs.crossJoin(F.broadcast(nt))
+        .where(F.col("n_pair") >= F.col("m"))
+        .select("br_a", "br_b")
+        .localCheckpoint()  # three semi-join prunes read it
+    )
+    # level-2-pruned pair stream, then extend by a third item and prune
+    # the two new faces of the triple against the same frequent-pair set
+    pstream = (
+        x.join(
+            y.hint("shuffle_hash"),
+            (F.col("k") == F.col("k_y")) & (F.col("br_a") < F.col("br_b")),
+        )
+        .select("k", "br_a", "br_b")
+        .join(F.broadcast(f2), ["br_a", "br_b"], "semi")
+    )
+    tri = (
+        pstream.join(
+            z.hint("shuffle_hash"),
+            (F.col("k") == F.col("k_z")) & (F.col("br_b") < F.col("br_c")),
+        )
+        .join(
+            F.broadcast(f2.select(F.col("br_a"), F.col("br_b").alias("br_c"))),
+            ["br_a", "br_c"],
+            "semi",
+        )
+        .join(
+            F.broadcast(
+                f2.select(F.col("br_a").alias("br_b"), F.col("br_b").alias("br_c"))
+            ),
+            ["br_b", "br_c"],
+            "semi",
+        )
+        .groupBy("br_a", "br_b", "br_c")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )
+    return (
+        tri.crossJoin(F.broadcast(nt))
+        .where(F.col("n_tri") >= F.col("m"))
+        .select(
+            "br_a",
+            "br_b",
+            "br_c",
+            "n_tri",
+            d(
+                "div",
+                F.lit(2) * F.col("n_tri") * 1_000_000 + F.col("n_orders"),
+                F.lit(2) * F.col("n_orders"),
+            ).alias("support_ppm"),
+        )
+    )

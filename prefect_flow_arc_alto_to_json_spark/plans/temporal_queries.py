@@ -2191,3 +2191,136 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bradley_terry_nano(contests, rounds=3).select(
         F.col("item").alias("item"), "wins", "n_contests", "pi_nano"
     )
+
+
+@query(
+    "q_sequential_patterns",
+    extra=True,
+    oracle="""
+    WITH ev AS (SELECT user_id AS u, event_type AS t, ts FROM events),
+    nu AS (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS n FROM ev),
+    pair AS (
+      SELECT e1.t AS t_a, e2.t AS t_b,
+             CAST(COUNT(DISTINCT e1.u) AS BIGINT) AS sup
+      FROM ev e1
+      JOIN ev e2 ON e2.u = e1.u AND e2.ts > e1.ts
+        AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+      GROUP BY 1, 2
+    ),
+    tri AS (
+      SELECT e1.t AS t_a, e2.t AS t_b, e3.t AS t_c,
+             CAST(COUNT(DISTINCT e1.u) AS BIGINT) AS sup
+      FROM ev e1
+      JOIN ev e2 ON e2.u = e1.u AND e2.ts > e1.ts
+      JOIN ev e3 ON e3.u = e1.u AND e3.ts > e2.ts
+        AND e3.ts <= e1.ts + INTERVAL 24 HOUR
+      GROUP BY 1, 2, 3
+    ),
+    uni AS (
+      SELECT 2 AS plen, t_a, t_b, '' AS t_c, sup FROM pair, nu
+      WHERE sup * 5 >= nu.n
+      UNION ALL
+      SELECT 3 AS plen, t_a, t_b, t_c, sup FROM tri, nu
+      WHERE sup * 5 >= 3 * nu.n
+    )
+    SELECT CAST(plen AS INT) AS plen, t_a, t_b, t_c,
+           sup AS n_users_support,
+           CAST((2 * sup * 1000000 + nu.n) // (2 * nu.n) AS BIGINT)
+             AS support_ppm
+    FROM uni, nu
+    """,
+)
+def q_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINDOWED SEQUENTIAL-PATTERN mining (the PrefixSpan/GSP semantics:
+    gapped subsequences, not q_event_trigrams' contiguous n-grams) —
+    event-type sequences a->b completed within 1 hour and a->b->c within
+    24 hours, supported by >= 20% / >= 60% of users respectively (the
+    windows make support discriminative: unwindowed, every user here
+    supports every pattern). Pattern matches are EXISTENTIAL per user
+    (COUNT(DISTINCT user)), the textbook sequence-support definition.
+
+    Scale: both joins are user-keyed equi-joins whose range predicates
+    bound the fan-out by ACTIVITY DENSITY inside the window (events per
+    user-hour / user-day), never by the user's total history — the
+    interval-join argument; the skew valve for a hyperactive user is a
+    tighter window. The pattern lattice (|types|^2 + |types|^3 <= 150
+    cells) aggregates map-side; n_users is a 1-row broadcast.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.col("user_id").alias("u"),
+            F.col("event_type").alias("t"),
+            "ts",
+        )
+        .localCheckpoint()  # nu + five self-join sides read it
+    )
+    nu = ev.agg(F.countDistinct("u").cast("long").alias("n"))
+    e1 = ev.select(F.col("u"), F.col("t").alias("t_a"), F.col("ts").alias("ts1"))
+    e2 = ev.select(
+        F.col("u").alias("u2"), F.col("t").alias("t_b"), F.col("ts").alias("ts2")
+    )
+    e3 = ev.select(
+        F.col("u").alias("u3"), F.col("t").alias("t_c"), F.col("ts").alias("ts3")
+    )
+    pair = (
+        e1.join(
+            e2.hint("shuffle_hash"),
+            (F.col("u") == F.col("u2"))
+            & (F.col("ts2") > F.col("ts1"))
+            & (F.col("ts2") <= F.col("ts1") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy("t_a", "t_b")
+        .agg(F.countDistinct("u").cast("long").alias("sup"))
+    )
+    tri = (
+        e1.join(
+            e2.hint("shuffle_hash"),
+            (F.col("u") == F.col("u2")) & (F.col("ts2") > F.col("ts1")),
+        )
+        .join(
+            e3.hint("shuffle_hash"),
+            (F.col("u") == F.col("u3"))
+            & (F.col("ts3") > F.col("ts2"))
+            & (F.col("ts3") <= F.col("ts1") + F.expr("INTERVAL 24 HOUR")),
+        )
+        .groupBy("t_a", "t_b", "t_c")
+        .agg(F.countDistinct("u").cast("long").alias("sup"))
+    )
+    uni = (
+        pair.crossJoin(F.broadcast(nu))
+        .where(F.col("sup") * 5 >= F.col("n"))
+        .select(
+            F.lit(2).cast("int").alias("plen"),
+            "t_a",
+            "t_b",
+            F.lit("").alias("t_c"),
+            "sup",
+            "n",
+        )
+        .unionByName(
+            tri.crossJoin(F.broadcast(nu))
+            .where(F.col("sup") * 5 >= 3 * F.col("n"))
+            .select(
+                F.lit(3).cast("int").alias("plen"),
+                "t_a",
+                "t_b",
+                "t_c",
+                "sup",
+                "n",
+            )
+        )
+    )
+    d = F.call_function
+    return uni.select(
+        "plen",
+        "t_a",
+        "t_b",
+        "t_c",
+        F.col("sup").alias("n_users_support"),
+        d(
+            "div",
+            F.lit(2) * F.col("sup") * 1_000_000 + F.col("n"),
+            F.lit(2) * F.col("n"),
+        ).alias("support_ppm"),
+    )

