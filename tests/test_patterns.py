@@ -1,0 +1,169 @@
+"""Axiom gates for the round-10 pattern-mining / diversified-retrieval
+queries — properties the DuckDB hash check cannot express (it certifies
+value equality between engines, not that the algorithm satisfies its own
+defining inequalities)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+
+
+def test_apriori_downward_closure(spark, sf_dir):
+    """Every returned frequent triple's three sub-pairs must each occur
+    in at least as many baskets as the triple (the apriori property the
+    pruned plan RELIES on — if a pair count ever dipped below its
+    triple's, the semi-join prune would have dropped a frequent triple
+    and the oracle hash would only catch it if the oracle ran the same
+    broken prune, which it deliberately does not)."""
+    tri = EXTRA_QUERIES["q_apriori_triples"](spark, sf_dir)
+    rows = tri.collect()
+    assert rows, "vacuous: no frequent triples at this SF"
+    # recompute raw pair counts independently of the query's prune path
+    from prefect_flow_arc_alto_to_json_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("br"))
+        .distinct()
+    )
+    x = b.select("k", F.col("br").alias("p"))
+    y = b.select(F.col("k").alias("k2"), F.col("br").alias("q"))
+    pairs = {
+        (r["p"], r["q"]): r["n"]
+        for r in x.join(
+            y, (F.col("k") == F.col("k2")) & (F.col("p") < F.col("q"))
+        )
+        .groupBy("p", "q")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        t = r["n_tri"]
+        for pair in (
+            (r["br_a"], r["br_b"]),
+            (r["br_a"], r["br_c"]),
+            (r["br_b"], r["br_c"]),
+        ):
+            assert pairs.get(pair, 0) >= t, (pair, t, r)
+
+
+def test_sequential_patterns_known_fixture(spark):
+    """Hand-built sequences with known windowed-subsequence structure:
+    user 1 completes a->b->c inside the windows, user 2 has the types in
+    the WRONG order, user 3 exceeds the window — only user 1 supports
+    the patterns, pinning both the ordering and the window semantics."""
+    from prefect_flow_arc_alto_to_json_spark.plans.temporal_queries import (
+        q_sequential_patterns,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    # the triple threshold is 60% of users, so 3 of the 5 users below
+    # complete a->b->c inside the windows; the reversed user and the
+    # window-violating user must NOT push any competing triple over it
+    rows = [
+        (1, "a", ts(0)),
+        (1, "b", ts(10)),
+        (1, "c", ts(30)),
+        (4, "a", ts(0)),
+        (4, "b", ts(5)),
+        (4, "c", ts(50)),
+        (5, "a", ts(0)),
+        (5, "b", ts(40)),
+        (5, "c", ts(90)),
+        # user 2: same types, reversed order (supports c->b->a only)
+        (2, "c", ts(0)),
+        (2, "b", ts(10)),
+        (2, "a", ts(30)),
+        # user 3: right order but b arrives 2h after a (outside the 1h
+        # pair window) and c 26h after a (outside the 24h triple window)
+        (3, "a", ts(0)),
+        (3, "b", ts(120)),
+        (3, "c", ts(26 * 60)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        ev.withColumn("event_id", F.monotonically_increasing_id()).withColumn(
+            "value", F.lit(1.0)
+        ).write.parquet(f"{d}/events.parquet")
+        out = {
+            (r["plen"], r["t_a"], r["t_b"], r["t_c"]): r["n_users_support"]
+            for r in q_sequential_patterns(spark, d).collect()
+        }
+    # 5 users. Pair threshold: sup >= 1 (20%). a->b within 1h: users
+    # 1, 4, 5 (user 3's gap is 2h, user 2 has b BEFORE a). The triple
+    # threshold is sup >= 3 (60%): a->b->c passes exactly on its three
+    # supporters; user 2's reversed c->b->a (sup 1) must be absent.
+    assert out[(2, "a", "b", "")] == 3
+    assert out[(2, "b", "c", "")] == 3
+    assert out[(3, "a", "b", "c")] == 3
+    assert (3, "c", "b", "a") not in out
+
+
+def test_mmr_diversifies_vs_plain_topk(spark, sf_dir):
+    """The defining MMR property: the diversified pick set's maximum
+    intra-set similarity must not exceed the plain relevance-top-5's
+    (greedy MMR exists precisely to push redundant near-duplicates out
+    of the slate). Also: pick 1 IS the relevance argmax."""
+    from prefect_flow_arc_alto_to_json_spark.operators.similarity import (
+        _as_double,
+        cosine,
+    )
+    from prefect_flow_arc_alto_to_json_spark.sources import load_table
+
+    picked = EXTRA_QUERIES["sim_mmr_rerank"](spark, sf_dir)
+    rows = sorted(picked.collect(), key=lambda r: r["rank"])
+    assert len(rows) == 5 and [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+    rels = [r["rel_micro"] for r in rows]
+    assert rels[0] == max(rels), "pick 1 must be the relevance argmax"
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+
+    def max_pairwise(ids: list[int]) -> int:
+        sub = emb.where(F.col("vec_id").isin(ids)).select(
+            "vec_id", _as_double("embedding").alias("v")
+        )
+        a = sub.select(F.col("vec_id").alias("i"), F.col("v").alias("va"))
+        b = sub.select(F.col("vec_id").alias("j"), F.col("v").alias("vb"))
+        return (
+            a.crossJoin(b)
+            .where(F.col("i") < F.col("j"))
+            .agg(
+                F.max(
+                    F.round(cosine(F.col("va"), F.col("vb")) * 1_000_000)
+                ).alias("m")
+            )
+            .collect()[0]["m"]
+        )
+
+    mmr_ids = [r["vec_id"] for r in rows]
+    # plain top-5 by relevance = the 5 highest rel among the shortlist;
+    # recompute independently: rank all 299 candidates against vec 0
+    qv = emb.where(F.col("vec_id") == 0).select(
+        _as_double("embedding").alias("qvec")
+    )
+    plain = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(cosine(_as_double("embedding"), F.col("qvec")) * 1_000_000)
+            .cast("long")
+            .alias("rel"),
+        )
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(5)
+    )
+    plain_ids = [r["vec_id"] for r in plain.collect()]
+    assert max_pairwise(mmr_ids) <= max_pairwise(plain_ids)
