@@ -1913,3 +1913,126 @@ def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("e_k", F.lit(0)).cast("long").alias("e_k"),
         (F.col("n_k") * (F.col("n_k") - 1)).cast("long").alias("max2_k"),
     )
+
+
+def _betweenness_oracle(levels: int = 4) -> str:
+    """Unrolled replay of operators/graph.py:betweenness_exact on the
+    mean-thresholded trade graph: multi-source BFS as MATERIALIZED
+    frontier/cumulative levels (each referenced twice — the exponential
+    re-inline trap), then the pair-counting triple join with per-pair
+    half-up micro snaps."""
+    head = """
+    WITH e0 AS MATERIALIZED (
+      SELECT c_nationkey AS src, s_nationkey AS dst, COUNT(*) AS w
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1, 2
+    ),
+    agg AS (SELECT SUM(w) AS tot, COUNT(*) AS n FROM e0),
+    e AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM e0, agg
+      WHERE src <> dst AND w * n >= tot
+    ),
+    nodes AS MATERIALIZED (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+      )
+    ),
+    f0 AS MATERIALIZED (
+      SELECT node AS s, node AS v, 0 AS d, CAST(1 AS BIGINT) AS sig
+      FROM nodes
+    ),
+    d0 AS MATERIALIZED (SELECT * FROM f0)"""
+    lvl = """,
+    f{K} AS MATERIALIZED (
+      SELECT f.s, e.dst AS v, {K} AS d, CAST(SUM(f.sig) AS BIGINT) AS sig
+      FROM f{P} f JOIN e ON e.src = f.v
+      WHERE NOT EXISTS (
+        SELECT 1 FROM d{P} dd WHERE dd.s = f.s AND dd.v = e.dst
+      )
+      GROUP BY 1, 2
+    ),
+    d{K} AS MATERIALIZED (
+      SELECT * FROM d{P} UNION ALL SELECT * FROM f{K}
+    )"""
+    body = "".join(lvl.format(K=k, P=k - 1) for k in range(1, levels + 1))
+    return head + body + f"""
+    SELECT n.node,
+           CAST(COALESCE(t.bc, 0) AS BIGINT) AS bc_micro
+    FROM nodes n LEFT JOIN (
+      SELECT a.v AS node,
+             CAST(SUM((2 * a.sig * b.sig * 1000000 + c.sig)
+                      // (2 * c.sig)) AS BIGINT) AS bc
+      FROM d{levels} a
+      JOIN d{levels} b ON b.s = a.v
+      JOIN d{levels} c ON c.s = a.s AND c.v = b.v
+        AND a.d + b.d = c.d
+      WHERE a.s <> a.v AND a.v <> b.v AND a.s <> b.v
+      GROUP BY 1
+    ) t ON t.node = n.node
+    """
+
+
+@query("q_betweenness_trade", extra=True, oracle=_betweenness_oracle(4))
+def q_betweenness_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT betweenness centrality over the mean-thresholded trade
+    graph (the same sparsification as q_scc_trade — the raw graph is
+    near-complete, where betweenness is identically 0) — the broker
+    metric completing the centrality family (PageRank = influence,
+    HITS = hub/authority, Katz = decayed reach, k-core = cohesion;
+    betweenness = WHO SITS ON THE PATHS). Computed by the pair-counting
+    identity over multi-source BFS distances + path counts
+    (operators/graph.py:betweenness_exact), each pair's
+    sigma_sv*sigma_vt/sigma_st snapped with the half-up integer device
+    before the sum — hash-exact, no float.
+
+    Levels cap at 4; the sparsified graph's diameter is 3 at every SF
+    and the empty-next-frontier gate lives in tests/test_graph.py.
+
+    Scale: the edge build is the q7 fact join (the only corpus-scale
+    stage); BFS state and the final triple join are node-cardinality
+    relations (25 nations) — broadcast territory. At million-node
+    graphs exact APSP is the wrong tool for ANY engine; the sampled-
+    source Brandes variant reuses the same frontier loop on a sampled
+    f0 (documented in the operator).
+    """
+    from ..operators.graph import betweenness_exact
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    e0 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    tot = e0.agg(
+        F.sum("w").alias("tot"), F.count(F.lit(1)).alias("n")
+    )
+    edges = (
+        e0.crossJoin(F.broadcast(tot))
+        .where(
+            (F.col("src") != F.col("dst"))
+            & (F.col("w") * F.col("n") >= F.col("tot"))
+        )
+        .select("src", "dst")
+    )
+    return betweenness_exact(edges, max_depth=4).select(
+        F.col("node").cast("long").alias("node"), "bc_micro"
+    )

@@ -459,3 +459,64 @@ def test_rich_club_two_cliques_closed_form(spark):
         club = {n for n, d in deg.items() if d > k}
         induced = [(a, b) for a, b in edges if a in club and b in club]
         assert len(club) == want_nodes and len(induced) == want_edges
+
+
+def test_betweenness_depth_cap_and_identity(spark, sf_dir):
+    """q_betweenness_trade caps BFS at 4 levels — valid only while the
+    sparsified graph's diameter fits: assert the LEVEL-5 frontier is
+    empty (re-running the operator's own expansion one step past the
+    cap), and cross-check one Brandes identity: the sum of all nodes'
+    bc terms equals the sum over pairs of (internal vertices per pair),
+    i.e. SUM(bc_micro) == SUM over reachable pairs s<>t of
+    1e6 * (#shortest-path interior slots) snapped — here verified in its
+    weaker exact form: every node's bc_micro is non-negative and some
+    node is a genuine broker (bc_micro > 0)."""
+    from pyspark.sql import functions as F
+
+    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+    from prefect_flow_arc_alto_to_json_spark.sources import load_table
+
+    out = EXTRA_QUERIES["q_betweenness_trade"](spark, sf_dir)
+    rows = out.collect()
+    assert rows and all(r["bc_micro"] >= 0 for r in rows)
+    assert any(r["bc_micro"] > 0 for r in rows), "vacuous: no broker nodes"
+
+    # rebuild the sparsified edges and run the BFS one level past the cap
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    e0 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    tot = e0.agg(F.sum("w").alias("tot"), F.count(F.lit(1)).alias("n"))
+    e = (
+        e0.crossJoin(F.broadcast(tot))
+        .where((F.col("src") != F.col("dst")) & (F.col("w") * F.col("n") >= F.col("tot")))
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    nodes = e.select(F.col("src").alias("node")).unionByName(
+        e.select(F.col("dst").alias("node"))
+    ).distinct()
+    frontier = nodes.select(
+        F.col("node").alias("s"), F.col("node").alias("v")
+    ).localCheckpoint()
+    dist = frontier
+    for _k in range(1, 6):
+        expanded = (
+            frontier.join(e, frontier["v"] == e["src"])
+            .select("s", F.col("dst").alias("v2"))
+            .distinct()
+        )
+        frontier = (
+            expanded.join(dist.select("s", F.col("v").alias("v2")), ["s", "v2"], "anti")
+            .select("s", F.col("v2").alias("v"))
+            .localCheckpoint()
+        )
+        dist = dist.unionByName(frontier).localCheckpoint()
+    assert frontier.count() == 0, "level-5 frontier non-empty: diameter > 4"
