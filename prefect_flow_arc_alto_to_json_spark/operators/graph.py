@@ -1226,7 +1226,9 @@ def betweenness_exact(edges: DataFrame, max_depth: int = 4) -> DataFrame:
         )
         frontier = (
             expanded.join(
-                dist.select("s", F.col("v").alias("v2")),
+                # node^2-bounded: broadcast the reached-set anti side so
+                # the stats-less checkpoint stubs can't force SMJ
+                F.broadcast(dist.select("s", F.col("v").alias("v2"))),
                 ["s", "v2"],
                 "anti",
             )
@@ -1256,9 +1258,11 @@ def betweenness_exact(edges: DataFrame, max_depth: int = 4) -> DataFrame:
         F.col("sig").alias("sigc"),
     )
     terms = (
-        a.join(b, a["v"] == b["v_b"])
+        # every side is the node^2-bounded dist relation — broadcast the
+        # probe sides (checkpoint stubs carry no stats, SMJ otherwise)
+        a.join(F.broadcast(b), a["v"] == b["v_b"])
         .join(
-            c,
+            F.broadcast(c),
             (F.col("s") == F.col("s_c"))
             & (F.col("t") == F.col("t_c"))
             & (F.col("da") + F.col("db") == F.col("dc")),
@@ -1280,7 +1284,9 @@ def betweenness_exact(edges: DataFrame, max_depth: int = 4) -> DataFrame:
     )
     return (
         nodes.join(
-            terms.groupBy("v").agg(F.sum("term").cast("long").alias("bc")),
+            F.broadcast(
+                terms.groupBy("v").agg(F.sum("term").cast("long").alias("bc"))
+            ),
             nodes["node"] == F.col("v"),
             "left",
         )
