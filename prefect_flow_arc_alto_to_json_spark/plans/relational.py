@@ -3394,12 +3394,16 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """APRIORI frequent-itemset mining one level past q_market_basket's
-    pairs: brand TRIPLES bought together in one order with support >=
-    max(3, n_orders/250), the candidate space pruned by the apriori
-    property (a triple can be frequent only if all three of its pairs
-    are) — the classic Agrawal-Srikant lattice climb, here as one
-    relational plan instead of the iterative candidate-generation loop.
+    """APRIORI frequent-itemset mining at the lattice scale where
+    pruning is LOAD-BEARING: brand TRIPLES bought together in one order
+    with support >= max(3, n_orders/250). q_frequent_triples runs the
+    same level-wise walk on the 5-event-type lattice (C(5,3) = 10
+    candidates — pruning there is structural, not material); this one
+    climbs the 25-brand lattice (C(25,3) = 2300 candidates) where the
+    frequent-pair semi-joins genuinely shrink the counted set, and its
+    oracle is the UNPRUNED brute definition, so the hash certifies the
+    pruning itself (the two differ on any apriori bug; see also the
+    downward-closure axiom gate in tests/test_patterns.py).
 
     Spark plan: the distinct (order, brand) basket relation is pinned
     once (localCheckpoint — five consumers); frequent items and

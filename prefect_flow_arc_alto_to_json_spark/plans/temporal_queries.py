@@ -2231,12 +2231,16 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WINDOWED SEQUENTIAL-PATTERN mining (the PrefixSpan/GSP semantics:
-    gapped subsequences, not q_event_trigrams' contiguous n-grams) —
-    event-type sequences a->b completed within 1 hour and a->b->c within
-    24 hours, supported by >= 20% / >= 60% of users respectively (the
-    windows make support discriminative: unwindowed, every user here
-    supports every pattern). Pattern matches are EXISTENTIAL per user
+    """TIME-WINDOWED sequential-pattern mining — the third member of
+    the sequence family, distinct from both q_event_trigrams (contiguous
+    n-grams) and q_frequent_sequences (pure-order GSP, which must
+    truncate to each user's first-6-event head because unwindowed
+    support degenerates): here the WINDOW is the semantics — a->b
+    completed within 1 hour, a->b->c within 24 hours, over the FULL
+    stream, supported by >= 20% / >= 60% of users. This is the SPADE/
+    cSPADE gap-constrained formulation (funnel-with-deadline analytics),
+    and the window is also what keeps support discriminative without
+    truncating history. Pattern matches are EXISTENTIAL per user
     (COUNT(DISTINCT user)), the textbook sequence-support definition.
 
     Scale: both joins are user-keyed equi-joins whose range predicates
@@ -2323,4 +2327,276 @@ def q_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(2) * F.col("sup") * 1_000_000 + F.col("n"),
             F.lit(2) * F.col("n"),
         ).alias("support_ppm"),
+    )
+
+
+_MARKOV_STEPS = 12  # absorption horizon (mass converges geometrically)
+
+
+def _markov_oracle(steps: int = _MARKOV_STEPS) -> str:
+    """Unrolled replay of q_markov_attribution: journey transitions, the
+    5 chains (full + one per removed channel, removals REDIRECTING
+    into-edges to 'null' with out-degrees unchanged — Anderl et al.'s
+    removal-effect semantics), then ``steps`` MATERIALIZED state-vector
+    levels with per-edge half-up micro snaps (the pagerank discipline)."""
+    head = """
+    WITH fp AS (
+      SELECT user_id, MIN(ts) AS tp FROM events
+      WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    j AS (
+      SELECT e.user_id, e.event_type AS ch, e.ts, e.event_id,
+             fp.user_id IS NOT NULL AS conv
+      FROM events e LEFT JOIN fp ON fp.user_id = e.user_id
+      WHERE e.event_type <> 'purchase'
+        AND (fp.user_id IS NULL OR e.ts < fp.tp)
+    ),
+    seq AS (
+      SELECT user_id, ch, conv,
+             LAG(ch) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev
+      FROM j
+    ),
+    lasts AS (
+      SELECT user_id, conv, ch AS last_ch FROM (
+        SELECT user_id, conv, ch,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM j
+      ) WHERE rn = 1
+    ),
+    users AS (
+      SELECT e.user_id,
+             MAX(CASE WHEN fp.user_id IS NOT NULL THEN 1 ELSE 0 END) AS conv,
+             MAX(CASE WHEN e.event_type <> 'purchase'
+                  AND (fp.user_id IS NULL OR e.ts < fp.tp)
+                 THEN 1 ELSE 0 END) AS has_touch
+      FROM events e LEFT JOIN fp ON fp.user_id = e.user_id
+      GROUP BY 1
+    ),
+    trans AS MATERIALIZED (
+      SELECT s, t, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT COALESCE(prev, 'start') AS s, ch AS t FROM seq
+        UNION ALL
+        SELECT last_ch AS s, CASE WHEN conv THEN 'conv' ELSE 'null' END AS t
+        FROM lasts
+        UNION ALL
+        SELECT 'start' AS s,
+               CASE WHEN conv = 1 THEN 'conv' ELSE 'null' END AS t
+        FROM users WHERE has_touch = 0
+      ) GROUP BY 1, 2
+    ),
+    outn AS (SELECT s, CAST(SUM(n) AS BIGINT) AS outn FROM trans GROUP BY 1),
+    chains(chain) AS (VALUES ('full'), ('click'), ('view'),
+                             ('signup'), ('error')),
+    ea AS MATERIALIZED (
+      SELECT c.chain, tr.s,
+             CASE WHEN c.chain <> 'full' AND tr.t = c.chain
+                  THEN 'null' ELSE tr.t END AS t,
+             CAST(SUM(tr.n) AS BIGINT) AS n, ANY_VALUE(o.outn) AS outn
+      FROM chains c
+      JOIN trans tr ON c.chain = 'full' OR tr.s <> c.chain
+      JOIN outn o ON o.s = tr.s
+      GROUP BY 1, 2, 3
+    ),
+    p0 AS MATERIALIZED (
+      SELECT chain, 'start' AS state, CAST(1000000 AS BIGINT) AS mass
+      FROM chains
+    )"""
+    lvl = """,
+    p{K} AS MATERIALIZED (
+      SELECT chain, state, CAST(SUM(m) AS BIGINT) AS mass FROM (
+        SELECT e.chain, e.t AS state,
+               (2 * p.mass * e.n + e.outn) // (2 * e.outn) AS m
+        FROM p{P} p JOIN ea e ON e.chain = p.chain AND e.s = p.state
+        UNION ALL
+        SELECT chain, state, mass FROM p{P}
+        WHERE state IN ('conv', 'null')
+      ) GROUP BY 1, 2
+    )"""
+    body = "".join(lvl.format(K=k, P=k - 1) for k in range(1, steps + 1))
+    return head + body + f""",
+    pc AS (
+      SELECT chain, CAST(COALESCE(MAX(CASE WHEN state = 'conv'
+             THEN mass END), 0) AS BIGINT) AS p_conv
+      FROM p{steps} GROUP BY 1
+    )
+    SELECT r.chain AS channel,
+           f.p_conv AS p_full_micro,
+           r.p_conv AS p_removed_micro,
+           CAST((2 * (f.p_conv - r.p_conv) * 1000000 + f.p_conv)
+                // (2 * f.p_conv) AS BIGINT) AS removal_effect_ppm
+    FROM pc r JOIN pc f ON f.chain = 'full'
+    WHERE r.chain <> 'full'
+    """
+
+
+@query("q_markov_attribution", extra=True, oracle=_markov_oracle())
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKOV-CHAIN (removal-effect) attribution — the data-driven
+    attribution model beside q_shapley_attribution's game-theoretic one
+    (Anderl et al. 2014; q_event_transitions exposes the raw transition
+    matrix as a relation — this query is what that matrix is FOR): estimate a first-order chain over journey
+    touches (start -> channels -> conv/null absorbing), then credit
+    each channel by how much conversion probability DROPS when it is
+    removed (in-edges redirected to 'null', out-degrees unchanged — the
+    standard removal semantics). P(conv) is absorption mass within 12
+    synchronous steps, every per-edge mass flow half-up-snapped to
+    micro units (the pagerank discipline), so the 5 chains x 12 steps
+    replay hash-exact in the unrolled oracle.
+
+    Scale: journeys order per-user (user-keyed window); the transition
+    matrix is |states|^2-bounded (7 states), the 5 chain-edge variants
+    and every state vector are broadcast relations; 12 steps cost 12
+    tiny joins regardless of corpus size. The only corpus-scale stages
+    are the first-purchase agg and the journey window.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    ).localCheckpoint()  # fp + journeys + user census read it
+    fp = ev.where(F.col("event_type") == "purchase").groupBy("user_id").agg(
+        F.min("ts").alias("tp")
+    )
+    j = (
+        ev.where(F.col("event_type") != "purchase")
+        .join(F.broadcast(fp), "user_id", "left")
+        .where(F.col("tp").isNull() | (F.col("ts") < F.col("tp")))
+        .select(
+            "user_id",
+            F.col("event_type").alias("ch"),
+            "ts",
+            "event_id",
+            F.col("tp").isNotNull().alias("conv"),
+        )
+        .localCheckpoint()  # seq window + lasts agg read it
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = j.select(
+        F.coalesce(F.lag("ch").over(w), F.lit("start")).alias("s"),
+        F.col("ch").alias("t"),
+    )
+    lasts = j.groupBy("user_id", "conv").agg(
+        F.max_by("ch", F.struct("ts", "event_id")).alias("last_ch")
+    ).select(
+        F.col("last_ch").alias("s"),
+        F.when(F.col("conv"), F.lit("conv")).otherwise(F.lit("null")).alias("t"),
+    )
+    users = (
+        ev.join(F.broadcast(fp), "user_id", "left")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.col("tp").isNotNull().cast("int")).alias("conv"),
+            F.max(
+                (
+                    (F.col("event_type") != "purchase")
+                    & (F.col("tp").isNull() | (F.col("ts") < F.col("tp")))
+                ).cast("int")
+            ).alias("has_touch"),
+        )
+        .where(F.col("has_touch") == 0)
+        .select(
+            F.lit("start").alias("s"),
+            F.when(F.col("conv") == 1, F.lit("conv"))
+            .otherwise(F.lit("null"))
+            .alias("t"),
+        )
+    )
+    trans = (
+        seq.unionByName(lasts)
+        .unionByName(users)
+        .groupBy("s", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()  # outn + the 5 chain variants read it
+    )
+    outn = trans.groupBy("s").agg(F.sum("n").cast("long").alias("outn"))
+    chains = trans.sparkSession.createDataFrame(
+        [("full",), ("click",), ("view",), ("signup",), ("error",)],
+        "chain string",
+    )
+    ea = (
+        chains.join(
+            trans,
+            (F.col("chain") == "full") | (F.col("s") != F.col("chain")),
+        )
+        .join(F.broadcast(outn), "s")
+        .select(
+            "chain",
+            "s",
+            F.when(
+                (F.col("chain") != "full") & (F.col("t") == F.col("chain")),
+                F.lit("null"),
+            )
+            .otherwise(F.col("t"))
+            .alias("t2"),
+            "n",
+            "outn",
+        )
+        .groupBy(
+            # fresh aliases: p and ea both descend from the `chains`
+            # relation, so shared attribute ids would make the loop join
+            # an ambiguous self-join — distinct names get distinct ids
+            F.col("chain").alias("e_chain"),
+            F.col("s").alias("e_s"),
+            F.col("t2").alias("e_t"),
+        )
+        .agg(F.sum("n").cast("long").alias("n"), F.any_value("outn").alias("outn"))
+        .localCheckpoint()  # read every step
+    )
+    d = F.call_function
+    p = chains.select(
+        "chain",
+        F.lit("start").alias("state"),
+        F.lit(1_000_000).cast("long").alias("mass"),
+    ).localCheckpoint()
+    for _ in range(_MARKOV_STEPS):
+        flowed = (
+            p.join(
+                ea,
+                (p["chain"] == ea["e_chain"]) & (p["state"] == ea["e_s"]),
+            )
+            .select(
+                p["chain"].alias("c2"),
+                ea["e_t"].alias("state2"),
+                d(
+                    "div",
+                    F.lit(2) * F.col("mass") * F.col("n") + F.col("outn"),
+                    F.lit(2) * F.col("outn"),
+                ).alias("m"),
+            )
+        )
+        retained = p.where(F.col("state").isin("conv", "null")).select(
+            F.col("chain").alias("c2"),
+            F.col("state").alias("state2"),
+            F.col("mass").alias("m"),
+        )
+        p = (
+            flowed.unionByName(retained)
+            .groupBy(F.col("c2").alias("chain"), F.col("state2").alias("state"))
+            .agg(F.sum("m").cast("long").alias("mass"))
+            .localCheckpoint()
+        )
+    pc = p.groupBy("chain").agg(
+        F.coalesce(
+            F.max(F.when(F.col("state") == "conv", F.col("mass"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("p_conv")
+    )
+    full = pc.where(F.col("chain") == "full").select(
+        F.col("p_conv").alias("p_full")
+    )
+    return (
+        pc.where(F.col("chain") != "full")
+        .crossJoin(F.broadcast(full))
+        .select(
+            F.col("chain").alias("channel"),
+            F.col("p_full").alias("p_full_micro"),
+            F.col("p_conv").alias("p_removed_micro"),
+            d(
+                "div",
+                F.lit(2) * (F.col("p_full") - F.col("p_conv")) * 1_000_000
+                + F.col("p_full"),
+                F.lit(2) * F.col("p_full"),
+            ).alias("removal_effect_ppm"),
+        )
     )

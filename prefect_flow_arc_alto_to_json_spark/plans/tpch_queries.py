@@ -588,7 +588,14 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
-    rev = li.groupBy("l_suppkey").agg(F.sum(_amt()).alias("total"))
+    # pin the supplier-grain aggregate once: the MAX aggregate and the
+    # equality filter both read it, and without the pin the lineitem
+    # scan+agg lineage re-derives per consumer (one extra exchange)
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(_amt()).alias("total"))
+        .localCheckpoint()
+    )
     mx = rev.agg(F.max("total").alias("mx"))
     top = (
         rev.crossJoin(F.broadcast(mx))

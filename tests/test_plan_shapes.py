@@ -343,7 +343,7 @@ _TPCH_SHUFFLE_BUDGETS = {
     "tpch_q12_priority_split": 2,  # orderkey join + returnflag agg
     "tpch_q13_customer_distribution": 2,  # custkey agg + c_count agg
     "tpch_q14_promo_revenue": 1,  # 1-row global agg
-    "tpch_q15_top_supplier": 2,  # suppkey agg + global rank window
+    "tpch_q15_top_supplier": 2,  # suppkey agg + the 1-row MAX agg (r10: max broadcast replaced the global rank window)
     "tpch_q16_supplier_cnt": 2,  # count-distinct expand (2-phase)
     "tpch_q17_small_qty_revenue": 2,  # partkey agg + 1-row global agg
     "tpch_q18_large_volume_customer": 1,  # orderkey agg; rest broadcast
