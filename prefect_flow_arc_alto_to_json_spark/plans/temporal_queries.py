@@ -2600,3 +2600,272 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("removal_effect_ppm"),
         )
     )
+
+
+_BURST_K = 16  # trailing-day analysis window (fixed unroll depth)
+_BURST_TRANS = 2772589  # gamma * ln(K) in micro-nats, gamma=1: round(1e6*ln 16)
+# shared literal in BOTH engines — ln(16) computed per-engine could differ
+# in the last ulp; a hardcoded integer cannot.
+
+
+def _burst_oracle() -> str:
+    """Unrolled replay of q_burst_detection: the planted daily series,
+    micro-snapped binomial costs, then the 2-state min-cost DP as
+    LAYERED MATERIALIZED one-row levels (forward 16, backward 15) and a
+    16-arm UNION ALL readout."""
+    piv_cols = ", ".join(
+        f"MAX(CASE WHEN idx = {i} THEN c0 END) AS c0_{i}, "
+        f"MAX(CASE WHEN idx = {i} THEN c1 END) AS c1_{i}"
+        for i in range(_BURST_K)
+    )
+    head = f"""
+    WITH daily AS MATERIALIZED (
+      SELECT CAST(ts AS DATE) AS dy,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS nn
+      FROM events GROUP BY 1
+    ),
+    mx AS (SELECT MAX(dy) AS mxd FROM daily),
+    spine AS (SELECT CAST(range AS INT) AS idx FROM range(0, {_BURST_K})),
+    base AS MATERIALIZED (
+      SELECT s.idx, mx.mxd + (s.idx - {_BURST_K - 1}) AS dy2,
+             COALESCE(d.n, 0) AS n, COALESCE(d.nn, 0) AS nn,
+             s.idx % 5 = 2 AS planted
+      FROM spine s CROSS JOIN mx
+      LEFT JOIN daily d ON d.dy = mx.mxd + (s.idx - {_BURST_K - 1})
+    ),
+    b2 AS MATERIALIZED (
+      SELECT idx, dy2, n,
+             CASE WHEN planted THEN n * 3 ELSE n END AS n2,
+             CASE WHEN planted THEN nn + 2 * n ELSE nn END AS nn2
+      FROM base
+    ),
+    tot AS (SELECT CAST(SUM(n2) AS DOUBLE) AS s_pl,
+                   CAST(SUM(nn2) AS DOUBLE) AS s_all FROM b2),
+    costs AS MATERIALIZED (
+      SELECT b.idx, b.dy2, b.n, b.n2, b.nn2,
+        CAST(ROUND(-(b.n2 * LN(t.s_pl / t.s_all)
+             + (b.nn2 - b.n2) * LN(1 - t.s_pl / t.s_all)) * 1000000.0)
+             AS BIGINT) AS c0,
+        CAST(ROUND(-(b.n2 * LN(LEAST(2 * (t.s_pl / t.s_all), 0.999999))
+             + (b.nn2 - b.n2) * LN(1 - LEAST(2 * (t.s_pl / t.s_all), 0.999999)))
+             * 1000000.0) AS BIGINT) AS c1
+      FROM b2 b, tot t
+    ),
+    piv AS MATERIALIZED (SELECT {piv_cols} FROM costs),
+    d0 AS MATERIALIZED (
+      SELECT *, c0_0 AS f0_0, {_BURST_TRANS} + c1_0 AS f1_0 FROM piv
+    )"""
+    levels = []
+    for i in range(1, _BURST_K):
+        levels.append(f""",
+    d{i} AS MATERIALIZED (
+      SELECT *, c0_{i} + LEAST(f0_{i - 1}, f1_{i - 1}) AS f0_{i},
+             c1_{i} + LEAST(f0_{i - 1} + {_BURST_TRANS}, f1_{i - 1}) AS f1_{i}
+      FROM d{i - 1}
+    )""")
+    levels.append(f""",
+    e{_BURST_K - 1} AS MATERIALIZED (
+      SELECT *, CAST(0 AS BIGINT) AS b0_{_BURST_K - 1},
+             CAST(0 AS BIGINT) AS b1_{_BURST_K - 1}
+      FROM d{_BURST_K - 1}
+    )""")
+    for i in range(_BURST_K - 2, -1, -1):
+        levels.append(f""",
+    e{i} AS MATERIALIZED (
+      SELECT *,
+        LEAST(c0_{i + 1} + b0_{i + 1},
+              {_BURST_TRANS} + c1_{i + 1} + b1_{i + 1}) AS b0_{i},
+        LEAST(c0_{i + 1} + b0_{i + 1}, c1_{i + 1} + b1_{i + 1}) AS b1_{i}
+      FROM e{i + 1}
+    )""")
+    arms = "\n    UNION ALL\n".join(
+        f"""SELECT c.idx, strftime(c.dy2, '%Y-%m-%d') AS day,
+           c.n AS n_events, c.n2 AS n_planted, c.nn2 AS n_total,
+           CAST(CASE WHEN d.f0_{i} + d.b0_{i} <= d.f1_{i} + d.b1_{i}
+                THEN 0 ELSE 1 END AS INT) AS state
+    FROM costs c, e0 d WHERE c.idx = {i}"""
+        for i in range(_BURST_K)
+    )
+    return head + "".join(levels) + "\n    " + arms
+
+
+@query("q_burst_detection", extra=True, oracle=_burst_oracle())
+def q_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLEINBERG-style BURST DETECTION (2-state minimum-cost automaton,
+    Kleinberg 2002) over the trailing 16-day click-share series — the
+    trend/anomaly operator the temporal family lacked (CUSUM finds ONE
+    changepoint; the burst automaton labels every day base/burst with a
+    state-switching penalty, the "bursty and hierarchical structure"
+    model). Observation costs are the binomial negative log-likelihoods
+    of the day's click count under the base rate p0 (window share) vs
+    the burst rate min(2*p0, 0.999999), micro-snapped per day (ln of
+    data-derived rationals — the DSIR measure-zero discipline); the
+    0->1 transition costs gamma*ln(K) micro-nats, HARDCODED as the
+    integer 2772589 in both engines so last-ulp ln() divergence cannot
+    exist. Day states come from the forward+backward min-sum marginals
+    (= the Viterbi path, ties to base), all integer arithmetic.
+
+    The synthetic stream is deliberately uniform, so the series PLANTS
+    deterministic incidents (click count x3 on days idx % 5 == 2; the
+    oracle replays the plant): the detector must recover exactly the
+    planted schedule at sf0.01/sf0.1, and at sf0.001 it flags a planted
+    subset with zero false positives — small daily samples genuinely
+    carry too little likelihood, the honest behavior
+    (tests/test_patterns.py gates plant-recovery and no-false-positive).
+
+    Scale: ONE map-side-combining daily agg touches the corpus; the
+    spine, costs, pivot and the 31 chained DP projections all run on a
+    16-row/1-row relation (codegen probes showed the chained selects
+    stay plan-linear, ~10 KB). At a years-long window the same DP runs
+    per K-day tile with carried boundary state.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("dy"), "event_type"
+    )
+    daily = ev.groupBy("dy").agg(
+        F.sum((F.col("event_type") == "click").cast("int"))
+        .cast("long")
+        .alias("n"),
+        F.count(F.lit(1)).cast("long").alias("nn"),
+    )
+    mx = daily.agg(F.max("dy").alias("mxd"))
+    spine = spark.range(_BURST_K).select(F.col("id").cast("int").alias("idx"))
+    base = (
+        spine.crossJoin(F.broadcast(mx))
+        .select(
+            "idx",
+            F.date_add("mxd", F.col("idx") - (_BURST_K - 1)).alias("dy2"),
+            (F.col("idx") % 5 == 2).alias("planted"),
+        )
+        .join(
+            F.broadcast(daily.withColumnRenamed("dy", "dy2")), "dy2", "left"
+        )
+        .select(
+            "idx",
+            "dy2",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            F.coalesce("nn", F.lit(0)).cast("long").alias("nn"),
+            "planted",
+        )
+    )
+    b2 = base.select(
+        "idx",
+        "dy2",
+        "n",
+        F.when(F.col("planted"), F.col("n") * 3)
+        .otherwise(F.col("n"))
+        .alias("n2"),
+        F.when(F.col("planted"), F.col("nn") + 2 * F.col("n"))
+        .otherwise(F.col("nn"))
+        .alias("nn2"),
+    ).localCheckpoint()  # totals, costs and the final readout read it
+    tot = b2.agg(
+        F.sum("n2").cast("double").alias("s_pl"),
+        F.sum("nn2").cast("double").alias("s_all"),
+    ).localCheckpoint()  # break the shared-b2 lineage: the crossJoin of
+    # b2 with its own aggregate otherwise trips AMBIGUOUS_REFERENCE under
+    # Spark 4's hybrid analyzer (the markov chains/ea lesson)
+    p0 = F.col("s_pl") / F.col("s_all")
+    p1 = F.least(2 * (F.col("s_pl") / F.col("s_all")), F.lit(0.999999))
+    costs = b2.crossJoin(F.broadcast(tot)).select(
+        "idx",
+        "dy2",
+        "n",
+        "n2",
+        "nn2",
+        F.round(
+            -(
+                F.col("n2") * F.log(p0)
+                + (F.col("nn2") - F.col("n2")) * F.log(1 - p0)
+            )
+            * 1000000.0,
+            0,
+        )
+        .cast("long")
+        .alias("c0"),
+        F.round(
+            -(
+                F.col("n2") * F.log(p1)
+                + (F.col("nn2") - F.col("n2")) * F.log(1 - p1)
+            )
+            * 1000000.0,
+            0,
+        )
+        .cast("long")
+        .alias("c1"),
+    ).localCheckpoint()  # the pivot and the readout join read it
+    piv = costs.groupBy().agg(
+        *[
+            F.max(F.when(F.col("idx") == i, F.col(c))).alias(f"{c}_{i}")
+            for i in range(_BURST_K)
+            for c in ("c0", "c1")
+        ]
+    )
+    cur = piv.select(
+        "*",
+        F.col("c0_0").alias("f0_0"),
+        (F.lit(_BURST_TRANS) + F.col("c1_0")).alias("f1_0"),
+    )
+    for i in range(1, _BURST_K):
+        cur = cur.select(
+            "*",
+            (
+                F.col(f"c0_{i}")
+                + F.least(F.col(f"f0_{i - 1}"), F.col(f"f1_{i - 1}"))
+            ).alias(f"f0_{i}"),
+            (
+                F.col(f"c1_{i}")
+                + F.least(
+                    F.col(f"f0_{i - 1}") + F.lit(_BURST_TRANS),
+                    F.col(f"f1_{i - 1}"),
+                )
+            ).alias(f"f1_{i}"),
+        )
+    last = _BURST_K - 1
+    cur = cur.select(
+        "*",
+        F.lit(0).cast("long").alias(f"b0_{last}"),
+        F.lit(0).cast("long").alias(f"b1_{last}"),
+    )
+    for i in range(last - 1, -1, -1):
+        cur = cur.select(
+            "*",
+            F.least(
+                F.col(f"c0_{i + 1}") + F.col(f"b0_{i + 1}"),
+                F.lit(_BURST_TRANS) + F.col(f"c1_{i + 1}") + F.col(f"b1_{i + 1}"),
+            ).alias(f"b0_{i}"),
+            F.least(
+                F.col(f"c0_{i + 1}") + F.col(f"b0_{i + 1}"),
+                F.col(f"c1_{i + 1}") + F.col(f"b1_{i + 1}"),
+            ).alias(f"b1_{i}"),
+        )
+    states = cur.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("idx"),
+                        F.when(
+                            F.col(f"f0_{i}") + F.col(f"b0_{i}")
+                            <= F.col(f"f1_{i}") + F.col(f"b1_{i}"),
+                            F.lit(0),
+                        )
+                        .otherwise(F.lit(1))
+                        .cast("int")
+                        .alias("state"),
+                    )
+                    for i in range(_BURST_K)
+                ]
+            )
+        ).alias("s")
+    ).select("s.idx", "s.state").localCheckpoint()  # same shared-lineage break
+    return costs.join(F.broadcast(states), "idx").select(
+        "idx",
+        F.date_format("dy2", "yyyy-MM-dd").alias("day"),
+        F.col("n").alias("n_events"),
+        F.col("n2").alias("n_planted"),
+        F.col("nn2").alias("n_total"),
+        "state",
+    )

@@ -167,3 +167,24 @@ def test_mmr_diversifies_vs_plain_topk(spark, sf_dir):
     )
     plain_ids = [r["vec_id"] for r in plain.collect()]
     assert max_pairwise(mmr_ids) <= max_pairwise(plain_ids)
+
+
+def test_burst_detection_recovers_planted_schedule(spark, sf_dir):
+    """The burst automaton must flag ONLY planted incident days (x3
+    click days at idx % 5 == 2) — zero false positives at every SF —
+    and at least one of them (at sf0.01/0.1 it recovers the full
+    schedule; at sf0.001 daily samples are small enough that only a
+    subset clears the gamma*ln(K) switching cost, the honest
+    small-sample behavior)."""
+    rows = EXTRA_QUERIES["q_burst_detection"](spark, sf_dir).collect()
+    assert len(rows) == 16
+    planted = {r["idx"] for r in rows if r["idx"] % 5 == 2}
+    flagged = {r["idx"] for r in rows if r["state"] == 1}
+    assert flagged, "vacuous: no burst days detected"
+    assert flagged <= planted, f"false positives: {sorted(flagged - planted)}"
+    # the plant itself must be visible in the data columns
+    for r in rows:
+        if r["idx"] in planted:
+            assert r["n_planted"] == 3 * r["n_events"]
+        else:
+            assert r["n_planted"] == r["n_events"]
