@@ -1294,3 +1294,82 @@ def betweenness_exact(edges: DataFrame, max_depth: int = 4) -> DataFrame:
             "node", F.coalesce("bc", F.lit(0)).cast("long").alias("bc_micro")
         )
     )
+
+
+def dominant_edge_matching(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """Distributed greedy WEIGHTED MATCHING by locally-dominant edges
+    (Preis 1999 — the parallel matching kernel multilevel partitioners
+    like METIS run during graph coarsening): per round, an edge joins
+    the matching iff it is the best incident edge of BOTH endpoints
+    under the total order (w DESC, a ASC, b ASC); matched endpoints
+    leave the graph and the rest re-compete. Locally-dominant edges are
+    never adjacent (two adjacent edges cannot each be the shared
+    endpoint's best), so every round is conflict-free, and the result
+    is maximal once a round matches nothing — deterministic because the
+    order is total ((a, b) is unique per canonical edge).
+
+    Input ``edges``: canonical undirected (a < b, w positive long).
+    Returns (a, b, w, round) for matched edges.
+
+    Scale: per round ONE endpoint-keyed window over the 2|E| incidence
+    relation picks each node's best edge, two node-keyed joins confirm
+    mutual dominance, and two anti-joins retire matched endpoints —
+    every relation edge- or node-sized, lineage cut per round. Expected
+    rounds to maximality is O(log |E|) on arbitrary graphs.
+    """
+    from pyspark.sql import Window
+
+    alive = (
+        edges.select("a", "b", "w")
+        .where(F.col("a") < F.col("b"))
+        .localCheckpoint()
+    )
+    matched = None
+    for r in range(1, rounds + 1):
+        inc = alive.select(F.col("a").alias("node"), "a", "b", "w").unionByName(
+            alive.select(F.col("b").alias("node"), "a", "b", "w")
+        )
+        wbest = Window.partitionBy("node").orderBy(
+            F.desc("w"), F.asc("a"), F.asc("b")
+        )
+        best = (
+            inc.withColumn("rn", F.row_number().over(wbest))
+            .where(F.col("rn") == 1)
+            .select("node", F.col("a").alias("ba"), F.col("b").alias("bb"))
+            .localCheckpoint()  # both dominance joins read it
+        )
+        m = (
+            alive.join(
+                F.broadcast(best),
+                (F.col("node") == F.col("a"))
+                & (F.col("ba") == F.col("a"))
+                & (F.col("bb") == F.col("b")),
+            )
+            .drop("node", "ba", "bb")
+            .join(
+                F.broadcast(
+                    best.select(
+                        F.col("node").alias("node2"),
+                        F.col("ba").alias("ba2"),
+                        F.col("bb").alias("bb2"),
+                    )
+                ),
+                (F.col("node2") == F.col("b"))
+                & (F.col("ba2") == F.col("a"))
+                & (F.col("bb2") == F.col("b")),
+            )
+            .select("a", "b", "w", F.lit(r).cast("int").alias("round"))
+            .localCheckpoint()  # matched output + two node anti-joins
+        )
+        mn = m.select(F.col("a").alias("node")).unionByName(
+            m.select(F.col("b").alias("node"))
+        )
+        alive = (
+            alive.join(
+                F.broadcast(mn.withColumnRenamed("node", "a")), "a", "anti"
+            )
+            .join(F.broadcast(mn.withColumnRenamed("node", "b")), "b", "anti")
+            .localCheckpoint()
+        )
+        matched = m if matched is None else matched.unionByName(m)
+    return matched

@@ -2036,3 +2036,118 @@ def q_betweenness_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return betweenness_exact(edges, max_depth=4).select(
         F.col("node").cast("long").alias("node"), "bc_micro"
     )
+
+
+def _matching_oracle(rounds: int = 4) -> str:
+    """Unrolled replay of operators/graph.py:dominant_edge_matching on
+    the mean-thresholded undirected trade graph: per round a
+    MATERIALIZED best-incident-edge level, the mutual-dominance join,
+    and the endpoint-retirement filter."""
+    head = """
+    WITH e0 AS MATERIALIZED (
+      SELECT c_nationkey AS src, s_nationkey AS dst, COUNT(*) AS w
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1, 2
+    ),
+    agg AS (SELECT SUM(w) AS tot, COUNT(*) AS n FROM e0),
+    ef AS MATERIALIZED (
+      SELECT src, dst, w FROM e0, agg WHERE src <> dst AND w * n >= tot
+    ),
+    e1 AS MATERIALIZED (
+      SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+             CAST(SUM(w) AS BIGINT) AS w
+      FROM ef GROUP BY 1, 2
+    )"""
+    rnd = """,
+    b{R} AS MATERIALIZED (
+      SELECT node, a, b FROM (
+        SELECT node, a, b,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY w DESC, a, b) AS rn
+        FROM (
+          SELECT a AS node, a, b, w FROM e{R}
+          UNION ALL
+          SELECT b AS node, a, b, w FROM e{R}
+        )
+      ) WHERE rn = 1
+    ),
+    m{R} AS MATERIALIZED (
+      SELECT e.a, e.b, e.w, {R} AS round
+      FROM e{R} e
+      JOIN b{R} x ON x.node = e.a AND x.a = e.a AND x.b = e.b
+      JOIN b{R} y ON y.node = e.b AND y.a = e.a AND y.b = e.b
+    ),
+    e{N} AS MATERIALIZED (
+      SELECT * FROM e{R}
+      WHERE a NOT IN (SELECT a FROM m{R} UNION SELECT b FROM m{R})
+        AND b NOT IN (SELECT a FROM m{R} UNION SELECT b FROM m{R})
+    )"""
+    body = "".join(rnd.format(R=r, N=r + 1) for r in range(1, rounds + 1))
+    arms = "\n    UNION ALL\n    ".join(
+        f"SELECT a, b, w, CAST(round AS INT) AS round FROM m{r}"
+        for r in range(1, rounds + 1)
+    )
+    return head + body + "\n    " + arms
+
+
+@query("q_graph_matching", extra=True, oracle=_matching_oracle(4))
+def q_graph_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed greedy weighted MATCHING (Preis locally-dominant
+    edges — see operators/graph.py:dominant_edge_matching) over the
+    mean-thresholded undirected trade graph: the assignment-problem
+    member of the graph family (centrality ranks nodes, components
+    group them; matching PAIRS them — the kernel of multilevel graph
+    coarsening, switch scheduling and one-to-one entity linking). Four
+    rounds reach maximality here (the round-5 emptiness gate lives in
+    tests/test_graph.py alongside the no-shared-endpoint and
+    mutual-dominance axioms); all weights are exact lineitem counts and
+    the dominance order (w DESC, a, b) is total, so the unrolled oracle
+    replays every round hash-exact.
+
+    Scale: the edge build is the q7 fact join; each round is one
+    endpoint-keyed window + node-keyed joins on the nation-level
+    relation. On billion-edge graphs the same rounds run with the
+    incidence window partitioned by node — the standard parallel
+    matching in graph-partitioner coarsening, unchanged.
+    """
+    from ..operators.graph import dominant_edge_matching
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    e0 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    tot = e0.agg(F.sum("w").alias("tot"), F.count(F.lit(1)).alias("n"))
+    und = (
+        e0.crossJoin(F.broadcast(tot))
+        .where(
+            (F.col("src") != F.col("dst"))
+            & (F.col("w") * F.col("n") >= F.col("tot"))
+        )
+        .groupBy(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .agg(F.sum("w").cast("long").alias("w"))
+    )
+    return dominant_edge_matching(und, rounds=4)

@@ -520,3 +520,58 @@ def test_betweenness_depth_cap_and_identity(spark, sf_dir):
         )
         dist = dist.unionByName(frontier).localCheckpoint()
     assert frontier.count() == 0, "level-5 frontier non-empty: diameter > 4"
+
+
+def test_matching_axioms(spark, sf_dir):
+    """Matching invariants the oracle hash can't express: (1) matched
+    edges share no endpoint; (2) running ONE MORE round past the
+    registered 4 matches nothing (maximality reached); (3) every
+    round-1 matched edge really is the best incident edge of both its
+    endpoints under (w DESC, a, b), recomputed independently."""
+    from pyspark.sql import functions as F
+
+    from prefect_flow_arc_alto_to_json_spark.operators.graph import (
+        dominant_edge_matching,
+    )
+    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+    from prefect_flow_arc_alto_to_json_spark.sources import load_table
+
+    rows = EXTRA_QUERIES["q_graph_matching"](spark, sf_dir).collect()
+    assert rows, "vacuous: nothing matched"
+    nodes = [x for r in rows for x in (r["a"], r["b"])]
+    assert len(nodes) == len(set(nodes)), "matched edges share endpoints"
+
+    # rebuild the canonical thresholded edges (the query's own build)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    e0 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    tot = e0.agg(F.sum("w").alias("tot"), F.count(F.lit(1)).alias("n"))
+    und = (
+        e0.crossJoin(F.broadcast(tot))
+        .where((F.col("src") != F.col("dst")) & (F.col("w") * F.col("n") >= F.col("tot")))
+        .groupBy(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .agg(F.sum("w").cast("long").alias("w"))
+    )
+    # (2) a 5th round adds nothing
+    five = dominant_edge_matching(und, rounds=5).collect()
+    assert not [r for r in five if r["round"] == 5], "round 5 still matched"
+    # (3) round-1 mutual dominance, recomputed in plain python
+    edges = [(r["a"], r["b"], r["w"]) for r in und.collect()]
+    best = {}
+    for a, b, w in edges:
+        for node in (a, b):
+            cur = best.get(node)
+            if cur is None or (-w, a, b) < cur[0]:
+                best[node] = ((-w, a, b), (a, b))
+    for r in rows:
+        if r["round"] == 1:
+            e = (r["a"], r["b"])
+            assert best[r["a"]][1] == e and best[r["b"]][1] == e, e
