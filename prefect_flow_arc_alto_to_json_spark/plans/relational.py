@@ -3507,3 +3507,173 @@ def q_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("support_ppm"),
         )
     )
+
+
+_APPORTION_SEATS = 20
+
+
+@query(
+    "q_seat_apportionment",
+    extra=True,
+    oracle=f"""
+    WITH vals AS MATERIALIZED (
+      SELECT c.c_nationkey AS nation,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS v
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1
+    ),
+    ks AS (SELECT CAST(range AS BIGINT) AS k
+           FROM range(1, {_APPORTION_SEATS} + 1)),
+    quot AS MATERIALIZED (SELECT nation, k, v FROM vals CROSS JOIN ks),
+    ranked AS MATERIALIZED (
+      SELECT a.nation, a.k,
+             1 + CAST(COUNT(*) FILTER (WHERE
+               b.v * a.k > a.v * b.k
+               OR (b.v * a.k = a.v * b.k
+                   AND (b.nation < a.nation
+                        OR (b.nation = a.nation AND b.k < a.k)))
+             ) AS BIGINT) AS rk
+      FROM quot a
+      JOIN quot b ON NOT (a.nation = b.nation AND a.k = b.k)
+      GROUP BY 1, 2, a.v
+    ),
+    dh AS (
+      SELECT nation,
+             CAST(SUM(CASE WHEN rk <= {_APPORTION_SEATS} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS seats_dhondt
+      FROM ranked GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(v) AS BIGINT) AS t FROM vals),
+    lrb AS MATERIALIZED (
+      SELECT v2.nation, v2.v,
+             (v2.v * {_APPORTION_SEATS}) // tot.t AS fl,
+             (v2.v * {_APPORTION_SEATS}) % tot.t AS rem
+      FROM vals v2, tot
+    ),
+    extra_n AS (
+      SELECT CAST({_APPORTION_SEATS} - SUM(fl) AS BIGINT) AS n_extra
+      FROM lrb
+    ),
+    lrr AS (
+      SELECT a.nation, a.v, a.fl,
+             1 + CAST(COUNT(*) FILTER (WHERE
+               b.rem > a.rem OR (b.rem = a.rem AND b.nation < a.nation)
+             ) AS BIGINT) AS rrank
+      FROM lrb a JOIN lrb b ON b.nation <> a.nation
+      GROUP BY 1, 2, 3, a.rem
+    )
+    SELECT r.nation, r.v AS revenue_cents,
+           d.seats_dhondt,
+           CAST(r.fl + CASE WHEN r.rrank <= e.n_extra THEN 1 ELSE 0 END
+                AS BIGINT) AS seats_lr
+    FROM lrr r JOIN dh d ON d.nation = r.nation CROSS JOIN extra_n e
+    """,
+)
+def q_seat_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROPORTIONAL APPORTIONMENT — split a 20-seat budget "seats" across
+    nations by revenue under the two classic methods: D'HONDT (highest
+    averages: the top-S of the v/k quotient table) and HAMILTON (largest
+    remainder: floor(v*S/total) plus one for the biggest remainders) —
+    the allocation-algorithm family (shard budgets, sampling quotas,
+    parliament seats) the registry lacked. EVERYTHING is exact integer
+    arithmetic: quotient order resolves by CROSS-MULTIPLICATION
+    (v_a*k_b > v_b*k_a — never a float division), remainders are exact
+    modulo residues, and both rank computations are count-of-better
+    self-joins over the bounded quotient/nation relations (500 and 25
+    rows — no global window, no sort). The two methods genuinely differ
+    (D'Hondt favors large shares; Hamilton is quota-respecting), and
+    both columns must sum to exactly S — the axiom gate in
+    tests/test_patterns.py.
+
+    Scale: the revenue rollup is the only corpus-scale stage; quotient
+    ranking is |nations|*S squared at worst — broadcast territory at
+    any real seat count. For huge S the top-S switches to the divisor
+    binary search; S=20 here keeps the textbook form.
+    """
+    vals = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "customer").select(
+                    "c_custkey", "c_nationkey"
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(F.sum(cents("o_totalprice")).cast("long").alias("v"))
+        .localCheckpoint()  # quotients, totals and the LR rollup read it
+    )
+    S = _APPORTION_SEATS
+    ks = vals.sparkSession.range(1, S + 1).select(F.col("id").alias("k"))
+    quot = vals.crossJoin(F.broadcast(ks)).localCheckpoint()
+    a = quot.select(
+        F.col("nation").alias("na"), F.col("k").alias("ka"), F.col("v").alias("va")
+    )
+    b = quot.select(
+        F.col("nation").alias("nb"), F.col("k").alias("kb"), F.col("v").alias("vb")
+    )
+    better = (F.col("vb") * F.col("ka") > F.col("va") * F.col("kb")) | (
+        (F.col("vb") * F.col("ka") == F.col("va") * F.col("kb"))
+        & (
+            (F.col("nb") < F.col("na"))
+            | ((F.col("nb") == F.col("na")) & (F.col("kb") < F.col("ka")))
+        )
+    )
+    ranked = (
+        a.join(
+            F.broadcast(b),
+            ~((F.col("na") == F.col("nb")) & (F.col("ka") == F.col("kb"))),
+        )
+        .groupBy("na", "ka")
+        .agg((1 + F.sum(better.cast("long"))).alias("rk"))
+    )
+    dh = ranked.groupBy(F.col("na").alias("nation")).agg(
+        F.sum((F.col("rk") <= S).cast("long")).cast("long").alias("seats_dhondt")
+    )
+    tot = vals.agg(F.sum("v").cast("long").alias("t"))
+    d = F.call_function
+    lrb = vals.crossJoin(F.broadcast(tot)).select(
+        "nation",
+        "v",
+        d("div", F.col("v") * S, F.col("t")).alias("fl"),
+        F.pmod(F.col("v") * S, F.col("t")).alias("rem"),
+    ).localCheckpoint()  # extra-seat scalar + both rank sides read it
+    extra_n = lrb.agg((F.lit(S) - F.sum("fl")).cast("long").alias("n_extra"))
+    rb = lrb.select(
+        F.col("nation").alias("nb2"), F.col("rem").alias("remb")
+    )
+    lrr = (
+        lrb.join(F.broadcast(rb), F.col("nb2") != F.col("nation"))
+        .groupBy("nation", "v", "fl", "rem")
+        .agg(
+            (
+                1
+                + F.sum(
+                    (
+                        (F.col("remb") > F.col("rem"))
+                        | (
+                            (F.col("remb") == F.col("rem"))
+                            & (F.col("nb2") < F.col("nation"))
+                        )
+                    ).cast("long")
+                )
+            ).alias("rrank")
+        )
+    )
+    return (
+        lrr.join(F.broadcast(dh), "nation")
+        .crossJoin(F.broadcast(extra_n))
+        .select(
+            "nation",
+            F.col("v").alias("revenue_cents"),
+            "seats_dhondt",
+            (
+                F.col("fl")
+                + (F.col("rrank") <= F.col("n_extra")).cast("long")
+            )
+            .cast("long")
+            .alias("seats_lr"),
+        )
+    )

@@ -188,3 +188,19 @@ def test_burst_detection_recovers_planted_schedule(spark, sf_dir):
             assert r["n_planted"] == 3 * r["n_events"]
         else:
             assert r["n_planted"] == r["n_events"]
+
+
+def test_apportionment_axioms(spark, sf_dir):
+    """Both methods must allocate EXACTLY the 20-seat budget, and
+    D'Hondt must be monotone in revenue (a nation with strictly more
+    revenue never gets fewer seats — highest-averages methods are
+    population-monotone; Hamilton famously is not, which is why only
+    D'Hondt carries this assertion)."""
+    rows = EXTRA_QUERIES["q_seat_apportionment"](spark, sf_dir).collect()
+    assert rows
+    assert sum(r["seats_dhondt"] for r in rows) == 20
+    assert sum(r["seats_lr"] for r in rows) == 20
+    by_rev = sorted(rows, key=lambda r: r["revenue_cents"])
+    for lo, hi in zip(by_rev, by_rev[1:]):
+        if hi["revenue_cents"] > lo["revenue_cents"]:
+            assert hi["seats_dhondt"] >= lo["seats_dhondt"], (lo, hi)

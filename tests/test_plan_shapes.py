@@ -182,8 +182,11 @@ _SHUFFLE_BUDGETS = {
     "q_roc_auc_by_lang": 2,
     # 1-row min/max broadcast + ≤10-bin agg
     "q_calibration_bins": 2,
-    # per-user totals agg + user-cardinality rank window
-    "q_gini_concentration": 2,
+    # per-user totals agg + the dense-ids rank device (round 10: range
+    # repartition + O(partitions) offset agg + final checkpoint-stub
+    # exchange replace the former SINGLE-PARTITION user-grain window —
+    # two more exchanges, all parallel, none a collapse)
+    "q_gini_concentration": 4,
     # contingency agg persisted once; margins/N/terms re-read it (static
     # dump embeds the cached subtree per consumer — runtime runs it once)
     "q_chi_square_independence": 10,
