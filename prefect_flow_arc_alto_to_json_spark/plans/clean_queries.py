@@ -3235,3 +3235,119 @@ def q_group_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("med_y").alias("imputed_cents"), "abs_err_cents",
         )
     )
+
+
+@query(
+    "q_uplift_segments",
+    extra=True,
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_ev,
+             MAX(CASE WHEN event_type = 'purchase' AND value >= 200
+                 THEN 1 ELSE 0 END) AS conv,
+             CAST(md5_number_lower('uplift-v1:' || CAST(user_id AS VARCHAR))
+                  % 4294967296 % 2 AS BIGINT) AS treated
+      FROM events GROUP BY 1
+    ),
+    seg AS (
+      SELECT LEAST(n_ev // 25, 3) AS segment, treated, conv FROM u
+    ),
+    g AS (
+      SELECT segment,
+             CAST(SUM(CASE WHEN treated = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_t,
+             CAST(SUM(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_c,
+             CAST(SUM(CASE WHEN treated = 1 THEN conv ELSE 0 END) AS BIGINT)
+               AS conv_t,
+             CAST(SUM(CASE WHEN treated = 0 THEN conv ELSE 0 END) AS BIGINT)
+               AS conv_c
+      FROM seg GROUP BY 1
+    )
+    SELECT segment, n_t, n_c, conv_t, conv_c,
+           CASE WHEN n_t > 0
+             THEN (2 * conv_t * 1000000 + n_t) // (2 * n_t) END AS rate_t_ppm,
+           CASE WHEN n_c > 0
+             THEN (2 * conv_c * 1000000 + n_c) // (2 * n_c) END AS rate_c_ppm,
+           CASE WHEN n_t > 0 AND n_c > 0
+             THEN (2 * conv_t * 1000000 + n_t) // (2 * n_t)
+                - (2 * conv_c * 1000000 + n_c) // (2 * n_c)
+           END AS uplift_ppm
+    FROM g
+    """,
+)
+def q_uplift_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPLIFT (incremental-effect) evaluation per activity segment — the
+    causal-analytics member of the eval family (ROC/AUC scores a
+    predictor; uplift scores an INTERVENTION): users hash-split into a
+    deterministic pseudo-treatment (md5 residue — the oracle replays
+    it), conversion = a HIGH-VALUE purchase (value >= 200 — any purchase is
+    near-universal on this stream, which would degenerate every rate to
+    1.0), segments by activity
+    buckets (n_events div 25, capped at 3), and per segment the
+    treated/control conversion rates plus their difference, all
+    half-up-snapped ppm from exact counts. On A/B-log data the same
+    relation IS the per-segment uplift report (T-learner difference);
+    here the null treatment makes the expected uplift ~0, so the
+    non-zero finite-sample differences double as a seed-split sanity
+    check (an |uplift| far from 0 in a null split flags a broken
+    randomizer — the SRM-adjacent audit).
+
+    Scale: one map-side-combining per-user aggregate, then a
+    segment-bounded rollup — two shuffles total, no joins; the rate
+    math is scalar projection over <= 4 rows. NULL-safe: segments with
+    an empty arm emit NULL rates rather than dividing by zero.
+    """
+    from ..functions.scalar import stable_hash_u32
+
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ev"),
+            F.max(
+                (
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") >= 200)
+                ).cast("int")
+            ).alias("conv"),
+        )
+        .select(
+            F.least(
+                F.call_function("div", F.col("n_ev"), F.lit(25)), F.lit(3)
+            ).alias("segment"),
+            F.pmod(
+                stable_hash_u32(
+                    F.concat(F.lit("uplift-v1:"), F.col("user_id").cast("string"))
+                ),
+                F.lit(2),
+            ).alias("treated"),
+            "conv",
+        )
+    )
+    g = u.groupBy("segment").agg(
+        F.sum((F.col("treated") == 1).cast("int")).cast("long").alias("n_t"),
+        F.sum((F.col("treated") == 0).cast("int")).cast("long").alias("n_c"),
+        F.sum(F.when(F.col("treated") == 1, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_t"),
+        F.sum(F.when(F.col("treated") == 0, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_c"),
+    )
+    d = F.call_function
+    rate_t = d("div", 2 * F.col("conv_t") * 1_000_000 + F.col("n_t"), 2 * F.col("n_t"))
+    rate_c = d("div", 2 * F.col("conv_c") * 1_000_000 + F.col("n_c"), 2 * F.col("n_c"))
+    return g.select(
+        "segment",
+        "n_t",
+        "n_c",
+        "conv_t",
+        "conv_c",
+        F.when(F.col("n_t") > 0, rate_t).alias("rate_t_ppm"),
+        F.when(F.col("n_c") > 0, rate_c).alias("rate_c_ppm"),
+        F.when((F.col("n_t") > 0) & (F.col("n_c") > 0), rate_t - rate_c).alias(
+            "uplift_ppm"
+        ),
+    )
