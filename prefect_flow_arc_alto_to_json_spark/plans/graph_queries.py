@@ -2093,7 +2093,8 @@ def _matching_oracle(rounds: int = 4) -> str:
     return head + body + "\n    " + arms
 
 
-@query("q_graph_matching", extra=True, oracle=_matching_oracle(4))
+# graded since round 10 (wave 2): the assignment/matching family
+@query("q_graph_matching", oracle=_matching_oracle(4))
 def q_graph_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed greedy weighted MATCHING (Preis locally-dominant
     edges — see operators/graph.py:dominant_edge_matching) over the

@@ -664,6 +664,7 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_json_extract",
+    extra=True,  # rotated out round 10 wave 2 (F1 scalar-function family graded via q_scalar_functions)
     oracle="""
     SELECT
       event_type,
@@ -2578,7 +2579,7 @@ def q_exact_median_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_item_cf",
-    # graded since round 9: bounded-fan-out co-occurrence recsys shape
+    extra=True,  # rotated out round 10 wave 2 (association family graded via q_market_basket)
     oracle="""
     WITH ui AS (SELECT DISTINCT user_id, event_type FROM events),
     n AS (

@@ -2431,7 +2431,8 @@ def _markov_oracle(steps: int = _MARKOV_STEPS) -> str:
     """
 
 
-@query("q_markov_attribution", extra=True, oracle=_markov_oracle())
+# graded since round 10 (wave 2): the chain-attribution family
+@query("q_markov_attribution", oracle=_markov_oracle())
 def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MARKOV-CHAIN (removal-effect) attribution — the data-driven
     attribution model beside q_shapley_attribution's game-theoretic one
@@ -2691,7 +2692,8 @@ def _burst_oracle() -> str:
     return head + "".join(levels) + "\n    " + arms
 
 
-@query("q_burst_detection", extra=True, oracle=_burst_oracle())
+# graded since round 10 (wave 2): the state-automaton DP family
+@query("q_burst_detection", oracle=_burst_oracle())
 def q_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KLEINBERG-style BURST DETECTION (2-state minimum-cost automaton,
     Kleinberg 2002) over the trailing 16-day click-share series — the

@@ -147,6 +147,7 @@ _QUALITY_CTES = f"""
 
 @query(
     "text_quality",
+    extra=True,  # rotated out round 10 wave 2 (quality scoring graded inside pipeline_clean_corpus; text family keeps naive_bayes + bpe graded)
     oracle=_QUALITY_CTES + """
     SELECT doc_id, quality FROM q
     """,

@@ -9,7 +9,7 @@ import datetime
 
 from pyspark.sql import functions as F
 
-from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES, QUERIES
 
 
 def test_apriori_downward_closure(spark, sf_dir):
@@ -176,7 +176,7 @@ def test_burst_detection_recovers_planted_schedule(spark, sf_dir):
     schedule; at sf0.001 daily samples are small enough that only a
     subset clears the gamma*ln(K) switching cost, the honest
     small-sample behavior)."""
-    rows = EXTRA_QUERIES["q_burst_detection"](spark, sf_dir).collect()
+    rows = {**QUERIES, **EXTRA_QUERIES}["q_burst_detection"](spark, sf_dir).collect()
     assert len(rows) == 16
     planted = {r["idx"] for r in rows if r["idx"] % 5 == 2}
     flagged = {r["idx"] for r in rows if r["state"] == 1}
