@@ -2212,6 +2212,7 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(DISTINCT e1.u) AS BIGINT) AS sup
       FROM ev e1
       JOIN ev e2 ON e2.u = e1.u AND e2.ts > e1.ts
+        AND e2.ts <= e1.ts + INTERVAL 24 HOUR
       JOIN ev e3 ON e3.u = e1.u AND e3.ts > e2.ts
         AND e3.ts <= e1.ts + INTERVAL 24 HOUR
       GROUP BY 1, 2, 3
@@ -2243,11 +2244,14 @@ def q_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncating history. Pattern matches are EXISTENTIAL per user
     (COUNT(DISTINCT user)), the textbook sequence-support definition.
 
-    Scale: both joins are user-keyed equi-joins whose range predicates
-    bound the fan-out by ACTIVITY DENSITY inside the window (events per
-    user-hour / user-day), never by the user's total history — the
-    interval-join argument; the skew valve for a hyperactive user is a
-    tighter window. The pattern lattice (|types|^2 + |types|^3 <= 150
+    Scale: all three self-join stages are user-keyed equi-joins whose
+    range predicates bound the fan-out by ACTIVITY DENSITY inside the
+    window (events per user-hour / user-day), never by the user's total
+    history — the interval-join argument. The tri chain's FIRST join
+    carries the redundant-but-load-bearing bound ts2 <= ts1 + 24h
+    (implied by ts3 > ts2 AND ts3 <= ts1 + 24h, so the result hash
+    cannot change) precisely so its intermediate is window-bounded too;
+    the skew valve for a hyperactive user is a tighter window. The pattern lattice (|types|^2 + |types|^3 <= 150
     cells) aggregates map-side; n_users is a 1-row broadcast.
     """
     ev = (
@@ -2280,7 +2284,13 @@ def q_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = (
         e1.join(
             e2.hint("shuffle_hash"),
-            (F.col("u") == F.col("u2")) & (F.col("ts2") > F.col("ts1")),
+            (F.col("u") == F.col("u2"))
+            & (F.col("ts2") > F.col("ts1"))
+            # Implied by ts3 > ts2 AND ts3 <= ts1 + 24h downstream, so
+            # semantics-preserving; pushed here so the e1 x e2
+            # intermediate is bounded by in-window activity density,
+            # not by each user's full history.
+            & (F.col("ts2") <= F.col("ts1") + F.expr("INTERVAL 24 HOUR")),
         )
         .join(
             e3.hint("shuffle_hash"),
@@ -2424,8 +2434,10 @@ def _markov_oracle(steps: int = _MARKOV_STEPS) -> str:
     SELECT r.chain AS channel,
            f.p_conv AS p_full_micro,
            r.p_conv AS p_removed_micro,
-           CAST((2 * (f.p_conv - r.p_conv) * 1000000 + f.p_conv)
-                // (2 * f.p_conv) AS BIGINT) AS removal_effect_ppm
+           CASE WHEN f.p_conv > 0 THEN
+             CAST((2 * (f.p_conv - r.p_conv) * 1000000 + f.p_conv)
+                  // (2 * f.p_conv) AS BIGINT)
+           END AS removal_effect_ppm
     FROM pc r JOIN pc f ON f.chain = 'full'
     WHERE r.chain <> 'full'
     """
@@ -2593,11 +2605,18 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("chain").alias("channel"),
             F.col("p_full").alias("p_full_micro"),
             F.col("p_conv").alias("p_removed_micro"),
-            d(
-                "div",
-                F.lit(2) * (F.col("p_full") - F.col("p_conv")) * 1_000_000
-                + F.col("p_full"),
-                F.lit(2) * F.col("p_full"),
+            # Zero guard: on a degenerate corpus where conversion mass
+            # snaps to 0 within the unroll depth, Spark's div would emit
+            # NULL while DuckDB's integer // errors; CASE-ing both sides
+            # makes the engines agree (NULL) instead of diverging.
+            F.when(
+                F.col("p_full") > 0,
+                d(
+                    "div",
+                    F.lit(2) * (F.col("p_full") - F.col("p_conv")) * 1_000_000
+                    + F.col("p_full"),
+                    F.lit(2) * F.col("p_full"),
+                ),
             ).alias("removal_effect_ppm"),
         )
     )
@@ -2607,6 +2626,17 @@ _BURST_K = 16  # trailing-day analysis window (fixed unroll depth)
 _BURST_TRANS = 2772589  # gamma * ln(K) in micro-nats, gamma=1: round(1e6*ln 16)
 # shared literal in BOTH engines — ln(16) computed per-engine could differ
 # in the last ulp; a hardcoded integer cannot.
+#
+# Margin note (n2-dependent): the per-day binomial costs still evaluate
+# ln() in each engine's libm, and that ~2e-16 relative ulp error is
+# multiplied by the daily event count n2 BEFORE the micro-round, so the
+# half-up boundary's safety margin shrinks as ~n2 * 2e-10 of one
+# rounding unit. At sf0.1 (n2 ~ 1e4/day) that is ~2e-6 of a unit —
+# comfortably safe; it would only approach a coin-flip boundary at
+# n2 ~ 1e9 events/day/state, far beyond any per-day partition this
+# query would see (and the fix there is the same device as _BURST_TRANS:
+# snap ln(p0)/ln(1-p0) once to shared integer micro-nats and multiply
+# by integer counts in both engines).
 
 
 def _burst_oracle() -> str:

@@ -409,7 +409,7 @@ def test_katz_star_graph_closed_form(spark, sf_dir):
     round-2 values / 8) — re-derived here in pure Python from the edge
     list for a sample of nodes (the full relation is oracle-adjudicated;
     this pins the RECURSION against an independent replay)."""
-    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES, QUERIES
+    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
 
     rows = EXTRA_QUERIES["q_katz_centrality"](spark, sf_dir).collect()
     assert all(r["katz_nano"] >= 1_000_000_000 for r in rows)
@@ -473,7 +473,7 @@ def test_betweenness_depth_cap_and_identity(spark, sf_dir):
     node is a genuine broker (bc_micro > 0)."""
     from pyspark.sql import functions as F
 
-    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES, QUERIES
+    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
     from prefect_flow_arc_alto_to_json_spark.sources import load_table
 
     out = EXTRA_QUERIES["q_betweenness_trade"](spark, sf_dir)
