@@ -337,9 +337,20 @@ def main() -> None:
         ).stdout.strip() or None
     except Exception:
         git_sha = None
+    # Run-context provenance (round-10 VERDICT #2): the grading driver's
+    # bench run overwrites BENCH_QUERIES_r{N}.json in the worktree, and
+    # driver-box numbers taken under sweep load are NOT comparable to the
+    # builder's quiet close run (r10: alto_parse_2k 0.698 vs 1.033 with
+    # identical code). Every snapshot therefore carries a `context` label:
+    # the builder/probe sets $SPARK_GRAFT_BENCH_CONTEXT (builder-close /
+    # probe); an unset var means the run came from the grading driver,
+    # the only caller that doesn't set it. bench_delta.py refuses to flag
+    # regressions across differing contexts.
+    context = os.environ.get("SPARK_GRAFT_BENCH_CONTEXT", "driver")
     side = {
         "sf": sf,
         "round": this_round,
+        "context": context,
         "git_sha": git_sha,
         "stable": sorted(stable & set(timings)),
         "queries": timings,

@@ -94,6 +94,22 @@ def main() -> None:
     # one carries per-query cold timings, compare cold-vs-cold instead.
     o_agg, n_agg = old.get("agg", "single-run"), new.get("agg", "single-run")
     note = ""
+    # Context guard (round-10 VERDICT #2): numbers from a loaded driver box
+    # and a quiet builder-close run are not comparable — r10's
+    # alto_parse_2k "regression" (0.698 -> 1.033) was pure run-condition
+    # noise. When contexts differ (or either is unknown), the diff is
+    # still printed but regressions are NOT flagged, and the header says
+    # why.
+    o_ctx = old.get("context", "unknown")
+    n_ctx = new.get("context", "unknown")
+    cross_context = o_ctx != n_ctx or "unknown" in (o_ctx, n_ctx)
+    ctx_note = (
+        f"CROSS-CONTEXT diff (old={o_ctx}, new={n_ctx}): run conditions "
+        "differ; ratios include run-condition noise and regressions are "
+        "NOT flagged. Re-run both sides in the same context to adjudicate."
+        if cross_context
+        else ""
+    )
     if o_agg != n_agg:
         if o_agg == "single-run" and new.get("queries_cold"):
             nq = new["queries_cold"]
@@ -115,8 +131,9 @@ def main() -> None:
         f"Totals: {old.get('value')}s -> "
         f"{new.get('cold_sec') if n_agg.startswith('cold') else new.get('value')}s "
         f"({len(oq)} -> {len(nq)} queries; sf={new.get('sf')}, "
-        f"agg: {o_agg} -> {n_agg})",
-        *([ "", note] if note else []),
+        f"agg: {o_agg} -> {n_agg}; context: {o_ctx} -> {n_ctx})",
+        *(["", note] if note else []),
+        *(["", ctx_note] if ctx_note else []),
         "",
         "| query | old s | new s | delta s | ratio |",
         "|---|---|---|---|---|",
@@ -131,13 +148,17 @@ def main() -> None:
             continue
         d = nq[name] - oq[name]
         r = nq[name] / oq[name] if oq[name] else float("inf")
-        flag = " ⚠" if r > 1.25 and d > 0.5 else ""
+        flag = " ⚠" if r > 1.25 and d > 0.5 and not cross_context else ""
         if flag:
             regressions += 1
         lines.append(
             f"| {name} | {oq[name]:.3f} | {nq[name]:.3f} | {d:+.3f} | {r:.2f}x{flag} |"
         )
-    lines += ["", f"Flagged regressions (>1.25x and >0.5s): {regressions}"]
+    lines += [
+        "",
+        f"Flagged regressions (>1.25x and >0.5s): {regressions}"
+        + (" [suppressed: cross-context]" if cross_context else ""),
+    ]
 
     report = "\n".join(lines)
     print(report)
