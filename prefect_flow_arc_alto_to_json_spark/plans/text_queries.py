@@ -2140,3 +2140,106 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             (4 * F.col("c1") * F.col("nb")).cast("long").alias("p_den"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Web-corpus main-text extraction — the raw-crawl ingestion stage
+# ---------------------------------------------------------------------------
+
+from ..operators.html import (  # noqa: E402
+    main_region,
+    sql_main_region,
+    sql_strip_noise,
+    sql_synth_page,
+    sql_to_text,
+    strip_noise,
+    synth_page,
+    to_text,
+)
+
+
+def _html_extract_oracle() -> str:
+    """Oracle generated from the SAME template/regex constants the Spark
+    plan uses (operators/html.py) — the comparison adjudicates the
+    extraction pipeline itself, not two independent re-implementations."""
+    return f"""
+    WITH p AS (
+      SELECT doc_id, CAST(doc_id % 3 AS INT) AS variant,
+             {sql_synth_page()} AS page
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, variant, {sql_strip_noise("page")} AS clean FROM p
+    ),
+    x AS (
+      SELECT doc_id, variant,
+             {sql_to_text(sql_main_region("clean"))} AS main_text,
+             {sql_to_text("clean")} AS page_text
+      FROM c
+    )
+    SELECT doc_id, variant, main_text,
+      CAST(len(main_text) AS BIGINT) AS main_chars,
+      CAST(len(page_text) AS BIGINT) AS page_chars,
+      CAST((2 * (len(page_text) - len(main_text)) * 1000000 + len(page_text))
+           // (2 * len(page_text)) AS BIGINT) AS boiler_ppm,
+      CAST(CASE WHEN main_text = '' THEN 0
+           ELSE len(string_split(main_text, ' ')) END AS BIGINT) AS n_tokens
+    FROM x
+    """
+
+
+@query("text_html_extract", oracle=_html_extract_oracle())
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate-strip + main-text extraction — the web-corpus
+    sibling of ``alto_simplify`` (the reference's extract-text-from-markup
+    pattern, /root/reference/script/extract-text-lines-from-alto.js:
+    23956-24059, applied to the raw-crawl -> clean-text stage of an LLM
+    data pipeline). Pages are synthesized deterministically per document
+    (three planted-boilerplate variants by doc_id % 3: nav/footer chrome,
+    ad-block + tracking comment, sidebar + comments chrome); extraction is
+    comment/script/style removal, container-priority main-region selection
+    (article > main > div#content > whole page), tag strip, entity decode,
+    whitespace collapse. ``boiler_ppm`` — the fraction of the page's text
+    that was chrome — is the quality signal a crawl-filtering stage
+    thresholds on (snapped to integer ppm with the shared half-up device).
+
+    Scale: narrow per-row maps only (concat + regexp built-ins) — no
+    shuffle, no UDF, runs at scan speed inside WholeStageCodegen; only
+    doc_id/text/lang are read (column pruning). Limitation: the main
+    region is the non-greedy first-close of the container tag — nested
+    <div>s inside div#content would truncate (semantic <article>/<main>
+    are unaffected); a text-density scorer is the upgrade path.
+    """
+    d = F.call_function
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text", "lang"
+    )
+    clean = strip_noise(synth_page())
+    staged = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 3).cast("int").alias("variant"),
+        clean.alias("clean"),
+    ).select(
+        "doc_id",
+        "variant",
+        to_text(main_region(F.col("clean"))).alias("main_text"),
+        to_text(F.col("clean")).alias("page_text"),
+    )
+    return staged.select(
+        "doc_id",
+        "variant",
+        "main_text",
+        F.length("main_text").cast("long").alias("main_chars"),
+        F.length("page_text").cast("long").alias("page_chars"),
+        d(
+            "div",
+            2 * (F.length("page_text") - F.length("main_text")).cast("long")
+            * 1_000_000
+            + F.length("page_text").cast("long"),
+            2 * F.length("page_text").cast("long"),
+        ).alias("boiler_ppm"),
+        F.when(F.col("main_text") == "", F.lit(0))
+        .otherwise(F.size(F.split("main_text", " ")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
