@@ -32,7 +32,10 @@ from .registry import query
 
 @query(
     "q_bloom_prefilter_join",
-    # promoted to the graded window in round 7: the join-pruning family's driver-graded representative
+    # graded rounds 7-10; rotated to the extra tier in round 11 (the sketch
+    # family stays graded via q_cms_heavy_hitters + q_kmv_distinct_rollup;
+    # identical DuckDB check continues in tests/test_extra_queries.py)
+    extra=True,
     oracle="""
     SELECT s.s_suppkey,
            CAST(COUNT(*) AS BIGINT) AS n_items,

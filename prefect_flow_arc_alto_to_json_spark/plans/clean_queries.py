@@ -3239,7 +3239,7 @@ def q_group_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_uplift_segments",
-    extra=True,
+    # graded since round 11: the causal-eval family's representative
     oracle="""
     WITH u AS (
       SELECT user_id,

@@ -70,8 +70,9 @@ def q_geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_geo_radius_join",
-    # graded since round 7: the spatial-join family's representative
-    # (displaces sim_ivf_topk)
+    # graded rounds 7-10; rotated to the extra tier in round 11 (the spatial
+    # family stays graded via q_geo_grid_dbscan + q_geo_point_in_polygon)
+    extra=True,
     oracle=f"""
     WITH c AS ({_sql_pt('c_custkey')} FROM customer),
     cc AS (SELECT k, lat, lon, {_sql_cells(2_000_000)} FROM c),

@@ -526,7 +526,10 @@ _SQL_BF_ITER = """
 
 @query(
     "q_bellman_ford_trade",
-    # graded since round 10: the relaxation-loop shortest-path representative
+    # graded round 10; rotated to the extra tier in round 11 (shortest-path /
+    # centrality family stays graded via q_pagerank_trade + the newly
+    # promoted q_betweenness_trade)
+    extra=True,
     oracle=f"""
     WITH edges AS ({_SQL_EDGES}),
     ce AS (
@@ -1975,7 +1978,8 @@ def _betweenness_oracle(levels: int = 4) -> str:
     """
 
 
-@query("q_betweenness_trade", extra=True, oracle=_betweenness_oracle(4))
+# graded since round 11: the path-centrality family's representative
+@query("q_betweenness_trade", oracle=_betweenness_oracle(4))
 def q_betweenness_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT betweenness centrality over the mean-thresholded trade
     graph (the same sparsification as q_scc_trade — the raw graph is

@@ -1738,7 +1738,10 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_shapley_attribution",
-    # graded since round 9 third session: game-theoretic attribution
+    # graded r9-r10; rotated to the extra tier in round 11 (attribution
+    # family stays graded via q_markov_attribution + newly promoted
+    # q_uplift_segments)
+    extra=True,
     oracle="""
     WITH fp AS (
       SELECT user_id, MIN(ts) AS tp FROM events
@@ -2195,7 +2198,8 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_sequential_patterns",
-    extra=True,
+    # graded since round 11: gap-constrained sequence mining (window-bounded
+    # triple chain as of this round)
     oracle="""
     WITH ev AS (SELECT user_id AS u, event_type AS t, ts FROM events),
     nu AS (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS n FROM ev),

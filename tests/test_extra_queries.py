@@ -109,7 +109,7 @@ def test_np_twin_matches_jvm_brute_force(spark, sf_dir):
     """sim_brute_topk_np (Arrow/numpy kernel) must reproduce the JVM HOF
     plan sim_brute_topk row-for-row — same oracle, so same result set."""
     jvm = {
-        tuple(r) for r in QUERIES["sim_brute_topk"](spark, sf_dir).collect()
+        tuple(r) for r in {**QUERIES, **EXTRA_QUERIES}["sim_brute_topk"](spark, sf_dir).collect()
     }
     np_ = {
         tuple(r) for r in EXTRA_QUERIES["sim_brute_topk_np"](spark, sf_dir).collect()

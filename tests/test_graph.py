@@ -473,10 +473,10 @@ def test_betweenness_depth_cap_and_identity(spark, sf_dir):
     node is a genuine broker (bc_micro > 0)."""
     from pyspark.sql import functions as F
 
-    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES, QUERIES
     from prefect_flow_arc_alto_to_json_spark.sources import load_table
 
-    out = EXTRA_QUERIES["q_betweenness_trade"](spark, sf_dir)
+    out = {**QUERIES, **EXTRA_QUERIES}["q_betweenness_trade"](spark, sf_dir)
     rows = out.collect()
     assert rows and all(r["bc_micro"] >= 0 for r in rows)
     assert any(r["bc_micro"] > 0 for r in rows), "vacuous: no broker nodes"

@@ -122,7 +122,7 @@ def test_mmr_diversifies_vs_plain_topk(spark, sf_dir):
     )
     from prefect_flow_arc_alto_to_json_spark.sources import load_table
 
-    picked = EXTRA_QUERIES["sim_mmr_rerank"](spark, sf_dir)
+    picked = {**QUERIES, **EXTRA_QUERIES}["sim_mmr_rerank"](spark, sf_dir)
     rows = sorted(picked.collect(), key=lambda r: r["rank"])
     assert len(rows) == 5 and [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
     rels = [r["rel_micro"] for r in rows]
@@ -196,7 +196,7 @@ def test_apportionment_axioms(spark, sf_dir):
     revenue never gets fewer seats — highest-averages methods are
     population-monotone; Hamilton famously is not, which is why only
     D'Hondt carries this assertion)."""
-    rows = EXTRA_QUERIES["q_seat_apportionment"](spark, sf_dir).collect()
+    rows = {**QUERIES, **EXTRA_QUERIES}["q_seat_apportionment"](spark, sf_dir).collect()
     assert rows
     assert sum(r["seats_dhondt"] for r in rows) == 20
     assert sum(r["seats_lr"] for r in rows) == 20
