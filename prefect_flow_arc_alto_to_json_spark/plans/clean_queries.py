@@ -3351,3 +3351,124 @@ def q_uplift_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "uplift_ppm"
         ),
     )
+
+
+# Shared integer DCG position weights: round(1e6 / log2(i+1)) for rank i.
+# Hardcoded ONCE and inlined into BOTH engines (the _BURST_TRANS device) —
+# per-engine log2() could differ in the last ulp; a literal cannot.
+_NDCG_W = (1_000_000, 630_930, 500_000, 430_677, 386_853)
+
+
+def _ndcg_oracle() -> str:
+    w_case = " ".join(
+        f"WHEN {i + 1} THEN {w}" for i, w in enumerate(_NDCG_W)
+    )
+    return f"""
+    WITH ut AS (
+      SELECT user_id, event_type,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-22 00:00:00'
+                  THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS score_cents,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-22 00:00:00'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS rel
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT user_id, rel,
+        ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY score_cents DESC, event_type) AS rk,
+        ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY rel DESC, event_type) AS irk
+      FROM ut
+    ),
+    agg AS (
+      SELECT user_id,
+        CAST(SUM(rel * CASE rk {w_case} ELSE 0 END) AS BIGINT) AS dcg_micro,
+        CAST(SUM(rel * CASE irk {w_case} ELSE 0 END) AS BIGINT) AS idcg_micro
+      FROM ranked GROUP BY 1
+    )
+    SELECT user_id, dcg_micro, idcg_micro,
+      CASE WHEN idcg_micro > 0 THEN
+        CAST((2 * dcg_micro * 1000000 + idcg_micro)
+             // (2 * idcg_micro) AS BIGINT)
+      END AS ndcg_ppm
+    FROM agg
+    """
+
+
+@query("q_ndcg_ranking", extra=True, oracle=_ndcg_oracle())
+def q_ndcg_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANKING-QUALITY evaluation (nDCG@5) — the graded-relevance member
+    of the offline-eval family (q_roc_auc grades binary classification;
+    this grades a RANKING against graded relevance, the recommender /
+    retrieval-eval metric). Time-split protocol: each user's items
+    (event types) are ranked by train-period engagement (sum of value
+    before 2024-01-22, exact cents) and evaluated against test-period
+    interaction counts as relevance grades — the standard
+    leakage-free offline replay.
+
+    Determinism: the irrational position discounts 1/log2(i+1) are
+    snapped ONCE to shared integer micro-weights (_NDCG_W, the
+    _BURST_TRANS device), so DCG and ideal-DCG are exact integer dot
+    products in both engines; ndcg_ppm is the half-up integer ratio.
+    Ties in both rankings break on event_type for a total order.
+
+    Scale: one map-side-partial aggregation to the (user, item) grain,
+    then two windows over <= |items-per-user| rows per user (5 here,
+    catalog-bounded in general) and a user-grain rollup — no joins, no
+    corpus-sized shuffle beyond the first aggregation.
+    """
+    cutoff = F.lit("2024-01-22 00:00:00").cast("timestamp")
+    ut = (
+        fan_out(load_table(spark, sf_dir, "events"))
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("ts") < cutoff, cents("value")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+            .cast("long")
+            .alias("score_cents"),
+            F.sum(F.when(F.col("ts") >= cutoff, 1).otherwise(0))
+            .cast("long")
+            .alias("rel"),
+        )
+    )
+    w_rk = Window.partitionBy("user_id").orderBy(
+        F.col("score_cents").desc(), "event_type"
+    )
+    w_irk = Window.partitionBy("user_id").orderBy(
+        F.col("rel").desc(), "event_type"
+    )
+    ranked = ut.select(
+        "user_id",
+        "rel",
+        F.row_number().over(w_rk).alias("rk"),
+        F.row_number().over(w_irk).alias("irk"),
+    )
+
+    def disc(rank_col: str):
+        e = F.lit(0).cast("long")
+        for i, w in enumerate(_NDCG_W):
+            e = F.when(F.col(rank_col) == i + 1, F.lit(w).cast("long")).otherwise(e)
+        return e
+
+    agg = ranked.groupBy("user_id").agg(
+        F.sum(F.col("rel") * disc("rk")).cast("long").alias("dcg_micro"),
+        F.sum(F.col("rel") * disc("irk")).cast("long").alias("idcg_micro"),
+    )
+    d = F.call_function
+    return agg.select(
+        "user_id",
+        "dcg_micro",
+        "idcg_micro",
+        F.when(
+            F.col("idcg_micro") > 0,
+            d(
+                "div",
+                F.lit(2) * F.col("dcg_micro") * 1_000_000 + F.col("idcg_micro"),
+                F.lit(2) * F.col("idcg_micro"),
+            ),
+        ).alias("ndcg_ppm"),
+    )

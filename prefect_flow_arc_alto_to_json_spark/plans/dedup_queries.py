@@ -1419,3 +1419,88 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return cdc_chunk_stats(docs)
+
+
+@query(
+    "dedup_edit_distance_join",
+    extra=True,
+    # the oracle is the UNPRUNED brute definition over the distinct-name
+    # vocabulary — the hash certifies both the length banding AND the
+    # threshold-pruned Levenshtein DP (the apriori device)
+    oracle="""
+    WITH v AS (
+      SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n
+      FROM part GROUP BY 1
+    )
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+           a.n AS n_a, b.n AS n_b,
+           CAST(a.n * b.n AS BIGINT) AS n_row_pairs
+    FROM v a JOIN v b ON a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 3
+    """,
+)
+def dedup_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDIT-DISTANCE (Levenshtein <= 3) string-similarity self-join — the
+    typo/OCR-noise member of the record-linkage family (jaccard/minhash
+    catch token-level overlap; edit distance catches character-level
+    corruption, the dominant noise in scanned/OCR corpora like the
+    reference's ALTO sources). Two-level pruning, both certified by the
+    unpruned brute oracle:
+
+    1. REDUCE TO THE VOCABULARY: the pair search runs over DISTINCT
+       strings with multiplicities (the BPE/KN device) — the vocabulary
+       is bounded by the string-generation process, not the corpus, so
+       the quadratic stage's input does not grow with rows; pair
+       multiplicity is recovered as n_a * n_b.
+    2. LENGTH BANDING: |len_a - len_b| <= 3 is implied by dist <= 3, so
+       names join on a floor(len/4) bucket key with the left side
+       probing {b-1, b, b+1} — each right name has ONE bucket, so every
+       qualifying pair is produced exactly once, and candidate
+       enumeration is bounded by per-band vocabulary density.
+    3. The DP itself is threshold-pruned: Spark's levenshtein(l, r, 3)
+       abandons rows past distance 3 (banded Ukkonen DP) returning -1,
+       which the filter drops — equivalent to DuckDB's full DP + the
+       <= 3 predicate.
+
+    Scale: vocabulary-bounded candidate set + O(len * threshold) per
+    candidate; the corpus-sized relation is touched only by the
+    distinct-count aggregation (map-side partial).
+    """
+    v = (
+        load_table(spark, sf_dir, "part")
+        .groupBy(F.col("p_name").alias("name"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn("len", F.length("name"))
+        .localCheckpoint()  # both join sides read it
+    )
+    band = F.floor(F.col("len") / 4).cast("long")
+    left = v.select(
+        F.col("name").alias("name_a"),
+        F.col("n").alias("n_a"),
+        F.explode(
+            F.array(band - 1, band, band + 1)
+        ).alias("__band"),
+    )
+    right = v.select(
+        F.col("name").alias("name_b"),
+        F.col("n").alias("n_b"),
+        band.alias("__band2"),
+    )
+    d = F.levenshtein(F.col("name_a"), F.col("name_b"), 3)
+    return (
+        left.join(
+            right.hint("shuffle_hash"),
+            (F.col("__band") == F.col("__band2"))
+            & (F.col("name_a") < F.col("name_b")),
+        )
+        .where(d >= 0)
+        .select(
+            "name_a",
+            "name_b",
+            d.cast("long").alias("dist"),
+            "n_a",
+            "n_b",
+            (F.col("n_a") * F.col("n_b")).cast("long").alias("n_row_pairs"),
+        )
+    )

@@ -2248,14 +2248,17 @@ def q_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncating history. Pattern matches are EXISTENTIAL per user
     (COUNT(DISTINCT user)), the textbook sequence-support definition.
 
-    Scale: all three self-join stages are user-keyed equi-joins whose
-    range predicates bound the fan-out by ACTIVITY DENSITY inside the
+    Scale: all three self-join stages are (user, time-bucket)-keyed
+    equi-joins — bucket width = the window — so both the OUTPUT and the
+    CANDIDATE enumeration are bounded by activity density inside the
     window (events per user-hour / user-day), never by the user's total
-    history — the interval-join argument. The tri chain's FIRST join
-    carries the redundant-but-load-bearing bound ts2 <= ts1 + 24h
+    history. (A join keyed on user alone is output-bounded but still
+    evaluates history^2 candidate combos per user — the round-11 smoke
+    probe measured the knee before banding.) The tri chain's first join
+    carries the redundant-but-load-bearing bound ts2 <= ts1 + 24 HOUR
     (implied by ts3 > ts2 AND ts3 <= ts1 + 24h, so the result hash
-    cannot change) precisely so its intermediate is window-bounded too;
-    the skew valve for a hyperactive user is a tighter window. The pattern lattice (|types|^2 + |types|^3 <= 150
+    cannot change), which is also what licenses its 24h banding; the
+    skew valve for a pathological burst is a tighter window. The pattern lattice (|types|^2 + |types|^3 <= 150
     cells) aggregates map-side; n_users is a 1-row broadcast.
     """
     ev = (
@@ -2268,6 +2271,43 @@ def q_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()  # nu + five self-join sides read it
     )
     nu = ev.agg(F.countDistinct("u").cast("long").alias("n"))
+
+    # (u, time-bucket) banded self-join device: a hash join keyed on u
+    # alone must EVALUATE the range predicate on every (ts_l, ts_r) combo
+    # inside a user bucket — quadratic in per-user history even though
+    # the OUTPUT is window-bounded (the round-11 smoke probe showed the
+    # knee: x8 wall 7.0x). Bucketing ts by the window width W and probing
+    # buckets {b, b+1} from the left makes the candidate set itself
+    # density-bounded; a qualifying pair (ts_r in (ts_l, ts_l+W]) matches
+    # on exactly ONE bucket (the right row's), so no dedup is needed and
+    # the result relation — and the oracle hash — is unchanged.
+    def _banded(left, right, w_sec, l_ts, r_ts, cond):
+        lb = left.withColumn(
+            "__b",
+            F.explode(
+                F.array(
+                    F.expr(f"CAST(unix_timestamp({l_ts}) div {w_sec} AS LONG)"),
+                    F.expr(
+                        f"CAST(unix_timestamp({l_ts}) div {w_sec} AS LONG) + 1"
+                    ),
+                )
+            ),
+        )
+        rb = right.withColumn(
+            "__b2", F.expr(f"CAST(unix_timestamp({r_ts}) div {w_sec} AS LONG)")
+        )
+        # Catalyst extracts BOTH equi-conjuncts — (__b = __b2) AND the
+        # user equality inside cond — into the hash key, so the join is
+        # keyed on (user, bucket); the range stays a post-filter over the
+        # density-bounded candidates.
+        return (
+            lb.join(
+                rb.hint("shuffle_hash"),
+                (F.col("__b") == F.col("__b2")) & cond,
+            )
+            .drop("__b", "__b2")
+        )
+
     e1 = ev.select(F.col("u"), F.col("t").alias("t_a"), F.col("ts").alias("ts1"))
     e2 = ev.select(
         F.col("u").alias("u2"), F.col("t").alias("t_b"), F.col("ts").alias("ts2")
@@ -2276,8 +2316,12 @@ def q_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u").alias("u3"), F.col("t").alias("t_c"), F.col("ts").alias("ts3")
     )
     pair = (
-        e1.join(
-            e2.hint("shuffle_hash"),
+        _banded(
+            e1,
+            e2,
+            3600,
+            "ts1",
+            "ts2",
             (F.col("u") == F.col("u2"))
             & (F.col("ts2") > F.col("ts1"))
             & (F.col("ts2") <= F.col("ts1") + F.expr("INTERVAL 1 HOUR")),
@@ -2285,19 +2329,27 @@ def q_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("t_a", "t_b")
         .agg(F.countDistinct("u").cast("long").alias("sup"))
     )
+    # ts2 <= ts1 + 24h is implied by ts3 > ts2 AND ts3 <= ts1 + 24h, so
+    # pushing it into the first join is semantics-preserving; it is also
+    # what makes the 24h banding valid for that join.
+    tri12 = _banded(
+        e1,
+        e2,
+        86400,
+        "ts1",
+        "ts2",
+        (F.col("u") == F.col("u2"))
+        & (F.col("ts2") > F.col("ts1"))
+        & (F.col("ts2") <= F.col("ts1") + F.expr("INTERVAL 24 HOUR")),
+    )
+    # ts3 in (ts2, ts1+24h] subset of (ts2, ts2+24h] -> band on ts2's clock
     tri = (
-        e1.join(
-            e2.hint("shuffle_hash"),
-            (F.col("u") == F.col("u2"))
-            & (F.col("ts2") > F.col("ts1"))
-            # Implied by ts3 > ts2 AND ts3 <= ts1 + 24h downstream, so
-            # semantics-preserving; pushed here so the e1 x e2
-            # intermediate is bounded by in-window activity density,
-            # not by each user's full history.
-            & (F.col("ts2") <= F.col("ts1") + F.expr("INTERVAL 24 HOUR")),
-        )
-        .join(
-            e3.hint("shuffle_hash"),
+        _banded(
+            tri12,
+            e3,
+            86400,
+            "ts2",
+            "ts3",
             (F.col("u") == F.col("u3"))
             & (F.col("ts3") > F.col("ts2"))
             & (F.col("ts3") <= F.col("ts1") + F.expr("INTERVAL 24 HOUR")),

@@ -204,6 +204,178 @@ def blow_up_orders(o: DataFrame, factor: int) -> DataFrame:
     return out
 
 
+def blow_up_events_history(ev_ts: DataFrame, factor: int) -> DataFrame:
+    """factor replicas with the SAME user ids but timestamps shifted by
+    replica * 30 days: each user's TOTAL history grows x factor while the
+    in-window activity density (events per user-hour/day) stays constant
+    — exactly the axis a window-bounded interval self-join must be
+    insensitive to (and the axis the unbounded pre-round-11
+    q_sequential_patterns intermediate was quadratic in)."""
+    parts = [
+        ev_ts.select(
+            "user_id",
+            "event_type",
+            (F.col("ts") + F.expr(f"INTERVAL {30 * r} DAYS")).alias("ts"),
+        )
+        for r in range(factor)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def blow_up_baskets(bk: DataFrame, factor: int) -> DataFrame:
+    """factor replicas of the distinct (order, brand) basket relation with
+    order keys offset per replica: orders grow linearly while the BRAND
+    lattice (25 values) stays fixed — apriori's candidate space is
+    vocabulary-bounded, so cost must track baskets, never baskets^2."""
+    parts = [
+        bk.select(
+            (F.col("k") + r * 100_000_000).alias("k"),
+            "br",
+        )
+        for r in range(factor)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _seq_patterns(ev_ts: DataFrame) -> DataFrame:
+    """q_sequential_patterns' (user, time-bucket)-banded join topology
+    (plans/temporal_queries.py): 1h-banded pair chain + 24h-banded triple
+    chain, then the lattice-sized support aggregation. The banding makes
+    candidate ENUMERATION density-bounded, not just the output — the
+    pre-banding probe measured x8/x1 = 7.0 with a super-linear knee."""
+    ev = ev_ts.select(
+        F.col("user_id").alias("u"), F.col("event_type").alias("t"), "ts"
+    ).localCheckpoint()
+
+    def banded(left, right, w_sec, l_ts, r_ts, cond):
+        lb = left.withColumn(
+            "__b",
+            F.explode(
+                F.array(
+                    F.expr(f"CAST(unix_timestamp({l_ts}) div {w_sec} AS LONG)"),
+                    F.expr(
+                        f"CAST(unix_timestamp({l_ts}) div {w_sec} AS LONG) + 1"
+                    ),
+                )
+            ),
+        )
+        rb = right.withColumn(
+            "__b2", F.expr(f"CAST(unix_timestamp({r_ts}) div {w_sec} AS LONG)")
+        )
+        return lb.join(
+            rb.hint("shuffle_hash"), (F.col("__b") == F.col("__b2")) & cond
+        ).drop("__b", "__b2")
+
+    e1 = ev.select("u", F.col("t").alias("t_a"), F.col("ts").alias("ts1"))
+    e2 = ev.select(
+        F.col("u").alias("u2"), F.col("t").alias("t_b"), F.col("ts").alias("ts2")
+    )
+    e3 = ev.select(
+        F.col("u").alias("u3"), F.col("t").alias("t_c"), F.col("ts").alias("ts3")
+    )
+    pair = (
+        banded(
+            e1, e2, 3600, "ts1", "ts2",
+            (F.col("u") == F.col("u2"))
+            & (F.col("ts2") > F.col("ts1"))
+            & (F.col("ts2") <= F.col("ts1") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy("t_a", "t_b")
+        .agg(F.countDistinct("u").cast("long").alias("sup"))
+    )
+    tri12 = banded(
+        e1, e2, 86400, "ts1", "ts2",
+        (F.col("u") == F.col("u2"))
+        & (F.col("ts2") > F.col("ts1"))
+        & (F.col("ts2") <= F.col("ts1") + F.expr("INTERVAL 24 HOUR")),
+    )
+    tri = (
+        banded(
+            tri12, e3, 86400, "ts2", "ts3",
+            (F.col("u") == F.col("u3"))
+            & (F.col("ts3") > F.col("ts2"))
+            & (F.col("ts3") <= F.col("ts1") + F.expr("INTERVAL 24 HOUR")),
+        )
+        .groupBy("t_a", "t_b", "t_c")
+        .agg(F.countDistinct("u").cast("long").alias("sup"))
+    )
+    return pair.select("t_a", "t_b", F.lit("").alias("t_c"), "sup").unionByName(
+        tri.select("t_a", "t_b", "t_c", "sup")
+    )
+
+
+def _apriori(bk: DataFrame) -> DataFrame:
+    """q_apriori_triples' pruned level-wise walk (plans/relational.py)
+    over the blown-up baskets: frequent items/pairs are lattice-sized
+    broadcasts semi-join-pruning the order-keyed self-joins."""
+    d = F.call_function
+    b = bk.localCheckpoint()
+    nt = b.agg(F.countDistinct("k").cast("long").alias("n_orders")).withColumn(
+        "m",
+        F.greatest(F.lit(3).cast("long"), d("div", F.col("n_orders"), F.lit(250))),
+    )
+    f1 = (
+        b.groupBy("br")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(nt))
+        .where(F.col("n") >= F.col("m"))
+        .select("br")
+    )
+    b1 = b.join(F.broadcast(f1), "br", "semi")
+    x = b1.select("k", F.col("br").alias("br_a"))
+    y = b1.select(F.col("k").alias("k_y"), F.col("br").alias("br_b"))
+    z = b1.select(F.col("k").alias("k_z"), F.col("br").alias("br_c"))
+    pairs = (
+        x.join(
+            y.hint("shuffle_hash"),
+            (F.col("k") == F.col("k_y")) & (F.col("br_a") < F.col("br_b")),
+        )
+        .groupBy("br_a", "br_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    f2 = (
+        pairs.crossJoin(F.broadcast(nt))
+        .where(F.col("n_pair") >= F.col("m"))
+        .select("br_a", "br_b")
+        .localCheckpoint()
+    )
+    pstream = (
+        x.join(
+            y.hint("shuffle_hash"),
+            (F.col("k") == F.col("k_y")) & (F.col("br_a") < F.col("br_b")),
+        )
+        .select("k", "br_a", "br_b")
+        .join(F.broadcast(f2), ["br_a", "br_b"], "semi")
+    )
+    tri = (
+        pstream.join(
+            z.hint("shuffle_hash"),
+            (F.col("k") == F.col("k_z")) & (F.col("br_b") < F.col("br_c")),
+        )
+        .join(
+            F.broadcast(f2.select(F.col("br_a"), F.col("br_b").alias("br_c"))),
+            ["br_a", "br_c"],
+            "semi",
+        )
+        .join(
+            F.broadcast(
+                f2.select(F.col("br_a").alias("br_b"), F.col("br_b").alias("br_c"))
+            ),
+            ["br_b", "br_c"],
+            "semi",
+        )
+        .groupBy("br_a", "br_b", "br_c")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )
+    return tri
+
+
 def _leakage_split(d: DataFrame) -> DataFrame:
     """pipeline_leakage_safe_split's composition (plans/dedup_queries.py)
     over the blown-up documents: near-dup pairs → components → component-
@@ -463,6 +635,19 @@ def main() -> None:
     orders = load_table(spark, SF_DIR, "orders").select(
         "o_orderpriority", "o_totalprice"
     )
+    events_ts = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    _li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey")
+    _part = load_table(spark, SF_DIR, "part").select("p_partkey", "p_brand")
+    baskets = (
+        _li.join(F.broadcast(_part), _li.l_partkey == _part.p_partkey)
+        .select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("br"))
+        .distinct()
+    )
+    # per-factor auxiliary inputs for the round-11 pattern-miner probes
+    # (probes read the CURRENT factor's blow-up through this holder)
+    aux: dict[str, DataFrame] = {}
     queries = emb.limit(32)
 
     probes = {
@@ -588,6 +773,15 @@ def main() -> None:
         "kn_bigram": lambda d, e, ev, o: _kn_bigram(d),
         "hbos_topk": lambda d, e, ev, o: hbos_topk(e),
         "dsir_select": lambda d, e, ev, o: _dsir(d),
+        # round-11 additions (verdict #4): the two pattern miners.
+        # seq_patterns' blow-up grows each user's TOTAL history x factor
+        # at CONSTANT in-window density — linear wall is the proof the
+        # round-11 window bound removed the quadratic intermediate.
+        # apriori's blow-up grows baskets linearly on a FIXED 25-brand
+        # lattice — cost must track baskets; the broadcast prunes keep
+        # the self-join fan-out (basket width choose 3) per order.
+        "seq_patterns": lambda d, e, ev, o: _seq_patterns(aux["evt"]),
+        "apriori_triples": lambda d, e, ev, o: _apriori(aux["bk"]),
         "geo_radius_join": lambda d, e, ev, o: radius_join(
             with_grid(d.select(F.col("doc_id").alias("lid")), "lid", 1_000_000),
             with_grid(
@@ -609,6 +803,8 @@ def main() -> None:
         e = blow_up_emb(emb, factor).localCheckpoint()
         ev = blow_up_events(events, factor).localCheckpoint()
         o = blow_up_orders(orders, factor).localCheckpoint()
+        aux["evt"] = blow_up_events_history(events_ts, factor).localCheckpoint()
+        aux["bk"] = blow_up_baskets(baskets, factor).localCheckpoint()
         rows[factor] = d.count()
         emb_rows[factor] = e.count()
         for name, build in probes.items():
