@@ -3472,3 +3472,180 @@ def q_ndcg_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("ndcg_ppm"),
     )
+
+
+@query(
+    "q_ipw_ate",
+    extra=True,
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+        CAST(MAX(CASE WHEN event_type = 'signup'
+             AND ts < TIMESTAMP '2024-01-08 00:00:00'
+             THEN 1 ELSE 0 END) AS BIGINT) AS treated,
+        CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-08 00:00:00'
+             THEN 1 ELSE 0 END) AS BIGINT) AS pre_n,
+        CAST(SUM(CASE WHEN event_type = 'purchase'
+             AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+             THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+             AS BIGINT) AS y_cents
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT LEAST(pre_n // 5, 4) AS stratum, treated, y_cents FROM u
+    ),
+    agg AS (
+      SELECT stratum,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(treated) AS BIGINT) AS n_t,
+        CAST(COUNT(*) - SUM(treated) AS BIGINT) AS n_c,
+        CAST(SUM(CASE WHEN treated = 1 THEN y_cents ELSE 0 END)
+             AS BIGINT) AS sum_t,
+        CAST(SUM(CASE WHEN treated = 0 THEN y_cents ELSE 0 END)
+             AS BIGINT) AS sum_c
+      FROM s GROUP BY 1
+    ),
+    eff AS (
+      SELECT stratum, n, n_t, n_c,
+        CAST((2 * n_t * 1000000 + n) // (2 * n) AS BIGINT)
+          AS propensity_ppm,
+        CASE WHEN n_t > 0 THEN
+          CAST((2 * sum_t * 1000 + n_t) // (2 * n_t) AS BIGINT)
+        END AS mean_t_milli,
+        CASE WHEN n_c > 0 THEN
+          CAST((2 * sum_c * 1000 + n_c) // (2 * n_c) AS BIGINT)
+        END AS mean_c_milli
+      FROM agg
+    ),
+    strata AS (
+      SELECT CAST(stratum AS BIGINT) AS stratum, n, n_t, n_c,
+        propensity_ppm, mean_t_milli, mean_c_milli,
+        CASE WHEN mean_t_milli IS NOT NULL AND mean_c_milli IS NOT NULL
+          THEN mean_t_milli - mean_c_milli END AS effect_milli
+      FROM eff
+    )
+    SELECT * FROM strata
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT) AS stratum,
+      CAST(SUM(n) AS BIGINT) AS n,
+      CAST(SUM(n_t) AS BIGINT) AS n_t,
+      CAST(SUM(n_c) AS BIGINT) AS n_c,
+      CAST(NULL AS BIGINT) AS propensity_ppm,
+      CAST(NULL AS BIGINT) AS mean_t_milli,
+      CAST(NULL AS BIGINT) AS mean_c_milli,
+      CAST((2 * SUM(n * effect_milli) + SUM(n)) // (2 * SUM(n)) AS BIGINT)
+        AS effect_milli
+    FROM strata WHERE effect_milli IS NOT NULL
+    """,
+)
+def q_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OBSERVATIONAL causal effect — stratified / inverse-propensity-
+    weighted average treatment effect, the non-experimental sibling of
+    q_uplift_segments (which assumes a randomized split; here treatment
+    is self-selected and must be ADJUSTED for). Protocol: treatment =
+    user signed up in week 1; outcome = post-week-1 purchase cents;
+    confounder = week-1 activity (event count, fixed-width strata
+    LEAST(pre_n // 5, 4) — fixed bins, not data-dependent quantiles, so
+    both engines bin identically). Within a stratum the propensity is
+    n_t/n, and the stratified difference-of-means estimator emitted here
+    is ALGEBRAICALLY the Horvitz-Thompson IPW estimator with
+    within-stratum propensities — the form that stays exact-integer.
+    The stratum = -1 row is the overall ATE: the n-weighted half-up
+    average of the per-stratum effects over strata with both arms
+    populated (computed from the already-snapped integers, so the two
+    engines combine identically).
+
+    Scale: one map-side-partial aggregation to the user grain, one to
+    the 5-row strata grain, one 5-row rollup — no joins, no corpus-sized
+    shuffle beyond the first aggregation; strata are bounded by the
+    binning, never the corpus.
+    """
+    d = F.call_function
+    wk1 = F.lit("2024-01-08 00:00:00").cast("timestamp")
+    u = (
+        fan_out(load_table(spark, sf_dir, "events"))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "signup") & (F.col("ts") < wk1), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("treated"),
+            F.sum(F.when(F.col("ts") < wk1, 1).otherwise(0))
+            .cast("long")
+            .alias("pre_n"),
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") >= wk1),
+                    cents("value"),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+            .cast("long")
+            .alias("y_cents"),
+        )
+    )
+    agg = (
+        u.select(
+            F.least(d("div", F.col("pre_n"), F.lit(5)), F.lit(4).cast("long")).alias(
+                "stratum"
+            ),
+            "treated",
+            "y_cents",
+        )
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("treated").cast("long").alias("n_t"),
+            (F.count(F.lit(1)) - F.sum("treated")).cast("long").alias("n_c"),
+            F.sum(F.when(F.col("treated") == 1, F.col("y_cents")).otherwise(0))
+            .cast("long")
+            .alias("sum_t"),
+            F.sum(F.when(F.col("treated") == 0, F.col("y_cents")).otherwise(0))
+            .cast("long")
+            .alias("sum_c"),
+        )
+    )
+    mean_t = F.when(
+        F.col("n_t") > 0,
+        d("div", 2 * F.col("sum_t") * 1000 + F.col("n_t"), 2 * F.col("n_t")),
+    )
+    mean_c = F.when(
+        F.col("n_c") > 0,
+        d("div", 2 * F.col("sum_c") * 1000 + F.col("n_c"), 2 * F.col("n_c")),
+    )
+    strata = agg.select(
+        "stratum",
+        "n",
+        "n_t",
+        "n_c",
+        d("div", 2 * F.col("n_t") * 1_000_000 + F.col("n"), 2 * F.col("n")).alias(
+            "propensity_ppm"
+        ),
+        mean_t.alias("mean_t_milli"),
+        mean_c.alias("mean_c_milli"),
+        (mean_t - mean_c).alias("effect_milli"),
+    ).localCheckpoint()  # the per-stratum relation and the rollup read it
+    overall = (
+        strata.where(F.col("effect_milli").isNotNull())
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("n_t").cast("long").alias("n_t"),
+            F.sum("n_c").cast("long").alias("n_c"),
+            F.sum(F.col("n") * F.col("effect_milli")).cast("long").alias("num"),
+        )
+        .select(
+            F.lit(-1).cast("long").alias("stratum"),
+            "n",
+            "n_t",
+            "n_c",
+            F.lit(None).cast("long").alias("propensity_ppm"),
+            F.lit(None).cast("long").alias("mean_t_milli"),
+            F.lit(None).cast("long").alias("mean_c_milli"),
+            d("div", 2 * F.col("num") + F.col("n"), 2 * F.col("n")).alias(
+                "effect_milli"
+            ),
+        )
+    )
+    return strata.unionByName(overall)

@@ -1,0 +1,81 @@
+"""Axiom gates for the round-11 extra-tier families (edit-distance join,
+nDCG ranking eval, IPW/stratified ATE). Engine parity is adjudicated by
+the DuckDB oracles in tests/test_extra_queries.py; these pin the
+SEMANTICS against independent replays and invariants the oracle form
+cannot express (rearrangement inequality, brute pair-set equality,
+weighted-rollup consistency)."""
+
+from __future__ import annotations
+
+from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+
+
+def _brute_lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_join_equals_brute(spark, sf_dir):
+    """The banded/threshold-pruned plan emits EXACTLY the brute-force
+    pair set over distinct names (pruning is an optimization, never a
+    semantic), with correct distances and multiplicities."""
+    import itertools
+
+    import pandas as pd
+
+    rows = EXTRA_QUERIES["dedup_edit_distance_join"](spark, sf_dir).collect()
+    got = {(r["name_a"], r["name_b"]): (r["dist"], r["n_row_pairs"]) for r in rows}
+    names = (
+        pd.read_parquet(f"{sf_dir}/part.parquet")["p_name"]
+        .value_counts()
+        .to_dict()
+    )
+    want = {}
+    for a, b in itertools.combinations(sorted(names), 2):
+        d = _brute_lev(a, b)
+        if d <= 3:
+            want[(a, b)] = (d, names[a] * names[b])
+    assert got == want
+    assert all(1 <= d <= 3 for d, _ in got.values())
+
+
+def test_ndcg_rearrangement_inequality(spark, sf_dir):
+    """DCG under the model ranking can never exceed DCG under the ideal
+    (relevance-sorted) ranking — the rearrangement inequality; and
+    ndcg_ppm is in [0, 1e6]."""
+    rows = EXTRA_QUERIES["q_ndcg_ranking"](spark, sf_dir).collect()
+    assert rows, "no users evaluated"
+    for r in rows:
+        assert r["dcg_micro"] <= r["idcg_micro"]
+        if r["ndcg_ppm"] is not None:
+            assert 0 <= r["ndcg_ppm"] <= 1_000_000
+
+
+def test_ipw_overall_is_weighted_stratum_average(spark, sf_dir):
+    """The stratum = -1 row must equal the n-weighted half-up average of
+    the per-stratum snapped effects over both-arm strata, and counts must
+    be internally consistent (n = n_t + n_c, rollup sums the kept
+    strata)."""
+    rows = EXTRA_QUERIES["q_ipw_ate"](spark, sf_dir).collect()
+    strata = [r for r in rows if r["stratum"] >= 0]
+    overall = [r for r in rows if r["stratum"] == -1]
+    assert len(overall) == 1
+    o = overall[0]
+    kept = [r for r in strata if r["effect_milli"] is not None]
+    assert all(r["n"] == r["n_t"] + r["n_c"] for r in strata)
+    if not kept:
+        # tiny-SF degenerate case (every stratum single-armed): the
+        # rollup row must be all-NULL in both engines, not fabricated
+        assert o["effect_milli"] is None and o["n"] is None
+        return
+    assert o["n"] == sum(r["n"] for r in kept)
+    num = sum(r["n"] * r["effect_milli"] for r in kept)
+    den = sum(r["n"] for r in kept)
+    assert o["effect_milli"] == (2 * num + den) // (2 * den)
