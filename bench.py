@@ -178,6 +178,14 @@ HEADLINE = [
     # windowed sequential patterns (two user-keyed interval self-joins)
     "q_apriori_triples",
     "q_sequential_patterns",
+    # round-11 additions: the web-corpus main-text extractor (page synth
+    # + 3-stage regexp pipeline — the heaviest new narrow-map shape), the
+    # vocabulary-reduced banded Levenshtein self-join, and the time-split
+    # nDCG eval (user-grain agg + two catalog-bounded windows)
+    "text_html_extract",
+    "dedup_edit_distance_join",
+    "q_ndcg_ranking",
+    "pipeline_web_corpus",
 ]
 
 

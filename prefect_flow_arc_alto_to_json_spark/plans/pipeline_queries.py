@@ -32,18 +32,22 @@ _NEAR_DUP_MAX_DF = 20
 #: near-dup drop list), shared by pipeline_clean_corpus and the
 #: tokenizer-ready composition. Ends at the `drops` CTE; consumers
 #: append their own final SELECT (and further CTEs).
-_CLEAN_CTES = f"""t AS (SELECT doc_id, source, text, {_SQL_TOKS} AS toks FROM documents),
-    m AS (
-      SELECT doc_id, source, text, toks,
+def _quality_ctes(src: str, carry: str = "source, ") -> str:
+    """The m/q quality-scoring CTE pair over any source CTE exposing
+    (doc_id, {carry}text, toks) — shared verbatim by the documents-based
+    clean chain and the web-corpus (extracted-main-text) pipeline so the
+    quality formula cannot drift between them."""
+    return f"""m AS (
+      SELECT doc_id, {carry}text, toks,
         CAST(len(text) AS BIGINT) AS n,
         CAST(len(toks) AS BIGINT) AS ntok,
         CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS a,
         CAST(len(regexp_extract_all(text, '[!-/:-@\\[-`{{-~]')) AS BIGINT) AS p,
         CAST(COALESCE(list_sum(list_transform(toks, x -> len(x))), 0) AS BIGINT) AS sl
-      FROM t
+      FROM {src}
     ),
     q AS (
-      SELECT doc_id, source, text, toks, ntok,
+      SELECT doc_id, {carry}text, toks, ntok,
         CAST(3 * (CASE WHEN ntok >= 10 AND ntok <= 5000 THEN 1000000
                        WHEN ntok > 0 THEN 500000 ELSE 0 END)
            + 3 * (CASE WHEN n > 0 THEN (2 * a * 1000000 + n) // (2 * n) ELSE 0 END)
@@ -55,7 +59,11 @@ _CLEAN_CTES = f"""t AS (SELECT doc_id, source, text, {_SQL_TOKS} AS toks FROM do
                        THEN 1000000 ELSE 500000 END)
           AS DOUBLE) / 10000000.0 AS quality
       FROM m
-    ),
+    )"""
+
+
+_CLEAN_CTES = f"""t AS (SELECT doc_id, source, text, {_SQL_TOKS} AS toks FROM documents),
+    {_quality_ctes("t")},
     gated AS (SELECT * FROM q WHERE quality >= {_QUALITY_THRESHOLD}),
     exact_kept AS (
       SELECT doc_id, source, text, toks, ntok, quality FROM (
@@ -657,3 +665,130 @@ def pipeline_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n")
     )
     return bradley_terry_nano(contests, rounds=3)
+
+
+# ---------------------------------------------------------------------------
+# Web-corpus ingestion pipeline: raw HTML -> extracted main text -> quality
+# gate -> exact dedup -> token accounting (the raw-crawl sibling of
+# pipeline_clean_corpus; round 11)
+# ---------------------------------------------------------------------------
+
+from ..operators.html import (  # noqa: E402
+    main_region,
+    sql_main_region,
+    sql_strip_noise,
+    sql_synth_page,
+    sql_to_text,
+    strip_noise,
+    synth_page,
+    to_text,
+)
+from ..operators.textstats import token_array as _token_array  # noqa: E402
+
+
+def _web_corpus_oracle() -> str:
+    return f"""
+    WITH pg AS (
+      SELECT doc_id, {sql_synth_page()} AS page FROM documents
+    ),
+    cl AS (SELECT doc_id, {sql_strip_noise("page")} AS clean FROM pg),
+    ex AS (
+      SELECT doc_id,
+             {sql_to_text(sql_main_region("clean"))} AS text,
+             {sql_to_text("clean")} AS page_text
+      FROM cl
+    ),
+    x AS (
+      SELECT doc_id, text,
+        CAST((2 * (len(page_text) - len(text)) * 1000000 + len(page_text))
+             // (2 * len(page_text)) AS BIGINT) AS boiler_ppm,
+        {_SQL_TOKS} AS toks
+      FROM ex
+    ),
+    {_quality_ctes("x", carry="boiler_ppm, ")},
+    gated AS (SELECT * FROM q WHERE quality >= {_QUALITY_THRESHOLD}),
+    exact_kept AS (
+      SELECT doc_id, boiler_ppm, ntok, quality FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+          ORDER BY doc_id
+        ) AS rn
+        FROM gated
+      ) WHERE rn = 1
+    )
+    SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens, quality, boiler_ppm
+    FROM exact_kept
+    """
+
+
+@query("pipeline_web_corpus", extra=True, oracle=_web_corpus_oracle())
+def pipeline_web_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw crawl -> training corpus as ONE lazy plan: synthesize the HTML
+    page per document (operators/html.py fixtures), extract the main text
+    (comment/script/style strip, container-priority region, tag strip,
+    entity decode), quality-gate the EXTRACTED text with the same scoring
+    formula as pipeline_clean_corpus (shared _quality_ctes generator — the
+    formula cannot drift between the two pipelines), collapse exact dups
+    of the normalized extract to the min-id keeper, and account tokens.
+    boiler_ppm (chrome fraction of the page) rides through as the
+    crawl-specific quality signal.
+
+    Plan shape at scale: ONE narrow scan does page synthesis + extraction
+    + scoring (regexp built-ins, WholeStageCodegen, no UDF); the only
+    shuffle is the exact-dedup digest keeper window. Near-dup removal is
+    deliberately left to the downstream pipeline_clean_corpus stage — on
+    extracted web text the two pipelines compose (extract | clean), and
+    the shingle-posting machinery is already adjudicated there.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text", "lang"
+    )
+    # staged projections (SPARK-36718 device): "clean" is referenced by
+    # FIVE downstream expressions (three region candidates, the fallback,
+    # page_text) — aliasing it in its own projection keeps CollapseProject
+    # from re-inlining the whole synth+strip regexp chain per reference
+    ex = (
+        docs.select(
+            "doc_id", strip_noise(synth_page()).alias("clean")
+        ).select(
+            "doc_id",
+            to_text(main_region(F.col("clean"))).alias("text"),
+            to_text(F.col("clean")).alias("page_text"),
+        )
+    )
+    d = F.call_function
+    x = ex.select(
+        "doc_id",
+        "text",
+        d(
+            "div",
+            2
+            * (F.length("page_text") - F.length("text")).cast("long")
+            * 1_000_000
+            + F.length("page_text").cast("long"),
+            2 * F.length("page_text").cast("long"),
+        ).alias("boiler_ppm"),
+    )
+    scored = x.select(
+        "doc_id",
+        "text",
+        "boiler_ppm",
+        token_count("text").cast("long").alias("n_tokens"),
+        quality_score("text").alias("quality"),
+    ).localCheckpoint()
+    # ^ lineage cut at the extracted-corpus boundary: without it,
+    # PushPredicateThroughNonJoin alias-substitutes the quality gate all
+    # the way down to the scan, re-inlining the synth+extract regexp
+    # chain ~217x into one Filter AND evaluating the whole extraction
+    # twice (measured 9.3 s vs 2.6 s at sf0.1). At 100 TB this boundary
+    # is where you would checkpoint the extracted corpus to parquet
+    # anyway — extraction is the expensive pass, everything after is
+    # cheap relative to it.
+    gated = scored.where(F.col("quality") >= _QUALITY_THRESHOLD)
+    keeper = F.row_number().over(
+        Window.partitionBy(F.md5(normalize_text("text"))).orderBy("doc_id")
+    )
+    exact_kept = (
+        gated.withColumn("__rn", keeper).where(F.col("__rn") == 1).drop("__rn")
+    )
+    return exact_kept.select("doc_id", "n_tokens", "quality", "boiler_ppm")
