@@ -2216,3 +2216,81 @@ def stream_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("known_len"),
         )
     )
+
+
+def _stream_html_oracle() -> str:
+    from .text_queries import _html_extract_oracle
+
+    # identical relation minus the main_text payload column (memory-sink
+    # hygiene): the batch extractor's oracle, re-projected
+    return f"""
+    WITH base AS ({_html_extract_oracle()})
+    SELECT doc_id, variant, main_chars, page_chars, boiler_ppm, n_tokens
+    FROM base
+    """
+
+
+@query("stream_html_extract", extra=True, oracle=_stream_html_oracle())
+def stream_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The web-corpus extractor at INGEST TIME: documents stream in from
+    a file source and the full page-synth + extraction pipeline
+    (operators/html.py — comment/script/style strip, container-priority
+    region, tag strip, entity decode) runs as narrow codegen INSIDE the
+    stream, emitting per-page extraction metrics in append mode. This is
+    the production crawl shape — extract on arrival, batch-compact
+    (pipeline_web_corpus's gate + dedup) downstream — and it proves the
+    extraction operators compose onto streams unchanged (the same
+    stateless-narrow-map guarantee cdc_chunks relies on). Oracle: the
+    batch extractor's SQL, re-projected; AvailableNow makes the drained
+    stream equal the batch answer exactly.
+
+    Scale: zero state, zero shuffle — per-file parallel narrow maps; the
+    file source lists incrementally from the checkpoint at any arrival
+    rate.
+    """
+    from ..operators.html import main_region, strip_noise, synth_page, to_text
+
+    src = tempfile.mkdtemp(prefix="stream_html_src_")
+    os.symlink(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(src, "documents.parquet"),
+    )
+    docs = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).parquet(src)
+    d = F.call_function
+    staged = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 3).cast("int").alias("variant"),
+        strip_noise(synth_page()).alias("clean"),
+    ).select(
+        "doc_id",
+        "variant",
+        to_text(main_region(F.col("clean"))).alias("main_text"),
+        to_text(F.col("clean")).alias("page_text"),
+    )
+    out = staged.select(
+        "doc_id",
+        "variant",
+        F.length("main_text").cast("long").alias("main_chars"),
+        F.length("page_text").cast("long").alias("page_chars"),
+        d(
+            "div",
+            2 * (F.length("page_text") - F.length("main_text")).cast("long")
+            * 1_000_000
+            + F.length("page_text").cast("long"),
+            2 * F.length("page_text").cast("long"),
+        ).alias("boiler_ppm"),
+        F.when(F.col("main_text") == "", F.lit(0))
+        .otherwise(F.size(F.split("main_text", " ")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    table = f"stream_html_{uuid.uuid4().hex[:10]}"
+    run_available_now(
+        out,
+        checkpoint_dir=tempfile.mkdtemp(prefix="stream_html_ckpt_"),
+        output_mode="append",
+        memory_table=table,
+    )
+    return spark.table(table)
