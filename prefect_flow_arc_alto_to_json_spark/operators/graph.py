@@ -1373,3 +1373,101 @@ def dominant_edge_matching(edges: DataFrame, rounds: int = 4) -> DataFrame:
         )
         matched = m if matched is None else matched.unionByName(m)
     return matched
+
+
+def luby_mis(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Luby-style MAXIMAL INDEPENDENT SET via deterministic hash
+    priorities — the vertex symmetry-breaking primitive (the vertex
+    analog of ``dominant_edge_matching``: matching retires locally-
+    dominant EDGES, MIS admits locally-minimal NODES). Classic
+    distributed formulation (Luby 1986, the Pregel/GraphX textbook
+    kernel behind parallel coloring, scheduling and landmark selection),
+    derandomized for the oracle: each node's round priority is the
+    shared md5 residue ``stable_hash_p31('mis-v1:' || node)`` with the
+    node id as the total-order tiebreak, so both engines replay the
+    identical run.
+
+    Per round over the UNDECIDED subgraph: a node with no undecided
+    neighbor of strictly smaller (priority, id) joins the MIS (isolated
+    undecided nodes join trivially — empty neighbor set); MIS nodes and
+    their neighbors then retire. Maximality at the configured round
+    count is gate-tested (tests/test_graph.py asserts the next frontier
+    is empty), independence is an invariant of the admit rule.
+
+    ``edges``: undirected (a, b, ...) with a < b. Returns
+    (node, mis_round).
+
+    Scale: each round is one adjacency self-join keyed on node + one
+    anti-join — all relations node- or edge-sized; expected O(log n)
+    rounds. On billion-edge graphs the same rounds run with the
+    adjacency partitioned by node; the priority is recomputed per node,
+    never shuffled with the edges.
+    """
+    from ..functions.scalar import stable_hash_p31
+
+    und = edges.select("a", "b").localCheckpoint()
+    nodes = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    pr = nodes.select(
+        "node",
+        stable_hash_p31(
+            F.concat(F.lit("mis-v1:"), F.col("node").cast("string"))
+        ).alias("pr"),
+    ).localCheckpoint()  # every round's dominance join reads it
+
+    undecided = pr
+    out = None
+    for r in range(1, loop_rounds(rounds) + 1):
+        # undirected adjacency restricted to undecided nodes
+        adj = (
+            und.unionByName(
+                und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            )
+            .join(
+                F.broadcast(undecided.select(F.col("node").alias("a"))),
+                "a",
+                "semi",
+            )
+            .join(
+                F.broadcast(undecided.select(F.col("node").alias("b"))),
+                "b",
+                "semi",
+            )
+        )
+        # nodes beaten by an undecided neighbor of smaller (pr, id)
+        beaten = (
+            adj.join(
+                F.broadcast(undecided.select(F.col("node").alias("a"), "pr")),
+                "a",
+            )
+            .join(
+                F.broadcast(
+                    undecided.select(
+                        F.col("node").alias("b"), F.col("pr").alias("pr2")
+                    )
+                ),
+                "b",
+            )
+            .where(
+                (F.col("pr2") < F.col("pr"))
+                | ((F.col("pr2") == F.col("pr")) & (F.col("b") < F.col("a")))
+            )
+            .select(F.col("a").alias("node"))
+            .distinct()
+        )
+        mis = undecided.join(F.broadcast(beaten), "node", "anti").select(
+            "node", F.lit(r).cast("int").alias("mis_round")
+        )
+        retired = mis.select("node").unionByName(
+            adj.join(
+                F.broadcast(mis.select(F.col("node").alias("b"))), "b", "semi"
+            ).select(F.col("a").alias("node"))
+        )
+        undecided = loop_ckpt(
+            undecided.join(F.broadcast(retired.distinct()), "node", "anti")
+        )
+        out = mis if out is None else out.unionByName(mis)
+    return out

@@ -2156,3 +2156,124 @@ def q_graph_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("w").cast("long").alias("w"))
     )
     return dominant_edge_matching(und, rounds=4)
+
+
+def _mis_oracle(rounds: int = 3) -> str:
+    """Unrolled replay of operators/graph.py:luby_mis on the mean-
+    thresholded undirected trade graph: per round a MATERIALIZED
+    undecided-adjacency level, the beaten-by-smaller-(pr, id) relation,
+    the admit set, and the retirement filter."""
+    head = """
+    WITH e0 AS MATERIALIZED (
+      SELECT c_nationkey AS src, s_nationkey AS dst, COUNT(*) AS w
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1, 2
+    ),
+    agg AS (SELECT SUM(w) AS tot, COUNT(*) AS n FROM e0),
+    ef AS MATERIALIZED (
+      SELECT src, dst FROM e0, agg WHERE src <> dst AND w * n >= tot
+    ),
+    e1 AS MATERIALIZED (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM ef
+    ),
+    eb AS MATERIALIZED (
+      SELECT a, b FROM e1 UNION ALL SELECT b AS a, a AS b FROM e1
+    ),
+    u0 AS MATERIALIZED (
+      SELECT node,
+             md5_number_lower('mis-v1:' || CAST(node AS VARCHAR))
+               % 2147483647 AS pr
+      FROM (SELECT DISTINCT a AS node FROM eb)
+    )"""
+    rnd = """,
+    adj{R} AS MATERIALIZED (
+      SELECT e.a, e.b FROM eb e
+      WHERE e.a IN (SELECT node FROM u{P})
+        AND e.b IN (SELECT node FROM u{P})
+    ),
+    beat{R} AS (
+      SELECT DISTINCT x.a AS node
+      FROM adj{R} x
+      JOIN u{P} p1 ON p1.node = x.a
+      JOIN u{P} p2 ON p2.node = x.b
+      WHERE p2.pr < p1.pr OR (p2.pr = p1.pr AND x.b < x.a)
+    ),
+    m{R} AS MATERIALIZED (
+      SELECT node FROM u{P}
+      WHERE node NOT IN (SELECT node FROM beat{R})
+    ),
+    u{R} AS MATERIALIZED (
+      SELECT u.node, u.pr FROM u{P} u
+      WHERE u.node NOT IN (SELECT node FROM m{R})
+        AND u.node NOT IN
+          (SELECT x.a FROM adj{R} x JOIN m{R} m ON m.node = x.b)
+    )"""
+    body = "".join(rnd.format(R=r, P=r - 1) for r in range(1, rounds + 1))
+    arms = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST(node AS BIGINT) AS node, CAST({r} AS INT) AS mis_round "
+        f"FROM m{r}"
+        for r in range(1, rounds + 1)
+    )
+    return head + body + "\n    " + arms
+
+
+@query("q_luby_mis", extra=True, oracle=_mis_oracle(3))
+def q_luby_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luby-style MAXIMAL INDEPENDENT SET (operators/graph.py:luby_mis)
+    on the mean-thresholded undirected trade graph — the vertex
+    symmetry-breaking member of the graph family (matching retires
+    locally-dominant EDGES; MIS admits locally-minimal NODES — the
+    primitive behind parallel coloring, scheduling and landmark
+    selection). Priorities are the shared md5 residue with node-id
+    tiebreak, so the run is deterministic and the unrolled oracle
+    replays every round hash-exact. Three rounds reach maximality here
+    (the round-4 emptiness gate and the independence/maximality axioms
+    live in tests/test_graph.py).
+
+    Scale: per round one adjacency semi-join pair + one broadcast
+    anti-join, all node- or edge-sized relations; expected O(log n)
+    rounds — the textbook Pregel/GraphX kernel shape.
+    """
+    from ..operators.graph import luby_mis
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    e0 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    tot = e0.agg(F.sum("w").alias("tot"), F.count(F.lit(1)).alias("n"))
+    und = (
+        e0.crossJoin(F.broadcast(tot))
+        .where(
+            (F.col("src") != F.col("dst"))
+            & (F.col("w") * F.col("n") >= F.col("tot"))
+        )
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    return luby_mis(und, rounds=3).select(
+        F.col("node").cast("long").alias("node"), "mis_round"
+    )

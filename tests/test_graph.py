@@ -575,3 +575,55 @@ def test_matching_axioms(spark, sf_dir):
         if r["round"] == 1:
             e = (r["a"], r["b"])
             assert best[r["a"]][1] == e and best[r["b"]][1] == e, e
+
+
+def test_luby_mis_axioms(spark, sf_dir):
+    """Independence (no trade-graph edge joins two MIS nodes),
+    maximality (every excluded node has a MIS neighbor), and round
+    sufficiency (a 4th round admits nothing — the undecided set is empty
+    after the configured 3)."""
+    from pyspark.sql import functions as F
+
+    from prefect_flow_arc_alto_to_json_spark.operators.graph import luby_mis
+    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+    from prefect_flow_arc_alto_to_json_spark.sources import load_table
+
+    rows = EXTRA_QUERIES["q_luby_mis"](spark, sf_dir).collect()
+    mis = {r["node"] for r in rows}
+    assert len(mis) == len(rows), "a node admitted twice"
+
+    # rebuild the same mean-thresholded undirected edge set
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    e0 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    tot = e0.agg(F.sum("w").alias("tot"), F.count(F.lit(1)).alias("n"))
+    und = (
+        e0.crossJoin(F.broadcast(tot))
+        .where((F.col("src") != F.col("dst")) & (F.col("w") * F.col("n") >= F.col("tot")))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    edges = [(r["a"], r["b"]) for r in und.collect()]
+    nodes = {x for e in edges for x in e}
+    # independence
+    assert not any(a in mis and b in mis for a, b in edges)
+    # maximality: every excluded node is adjacent to a MIS node
+    nbrs = {n: set() for n in nodes}
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    for n in nodes - mis:
+        assert nbrs[n] & mis, f"node {n} excluded without a MIS neighbor"
+    # round sufficiency: a 4th round admits nothing new
+    four = luby_mis(und, rounds=4).collect()
+    assert {(r["node"], r["mis_round"]) for r in four} == {
+        (r["node"], r["mis_round"]) for r in rows
+    }
