@@ -79,3 +79,20 @@ def test_ipw_overall_is_weighted_stratum_average(spark, sf_dir):
     num = sum(r["n"] * r["effect_milli"] for r in kept)
     den = sum(r["n"] for r in kept)
     assert o["effect_milli"] == (2 * num + den) // (2 * den)
+
+
+def test_facility_location_submodularity(spark, sf_dir):
+    """Greedy facility-location must exhibit diminishing returns: the
+    picked marginal gains are non-increasing across rounds (submodularity
+    of the coverage objective), strictly positive only while coverage
+    still improves, and the 5 picks are distinct pool members."""
+    rows = sorted(
+        EXTRA_QUERIES["sim_facility_location"](spark, sf_dir).collect(),
+        key=lambda r: r["round"],
+    )
+    assert [r["round"] for r in rows] == [1, 2, 3, 4, 5]
+    gains = [r["marginal_gain"] for r in rows]
+    assert all(a >= b for a, b in zip(gains, gains[1:])), gains
+    picks = [r["vec_id"] for r in rows]
+    assert len(set(picks)) == 5 and all(p < 32 for p in picks)
+    assert gains[0] > 0
