@@ -2957,3 +2957,165 @@ def q_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nn2").alias("n_total"),
         "state",
     )
+
+
+# ---------------------------------------------------------------------------
+# Banded DTW between daily event-type series (round 11)
+# ---------------------------------------------------------------------------
+
+_DTW_K = 16  # trailing-day window (the burst-detection spine device)
+_DTW_BAND = 4  # Sakoe-Chiba band half-width |i - j| <= 4
+_DTW_BIGM = 1_000_000_000_000  # out-of-band sentinel; path sums stay far below
+
+
+def _dtw_cells():
+    """(i, j, in_band, neighbor_names) for every DP cell, anti-diagonal
+    order — shared by the Spark and SQL generators so the two engines'
+    recurrences cannot drift."""
+    for k in range(0, 2 * _DTW_K - 1):
+        for i in range(_DTW_K):
+            j = k - i
+            if 0 <= j < _DTW_K:
+                nb = []
+                if i > 0:
+                    nb.append(f"c_{i - 1}_{j}")
+                if j > 0:
+                    nb.append(f"c_{i}_{j - 1}")
+                if i > 0 and j > 0:
+                    nb.append(f"c_{i - 1}_{j - 1}")
+                yield i, j, abs(i - j) <= _DTW_BAND, nb
+
+
+def _dtw_oracle() -> str:
+    piv = ", ".join(
+        f"MAX(CASE WHEN idx = {i} THEN n END) AS n_{i}" for i in range(_DTW_K)
+    )
+    head = f"""
+    WITH daily AS MATERIALIZED (
+      SELECT event_type AS t, CAST(ts AS DATE) AS dy,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    mx AS (SELECT MAX(dy) AS mxd FROM daily),
+    spine AS (SELECT CAST(range AS INT) AS idx FROM range(0, {_DTW_K})),
+    types AS (SELECT DISTINCT t FROM daily),
+    grid AS MATERIALIZED (
+      SELECT ty.t, s.idx, COALESCE(d.n, 0) AS n
+      FROM types ty CROSS JOIN spine s CROSS JOIN mx
+      LEFT JOIN daily d ON d.t = ty.t
+        AND d.dy = mx.mxd + (s.idx - {_DTW_K - 1})
+    ),
+    piv AS MATERIALIZED (SELECT t, {piv} FROM grid GROUP BY t),
+    pairs AS MATERIALIZED (
+      SELECT a.t AS t_a, b.t AS t_b,
+             {", ".join(f"a.n_{i} AS x_{i}, b.n_{i} AS y_{i}" for i in range(_DTW_K))}
+      FROM piv a JOIN piv b ON a.t < b.t
+    ),
+    l0 AS MATERIALIZED (SELECT *, ABS(x_0 - y_0) AS c_0_0 FROM pairs)"""
+    # group cells by anti-diagonal into chained CTE levels
+    levels: dict[int, list[str]] = {}
+    for i, j, in_band, nb in _dtw_cells():
+        if i == 0 and j == 0:
+            continue
+        if not in_band:
+            expr = f"CAST({_DTW_BIGM} AS BIGINT) AS c_{i}_{j}"
+        else:
+            m = nb[0] if len(nb) == 1 else f"LEAST({', '.join(nb)})"
+            expr = f"ABS(x_{i} - y_{j}) + {m} AS c_{i}_{j}"
+        levels.setdefault(i + j, []).append(expr)
+    body = "".join(
+        f""",
+    l{k} AS MATERIALIZED (SELECT *, {", ".join(exprs)} FROM l{k - 1})"""
+        for k, exprs in sorted(levels.items())
+    )
+    last = 2 * _DTW_K - 2
+    return (
+        head
+        + body
+        + f"""
+    SELECT t_a, t_b, CAST(c_{_DTW_K - 1}_{_DTW_K - 1} AS BIGINT) AS dtw_cost
+    FROM l{last}
+    """
+    )
+
+
+@query("q_dtw_event_series", extra=True, oracle=_dtw_oracle())
+def q_dtw_event_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAKOE-CHIBA-BANDED DYNAMIC TIME WARPING between every pair of
+    event types' trailing-16-day daily-count series — the sequence-
+    ALIGNMENT member of the temporal family (autocorrelation/Spearman
+    compare series point-by-point; DTW aligns them under local time
+    warps, the standard shape-similarity measure for usage curves).
+    Costs are exact integer |x_i - y_j|; the band (|i - j| <= 4) is the
+    standard warping constraint AND the scale device — it prunes the DP
+    to O(K * band) live cells, with out-of-band cells pinned to an
+    integer sentinel so both engines share one recurrence. The full
+    16x16 DP is unrolled as 31 anti-diagonal projection levels (cells on
+    one anti-diagonal depend only on the two previous — no intra-level
+    references), the chained-select pattern measured plan-linear on
+    q_burst_detection; BOTH the Spark plan and the DuckDB oracle are
+    generated from the same _dtw_cells() walk, so the comparison
+    adjudicates the recurrence itself.
+
+    Scale: ONE map-side daily aggregation touches the corpus; the spine,
+    pivot and all 31 DP levels run on a |types|^2/2-row relation
+    (catalog-bounded). For long series the same band tiles the DP with
+    carried boundary diagonals — the burst-detection tiling argument.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("t"), F.to_date("ts").alias("dy")
+    )
+    daily = ev.groupBy("t", "dy").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    mx = daily.agg(F.max("dy").alias("mxd")).localCheckpoint()
+    types = daily.select("t").distinct()
+    spine = spark.range(_DTW_K).select(F.col("id").cast("int").alias("idx"))
+    grid = (
+        types.crossJoin(spine)
+        .crossJoin(F.broadcast(mx))
+        .select("t", "idx", F.date_add("mxd", F.col("idx") - (_DTW_K - 1)).alias("dy"))
+        .join(F.broadcast(daily), ["t", "dy"], "left")
+        .select("t", "idx", F.coalesce("n", F.lit(0)).cast("long").alias("n"))
+    )
+    piv = (
+        grid.groupBy("t")
+        .agg(
+            *[
+                F.max(F.when(F.col("idx") == i, F.col("n"))).alias(f"n_{i}")
+                for i in range(_DTW_K)
+            ]
+        )
+        .localCheckpoint()  # both pair sides read it (self-join lineage)
+    )
+    a = piv.select(
+        F.col("t").alias("t_a"),
+        *[F.col(f"n_{i}").alias(f"x_{i}") for i in range(_DTW_K)],
+    )
+    b = piv.select(
+        F.col("t").alias("t_b"),
+        *[F.col(f"n_{i}").alias(f"y_{i}") for i in range(_DTW_K)],
+    )
+    df = a.join(b.hint("broadcast"), F.col("t_a") < F.col("t_b"))
+    df = df.select("*", F.abs(F.col("x_0") - F.col("y_0")).alias("c_0_0"))
+    levels: dict[int, list] = {}
+    for i, j, in_band, nb in _dtw_cells():
+        if i == 0 and j == 0:
+            continue
+        if not in_band:
+            e = F.lit(_DTW_BIGM).cast("long").alias(f"c_{i}_{j}")
+        else:
+            m = (
+                F.col(nb[0])
+                if len(nb) == 1
+                else F.least(*[F.col(x) for x in nb])
+            )
+            e = (F.abs(F.col(f"x_{i}") - F.col(f"y_{j}")) + m).alias(
+                f"c_{i}_{j}"
+            )
+        levels.setdefault(i + j, []).append(e)
+    for k in sorted(levels):
+        df = df.select("*", *levels[k])
+    return df.select(
+        "t_a",
+        "t_b",
+        F.col(f"c_{_DTW_K - 1}_{_DTW_K - 1}").cast("long").alias("dtw_cost"),
+    )

@@ -204,3 +204,62 @@ def test_apportionment_axioms(spark, sf_dir):
     for lo, hi in zip(by_rev, by_rev[1:]):
         if hi["revenue_cents"] > lo["revenue_cents"]:
             assert hi["seats_dhondt"] >= lo["seats_dhondt"], (lo, hi)
+
+
+def test_dtw_matches_brute_replay(spark, sf_dir):
+    """q_dtw_event_series equals an independent pure-Python banded-DTW
+    replay over the same trailing-16-day daily counts, and obeys the
+    path-relaxation bound DTW <= unwarped L1 (the diagonal is one
+    admissible path)."""
+    import pandas as pd
+
+    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+    from prefect_flow_arc_alto_to_json_spark.plans.temporal_queries import (
+        _DTW_BAND,
+        _DTW_BIGM,
+        _DTW_K,
+    )
+
+    got = {
+        (r["t_a"], r["t_b"]): r["dtw_cost"]
+        for r in EXTRA_QUERIES["q_dtw_event_series"](spark, sf_dir).collect()
+    }
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[["event_type", "ts"]]
+    ev["dy"] = ev["ts"].dt.date
+    mxd = ev["dy"].max()
+    days = [
+        mxd + pd.Timedelta(days=i - (_DTW_K - 1)).to_pytimedelta()
+        for i in range(_DTW_K)
+    ]
+    counts = ev.groupby(["event_type", "dy"]).size()
+    series = {
+        t: [int(counts.get((t, d), 0)) for d in days]
+        for t in sorted(ev["event_type"].unique())
+    }
+
+    def dtw(x, y):
+        c = [[_DTW_BIGM] * _DTW_K for _ in range(_DTW_K)]
+        for i in range(_DTW_K):
+            for j in range(_DTW_K):
+                if abs(i - j) > _DTW_BAND:
+                    continue
+                nb = []
+                if i > 0:
+                    nb.append(c[i - 1][j])
+                if j > 0:
+                    nb.append(c[i][j - 1])
+                if i > 0 and j > 0:
+                    nb.append(c[i - 1][j - 1])
+                c[i][j] = abs(x[i] - y[j]) + (min(nb) if nb else 0)
+        return c[-1][-1]
+
+    import itertools
+
+    want = {
+        (a, b): dtw(series[a], series[b])
+        for a, b in itertools.combinations(sorted(series), 2)
+    }
+    assert got == want
+    for (a, b), v in got.items():
+        l1 = sum(abs(p - q) for p, q in zip(series[a], series[b]))
+        assert 0 <= v <= l1, (a, b, v, l1)
