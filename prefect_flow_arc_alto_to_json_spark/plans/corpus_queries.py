@@ -428,3 +428,120 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return weighted_priority_sample(docs, F.length("text"), k=50)
+
+
+def _hrw_oracle() -> str:
+    def hashes(n_nodes, pfx):
+        return ", ".join(
+            f"md5_number_lower('hrw-v1:' || CAST(doc_id AS VARCHAR) || ':{n}')"
+            f" % 2147483647 AS {pfx}{n}"
+            for n in range(n_nodes)
+        )
+
+    def argmax(n_nodes, pfx):
+        great = f"GREATEST({', '.join(f'{pfx}{n}' for n in range(n_nodes))})"
+        cases = " ".join(
+            f"WHEN {pfx}{n} = {great} THEN {n}" for n in range(n_nodes)
+        )
+        return f"CASE {cases} END"
+
+    return f"""
+    WITH h AS (
+      SELECT doc_id, {hashes(9, 'h')} FROM documents
+    ),
+    assign AS (
+      SELECT doc_id,
+        {argmax(8, 'h')} AS hrw8,
+        {argmax(9, 'h')} AS hrw9,
+        md5_number_lower('hrw-v1:' || CAST(doc_id AS VARCHAR))
+          % 2147483647 % 8 AS mod8,
+        md5_number_lower('hrw-v1:' || CAST(doc_id AS VARCHAR))
+          % 2147483647 % 9 AS mod9
+      FROM h
+    )
+    SELECT 'rendezvous' AS strategy,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CASE WHEN hrw8 <> hrw9 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+      CAST(SUM(CASE WHEN hrw8 <> hrw9 AND hrw9 = 8 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_moved_to_new,
+      CAST((2 * SUM(CASE WHEN hrw8 <> hrw9 THEN 1 ELSE 0 END) * 1000000
+            + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS moved_ppm
+    FROM assign
+    UNION ALL
+    SELECT 'modulo' AS strategy,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CASE WHEN mod8 <> mod9 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+      CAST(SUM(CASE WHEN mod8 <> mod9 AND mod9 = 8 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_moved_to_new,
+      CAST((2 * SUM(CASE WHEN mod8 <> mod9 THEN 1 ELSE 0 END) * 1000000
+            + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS moved_ppm
+    FROM assign
+    """
+
+
+@query("q_rendezvous_resharding", extra=True, oracle=_hrw_oracle())
+def q_rendezvous_resharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-PLACEMENT STABILITY under cluster resize — rendezvous (HRW,
+    highest-random-weight) sharding vs modulo sharding when the shard
+    count grows 8 -> 9. The 100 TB operational question this answers:
+    how much data MOVES on reshard. Modulo reassigns ~(N)/(N+1) of all
+    keys; rendezvous provably moves ONLY the keys whose new argmax is
+    the new node (~1/(N+1)), because adding a node cannot change the
+    relative order of the existing nodes' weights — the minimal-
+    disruption property, emitted here as the checkable column
+    n_moved_to_new (== n_moved for HRW by the theorem; gate-tested).
+    Weights are the shared md5 residue of 'hrw-v1:doc:node', so both
+    engines replay identical assignments; ties break to the smallest
+    node id in both (first match of the GREATEST case chain).
+
+    Scale: pure narrow per-row expressions (9 md5s per key) + one
+    map-side-partial 2-row rollup — no shuffle, no state; this IS the
+    production shard-router expression, evaluable at the scan.
+    """
+    from ..functions.scalar import stable_hash_p31
+
+    def h(node: int):
+        return stable_hash_p31(
+            F.concat(
+                F.lit("hrw-v1:"), F.col("doc_id").cast("string"), F.lit(f":{node}")
+            )
+        )
+
+    def argmax(n_nodes):
+        cols = [h(n) for n in range(n_nodes)]
+        great = F.greatest(*cols)
+        e = F.lit(None).cast("int")
+        for n in reversed(range(n_nodes)):
+            e = F.when(cols[n] == great, F.lit(n)).otherwise(e)
+        return e
+
+    base_h = stable_hash_p31(
+        F.concat(F.lit("hrw-v1:"), F.col("doc_id").cast("string"))
+    )
+    assign = fan_out(load_table(spark, sf_dir, "documents")).select(
+        argmax(8).alias("hrw8"),
+        argmax(9).alias("hrw9"),
+        (base_h % 8).alias("mod8"),
+        (base_h % 9).alias("mod9"),
+    )
+    d = F.call_function
+
+    def roll(name, a, b):
+        moved = (F.col(a) != F.col(b)).cast("long")
+        to_new = ((F.col(a) != F.col(b)) & (F.col(b) == 8)).cast("long")
+        return assign.agg(
+            F.lit(name).alias("strategy"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(moved).cast("long").alias("n_moved"),
+            F.sum(to_new).cast("long").alias("n_moved_to_new"),
+            d(
+                "div",
+                2 * F.sum(moved).cast("long") * 1_000_000
+                + F.count(F.lit(1)).cast("long"),
+                2 * F.count(F.lit(1)).cast("long"),
+            ).alias("moved_ppm"),
+        )
+
+    return roll("rendezvous", "hrw8", "hrw9").unionByName(
+        roll("modulo", "mod8", "mod9")
+    )

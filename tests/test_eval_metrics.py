@@ -96,3 +96,21 @@ def test_facility_location_submodularity(spark, sf_dir):
     picks = [r["vec_id"] for r in rows]
     assert len(set(picks)) == 5 and all(p < 32 for p in picks)
     assert gains[0] > 0
+
+
+def test_rendezvous_minimal_disruption(spark, sf_dir):
+    """HRW's minimal-disruption theorem on real data: every key that
+    moves when the cluster grows 8 -> 9 moves TO the new node (adding a
+    node cannot reorder the existing nodes' weights), and the moved
+    fraction sits near 1/9 while modulo sits near 8/9."""
+    rows = {
+        r["strategy"]: r
+        for r in EXTRA_QUERIES["q_rendezvous_resharding"](spark, sf_dir).collect()
+    }
+    hrw, mod = rows["rendezvous"], rows["modulo"]
+    assert hrw["n_moved"] == hrw["n_moved_to_new"]  # the theorem
+    assert hrw["n_docs"] == mod["n_docs"]
+    # 1/9 = 111_111 ppm; 8/9 = 888_889 ppm — allow sampling slack
+    assert 60_000 <= hrw["moved_ppm"] <= 170_000, hrw["moved_ppm"]
+    assert 830_000 <= mod["moved_ppm"] <= 940_000, mod["moved_ppm"]
+    assert mod["n_moved"] > 5 * hrw["n_moved"]
