@@ -376,6 +376,108 @@ def _apriori(bk: DataFrame) -> DataFrame:
     return tri
 
 
+def _web_corpus(d: DataFrame) -> DataFrame:
+    """pipeline_web_corpus's composition over the blown-up documents
+    (plans/pipeline_queries.py): page synth + extraction + quality gate
+    + exact-dedup keeper window."""
+    from prefect_flow_arc_alto_to_json_spark.operators.dedup import (
+        normalize_text,
+    )
+    from prefect_flow_arc_alto_to_json_spark.operators.html import (
+        main_region,
+        strip_noise,
+        synth_page,
+        to_text,
+    )
+    from prefect_flow_arc_alto_to_json_spark.operators.textstats import (
+        quality_score,
+    )
+
+    docs = d.withColumn("lang", F.lit("en"))
+    ex = docs.select(
+        "doc_id", strip_noise(synth_page()).alias("clean")
+    ).select("doc_id", to_text(main_region(F.col("clean"))).alias("text"))
+    scored = ex.select(
+        "doc_id",
+        "text",
+        token_count("text").cast("long").alias("n_tokens"),
+        quality_score("text").alias("quality"),
+    ).localCheckpoint()
+    gated = scored.where(F.col("quality") >= 0.7)
+    keeper = F.row_number().over(
+        Window.partitionBy(F.md5(normalize_text("text"))).orderBy("doc_id")
+    )
+    return (
+        gated.withColumn("__rn", keeper)
+        .where(F.col("__rn") == 1)
+        .select("doc_id", "n_tokens", "quality")
+    )
+
+
+def _facility(e: DataFrame) -> DataFrame:
+    """sim_facility_location's greedy loop over the blown-up embeddings
+    (plans/similarity_queries.py): 3 probe rounds, 32-candidate pool."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    q = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
+    )
+    ee = e.select("vec_id", q.alias("v")).localCheckpoint()
+    cands = ee.where(F.col("vec_id") < 32).localCheckpoint()
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    cov = ee.select("vec_id", F.lit(0).cast("long").alias("cov"))
+    out = None
+    for r in range(1, 4):
+        gains = (
+            ee.join(cov, "vec_id")
+            .crossJoin(
+                F.broadcast(
+                    cands.select(
+                        F.col("vec_id").alias("cand"), F.col("v").alias("cv")
+                    )
+                )
+            )
+            .select(
+                "cand",
+                F.greatest(
+                    dot(F.col("v"), F.col("cv")) - F.col("cov"), F.lit(0)
+                ).alias("g"),
+            )
+            .groupBy("cand")
+            .agg(F.sum("g").cast("long").alias("gain"))
+        )
+        sel = gains.orderBy(F.col("gain").desc(), "cand").limit(1).collect()[0]
+        row = spark.createDataFrame(
+            [(r, int(sel["cand"]), int(sel["gain"]))],
+            "round int, vec_id long, marginal_gain long",
+        )
+        out = row if out is None else out.unionByName(row)
+        pv = cands.where(F.col("vec_id") == int(sel["cand"])).select(
+            F.col("v").alias("pv")
+        )
+        cov = (
+            cov.join(F.broadcast(pv), how="cross")
+            .join(ee, "vec_id")
+            .select(
+                "vec_id",
+                F.greatest(
+                    F.col("cov"),
+                    F.greatest(dot(F.col("v"), F.col("pv")), F.lit(0)),
+                ).alias("cov"),
+            )
+            .localCheckpoint()
+        )
+    return out
+
+
 def _leakage_split(d: DataFrame) -> DataFrame:
     """pipeline_leakage_safe_split's composition (plans/dedup_queries.py)
     over the blown-up documents: near-dup pairs → components → component-
@@ -782,6 +884,13 @@ def main() -> None:
         # the self-join fan-out (basket width choose 3) per order.
         "seq_patterns": lambda d, e, ev, o: _seq_patterns(aux["evt"]),
         "apriori_triples": lambda d, e, ev, o: _apriori(aux["bk"]),
+        # round-11 late additions: the web-corpus pipeline (page synth +
+        # extraction + quality scoring are one narrow scan; the only
+        # shuffle is the dedup digest window) and the facility-location
+        # greedy (pool x corpus integer dots per round — cost must track
+        # the corpus, the pool and round count are fixed)
+        "web_corpus": lambda d, e, ev, o: _web_corpus(d),
+        "facility_location": lambda d, e, ev, o: _facility(e),
         "geo_radius_join": lambda d, e, ev, o: radius_join(
             with_grid(d.select(F.col("doc_id").alias("lid")), "lid", 1_000_000),
             with_grid(
