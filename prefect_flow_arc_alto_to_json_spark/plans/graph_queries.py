@@ -2277,3 +2277,198 @@ def q_luby_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return luby_mis(und, rounds=3).select(
         F.col("node").cast("long").alias("node"), "mis_round"
     )
+
+
+_GS_LIST = 8  # truncated preference-list length (NRMP-style); with lists
+# of length L, parallel deferred acceptance converges in <= L + 1 rounds:
+# a free proposer consumes one list entry per rejection, one per round.
+_GS_ROUNDS = _GS_LIST + 1
+
+
+def _stable_matching_oracle() -> str:
+    """Unrolled replay of the parallel deferred-acceptance rounds: per
+    round a best-remaining-proposal level, the acceptor-side keep, and
+    the cumulative rejection update."""
+    head = f"""
+    WITH w AS MATERIALIZED (
+      SELECT c_nationkey AS p, s_nationkey AS a, CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1, 2
+    ),
+    pr AS MATERIALIZED (
+      SELECT p, a, prk FROM (
+        SELECT p, a,
+          ROW_NUMBER() OVER (PARTITION BY p ORDER BY w DESC, a) AS prk
+        FROM w
+      ) WHERE prk <= {_GS_LIST}
+    ),
+    ar AS MATERIALIZED (
+      SELECT p, a,
+        ROW_NUMBER() OVER (PARTITION BY a ORDER BY w DESC, p) AS ark
+      FROM w
+    ),
+    eng0 AS (SELECT CAST(NULL AS BIGINT) AS p, CAST(NULL AS BIGINT) AS a
+             WHERE FALSE),
+    rej0 AS (SELECT CAST(NULL AS BIGINT) AS p, CAST(NULL AS BIGINT) AS a
+             WHERE FALSE)"""
+    rnd = """,
+    prop{R} AS MATERIALIZED (
+      -- every free proposer proposes to its best remaining list entry
+      SELECT p, a FROM (
+        SELECT pr.p, pr.a,
+          ROW_NUMBER() OVER (PARTITION BY pr.p ORDER BY pr.prk) AS rn
+        FROM pr
+        WHERE pr.p NOT IN (SELECT p FROM eng{P} WHERE p IS NOT NULL)
+          AND NOT EXISTS (SELECT 1 FROM rej{P} r
+                          WHERE r.p = pr.p AND r.a = pr.a)
+      ) WHERE rn = 1
+    ),
+    cand{R} AS MATERIALIZED (
+      SELECT p, a FROM prop{R}
+      UNION ALL
+      SELECT p, a FROM eng{P} WHERE p IS NOT NULL
+    ),
+    eng{R} AS MATERIALIZED (
+      -- each acceptor keeps the best candidate by ITS preference
+      SELECT p, a FROM (
+        SELECT c.p, c.a,
+          ROW_NUMBER() OVER (PARTITION BY c.a ORDER BY ar.ark) AS rn
+        FROM cand{R} c JOIN ar ON ar.p = c.p AND ar.a = c.a
+      ) WHERE rn = 1
+    ),
+    rej{R} AS MATERIALIZED (
+      SELECT p, a FROM rej{P} WHERE p IS NOT NULL
+      UNION
+      SELECT c.p, c.a FROM cand{R} c
+      WHERE NOT EXISTS (SELECT 1 FROM eng{R} e
+                        WHERE e.p = c.p AND e.a = c.a)
+    )"""
+    body = "".join(
+        rnd.format(R=r, P=r - 1) for r in range(1, _GS_ROUNDS + 1)
+    )
+    return (
+        head
+        + body
+        + f"""
+    SELECT e.p AS proposer, e.a AS acceptor,
+           CAST(pr.prk AS INT) AS proposer_rank,
+           CAST(ar.ark AS INT) AS acceptor_rank
+    FROM eng{_GS_ROUNDS} e
+    JOIN pr ON pr.p = e.p AND pr.a = e.a
+    JOIN ar ON ar.p = e.p AND ar.a = e.a
+    """
+    )
+
+
+@query("q_stable_matching", extra=True, oracle=_stable_matching_oracle())
+def q_stable_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARALLEL DEFERRED ACCEPTANCE (Gale-Shapley) — the TWO-SIDED
+    market member of the assignment family (q_graph_matching maximizes
+    weight one-sidedly; stable matching satisfies PREFERENCES on both
+    sides: no customer-nation/supplier-nation pair would jointly defect).
+    Preferences are trade volume (w DESC, id) on both sides, proposer
+    lists truncated to {_GS_LIST} (the NRMP device) which BOUNDS the
+    parallel rounds at {_GS_ROUNDS}: every free proposer consumes one
+    list entry per rejection, one rejection per round. All free
+    proposers propose simultaneously; each acceptor keeps its best
+    candidate (including its current match) — the simultaneous-proposal
+    variant computes the SAME proposer-optimal stable matching as the
+    sequential textbook algorithm, which tests/test_graph.py re-derives
+    in pure Python and compares pair-for-pair, alongside the
+    no-blocking-pair axiom.
+
+    Scale: the preference ranks are two windows partitioned by the
+    entity (never global); each round is candidate-relation joins +
+    per-acceptor windows on nation-sized relations, cumulative
+    rejections bounded by |pr| <= 25 x {_GS_LIST}. On a million-entity
+    two-sided market the same rounds run with everything partitioned by
+    proposer/acceptor — the standard distributed deferred acceptance.
+    """
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    w = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("p"), F.col("s_nationkey").alias("a")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .localCheckpoint()  # both rank relations read it
+    )
+    pr = (
+        w.withColumn(
+            "prk",
+            F.row_number().over(
+                Window.partitionBy("p").orderBy(F.col("w").desc(), "a")
+            ),
+        )
+        .where(F.col("prk") <= _GS_LIST)
+        .select("p", "a", "prk")
+        .localCheckpoint()
+    )
+    ar = w.select(
+        "p",
+        "a",
+        F.row_number()
+        .over(Window.partitionBy("a").orderBy(F.col("w").desc(), "p"))
+        .alias("ark"),
+    ).localCheckpoint()
+
+    from ..functions.scale import loop_ckpt, loop_rounds
+
+    eng = pr.select("p", "a").where(F.lit(False))
+    rej = pr.select("p", "a").where(F.lit(False))
+    for _ in range(loop_rounds(_GS_ROUNDS)):
+        free_opts = pr.join(F.broadcast(eng.select("p")), "p", "anti").join(
+            F.broadcast(rej), ["p", "a"], "anti"
+        )
+        prop = (
+            free_opts.withColumn(
+                "rn",
+                F.row_number().over(Window.partitionBy("p").orderBy("prk")),
+            )
+            .where(F.col("rn") == 1)
+            .select("p", "a")
+        )
+        cand = prop.unionByName(eng)
+        eng_n = (
+            cand.join(F.broadcast(ar), ["p", "a"])
+            .withColumn(
+                "rn",
+                F.row_number().over(Window.partitionBy("a").orderBy("ark")),
+            )
+            .where(F.col("rn") == 1)
+            .select("p", "a")
+        )
+        rej = loop_ckpt(
+            rej.unionByName(
+                cand.join(F.broadcast(eng_n), ["p", "a"], "anti")
+            ).distinct()
+        )
+        eng = loop_ckpt(eng_n)
+    return (
+        eng.join(pr, ["p", "a"])
+        .join(ar, ["p", "a"])
+        .select(
+            F.col("p").alias("proposer"),
+            F.col("a").alias("acceptor"),
+            F.col("prk").cast("int").alias("proposer_rank"),
+            F.col("ark").cast("int").alias("acceptor_rank"),
+        )
+    )

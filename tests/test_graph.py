@@ -627,3 +627,76 @@ def test_luby_mis_axioms(spark, sf_dir):
     assert {(r["node"], r["mis_round"]) for r in four} == {
         (r["node"], r["mis_round"]) for r in rows
     }
+
+
+def test_stable_matching_equals_sequential_gs(spark, sf_dir):
+    """The parallel deferred-acceptance rounds must produce EXACTLY the
+    proposer-optimal stable matching of the textbook sequential
+    Gale-Shapley (re-derived here in pure Python from the same truncated
+    preference lists), and the result must admit no blocking pair within
+    the lists."""
+    import pandas as pd
+
+    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+    from prefect_flow_arc_alto_to_json_spark.plans.graph_queries import _GS_LIST
+
+    rows = EXTRA_QUERIES["q_stable_matching"](spark, sf_dir).collect()
+    got = {r["proposer"]: r["acceptor"] for r in rows}
+    assert len(got) == len(rows), "a proposer matched twice"
+    assert len(set(got.values())) == len(got), "an acceptor matched twice"
+
+    # rebuild the same weighted bipartite preferences
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")[["l_orderkey", "l_suppkey"]]
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")[["o_orderkey", "o_custkey"]]
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet")[["c_custkey", "c_nationkey"]]
+    supp = pd.read_parquet(f"{sf_dir}/supplier.parquet")[["s_suppkey", "s_nationkey"]]
+    w = (
+        li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cust, left_on="o_custkey", right_on="c_custkey")
+        .merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+        .groupby(["c_nationkey", "s_nationkey"])
+        .size()
+        .reset_index(name="w")
+    )
+    plist: dict = {}
+    for p, grp in w.groupby("c_nationkey"):
+        ordered = grp.sort_values(["w", "s_nationkey"], ascending=[False, True])
+        plist[p] = list(ordered["s_nationkey"])[:_GS_LIST]
+    arank: dict = {}
+    for a, grp in w.groupby("s_nationkey"):
+        ordered = grp.sort_values(["w", "c_nationkey"], ascending=[False, True])
+        arank[a] = {p: i for i, p in enumerate(ordered["c_nationkey"])}
+
+    # sequential GS (proposer-optimal)
+    nxt = {p: 0 for p in plist}
+    eng: dict = {}  # acceptor -> proposer
+    free = list(plist)
+    while free:
+        p = free.pop(0)
+        while nxt[p] < len(plist[p]):
+            a = plist[p][nxt[p]]
+            nxt[p] += 1
+            cur = eng.get(a)
+            if cur is None:
+                eng[a] = p
+                break
+            if arank[a][p] < arank[a][cur]:
+                eng[a] = p
+                free.append(cur)
+                break
+        # else exhausted -> stays unmatched
+    want = {p: a for a, p in eng.items()}
+    assert got == want
+
+    # no blocking pair within the truncated lists
+    pmatch_rank = {
+        p: (plist[p].index(a) if a in plist[p] else None) for p, a in got.items()
+    }
+    amatch = {a: p for p, a in got.items()}
+    for p, lst in plist.items():
+        for i, a in enumerate(lst):
+            if p in got and pmatch_rank[p] is not None and i >= pmatch_rank[p]:
+                break  # p does not prefer a to its own match
+            cur = amatch.get(a)
+            if cur is None or arank[a][p] < arank[a][cur]:
+                raise AssertionError(f"blocking pair ({p}, {a})")
