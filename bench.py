@@ -186,6 +186,11 @@ HEADLINE = [
     "dedup_edit_distance_join",
     "q_ndcg_ranking",
     "pipeline_web_corpus",
+    # round-11 late additions: the 31-level banded-DTW projection DP and
+    # the 9-round parallel deferred-acceptance loop — the heaviest new
+    # unrolled/iterative shapes of the close-out batch
+    "q_dtw_event_series",
+    "q_stable_matching",
 ]
 
 
