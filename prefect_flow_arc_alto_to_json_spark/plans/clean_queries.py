@@ -3649,3 +3649,127 @@ def q_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return strata.unionByName(overall)
+
+
+# SPRT constants, snapped ONCE to shared integer micro-nats (the
+# _BURST_TRANS device): H0 p=0.75 vs H1 p=0.85, alpha = beta = 0.05.
+_SPRT_S = 125_163  # round(1e6 * ln(0.85/0.75)) — success increment
+_SPRT_F = -510_826  # round(1e6 * ln(0.15/0.25)) — failure increment
+_SPRT_A = 2_944_439  # round(1e6 * ln((1-0.05)/0.05)) — accept-H1 bound
+
+
+@query(
+    "q_sprt_sequential",
+    extra=True,
+    oracle=f"""
+    WITH obs AS (
+      SELECT event_type AS t, ts, event_id,
+             CASE WHEN value >= 10 THEN {_SPRT_S}
+                  ELSE {_SPRT_F} END AS inc
+      FROM events
+    ),
+    walk AS (
+      SELECT t, ts, event_id,
+        CAST(SUM(inc) OVER (PARTITION BY t ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS llr,
+        CAST(ROW_NUMBER() OVER (PARTITION BY t ORDER BY ts, event_id)
+             AS BIGINT) AS n
+      FROM obs
+    ),
+    crossing AS (
+      SELECT t, MIN(n) AS n_dec FROM walk
+      WHERE llr >= {_SPRT_A} OR llr <= -{_SPRT_A}
+      GROUP BY t
+    ),
+    final AS (
+      SELECT t, MAX(n) AS n_total,
+             MAX(CASE WHEN n = mn THEN llr END) AS llr_final
+      FROM (SELECT *, MAX(n) OVER (PARTITION BY t) AS mn FROM walk)
+      GROUP BY t
+    )
+    SELECT f.t AS experiment, f.n_total,
+      c.n_dec AS n_at_decision,
+      CASE WHEN c.n_dec IS NULL THEN 'continue'
+           WHEN w.llr >= {_SPRT_A} THEN 'accept_h1'
+           ELSE 'accept_h0' END AS decision,
+      COALESCE(w.llr, f.llr_final) AS llr_micro
+    FROM final f
+    LEFT JOIN crossing c ON c.t = f.t
+    LEFT JOIN walk w ON w.t = f.t AND w.n = c.n_dec
+    """,
+)
+def q_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALD SPRT — sequential probability ratio test per event-type
+    "experiment": the SEQUENTIAL member of the eval family (the fixed-
+    horizon tests — q_abtest_proportions, Mann-Whitney, KS — decide at a
+    preset n; SPRT walks the cumulative log-likelihood ratio in event-
+    time order and stops at the FIRST boundary crossing, the optimal-
+    expected-sample-size design). Success = value >= 10 (~0.82 here);
+    H0 p=0.75 vs H1 p=0.85, alpha = beta = 0.05. Both per-observation
+    increments AND the Wald boundaries are irrational constants snapped
+    ONCE to shared integer micro-nats, so the walk is an exact integer
+    random walk in both engines; the decision time is genuinely
+    SF-dependent (small streams may exhaust before crossing ->
+    'continue' — honest sequential behavior, not vacuity: every row
+    carries its final state).
+
+    Scale: one window partitioned by EXPERIMENT (the natural key — at
+    production each experiment's stream fits a partition; a single
+    experiment too large for one is tiled by the running-sum carry
+    device), plus experiment-grain rollups. No corpus-sized shuffle
+    beyond the partition-by-experiment exchange.
+    """
+    obs = fan_out(load_table(spark, sf_dir, "events")).select(
+        F.col("event_type").alias("t"),
+        "ts",
+        "event_id",
+        F.when(F.col("value") >= 10, F.lit(_SPRT_S))
+        .otherwise(F.lit(_SPRT_F))
+        .cast("long")
+        .alias("inc"),
+    )
+    w = Window.partitionBy("t").orderBy("ts", "event_id")
+    walk = obs.select(
+        "t",
+        F.sum("inc").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("llr"),
+        F.row_number().over(w).cast("long").alias("n"),
+    ).localCheckpoint()  # crossing, final and the decision join read it
+    # fresh column aliases at every derivation: crossing/final/dec all
+    # share walk's lineage and Spark 4's ambiguous-self-join analyzer
+    # rejects joins through the shared attribute ids otherwise (the
+    # markov chains/ea lesson)
+    crossing = (
+        walk.where(
+            (F.col("llr") >= _SPRT_A) | (F.col("llr") <= -_SPRT_A)
+        )
+        .groupBy(F.col("t").alias("t_c"))
+        .agg(F.min("n").alias("n_dec"))
+        .localCheckpoint()
+    )
+    final = walk.groupBy(F.col("t").alias("t_f")).agg(
+        F.max("n").alias("n_total"),
+        F.max_by("llr", "n").alias("llr_final"),
+    )
+    dec = walk.join(
+        F.broadcast(crossing),
+        (F.col("t") == F.col("t_c")) & (F.col("n") == F.col("n_dec")),
+    ).select(
+        F.col("t_c").alias("tc"), "n_dec", F.col("llr").alias("llr_dec")
+    )
+    return (
+        final.join(F.broadcast(dec), F.col("t_f") == F.col("tc"), "left")
+        .select(
+            F.col("t_f").alias("experiment"),
+            "n_total",
+            F.col("n_dec").alias("n_at_decision"),
+            F.when(F.col("n_dec").isNull(), F.lit("continue"))
+            .when(F.col("llr_dec") >= _SPRT_A, F.lit("accept_h1"))
+            .otherwise(F.lit("accept_h0"))
+            .alias("decision"),
+            F.coalesce(F.col("llr_dec"), F.col("llr_final")).alias(
+                "llr_micro"
+            ),
+        )
+    )

@@ -114,3 +114,41 @@ def test_rendezvous_minimal_disruption(spark, sf_dir):
     assert 60_000 <= hrw["moved_ppm"] <= 170_000, hrw["moved_ppm"]
     assert 830_000 <= mod["moved_ppm"] <= 940_000, mod["moved_ppm"]
     assert mod["n_moved"] > 5 * hrw["n_moved"]
+
+
+def test_sprt_matches_walk_replay(spark, sf_dir):
+    """q_sprt_sequential equals a pure-Python replay of the integer LLR
+    walk (same snapped increments), and the Wald stopping rule holds:
+    |llr| >= A exactly at the decision index and < A strictly before."""
+    import pandas as pd
+
+    from prefect_flow_arc_alto_to_json_spark.plans.clean_queries import (
+        _SPRT_A,
+        _SPRT_F,
+        _SPRT_S,
+    )
+
+    rows = {
+        r["experiment"]: r
+        for r in EXTRA_QUERIES["q_sprt_sequential"](spark, sf_dir).collect()
+    }
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[
+        ["event_type", "ts", "event_id", "value"]
+    ].sort_values(["event_type", "ts", "event_id"])
+    for t, grp in ev.groupby("event_type"):
+        incs = [(_SPRT_S if v >= 10 else _SPRT_F) for v in grp["value"]]
+        llr, n_dec, llr_dec = 0, None, None
+        for i, inc in enumerate(incs, 1):
+            llr += inc
+            if n_dec is None and abs(llr) >= _SPRT_A:
+                n_dec, llr_dec = i, llr
+        r = rows[t]
+        assert r["n_total"] == len(incs)
+        assert r["n_at_decision"] == n_dec
+        if n_dec is None:
+            assert r["decision"] == "continue" and r["llr_micro"] == llr
+        else:
+            assert r["llr_micro"] == llr_dec
+            assert r["decision"] == (
+                "accept_h1" if llr_dec >= _SPRT_A else "accept_h0"
+            )
