@@ -243,6 +243,38 @@ def blow_up_baskets(bk: DataFrame, factor: int) -> DataFrame:
     return out
 
 
+def _edit_distance(pn: DataFrame) -> DataFrame:
+    """dedup_edit_distance_join's vocabulary-reduced banded plan
+    (plans/dedup_queries.py) over the blown-up name rows."""
+    v = (
+        pn.groupBy(F.col("p_name").alias("name"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn("len", F.length("name"))
+        .localCheckpoint()
+    )
+    band = F.floor(F.col("len") / 4).cast("long")
+    left = v.select(
+        F.col("name").alias("name_a"),
+        F.col("n").alias("n_a"),
+        F.explode(F.array(band - 1, band, band + 1)).alias("__band"),
+    )
+    right = v.select(
+        F.col("name").alias("name_b"),
+        F.col("n").alias("n_b"),
+        band.alias("__band2"),
+    )
+    dd = F.levenshtein(F.col("name_a"), F.col("name_b"), 3)
+    return (
+        left.join(
+            right.hint("shuffle_hash"),
+            (F.col("__band") == F.col("__band2"))
+            & (F.col("name_a") < F.col("name_b")),
+        )
+        .where(dd >= 0)
+        .select("name_a", "name_b", dd.cast("long").alias("dist"), "n_a", "n_b")
+    )
+
+
 def _seq_patterns(ev_ts: DataFrame) -> DataFrame:
     """q_sequential_patterns' (user, time-bucket)-banded join topology
     (plans/temporal_queries.py): 1h-banded pair chain + 24h-banded triple
@@ -747,6 +779,7 @@ def main() -> None:
         .select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("br"))
         .distinct()
     )
+    part_names = load_table(spark, SF_DIR, "part").select("p_name")
     # per-factor auxiliary inputs for the round-11 pattern-miner probes
     # (probes read the CURRENT factor's blow-up through this holder)
     aux: dict[str, DataFrame] = {}
@@ -883,6 +916,10 @@ def main() -> None:
         # lattice — cost must track baskets; the broadcast prunes keep
         # the self-join fan-out (basket width choose 3) per order.
         "seq_patterns": lambda d, e, ev, o: _seq_patterns(aux["evt"]),
+        # edit-distance join: corpus rows grow x factor at FIXED name
+        # vocabulary — cost must track the distinct-count aggregation
+        # (linear scan), never the banded pair search (vocab-bounded)
+        "edit_distance_join": lambda d, e, ev, o: _edit_distance(aux["pn"]),
         "apriori_triples": lambda d, e, ev, o: _apriori(aux["bk"]),
         # round-11 late additions: the web-corpus pipeline (page synth +
         # extraction + quality scoring are one narrow scan; the only
@@ -914,6 +951,14 @@ def main() -> None:
         o = blow_up_orders(orders, factor).localCheckpoint()
         aux["evt"] = blow_up_events_history(events_ts, factor).localCheckpoint()
         aux["bk"] = blow_up_baskets(baskets, factor).localCheckpoint()
+        # names blow-up: replicas share the SAME name vocabulary (the
+        # generation process is fixed), so rows multiply but the
+        # distinct-name relation the pair search runs on does not —
+        # exactly the reduce-to-vocabulary claim under test
+        pn = part_names
+        for _ in range(factor - 1):
+            pn = pn.unionByName(part_names)
+        aux["pn"] = pn.localCheckpoint()
         rows[factor] = d.count()
         emb_rows[factor] = e.count()
         for name, build in probes.items():
