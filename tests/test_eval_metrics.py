@@ -152,3 +152,24 @@ def test_sprt_matches_walk_replay(spark, sf_dir):
             assert r["decision"] == (
                 "accept_h1" if llr_dec >= _SPRT_A else "accept_h0"
             )
+
+
+def test_heaps_law_sublinear_and_monotone(spark, sf_dir):
+    """Heaps fit invariants: vocabulary is monotone non-decreasing in
+    the prefix, the OLS slope is strictly sub-linear (0 < beta < 1),
+    and the fit matches a pure-Python OLS over the emitted (x, y)."""
+    rows = sorted(
+        EXTRA_QUERIES["text_heaps_law"](spark, sf_dir).collect(),
+        key=lambda r: r["k"],
+    )
+    vocabs = [r["vocab"] for r in rows]
+    assert all(a <= b for a, b in zip(vocabs, vocabs[1:]))
+    r0 = rows[0]
+    assert 0 < r0["beta_num"] / r0["beta_den"] < 1
+    m = len(rows)
+    sx = sum(r["x_micro"] for r in rows)
+    sy = sum(r["y_micro"] for r in rows)
+    sxy = sum(r["x_micro"] * r["y_micro"] for r in rows)
+    sxx = sum(r["x_micro"] ** 2 for r in rows)
+    assert r0["beta_num"] == m * sxy - sx * sy
+    assert r0["beta_den"] == m * sxx - sx * sx
