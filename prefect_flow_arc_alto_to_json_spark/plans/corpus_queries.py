@@ -545,3 +545,112 @@ def q_rendezvous_resharding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roll("rendezvous", "hrw8", "hrw9").unionByName(
         roll("modulo", "mod8", "mod9")
     )
+
+
+from .dedup_queries import _SQL_SHINGLES as _SC_SHINGLES  # noqa: E402
+from .text_queries import _SQL_TOKS as _SC_TOKS  # noqa: E402
+
+_SET_COVER_K = 8  # greedy rounds (coverage-curve length)
+
+
+def _set_cover_oracle() -> str:
+    head = f"""
+    WITH shg AS (
+      SELECT doc_id, {_SC_SHINGLES} AS sh
+      FROM (SELECT doc_id, {_SC_TOKS} AS toks FROM documents)
+    ),
+    p AS MATERIALIZED (
+      SELECT DISTINCT doc_id, unnest(sh) AS g FROM shg
+    ),
+    cov0 AS (SELECT CAST(NULL AS VARCHAR) AS g WHERE FALSE),
+    sel0 AS (SELECT CAST(NULL AS INT) AS round, CAST(NULL AS BIGINT) AS doc_id,
+             CAST(NULL AS BIGINT) AS gain, CAST(NULL AS BIGINT) AS covered
+             WHERE FALSE)"""
+    rnd = """,
+    unc{R} AS MATERIALIZED (
+      SELECT doc_id, g FROM p
+      WHERE g NOT IN (SELECT g FROM cov{P} WHERE g IS NOT NULL)
+    ),
+    pick{R} AS MATERIALIZED (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+      FROM unc{R} GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1
+    ),
+    cov{R} AS MATERIALIZED (
+      SELECT g FROM cov{P}
+      UNION
+      SELECT u.g FROM unc{R} u JOIN pick{R} k ON u.doc_id = k.doc_id
+    ),
+    sel{R} AS MATERIALIZED (
+      SELECT * FROM sel{P}
+      UNION ALL
+      SELECT CAST({R} AS INT), doc_id, gain,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM cov{R})
+      FROM pick{R}
+    )"""
+    body = "".join(
+        rnd.format(R=r, P=r - 1) for r in range(1, _SET_COVER_K + 1)
+    )
+    return (
+        head
+        + body
+        + f"""
+    SELECT round, doc_id, gain, covered FROM sel{_SET_COVER_K}
+    """
+    )
+
+
+@query("q_set_cover_greedy", extra=True, oracle=_set_cover_oracle())
+def q_set_cover_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GREEDY SET COVER — coverage-maximizing document selection, the
+    set-system dual of sim_facility_location (that maximizes similarity
+    coverage over vectors; this maximizes ELEMENT coverage over the
+    3-gram shingle vocabulary — pick the {_SET_COVER_K} documents that
+    together cover the most distinct shingles, the classic
+    (1 - 1/e)-guaranteed greedy of corpus curation: "which docs teach
+    the tokenizer the most new strings"). Each round counts every doc's
+    UNCOVERED shingles, admits the argmax under a total order
+    (gain DESC, doc_id), and folds its shingles into the covered set;
+    the emitted relation is the coverage curve (round, doc, marginal
+    gain, cumulative covered). Submodularity's diminishing gains and a
+    pure-Python greedy replay are gate-tested.
+
+    Scale: the posting relation (doc, shingle) is built once
+    (reduce-to-vocabulary explode); each round is one anti-join against
+    the covered set + a map-side-combining per-doc count + a 1-row
+    argmax; the covered set is vocabulary-bounded, broadcastable at any
+    corpus size (at open-vocabulary scale: a bloom/bucketed covered set,
+    same rounds).
+    """
+    from ..operators.dedup import shingles
+
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    p = (
+        docs.select("doc_id", F.explode(shingles("text")).alias("g"))
+        .distinct()
+        .localCheckpoint()  # every round's anti-join reads it
+    )
+    spark_ = spark
+    covered = p.select("g").where(F.lit(False))
+    out = None
+    from ..functions.scale import loop_ckpt, loop_rounds
+
+    for r in range(1, loop_rounds(_SET_COVER_K) + 1):
+        unc = p.join(F.broadcast(covered), "g", "anti")
+        pick = (
+            unc.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("gain"))
+            .orderBy(F.col("gain").desc(), "doc_id")
+            .limit(1)
+            .collect()
+        )[0]
+        newly = unc.where(F.col("doc_id") == int(pick["doc_id"])).select("g")
+        covered = loop_ckpt(covered.unionByName(newly).distinct())
+        n_cov = covered.count()
+        row = spark_.createDataFrame(
+            [(r, int(pick["doc_id"]), int(pick["gain"]), int(n_cov))],
+            "round int, doc_id long, gain long, covered long",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

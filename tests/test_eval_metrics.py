@@ -173,3 +173,43 @@ def test_heaps_law_sublinear_and_monotone(spark, sf_dir):
     sxx = sum(r["x_micro"] ** 2 for r in rows)
     assert r0["beta_num"] == m * sxy - sx * sy
     assert r0["beta_den"] == m * sxx - sx * sx
+
+
+def test_set_cover_matches_greedy_replay(spark, sf_dir):
+    """q_set_cover_greedy equals a pure-Python greedy replay over the
+    same per-doc shingle sets, with non-increasing marginal gains
+    (submodularity) and a consistent cumulative-coverage column."""
+    from prefect_flow_arc_alto_to_json_spark.plans.corpus_queries import (
+        _SET_COVER_K,
+    )
+    from prefect_flow_arc_alto_to_json_spark.sources import load_table
+
+    rows = sorted(
+        EXTRA_QUERIES["q_set_cover_greedy"](spark, sf_dir).collect(),
+        key=lambda r: r["round"],
+    )
+    gains = [r["gain"] for r in rows]
+    assert all(a >= b for a, b in zip(gains, gains[1:]))
+    cum = 0
+    for r in rows:
+        cum += r["gain"]
+        assert r["covered"] == cum
+
+    from prefect_flow_arc_alto_to_json_spark.operators.dedup import shingles
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", shingles("text").alias("sh")
+    )
+    sets = {r["doc_id"]: set(r["sh"]) for r in docs.collect()}
+    covered: set = set()
+    want = []
+    for k in range(1, _SET_COVER_K + 1):
+        best = min(
+            sets,
+            key=lambda d: (-len(sets[d] - covered), d),
+        )
+        g = len(sets[best] - covered)
+        covered |= sets[best]
+        want.append((k, best, g, len(covered)))
+    assert [tuple(r) for r in rows] == want
