@@ -2462,9 +2462,12 @@ def q_stable_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).distinct()
         )
         eng = loop_ckpt(eng_n)
+    # broadcast the rank attaches: eng is a stats-less checkpoint stub
+    # and the planner otherwise falls back to SortMergeJoin on the
+    # nation-sized relations
     return (
-        eng.join(pr, ["p", "a"])
-        .join(ar, ["p", "a"])
+        eng.join(F.broadcast(pr), ["p", "a"])
+        .join(F.broadcast(ar), ["p", "a"])
         .select(
             F.col("p").alias("proposer"),
             F.col("a").alias("acceptor"),
