@@ -3773,3 +3773,102 @@ def q_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_quantile_normalize",
+    extra=True,
+    oracle="""
+    WITH pooled AS (
+      SELECT n_chars AS v,
+        ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS grank,
+        COUNT(*) OVER () AS nn
+      FROM documents
+    ),
+    src AS (
+      SELECT doc_id, source, n_chars,
+        CAST(ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY n_chars, doc_id) AS BIGINT) AS src_rank,
+        CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+      FROM documents
+    ),
+    tgt AS (
+      SELECT doc_id, source, n_chars, src_rank,
+        LEAST(GREATEST(
+          CAST((2 * src_rank * (SELECT MAX(nn) FROM pooled) + n_src)
+               // (2 * n_src) AS BIGINT), 1),
+          (SELECT MAX(nn) FROM pooled)) AS target_rank
+      FROM src
+    )
+    SELECT t.doc_id, t.source, CAST(t.n_chars AS BIGINT) AS n_chars,
+           t.src_rank, t.target_rank, CAST(p.v AS BIGINT) AS qn_value
+    FROM tgt t JOIN pooled p ON p.grank = t.target_rank
+    """,
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE NORMALIZATION — cross-source distribution alignment, the
+    rank-based member of the feature-preprocessing family
+    (q_feature_scale shifts/scales moments; this maps each source's
+    empirical distribution ONTO the pooled one, the batch-effect
+    correction / empirical QuantileTransformer used to make quality
+    scores comparable across scorer versions or crawl snapshots). Each
+    row's within-source rank r (of n_s) maps to pooled rank
+    half-up(r * N / n_s) clamped to [1, N] — the shared integer device,
+    so both engines land on the identical pooled value; all orders carry
+    the doc_id tiebreak. Equal-size sources therefore receive EXACTLY
+    the same normalized multiset — gate-tested, the defining property.
+
+    Scale: within-source ranks are source-partitioned windows (the
+    natural key); the POOLED rank uses the dense-ids device
+    (operators/ids.py — repartitionByRange + per-range offsets, no
+    single-partition window anywhere); the final attach is a rank-keyed
+    equi join between corpus-sized relations.
+    """
+    from ..operators.ids import assign_dense_ids
+
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "n_chars"
+    )
+    pooled = assign_dense_ids(docs, ["n_chars", "doc_id"], "grank0").select(
+        F.col("n_chars").alias("v"), (F.col("grank0") + 1).alias("grank")
+    ).localCheckpoint()  # the count and the rank attach both read it
+    nn = pooled.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    src = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(w).cast("long").alias("src_rank"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("source"))
+        .cast("long")
+        .alias("n_src"),
+    )
+    d = F.call_function
+    tgt = src.crossJoin(F.broadcast(nn)).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "src_rank",
+        F.least(
+            F.greatest(
+                d(
+                    "div",
+                    2 * F.col("src_rank") * F.col("nn") + F.col("n_src"),
+                    2 * F.col("n_src"),
+                ),
+                F.lit(1).cast("long"),
+            ),
+            F.col("nn"),
+        ).alias("target_rank"),
+    )
+    return tgt.join(
+        pooled, tgt["target_rank"] == pooled["grank"]
+    ).select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "src_rank",
+        "target_rank",
+        F.col("v").cast("long").alias("qn_value"),
+    )

@@ -213,3 +213,35 @@ def test_set_cover_matches_greedy_replay(spark, sf_dir):
         covered |= sets[best]
         want.append((k, best, g, len(covered)))
     assert [tuple(r) for r in rows] == want
+
+
+def test_quantile_normalize_aligns_sources(spark, sf_dir):
+    """The defining property: equal-size sources receive EXACTLY the
+    same normalized multiset; within a source the mapping is monotone
+    (higher src_rank -> qn_value never decreases); target ranks stay in
+    [1, N]."""
+    from collections import Counter
+
+    rows = EXTRA_QUERIES["q_quantile_normalize"](spark, sf_dir).collect()
+    n_total = len(rows)
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+        assert 1 <= r["target_rank"] <= n_total
+    sizes = {s: len(v) for s, v in by_src.items()}
+    multisets = {
+        s: Counter(r["qn_value"] for r in v) for s, v in by_src.items()
+    }
+    ref_by_size: dict = {}
+    for s, n in sizes.items():
+        if n in ref_by_size:
+            assert multisets[s] == multisets[ref_by_size[n]], (
+                s,
+                ref_by_size[n],
+            )
+        else:
+            ref_by_size[n] = s
+    for v in by_src.values():
+        v.sort(key=lambda r: r["src_rank"])
+        qs = [r["qn_value"] for r in v]
+        assert all(a <= b for a, b in zip(qs, qs[1:]))
