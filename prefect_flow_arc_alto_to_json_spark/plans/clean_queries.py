@@ -3872,3 +3872,135 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "target_rank",
         F.col("v").cast("long").alias("qn_value"),
     )
+
+
+@query(
+    "q_fairness_audit",
+    extra=True,
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, n_chars, text,
+                      {_SQL_TOKS} AS toks FROM documents),
+    m AS (
+      SELECT doc_id, lang, n_chars,
+        CAST(len(text) AS BIGINT) AS n,
+        CAST(len(toks) AS BIGINT) AS ntok,
+        CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS a,
+        CAST(len(regexp_extract_all(text, '[!-/:-@\\[-`{{-~]')) AS BIGINT) AS p,
+        CAST(COALESCE(list_sum(list_transform(toks, x -> len(x))), 0)
+             AS BIGINT) AS sl
+      FROM t
+    ),
+    q AS (
+      SELECT doc_id, lang,
+        CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS label,
+        CASE WHEN CAST(3 * (CASE WHEN ntok >= 10 AND ntok <= 5000 THEN 1000000
+                       WHEN ntok > 0 THEN 500000 ELSE 0 END)
+           + 3 * (CASE WHEN n > 0 THEN (2 * a * 1000000 + n) // (2 * n) ELSE 0 END)
+           + 2 * (CASE WHEN (CASE WHEN n > 0 THEN (2 * p * 1000000 + n) // (2 * n) ELSE 0 END) > 200000
+                       THEN 0 ELSE 1000000 END)
+           + 2 * (CASE WHEN ntok > 0
+                        AND (2 * sl * 1000000 + ntok) // (2 * ntok) >= 3000000
+                        AND (2 * sl * 1000000 + ntok) // (2 * ntok) <= 12000000
+                       THEN 1000000 ELSE 500000 END)
+          AS DOUBLE) / 10000000.0 >= 0.9465 THEN 1 ELSE 0 END AS pred
+      FROM m
+    ),
+    g AS (
+      SELECT lang AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(label) AS BIGINT) AS n_label,
+        CAST(SUM(pred) AS BIGINT) AS n_pred,
+        CAST(SUM(CASE WHEN pred = 1 AND label = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_tp,
+        CAST(SUM(CASE WHEN pred = 1 AND label = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_fp
+      FROM q GROUP BY 1
+      UNION ALL
+      SELECT 'ALL', CAST(COUNT(*) AS BIGINT), CAST(SUM(label) AS BIGINT),
+        CAST(SUM(pred) AS BIGINT),
+        CAST(SUM(CASE WHEN pred = 1 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT),
+        CAST(SUM(CASE WHEN pred = 1 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM q
+    )
+    SELECT grp, n, n_label, n_pred,
+      CAST((2 * n_pred * 1000000 + n) // (2 * n) AS BIGINT) AS pred_rate_ppm,
+      CASE WHEN n_label > 0 THEN
+        CAST((2 * n_tp * 1000000 + n_label) // (2 * n_label) AS BIGINT)
+      END AS tpr_ppm,
+      CASE WHEN n - n_label > 0 THEN
+        CAST((2 * n_fp * 1000000 + (n - n_label))
+             // (2 * (n - n_label)) AS BIGINT)
+      END AS fpr_ppm
+    FROM g
+    """,
+)
+def q_fairness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-FAIRNESS AUDIT of the corpus quality gate — the
+    responsible-AI member of the eval family (roc_auc grades global
+    discrimination; this reports PER-GROUP selection behavior: the
+    demographic-parity base pred_rate_ppm and the equalized-odds
+    components tpr_ppm/fpr_ppm per language, plus the ALL row the gaps
+    are read against — the audit a data-curation pipeline publishes so a
+    quality filter's language skew is visible before training). The
+    predictor thresholds the quality score at its 0.9465 median split
+    (the pipeline's own 0.7 gate passes every synthetic doc — the
+    registration-time vacuity class — so the audit uses the score's
+    actual median, stable across SFs); the reference label is the fixed
+    n_chars >= 300 split (~0.5 base rate per group). All rates are half-up integer ppm with
+    zero-guarded arms (single-class groups emit NULL, both engines
+    agreeing — the q_markov_attribution lesson).
+
+    Scale: one narrow scoring scan + a map-side-combining group rollup
+    over |langs|+1 rows; no joins, no window.
+    """
+    from ..operators.textstats import quality_score
+
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "n_chars", "text"
+    )
+    q = docs.select(
+        "lang",
+        (F.col("n_chars") >= 300).cast("long").alias("label"),
+        (quality_score("text") >= 0.9465).cast("long").alias("pred"),
+    ).localCheckpoint()  # the per-group and ALL rollups both read it
+
+    def roll(df, grp_col):
+        return df.groupBy(grp_col.alias("grp")).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("label").cast("long").alias("n_label"),
+            F.sum("pred").cast("long").alias("n_pred"),
+            F.sum(
+                ((F.col("pred") == 1) & (F.col("label") == 1)).cast("long")
+            )
+            .cast("long")
+            .alias("n_tp"),
+            F.sum(
+                ((F.col("pred") == 1) & (F.col("label") == 0)).cast("long")
+            )
+            .cast("long")
+            .alias("n_fp"),
+        )
+
+    g = roll(q, F.col("lang")).unionByName(roll(q, F.lit("ALL")))
+    d = F.call_function
+    neg = F.col("n") - F.col("n_label")
+    return g.select(
+        "grp",
+        "n",
+        "n_label",
+        "n_pred",
+        d(
+            "div", 2 * F.col("n_pred") * 1_000_000 + F.col("n"), 2 * F.col("n")
+        ).alias("pred_rate_ppm"),
+        F.when(
+            F.col("n_label") > 0,
+            d(
+                "div",
+                2 * F.col("n_tp") * 1_000_000 + F.col("n_label"),
+                2 * F.col("n_label"),
+            ),
+        ).alias("tpr_ppm"),
+        F.when(
+            neg > 0,
+            d("div", 2 * F.col("n_fp") * 1_000_000 + neg, 2 * neg),
+        ).alias("fpr_ppm"),
+    )

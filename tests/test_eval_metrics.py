@@ -245,3 +245,22 @@ def test_quantile_normalize_aligns_sources(spark, sf_dir):
         v.sort(key=lambda r: r["src_rank"])
         qs = [r["qn_value"] for r in v]
         assert all(a <= b for a, b in zip(qs, qs[1:]))
+
+
+def test_fairness_audit_consistency(spark, sf_dir):
+    """Per-group counts must roll up exactly to the ALL row; every rate
+    is the half-up ppm of its own counts; rates live in [0, 1e6]."""
+    rows = {r["grp"]: r for r in EXTRA_QUERIES["q_fairness_audit"](spark, sf_dir).collect()}
+    alln = rows.pop("ALL")
+    assert alln["n"] == sum(r["n"] for r in rows.values())
+    assert alln["n_label"] == sum(r["n_label"] for r in rows.values())
+    assert alln["n_pred"] == sum(r["n_pred"] for r in rows.values())
+    for r in list(rows.values()) + [alln]:
+        assert r["pred_rate_ppm"] == (2 * r["n_pred"] * 1_000_000 + r["n"]) // (2 * r["n"])
+        for c in ("pred_rate_ppm", "tpr_ppm", "fpr_ppm"):
+            if r[c] is not None:
+                assert 0 <= r[c] <= 1_000_000
+        if r["n_label"] == 0:
+            assert r["tpr_ppm"] is None
+        if r["n"] - r["n_label"] == 0:
+            assert r["fpr_ppm"] is None
