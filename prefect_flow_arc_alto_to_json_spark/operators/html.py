@@ -41,6 +41,15 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------------
 # Shared page templates: ("lit", str) | ("col", field). NO single quotes in
 # literals (keeps SQL-literal escaping trivial); fields are doc_id/lang/text.
+#
+# CONSTRAINT (enforced by tests/test_html_extract.py): the interpolated
+# ``text`` column must contain no angle brackets and no ``&``-entities —
+# a literal ``<...>`` in document text would be stripped as markup by
+# TAG_PATTERN, and a literal entity would be decoded by ENTITIES, so the
+# "document text survives verbatim" invariant only holds on such corpora.
+# A real crawl pipeline HTML-escapes body text at page-build time (the
+# inverse of this extractor); the synthesized testdata corpus satisfies
+# the constraint as generated.
 # ---------------------------------------------------------------------------
 
 PAGE_TEMPLATES: dict[int, list[tuple[str, str]]] = {
@@ -148,14 +157,17 @@ REGION_PATTERNS = [
 TAG_PATTERN = "<[^>]*>"
 WS_PATTERN = "\\s+"
 
-# entity -> replacement, applied AFTER tag stripping
+# entity -> replacement, applied AFTER tag stripping. ``&amp;`` MUST be
+# decoded LAST: decoding it first turns double-encoded input (``&amp;lt;``)
+# into ``&lt;`` which the next pass double-decodes to ``<``. With it last,
+# ``&amp;lt;`` correctly yields the literal text ``&lt;``.
 ENTITIES = [
-    ("&amp;", "&"),
     ("&lt;", "<"),
     ("&gt;", ">"),
     ("&nbsp;", " "),
     ("&copy;", "(c)"),
     ("&middot;", "-"),
+    ("&amp;", "&"),
 ]
 
 

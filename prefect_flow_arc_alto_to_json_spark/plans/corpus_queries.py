@@ -638,13 +638,18 @@ def q_set_cover_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     for r in range(1, loop_rounds(_SET_COVER_K) + 1):
         unc = p.join(F.broadcast(covered), "g", "anti")
-        pick = (
+        picks = (
             unc.groupBy("doc_id")
             .agg(F.count(F.lit(1)).cast("long").alias("gain"))
             .orderBy(F.col("gain").desc(), "doc_id")
             .limit(1)
             .collect()
-        )[0]
+        )
+        if not picks:
+            # Vocabulary fully covered before K rounds: emit the same
+            # truncated coverage curve the oracle's recursive CTE does.
+            break
+        pick = picks[0]
         newly = unc.where(F.col("doc_id") == int(pick["doc_id"])).select("g")
         covered = loop_ckpt(covered.unionByName(newly).distinct())
         n_cov = covered.count()

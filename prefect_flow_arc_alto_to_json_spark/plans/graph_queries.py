@@ -2279,10 +2279,16 @@ def q_luby_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_GS_LIST = 8  # truncated preference-list length (NRMP-style); with lists
-# of length L, parallel deferred acceptance converges in <= L + 1 rounds:
-# a free proposer consumes one list entry per rejection, one per round.
-_GS_ROUNDS = _GS_LIST + 1
+_GS_LIST = 8  # truncated preference-list length (NRMP-style)
+# Round bound: the L+1 heuristic (one list entry per free proposer per
+# round) is NOT generally valid — a proposer can sit engaged for rounds
+# (consuming nothing) and then be bumped; measured on the synthetic trade
+# matrix quiescence takes 9/10/9 rounds at sf0.001/0.01/0.1, i.e. L+1=9
+# was one round SHORT at sf0.01. The general bound is |pr|+1 (every
+# non-quiescent round permanently consumes >= 1 list entry). We unroll
+# 3L as margin, exit early at quiescence (post-quiescence rounds are
+# no-ops in both engines), and RAISE if still unconverged (see query).
+_GS_ROUNDS = 3 * _GS_LIST
 
 
 def _stable_matching_oracle() -> str:
@@ -2370,15 +2376,22 @@ def q_stable_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight one-sidedly; stable matching satisfies PREFERENCES on both
     sides: no customer-nation/supplier-nation pair would jointly defect).
     Preferences are trade volume (w DESC, id) on both sides, proposer
-    lists truncated to {_GS_LIST} (the NRMP device) which BOUNDS the
-    parallel rounds at {_GS_ROUNDS}: every free proposer consumes one
-    list entry per rejection, one rejection per round. All free
-    proposers propose simultaneously; each acceptor keeps its best
-    candidate (including its current match) — the simultaneous-proposal
-    variant computes the SAME proposer-optimal stable matching as the
-    sequential textbook algorithm, which tests/test_graph.py re-derives
-    in pure Python and compares pair-for-pair, alongside the
-    no-blocking-pair axiom.
+    lists truncated to {_GS_LIST} (the NRMP device). Convergence: each
+    non-quiescent round permanently consumes >= 1 list entry (every
+    rejection — refused proposal or bumped incumbent — lands in rej
+    forever), so quiescence arrives within |pr| + 1 rounds in general;
+    the L+1 = {_GS_ROUNDS} heuristic (one entry per free proposer per
+    round) can be violated when a proposer sits engaged for several
+    rounds before being bumped, so the loop EXITS EARLY the round the
+    free-proposer frontier empties (the quiescence certificate; extra
+    oracle rounds are no-ops so hashes agree) and RAISES if the bound
+    is exhausted while proposers remain free — loud, never a silently
+    partial matching. All free proposers propose simultaneously; each
+    acceptor keeps its best candidate (including its current match) —
+    the simultaneous-proposal variant computes the SAME proposer-optimal
+    stable matching as the sequential textbook algorithm, which
+    tests/test_graph.py re-derives in pure Python and compares
+    pair-for-pair, alongside the no-blocking-pair axiom.
 
     Scale: the preference ranks are two windows partitioned by the
     entity (never global); each round is candidate-relation joins +
@@ -2434,10 +2447,19 @@ def q_stable_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     eng = pr.select("p", "a").where(F.lit(False))
     rej = pr.select("p", "a").where(F.lit(False))
-    for _ in range(loop_rounds(_GS_ROUNDS)):
+    n_rounds = loop_rounds(_GS_ROUNDS)
+    converged = False
+    for _ in range(n_rounds):
         free_opts = pr.join(F.broadcast(eng.select("p")), "p", "anti").join(
             F.broadcast(rej), ["p", "a"], "anti"
         )
+        # Quiescence gate: an empty free-proposer frontier means every
+        # later round is a no-op (cand == eng, rej unchanged) — exit
+        # early; the fixed-unroll oracle's extra rounds are no-ops too,
+        # so the emitted matching is hash-identical.
+        if free_opts.limit(1).count() == 0:
+            converged = True
+            break
         prop = (
             free_opts.withColumn(
                 "rn",
@@ -2456,12 +2478,35 @@ def q_stable_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rn") == 1)
             .select("p", "a")
         )
-        rej = loop_ckpt(
-            rej.unionByName(
-                cand.join(F.broadcast(eng_n), ["p", "a"], "anti")
-            ).distinct()
+        # One fused checkpoint per round (not one per relation): rej and
+        # eng ride the same materialization under an is_rej marker,
+        # halving per-round job count (the ~78 ms/job fixed cost is the
+        # dominant term at sf0.1 on nation-sized relations).
+        state = loop_ckpt(
+            rej.unionByName(cand.join(F.broadcast(eng_n), ["p", "a"], "anti"))
+            .distinct()
+            .select("p", "a", F.lit(True).alias("is_rej"))
+            .unionByName(
+                eng_n.select("p", "a", F.lit(False).alias("is_rej"))
+            )
         )
-        eng = loop_ckpt(eng_n)
+        rej = state.where(F.col("is_rej")).select("p", "a")
+        eng = state.where(~F.col("is_rej")).select("p", "a")
+    if not converged and n_rounds == _GS_ROUNDS:
+        free = pr.join(F.broadcast(eng.select("p")), "p", "anti").join(
+            F.broadcast(rej), ["p", "a"], "anti"
+        )
+        if free.limit(1).count() > 0:
+            # The L+1 bound assumed each free proposer consumes a list
+            # entry every round, which bumping violates (see docstring);
+            # fail LOUD rather than emit a silently partial matching the
+            # oracle would mirror but no market would accept.
+            raise RuntimeError(
+                "q_stable_matching: free-proposer frontier non-empty "
+                f"after {_GS_ROUNDS} rounds — the L+1 convergence "
+                "heuristic was insufficient on this data; raise _GS_LIST "
+                "or the round bound (general bound: |pr|+1 rounds)."
+            )
     # broadcast the rank attaches: eng is a stats-less checkpoint stub
     # and the planner otherwise falls back to SortMergeJoin on the
     # nation-sized relations

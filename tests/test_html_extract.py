@@ -111,3 +111,42 @@ def test_synth_page_is_deterministic_html(spark):
     assert "<article>" in got[0] and "<p>alpha beta</p>" in got[0]
     assert "<main>" in got[1] and "BUY NOW" in got[1]
     assert '<div id="content">' in got[2] and "ExampleCMS" in got[2]
+
+
+def test_entity_decode_order_no_double_decode(spark):
+    """``&amp;`` decodes LAST (ADVICE r11): double-encoded input
+    ``&amp;lt;b&amp;gt;`` must yield the literal text ``<b>``'s ESCAPED
+    form ``&lt;b&gt;``... decoded exactly once to ``<b>`` — never
+    double-decoded and then tag-stripped to nothing."""
+    pages = [
+        # &amp;lt; is the author writing the four characters "&lt;" —
+        # one decode pass must emit "&lt;" -> visible text "&lt;"? No:
+        # HTML renders &amp;lt; as "&lt;" (literal five chars). Our
+        # single-pass decoder with &amp; last yields exactly that.
+        (1, "<body><article>x &amp;lt;tag&amp;gt; y</article></body>"),
+        # plain single-encoded entities still decode
+        (2, "<body><article>a &amp; b &lt;c&gt;</article></body>"),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, page string")
+    got = {
+        r["doc_id"]: r["t"]
+        for r in df.select(
+            "doc_id",
+            to_text(main_region(strip_noise(F.col("page")))).alias("t"),
+        ).collect()
+    }
+    assert got[1] == "x &lt;tag&gt; y", got[1]
+    assert got[2] == "a & b <c>", got[2]
+
+
+def test_corpus_satisfies_no_markup_constraint(spark, sf_dir):
+    """Enforce the documented PAGE_TEMPLATES constraint: the documents
+    corpus interpolated into the synthesized pages contains no angle
+    brackets and no &-entities, so 'text survives verbatim' holds."""
+    from prefect_flow_arc_alto_to_json_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    bad = docs.where(
+        F.col("text").rlike("[<>]") | F.col("text").rlike("&[a-zA-Z]+;")
+    ).count()
+    assert bad == 0
