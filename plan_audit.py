@@ -89,7 +89,20 @@ ITERATIVE = {
     "q_ktruss_trade",
     "text_textrank_keywords",
     "q_katz_centrality",
+    "q_stable_matching",
+    "q_set_cover_greedy",
+    "sim_facility_location",
+    "q_luby_mis",
+    "dedup_canonical",
+    "dedup_incremental_components",
+    "pipeline_leakage_safe_split",
 }
+# Membership is STRUCTURAL: tests/test_plan_shapes.py::
+# test_iterative_set_covers_all_loop_ckpt_callers derives the required
+# set from the AST (query bodies that touch loop_ckpt/loop_rounds/
+# loop_ckpt_counted directly, or call an operator function that does,
+# transitively) and asserts it is a subset of ITERATIVE — a new loop
+# operator cannot be registered without joining the per-iter audit.
 
 # Queries ALLOWED to carry an unpartitioned Window (round-9 VERDICT #2):
 # a global window collapses its input to ONE partition, so it is only

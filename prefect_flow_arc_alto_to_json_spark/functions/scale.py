@@ -150,6 +150,20 @@ def loop_ckpt(df: DataFrame) -> DataFrame:
     return df if AUDIT_ITERATION_MODE else df.localCheckpoint()
 
 
+def loop_ckpt_counted(df: DataFrame) -> tuple[DataFrame, int]:
+    """``loop_ckpt`` fused with a row count in ONE action: the lazy
+    ``localCheckpoint(eager=False)`` is materialized by the ``count()``
+    itself, so loops that need a per-round cardinality (convergence /
+    quiescence certificates) pay one job per round instead of two
+    (eager checkpoint + separate count). Under AUDIT_ITERATION_MODE the
+    count still executes (it drives control flow) but the plan passes
+    through un-truncated like ``loop_ckpt``."""
+    if AUDIT_ITERATION_MODE:
+        return df, df.count()
+    ck = df.localCheckpoint(eager=False)
+    return ck, ck.count()
+
+
 def loop_rounds(n: int) -> int:
     """Iteration count for operator loops: ``n`` in normal execution, 1
     under AUDIT_ITERATION_MODE (the audit wants one representative round

@@ -2382,11 +2382,12 @@ def q_stable_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     forever), so quiescence arrives within |pr| + 1 rounds in general;
     the L+1 = {_GS_ROUNDS} heuristic (one entry per free proposer per
     round) can be violated when a proposer sits engaged for several
-    rounds before being bumped, so the loop EXITS EARLY the round the
-    free-proposer frontier empties (the quiescence certificate; extra
-    oracle rounds are no-ops so hashes agree) and RAISES if the bound
-    is exhausted while proposers remain free — loud, never a silently
-    partial matching. All free proposers propose simultaneously; each
+    rounds before being bumped, so the loop EXITS EARLY as soon as the
+    round state (rej + eng) stops growing — a strict-growth invariant
+    makes the unchanged count a quiescence certificate, read from the
+    just-checkpointed stub for free; extra oracle rounds are no-ops so
+    hashes agree — and RAISES if the bound is exhausted while the state
+    still grows — loud, never a silently partial matching. All free proposers propose simultaneously; each
     acceptor keeps its best candidate (including its current match) —
     the simultaneous-proposal variant computes the SAME proposer-optimal
     stable matching as the sequential textbook algorithm, which
@@ -2443,23 +2444,21 @@ def q_stable_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ark"),
     ).localCheckpoint()
 
-    from ..functions.scale import loop_ckpt, loop_rounds
+    from ..functions.scale import loop_ckpt_counted, loop_rounds
+
+    # (p, a, prk, ark): each list entry with BOTH ranks attached, for the
+    # batch-rejection prune below.
+    prar = pr.join(F.broadcast(ar), ["p", "a"]).localCheckpoint()
 
     eng = pr.select("p", "a").where(F.lit(False))
     rej = pr.select("p", "a").where(F.lit(False))
     n_rounds = loop_rounds(_GS_ROUNDS)
     converged = False
+    prev_n = -1
     for _ in range(n_rounds):
         free_opts = pr.join(F.broadcast(eng.select("p")), "p", "anti").join(
             F.broadcast(rej), ["p", "a"], "anti"
         )
-        # Quiescence gate: an empty free-proposer frontier means every
-        # later round is a no-op (cand == eng, rej unchanged) — exit
-        # early; the fixed-unroll oracle's extra rounds are no-ops too,
-        # so the emitted matching is hash-identical.
-        if free_opts.limit(1).count() == 0:
-            converged = True
-            break
         prop = (
             free_opts.withColumn(
                 "rn",
@@ -2478,12 +2477,35 @@ def q_stable_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rn") == 1)
             .select("p", "a")
         )
-        # One fused checkpoint per round (not one per relation): rej and
-        # eng ride the same materialization under an is_rej marker,
-        # halving per-round job count (the ~78 ms/job fixed cost is the
-        # dominant term at sf0.1 on nation-sized relations).
-        state = loop_ckpt(
+        # ONE action per round: rej and eng ride a single is_rej-marked
+        # materialization (vs one eager checkpoint per relation in the
+        # first cut — the ~78 ms/job fixed cost dominates at sf0.1 on
+        # nation-sized relations), and the count that materializes it IS
+        # the quiescence certificate: |rej| and |eng| are both monotone
+        # and every NON-quiescent round strictly grows their union (an
+        # accepted proposal engages a free acceptor, +1 eng; a refusal or
+        # a bump permanently lands a pair in rej, +1 rej), so an
+        # unchanged state count proves the free-proposer frontier was
+        # empty and all later rounds are no-ops (the fixed-unroll
+        # oracle's extra rounds are no-ops too, hashes agree).
+        # Batch rejection (the classic parallel-GS acceleration): each
+        # acceptor's bar (its tentative match's ark) only TIGHTENS, so
+        # every list entry ranked strictly below the current bar is
+        # guaranteed a future rejection — fold them all into rej now.
+        # This prunes whole list suffixes per round instead of one entry
+        # per refusal, cutting rounds-to-quiescence; the final matching
+        # is the unique proposer-optimal one either way, so the
+        # fixed-unroll oracle (which replays the UNaccelerated rounds)
+        # converges to the same emitted relation.
+        bar = eng_n.join(F.broadcast(ar), ["p", "a"]).select(
+            "a", F.col("ark").alias("bar_ark")
+        )
+        doomed = prar.join(F.broadcast(bar), "a").where(
+            F.col("ark") > F.col("bar_ark")
+        ).select("p", "a")
+        state, n = loop_ckpt_counted(
             rej.unionByName(cand.join(F.broadcast(eng_n), ["p", "a"], "anti"))
+            .unionByName(doomed)
             .distinct()
             .select("p", "a", F.lit(True).alias("is_rej"))
             .unionByName(
@@ -2492,21 +2514,21 @@ def q_stable_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rej = state.where(F.col("is_rej")).select("p", "a")
         eng = state.where(~F.col("is_rej")).select("p", "a")
+        if n == prev_n:
+            converged = True
+            break
+        prev_n = n
     if not converged and n_rounds == _GS_ROUNDS:
-        free = pr.join(F.broadcast(eng.select("p")), "p", "anti").join(
-            F.broadcast(rej), ["p", "a"], "anti"
+        # The L+1 bound assumed each free proposer consumes a list entry
+        # every round, which bumping violates (see docstring); fail LOUD
+        # rather than emit a silently partial matching the oracle would
+        # mirror but no market would accept.
+        raise RuntimeError(
+            "q_stable_matching: state still growing after "
+            f"{_GS_ROUNDS} rounds — the 3L round bound was insufficient "
+            "on this data; raise _GS_LIST or the bound (general bound: "
+            "|pr|+1 rounds)."
         )
-        if free.limit(1).count() > 0:
-            # The L+1 bound assumed each free proposer consumes a list
-            # entry every round, which bumping violates (see docstring);
-            # fail LOUD rather than emit a silently partial matching the
-            # oracle would mirror but no market would accept.
-            raise RuntimeError(
-                "q_stable_matching: free-proposer frontier non-empty "
-                f"after {_GS_ROUNDS} rounds — the L+1 convergence "
-                "heuristic was insufficient on this data; raise _GS_LIST "
-                "or the round bound (general bound: |pr|+1 rounds)."
-            )
     # broadcast the rank attaches: eng is a stats-less checkpoint stub
     # and the planner otherwise falls back to SortMergeJoin on the
     # nation-sized relations

@@ -925,3 +925,76 @@ def test_global_windows_only_on_bounded_relations():
     # the allowlist must not rot: every entry names a live audited query
     stale = sorted(set(pa.GLOBAL_WINDOW_ALLOWED) - set(rows))
     assert not stale, f"GLOBAL_WINDOW_ALLOWED references unaudited rows: {stale}"
+
+
+def test_iterative_set_covers_all_loop_ckpt_callers():
+    """STRUCTURAL insurance for the per-iteration audit (round-9
+    q_katz_centrality gap, round-12 q_stable_matching gap — both made
+    impossible to repeat): derive, from the AST, every registered query
+    whose body uses loop_ckpt / loop_rounds / loop_ckpt_counted directly
+    OR calls an operator function that does (transitively through
+    operators/*.py), and assert each one is in plan_audit.ITERATIVE so
+    plan_audit audits its per-round body instead of the vacuous
+    post-checkpoint stub."""
+    import ast
+    import pathlib
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from plan_audit import ITERATIVE
+
+    pkg = pathlib.Path(
+        "/root/repo/prefect_flow_arc_alto_to_json_spark"
+    )
+    loop = {"loop_ckpt", "loop_rounds", "loop_ckpt_counted"}
+
+    def touched(fn_node):
+        out = set()
+        for node in ast.walk(fn_node):
+            if isinstance(node, ast.Name):
+                out.add(node.id)
+            elif isinstance(node, ast.Attribute):
+                out.add(node.attr)
+        return out
+
+    # operator functions -> names they touch (module-level defs only)
+    op_touch: dict[str, set] = {}
+    for p in (pkg / "operators").glob("*.py"):
+        for node in ast.parse(p.read_text()).body:
+            if isinstance(node, ast.FunctionDef):
+                op_touch[node.name] = touched(node)
+    # transitive closure: an operator is loop-using if it touches loop_*
+    # or another loop-using operator
+    loop_ops: set = set()
+    changed = True
+    while changed:
+        changed = False
+        for name, t in op_touch.items():
+            if name not in loop_ops and t & (loop | loop_ops):
+                loop_ops.add(name)
+                changed = True
+
+    needed = set()
+    for p in (pkg / "plans").glob("*.py"):
+        for node in ast.parse(p.read_text()).body:
+            if not isinstance(node, ast.FunctionDef):
+                continue
+            qname = None
+            for dec in node.decorator_list:
+                if (
+                    isinstance(dec, ast.Call)
+                    and getattr(dec.func, "id", "") == "query"
+                    and dec.args
+                    and isinstance(dec.args[0], ast.Constant)
+                ):
+                    qname = dec.args[0].value
+            if qname and touched(node) & (loop | loop_ops):
+                needed.add(qname)
+
+    assert needed, "AST scan found no loop queries — scanner broken?"
+    missing = needed - ITERATIVE
+    assert not missing, (
+        f"loop_ckpt-using queries missing from plan_audit.ITERATIVE: "
+        f"{sorted(missing)} — add them so the per-iteration audit sees "
+        "their round bodies"
+    )
