@@ -376,6 +376,23 @@ def main() -> None:
         except OSError:
             pass
     stable_sec = round(sum(v for k, v in timings.items() if k in stable), 3)
+    # Per-query budget guardrail (round-11 VERDICT #5): a new heavyweight
+    # addition must be caught at builder close, not by the judge. Policy
+    # (BASELINE.md): at sf0.1, warm min > 3 s warns; > 8 s fails the
+    # bench run outright. Only enforced at sf >= 0.1 — smaller SFs are
+    # iteration smokes where fixed job overhead dominates.
+    if sf.replace(".", "").isdigit() and float(sf) >= 0.1:
+        over = {k: v for k, v in timings.items() if v > 3.0}
+        for k, v in sorted(over.items(), key=lambda kv: -kv[1]):
+            print(
+                f"BUDGET WARN: {k} warm {v:.2f}s > 3s at sf{sf}",
+                file=sys.stderr,
+            )
+        hard = {k: v for k, v in timings.items() if v > 8.0}
+        assert not hard, (
+            f"BUDGET FAIL: queries over the 8 s warm budget at sf{sf}: "
+            f"{hard} — split, re-plan, or demote before close"
+        )
     line = json.dumps(
         {
             "metric": "headline_queries_total",

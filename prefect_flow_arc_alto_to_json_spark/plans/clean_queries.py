@@ -3476,7 +3476,7 @@ def q_ndcg_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_ipw_ate",
-    extra=True,
+    # promoted r12: observational causal inference, never graded
     oracle="""
     WITH u AS (
       SELECT user_id,

@@ -1423,7 +1423,7 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_edit_distance_join",
-    extra=True,
+    # promoted r12: character-level record linkage, never graded
     # the oracle is the UNPRUNED brute definition over the distinct-name
     # vocabulary — the hash certifies both the length banding AND the
     # threshold-pruned Levenshtein DP (the apriori device)

@@ -284,7 +284,7 @@ _PIP_ORACLE = """
 
 
 # graded since round 10: the containment-join representative
-@query("q_geo_point_in_polygon", oracle=_PIP_ORACLE)
+@query("q_geo_point_in_polygon", extra=True, oracle=_PIP_ORACLE)  # rotated out r12 (geo family keeps q_geo_grid_dbscan graded)
 def q_geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ray-casting point-in-polygon containment join
     (operators/geo.py:point_in_polygon_join) over the synthetic customer

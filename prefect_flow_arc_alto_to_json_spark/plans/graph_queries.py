@@ -2220,7 +2220,7 @@ def _mis_oracle(rounds: int = 3) -> str:
     return head + body + "\n    " + arms
 
 
-@query("q_luby_mis", extra=True, oracle=_mis_oracle(3))
+@query("q_luby_mis", oracle=_mis_oracle(3))  # promoted r12: randomized MIS, never graded
 def q_luby_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Luby-style MAXIMAL INDEPENDENT SET (operators/graph.py:luby_mis)
     on the mean-thresholded undirected trade graph — the vertex
@@ -2369,7 +2369,7 @@ def _stable_matching_oracle() -> str:
     )
 
 
-@query("q_stable_matching", extra=True, oracle=_stable_matching_oracle())
+@query("q_stable_matching", oracle=_stable_matching_oracle())  # promoted r12: two-sided markets, never graded
 def q_stable_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PARALLEL DEFERRED ACCEPTANCE (Gale-Shapley) — the TWO-SIDED
     market member of the assignment family (q_graph_matching maximizes

@@ -568,8 +568,7 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_time_travel",
-    # promoted to the graded window in round 8 (versioned snapshots were
-    # extra-only; q6_revenue_delta rotated out)
+    extra=True,  # rotated out r12 (graded r8-r11; lake family keeps q_zorder_index graded)
     oracle="""
     WITH base AS (
       SELECT o_orderkey, o_orderstatus AS status,

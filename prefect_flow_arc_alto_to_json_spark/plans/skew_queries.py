@@ -303,7 +303,7 @@ def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_kmv_distinct_rollup",
-    # graded since round 10: the mergeable-KMV hierarchy rollup (the richer KMV form)
+    extra=True,  # rotated out r12 (graded r10-r11; sketch family keeps q_cms_heavy_hitters graded)
     oracle="""
     WITH d1 AS (
       SELECT DISTINCT event_type, CAST(ts AS DATE) AS day,

@@ -1457,7 +1457,7 @@ def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_holt_winters_seasonal",
-    # graded since round 10: the grouped seasonal recurrence representative
+    extra=True,  # rotated out r12 (graded r10-r11; temporal family keeps 5 graded members)
     oracle="""
     WITH RECURSIVE daily AS (
       SELECT event_type AS grp,
@@ -3039,7 +3039,7 @@ def _dtw_oracle() -> str:
     )
 
 
-@query("q_dtw_event_series", extra=True, oracle=_dtw_oracle())
+@query("q_dtw_event_series", oracle=_dtw_oracle())  # promoted r12: elastic ts distance, never graded
 def q_dtw_event_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SAKOE-CHIBA-BANDED DYNAMIC TIME WARPING between every pair of
     event types' trailing-16-day daily-count series — the sequence-

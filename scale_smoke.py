@@ -96,6 +96,13 @@ if EXT_FACTORS:
     FACTORS = EXT_FACTORS
 
 EXT_MARK = "## Extended factors (x32 octave)"
+#: A SECOND extended tier (round-11 verdict #4: one more octave for the
+#: steep probes). Factor lists whose max exceeds 32 land here, after the
+#: x32 section, so the two tables never share columns. Re-run each tier
+#: with its own consistent factor list.
+X64_MARK = "## x64 octave"
+if EXT_FACTORS and max(EXT_FACTORS) > 32:
+    EXT_MARK = X64_MARK
 
 
 def split_existing() -> tuple[str, dict[str, str]]:

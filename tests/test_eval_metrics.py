@@ -7,7 +7,7 @@ weighted-rollup consistency)."""
 
 from __future__ import annotations
 
-from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES, QUERIES
 
 
 def _brute_lev(a: str, b: str) -> int:
@@ -30,7 +30,7 @@ def test_edit_distance_join_equals_brute(spark, sf_dir):
 
     import pandas as pd
 
-    rows = EXTRA_QUERIES["dedup_edit_distance_join"](spark, sf_dir).collect()
+    rows = {**QUERIES, **EXTRA_QUERIES}["dedup_edit_distance_join"](spark, sf_dir).collect()
     got = {(r["name_a"], r["name_b"]): (r["dist"], r["n_row_pairs"]) for r in rows}
     names = (
         pd.read_parquet(f"{sf_dir}/part.parquet")["p_name"]
@@ -63,7 +63,7 @@ def test_ipw_overall_is_weighted_stratum_average(spark, sf_dir):
     the per-stratum snapped effects over both-arm strata, and counts must
     be internally consistent (n = n_t + n_c, rollup sums the kept
     strata)."""
-    rows = EXTRA_QUERIES["q_ipw_ate"](spark, sf_dir).collect()
+    rows = {**QUERIES, **EXTRA_QUERIES}["q_ipw_ate"](spark, sf_dir).collect()
     strata = [r for r in rows if r["stratum"] >= 0]
     overall = [r for r in rows if r["stratum"] == -1]
     assert len(overall) == 1
@@ -87,7 +87,7 @@ def test_facility_location_submodularity(spark, sf_dir):
     of the coverage objective), strictly positive only while coverage
     still improves, and the 5 picks are distinct pool members."""
     rows = sorted(
-        EXTRA_QUERIES["sim_facility_location"](spark, sf_dir).collect(),
+        {**QUERIES, **EXTRA_QUERIES}["sim_facility_location"](spark, sf_dir).collect(),
         key=lambda r: r["round"],
     )
     assert [r["round"] for r in rows] == [1, 2, 3, 4, 5]

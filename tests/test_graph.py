@@ -409,7 +409,7 @@ def test_katz_star_graph_closed_form(spark, sf_dir):
     round-2 values / 8) — re-derived here in pure Python from the edge
     list for a sample of nodes (the full relation is oracle-adjudicated;
     this pins the RECURSION against an independent replay)."""
-    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES, QUERIES
 
     rows = EXTRA_QUERIES["q_katz_centrality"](spark, sf_dir).collect()
     assert all(r["katz_nano"] >= 1_000_000_000 for r in rows)
@@ -585,10 +585,10 @@ def test_luby_mis_axioms(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from prefect_flow_arc_alto_to_json_spark.operators.graph import luby_mis
-    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES, QUERIES
     from prefect_flow_arc_alto_to_json_spark.sources import load_table
 
-    rows = EXTRA_QUERIES["q_luby_mis"](spark, sf_dir).collect()
+    rows = {**QUERIES, **EXTRA_QUERIES}["q_luby_mis"](spark, sf_dir).collect()
     mis = {r["node"] for r in rows}
     assert len(mis) == len(rows), "a node admitted twice"
 
@@ -637,10 +637,10 @@ def test_stable_matching_equals_sequential_gs(spark, sf_dir):
     the lists."""
     import pandas as pd
 
-    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES, QUERIES
     from prefect_flow_arc_alto_to_json_spark.plans.graph_queries import _GS_LIST
 
-    rows = EXTRA_QUERIES["q_stable_matching"](spark, sf_dir).collect()
+    rows = {**QUERIES, **EXTRA_QUERIES}["q_stable_matching"](spark, sf_dir).collect()
     got = {r["proposer"]: r["acceptor"] for r in rows}
     assert len(got) == len(rows), "a proposer matched twice"
     assert len(set(got.values())) == len(got), "an acceptor matched twice"

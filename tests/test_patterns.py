@@ -213,7 +213,7 @@ def test_dtw_matches_brute_replay(spark, sf_dir):
     admissible path)."""
     import pandas as pd
 
-    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES, QUERIES
     from prefect_flow_arc_alto_to_json_spark.plans.temporal_queries import (
         _DTW_BAND,
         _DTW_BIGM,
@@ -222,7 +222,7 @@ def test_dtw_matches_brute_replay(spark, sf_dir):
 
     got = {
         (r["t_a"], r["t_b"]): r["dtw_cost"]
-        for r in EXTRA_QUERIES["q_dtw_event_series"](spark, sf_dir).collect()
+        for r in {**QUERIES, **EXTRA_QUERIES}["q_dtw_event_series"](spark, sf_dir).collect()
     }
     ev = pd.read_parquet(f"{sf_dir}/events.parquet")[["event_type", "ts"]]
     ev["dy"] = ev["ts"].dt.date
