@@ -38,3 +38,4 @@ __all__ = ["QUERIES", "ORACLES", "EXTRA_QUERIES", "EXTRA_ORACLES", "query"]
 from . import graph_queries  # noqa: E402,F401
 from . import bloom_queries  # noqa: E402,F401
 from . import geo_queries  # noqa: E402,F401
+from . import evalstat_queries  # noqa: E402,F401

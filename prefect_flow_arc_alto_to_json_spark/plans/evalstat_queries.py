@@ -1,0 +1,638 @@
+"""Evaluation & statistics families, round 12: generation eval (BLEU),
+multiple-testing correction (Benjamini–Hochberg FDR), rank correlation
+(Kendall tau-b), and panel causal inference (difference-in-differences).
+
+Each query is a distinct concept family new to the registry (see
+ROTATION.md): BLEU is the n-gram-precision generation metric every
+LLM-eval harness reports (q_ndcg_ranking grades rankings, q_roc_auc
+grades classifiers; this grades generated TEXT against references);
+BH-FDR is what turns hundreds of per-segment A/B p-values into a
+defensible discovery list; Kendall tau-b is the concordance-based rank
+correlation (q_spearman_correlation is the midrank-based one); DiD is
+the pre/post × treated/control panel estimator (q_ipw_ate reweights a
+cross-section, DiD differences out time-invariant confounders).
+
+Determinism devices (memory: spark-oracle-determinism-devices): exact
+integer counts and half-up micro-cent means everywhere; the only
+transcendental steps (BLEU's brevity penalty, the logistic p-value
+approximation) are ROUND(x*1e6) micro-snapped — the established
+measure-zero-boundary device; Kendall tau is emitted DIVISION-FREE as
+(tau_num, tau_den_sq) integers because sqrt of a possibly-perfect-square
+integer can land a rational on a rounding boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalar import cents, token_array
+from ..functions.scale import fan_out
+from ..sources import load_table
+from .registry import query
+
+# BLEU candidate construction: drop every 7th token (1-based positions
+# == 4 mod 7) AND duplicate every 11th (== 5 mod 11, emitted twice in
+# sequence) to get a deterministic "model output". The deletion drives
+# the brevity penalty and bigram breakage; the duplication makes unigram
+# CLIPPING bind (a pure deletion can never exceed reference counts, so
+# p1 would be degenerately 1 — caught by test_bleu_eval_orderings).
+_BLEU_MOD = 7
+_BLEU_RESIDUE = 4
+_BLEU_DUP_MOD = 11
+_BLEU_DUP_RES = 5
+
+_SQL_TOKS = (
+    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x != '')"
+)
+
+
+def _bleu_oracle() -> str:
+    return (
+        """
+    WITH base AS (
+      SELECT doc_id, lang, """
+        + _SQL_TOKS
+        + """ AS toks FROM documents
+    ),
+    rpos AS (
+      SELECT doc_id, lang, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS pos
+      FROM base
+    ),
+    cpos AS (
+      SELECT doc_id, lang, tok, pos, 0 AS sub FROM rpos WHERE pos % """
+        + f"{_BLEU_MOD} != {_BLEU_RESIDUE}"
+        + """
+      UNION ALL
+      SELECT doc_id, lang, tok, pos, 1 AS sub FROM rpos WHERE pos % """
+        + f"{_BLEU_MOD} != {_BLEU_RESIDUE} AND pos % {_BLEU_DUP_MOD} = {_BLEU_DUP_RES}"
+        + """
+    ),
+    rbig AS (
+      SELECT doc_id, lang,
+             tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS g
+      FROM rpos
+    ),
+    cbig AS (
+      SELECT doc_id, lang,
+             tok || ' ' ||
+               lead(tok) OVER (PARTITION BY doc_id ORDER BY pos, sub) AS g
+      FROM cpos
+    ),
+    c1 AS (SELECT doc_id, lang, tok, COUNT(*) AS c FROM cpos GROUP BY 1,2,3),
+    r1 AS (SELECT doc_id, tok, COUNT(*) AS c FROM rpos GROUP BY 1,2),
+    c2 AS (SELECT doc_id, lang, g, COUNT(*) AS c FROM cbig
+           WHERE g IS NOT NULL GROUP BY 1,2,3),
+    r2 AS (SELECT doc_id, g, COUNT(*) AS c FROM rbig
+           WHERE g IS NOT NULL GROUP BY 1,2),
+    p1 AS (
+      SELECT c1.lang,
+             SUM(LEAST(c1.c, COALESCE(r1.c, 0))) AS num,
+             SUM(c1.c) AS den
+      FROM c1 LEFT JOIN r1 ON r1.doc_id = c1.doc_id AND r1.tok = c1.tok
+      GROUP BY 1
+    ),
+    p2 AS (
+      SELECT c2.lang,
+             SUM(LEAST(c2.c, COALESCE(r2.c, 0))) AS num,
+             SUM(c2.c) AS den
+      FROM c2 LEFT JOIN r2 ON r2.doc_id = c2.doc_id AND r2.g = c2.g
+      GROUP BY 1
+    ),
+    lens AS (
+      SELECT r.lang, c.cand_len, r.ref_len FROM
+        (SELECT lang, COUNT(*) AS ref_len FROM rpos GROUP BY 1) r
+        JOIN (SELECT lang, COUNT(*) AS cand_len FROM cpos GROUP BY 1) c
+        ON c.lang = r.lang
+    ),
+    j AS (
+      SELECT lens.lang,
+             CAST(p1.num AS BIGINT) AS p1_num, CAST(p1.den AS BIGINT) AS p1_den,
+             CAST(p2.num AS BIGINT) AS p2_num, CAST(p2.den AS BIGINT) AS p2_den,
+             CAST(lens.cand_len AS BIGINT) AS cand_len,
+             CAST(lens.ref_len AS BIGINT) AS ref_len
+      FROM lens JOIN p1 ON p1.lang = lens.lang JOIN p2 ON p2.lang = lens.lang
+    )
+    SELECT lang, p1_num, p1_den, p2_num, p2_den, cand_len, ref_len,
+      CAST(ROUND(1e6 * EXP(LEAST(0.0,
+        1.0 - CAST(ref_len AS DOUBLE) / cand_len))) AS BIGINT) AS bp_micro,
+      CAST(ROUND(1e6 * SQRT(
+        (CAST(p1_num AS DOUBLE) / p1_den) * (CAST(p2_num AS DOUBLE) / p2_den)
+      )) AS BIGINT) AS gm_micro,
+      (CAST(ROUND(1e6 * EXP(LEAST(0.0,
+         1.0 - CAST(ref_len AS DOUBLE) / cand_len))) AS BIGINT)
+       * CAST(ROUND(1e6 * SQRT(
+         (CAST(p1_num AS DOUBLE) / p1_den) * (CAST(p2_num AS DOUBLE) / p2_den)
+       )) AS BIGINT) + 500000) // 1000000 AS bleu_ppm
+    FROM j
+    """
+    )
+
+
+@query("q_bleu_eval", extra=True, oracle=_bleu_oracle())
+def q_bleu_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS BLEU-2 — the n-gram-precision generation-eval metric, per
+    language. The "model output" is a deterministic perturbation of each
+    document (every 7th token dropped), so clipping (modified n-gram
+    precision), the shortened-candidate brevity penalty, and the unigram
+    x bigram geometric mean are all exercised with a known ground truth:
+    p1 < 1, p2 < p1, BP < 1 on any doc long enough to lose a token.
+
+    Determinism: clipped counts and lengths are exact integers; BP and
+    the geometric mean are micro-snapped (ROUND(x*1e6)) — exp is the one
+    libm call (measure-zero boundary device); sqrt and the divisions are
+    IEEE-correctly-rounded in both engines with an identical expression
+    tree; bleu_ppm is integer arithmetic on the two snapped factors.
+
+    Scale: token/bigram explosion is linear in corpus bytes; per-(doc,
+    gram) counts aggregate map-side; the clip join is co-keyed on
+    (doc_id, gram) — the same doc's candidate and reference grams land
+    in the same partition; the final rollup is language-grain (tiny).
+    100 TB story: identical to the dedup shingle paths — no pair
+    explosion, everything keyed by doc.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", token_array("text").alias("toks")
+    )
+    rpos = docs.select(
+        "doc_id", "lang", F.posexplode("toks").alias("pos0", "tok")
+    ).localCheckpoint()  # cand/ref unigram+bigram legs all read it
+    keep = ((F.col("pos0") + 1) % _BLEU_MOD) != _BLEU_RESIDUE
+    dup = ((F.col("pos0") + 1) % _BLEU_DUP_MOD) == _BLEU_DUP_RES
+    cpos = (
+        rpos.where(keep)
+        .select("doc_id", "lang", "tok", "pos0", F.lit(0).alias("sub"))
+        .unionByName(
+            rpos.where(keep & dup).select(
+                "doc_id", "lang", "tok", "pos0", F.lit(1).alias("sub")
+            )
+        )
+    )
+    w_ref = Window.partitionBy("doc_id").orderBy("pos0")
+    w_cand = Window.partitionBy("doc_id").orderBy("pos0", "sub")
+
+    def bigrams(df: DataFrame, w: Window) -> DataFrame:
+        return df.select(
+            "doc_id",
+            "lang",
+            F.concat_ws(" ", "tok", F.lead("tok").over(w)).alias("g"),
+            F.lead("tok").over(w).alias("nxt"),
+        ).where(F.col("nxt").isNotNull())
+
+    c1 = cpos.groupBy("doc_id", "lang", "tok").agg(F.count("*").alias("c"))
+    r1 = rpos.groupBy("doc_id", "tok").agg(F.count("*").alias("rc"))
+    c2 = bigrams(cpos, w_cand).groupBy("doc_id", "lang", "g").agg(
+        F.count("*").alias("c")
+    )
+    r2 = bigrams(rpos, w_ref).groupBy("doc_id", "g").agg(
+        F.count("*").alias("rc")
+    )
+    p1 = c1.alias("c").join(
+        r1.alias("r"),
+        (F.col("c.doc_id") == F.col("r.doc_id"))
+        & (F.col("c.tok") == F.col("r.tok")),
+        "left",
+    ).groupBy(F.col("c.lang").alias("lang")).agg(
+        F.sum(F.least(F.col("c.c"), F.coalesce(F.col("r.rc"), F.lit(0))))
+        .cast("long")
+        .alias("p1_num"),
+        F.sum(F.col("c.c")).cast("long").alias("p1_den"),
+    )
+    p2 = c2.alias("c").join(
+        r2.alias("r"),
+        (F.col("c.doc_id") == F.col("r.doc_id"))
+        & (F.col("c.g") == F.col("r.g")),
+        "left",
+    ).groupBy(F.col("c.lang").alias("lang")).agg(
+        F.sum(F.least(F.col("c.c"), F.coalesce(F.col("r.rc"), F.lit(0))))
+        .cast("long")
+        .alias("p2_num"),
+        F.sum(F.col("c.c")).cast("long").alias("p2_den"),
+    )
+    lens = rpos.groupBy("lang").agg(
+        F.count("*").cast("long").alias("ref_len")
+    ).join(
+        F.broadcast(
+            cpos.groupBy("lang").agg(
+                F.count("*").cast("long").alias("cand_len")
+            )
+        ),
+        "lang",
+    )
+    j = lens.join(F.broadcast(p1), "lang").join(F.broadcast(p2), "lang")
+    bp = F.round(
+        F.lit(1e6)
+        * F.exp(
+            F.least(
+                F.lit(0.0),
+                F.lit(1.0)
+                - F.col("ref_len").cast("double") / F.col("cand_len"),
+            )
+        ),
+        0,
+    ).cast("long")
+    gm = F.round(
+        F.lit(1e6)
+        * F.sqrt(
+            (F.col("p1_num").cast("double") / F.col("p1_den"))
+            * (F.col("p2_num").cast("double") / F.col("p2_den"))
+        ),
+        0,
+    ).cast("long")
+    return j.select(
+        "lang",
+        "p1_num",
+        "p1_den",
+        "p2_num",
+        "p2_den",
+        "cand_len",
+        "ref_len",
+        bp.alias("bp_micro"),
+        gm.alias("gm_micro"),
+        F.call_function(
+            "div", bp * gm + F.lit(500000).cast("long"), F.lit(1000000)
+        ).alias("bleu_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini–Hochberg FDR
+# ---------------------------------------------------------------------------
+
+# The synthetic corpus is globally HOMOGENEOUS (verified: every natural
+# (segment, metric) grid yields true nulls everywhere, so reject would be
+# degenerately zero — the round-9 vacuity trap). The tests therefore use
+# the PLANTED-ALTERNATIVE design: each doc gets a deterministic md5 coin
+# h = stable_hash_p31('fdr-v1:' || doc_id); the tested indicator is
+# h % 2 = 0 (a fair coin, true null) for every source EXCEPT the two
+# planted ones, where it is h % 10 = 0 (share ~0.1) and h % 10 != 0
+# (share ~0.9) — so BH must reject the planted sources and (mostly) keep
+# the nulls, at every SF, with a known ground truth.
+_FDR_SALT = "fdr-v1:"
+_FDR_LO_SRC = "src0"  # planted share ~0.1
+_FDR_HI_SRC = "src1"  # planted share ~0.9
+_FDR_SLOPE = "1.702"
+_FDR_ALPHA_MICRO = 100000  # alpha = 0.1
+
+
+def _fdr_oracle() -> str:
+    return """
+    WITH d AS (
+      SELECT source,
+        md5_number_lower('{SALT}' || CAST(doc_id AS VARCHAR))
+          % 2147483647 AS h
+      FROM documents
+    ),
+    ind AS (
+      SELECT source,
+        CASE WHEN source = '{LO}' THEN CASE WHEN h % 10 = 0 THEN 1 ELSE 0 END
+             WHEN source = '{HI}' THEN CASE WHEN h % 10 <> 0 THEN 1 ELSE 0 END
+             ELSE CASE WHEN h % 2 = 0 THEN 1 ELSE 0 END END AS hi
+      FROM d
+    ),
+    tests AS (
+      SELECT source, CAST(SUM(hi) AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ind GROUP BY 1
+    ),
+    gstats AS (
+      SELECT CAST(SUM(x) AS BIGINT) AS gx, CAST(SUM(n) AS BIGINT) AS gn,
+             CAST(COUNT(*) AS BIGINT) AS m
+      FROM tests
+    ),
+    z AS (
+      SELECT t.source, t.x, t.n, g.m,
+        ABS((t.x - t.n * (CAST(g.gx AS DOUBLE) / g.gn))
+            / SQRT(t.n * (CAST(g.gx AS DOUBLE) / g.gn)
+                   * (1.0 - CAST(g.gx AS DOUBLE) / g.gn))) AS za
+      FROM tests t CROSS JOIN gstats g
+    ),
+    p AS (
+      SELECT source, x, n, m,
+        CAST(ROUND(1e6 * (2.0 / (1.0 + EXP({SL} * za)))) AS BIGINT)
+          AS p_micro
+      FROM z
+    ),
+    rk AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        ORDER BY p_micro, source) AS BIGINT) AS p_rank
+      FROM p
+    ),
+    k AS (
+      SELECT COALESCE(MAX(CASE WHEN p_micro * m <= {AL} * p_rank
+                               THEN p_rank END), 0) AS kmax
+      FROM rk
+    )
+    SELECT rk.source, rk.x, rk.n, rk.p_micro, rk.p_rank,
+           CASE WHEN rk.p_rank <= k.kmax THEN 1 ELSE 0 END AS reject
+    FROM rk CROSS JOIN k
+    """.format(
+        SALT=_FDR_SALT,
+        LO=_FDR_LO_SRC,
+        HI=_FDR_HI_SRC,
+        SL=_FDR_SLOPE,
+        AL=_FDR_ALPHA_MICRO,
+    )
+
+
+@query("q_fdr_bh", extra=True, oracle=_fdr_oracle())
+def q_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENJAMINI–HOCHBERG FDR over per-source proportion tests — the
+    multiple-testing member of the experimentation family
+    (q_abtest_proportions runs ONE test; a real segment sweep runs one
+    per source, and controlling the false discovery rate is what keeps
+    the discovery list honest). Ground truth is PLANTED (see module
+    constants): two sources carry a true effect (md5-coin share ~0.1 /
+    ~0.9 vs the fair-coin nulls), so the step-up must fire at every SF
+    and the rejected set is known — tests/test_eval_metrics.py asserts
+    the planted sources are rejected and the FDR among nulls is
+    controlled. Two-sided z via the logistic normal-CDF approximation (a
+    DEFINED score, shared constant slope — no libm erf), then BH: reject
+    the smallest-k p-values where p_(i) <= alpha*i/m.
+
+    Determinism: counts exact (md5 coins are cross-engine identical); z
+    uses only IEEE-correctly-rounded ops (div/mul/sub/sqrt) in an
+    identical tree; the one exp() is micro-snapped; the BH inequality is
+    evaluated in INTEGERS (p_micro * m <= alpha_micro * rank).
+
+    Scale: one map-side aggregation to the test grain; everything after
+    runs on the |sources|-row test relation (catalog-bounded — the
+    global rank window is allowlisted on that bound).
+    """
+    from ..functions.scalar import stable_hash_p31
+
+    h = stable_hash_p31(
+        F.concat(F.lit(_FDR_SALT), F.col("doc_id").cast("string"))
+    )
+    d = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "source", h.alias("h")
+    )
+    hi = (
+        F.when(F.col("source") == _FDR_LO_SRC, (F.col("h") % 10 == 0))
+        .when(F.col("source") == _FDR_HI_SRC, (F.col("h") % 10 != 0))
+        .otherwise(F.col("h") % 2 == 0)
+        .cast("int")
+    )
+    tests = d.select("source", hi.alias("hi")).groupBy("source").agg(
+        F.sum("hi").cast("long").alias("x"),
+        F.count("*").cast("long").alias("n"),
+    )
+    glob = tests.agg(
+        F.sum("x").cast("long").alias("gx"),
+        F.sum("n").cast("long").alias("gn"),
+        F.count("*").cast("long").alias("m"),
+    )
+    p0 = F.col("gx").cast("double") / F.col("gn")
+    za = F.abs(
+        (F.col("x") - F.col("n") * p0)
+        / F.sqrt(F.col("n") * p0 * (F.lit(1.0) - p0))
+    )
+    p = tests.crossJoin(F.broadcast(glob)).select(
+        "source",
+        "x",
+        "n",
+        "m",
+        F.round(
+            F.lit(1e6)
+            * (
+                F.lit(2.0)
+                / (F.lit(1.0) + F.exp(F.lit(float(_FDR_SLOPE)) * za))
+            ),
+            0,
+        )
+        .cast("long")
+        .alias("p_micro"),
+    )
+    rk = p.withColumn(
+        "p_rank",
+        F.row_number()
+        .over(Window.orderBy("p_micro", "source"))
+        .cast("long"),
+    ).localCheckpoint()  # kmax aggregate + final output both read it
+    k = rk.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p_micro") * F.col("m")
+                    <= F.lit(_FDR_ALPHA_MICRO) * F.col("p_rank"),
+                    F.col("p_rank"),
+                )
+            ),
+            F.lit(0).cast("long"),
+        ).alias("kmax")
+    )
+    return rk.crossJoin(F.broadcast(k)).select(
+        "source",
+        "x",
+        "n",
+        "p_micro",
+        "p_rank",
+        (F.col("p_rank") <= F.col("kmax")).cast("int").alias("reject"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b
+# ---------------------------------------------------------------------------
+
+
+def _kendall_oracle() -> str:
+    return """
+    WITH pts AS (
+      SELECT event_type, isodow(ts) AS dow,
+        CAST((2 * SUM(CAST(ROUND(value * 100) AS BIGINT)) * 1000000 + COUNT(*))
+          // (2 * COUNT(*)) AS BIGINT) AS xm,
+        CAST(COUNT(*) AS BIGINT) AS ym
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.event_type,
+        CASE WHEN (a.xm - b.xm) * (a.ym - b.ym) > 0 THEN 1 ELSE 0 END AS con,
+        CASE WHEN (a.xm - b.xm) * (a.ym - b.ym) < 0 THEN 1 ELSE 0 END AS dis,
+        CASE WHEN a.xm = b.xm THEN 1 ELSE 0 END AS tx,
+        CASE WHEN a.ym = b.ym THEN 1 ELSE 0 END AS ty
+      FROM pts a JOIN pts b
+        ON a.event_type = b.event_type AND a.dow < b.dow
+    )
+    SELECT event_type,
+      CAST(SUM(con) AS BIGINT) AS c,
+      CAST(SUM(dis) AS BIGINT) AS d,
+      CAST(COUNT(*) AS BIGINT) AS n0,
+      CAST(SUM(tx) AS BIGINT) AS t1,
+      CAST(SUM(ty) AS BIGINT) AS t2,
+      CAST(SUM(con) - SUM(dis) AS BIGINT) AS tau_num,
+      CAST((COUNT(*) - SUM(tx)) * (COUNT(*) - SUM(ty)) AS BIGINT)
+        AS tau_den_sq
+    FROM pairs GROUP BY 1
+    """
+
+
+@query("q_kendall_tau", extra=True, oracle=_kendall_oracle())
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KENDALL TAU-B — concordance-based rank correlation between the
+    weekday mean-value profile and the weekday volume profile, per event
+    type (q_spearman_correlation is the midrank member of the family;
+    tau counts concordant/discordant PAIRS and is the robust choice for
+    short ordinal profiles). tau-b = (C-D)/sqrt((n0-t1)(n0-t2)) with tie
+    corrections on both margins.
+
+    Determinism: weekday means are half-up micro-cent INTEGERS before
+    any comparison (ties are exact); the pair scan emits integer C, D,
+    t1, t2 and tau DIVISION-FREE as (tau_num, tau_den_sq) — sqrt of a
+    possibly-perfect-square integer could park a rational exactly on a
+    rounding boundary, so no float leaves the query.
+
+    Scale: one map-side aggregation to (event_type, weekday); the pair
+    join runs INSIDE 7-row groups (21 pairs per event type, bounded by
+    the calendar, never by the corpus).
+    """
+    from ..functions.scalar import half_up_units
+
+    ev = fan_out(load_table(spark, sf_dir, "events")).select(
+        "event_type",
+        (F.weekday("ts") + 1).cast("long").alias("dow"),
+        cents("value").alias("vc"),
+    )
+    pts = ev.groupBy("event_type", "dow").agg(
+        half_up_units(
+            F.sum("vc").cast("long"), F.count("*").cast("long"), 1_000_000
+        ).alias("xm"),
+        F.count("*").cast("long").alias("ym"),
+    ).localCheckpoint()  # both pair-join sides read it
+    a, b = pts.alias("a"), pts.alias("b")
+    prod = (F.col("a.xm") - F.col("b.xm")) * (F.col("a.ym") - F.col("b.ym"))
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.dow") < F.col("b.dow")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (prod > 0).cast("long").alias("con"),
+        (prod < 0).cast("long").alias("dis"),
+        (F.col("a.xm") == F.col("b.xm")).cast("long").alias("tx"),
+        (F.col("a.ym") == F.col("b.ym")).cast("long").alias("ty"),
+    )
+    return pairs.groupBy("event_type").agg(
+        F.sum("con").cast("long").alias("c"),
+        F.sum("dis").cast("long").alias("d"),
+        F.count("*").cast("long").alias("n0"),
+        F.sum("tx").cast("long").alias("t1"),
+        F.sum("ty").cast("long").alias("t2"),
+        (F.sum("con") - F.sum("dis")).cast("long").alias("tau_num"),
+        (
+            (F.count("*") - F.sum("tx")) * (F.count("*") - F.sum("ty"))
+        )
+        .cast("long")
+        .alias("tau_den_sq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences
+# ---------------------------------------------------------------------------
+
+_DID_CUTOFF = "2024-01-16 00:00:00"
+
+
+def _did_oracle() -> str:
+    return """
+    WITH ev AS (
+      SELECT event_type,
+        CASE WHEN ts >= TIMESTAMP '{CUT}' THEN 1 ELSE 0 END AS post,
+        CAST(ROUND(value * 100) AS BIGINT) AS vc
+      FROM events
+    ),
+    types AS (SELECT DISTINCT event_type FROM ev),
+    cells AS (
+      SELECT t.event_type AS treated_type,
+        CASE WHEN e.event_type = t.event_type THEN 1 ELSE 0 END AS grp,
+        e.post,
+        CAST((2 * SUM(e.vc) * 1000000 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+          AS mean_micro
+      FROM types t CROSS JOIN ev e
+      GROUP BY 1, 2, 3
+    )
+    SELECT treated_type,
+      MAX(CASE WHEN grp = 1 AND post = 0 THEN mean_micro END) AS mt_pre,
+      MAX(CASE WHEN grp = 1 AND post = 1 THEN mean_micro END) AS mt_post,
+      MAX(CASE WHEN grp = 0 AND post = 0 THEN mean_micro END) AS mc_pre,
+      MAX(CASE WHEN grp = 0 AND post = 1 THEN mean_micro END) AS mc_post,
+      (MAX(CASE WHEN grp = 1 AND post = 1 THEN mean_micro END)
+       - MAX(CASE WHEN grp = 1 AND post = 0 THEN mean_micro END))
+      - (MAX(CASE WHEN grp = 0 AND post = 1 THEN mean_micro END)
+         - MAX(CASE WHEN grp = 0 AND post = 0 THEN mean_micro END))
+        AS did_micro
+    FROM cells GROUP BY 1
+    """.format(CUT=_DID_CUTOFF)
+
+
+@query("q_diff_in_diff", extra=True, oracle=_did_oracle())
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES — the panel member of the causal family
+    (q_ipw_ate reweights a cross-section by propensity; DiD uses the
+    pre/post x treated/control 2x2 to difference out time-invariant
+    group effects AND common time shocks). Each event type in turn plays
+    "treated" against all others as control, split at a shared cutoff:
+    did = (treated_post - treated_pre) - (control_post - control_pre).
+
+    Determinism: the four cell means are half-up micro-cent integers
+    (exact rationals snapped by the established device); did_micro is
+    then pure integer subtraction — no float leaves the query.
+
+    Scale: ONE pass over the fact table per treated-type assignment is
+    avoided by aggregating to (treated_type, grp, post) in a single
+    grouped aggregation over the type-broadcast join; with a catalog of
+    T types that's a T-way fan-out of a map-side partial agg, never T
+    scans. Cell relation is 4T rows.
+    """
+    ev = fan_out(load_table(spark, sf_dir, "events")).select(
+        "event_type",
+        (F.col("ts") >= F.lit(_DID_CUTOFF).cast("timestamp"))
+        .cast("int")
+        .alias("post"),
+        cents("value").alias("vc"),
+    )
+    types = (
+        ev.select(F.col("event_type").alias("treated_type"))
+        .distinct()
+        .localCheckpoint()  # derived from ev, rejoined onto it (self-join rule)
+    )
+    from ..functions.scalar import half_up_units
+
+    cells = (
+        ev.crossJoin(F.broadcast(types))
+        .groupBy(
+            "treated_type",
+            (F.col("event_type") == F.col("treated_type"))
+            .cast("int")
+            .alias("grp"),
+            "post",
+        )
+        .agg(
+            half_up_units(
+                F.sum("vc").cast("long"),
+                F.count("*").cast("long"),
+                1_000_000,
+            ).alias("mean_micro")
+        )
+    )
+
+    def cell(g: int, p: int):
+        return F.max(
+            F.when(
+                (F.col("grp") == g) & (F.col("post") == p),
+                F.col("mean_micro"),
+            )
+        )
+
+    return cells.groupBy("treated_type").agg(
+        cell(1, 0).alias("mt_pre"),
+        cell(1, 1).alias("mt_post"),
+        cell(0, 0).alias("mc_pre"),
+        cell(0, 1).alias("mc_post"),
+        (
+            (cell(1, 1) - cell(1, 0)) - (cell(0, 1) - cell(0, 0))
+        ).alias("did_micro"),
+    )

@@ -264,3 +264,72 @@ def test_fairness_audit_consistency(spark, sf_dir):
             assert r["tpr_ppm"] is None
         if r["n"] - r["n_label"] == 0:
             assert r["fpr_ppm"] is None
+
+
+def test_fdr_bh_rejects_exactly_planted_sources(spark, sf_dir):
+    """BH fires on the two planted-alternative sources and controls the
+    false discovery rate on the true nulls (design: md5 coins, share
+    ~0.1 / ~0.9 vs fair-coin nulls — see plans/evalstat_queries.py)."""
+    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+    from prefect_flow_arc_alto_to_json_spark.plans.evalstat_queries import (
+        _FDR_HI_SRC,
+        _FDR_LO_SRC,
+    )
+
+    rows = EXTRA_QUERIES["q_fdr_bh"](spark, sf_dir).collect()
+    rejected = {r["source"] for r in rows if r["reject"] == 1}
+    assert {_FDR_LO_SRC, _FDR_HI_SRC} <= rejected, rejected
+    # FDR control: at alpha=0.1 with 18 true nulls, more than 2 false
+    # discoveries would be far outside the guarantee on this fixed data
+    assert len(rejected - {_FDR_LO_SRC, _FDR_HI_SRC}) <= 2, rejected
+
+
+def test_bleu_eval_orderings(spark, sf_dir):
+    """The perturbation (dropped tokens) must show up exactly where BLEU
+    theory says: candidate shorter than reference (BP < 1e6), bigram
+    precision below unigram precision, BLEU below both."""
+    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+
+    for r in EXTRA_QUERIES["q_bleu_eval"](spark, sf_dir).collect():
+        assert 0 < r["cand_len"] < r["ref_len"]
+        assert 0 < r["bp_micro"] < 1_000_000
+        p1 = r["p1_num"] / r["p1_den"]
+        p2 = r["p2_num"] / r["p2_den"]
+        assert 0 < p2 < p1 < 1
+        assert 0 < r["bleu_ppm"] < 1_000_000
+        # bleu = bp * sqrt(p1*p2) within snapping tolerance
+        import math
+
+        want = r["bp_micro"] / 1e6 * math.sqrt(p1 * p2) * 1e6
+        assert abs(r["bleu_ppm"] - want) < 3
+
+
+def test_kendall_tau_bounds_and_pairs(spark, sf_dir):
+    """tau-b internals: 21 pairs per 7-day profile, C+D+ties consistent,
+    |tau_num| bounded by the tie-corrected margin product."""
+    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+
+    rows = EXTRA_QUERIES["q_kendall_tau"](spark, sf_dir).collect()
+    assert rows
+    import math
+
+    for r in rows:
+        assert r["n0"] == 21  # C(7,2) weekday pairs
+        assert r["c"] + r["d"] <= r["n0"]
+        assert abs(r["tau_num"]) <= math.sqrt(r["tau_den_sq"]) + 1e-9
+        assert r["tau_den_sq"] == (r["n0"] - r["t1"]) * (r["n0"] - r["t2"])
+
+
+def test_diff_in_diff_identity(spark, sf_dir):
+    """did_micro is exactly the 2x2 double difference of the emitted
+    cell means (pure integer identity), and every cell is populated."""
+    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+
+    rows = EXTRA_QUERIES["q_diff_in_diff"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        for c in ("mt_pre", "mt_post", "mc_pre", "mc_post"):
+            assert r[c] is not None and r[c] > 0
+        assert r["did_micro"] == (r["mt_post"] - r["mt_pre"]) - (
+            r["mc_post"] - r["mc_pre"]
+        )
