@@ -130,7 +130,8 @@ GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
     "q_conformal_interval": "kth_smallest_binned: prefix over the bounded bin histogram",
     "q_hilbert_vs_zorder": "lag over occupied grid cells (<= 2^(2*bits))",
     "q_event_trigrams": "top-20 over the |event types|^3 <= 125 cell relation",
-    "q_fdr_bh": "BH step-up rank over the |event types| x 7 test relation",
+    "q_fdr_bh": "BH step-up rank over the |sources|-row test relation",
+    "q_ams_f2_moment": "median rank over the 5 AMS estimator rows",
     # --- calendar / day-grain spines (bounded by the time range)
     "q_daily_backlog": "cumulative window over the date spine",
     "q_autocorr_lag1": "lag window over the date spine",

@@ -1504,3 +1504,115 @@ def dedup_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_a") * F.col("n_b")).cast("long").alias("n_row_pairs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Phonetic blocking (round 12)
+# ---------------------------------------------------------------------------
+
+# Simplified-soundex letter->digit codes for a..z (b,f,p,v=1; c,g,j,k,q,
+# s,x,z=2; d,t=3; l=4; m,n=5; r=6; vowels+h,w,y=0). DIFFERENCE from full
+# soundex, documented: h/w are treated like vowels (they break duplicate
+# runs instead of being transparent) — the rule is then expressible as
+# translate + per-digit run-collapse regexps in BOTH engines (RE2, which
+# DuckDB uses, supports no backreferences, so '(d)\1+' is out).
+_PHONETIC_CODES = "01230120022455012623010202"
+_AZ = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _soundex_oracle() -> str:
+    return """
+    WITH v AS (
+      SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n
+      FROM part GROUP BY 1
+    ),
+    norm AS (
+      SELECT name, n, regexp_replace(lower(name), '[^a-z]', '', 'g') AS w
+      FROM v
+    ),
+    dig AS (
+      SELECT name, n, w, regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(translate(w, '{AZ}', '{CODES}'), '00+', '0', 'g'), '11+', '1', 'g'), '22+', '2', 'g'), '33+', '3', 'g'), '44+', '4', 'g'), '55+', '5', 'g'), '66+', '6', 'g') AS collapsed
+      FROM norm
+    ),
+    keyed AS (
+      SELECT name, n,
+        upper(substr(w, 1, 1)) ||
+        substr(
+          replace(
+            CASE WHEN substr(translate(w, '{AZ}', '{CODES}'), 1, 1) <> '0'
+                 THEN substr(collapsed, 2)
+                 ELSE collapsed
+            END, '0', '') || '000', 1, 3) AS pkey
+      FROM dig
+    )
+    SELECT a.pkey, a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+           a.n AS n_a, b.n AS n_b
+    FROM keyed a JOIN keyed b
+      ON a.pkey = b.pkey AND a.name < b.name
+    """.replace("{AZ}", _AZ).replace("{CODES}", _PHONETIC_CODES)
+
+
+@query("q_soundex_blocking", extra=True, oracle=_soundex_oracle())
+def q_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHONETIC BLOCKING for record linkage — the sound-alike member of
+    the linkage family (dedup_edit_distance_join bands by LENGTH and
+    certifies a character-DP; Fellegi-Sunter weighs agreement patterns;
+    phonetic keys block on how a name SOUNDS, catching transpositions
+    and vowel swaps length-banding misses). Names collapse to a
+    simplified-soundex key (first letter + first 3 consonant classes,
+    duplicate runs collapsed — h/w treated as vowels so the whole rule
+    is translate + one backreference regexp, identical semantics in
+    Spark's Java regex and DuckDB's RE2); candidate pairs are generated
+    ONLY within a key block and annotated with their edit distance.
+
+    Scale: the pair search runs on the DISTINCT-name vocabulary (the
+    reduce-to-vocabulary device every linkage query here uses), and
+    within blocks only — Σ|block|² of a phonetic key over real name
+    distributions is the classic blocking bound; row multiplicities ride
+    along as n_a/n_b for the final fan-out accounting.
+    """
+    from ..functions.scale import fan_out as _fan
+
+    v = (
+        _fan(load_table(spark, sf_dir, "part"))
+        .groupBy(F.col("p_name").alias("name"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = F.regexp_replace(F.lower(F.col("name")), "[^a-z]", "")
+    digits = F.translate(w, _AZ, _PHONETIC_CODES)
+    collapsed = digits
+    for _d in "0123456":
+        collapsed = F.regexp_replace(collapsed, _d + _d + "+", _d)
+    tail = F.when(
+        F.substring(digits, 1, 1) != "0", F.expr("substr(collapsed, 2)")
+    ).otherwise(F.col("collapsed"))
+    keyed = (
+        v.withColumn("collapsed", collapsed)
+        .withColumn(
+            "pkey",
+            F.concat(
+                F.upper(F.substring(w, 1, 1)),
+                F.substring(
+                    F.concat(F.replace(tail, F.lit("0"), F.lit("")), F.lit("000")),
+                    1,
+                    3,
+                ),
+            ),
+        )
+        .select("name", "n", "pkey")
+        .localCheckpoint()  # both join sides read it (self-join rule)
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return a.join(
+        F.broadcast(b),
+        (F.col("a.pkey") == F.col("b.pkey"))
+        & (F.col("a.name") < F.col("b.name")),
+    ).select(
+        F.col("a.pkey").alias("pkey"),
+        F.col("a.name").alias("name_a"),
+        F.col("b.name").alias("name_b"),
+        F.levenshtein(F.col("a.name"), F.col("b.name")).cast("long").alias("dist"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+    )

@@ -636,3 +636,137 @@ def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cell(1, 1) - cell(1, 0)) - (cell(0, 1) - cell(0, 0))
         ).alias("did_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Regression discontinuity (round 12)
+# ---------------------------------------------------------------------------
+
+# Running variable = n_chars, cutoff/bandwidth below. The outcome is the
+# token count plus a PLANTED jump at the cutoff (md5 coin in {0,1,2},
+# mean 1 — same planted-ground-truth rationale as q_fdr_bh: the
+# homogeneous corpus has no natural discontinuity, so without planting
+# the estimate would only ever measure noise). The estimator must
+# recover ~1e6 micro against the token-count-vs-length slope.
+_RD_CUTOFF = 306
+_RD_BANDWIDTH = 60
+_RD_SALT = "rd-v1:"
+
+
+def _rd_oracle() -> str:
+    return """
+    WITH d AS (
+      SELECT
+        n_chars - {C} AS u,
+        CAST(len(list_filter(
+          string_split_regex(lower(trim(text)), '\\s+'), x -> x != ''))
+          AS BIGINT)
+        + CASE WHEN n_chars >= {C} THEN
+            md5_number_lower('{SALT}' || CAST(doc_id AS VARCHAR))
+              % 2147483647 % 3 ELSE 0 END AS y
+      FROM documents
+      WHERE n_chars >= {C} - {H} AND n_chars < {C} + {H}
+    ),
+    s AS (
+      SELECT CASE WHEN u >= 0 THEN 'R' ELSE 'L' END AS side,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(u) AS BIGINT) AS su,
+        CAST(SUM(u * u) AS BIGINT) AS suu,
+        CAST(SUM(y) AS BIGINT) AS sy,
+        CAST(SUM(u * y) AS BIGINT) AS suy
+      FROM d GROUP BY 1
+    ),
+    ic AS (
+      SELECT side, n,
+        CAST(CASE WHEN (sy * suu - su * suy) >= 0
+          THEN (2 * CAST(sy * suu - su * suy AS HUGEINT) * 1000000
+                + (n * suu - su * su)) // (2 * (n * suu - su * su))
+          ELSE -((2 * CAST(su * suy - sy * suu AS HUGEINT) * 1000000
+                + (n * suu - su * su)) // (2 * (n * suu - su * su)))
+        END AS BIGINT) AS yc_micro
+      FROM s
+    )
+    SELECT l.n AS n_l, r.n AS n_r,
+           l.yc_micro AS yc_l_micro, r.yc_micro AS yc_r_micro,
+           r.yc_micro - l.yc_micro AS rd_micro
+    FROM (SELECT * FROM ic WHERE side = 'L') l
+    CROSS JOIN (SELECT * FROM ic WHERE side = 'R') r
+    """.format(C=_RD_CUTOFF, H=_RD_BANDWIDTH, SALT=_RD_SALT)
+
+
+@query("q_regression_discontinuity", extra=True, oracle=_rd_oracle())
+def q_regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REGRESSION DISCONTINUITY — the cutoff-based member of the causal
+    family (q_ipw_ate reweights by propensity, q_diff_in_diff uses the
+    2x2 panel; RD identifies the effect from the JUMP at an assignment
+    cutoff, fitting a local line on each side within a bandwidth and
+    differencing the two intercepts AT the cutoff — the design every
+    threshold-assigned intervention evaluation uses). Ground truth is
+    planted (+md5-coin mean ~1 above the cutoff), so the estimate must
+    sit near 1e6 micro — asserted in tests/test_eval_metrics.py.
+
+    Determinism: the running variable is CENTERED at the cutoff before
+    any moment is formed (keeps every closed-form OLS numerator within
+    long range at sf0.1 — ~2.2e18 worst-case vs the 9.2e18 long ceiling;
+    at 10x the rows, shard the moment sums and rescale, or move to
+    decimal); the intercepts are signed half-up integer ratios of exact
+    integer moment sums; rd_micro is integer subtraction. The oracle
+    routes the same numerators through HUGEINT.
+
+    Scale: one filtered, map-side moment aggregation (5 sums per side) —
+    the bandwidth filter is pushed to the parquet scan; everything after
+    is a 2-row relation.
+    """
+    from ..functions.scalar import stable_hash_p31, token_array
+
+    C, H = _RD_CUTOFF, _RD_BANDWIDTH
+    d = (
+        fan_out(load_table(spark, sf_dir, "documents"))
+        .where(
+            (F.col("n_chars") >= C - H) & (F.col("n_chars") < C + H)
+        )
+        .select(
+            (F.col("n_chars") - C).cast("long").alias("u"),
+            (
+                F.size(token_array("text")).cast("long")
+                + F.when(
+                    F.col("n_chars") >= C,
+                    stable_hash_p31(
+                        F.concat(
+                            F.lit(_RD_SALT), F.col("doc_id").cast("string")
+                        )
+                    )
+                    % 3,
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("y"),
+        )
+    )
+    s = d.groupBy(
+        F.when(F.col("u") >= 0, F.lit("R")).otherwise(F.lit("L")).alias("side")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("u").cast("long").alias("su"),
+        F.sum(F.col("u") * F.col("u")).cast("long").alias("suu"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("u") * F.col("y")).cast("long").alias("suy"),
+    )
+    num = F.col("sy") * F.col("suu") - F.col("su") * F.col("suy")
+    den = F.col("n") * F.col("suu") - F.col("su") * F.col("su")
+    mil = F.lit(1000000).cast("long")
+    yc = F.when(
+        num >= 0, F.call_function("div", 2 * num * mil + den, 2 * den)
+    ).otherwise(-F.call_function("div", 2 * (-num) * mil + den, 2 * den))
+    ic = s.select("side", "n", yc.alias("yc_micro"))
+    left = ic.where(F.col("side") == "L").select(
+        F.col("n").alias("n_l"), F.col("yc_micro").alias("yc_l_micro")
+    )
+    right = ic.where(F.col("side") == "R").select(
+        F.col("n").alias("n_r"), F.col("yc_micro").alias("yc_r_micro")
+    )
+    return left.crossJoin(F.broadcast(right)).select(
+        "n_l",
+        "n_r",
+        "yc_l_micro",
+        "yc_r_micro",
+        (F.col("yc_r_micro") - F.col("yc_l_micro")).alias("rd_micro"),
+    )

@@ -685,3 +685,132 @@ def q_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(rank_ppm - 500000) <= 200000).alias("ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# AMS F2 sketch (round 12)
+# ---------------------------------------------------------------------------
+
+_AMS_K = 5  # estimators; median = 3rd by (est, j) total order
+_AMS_SALT = "ams-v1:"
+
+
+def _ams_oracle() -> str:
+    return """
+    WITH toks AS (
+      SELECT unnest(list_filter(
+        string_split_regex(lower(trim(text)), '\\s+'), x -> x != '')) AS tok
+      FROM documents
+    ),
+    cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+    f2 AS (SELECT CAST(SUM(c * c) AS BIGINT) AS f2_exact FROM cnt),
+    est AS (
+      SELECT j.j,
+        CAST(SUM(CASE WHEN md5_number_lower(
+            '{SALT}' || CAST(j.j AS VARCHAR) || ':' || cnt.tok)
+            % 2147483647 % 2 = 0 THEN cnt.c ELSE -cnt.c END) AS BIGINT)
+          AS dot
+      FROM cnt CROSS JOIN (SELECT unnest([1,2,3,4,5]) AS j) j
+      GROUP BY 1
+    ),
+    sq AS (SELECT j, dot, CAST(dot * dot AS BIGINT) AS est FROM est),
+    rk AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY est, j) AS r FROM sq
+    ),
+    med AS (SELECT est AS median_est FROM rk WHERE r = 3)
+    SELECT sq.j, sq.dot, sq.est, f2.f2_exact, med.median_est,
+      CAST(CASE WHEN sq.est >= f2.f2_exact
+           THEN (2 * (sq.est - f2.f2_exact) * 1000000 + f2.f2_exact)
+                // (2 * f2.f2_exact)
+           ELSE (2 * (f2.f2_exact - sq.est) * 1000000 + f2.f2_exact)
+                // (2 * f2.f2_exact) END AS BIGINT) AS err_ppm
+    FROM sq CROSS JOIN f2 CROSS JOIN med
+    """.replace("{SALT}", _AMS_SALT)
+
+
+@query("q_ams_f2_moment", extra=True, oracle=_ams_oracle())
+def q_ams_f2_moment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS (Alon–Matias–Szegedy) F2 SKETCH — the second-frequency-moment
+    member of the sketch family (CMS answers point frequency, KMV/HLL
+    answer distinct count; F2 = sum of squared frequencies is the
+    SELF-JOIN SIZE, the quantity a cost-based optimizer wants before
+    picking a join strategy, and the classic skew measure). Each of the
+    {_AMS_K} estimators projects the token-frequency vector onto a
+    md5-derived +-1 sign vector; dot^2 is an unbiased F2 estimate and
+    the MEDIAN tames the variance — all emitted alongside the exact F2
+    and per-estimator half-up error ppm, so the sketch's accuracy is
+    part of the oracle-checked contract.
+
+    Determinism: signs are md5 coins (cross-engine identical); dots,
+    squares and the half-up ppm are pure integer arithmetic.
+
+    Scale: ONE map-side token count (the only corpus-sized work); the
+    sign projection runs on the VOCABULARY relation x 5 estimator rows.
+    The sketch is mergeable (dots add across shards), which is the 100
+    TB story: per-partition partial dots, one tiny final reduce — this
+    is how the optimizer estimates self-join sizes without a shuffle.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.scalar import stable_hash_p31, token_array
+    from ..functions.scale import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    cnt = (
+        docs.select(F.explode(token_array("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()  # exact-F2 agg + 5-estimator projection read it
+    )
+    f2 = cnt.agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("f2_exact"))
+    js = F.explode(F.array(*[F.lit(i) for i in range(1, _AMS_K + 1)])).alias(
+        "j"
+    )
+    sign = F.when(
+        stable_hash_p31(
+            F.concat(
+                F.lit(_AMS_SALT),
+                F.col("j").cast("string"),
+                F.lit(":"),
+                F.col("tok"),
+            )
+        )
+        % 2
+        == 0,
+        F.col("c"),
+    ).otherwise(-F.col("c"))
+    sq = (
+        cnt.select("tok", "c", js)
+        .groupBy("j")
+        .agg(F.sum(sign).cast("long").alias("dot"))
+        .select("j", "dot", (F.col("dot") * F.col("dot")).cast("long").alias("est"))
+        .localCheckpoint()  # median row + final output read it
+    )
+    med = (
+        sq.withColumn(
+            "r", F.row_number().over(Window.orderBy("est", "j"))
+        )
+        .where(F.col("r") == (_AMS_K + 1) // 2 + (1 if _AMS_K % 2 == 0 else 0))
+        .select(F.col("est").alias("median_est"))
+    )
+    err = F.when(
+        F.col("est") >= F.col("f2_exact"),
+        F.call_function(
+            "div",
+            2 * (F.col("est") - F.col("f2_exact")) * F.lit(1000000).cast("long")
+            + F.col("f2_exact"),
+            2 * F.col("f2_exact"),
+        ),
+    ).otherwise(
+        F.call_function(
+            "div",
+            2 * (F.col("f2_exact") - F.col("est")) * F.lit(1000000).cast("long")
+            + F.col("f2_exact"),
+            2 * F.col("f2_exact"),
+        )
+    )
+    return (
+        sq.crossJoin(F.broadcast(f2))
+        .crossJoin(F.broadcast(med))
+        .select("j", "dot", "est", "f2_exact", "median_est", err.alias("err_ppm"))
+    )

@@ -333,3 +333,104 @@ def test_diff_in_diff_identity(spark, sf_dir):
         assert r["did_micro"] == (r["mt_post"] - r["mt_pre"]) - (
             r["mc_post"] - r["mc_pre"]
         )
+
+
+def test_soundex_blocking_matches_python_replay(spark, sf_dir):
+    """The phonetic key and block pairs equal an independent pure-Python
+    replay of the documented simplified-soundex rule."""
+    import re as _re
+
+    import pandas as pd
+
+    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+    from prefect_flow_arc_alto_to_json_spark.plans.dedup_queries import (
+        _PHONETIC_CODES,
+    )
+
+    def pkey(name: str) -> str:
+        w = _re.sub(r"[^a-z]", "", name.lower())
+        d = "".join(_PHONETIC_CODES[ord(c) - 97] for c in w)
+        d = _re.sub(r"(\d)\1+", r"\1", d)
+        tail = d[1:] if _PHONETIC_CODES[ord(w[0]) - 97] != "0" else d
+        return w[0].upper() + (tail.replace("0", "") + "000")[:3]
+
+    names = sorted(
+        set(
+            pd.read_parquet(f"{sf_dir}/part.parquet")["p_name"].tolist()
+        )
+    )
+    want = set()
+    by_key: dict = {}
+    for nm in names:
+        by_key.setdefault(pkey(nm), []).append(nm)
+    for k, blk in by_key.items():
+        for i in range(len(blk)):
+            for j in range(i + 1, len(blk)):
+                want.add((k, blk[i], blk[j]))
+    got = {
+        (r["pkey"], r["name_a"], r["name_b"])
+        for r in EXTRA_QUERIES["q_soundex_blocking"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert got, "no phonetic blocks — vacuous fixture"
+
+
+def test_ams_f2_merge_property(spark, sf_dir):
+    """AMS dots are MERGEABLE: the dot over the full corpus equals the
+    sum of dots over any disjoint split (here: by doc_id parity) — the
+    property that makes the sketch shuffle-free at scale. Also: the
+    median estimator is one of the five, and est = dot^2."""
+    from pyspark.sql import functions as F
+
+    from prefect_flow_arc_alto_to_json_spark.functions.scalar import (
+        stable_hash_p31,
+        token_array,
+    )
+    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+    from prefect_flow_arc_alto_to_json_spark.plans.skew_queries import (
+        _AMS_SALT,
+    )
+    from prefect_flow_arc_alto_to_json_spark.sources import load_table
+
+    rows = EXTRA_QUERIES["q_ams_f2_moment"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    ests = sorted(r["est"] for r in rows)
+    assert all(r["est"] == r["dot"] * r["dot"] for r in rows)
+    assert rows[0]["median_est"] == ests[2]
+    # mergeability for estimator j=1: split the corpus by doc parity and
+    # recompute signed dots per half; token counts add, so dots add
+    docs = load_table(spark, sf_dir, "documents")
+    halves = []
+    for par in (0, 1):
+        cnt = (
+            docs.where(F.col("doc_id") % 2 == par)
+            .select(F.explode(token_array("text")).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        sign = F.when(
+            stable_hash_p31(
+                F.concat(F.lit(_AMS_SALT), F.lit("1"), F.lit(":"), F.col("tok"))
+            )
+            % 2
+            == 0,
+            F.col("c"),
+        ).otherwise(-F.col("c"))
+        halves.append(cnt.agg(F.sum(sign)).collect()[0][0])
+    full = next(r["dot"] for r in rows if r["j"] == 1)
+    assert halves[0] + halves[1] == full
+
+
+def test_regression_discontinuity_recovers_planted_jump(spark, sf_dir):
+    """The RD estimate must recover the planted +1 (mean of the md5 coin
+    in {0,1,2}) at the cutoff within sampling noise, and each side must
+    have a populated bandwidth sample."""
+    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+
+    r = EXTRA_QUERIES["q_regression_discontinuity"](spark, sf_dir).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row["n_l"] > 20 and row["n_r"] > 20
+    # measured across the three SFs: 1.30 / 2.00 / 0.70 (x1e6) around the
+    # planted 1e6 — generous band, but sign and order of magnitude pinned
+    assert 200_000 < row["rd_micro"] < 2_600_000, row["rd_micro"]
