@@ -302,3 +302,127 @@ def unigram_viterbi(
             F.expr("substring(seg, 2)").alias("seg"),
         )
     )
+
+
+def wordpiece_train(
+    docs: DataFrame, k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Learn the first ``k`` WORDPIECE merges — the likelihood-scored
+    sibling of :func:`bpe_train` (Schuster & Nakajima 2012 / BERT's
+    trainer): BPE merges the most FREQUENT adjacent pair; WordPiece
+    merges the pair maximizing count(ab) / (count(a) * count(b)) — the
+    corpus-likelihood gain of fusing the pair — which prefers pairs of
+    RARE symbols that almost always co-occur. (Simplification vs BERT,
+    documented: no '##' continuation marking — symbols are position-
+    blind, exactly as in bpe_train, so the two trainers differ ONLY in
+    the scoring rule and their divergence is the interesting output.)
+
+    Determinism: the score is QUANTIZED to an integer before the argmax
+    — score_q = (pair_count * 10^12) // (c_lhs * c_rhs) — so the winner
+    ordering (score_q DESC, pair key ASC) is a pure-integer total order
+    in both engines; 10^12 headroom: pair_count <= corpus tokens (~3e5
+    at sf0.1) keeps the numerator < 3e17 << 2^63.
+
+    Scale: identical to bpe_train — the loop never touches the corpus;
+    each round is a vocabulary-sized symbol count + pair count, a 1-row
+    winner broadcast back, and a codegen fold over symbol arrays.
+    """
+    vocab = word_vocab(docs, text_col).localCheckpoint()
+    out = None
+    for step in range(1, k + 1):
+        syms_c = (
+            vocab.select("n_w", F.explode("syms").alias("sym"))
+            .groupBy("sym")
+            .agg(F.sum("n_w").cast("long").alias("c"))
+            .localCheckpoint()  # joined twice below (lhs and rhs legs)
+        )
+        pairs = (
+            vocab.select(
+                "n_w", F.explode(_pair_keys(F.col("syms"))).alias("pk")
+            )
+            .groupBy("pk")
+            .agg(F.sum("n_w").cast("long").alias("pair_count"))
+            .select(
+                "pk",
+                "pair_count",
+                F.split("pk", SEP)[0].alias("lhs"),
+                F.split("pk", SEP)[1].alias("rhs"),
+            )
+        )
+        scored = (
+            pairs.join(
+                F.broadcast(
+                    syms_c.select(
+                        F.col("sym").alias("lhs"), F.col("c").alias("c_lhs")
+                    )
+                ),
+                "lhs",
+            )
+            .join(
+                F.broadcast(
+                    syms_c.select(
+                        F.col("sym").alias("rhs"), F.col("c").alias("c_rhs")
+                    )
+                ),
+                "rhs",
+            )
+            .withColumn(
+                "score_q",
+                F.call_function(
+                    "div",
+                    F.col("pair_count") * F.lit(10**12).cast("long"),
+                    F.col("c_lhs") * F.col("c_rhs"),
+                ),
+            )
+        )
+        top = (
+            scored.orderBy(F.col("score_q").desc(), F.col("pk").asc())
+            .limit(1)
+            .select(
+                F.lit(step).alias("step"),
+                "lhs",
+                "rhs",
+                "pair_count",
+                "c_lhs",
+                "c_rhs",
+                "score_q",
+            )
+            .localCheckpoint()
+        )
+        if top.isEmpty():
+            break
+        row = top.select(
+            "step",
+            "lhs",
+            "rhs",
+            F.concat("lhs", "rhs").alias("merged"),
+            "pair_count",
+            "c_lhs",
+            "c_rhs",
+            "score_q",
+        )
+        out = row if out is None else out.unionByName(row)
+        vocab = (
+            vocab.crossJoin(
+                F.broadcast(
+                    top.select(
+                        F.col("lhs").alias("pa"), F.col("rhs").alias("pb")
+                    )
+                )
+            )
+            .select(
+                "word",
+                "n_w",
+                _apply_merge(F.col("syms"), F.col("pa"), F.col("pb")).alias(
+                    "syms"
+                ),
+            )
+            .localCheckpoint()
+        )
+    if out is None:
+        out = docs.sparkSession.createDataFrame(
+            [],
+            "step int, lhs string, rhs string, merged string,"
+            " pair_count long, c_lhs long, c_rhs long, score_q long",
+        )
+    return out

@@ -770,3 +770,150 @@ def q_regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "yc_r_micro",
         (F.col("yc_r_micro") - F.col("yc_l_micro")).alias("rd_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Successive halving (round 12)
+# ---------------------------------------------------------------------------
+
+# (budget per arm, survivors kept) per round — budgets double, arms
+# halve: the Jamieson-Talwalkar successive-halving schedule. Rewards are
+# planted: reward(doc) = md5(doc) % 100 + 5 * source_index, so the true
+# arm means are separated by 5 with noise sd ~29 — early rounds at b=8
+# can eliminate a good arm (SH's known failure mode), later budgets
+# stabilize, and the final survivors must come from the top indices.
+_SH_SCHEDULE = [(8, 10), (16, 5), (32, 3), (64, 2)]
+_SH_SALT = "sh-v1:"
+_SH_STEP = 5
+
+
+def _sh_oracle() -> str:
+    head = """
+    WITH ranked AS (
+      SELECT source,
+        CAST(md5_number_lower('{SALT}' || CAST(doc_id AS VARCHAR))
+             % 2147483647 % 100
+           + {STEP} * CAST(substr(source, 4) AS BIGINT) AS BIGINT) AS reward,
+        ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+      FROM documents
+    ),
+    alive0 AS (SELECT DISTINCT source FROM ranked)""".format(
+        SALT=_SH_SALT, STEP=_SH_STEP
+    )
+    parts = [head]
+    sel = []
+    for r, (b, m) in enumerate(_SH_SCHEDULE, 1):
+        parts.append(
+            """
+    agg{R} AS (
+      SELECT ranked.source, CAST(COUNT(*) AS BIGINT) AS n_used,
+        CAST((2 * SUM(reward) * 1000000 + COUNT(*)) // (2 * COUNT(*))
+             AS BIGINT) AS mean_micro
+      FROM ranked JOIN alive{P} a ON a.source = ranked.source
+      WHERE rk <= {B}
+      GROUP BY 1
+    ),
+    keep{R} AS (
+      SELECT source, n_used, mean_micro,
+        CASE WHEN ROW_NUMBER() OVER (
+          ORDER BY mean_micro DESC, source) <= {M} THEN 1 ELSE 0 END AS kept
+      FROM agg{R}
+    ),
+    alive{R} AS (SELECT source FROM keep{R} WHERE kept = 1)""".format(
+                R=r, P=r - 1, B=b, M=m
+            )
+        )
+        sel.append(
+            "SELECT {R} AS round, CAST({B} AS BIGINT) AS budget, source,"
+            " n_used, mean_micro, kept FROM keep{R}".format(R=r, B=b)
+        )
+    return ",".join(parts) + "\n" + "\nUNION ALL\n".join(sel)
+
+
+@query("q_successive_halving", extra=True, oracle=_sh_oracle())
+def q_successive_halving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUCCESSIVE HALVING — the budget-allocation member of the eval
+    family (q_fdr_bh adjudicates finished experiments; SH decides WHERE
+    TO SPEND the next samples: arms = sources, rewards planted with
+    known separated means, budgets double while the arm set halves, the
+    fixed-budget best-arm-identification schedule behind Hyperband).
+    Emits every round's (arm, budget, sample mean, kept) so the
+    elimination trajectory itself is oracle-checked; the planted
+    ground truth (top source indices must survive) is asserted in
+    tests/test_eval_metrics.py.
+
+    Determinism: rewards are integer md5 coins plus the planted offset;
+    per-arm budget prefixes are ROW_NUMBER over doc_id (unique); means
+    are half-up micro integers; survivor cuts order by (mean_micro DESC,
+    source) — total order, TakeOrdered on the Spark side.
+
+    Scale: the per-arm prefix rank is a window partitioned by arm (never
+    global); each round re-reads the prefix-filtered fact slice with a
+    broadcast semi-join on the halved arm set and aggregates map-side.
+    At a real 100 TB run the budget prefix IS the point: round r touches
+    only b_r rows per arm, not the corpus.
+    """
+    from ..functions.scalar import stable_hash_p31
+
+    idx = F.substring(F.col("source"), 4, 10).cast("long")
+    ranked = (
+        fan_out(load_table(spark, sf_dir, "documents"))
+        .select(
+            "source",
+            "doc_id",
+            (
+                stable_hash_p31(
+                    F.concat(F.lit(_SH_SALT), F.col("doc_id").cast("string"))
+                )
+                % 100
+                + F.lit(_SH_STEP).cast("long") * idx
+            ).alias("reward"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy("doc_id")
+            ),
+        )
+        .localCheckpoint()  # every round's prefix filter reads it
+    )
+    from ..functions.scalar import half_up_units
+
+    alive = ranked.select("source").distinct().localCheckpoint()
+    out = None
+    for r, (b, m) in enumerate(_SH_SCHEDULE, 1):
+        agg = (
+            ranked.where(F.col("rk") <= b)
+            .join(F.broadcast(alive), "source")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_used"),
+                half_up_units(
+                    F.sum("reward").cast("long"),
+                    F.count(F.lit(1)).cast("long"),
+                    1_000_000,
+                ).alias("mean_micro"),
+            )
+            .localCheckpoint()  # winner cut + kept flag + output read it
+        )
+        winners = (
+            agg.orderBy(F.col("mean_micro").desc(), "source")
+            .limit(m)
+            .select("source")
+            .localCheckpoint()
+        )
+        keep = agg.join(
+            F.broadcast(winners.withColumn("kept", F.lit(1))),
+            "source",
+            "left",
+        ).select(
+            F.lit(r).alias("round"),
+            F.lit(b).cast("long").alias("budget"),
+            "source",
+            "n_used",
+            "mean_micro",
+            F.coalesce(F.col("kept"), F.lit(0)).alias("kept"),
+        )
+        out = keep if out is None else out.unionByName(keep)
+        alive = winners
+    return out

@@ -2542,3 +2542,171 @@ def q_stable_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ark").cast("int").alias("acceptor_rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Critical path (round 12)
+# ---------------------------------------------------------------------------
+
+_CP_WEEKS = 5  # calendar layers; 4 DP transitions unrolled in the oracle
+_CP_EPOCH = "2024-01-01"
+
+
+def _critical_path_oracle() -> str:
+    head = """
+    WITH uw AS (
+      SELECT user_id,
+        CAST((CAST(ts AS DATE) - DATE '{EPOCH}') AS BIGINT) // 7 + 1 AS wk,
+        event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events
+      WHERE CAST((CAST(ts AS DATE) - DATE '{EPOCH}') AS BIGINT) // 7 + 1
+            BETWEEN 1 AND {W}
+      GROUP BY 1, 2, 3
+    ),
+    modal AS (
+      SELECT user_id, wk, event_type FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id, wk ORDER BY c DESC, event_type) AS rn
+        FROM uw
+      ) WHERE rn = 1
+    ),
+    edges AS (
+      SELECT a.wk AS wk, a.event_type AS t1, b.event_type AS t2,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM modal a JOIN modal b
+        ON b.user_id = a.user_id AND b.wk = a.wk + 1
+      GROUP BY 1, 2, 3
+    ),
+    l1 AS (
+      SELECT DISTINCT event_type, CAST(0 AS BIGINT) AS v,
+             CAST(NULL AS VARCHAR) AS parent
+      FROM modal WHERE wk = 1
+    )""".format(EPOCH=_CP_EPOCH, W=_CP_WEEKS)
+    parts = [head]
+    for w in range(2, _CP_WEEKS + 1):
+        parts.append(
+            """
+    l{W} AS (
+      SELECT event_type, v, parent FROM (
+        SELECT e.t2 AS event_type, p.v + e.w AS v, e.t1 AS parent,
+          ROW_NUMBER() OVER (PARTITION BY e.t2
+            ORDER BY p.v + e.w DESC, e.t1) AS rn
+        FROM edges e JOIN l{P} p ON p.event_type = e.t1
+        WHERE e.wk = {P}
+      ) WHERE rn = 1
+    )""".format(W=w, P=w - 1)
+        )
+    sel = "\nUNION ALL\n".join(
+        "SELECT {W} AS wk, event_type, v, parent FROM l{W}".format(W=w)
+        for w in range(1, _CP_WEEKS + 1)
+    )
+    return ",".join(parts) + "\n" + sel
+
+
+@query("q_critical_path", extra=True, oracle=_critical_path_oracle())
+def q_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRITICAL PATH — longest path through a layered DAG, the
+    scheduling member of the graph family (q_bellman_ford_trade
+    relaxes SHORTEST paths on a cyclic graph; the critical-path method
+    maximizes over a DAG whose topological order is FREE — here the
+    calendar: nodes are (week, modal event type), edges count users
+    whose weekly modal type transitioned t1 -> t2, and the DP walks the
+    {_CP_WEEKS} weekly layers). Emits every node's best cumulative
+    weight and its argmax parent, so the full DP table — not just the
+    terminal max — is oracle-checked.
+
+    Determinism: weights are exact user counts; the per-node argmax is a
+    ROW_NUMBER with (value DESC, parent type) total order; modal types
+    tiebreak on name. All integer.
+
+    Scale: the modal reduction is one map-side count + a per-(user,
+    week) window (never global); edges are a self-join keyed on user_id
+    (co-partitioned); the DP runs on |event types| x weeks nodes — a
+    constant-size relation at any corpus scale, which is why the layers
+    can be statically unrolled instead of loop-checkpointed.
+    """
+    from pyspark.sql import Window as W
+
+    from ..functions.scale import fan_out
+
+    epoch = F.lit(_CP_EPOCH).cast("date")
+    wk = (F.datediff(F.col("ts").cast("date"), epoch) / 7).cast("long") + 1
+    uw = (
+        fan_out(load_table(spark, sf_dir, "events"))
+        .select("user_id", wk.alias("wk"), "event_type")
+        .where((F.col("wk") >= 1) & (F.col("wk") <= _CP_WEEKS))
+        .groupBy("user_id", "wk", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    modal = (
+        uw.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id", "wk").orderBy(
+                    F.col("c").desc(), "event_type"
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("user_id", "wk", "event_type")
+        .localCheckpoint()  # both edge legs + the layer-1 seed read it
+    )
+    a, b = modal.alias("a"), modal.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("b.user_id") == F.col("a.user_id"))
+            & (F.col("b.wk") == F.col("a.wk") + 1),
+        )
+        .groupBy(
+            F.col("a.wk").alias("wk"),
+            F.col("a.event_type").alias("t1"),
+            F.col("b.event_type").alias("t2"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .localCheckpoint()  # every DP level reads it
+    )
+    level = (
+        modal.where(F.col("wk") == 1)
+        .select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.lit(0).cast("long").alias("v"),
+            F.lit(None).cast("string").alias("parent"),
+        )
+    )
+    out = level.select(F.lit(1).cast("long").alias("wk"), "*")
+    for w in range(2, _CP_WEEKS + 1):
+        nxt = (
+            edges.where(F.col("wk") == w - 1)
+            .join(
+                F.broadcast(
+                    level.select(
+                        F.col("event_type").alias("t1"), F.col("v").alias("pv")
+                    )
+                ),
+                "t1",
+            )
+            .select(
+                F.col("t2").alias("event_type"),
+                (F.col("pv") + F.col("w")).alias("v"),
+                F.col("t1").alias("parent"),
+            )
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("event_type").orderBy(
+                        F.col("v").desc(), "parent"
+                    )
+                ),
+            )
+            .where(F.col("rn") == 1)
+            .select("event_type", "v", "parent")
+            .localCheckpoint()  # next level + output both read it
+        )
+        out = out.unionByName(
+            nxt.select(F.lit(w).cast("long").alias("wk"), "*")
+        )
+        level = nxt
+    return out

@@ -2374,3 +2374,98 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     return xy.crossJoin(F.broadcast(fit)).select(
         "k", "n_prefix", "vocab", "x_micro", "y_micro", "beta_num", "beta_den"
     )
+
+
+def _wp_iter_sql(t: int) -> str:
+    """One unrolled WordPiece round: symbol counts c{t} and pair counts
+    p{t} from s{t-1}, likelihood-scored winner t{t}, folded vocab s{t}.
+    Same fold as the BPE oracle; the ONLY difference is the integer-
+    quantized score (pair_count * 10^12) // (c_lhs * c_rhs)."""
+    c = (
+        "c%d AS (\n"
+        "  SELECT sym, CAST(SUM(n_w) AS BIGINT) AS c FROM (\n"
+        "    SELECT n_w, unnest(syms) AS sym FROM s%d\n"
+        "  ) GROUP BY sym\n"
+        ")" % (t, t - 1)
+    )
+    p = (
+        "p%d AS (\n"
+        "  SELECT pk, CAST(SUM(n_w) AS BIGINT) AS pair_count FROM (\n"
+        "    SELECT n_w, unnest(CASE WHEN len(syms) >= 2 THEN\n"
+        "      [syms[i] || chr(31) || syms[i+1] for i in"
+        " range(1, len(syms))]\n"
+        "      ELSE [] END) AS pk\n"
+        "    FROM s%d\n"
+        "  ) GROUP BY pk\n"
+        ")" % (t, t - 1)
+    )
+    w = (
+        "t%d AS (\n"
+        "  SELECT %d AS step,\n"
+        "         string_split(pk, chr(31))[1] AS lhs,\n"
+        "         string_split(pk, chr(31))[2] AS rhs,\n"
+        "         pair_count, cl.c AS c_lhs, cr.c AS c_rhs,\n"
+        "         CAST(pair_count * 1000000000000 // (cl.c * cr.c)"
+        " AS BIGINT) AS score_q\n"
+        "  FROM p%d\n"
+        "  JOIN c%d cl ON cl.sym = string_split(pk, chr(31))[1]\n"
+        "  JOIN c%d cr ON cr.sym = string_split(pk, chr(31))[2]\n"
+        "  ORDER BY score_q DESC, pk ASC LIMIT 1\n"
+        ")" % (t, t, t, t, t)
+    )
+    s = (
+        "s%d AS (\n"
+        "  SELECT w.word, w.n_w,\n"
+        "    string_split(list_reduce(w.syms, (acc, x) -> CASE\n"
+        "       WHEN regexp_extract(acc, '([^ ]+)$', 1) = t.lhs"
+        " AND x = t.rhs\n"
+        "         THEN regexp_replace(acc, '([^ ]+)$', '')"
+        " || t.lhs || t.rhs\n"
+        "       ELSE acc || ' ' || x END), ' ') AS syms\n"
+        "  FROM s%d w CROSS JOIN t%d t\n"
+        ")" % (t, t - 1, t)
+    )
+    return ",\n".join([c, p, w, s])
+
+
+_WP_SELECT = (
+    "SELECT step, lhs, rhs, lhs || rhs AS merged, pair_count,"
+    " c_lhs, c_rhs, score_q FROM t%d"
+)
+_WP_ORACLE = (
+    "WITH w AS (\n"
+    "  SELECT word, CAST(COUNT(*) AS BIGINT) AS n_w FROM (\n"
+    "    SELECT unnest(" + _SQL_TOKS + ") AS word FROM documents\n"
+    "  ) GROUP BY word\n"
+    "),\n"
+    "s0 AS (\n"
+    "  SELECT word, n_w,\n"
+    "         [word[i] for i in range(1, len(word) + 1)] AS syms\n"
+    "  FROM w\n"
+    "),\n"
+    + ",\n".join(_wp_iter_sql(t) for t in (1, 2, 3))
+    + "\n"
+    + "\nUNION ALL\n".join(_WP_SELECT % t for t in (1, 2, 3))
+)
+
+
+@query("text_wordpiece_merges", extra=True, oracle=_WP_ORACLE)
+def text_wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WORDPIECE trainer (first 3 merges) — the likelihood-scored member
+    of the tokenizer-training family: text_bpe_merges picks the most
+    FREQUENT pair, this picks the pair maximizing count(ab)/(count(a) *
+    count(b)) (BERT's rule), which fuses rare-but-inseparable symbol
+    pairs first — the two trainers' diverging merge tables over the SAME
+    corpus are the point (asserted in tests/test_bpe.py). Score is
+    integer-quantized before the argmax so the winner is a pure-integer
+    total order in both engines; the oracle unrolls the three rounds
+    with the same list_reduce fold the BPE oracle uses.
+
+    Scale: identical to text_bpe_merges — the corpus is touched once
+    (word histogram); every round lives on the vocabulary.
+    """
+    from ..operators.bpe import wordpiece_train
+
+    return wordpiece_train(
+        fan_out(load_table(spark, sf_dir, "documents")), k=3
+    )

@@ -200,3 +200,34 @@ def test_kneser_ney_normalizes_exactly(spark, sf_dir):
                     assert Fraction(a["p_num"], a["p_den"]) >= Fraction(
                         b["p_num"], b["p_den"]
                     )
+
+
+def test_wordpiece_diverges_from_bpe_and_scores_monotone(spark, sf_dir):
+    """The likelihood rule must pick a DIFFERENT first merge than BPE's
+    frequency rule on this corpus (that divergence is the family's
+    point), every winner's score must dominate by construction
+    (score_q * c_l * c_r ~ pair_count * 1e12 within quantization), and
+    'qu' — the canonical rare-but-inseparable pair — must appear."""
+    from prefect_flow_arc_alto_to_json_spark.plans import (
+        EXTRA_QUERIES,
+        QUERIES,
+    )
+
+    wp = {
+        r["step"]: r
+        for r in EXTRA_QUERIES["text_wordpiece_merges"](spark, sf_dir).collect()
+    }
+    bpe = {
+        r["step"]: r
+        for r in QUERIES["text_bpe_merges"](spark, sf_dir).collect()
+    }
+    assert wp and bpe
+    assert wp[1]["merged"] != bpe[1]["merged"]
+    assert "qu" in {r["merged"] for r in wp.values()}
+    for r in wp.values():
+        # quantized-score identity: score_q = floor(cnt*1e12 / (cl*cr))
+        assert (
+            r["score_q"]
+            == r["pair_count"] * 10**12 // (r["c_lhs"] * r["c_rhs"])
+        )
+        assert 0 < r["pair_count"] <= min(r["c_lhs"], r["c_rhs"])

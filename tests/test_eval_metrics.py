@@ -434,3 +434,34 @@ def test_regression_discontinuity_recovers_planted_jump(spark, sf_dir):
     # measured across the three SFs: 1.30 / 2.00 / 0.70 (x1e6) around the
     # planted 1e6 — generous band, but sign and order of magnitude pinned
     assert 200_000 < row["rd_micro"] < 2_600_000, row["rd_micro"]
+
+
+def test_successive_halving_schedule_and_planted_winners(spark, sf_dir):
+    """The elimination trajectory follows the schedule exactly (20/10/
+    5/3 arms in rounds 1-4, keeping 10/5/3/2), budgets are respected,
+    and the final survivors come from the top planted indices."""
+    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+    from prefect_flow_arc_alto_to_json_spark.plans.evalstat_queries import (
+        _SH_SCHEDULE,
+    )
+
+    rows = EXTRA_QUERIES["q_successive_halving"](spark, sf_dir).collect()
+    by_round: dict = {}
+    for r in rows:
+        by_round.setdefault(r["round"], []).append(r)
+    alive = 20
+    for rnd, (b, m) in enumerate(_SH_SCHEDULE, 1):
+        got = by_round[rnd]
+        assert len(got) == alive, (rnd, len(got), alive)
+        assert all(r["budget"] == b for r in got)
+        assert all(r["n_used"] <= b for r in got)
+        kept = [r for r in got if r["kept"] == 1]
+        assert len(kept) == m
+        # survivors are exactly the top-m by (mean DESC, source)
+        order = sorted(got, key=lambda r: (-r["mean_micro"], r["source"]))
+        assert {r["source"] for r in order[:m]} == {r["source"] for r in kept}
+        alive = m
+    final = {r["source"] for r in by_round[4] if r["kept"] == 1}
+    # planted means rise with the source index: both survivors must come
+    # from the top-5 indices
+    assert all(int(s[3:]) >= 15 for s in final), final

@@ -700,3 +700,51 @@ def test_stable_matching_equals_sequential_gs(spark, sf_dir):
             cur = amatch.get(a)
             if cur is None or arank[a][p] < arank[a][cur]:
                 raise AssertionError(f"blocking pair ({p}, {a})")
+
+
+def test_critical_path_equals_python_dp(spark, sf_dir):
+    """The emitted DP table equals an independent pure-Python longest-
+    path DP over the same modal-transition DAG (and is therefore optimal
+    — every node's v is the max over all layer-respecting paths)."""
+    import pandas as pd
+
+    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+    from prefect_flow_arc_alto_to_json_spark.plans.graph_queries import (
+        _CP_WEEKS,
+    )
+
+    rows = EXTRA_QUERIES["q_critical_path"](spark, sf_dir).collect()
+    got = {(r["wk"], r["event_type"]): (r["v"], r["parent"]) for r in rows}
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[
+        ["user_id", "ts", "event_type"]
+    ]
+    ev["wk"] = (ev["ts"].dt.normalize() - pd.Timestamp("2024-01-01")).dt.days // 7 + 1
+    ev = ev[(ev["wk"] >= 1) & (ev["wk"] <= _CP_WEEKS)]
+    cnt = (
+        ev.groupby(["user_id", "wk", "event_type"]).size().reset_index(name="c")
+    )
+    cnt = cnt.sort_values(["user_id", "wk", "c", "event_type"],
+                          ascending=[True, True, False, True])
+    modal = cnt.groupby(["user_id", "wk"]).first().reset_index()
+    m = {(r.user_id, r.wk): r.event_type for r in modal.itertuples()}
+    edges: dict = {}
+    for (u, w), t1 in m.items():
+        t2 = m.get((u, w + 1))
+        if t2 is not None:
+            edges[(w, t1, t2)] = edges.get((w, t1, t2), 0) + 1
+    level = {t: (0, None) for (u, w), t in m.items() if w == 1}
+    want = {(1, t): v for t, v in level.items()}
+    for w in range(2, _CP_WEEKS + 1):
+        nxt: dict = {}
+        for (ew, t1, t2), wt in edges.items():
+            if ew != w - 1 or t1 not in level:
+                continue
+            cand = (level[t1][0] + wt, t1)
+            cur = nxt.get(t2)
+            if cur is None or (-cand[0], cand[1]) < (-cur[0], cur[1]):
+                nxt[t2] = cand
+        level = nxt
+        for t, v in level.items():
+            want[(w, t)] = v
+    assert got == want
