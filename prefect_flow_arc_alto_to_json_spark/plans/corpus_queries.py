@@ -659,3 +659,148 @@ def q_set_cover_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Learned domain-mixture weights (round 12)
+# ---------------------------------------------------------------------------
+
+# Exponentiated-gradient mixture reweighting (the DoReMi-family update
+# rule w_t[d] ~ w_0[d] * exp(t * eta * loss[d]), domains = sources).
+# The per-domain loss is the mean token surprisal under the GLOBAL
+# unigram LM plus a PLANTED per-domain difficulty ramp (the corpus is
+# homogeneous, so without planting all weights would idle at ~1/20 —
+# the q_fdr_bh rationale); with it, mass must visibly migrate to the
+# high-index domains over the rounds.
+_DM_ROUNDS = 3
+_DM_PLANT_MICRO = 20000  # planted difficulty step per source index
+
+
+def _doremi_oracle() -> str:
+    return """
+    WITH t AS (
+      SELECT source, unnest({TOKS}) AS tok FROM documents
+    ),
+    v AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1),
+    nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM v),
+    surp AS (
+      SELECT v.tok,
+        CAST(ROUND(1e6 * LN(CAST(nn.n AS DOUBLE) / v.c)) AS BIGINT) AS s
+      FROM v CROSS JOIN nn
+    ),
+    dc AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM t GROUP BY 1, 2
+    ),
+    dl AS (
+      SELECT dc.source,
+        CAST((2 * SUM(dc.c * surp.s) + SUM(dc.c)) // (2 * SUM(dc.c))
+             AS BIGINT)
+        + {PLANT} * CAST(substr(dc.source, 4) AS BIGINT) AS loss_micro
+      FROM dc JOIN surp ON surp.tok = dc.tok
+      GROUP BY dc.source
+    ),
+    rounds AS (SELECT unnest([1, 2, 3]) AS round),
+    e AS (
+      SELECT r.round, dl.source, dl.loss_micro,
+        CAST(ROUND(1e6 * EXP(r.round * CAST(dl.loss_micro AS DOUBLE) / 1e6
+                             - r.round * 4.0)) AS BIGINT) AS exp_micro
+      FROM dl CROSS JOIN rounds r
+    ),
+    z AS (SELECT round, CAST(SUM(exp_micro) AS BIGINT) AS z FROM e GROUP BY 1)
+    SELECT e.round, e.source, e.loss_micro, e.exp_micro,
+      CAST((2 * e.exp_micro * 1000000 + z.z) // (2 * z.z) AS BIGINT)
+        AS weight_ppm
+    FROM e JOIN z ON z.round = e.round
+    """.replace("{TOKS}", _SC_TOKS).replace("{PLANT}", str(_DM_PLANT_MICRO))
+
+
+@query("q_doremi_mixture", extra=True, oracle=_doremi_oracle())
+def q_doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARNED DOMAIN-MIXTURE WEIGHTS — the optimization member of the
+    data-mixing family (text_temperature_mix and text_weighted_mix apply
+    FIXED formulas; the DoReMi-style recipe LEARNS the mixture by
+    exponentiated gradient on per-domain excess loss: harder domains
+    earn weight). Domain loss = mean token surprisal under the global
+    unigram LM (micro-snapped ln — the Adamic-Adar discipline) plus the
+    documented planted difficulty ramp; the emitted trajectory is the
+    per-round (loss, exp term, normalized ppm weight) for every domain,
+    with mass migrating to high-index sources over the 3 rounds
+    (tests/test_corpus.py pins monotonicity and the ppm simplex).
+
+    Determinism: surprisals and domain losses are snapped integers; the
+    exp term subtracts a shared recentring constant (round * 4.0 — keeps
+    the doubles in a comfortable range, cancels in the normalization)
+    and is micro-snapped; weights are half-up ppm over the SNAPPED
+    terms, so the simplex normalization is exact integer arithmetic.
+
+    Scale: corpus touched twice map-side (global vocab count, per-domain
+    token count); the vocabulary join is broadcast; rounds run on the
+    |domains|-row relation. The update is embarrassingly mergeable —
+    per-shard domain sums add.
+    """
+    from ..functions.scalar import half_up_units, token_array
+
+    t = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "source", F.explode(token_array("text")).alias("tok")
+    ).localCheckpoint()  # global vocab + per-domain counts read it
+    v = t.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    nn = v.agg(F.sum("c").cast("long").alias("n"))
+    surp = v.crossJoin(F.broadcast(nn)).select(
+        "tok",
+        F.round(
+            F.lit(1e6)
+            * F.log(F.col("n").cast("double") / F.col("c")),
+            0,
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    dc = t.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    dl = (
+        dc.join(F.broadcast(surp), "tok")
+        .groupBy("source")
+        .agg(
+            (
+                half_up_units(
+                    F.sum(F.col("c") * F.col("s")).cast("long"),
+                    F.sum("c").cast("long"),
+                    1,
+                )
+                + F.lit(_DM_PLANT_MICRO).cast("long")
+                * F.substring(F.col("source"), 4, 10).cast("long")
+            ).alias("loss_micro")
+        )
+    )
+    rounds = F.explode(
+        F.array(*[F.lit(i) for i in range(1, _DM_ROUNDS + 1)])
+    ).alias("round")
+    e = dl.select("source", "loss_micro", rounds).select(
+        "round",
+        "source",
+        "loss_micro",
+        F.round(
+            F.lit(1e6)
+            * F.exp(
+                F.col("round") * F.col("loss_micro").cast("double") / F.lit(1e6)
+                - F.col("round") * F.lit(4.0)
+            ),
+            0,
+        )
+        .cast("long")
+        .alias("exp_micro"),
+    ).localCheckpoint()  # z rollup + final join read it
+    z = e.groupBy("round").agg(F.sum("exp_micro").cast("long").alias("z"))
+    return e.join(F.broadcast(z), "round").select(
+        "round",
+        "source",
+        "loss_micro",
+        "exp_micro",
+        F.call_function(
+            "div",
+            2 * F.col("exp_micro") * F.lit(1000000).cast("long") + F.col("z"),
+            2 * F.col("z"),
+        ).alias("weight_ppm"),
+    )

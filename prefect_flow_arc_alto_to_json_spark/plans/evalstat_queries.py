@@ -917,3 +917,458 @@ def q_successive_halving(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = keep if out is None else out.unionByName(keep)
         alive = winners
     return out
+
+
+# ---------------------------------------------------------------------------
+# Team-draft interleaving (round 12)
+# ---------------------------------------------------------------------------
+
+_TD_CUTOFF = "2024-01-22 00:00:00"
+_TD_SALT = "td-v1:"
+_TD_PICKS = 4  # two per team over the <=5-item catalog
+
+
+def _td_steps_sql() -> str:
+    parts = []
+    for s in range(1, _TD_PICKS + 1):
+        picked = (
+            "SELECT user_id, item FROM pk1"
+            if s == 2
+            else " UNION ALL ".join(
+                "SELECT user_id, item FROM pk%d" % i for i in range(1, s)
+            )
+        )
+        rem_join = (
+            ""
+            if s == 1
+            else (
+                " LEFT JOIN (" + picked + ") px"
+                " ON px.user_id = i.user_id AND px.item = i.item"
+            )
+        )
+        rem_filter = "" if s == 1 else " AND px.item IS NULL"
+        parts.append(
+            """
+    pk{S} AS (
+      SELECT user_id, item, team FROM (
+        SELECT i.user_id, i.item, {TEAM} AS team,
+          ROW_NUMBER() OVER (PARTITION BY i.user_id
+            ORDER BY CASE WHEN (u.coin + {SM1}) % 2 = 0
+                          THEN i.ra ELSE i.rb END) AS rn
+        FROM items i JOIN coins u ON u.user_id = i.user_id{REMJOIN}
+        WHERE TRUE{REMFILTER}
+      ) WHERE rn = 1
+    )""".format(
+                S=s,
+                SM1=s - 1,
+                TEAM="CASE WHEN (u.coin + " + str(s - 1)
+                + ") % 2 = 0 THEN 'A' ELSE 'B' END",
+                REMJOIN=rem_join,
+                REMFILTER=rem_filter,
+            )
+        )
+    return ",".join(parts)
+
+
+def _td_oracle() -> str:
+    return (
+        """
+    WITH base AS (
+      SELECT user_id, event_type AS item,
+        CAST(SUM(CASE WHEN ts < TIMESTAMP '{CUT}'
+                 THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+             AS BIGINT) AS pre_cents,
+        MAX(CASE WHEN ts < TIMESTAMP '{CUT}' THEN ts END) AS last_pre,
+        CAST(SUM(CASE WHEN ts >= TIMESTAMP '{CUT}' THEN 1 ELSE 0 END)
+             AS BIGINT) AS post_cnt
+      FROM events GROUP BY 1, 2
+    ),
+    items AS (
+      SELECT user_id, item, pre_cents, post_cnt,
+        ROW_NUMBER() OVER (PARTITION BY user_id
+          ORDER BY pre_cents DESC, item) AS ra,
+        ROW_NUMBER() OVER (PARTITION BY user_id
+          ORDER BY last_pre DESC NULLS LAST, item) AS rb
+      FROM base
+    ),
+    coins AS (
+      SELECT DISTINCT user_id,
+        CAST(md5_number_lower('{SALT}' || CAST(user_id AS VARCHAR))
+             % 2147483647 % 2 AS BIGINT) AS coin
+      FROM base
+    ),"""
+        + _td_steps_sql()
+        + """,
+    allp AS (
+      SELECT * FROM pk1 UNION ALL SELECT * FROM pk2
+      UNION ALL SELECT * FROM pk3 UNION ALL SELECT * FROM pk4
+    ),
+    credit AS (
+      SELECT c.user_id,
+        CAST(SUM(CASE WHEN p.team = 'A' THEN i.post_cnt ELSE 0 END)
+             AS BIGINT) AS credit_a,
+        CAST(SUM(CASE WHEN p.team = 'B' THEN i.post_cnt ELSE 0 END)
+             AS BIGINT) AS credit_b
+      FROM coins c
+      JOIN allp p ON p.user_id = c.user_id
+      JOIN items i ON i.user_id = p.user_id AND i.item = p.item
+      GROUP BY 1
+    )
+    SELECT cr.user_id, co.coin AS first_coin, cr.credit_a, cr.credit_b,
+      CASE WHEN cr.credit_a > cr.credit_b THEN 'A'
+           WHEN cr.credit_b > cr.credit_a THEN 'B' ELSE 'T' END AS winner
+    FROM credit cr JOIN coins co ON co.user_id = cr.user_id
+    """
+    ).replace("{CUT}", _TD_CUTOFF).replace("{SALT}", _TD_SALT)
+
+
+@query("q_team_draft_interleave", extra=True, oracle=_td_oracle())
+def q_team_draft_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEAM-DRAFT INTERLEAVING — the ONLINE ranking-evaluation member of
+    the eval family (q_ndcg_ranking replays a ranking offline against
+    graded relevance; interleaving is how rankers are compared LIVE:
+    blend two rankings into one list by alternating team picks, credit
+    post-period interactions to the picking team, count per-user wins).
+    Ranker A orders each user's items by pre-period spend, ranker B by
+    pre-period recency; the md5 coin decides which team drafts first,
+    and the four pick rounds are unrolled identically in both engines
+    (bounded by the event-type catalog, so unrolling is exact).
+
+    Determinism: ranks and credits are integer counts/cents with item-
+    name tiebreaks; the coin is the shared md5 device; pick steps are
+    ROW_NUMBER argmins under a total order.
+
+    Scale: one map-side aggregation to the (user, item) grain; every
+    pick step is a per-user window over a catalog-bounded relation plus
+    an anti-join on picked items — all partitioned by user, no global
+    state. The final credit rollup is user-grain.
+    """
+    from ..functions.scalar import stable_hash_p31
+
+    cut = F.lit(_TD_CUTOFF).cast("timestamp")
+    base = (
+        fan_out(load_table(spark, sf_dir, "events"))
+        .groupBy("user_id", F.col("event_type").alias("item"))
+        .agg(
+            F.sum(
+                F.when(F.col("ts") < cut, cents("value")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+            .cast("long")
+            .alias("pre_cents"),
+            F.max(F.when(F.col("ts") < cut, F.col("ts"))).alias("last_pre"),
+            F.sum((F.col("ts") >= cut).cast("int"))
+            .cast("long")
+            .alias("post_cnt"),
+        )
+    )
+    items = base.select(
+        "user_id",
+        "item",
+        "pre_cents",
+        "post_cnt",
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id").orderBy(
+                F.col("pre_cents").desc(), "item"
+            )
+        )
+        .alias("ra"),
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id").orderBy(
+                F.col("last_pre").desc_nulls_last(), "item"
+            )
+        )
+        .alias("rb"),
+    ).localCheckpoint()  # all four pick steps + credit join read it
+    coins = items.select("user_id").distinct().select(
+        "user_id",
+        (
+            stable_hash_p31(
+                F.concat(F.lit(_TD_SALT), F.col("user_id").cast("string"))
+            )
+            % 2
+        ).alias("coin"),
+    ).localCheckpoint()
+    picked = None
+    allp = None
+    for s in range(1, _TD_PICKS + 1):
+        rem = items.join(F.broadcast(coins), "user_id")
+        if picked is not None:
+            rem = rem.join(
+                picked.select("user_id", "item"), ["user_id", "item"], "anti"
+            )
+        team_is_a = ((F.col("coin") + F.lit(s - 1)) % 2) == 0
+        pick = (
+            rem.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("user_id").orderBy(
+                        F.when(team_is_a, F.col("ra")).otherwise(F.col("rb"))
+                    )
+                ),
+            )
+            .where(F.col("rn") == 1)
+            .select(
+                "user_id",
+                "item",
+                F.when(team_is_a, F.lit("A")).otherwise(F.lit("B")).alias(
+                    "team"
+                ),
+            )
+            .localCheckpoint()  # next step's anti-join + credit read it
+        )
+        picked = pick if picked is None else picked.unionByName(pick)
+        allp = pick if allp is None else allp.unionByName(pick)
+    credit = (
+        allp.join(items.select("user_id", "item", "post_cnt"), ["user_id", "item"])
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("team") == "A", F.col("post_cnt")).otherwise(0))
+            .cast("long")
+            .alias("credit_a"),
+            F.sum(F.when(F.col("team") == "B", F.col("post_cnt")).otherwise(0))
+            .cast("long")
+            .alias("credit_b"),
+        )
+    )
+    return credit.join(F.broadcast(coins), "user_id").select(
+        "user_id",
+        F.col("coin").alias("first_coin"),
+        "credit_a",
+        "credit_b",
+        F.when(F.col("credit_a") > F.col("credit_b"), F.lit("A"))
+        .when(F.col("credit_b") > F.col("credit_a"), F.lit("B"))
+        .otherwise(F.lit("T"))
+        .alias("winner"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Doubly-robust (AIPW) treatment effect (round 12)
+# ---------------------------------------------------------------------------
+
+_DR_WK1 = "2024-01-08 00:00:00"
+
+
+def _dr_oracle() -> str:
+    return """
+    WITH u AS (
+      SELECT user_id,
+        CAST(MAX(CASE WHEN event_type = 'signup'
+                      AND ts < TIMESTAMP '{WK1}' THEN 1 ELSE 0 END)
+             AS BIGINT) AS treated,
+        CAST(SUM(CASE WHEN ts < TIMESTAMP '{WK1}' THEN 1 ELSE 0 END)
+             AS BIGINT) AS pre_n,
+        CAST(SUM(CASE WHEN event_type = 'purchase'
+                      AND ts >= TIMESTAMP '{WK1}'
+                 THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+             AS BIGINT) AS y_cents
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT LEAST(pre_n // 5, 4) AS stratum,
+        CASE WHEN LEAST(pre_n // 5, 4) <= 2 THEN 0 ELSE 1 END AS coarse,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(treated) AS BIGINT) AS n_t,
+        CAST(COUNT(*) - SUM(treated) AS BIGINT) AS n_c,
+        CAST(SUM(CASE WHEN treated = 1 THEN y_cents ELSE 0 END)
+             AS BIGINT) AS sum_t,
+        CAST(SUM(CASE WHEN treated = 0 THEN y_cents ELSE 0 END)
+             AS BIGINT) AS sum_c
+      FROM u GROUP BY 1, 2
+    ),
+    cb AS (
+      SELECT coarse,
+        CAST(CASE WHEN SUM(n_t) > 0 THEN
+          (2 * SUM(sum_t) * 1000 + SUM(n_t)) // (2 * SUM(n_t))
+        END AS BIGINT) AS mu1_milli,
+        CAST(CASE WHEN SUM(n_c) > 0 THEN
+          (2 * SUM(sum_c) * 1000 + SUM(n_c)) // (2 * SUM(n_c))
+        END AS BIGINT) AS mu0_milli
+      FROM s GROUP BY 1
+    ),
+    a AS (
+      SELECT s.stratum, s.n, s.n_t, s.n_c, cb.mu1_milli, cb.mu0_milli,
+        CASE WHEN s.n_t > 0 AND s.n_c > 0
+                  AND cb.mu1_milli IS NOT NULL
+                  AND cb.mu0_milli IS NOT NULL THEN
+          (cb.mu1_milli - cb.mu0_milli) * s.n_t * s.n_c
+          + (s.sum_t * 1000 - s.n_t * cb.mu1_milli) * s.n_c
+          - (s.sum_c * 1000 - s.n_c * cb.mu0_milli) * s.n_t
+        END AS a_num,
+        s.n_t * s.n_c AS a_den
+      FROM s JOIN cb ON cb.coarse = s.coarse
+    ),
+    snapped AS (
+      SELECT stratum, n, n_t, n_c, mu1_milli, mu0_milli,
+        CAST(CASE WHEN a_num IS NULL THEN NULL
+          WHEN a_num >= 0 THEN (2 * a_num + a_den) // (2 * a_den)
+          ELSE -((2 * (-a_num) + a_den) // (2 * a_den))
+        END AS BIGINT) AS aipw_milli
+      FROM a
+    )
+    SELECT stratum, n, n_t, n_c, mu1_milli, mu0_milli, aipw_milli
+    FROM snapped
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), CAST(SUM(n) AS BIGINT),
+      CAST(SUM(n_t) AS BIGINT), CAST(SUM(n_c) AS BIGINT),
+      CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+      CAST(CASE WHEN SUM(CASE WHEN aipw_milli IS NOT NULL THEN n END) > 0
+        THEN CASE WHEN SUM(CASE WHEN aipw_milli IS NOT NULL
+                               THEN n * aipw_milli END) >= 0
+          THEN (2 * SUM(CASE WHEN aipw_milli IS NOT NULL
+                             THEN n * aipw_milli END)
+                + SUM(CASE WHEN aipw_milli IS NOT NULL THEN n END))
+               // (2 * SUM(CASE WHEN aipw_milli IS NOT NULL THEN n END))
+          ELSE -((2 * -SUM(CASE WHEN aipw_milli IS NOT NULL
+                               THEN n * aipw_milli END)
+                + SUM(CASE WHEN aipw_milli IS NOT NULL THEN n END))
+               // (2 * SUM(CASE WHEN aipw_milli IS NOT NULL THEN n END)))
+        END END AS BIGINT)
+    FROM snapped
+    """.replace("{WK1}", _DR_WK1)
+
+
+@query("q_doubly_robust_ate", extra=True, oracle=_dr_oracle())
+def q_doubly_robust_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOUBLY-ROBUST (AIPW) treatment effect — the augmented member of
+    the causal family (q_ipw_ate is pure inverse-propensity; AIPW adds
+    an OUTCOME-MODEL term and stays consistent if EITHER model is
+    right). Same protocol as q_ipw_ate (treatment = week-1 signup,
+    outcome = post-week-1 purchase cents, confounder = week-1 activity);
+    the outcome model is DELIBERATELY coarser (2 activity bins) than the
+    propensity strata (5 bins) — with equal granularities the
+    augmentation term vanishes algebraically and AIPW degenerates to the
+    stratified estimator, which would make the query a disguised twin.
+
+    Determinism: per-stratum AIPW contributions are exact integer
+    rationals over the n_t*n_c common denominator, snapped to signed
+    half-up milli-cents; the overall row combines the SNAPPED values
+    n-weighted (the q_ipw_ate combine-after-snap discipline); single-arm
+    strata emit NULL and are excluded from the overall weighting, in
+    both engines.
+
+    Scale: one map-side user-grain aggregation, one 5-row strata
+    aggregation, one 2-row coarse-bin rollup broadcast back — no joins
+    at corpus grain.
+    """
+    d = F.call_function
+    wk1 = F.lit(_DR_WK1).cast("timestamp")
+    u = (
+        fan_out(load_table(spark, sf_dir, "events"))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "signup") & (F.col("ts") < wk1), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("treated"),
+            F.sum(F.when(F.col("ts") < wk1, 1).otherwise(0))
+            .cast("long")
+            .alias("pre_n"),
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") >= wk1),
+                    cents("value"),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+            .cast("long")
+            .alias("y_cents"),
+        )
+    )
+    strat = F.least(d("div", F.col("pre_n"), F.lit(5)), F.lit(4).cast("long"))
+    s = (
+        u.select(
+            strat.alias("stratum"),
+            F.when(strat <= 2, F.lit(0)).otherwise(F.lit(1)).alias("coarse"),
+            "treated",
+            "y_cents",
+        )
+        .groupBy("stratum", "coarse")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("treated").cast("long").alias("n_t"),
+            (F.count(F.lit(1)) - F.sum("treated")).cast("long").alias("n_c"),
+            F.sum(F.when(F.col("treated") == 1, F.col("y_cents")).otherwise(0))
+            .cast("long")
+            .alias("sum_t"),
+            F.sum(F.when(F.col("treated") == 0, F.col("y_cents")).otherwise(0))
+            .cast("long")
+            .alias("sum_c"),
+        )
+        .localCheckpoint()  # coarse rollup + per-stratum AIPW read it
+    )
+    cb = s.groupBy("coarse").agg(
+        F.when(
+            F.sum("n_t") > 0,
+            d(
+                "div",
+                2 * F.sum("sum_t").cast("long") * F.lit(1000).cast("long")
+                + F.sum("n_t").cast("long"),
+                2 * F.sum("n_t").cast("long"),
+            ),
+        ).alias("mu1_milli"),
+        F.when(
+            F.sum("n_c") > 0,
+            d(
+                "div",
+                2 * F.sum("sum_c").cast("long") * F.lit(1000).cast("long")
+                + F.sum("n_c").cast("long"),
+                2 * F.sum("n_c").cast("long"),
+            ),
+        ).alias("mu0_milli"),
+    )
+    a_num = (
+        (F.col("mu1_milli") - F.col("mu0_milli")) * F.col("n_t") * F.col("n_c")
+        + (F.col("sum_t") * 1000 - F.col("n_t") * F.col("mu1_milli"))
+        * F.col("n_c")
+        - (F.col("sum_c") * 1000 - F.col("n_c") * F.col("mu0_milli"))
+        * F.col("n_t")
+    )
+    a_den = F.col("n_t") * F.col("n_c")
+    aipw = F.when(
+        (F.col("n_t") > 0)
+        & (F.col("n_c") > 0)
+        & F.col("mu1_milli").isNotNull()
+        & F.col("mu0_milli").isNotNull(),
+        F.when(
+            a_num >= 0, d("div", 2 * a_num + a_den, 2 * a_den)
+        ).otherwise(-d("div", 2 * (-a_num) + a_den, 2 * a_den)),
+    )
+    snapped = s.join(F.broadcast(cb), "coarse").select(
+        "stratum",
+        "n",
+        "n_t",
+        "n_c",
+        "mu1_milli",
+        "mu0_milli",
+        aipw.alias("aipw_milli"),
+    ).localCheckpoint()  # per-stratum rows + overall rollup read it
+    wsum = F.sum(
+        F.when(
+            F.col("aipw_milli").isNotNull(), F.col("n") * F.col("aipw_milli")
+        )
+    ).cast("long")
+    wn = F.sum(
+        F.when(F.col("aipw_milli").isNotNull(), F.col("n"))
+    ).cast("long")
+    overall = snapped.agg(
+        F.lit(-1).cast("long").alias("stratum"),
+        F.sum("n").cast("long").alias("n"),
+        F.sum("n_t").cast("long").alias("n_t"),
+        F.sum("n_c").cast("long").alias("n_c"),
+        F.lit(None).cast("long").alias("mu1_milli"),
+        F.lit(None).cast("long").alias("mu0_milli"),
+        F.when(
+            wn > 0,
+            F.when(wsum >= 0, d("div", 2 * wsum + wn, 2 * wn)).otherwise(
+                -d("div", 2 * (-wsum) + wn, 2 * wn)
+            ),
+        ).alias("aipw_milli"),
+    )
+    return snapped.unionByName(overall)

@@ -421,3 +421,24 @@ def test_weighted_sample_operator_deterministic_topk(spark):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     assert len(a) == 25
     assert all(r["w"] >= 1 for r in a)
+
+
+def test_doremi_mixture_simplex_and_migration(spark, sf_dir):
+    """Weights form an (almost-exact, half-up) ppm simplex per round,
+    start near uniform pressure, and mass migrates MONOTONICALLY toward
+    the planted hardest domain (src19) across the rounds."""
+    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+
+    rows = EXTRA_QUERIES["q_doremi_mixture"](spark, sf_dir).collect()
+    by_round: dict = {}
+    for r in rows:
+        by_round.setdefault(r["round"], {})[r["source"]] = r["weight_ppm"]
+    assert set(by_round) == {1, 2, 3}
+    for rnd, w in by_round.items():
+        assert len(w) == 20
+        assert abs(sum(w.values()) - 1_000_000) <= 20  # half-up residue
+    w19 = [by_round[r]["src19"] for r in (1, 2, 3)]
+    w0 = [by_round[r]["src0"] for r in (1, 2, 3)]
+    assert w19[0] < w19[1] < w19[2], w19
+    assert w0[0] > w0[1] > w0[2], w0
+    assert w19[2] > 2 * w0[2]

@@ -465,3 +465,162 @@ def test_successive_halving_schedule_and_planted_winners(spark, sf_dir):
     # planted means rise with the source index: both survivors must come
     # from the top-5 indices
     assert all(int(s[3:]) >= 15 for s in final), final
+
+
+def test_team_draft_interleave_matches_python_replay(spark, sf_dir):
+    """Per-user credits equal an independent pure-Python team-draft
+    replay (ranks, coin, alternating picks with skip-already-picked,
+    post-period credit assignment)."""
+    import pandas as pd
+
+    from prefect_flow_arc_alto_to_json_spark.functions.scalar import (
+        stable_hash_p31,
+    )
+    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+    from prefect_flow_arc_alto_to_json_spark.plans.evalstat_queries import (
+        _TD_CUTOFF,
+        _TD_PICKS,
+        _TD_SALT,
+    )
+    from pyspark.sql import functions as F
+
+    got = {
+        r["user_id"]: (r["first_coin"], r["credit_a"], r["credit_b"], r["winner"])
+        for r in EXTRA_QUERIES["q_team_draft_interleave"](spark, sf_dir).collect()
+    }
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    cut = pd.Timestamp(_TD_CUTOFF)
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    pre = ev[ev["ts"] < cut]
+    post = ev[ev["ts"] >= cut]
+    pre_cents = pre.groupby(["user_id", "event_type"])["cents"].sum()
+    last_pre = pre.groupby(["user_id", "event_type"])["ts"].max()
+    post_cnt = post.groupby(["user_id", "event_type"]).size()
+    users = sorted(ev["user_id"].unique())
+    # md5 coin via the Spark helper itself (1-row probe per distinct user
+    # would be slow — batch through a DataFrame)
+    cdf = spark.createDataFrame([(int(u),) for u in users], "user_id long")
+    coins = {
+        r["user_id"]: r["c"]
+        for r in cdf.select(
+            "user_id",
+            (
+                stable_hash_p31(
+                    F.concat(F.lit(_TD_SALT), F.col("user_id").cast("string"))
+                )
+                % 2
+            ).alias("c"),
+        ).collect()
+    }
+    for u in users:
+        items = sorted(
+            {k[1] for k in pre_cents.index if k[0] == u}
+            | {k[1] for k in post_cnt.index if k[0] == u}
+        )
+        ra = sorted(items, key=lambda t: (-pre_cents.get((u, t), 0), t))
+        rb = sorted(
+            items,
+            key=lambda t: (
+                -(last_pre.get((u, t), pd.Timestamp(0)).value),
+                t,
+            ),
+        )
+        coin = coins[u]
+        picked: list = []
+        teams: dict = {}
+        for s in range(_TD_PICKS):
+            team_a = (coin + s) % 2 == 0
+            ranking = ra if team_a else rb
+            nxt = next(t for t in ranking if t not in picked)
+            picked.append(nxt)
+            teams[nxt] = "A" if team_a else "B"
+        ca = sum(post_cnt.get((u, t), 0) for t, tm in teams.items() if tm == "A")
+        cb = sum(post_cnt.get((u, t), 0) for t, tm in teams.items() if tm == "B")
+        w = "A" if ca > cb else ("B" if cb > ca else "T")
+        assert got[u] == (coin, ca, cb, w), (u, got[u], (coin, ca, cb, w))
+
+
+def test_doubly_robust_ate_matches_python_replay(spark, sf_dir):
+    """Full pure-Python replay of the AIPW pipeline (user grain, 5
+    propensity strata, 2-bin coarse outcome model, signed half-up milli
+    snapping, combine-after-snap overall row)."""
+    import pandas as pd
+
+    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+    from prefect_flow_arc_alto_to_json_spark.plans.evalstat_queries import (
+        _DR_WK1,
+    )
+
+    got = {
+        r["stratum"]: (
+            r["n"], r["n_t"], r["n_c"], r["mu1_milli"], r["mu0_milli"],
+            r["aipw_milli"],
+        )
+        for r in EXTRA_QUERIES["q_doubly_robust_ate"](spark, sf_dir).collect()
+    }
+
+    def half_up(num: int, den: int) -> int:
+        if num >= 0:
+            return (2 * num + den) // (2 * den)
+        return -((2 * -num + den) // (2 * den))
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    wk1 = pd.Timestamp(_DR_WK1)
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    u = ev.groupby("user_id").apply(
+        lambda g: pd.Series(
+            {
+                "treated": int(
+                    (
+                        (g["event_type"] == "signup") & (g["ts"] < wk1)
+                    ).any()
+                ),
+                "pre_n": int((g["ts"] < wk1).sum()),
+                "y": int(
+                    g.loc[
+                        (g["event_type"] == "purchase") & (g["ts"] >= wk1),
+                        "cents",
+                    ].sum()
+                ),
+            }
+        ),
+        include_groups=False,
+    ).reset_index()
+    u["stratum"] = (u["pre_n"] // 5).clip(upper=4)
+    u["coarse"] = (u["stratum"] > 2).astype(int)
+    cb = {}
+    for c, g in u.groupby("coarse"):
+        t, ctl = g[g["treated"] == 1], g[g["treated"] == 0]
+        mu1 = half_up(int(t["y"].sum()) * 1000, len(t)) if len(t) else None
+        mu0 = half_up(int(ctl["y"].sum()) * 1000, len(ctl)) if len(ctl) else None
+        cb[c] = (mu1, mu0)
+    want = {}
+    tot_n = tot_t = tot_c = 0
+    wsum = wn = 0
+    for st, g in u.groupby("stratum"):
+        n, n_t = len(g), int(g["treated"].sum())
+        n_c = n - n_t
+        mu1, mu0 = cb[int(st > 2)]
+        sum_t = int(g.loc[g["treated"] == 1, "y"].sum())
+        sum_c = int(g.loc[g["treated"] == 0, "y"].sum())
+        if n_t > 0 and n_c > 0 and mu1 is not None and mu0 is not None:
+            a_num = (
+                (mu1 - mu0) * n_t * n_c
+                + (sum_t * 1000 - n_t * mu1) * n_c
+                - (sum_c * 1000 - n_c * mu0) * n_t
+            )
+            aipw = half_up(a_num, n_t * n_c)
+            wsum += n * aipw
+            wn += n
+        else:
+            aipw = None
+        want[st] = (n, n_t, n_c, mu1, mu0, aipw)
+        tot_n += n
+        tot_t += n_t
+        tot_c += n_c
+    want[-1] = (
+        tot_n, tot_t, tot_c, None, None,
+        half_up(wsum, wn) if wn > 0 else None,
+    )
+    assert got == want, {k: (got.get(k), want.get(k)) for k in set(got) | set(want)}
