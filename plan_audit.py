@@ -96,6 +96,7 @@ ITERATIVE = {
     "dedup_canonical",
     "dedup_incremental_components",
     "pipeline_leakage_safe_split",
+    "q_auction_assignment",
 }
 # Membership is STRUCTURAL: tests/test_plan_shapes.py::
 # test_iterative_set_covers_all_loop_ckpt_callers derives the required

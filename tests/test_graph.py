@@ -748,3 +748,43 @@ def test_critical_path_equals_python_dp(spark, sf_dir):
         for t, v in level.items():
             want[(w, t)] = v
     assert got == want
+
+
+def test_auction_assignment_is_exactly_optimal(spark, sf_dir):
+    """The cleared market's assignment equals the brute-force max-weight
+    perfect assignment (all |bidders|! permutations), is a bijection,
+    and satisfies eps-complementary-slackness (every bidder's net value
+    at its own object is within eps=1 of its best net value)."""
+    import itertools
+
+    import pandas as pd
+
+    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+
+    rows = EXTRA_QUERIES["q_auction_assignment"](spark, sf_dir).collect()
+    got = {r["bidder"]: r["object"] for r in rows}
+    assert len(got) == len(rows)
+    assert len(set(got.values())) == len(got)
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[["ts", "event_type"]]
+    ev["dow"] = ev["ts"].dt.dayofweek + 1  # isodow
+    ev = ev[ev["dow"] <= 5]
+    cnt = ev.groupby(["event_type", "dow"]).size()
+    bidders = sorted(got)
+    objs = sorted({r["object"] for r in rows})
+    val = {
+        (b, o): int(cnt.get((b, o), 0)) for b in bidders for o in objs
+    }
+    best = max(
+        sum(val[(b, o)] for b, o in zip(bidders, perm))
+        for perm in itertools.permutations(objs)
+    )
+    total = sum(val[(b, got[b])] for b in bidders)
+    assert total == best, (total, best)
+
+    # eps-CS on the scaled values with the emitted prices
+    n = len(bidders)
+    price = {r["object"]: r["price_scaled"] for r in rows}
+    for b in bidders:
+        nets = {o: val[(b, o)] * (n + 1) - price.get(o, 0) for o in objs}
+        assert nets[got[b]] >= max(nets.values()) - 1, (b, nets, got[b])
