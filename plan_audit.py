@@ -144,6 +144,7 @@ GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
     # --- rank AFTER a limit/top-k (constant k survivors)
     "pipeline_dsir_select": "row_number after .limit(100) — k rows",
     "q_hbos_anomaly": "row_number after .limit(50) — k rows",
+    "q_lof_anomaly": "rank after .limit(20) — k rows",
     "sim_hybrid_rrf": "fusion rank over the union of two top-k lists (<= 2k rows)",
 }
 

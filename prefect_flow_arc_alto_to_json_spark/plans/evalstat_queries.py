@@ -1372,3 +1372,168 @@ def q_doubly_robust_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("aipw_milli"),
     )
     return snapped.unionByName(overall)
+
+
+# ---------------------------------------------------------------------------
+# Jenks natural breaks (round 12)
+# ---------------------------------------------------------------------------
+
+# 3-class Fisher-Jenks optimal 1-D classing of n_chars. Segment cost is
+# the weighted within-class sum of squared deviations, kept integer as
+# cost_milli(i,j) = half-up( (S2*W - S1^2) * 1000 / W ) over the exact
+# prefix sums of the distinct-value spine (value-domain-bounded, the
+# roc_auc_histogram device). Headroom: S2 <= n*553^2, * W, * 2000 stays
+# under 2^63 at sf0.1 with ~25x margin (the oracle routes through
+# HUGEINT regardless).
+_JENKS_K = 3
+
+
+def _jenks_oracle() -> str:
+    return """
+    WITH v AS (
+      SELECT CAST(n_chars AS BIGINT) AS x, CAST(COUNT(*) AS BIGINT) AS w
+      FROM documents GROUP BY 1
+    ),
+    p AS MATERIALIZED (
+      SELECT x, w,
+        CAST(SUM(w) OVER (ORDER BY x) AS BIGINT) AS cw,
+        CAST(SUM(w * x) OVER (ORDER BY x) AS BIGINT) AS cs1,
+        CAST(SUM(w * x * x) OVER (ORDER BY x) AS BIGINT) AS cs2
+      FROM v
+    ),
+    tot AS (SELECT MAX(cw) AS tw, MAX(cs1) AS ts1, MAX(cs2) AS ts2,
+                   MAX(x) AS xmax FROM p),
+    -- cost of the PREFIX segment [min..i]
+    c1 AS MATERIALIZED (
+      SELECT x AS hi,
+        CAST((2 * (CAST(cs2 AS HUGEINT) * cw - CAST(cs1 AS HUGEINT) * cs1)
+              * 1000 + cw) // (2 * cw) AS BIGINT) AS cost
+      FROM p
+    ),
+    -- cost of the INFIX segment (i..j]
+    seg AS MATERIALIZED (
+      SELECT a.x AS lo, b.x AS hi,
+        CAST((2 * (CAST(b.cs2 - a.cs2 AS HUGEINT) * (b.cw - a.cw)
+                   - CAST(b.cs1 - a.cs1 AS HUGEINT) * (b.cs1 - a.cs1))
+              * 1000 + (b.cw - a.cw)) // (2 * (b.cw - a.cw)) AS BIGINT)
+          AS cost
+      FROM p a JOIN p b ON b.x > a.x
+    ),
+    c2 AS MATERIALIZED (
+      SELECT hi, cost, b1 FROM (
+        SELECT s.hi, c1.cost + s.cost AS cost, c1.hi AS b1,
+          ROW_NUMBER() OVER (PARTITION BY s.hi
+            ORDER BY c1.cost + s.cost, c1.hi) AS rn
+        FROM c1 JOIN seg s ON s.lo = c1.hi
+      ) WHERE rn = 1
+    ),
+    best AS (
+      SELECT c2.b1, c2.hi AS b2, c2.cost + s.cost AS cost FROM c2
+      JOIN seg s ON s.lo = c2.hi
+      CROSS JOIN tot WHERE s.hi = tot.xmax
+      ORDER BY c2.cost + s.cost, c2.hi LIMIT 1
+    )
+    SELECT b.b1 AS break1, b.b2 AS break2,
+      CAST(b.cost AS BIGINT) AS total_cost_milli,
+      t.tw AS n, t.xmax AS x_max
+    FROM best b CROSS JOIN tot t
+    """
+
+
+@query("q_jenks_breaks", extra=True, oracle=_jenks_oracle())
+def q_jenks_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JENKS NATURAL BREAKS — exact optimal 3-class 1-D segmentation
+    (Fisher-Jenks DP), the GLOBALLY-optimal member of the binning family
+    (q_quantile_binning uses equal mass, q_equidepth_stats equal depth;
+    Jenks MINIMIZES the within-class weighted sum of squared deviations,
+    the cartographer's and histogram-optimizer's objective — also the
+    exact 1-D k-means). The DP runs on the distinct-value spine with
+    prefix sums: class-1 costs are prefix segments, the level-2 relation
+    takes an argmin over (first break x second segment) pairs, and the
+    final argmin closes the third segment at the max value. Optimality
+    vs exhaustive enumeration is test-pinned.
+
+    Determinism: segment costs snap to half-up milli integers from exact
+    integer prefix sums BEFORE any argmin (S2*W - S1^2 >= 0 by Cauchy-
+    Schwarz, so no signed branch); argmins carry (cost, break) total
+    orders.
+
+    Scale: the spine is value-domain-bounded (distinct n_chars), so the
+    pair join is |domain|^2 — constant in corpus size; the corpus itself
+    is touched once, map-side, for the histogram. The global prefix
+    window runs on the spine (allowlisted bound).
+    """
+    from pyspark.sql import Window as W
+
+    d = F.call_function
+    v = (
+        fan_out(load_table(spark, sf_dir, "documents"))
+        .groupBy(F.col("n_chars").cast("long").alias("x"))
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    win = W.orderBy("x").rowsBetween(W.unboundedPreceding, W.currentRow)
+    p = v.select(
+        "x",
+        F.sum("w").over(win).alias("cw"),
+        F.sum(F.col("w") * F.col("x")).over(win).alias("cs1"),
+        F.sum(F.col("w") * F.col("x") * F.col("x")).over(win).alias("cs2"),
+    ).localCheckpoint()  # c1, both seg legs, tot all read it
+    tot = p.agg(
+        F.max("cw").alias("tw"),
+        F.max("x").alias("xmax"),
+    )
+
+    def seg_cost(s2, w_, s1):
+        return d("div", 2 * (s2 * w_ - s1 * s1) * F.lit(1000).cast("long") + w_, 2 * w_)
+
+    c1 = p.select(
+        F.col("x").alias("hi"),
+        seg_cost(F.col("cs2"), F.col("cw"), F.col("cs1")).alias("cost"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    seg = a.join(F.broadcast(b), F.col("b.x") > F.col("a.x")).select(
+        F.col("a.x").alias("lo"),
+        F.col("b.x").alias("hi"),
+        seg_cost(
+            F.col("b.cs2") - F.col("a.cs2"),
+            F.col("b.cw") - F.col("a.cw"),
+            F.col("b.cs1") - F.col("a.cs1"),
+        ).alias("cost"),
+    ).localCheckpoint()  # level-2 argmin + final close both read it
+    c2 = (
+        c1.alias("l")
+        .join(
+            F.broadcast(seg).alias("s"),
+            F.col("s.lo") == F.col("l.hi"),
+        )
+        .select(
+            F.col("s.hi").alias("hi"),
+            (F.col("l.cost") + F.col("s.cost")).alias("cost"),
+            F.col("l.hi").alias("b1"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("hi").orderBy("cost", "b1")
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .localCheckpoint()  # final close reads it twice (cost + b1)
+    )
+    best = (
+        c2.alias("c")
+        .join(F.broadcast(seg).alias("s"), F.col("s.lo") == F.col("c.hi"))
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("s.hi") == F.col("xmax"))
+        .select(
+            F.col("c.b1").alias("break1"),
+            F.col("c.hi").alias("break2"),
+            (F.col("c.cost") + F.col("s.cost")).alias("total_cost_milli"),
+            F.col("tw").alias("n"),
+            F.col("xmax").alias("x_max"),
+        )
+        .orderBy("total_cost_milli", "break2")
+        .limit(1)
+    )
+    return best

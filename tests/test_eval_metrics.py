@@ -624,3 +624,39 @@ def test_doubly_robust_ate_matches_python_replay(spark, sf_dir):
         half_up(wsum, wn) if wn > 0 else None,
     )
     assert got == want, {k: (got.get(k), want.get(k)) for k in set(got) | set(want)}
+
+
+def test_jenks_breaks_is_globally_optimal(spark, sf_dir):
+    """The emitted 2-break classing minimizes the snapped within-class
+    SSD over ALL O(m^2) break pairs (exhaustive pure-Python check on the
+    distinct-value spine)."""
+    import pandas as pd
+
+    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+
+    r = EXTRA_QUERIES["q_jenks_breaks"](spark, sf_dir).collect()[0]
+
+    xs = pd.read_parquet(f"{sf_dir}/documents.parquet")["n_chars"]
+    hist = xs.value_counts().sort_index()
+    vals = list(hist.index)
+    w = list(hist.values)
+
+    def half_up(num: int, den: int) -> int:
+        return (2 * num + den) // (2 * den)
+
+    def seg(i: int, j: int) -> int:  # cost_milli of vals[i..j] inclusive
+        ww = sum(w[i : j + 1])
+        s1 = sum(wi * v for wi, v in zip(w[i : j + 1], vals[i : j + 1]))
+        s2 = sum(wi * v * v for wi, v in zip(w[i : j + 1], vals[i : j + 1]))
+        return half_up((s2 * ww - s1 * s1) * 1000, ww)
+
+    m = len(vals)
+    best = None
+    for i in range(m - 2):
+        c1 = seg(0, i)
+        for j in range(i + 1, m - 1):
+            c = c1 + seg(i + 1, j) + seg(j + 1, m - 1)
+            key = (c, vals[j], vals[i])
+            if best is None or key < best:
+                best = key
+    assert (r["total_cost_milli"], r["break2"], r["break1"]) == best

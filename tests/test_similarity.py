@@ -552,3 +552,56 @@ def test_hbos_recalls_planted_outliers(spark):
     assert set(planted_ids) <= got_ids
     top5 = {r["vec_id"] for r in out if r["rank"] <= 5}
     assert top5 == set(planted_ids)
+
+
+def test_lof_anomaly_matches_python_replay(spark, sf_dir):
+    """Pure-numpy replay of the whole LOF pipeline (int8 quantization,
+    exact integer distances, kNN with id tiebreaks, reach-dist, snapped
+    lrd/LOF, top-20) equals the emitted relation."""
+    import numpy as np
+    import pandas as pd
+
+    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+    from prefect_flow_arc_alto_to_json_spark.plans.similarity_queries import (
+        _LOF_CAP,
+        _LOF_K,
+    )
+
+    got = [
+        (r["vec_id"], r["kdist"], r["lrd_pico"], r["lof_milli"], r["rank"])
+        for r in EXTRA_QUERIES["q_lof_anomaly"](spark, sf_dir).collect()
+    ]
+
+    df = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    df = df[df["vec_id"] < _LOF_CAP].sort_values("vec_id")
+    ids = df["vec_id"].to_numpy()
+    V = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    scale = np.maximum(np.abs(V).max(axis=1), 1e-30)
+    # np.round is banker's; Spark/DuckDB ROUND is half-away — emulate
+    x = V * 127.0 / scale[:, None]
+    Q = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+    n = len(ids)
+    d2 = ((Q[:, None, :] - Q[None, :, :]) ** 2).sum(axis=2)
+
+    def half_up(num: int, den: int) -> int:
+        return (2 * num + den) // (2 * den)
+
+    knn = {}
+    kdist = {}
+    for i in range(n):
+        order = sorted((int(d2[i, j]), int(ids[j])) for j in range(n) if j != i)
+        knn[int(ids[i])] = order[:_LOF_K]
+        kdist[int(ids[i])] = order[_LOF_K - 1][0]
+    lrd = {}
+    for p, nb in knn.items():
+        s = sum(max(kdist[q], d) for d, q in nb)
+        lrd[p] = half_up(_LOF_K * 10**12, s)
+    lof = {}
+    for p, nb in knn.items():
+        s = sum(lrd[q] for _, q in nb)
+        lof[p] = half_up(s * 1000, _LOF_K * lrd[p])
+    top = sorted(lof.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    want = [
+        (p, kdist[p], lrd[p], l, i + 1) for i, (p, l) in enumerate(top)
+    ]
+    assert sorted(got) == sorted(want)
