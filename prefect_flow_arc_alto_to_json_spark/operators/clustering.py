@@ -142,18 +142,19 @@ def kmeans_assign_micro(
     )
 
 
-def kmeans_oracle_sql(
-    k: int = 8,
-    iterations: int = 2,
-    dim: int = 64,
-    table: str = "embeddings",
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> str:
-    """The DuckDB replay: iterations unrolled as CTE chain c0→a1→c1→…,
-    dot products via the exploded (vid, d, v) relation. Built by
-    ``.format``-free string assembly (the f-string/brace booby trap from
-    the q_zorder_index incident)."""
+def _kmeans_chain_sql(
+    k: int,
+    iterations: int,
+    dim: int,
+    table: str,
+    id_col: str,
+    vec_col: str,
+) -> tuple[list[str], str]:
+    """Shared CTE chain xq→c0→(s,a,c)*→s→fin for the Lloyd replay;
+    returns (parts, last_centroid_cte). ``fin`` is the final assignment,
+    the last centroid CTE the relation distances are measured against.
+    Built by ``.format``-free string assembly (the f-string/brace booby
+    trap from the q_zorder_index incident)."""
     parts = [
         "WITH xq AS (",
         f"  SELECT {id_col} AS vid, i - 1 AS d,",
@@ -206,12 +207,226 @@ def kmeans_oracle_sql(
         f"    FROM s{t}",
         "  ) WHERE rn = 1",
         ")",
+    ]
+    return parts, prev
+
+
+def kmeans_oracle_sql(
+    k: int = 8,
+    iterations: int = 2,
+    dim: int = 64,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """The DuckDB replay: iterations unrolled as CTE chain c0→a1→c1→…,
+    dot products via the exploded (vid, d, v) relation."""
+    parts, _ = _kmeans_chain_sql(k, iterations, dim, table, id_col, vec_col)
+    parts += [
         "SELECT f.vid, f.cent_id, CAST(n.n_cell AS BIGINT) AS n_cell",
         "FROM fin f JOIN (",
         "  SELECT cent_id, COUNT(*) AS n_cell FROM fin GROUP BY cent_id",
         ") n ON n.cent_id = f.cent_id",
     ]
     return "\n".join(parts)
+
+
+#: Silhouette distance downshift: squared micro distances are floored by
+#: 2^20 before the ppm division so 2·d²·10⁶ stays far inside long range
+#: (|v| ≤ 2^20 micro ⇒ d² ≤ dim·2^42 ≈ 2^48; shifted ≤ 2^28).
+_SIL_SHIFT = 1 << 20
+
+
+def silhouette_oracle_sql(
+    k: int = 8,
+    iterations: int = 2,
+    dim: int = 64,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB replay of the per-cluster simplified silhouette: the full
+    Lloyd chain (shared with kmeans_oracle_sql), then per-vector squared
+    micro distances to every FINAL centroid, a(i) to the own cell and
+    b(i) the min over other cells, s(i) = (b−a)/max(a,b) as a signed
+    half-up ppm of the 2^20-shifted integers, rolled up per cell."""
+    parts, cfin = _kmeans_chain_sql(k, iterations, dim, table, id_col, vec_col)
+    # fin's closing ")" needs a comma to continue the WITH chain.
+    parts[-1] = "),"
+    parts += [
+        "dists AS (",
+        "  SELECT x.vid, c.cent_id,",
+        "         SUM((x.v - c.cv) * (x.v - c.cv)) AS d2",
+        f"  FROM xq x JOIN {cfin} c ON x.d = c.d",
+        "  GROUP BY x.vid, c.cent_id",
+        "),",
+        "ab AS (",
+        "  SELECT d.vid, f.cent_id,",
+        f"    MAX(CASE WHEN d.cent_id = f.cent_id THEN d.d2 END) // {_SIL_SHIFT}"
+        " AS ad,",
+        f"    MIN(CASE WHEN d.cent_id <> f.cent_id THEN d.d2 END) // {_SIL_SHIFT}"
+        " AS bd",
+        "  FROM dists d JOIN fin f ON f.vid = d.vid",
+        "  GROUP BY d.vid, f.cent_id",
+        "),",
+        "sp AS (",
+        "  SELECT vid, cent_id,",
+        "    CASE WHEN greatest(ad, bd) = 0 THEN 0",
+        "         WHEN bd >= ad THEN",
+        "           (2 * (bd - ad) * 1000000 + greatest(ad, bd))",
+        "             // (2 * greatest(ad, bd))",
+        "         ELSE",
+        "           -((2 * (ad - bd) * 1000000 + greatest(ad, bd))",
+        "             // (2 * greatest(ad, bd)))",
+        "    END AS s_ppm",
+        "  FROM ab",
+        ")",
+        "SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS n_cell,",
+        "  CAST(SUM(s_ppm) AS BIGINT) AS sum_s_ppm,",
+        "  CAST(CASE WHEN SUM(s_ppm) >= 0 THEN",
+        "         (2 * SUM(s_ppm) + COUNT(*)) // (2 * COUNT(*))",
+        "       ELSE",
+        "         -((2 * -SUM(s_ppm) + COUNT(*)) // (2 * COUNT(*)))",
+        "       END AS BIGINT) AS mean_s_ppm",
+        "FROM sp GROUP BY cent_id",
+    ]
+    return "\n".join(parts)
+
+
+def kmeans_silhouette_micro(
+    corpus: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster SIMPLIFIED silhouette of the deterministic Lloyd
+    clustering — cluster-validity index as a value-oracled relation
+    ``(cent_id, n_cell, sum_s_ppm, mean_s_ppm)``.
+
+    Simplified silhouette measures each point against CENTROIDS, not
+    all co-members (Hruschka et al.'s standard O(N·k) form of
+    Rousseeuw's O(N²) original — the only form that scales): a(i) is
+    the squared micro distance to the own centroid, b(i) the min over
+    the other k−1, s(i) = (b−a)/max(a,b) ∈ [−1, 1]. SQUARED distance
+    (not its root) keeps every term an exact long — the sqrt variant
+    would put both engines' libm on a rounding boundary; the variant
+    choice is documented, deterministic, and order-preserving in the
+    well-separated regime. Both a and b are floored by 2^20 before the
+    single signed half-up ppm division (headroom: see _SIL_SHIFT);
+    min-then-shift equals shift-then-min because floor division is
+    monotone, and both engines shift the aggregate.
+
+    Scale: the Lloyd loop is kmeans_assign_micro's (broadcast k·dim
+    centroids, map-side-combining component sums); the silhouette adds
+    ONE more broadcast join (corpus × k) and ONE groupBy(vid) that
+    computes the argmax assignment, a(i), and the k-element (cent_id,
+    d2) array in a single exchange — collect_list order never matters
+    because b(i) is an order-free array_min over a filter. The rollup
+    is a k-row aggregate. No corpus-sized relation is shuffled twice.
+    """
+    c = quantize_micro(
+        corpus.select(F.col(id_col).alias("vid"), vec_col), vec_col
+    ).select("vid", "xq").localCheckpoint()
+    cents = (
+        c.orderBy("vid")
+        .limit(k)
+        .select(F.col("vid").alias("cent_id"), F.col("xq").alias("cq"))
+    )
+    sums = [F.sum(F.col("xq")[d]).alias(f"s{d}") for d in range(dim)]
+    for _ in range(iterations):
+        assigned = (
+            c.join(F.broadcast(cents))
+            .select(
+                "vid",
+                "xq",
+                "cent_id",
+                _int_dot(F.col("xq"), F.col("cq")).alias("sim"),
+            )
+            .groupBy("vid")
+            .agg(
+                F.max_by(
+                    "cent_id", F.struct(F.col("sim"), -F.col("cent_id"))
+                ).alias("cent_id"),
+                F.first("xq").alias("xq"),
+            )
+        )
+        agg = assigned.groupBy("cent_id").agg(
+            F.count(F.lit(1)).alias("n"), *sums
+        )
+        cents = agg.select(
+            "cent_id",
+            F.array(
+                *[
+                    F.floor(
+                        (2.0 * F.col(f"s{d}") + F.col("n"))
+                        / (2.0 * F.col("n"))
+                    ).cast("long")
+                    for d in range(dim)
+                ]
+            ).alias("cq"),
+        ).localCheckpoint()
+    div = F.call_function
+    d2 = F.aggregate(
+        F.zip_with(F.col("xq"), F.col("cq"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    per = (
+        c.join(F.broadcast(cents))
+        .select(
+            "vid",
+            "cent_id",
+            _int_dot(F.col("xq"), F.col("cq")).alias("sim"),
+            d2.alias("d2"),
+        )
+        .groupBy("vid")
+        .agg(
+            F.max_by(
+                "cent_id", F.struct(F.col("sim"), -F.col("cent_id"))
+            ).alias("own"),
+            F.max_by("d2", F.struct(F.col("sim"), -F.col("cent_id"))).alias(
+                "a2"
+            ),
+            F.collect_list(F.struct("cent_id", "d2")).alias("ds"),
+        )
+    )
+    ab = per.select(
+        "vid",
+        F.col("own").alias("cent_id"),
+        div("div", F.col("a2"), F.lit(_SIL_SHIFT)).alias("ad"),
+        div(
+            "div",
+            F.array_min(
+                F.transform(
+                    F.filter("ds", lambda x: x["cent_id"] != F.col("own")),
+                    lambda x: x["d2"],
+                )
+            ),
+            F.lit(_SIL_SHIFT),
+        ).alias("bd"),
+    )
+    mx = F.greatest("ad", "bd")
+    num = F.col("bd") - F.col("ad")
+    mag = div("div", 2 * F.abs(num) * 1_000_000 + mx, 2 * mx)
+    sp = ab.select(
+        "cent_id",
+        F.when(mx == 0, F.lit(0).cast("long"))
+        .otherwise(F.when(num >= 0, mag).otherwise(-mag))
+        .alias("s_ppm"),
+    )
+    s_sum = F.sum("s_ppm")
+    n = F.count(F.lit(1))
+    mean_mag = div("div", 2 * F.abs(s_sum) + n, 2 * n)
+    return sp.groupBy("cent_id").agg(
+        n.cast("long").alias("n_cell"),
+        s_sum.cast("long").alias("sum_s_ppm"),
+        F.when(s_sum >= 0, mean_mag)
+        .otherwise(-mean_mag)
+        .cast("long")
+        .alias("mean_s_ppm"),
+    )
 
 
 def farthest_point_sample(

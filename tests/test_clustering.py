@@ -84,3 +84,35 @@ def test_pca_partitioning_invariance(spark, sf_dir):
     a = pca_top_component_micro(emb.coalesce(1), iterations=4).collect()
     b = pca_top_component_micro(emb.repartition(13), iterations=4).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_silhouette_planted_blobs_and_bounds(spark):
+    """Two tight, well-separated planted blobs must silhouette near +1
+    (mean_s_ppm > 900_000 in both cells), and the index must obey its
+    contract everywhere: |s| <= 1e6, totality (n_cell sums to N), and
+    partitioning invariance (the determinism point of the integer
+    path)."""
+    from prefect_flow_arc_alto_to_json_spark.operators.clustering import (
+        kmeans_silhouette_micro,
+    )
+
+    dim = 8
+    rows = []
+    for i in range(24):
+        base = 1.0 if i % 2 == 0 else -1.0
+        # deterministic tiny jitter, no RNG: +/- up to 0.02 by index
+        vec = [base + ((i * 7 + d * 3) % 5 - 2) * 0.01 for d in range(dim)]
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_silhouette_micro(emb, k=2, iterations=2, dim=dim)
+    got = {r["cent_id"]: r for r in out.collect()}
+    assert sum(r["n_cell"] for r in got.values()) == 24
+    for r in got.values():
+        assert -1_000_000 <= r["mean_s_ppm"] <= 1_000_000
+        assert r["mean_s_ppm"] > 900_000  # tight blobs, wide gap
+    out13 = kmeans_silhouette_micro(
+        emb.repartition(13), k=2, iterations=2, dim=dim
+    )
+    assert sorted(map(tuple, out13.collect())) == sorted(
+        map(tuple, out.collect())
+    )
