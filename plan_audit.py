@@ -120,6 +120,7 @@ GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
     "text_quality_auc": "same roc_auc_histogram device over distinct quality scores",
     "q_spearman_correlation": "midrank windows over distinct per-user x/y values",
     "q_ks_two_sample": "prefix sums over distinct n_chars values",
+    "q_mondrian_anon": "median windows over the distinct-value spine per cell (level-0 cell=0 folds to a constant key; spine is value-domain-bounded)",
     "q_mann_whitney": "rank relation over distinct spend values, not users",
     "q_skyline_pareto": "running max over the distinct-price spine (price-domain-bounded; two-level escalation documented)",
     # --- fixed-bin / constant-size relations

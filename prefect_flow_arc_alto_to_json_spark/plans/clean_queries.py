@@ -4004,3 +4004,140 @@ def q_fairness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             d("div", 2 * F.col("n_fp") * 1_000_000 + neg, 2 * neg),
         ).alias("fpr_ppm"),
     )
+
+
+#: Mondrian k-guard: a cut is taken only if BOTH sides keep >= this many
+#: rows. 100 binds scale-sensitively on the synthetic corpus: 500-doc
+#: SFs stop at 4 leaves (a level-3 cut would make ~62-row cells), the
+#: 5000-doc sf0.1 corpus runs all 3 levels to 8 leaves of ~625.
+_MONDRIAN_K = 100
+_MONDRIAN_DIMS = ("x0", "x1", "x0")
+
+
+def _mondrian_oracle_sql() -> str:
+    parts = [
+        "WITH d0 AS (",
+        "  SELECT doc_id, n_chars AS x0,",
+        f"         CAST(len({_SQL_TOKS}) AS BIGINT) AS x1,",
+        "         CAST(0 AS BIGINT) AS cell",
+        "  FROM documents",
+        "),",
+    ]
+    prev = "d0"
+    for lvl, dim in enumerate(_MONDRIAN_DIMS, start=1):
+        parts += [
+            f"s{lvl} AS (",
+            f"  SELECT cell, {dim} AS v, COUNT(*) AS c",
+            f"  FROM {prev} GROUP BY 1, 2",
+            "),",
+            f"m{lvl} AS (",
+            "  SELECT cell, v AS med, cum, n FROM (",
+            "    SELECT cell, v, cum, n, ROW_NUMBER() OVER (",
+            "      PARTITION BY cell ORDER BY v) AS rn",
+            "    FROM (",
+            "      SELECT cell, v,",
+            "        SUM(c) OVER (PARTITION BY cell ORDER BY v) AS cum,",
+            "        SUM(c) OVER (PARTITION BY cell) AS n",
+            f"      FROM s{lvl})",
+            "    WHERE cum >= (n + 1) // 2",
+            "  ) WHERE rn = 1",
+            "),",
+            f"d{lvl} AS (",
+            "  SELECT d.doc_id, d.x0, d.x1,",
+            "    d.cell * 2 + CASE WHEN m.cum >= " + str(_MONDRIAN_K),
+            "      AND m.n - m.cum >= " + str(_MONDRIAN_K),
+            f"      AND d.{dim} > m.med THEN 1 ELSE 0 END AS cell",
+            f"  FROM {prev} d JOIN m{lvl} m ON d.cell = m.cell",
+            "),",
+        ]
+        prev = f"d{lvl}"
+    parts[-1] = ")"  # close the last CTE without the chain comma
+    return "\n".join(parts) + f"""
+    SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(x0) AS BIGINT) AS x0_lo, CAST(MAX(x0) AS BIGINT) AS x0_hi,
+           CAST(MIN(x1) AS BIGINT) AS x1_lo, CAST(MAX(x1) AS BIGINT) AS x1_hi
+    FROM {prev} GROUP BY cell
+    """
+
+
+@query("q_mondrian_anon", extra=True, oracle=_mondrian_oracle_sql())
+def q_mondrian_anon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mondrian multidimensional k-anonymity partitioning (LeFevre et
+    al.) — the ALGORITHMIC member of the privacy family (q_k_anonymity
+    audits class sizes, q_k_anon_generalize applies a FIXED hierarchy;
+    Mondrian FINDS the partition): 3 levels of binary median cuts over
+    the (n_chars, token-count) quasi-identifier plane, alternating
+    dimensions, each cut taken only if both sides keep >= k = 100 rows
+    — the k-guard binds scale-sensitively (4 leaves at the 500-doc SFs,
+    8 at sf0.1). The cut point is the LOWER MEDIAN read off the
+    distinct-value spine (min v with cum >= (n+1) div 2) so every
+    quantity is an exact integer; ties go left; the leaf id is the cut
+    bit-path. Output: each leaf's generalized bounding box and size —
+    the anonymized release schema.
+
+    Scale: per level ONE map-side-combining groupBy(cell, value) to the
+    spine, windows over the SPINE only (value-domain-sized, never the
+    corpus — the q_ks_two_sample shape), and a broadcast join of the
+    <= 2^level-row median relation back onto the corpus; the corpus is
+    never windowed, sorted, or shuffled beyond the spine rollups.
+    """
+    from ..operators.textstats import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = docs.select(
+        "doc_id",
+        F.col("n_chars").alias("x0"),
+        token_count("text").cast("long").alias("x1"),
+        F.lit(0).cast("long").alias("cell"),
+    )
+    div = F.call_function
+    for dim in _MONDRIAN_DIMS:
+        spine = df.groupBy("cell", F.col(dim).alias("v")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        wcum = (
+            Window.partitionBy("cell")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        sp = spine.select(
+            "cell",
+            "v",
+            F.sum("c").over(wcum).alias("cum"),
+            F.sum("c").over(Window.partitionBy("cell")).alias("n"),
+        )
+        med = (
+            sp.where(F.col("cum") >= div("div", F.col("n") + 1, F.lit(2)))
+            .groupBy("cell")
+            .agg(
+                F.min_by(
+                    F.struct(F.col("v"), F.col("cum"), F.col("n")), F.col("v")
+                ).alias("m")
+            )
+            .select(
+                "cell",
+                F.col("m.v").alias("med"),
+                (
+                    (F.col("m.cum") >= _MONDRIAN_K)
+                    & (F.col("m.n") - F.col("m.cum") >= _MONDRIAN_K)
+                ).alias("allowed"),
+            )
+        )
+        df = (
+            df.join(F.broadcast(med), "cell")
+            .withColumn(
+                "cell",
+                F.col("cell") * 2
+                + F.when(
+                    F.col("allowed") & (F.col(dim) > F.col("med")), 1
+                ).otherwise(0),
+            )
+            .drop("med", "allowed")
+        )
+    return df.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("x0").cast("long").alias("x0_lo"),
+        F.max("x0").cast("long").alias("x0_hi"),
+        F.min("x1").cast("long").alias("x1_lo"),
+        F.max("x1").cast("long").alias("x1_hi"),
+    )
