@@ -164,6 +164,19 @@ def loop_ckpt_counted(df: DataFrame) -> tuple[DataFrame, int]:
     return ck, ck.count()
 
 
+def loop_ckpt_lazy(df: DataFrame) -> DataFrame:
+    """``loop_ckpt`` without the eager materialization job: the lazy
+    ``localCheckpoint(eager=False)`` still truncates lineage, but the
+    checkpoint executes as part of the NEXT job that reads the relation
+    (the following round's first aggregate, or the driver's final
+    collect) instead of paying a dedicated per-round job. Use for loop
+    bodies whose round boundary needs no cardinality read — the
+    checkpoint-class bench fix (round-12 VERDICT #2): q_spectral's four
+    rounds each paid an eager-checkpoint job that pure-plan execution
+    folds away. Same AUDIT_ITERATION_MODE pass-through as loop_ckpt."""
+    return df if AUDIT_ITERATION_MODE else df.localCheckpoint(eager=False)
+
+
 def loop_rounds(n: int) -> int:
     """Iteration count for operator loops: ``n`` in normal execution, 1
     under AUDIT_ITERATION_MODE (the audit wants one representative round

@@ -301,31 +301,38 @@ def naive_bayes_language(
     unigram_logprob contract), and the argmax breaks score ties on the
     label string — hash-exact across engines.
 
-    100 TB shape: training is two token-key shuffles (count by
-    (label, tok), then by label); the model is a V x L relation — vocab-
-    bounded, usually broadcastable — and scoring is a posting join of the
-    exploded corpus against it (tok-key shuffle at worst). The per-doc
-    argmax window sees exactly L rows per document. No Python anywhere.
+    100 TB shape (round-13 restructure): ONE corpus-sized shuffle — the
+    per-(doc, tok) term-frequency aggregation, map-side combinable since
+    a document's token instances are partition-local — and everything
+    downstream (class counts, vocab census, model grid, scoring) runs on
+    the collapsed doc×distinct-token relation, orders of magnitude
+    smaller than the exploded token stream. Scoring sums tf·wm (exact
+    long arithmetic, identical value to the per-instance sum the oracle
+    replays). The per-doc argmax window sees exactly L rows per
+    document. No Python anywhere.
     """
     from pyspark.sql import Window
 
     from ..functions.scale import fan_out, scoped_persist
 
-    tk = scoped_persist(
-        fan_out(df).select(
+    tf = scoped_persist(
+        fan_out(df)
+        .select(
             F.col(id_col),
             F.col(label_col).alias("label"),
             F.explode(token_array(text_col)).alias("tok"),
-        ),
-        "naive_bayes.tokens",
+        )
+        .groupBy(id_col, "label", "tok")
+        .agg(F.count(F.lit(1)).alias("tf")),
+        "naive_bayes.tf",
     )
     cls = df.groupBy(F.col(label_col).alias("label")).agg(
         F.count(F.lit(1)).alias("d_l")
     )
     n_docs = df.agg(F.count(F.lit(1)).alias("d"))
-    cnt = tk.groupBy("label", "tok").agg(F.count(F.lit(1)).alias("c"))
+    cnt = tf.groupBy("label", "tok").agg(F.sum("tf").alias("c"))
     nl = cnt.groupBy("label").agg(F.sum("c").alias("n_l"))
-    vocab = tk.select("tok").distinct()
+    vocab = tf.select("tok").distinct()
     v_size = vocab.agg(F.count(F.lit(1)).alias("v"))
     weights = (
         vocab.crossJoin(F.broadcast(cls.join(nl, "label").select("label", "n_l")))
@@ -356,10 +363,10 @@ def naive_bayes_language(
         )
     )
     scores = (
-        tk.select(id_col, "tok")
+        tf.select(id_col, "tok", "tf")
         .join(weights, "tok")
         .groupBy(id_col, "label")
-        .agg(F.sum("wm").alias("sw"))
+        .agg(F.sum(F.col("tf") * F.col("wm")).alias("sw"))
         .join(F.broadcast(prior), "label")
         .select(
             F.col(id_col),

@@ -459,7 +459,7 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_k_anonymity",
-    extra=True,
+    # graded since round 13: the privacy-audit family's representative
     oracle="""
     WITH q AS (
       SELECT lang, source,
@@ -940,7 +940,7 @@ def q_wilson_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_ks_two_sample",
-    extra=True,
+    # graded since round 13: the hypothesis-testing family's representative
     oracle="""
     WITH g AS (
       SELECT n_chars AS x,
@@ -2456,7 +2456,8 @@ _ALS_ITERATION_ORACLE = """
 """
 
 
-@query("q_als_iteration", extra=True, oracle=_ALS_ITERATION_ORACLE)
+# graded since round 13: the matrix-factorization family's representative
+@query("q_als_iteration", oracle=_ALS_ITERATION_ORACLE)
 def q_als_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One FULL ALS alternation (operators/factorization.py:als_iteration)
     — completes q_als_half_step per the round-8 verdict: user ridge solve
@@ -3239,7 +3240,8 @@ def q_group_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_uplift_segments",
-    # graded since round 11: the causal-eval family's representative
+    # graded r11-r12 (green in CORRECTNESS_r11/r12); rotated to extra in r13
+    extra=True,
     oracle="""
     WITH u AS (
       SELECT user_id,

@@ -1978,8 +1978,8 @@ def _betweenness_oracle(levels: int = 4) -> str:
     """
 
 
-# graded since round 11: the path-centrality family's representative
-@query("q_betweenness_trade", oracle=_betweenness_oracle(4))
+# graded r11-r12 (green archives); rotated to extra in r13
+@query("q_betweenness_trade", extra=True, oracle=_betweenness_oracle(4))
 def q_betweenness_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT betweenness centrality over the mean-thresholded trade
     graph (the same sparsification as q_scc_trade — the raw graph is

@@ -3518,7 +3518,8 @@ _APPORTION_SEATS = 20
 
 @query(
     "q_seat_apportionment",
-    # graded since round 11: the integer-allocation family's representative
+    # graded r11-r12 (green in CORRECTNESS_r11/r12); rotated to extra in r13
+    extra=True,
     oracle=f"""
     WITH vals AS MATERIALIZED (
       SELECT c.c_nationkey AS nation,

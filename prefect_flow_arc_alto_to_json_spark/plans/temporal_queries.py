@@ -1595,7 +1595,7 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_kaplan_meier",
-    extra=True,
+    # graded since round 13: the survival-analysis family's representative
     oracle="""
     WITH su AS (
       SELECT user_id, MIN(ts) AS t0 FROM events
@@ -2499,8 +2499,8 @@ def _markov_oracle(steps: int = _MARKOV_STEPS) -> str:
     """
 
 
-# graded since round 10 (wave 2): the chain-attribution family
-@query("q_markov_attribution", oracle=_markov_oracle())
+# graded r10-r12 (green archives); rotated to extra in r13
+@query("q_markov_attribution", extra=True, oracle=_markov_oracle())
 def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MARKOV-CHAIN (removal-effect) attribution — the data-driven
     attribution model beside q_shapley_attribution's game-theoretic one

@@ -591,9 +591,11 @@ _R9_SHUFFLE_BUDGETS = {
     "q_geo_radius_join": 0,
     "q_geo_nearest_supplier": 1,
     "q_geo_grid_density": 2,
-    # model build: token-key counts (label,tok)/(label)/vocab + scoring
-    # posting join + per-doc argmax — vocab-bounded relations dominate
-    "text_naive_bayes": 16,
+    # model build + scoring off ONE persisted per-(doc,tok) tf relation
+    # (round-13 restructure: the only corpus-sized shuffle). The static
+    # count re-tallies tf's exchange under each of its 5 uncached
+    # consumers; at runtime scoped_persist materializes it once.
+    "text_naive_bayes": 21,
     # constant-size gradient/weight relations; the 1-row crossJoins are
     # broadcast, each corpus pass map-side
     "q_logreg_gd": 14,
@@ -946,7 +948,7 @@ def test_iterative_set_covers_all_loop_ckpt_callers():
     pkg = pathlib.Path(
         "/root/repo/prefect_flow_arc_alto_to_json_spark"
     )
-    loop = {"loop_ckpt", "loop_rounds", "loop_ckpt_counted"}
+    loop = {"loop_ckpt", "loop_rounds", "loop_ckpt_counted", "loop_ckpt_lazy"}
 
     def touched(fn_node):
         out = set()
