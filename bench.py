@@ -284,6 +284,14 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     names = [n for n in HEADLINE if n in ALL_QUERIES]
     stable = set(HEADLINE[:N_STABLE])
+    # Graded-window coverage (round-12 VERDICT #3): every query in the
+    # driver's graded window gets a warm sf0.1 row so the 3 s/8 s budget
+    # binds BEFORE the driver discovers a heavyweight. These rows are
+    # ADDITIVE: ``value``/``stable_sec``/``showcase_sec`` still sum the
+    # frozen HEADLINE set (cross-round comparability), the graded tier is
+    # reported separately as ``graded_sec``.
+    graded = list(QUERIES)
+    bench_names = names + [n for n in graded if n not in set(names)]
 
     # Warmup: run the first query once to pay JVM / parquet-footer costs
     # outside the timed region.
@@ -293,7 +301,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     shuffle: dict[str, dict] = {}
-    for name in names:
+    for name in bench_names:
         best = float("inf")
         for run in range(3):
             if run == 0:
@@ -309,7 +317,8 @@ def main() -> None:
             best = min(best, dt)
         timings[name] = round(best, 3)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(timings[n] for n in names), 3)
+    graded_sec = round(sum(timings[n] for n in graded if n in timings), 3)
     # ALL per-query dicts go to SIDE FILES, never the final stdout line: the
     # driver captures only the last ~2000 chars of stdout, and an inline
     # per-query dict overflowed that window in rounds 5 AND 6
@@ -366,6 +375,7 @@ def main() -> None:
         "context": context,
         "git_sha": git_sha,
         "stable": sorted(stable & set(timings)),
+        "graded": [n for n in graded if n in timings],
         "queries": timings,
         "queries_cold": {k: round(v, 3) for k, v in cold.items()},
     }
@@ -401,8 +411,10 @@ def main() -> None:
             "stable_sec": stable_sec,
             "showcase_sec": round(total - stable_sec, 3),
             "n_stable": len(stable & set(timings)),
-            "cold_sec": round(sum(cold.values()), 3),
-            "n_queries": len(timings),
+            "graded_sec": graded_sec,
+            "n_graded": len([n for n in graded if n in timings]),
+            "cold_sec": round(sum(cold[n] for n in names), 3),
+            "n_queries": len(names),
             "runs": 3,
             "agg": "min",
             "queries_file": "BENCH_QUERIES.json",

@@ -96,10 +96,13 @@ def test_kaplan_meier_matches_pure_python_replay(spark, sf_dir):
 
     import pandas as pd
 
-    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+    from prefect_flow_arc_alto_to_json_spark.plans import (
+        EXTRA_QUERIES,
+        QUERIES,
+    )
 
     got = (
-        EXTRA_QUERIES["q_kaplan_meier"](spark, sf_dir)
+        {**QUERIES, **EXTRA_QUERIES}["q_kaplan_meier"](spark, sf_dir)
         .toPandas()
         .sort_values("t_day")
         .reset_index(drop=True)
