@@ -177,6 +177,47 @@ def loop_ckpt_lazy(df: DataFrame) -> DataFrame:
     return df if AUDIT_ITERATION_MODE else df.localCheckpoint(eager=False)
 
 
+def literal_df(spark, schema: str, rows) -> DataFrame:
+    """Tiny literal DataFrame WITHOUT a Python-RDD backing.
+
+    ``spark.createDataFrame(rows, schema)`` parallelizes PICKLED rows, so
+    every downstream action re-evaluates the relation through freshly
+    spawned Python workers — measured 2-5 s per 2-row planted-file write
+    at local[32] (round-13), and a greedy loop that unions one such row
+    per round re-pays the cost for every accumulated row in the final
+    action. Building the same rows as a union of literal projections over
+    ``spark.range(1)`` keeps them a pure JVM relation (guide §4 — keep
+    the Python boundary out of the data plane). datetimes are rendered as
+    microsecond strings and cast (exact for µs timestamps); None maps to
+    a typed NULL. For TINY row sets only (each row is a plan branch).
+    """
+    import datetime as _dt
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    st = _parse_datatype_string(schema)
+
+    def cell(v, f):
+        t = f.dataType.simpleString()
+        if v is None:
+            return F.lit(None).cast(t).alias(f.name)
+        if isinstance(v, _dt.datetime):
+            return (
+                F.lit(v.strftime("%Y-%m-%d %H:%M:%S.%f")).cast(t).alias(f.name)
+            )
+        if isinstance(v, _dt.date):
+            return F.lit(v.strftime("%Y-%m-%d")).cast(t).alias(f.name)
+        return F.lit(v).cast(t).alias(f.name)
+
+    parts = [
+        spark.range(1).select(*[cell(v, f) for v, f in zip(r, st.fields)])
+        for r in rows
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
 def loop_rounds(n: int) -> int:
     """Iteration count for operator loops: ``n`` in normal execution, 1
     under AUDIT_ITERATION_MODE (the audit wants one representative round

@@ -112,12 +112,13 @@ def bpe_train(
                 F.split("pk", SEP)[1].alias("rhs"),
                 "pair_count",
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # pairs run dry once every word is a single symbol; without this
         # break the crossJoin below would EMPTY the vocabulary (0-row
         # winner x vocab = 0 rows) and poison the encode table. The
-        # isEmpty probe reads the 1-row checkpoint, not the corpus.
+        # isEmpty probe is the action that materializes the (lazy) 1-row
+        # checkpoint — one job per step, not two (round-13).
         if top.isEmpty():
             break
         row = top.select(
@@ -143,7 +144,7 @@ def bpe_train(
                     F.col("syms"), F.col("pa"), F.col("pb")
                 ).alias("syms"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     if out is None:
         # degenerate corpus (every word one symbol): no merges, but the
@@ -288,7 +289,10 @@ def unigram_viterbi(
             .where(F.col("rn") == 1)
             .drop("rn", "j")
         )
-        ball = ball.unionByName(lvl).localCheckpoint()
+        # lazy checkpoint: still truncates lineage per level, but the
+        # materialization folds into the final join's job instead of one
+        # eager job per DP level (round-13, the loop_ckpt_lazy device)
+        ball = ball.unionByName(lvl).localCheckpoint(eager=False)
     return (
         words.join(
             ball, (words["word"] == ball["word"])

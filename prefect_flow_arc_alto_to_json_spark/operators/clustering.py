@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.scalar import half_up_units
+from ..functions.scale import literal_df
 
 MICRO = 1_000_000
 
@@ -61,6 +62,25 @@ def _int_dot(a, b):
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+
+
+def _best_cent(xq_col, cs_col):
+    """Argmax centroid id for one vector against the collected centroid
+    array (array<struct<cent_id,cq>>): integer dot similarity, ties to the
+    SMALLEST centroid id — encoded as lexicographic array_max over
+    (sim, -cent_id) structs, so the result is independent of the
+    collect_list order. Replaces the round-12 join + groupBy(vid) +
+    max_by assignment, which expanded the corpus k-fold and shuffled it
+    back per iteration (guide §2.4): assignment is now a NARROW map —
+    corpus rows never leave their partition."""
+    sims = F.transform(
+        cs_col,
+        lambda cc: F.struct(
+            _int_dot(xq_col, cc["cq"]).alias("sim"),
+            (-cc["cent_id"]).alias("nid"),
+        ),
+    )
+    return (-F.array_max(sims)["nid"]).cast("long")
 
 
 def kmeans_assign_micro(
@@ -89,21 +109,19 @@ def kmeans_assign_micro(
     )
     sums = [F.sum(F.col("xq")[d]).alias(f"s{d}") for d in range(dim)]
     for _ in range(iterations):
-        assigned = (
-            c.join(F.broadcast(cents))
-            .select(
-                "vid",
-                "xq",
-                "cent_id",
-                _int_dot(F.col("xq"), F.col("cq")).alias("sim"),
-            )
-            .groupBy("vid")
-            .agg(
-                F.max_by(
-                    "cent_id", F.struct(F.col("sim"), -F.col("cent_id"))
-                ).alias("cent_id"),
-                F.first("xq").alias("xq"),
-            )
+        # centroids collapse to ONE row of structs; assignment is then a
+        # broadcast + narrow argmax map — the corpus never shuffles on
+        # vid (round-13, guide §2.4; the previous join + groupBy(vid) +
+        # max_by expanded the corpus k-fold and shuffled it back every
+        # iteration). Values unchanged: _best_cent is the same integer
+        # dot argmax with the same smallest-id tie-break.
+        cs1 = cents.agg(
+            F.collect_list(F.struct("cent_id", "cq")).alias("cs")
+        )
+        assigned = c.crossJoin(F.broadcast(cs1)).select(
+            "vid",
+            "xq",
+            _best_cent(F.col("xq"), F.col("cs")).alias("cent_id"),
         )
         agg = assigned.groupBy("cent_id").agg(
             F.count(F.lit(1)).alias("n"), *sums
@@ -120,19 +138,9 @@ def kmeans_assign_micro(
                 ]
             ).alias("cq"),
         ).localCheckpoint()
-    final = (
-        c.join(F.broadcast(cents))
-        .select(
-            "vid",
-            "cent_id",
-            _int_dot(F.col("xq"), F.col("cq")).alias("sim"),
-        )
-        .groupBy("vid")
-        .agg(
-            F.max_by("cent_id", F.struct(F.col("sim"), -F.col("cent_id"))).alias(
-                "cent_id"
-            )
-        )
+    cs_fin = cents.agg(F.collect_list(F.struct("cent_id", "cq")).alias("cs"))
+    final = c.crossJoin(F.broadcast(cs_fin)).select(
+        "vid", _best_cent(F.col("xq"), F.col("cs")).alias("cent_id")
     )
     n_cell = final.groupBy("cent_id").agg(F.count(F.lit(1)).alias("n_cell"))
     # n_cell is k rows — broadcast, or Catalyst sort-merges two descendants
@@ -320,11 +328,12 @@ def kmeans_silhouette_micro(
 
     Scale: the Lloyd loop is kmeans_assign_micro's (broadcast k·dim
     centroids, map-side-combining component sums); the silhouette adds
-    ONE more broadcast join (corpus × k) and ONE groupBy(vid) that
-    computes the argmax assignment, a(i), and the k-element (cent_id,
-    d2) array in a single exchange — collect_list order never matters
-    because b(i) is an order-free array_min over a filter. The rollup
-    is a k-row aggregate. No corpus-sized relation is shuffled twice.
+    ONE more broadcast of the collected centroid row and a NARROW array
+    map computing the argmax assignment, a(i), and the k-element
+    (sim, nid, d2) array per point — no corpus shuffle at all (the
+    round-12 version paid a groupBy(vid) exchange here) — b(i) is an
+    order-free array_min over a filter. The rollup is a k-row
+    aggregate. Corpus rows never leave their scan partitions.
     """
     c = quantize_micro(
         corpus.select(F.col(id_col).alias("vid"), vec_col), vec_col
@@ -336,21 +345,19 @@ def kmeans_silhouette_micro(
     )
     sums = [F.sum(F.col("xq")[d]).alias(f"s{d}") for d in range(dim)]
     for _ in range(iterations):
-        assigned = (
-            c.join(F.broadcast(cents))
-            .select(
-                "vid",
-                "xq",
-                "cent_id",
-                _int_dot(F.col("xq"), F.col("cq")).alias("sim"),
-            )
-            .groupBy("vid")
-            .agg(
-                F.max_by(
-                    "cent_id", F.struct(F.col("sim"), -F.col("cent_id"))
-                ).alias("cent_id"),
-                F.first("xq").alias("xq"),
-            )
+        # centroids collapse to ONE row of structs; assignment is then a
+        # broadcast + narrow argmax map — the corpus never shuffles on
+        # vid (round-13, guide §2.4; the previous join + groupBy(vid) +
+        # max_by expanded the corpus k-fold and shuffled it back every
+        # iteration). Values unchanged: _best_cent is the same integer
+        # dot argmax with the same smallest-id tie-break.
+        cs1 = cents.agg(
+            F.collect_list(F.struct("cent_id", "cq")).alias("cs")
+        )
+        assigned = c.crossJoin(F.broadcast(cs1)).select(
+            "vid",
+            "xq",
+            _best_cent(F.col("xq"), F.col("cs")).alias("cent_id"),
         )
         agg = assigned.groupBy("cent_id").agg(
             F.count(F.lit(1)).alias("n"), *sums
@@ -368,39 +375,44 @@ def kmeans_silhouette_micro(
             ).alias("cq"),
         ).localCheckpoint()
     div = F.call_function
-    d2 = F.aggregate(
-        F.zip_with(F.col("xq"), F.col("cq"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    # the per-point (sim, -cent_id, d2) triple against EVERY centroid as a
+    # narrow array map over the broadcast centroid row — the round-12
+    # version shuffled the k-fold expanded corpus through a groupBy(vid)
+    # to compute own/a2/ds (guide §2.4). array_max over (sim, nid, d2)
+    # structs is the same argmax/tie-break as max_by(struct(sim,
+    # -cent_id)); d2 can never decide (one d2 per cent_id). All terms
+    # stay exact longs; every downstream use of ds is order-free.
+    cs_fin = cents.agg(F.collect_list(F.struct("cent_id", "cq")).alias("cs"))
+    trip = F.transform(
+        F.col("cs"),
+        lambda cc: F.struct(
+            _int_dot(F.col("xq"), cc["cq"]).alias("sim"),
+            (-cc["cent_id"]).alias("nid"),
+            F.aggregate(
+                F.zip_with(
+                    F.col("xq"), cc["cq"], lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+        ),
     )
     per = (
-        c.join(F.broadcast(cents))
-        .select(
-            "vid",
-            "cent_id",
-            _int_dot(F.col("xq"), F.col("cq")).alias("sim"),
-            d2.alias("d2"),
-        )
-        .groupBy("vid")
-        .agg(
-            F.max_by(
-                "cent_id", F.struct(F.col("sim"), -F.col("cent_id"))
-            ).alias("own"),
-            F.max_by("d2", F.struct(F.col("sim"), -F.col("cent_id"))).alias(
-                "a2"
-            ),
-            F.collect_list(F.struct("cent_id", "d2")).alias("ds"),
-        )
+        c.crossJoin(F.broadcast(cs_fin))
+        .select("vid", trip.alias("ds"))
+        .select("vid", "ds", F.array_max("ds").alias("bst"))
     )
     ab = per.select(
         "vid",
-        F.col("own").alias("cent_id"),
-        div("div", F.col("a2"), F.lit(_SIL_SHIFT)).alias("ad"),
+        (-F.col("bst")["nid"]).alias("cent_id"),
+        div("div", F.col("bst")["d2"], F.lit(_SIL_SHIFT)).alias("ad"),
         div(
             "div",
             F.array_min(
                 F.transform(
-                    F.filter("ds", lambda x: x["cent_id"] != F.col("own")),
+                    F.filter(
+                        "ds", lambda x: x["nid"] != F.col("bst")["nid"]
+                    ),
                     lambda x: x["d2"],
                 )
             ),
@@ -459,8 +471,10 @@ def farthest_point_sample(
     chosen = [(seed["vid"], seed["xq"], None)]
     for _ in range(k - 1):
         cdf = F.broadcast(
-            c.sparkSession.createDataFrame(
-                [(v, x) for v, x, _ in chosen], "cvid long, cq array<long>"
+            literal_df(
+                c.sparkSession,
+                "cvid long, cq array<long>",
+                [(v, x) for v, x, _ in chosen],
             )
         )
         dist2 = F.aggregate(
@@ -480,9 +494,11 @@ def farthest_point_sample(
         )
         chosen.append((nxt["vid"], nxt["xq"], nxt["mind2"]))
     spark = corpus.sparkSession
-    return spark.createDataFrame(
-        [(i + 1, v, d) for i, (v, _, d) in enumerate(chosen)],
+    # literal_df, not createDataFrame: no Python-RDD backing (round-13)
+    return literal_df(
+        spark,
         "sample_rank int, vid long, min_dist2 long",
+        [(i + 1, v, d) for i, (v, _, d) in enumerate(chosen)],
     )
 
 

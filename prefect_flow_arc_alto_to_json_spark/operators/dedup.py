@@ -24,7 +24,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.scalar import stable_hash_p31, stable_hash_u32, token_array
-from ..functions.scale import fan_out, loop_ckpt, loop_rounds, scoped_persist
+from ..functions.scale import (
+    fan_out,
+    loop_ckpt_lazy,
+    loop_rounds,
+    scoped_persist,
+)
 
 #: Mersenne prime 2^31-1: (a*h+b) % P stays < 2^62 → safe in bigint.
 MINHASH_PRIME = 2147483647
@@ -783,6 +788,11 @@ def _propagate_min_labels(edges: DataFrame, max_iter: int) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
+        # lazy loop checkpoint materialized BY the changed-count aggregate:
+        # one job per round instead of two (eager checkpoint + separate
+        # count) — the loop_ckpt_counted device (round-13, guide §1.2 —
+        # per-round fixed job cost dominates once the label relation is
+        # small)
         stepped = (
             labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
             .select(
@@ -794,7 +804,7 @@ def _propagate_min_labels(edges: DataFrame, max_iter: int) -> DataFrame:
                     F.coalesce(F.col("nmin"), F.col("label")) < F.col("label")
                 ).alias("changed"),
             )
-            .transform(loop_ckpt)
+            .transform(loop_ckpt_lazy)
         )
         changed = stepped.agg(
             F.sum(F.col("changed").cast("int")).alias("n")

@@ -393,20 +393,24 @@ def ivf_index(
         .limit(n_centroids)
         .select(F.col("vid").alias("cent_id"), F.col("vec").alias("cvec"))
     )
-    dist = (
-        c.join(F.broadcast(cents))
-        .select(
-            "vid",
-            "vec",
-            "cent_id",
-            dot(F.col("vec"), F.col("cvec")).alias("sim"),
+    # centroids collapse to ONE row of structs and assignment is a narrow
+    # argmax map over the broadcast array (round-13, guide §2.4): the
+    # previous join + groupBy(vid) + max_by expanded the corpus C-fold
+    # and shuffled it back. array_max over (sim, -cent_id) structs is the
+    # same argmax with the same smallest-id tie-break, computed from the
+    # same ``dot`` expression — values identical.
+    cs1 = cents.agg(F.collect_list(F.struct("cent_id", "cvec")).alias("cs"))
+    best = F.array_max(
+        F.transform(
+            F.col("cs"),
+            lambda cc: F.struct(
+                dot(F.col("vec"), cc["cvec"]).alias("sim"),
+                (-cc["cent_id"]).alias("nid"),
+            ),
         )
     )
-    assigned = dist.groupBy("vid").agg(
-        F.max_by("cent_id", F.struct(F.col("sim"), -F.col("cent_id"))).alias(
-            "cent_id"
-        ),
-        F.first("vec").alias("vec"),
+    assigned = c.crossJoin(F.broadcast(cs1)).select(
+        "vid", (-best["nid"]).alias("cent_id"), "vec"
     )
     return cents, assigned
 

@@ -44,9 +44,19 @@ def cms_build(
     key_col: str,
     depth: int = CMS_DEPTH,
     width: int = CMS_WIDTH,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """(d, w, count): the sketch matrix. Mergeable: union two sketches and
-    ``groupBy(d, w).sum(count)`` — identical to building over the union."""
+    ``groupBy(d, w).sum(count)`` — identical to building over the union.
+
+    ``weight_col``: build from a PRE-AGGREGATED (key, weight) relation —
+    each row contributes ``weight`` to its ``depth`` buckets. Identical to
+    building over the expanded rows (the cell count is a sum over keys
+    either way), but the per-row md5 bucket hashes run once per DISTINCT
+    key instead of once per input row — the right build whenever key
+    cardinality is bounded (round-13, guide §2.3 "aggregate before you
+    shuffle"); unbounded key streams keep the per-row path (weight=None).
+    """
     key = F.col(key_col).cast("string")
     cells = F.explode(
         F.array(
@@ -59,10 +69,16 @@ def cms_build(
             ]
         )
     ).alias("c")
+    if weight_col is None:
+        return (
+            df.select(cells)
+            .groupBy(F.col("c.d").alias("d"), F.col("c.w").alias("w"))
+            .agg(F.count(F.lit(1)).alias("count"))
+        )
     return (
-        df.select(cells)
+        df.select(cells, F.col(weight_col).alias("__w"))
         .groupBy(F.col("c.d").alias("d"), F.col("c.w").alias("w"))
-        .agg(F.count(F.lit(1)).alias("count"))
+        .agg(F.sum("__w").alias("count"))
     )
 
 

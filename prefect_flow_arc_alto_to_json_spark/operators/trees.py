@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.scale import loop_ckpt, loop_rounds
+from ..functions.scale import loop_ckpt_lazy, loop_rounds
 
 
 def decision_stump_errors(
@@ -163,7 +163,7 @@ def boosted_stump_curves(
     ).withColumn("w", F.lit(1).cast("long"))
     curves = []
     for t in range(1, loop_rounds(rounds) + 1):
-        curve = _weighted_stump_curve(rows).transform(loop_ckpt)
+        curve = _weighted_stump_curve(rows).transform(loop_ckpt_lazy)
         curves.append(curve.select(F.lit(t).cast("int").alias("boost_round"), "*"))
         if t == rounds:
             break
@@ -185,7 +185,7 @@ def boosted_stump_curves(
                 .cast("long")
                 .alias("w"),
             )
-            .transform(loop_ckpt)
+            .transform(loop_ckpt_lazy)
         )
     out = curves[0]
     for c in curves[1:]:

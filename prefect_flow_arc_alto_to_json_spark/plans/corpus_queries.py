@@ -634,7 +634,7 @@ def q_set_cover_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark_ = spark
     covered = p.select("g").where(F.lit(False))
     out = None
-    from ..functions.scale import loop_ckpt, loop_rounds
+    from ..functions.scale import literal_df, loop_ckpt_lazy, loop_rounds
 
     for r in range(1, loop_rounds(_SET_COVER_K) + 1):
         unc = p.join(F.broadcast(covered), "g", "anti")
@@ -651,11 +651,14 @@ def q_set_cover_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         pick = picks[0]
         newly = unc.where(F.col("doc_id") == int(pick["doc_id"])).select("g")
-        covered = loop_ckpt(covered.unionByName(newly).distinct())
+        covered = loop_ckpt_lazy(covered.unionByName(newly).distinct())
         n_cov = covered.count()
-        row = spark_.createDataFrame(
-            [(r, int(pick["doc_id"]), int(pick["gain"]), int(n_cov))],
+        # literal_df, not createDataFrame (Python-RDD backing re-spawns
+        # Python workers per action over the accumulated union - round-13)
+        row = literal_df(
+            spark_,
             "round int, doc_id long, gain long, covered long",
+            [(r, int(pick["doc_id"]), int(pick["gain"]), int(n_cov))],
         )
         out = row if out is None else out.unionByName(row)
     return out

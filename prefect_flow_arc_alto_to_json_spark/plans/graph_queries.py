@@ -1800,7 +1800,7 @@ def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint()
     x = nodes.select("node", F.lit(1_000_000_000).cast("long").alias("x"))
-    from ..functions.scale import loop_ckpt, loop_rounds
+    from ..functions.scale import loop_ckpt_lazy, loop_rounds
 
     for _ in range(loop_rounds(3)):
         inc = (
@@ -1810,7 +1810,7 @@ def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("x").alias("xin"))
         )
-        x = loop_ckpt(
+        x = loop_ckpt_lazy(
             nodes.join(F.broadcast(inc), "node", "left").select(
                 "node",
                 (
@@ -2383,7 +2383,7 @@ def q_stable_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     the L+1 = {_GS_ROUNDS} heuristic (one entry per free proposer per
     round) can be violated when a proposer sits engaged for several
     rounds before being bumped, so the loop EXITS EARLY as soon as the
-    round state (rej + eng) stops growing — a strict-growth invariant
+    round state (doomed + eng) stops growing — a strict-growth invariant
     makes the unchanged count a quiescence certificate, read from the
     just-checkpointed stub for free; extra oracle rounds are no-ops so
     hashes agree — and RAISES if the bound is exhausted while the state
@@ -2425,6 +2425,8 @@ def q_stable_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
         .localCheckpoint()  # both rank relations read it
     )
+    # pr/ar feed ONLY the fused prar checkpoint below — no per-relation
+    # checkpoint jobs needed (w itself is already materialized)
     pr = (
         w.withColumn(
             "prk",
@@ -2434,7 +2436,6 @@ def q_stable_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("prk") <= _GS_LIST)
         .select("p", "a", "prk")
-        .localCheckpoint()
     )
     ar = w.select(
         "p",
@@ -2442,7 +2443,7 @@ def q_stable_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number()
         .over(Window.partitionBy("a").orderBy(F.col("w").desc(), "p"))
         .alias("ark"),
-    ).localCheckpoint()
+    )
 
     from ..functions.scale import loop_ckpt_counted, loop_rounds
 
@@ -2450,70 +2451,73 @@ def q_stable_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     # batch-rejection prune below.
     prar = pr.join(F.broadcast(ar), ["p", "a"]).localCheckpoint()
 
-    eng = pr.select("p", "a").where(F.lit(False))
-    rej = pr.select("p", "a").where(F.lit(False))
+    cols = ["p", "a", "prk", "ark"]
+    eng = prar.where(F.lit(False))
     n_rounds = loop_rounds(_GS_ROUNDS)
     converged = False
     prev_n = -1
     for _ in range(n_rounds):
-        free_opts = pr.join(F.broadcast(eng.select("p")), "p", "anti").join(
-            F.broadcast(rej), ["p", "a"], "anti"
+        # The cumulative rejection set is IMPLICIT (round-13 optimization,
+        # guide §2.4 "remove shuffles outright"): with batch rejection an
+        # acceptor's bar (its tentative match's ark) only TIGHTENS, and
+        # every rejection class — refused proposal, bumped incumbent,
+        # batch-doomed suffix — is exactly a list entry ranked strictly
+        # below the CURRENT bar. So "not yet rejected" is the stateless
+        # predicate ark < bar(a) (or a unengaged) instead of a
+        # cumulative rej relation that the first cut re-unioned and
+        # DISTINCTed every round (one Exchange per round on the
+        # pair-list relation, plus two extra broadcast joins to
+        # re-attach ranks). State is now the engagement relation alone,
+        # carrying both ranks, so the final output is a projection.
+        bar = eng.select("a", F.col("ark").alias("bar_ark"))
+        free = (
+            prar.join(F.broadcast(eng.select("p")), "p", "anti")
+            .join(F.broadcast(bar), "a", "left")
+            .where(
+                F.col("bar_ark").isNull() | (F.col("ark") < F.col("bar_ark"))
+            )
         )
         prop = (
-            free_opts.withColumn(
+            free.withColumn(
                 "rn",
                 F.row_number().over(Window.partitionBy("p").orderBy("prk")),
             )
             .where(F.col("rn") == 1)
-            .select("p", "a")
+            .select(*cols)
         )
+        # each acceptor keeps the best of {incumbent} ∪ {proposals} by
+        # ITS rank — ark rides the state, so no re-join against ar
         cand = prop.unionByName(eng)
         eng_n = (
-            cand.join(F.broadcast(ar), ["p", "a"])
-            .withColumn(
+            cand.withColumn(
                 "rn",
                 F.row_number().over(Window.partitionBy("a").orderBy("ark")),
             )
             .where(F.col("rn") == 1)
-            .select("p", "a")
+            .select(*cols)
         )
-        # ONE action per round: rej and eng ride a single is_rej-marked
-        # materialization (vs one eager checkpoint per relation in the
-        # first cut — the ~78 ms/job fixed cost dominates at sf0.1 on
-        # nation-sized relations), and the count that materializes it IS
-        # the quiescence certificate: |rej| and |eng| are both monotone
-        # and every NON-quiescent round strictly grows their union (an
-        # accepted proposal engages a free acceptor, +1 eng; a refusal or
-        # a bump permanently lands a pair in rej, +1 rej), so an
-        # unchanged state count proves the free-proposer frontier was
-        # empty and all later rounds are no-ops (the fixed-unroll
-        # oracle's extra rounds are no-ops too, hashes agree).
-        # Batch rejection (the classic parallel-GS acceleration): each
-        # acceptor's bar (its tentative match's ark) only TIGHTENS, so
-        # every list entry ranked strictly below the current bar is
-        # guaranteed a future rejection — fold them all into rej now.
-        # This prunes whole list suffixes per round instead of one entry
-        # per refusal, cutting rounds-to-quiescence; the final matching
-        # is the unique proposer-optimal one either way, so the
-        # fixed-unroll oracle (which replays the UNaccelerated rounds)
-        # converges to the same emitted relation.
-        bar = eng_n.join(F.broadcast(ar), ["p", "a"]).select(
-            "a", F.col("ark").alias("bar_ark")
+        # ONE action per round, and the count that materializes it IS the
+        # quiescence certificate: |doomed| (pairs under the new bars) and
+        # |eng| are both monotone, and every proposal strictly grows
+        # their union — an accepted proposal at a free acceptor adds an
+        # eng row; a displacement (or a losing simultaneous proposal)
+        # pushes the incumbent/loser pair under the tightened bar, adding
+        # a doomed row. An unchanged count therefore proves the
+        # free-proposer frontier was empty and all later rounds are
+        # no-ops (the fixed-unroll oracle's extra rounds are no-ops too,
+        # hashes agree).
+        bar_n = eng_n.select("a", F.col("ark").alias("bar_ark"))
+        doomed = (
+            prar.join(F.broadcast(bar_n), "a")
+            .where(F.col("ark") > F.col("bar_ark"))
+            .select(*cols)
         )
-        doomed = prar.join(F.broadcast(bar), "a").where(
-            F.col("ark") > F.col("bar_ark")
-        ).select("p", "a")
         state, n = loop_ckpt_counted(
-            rej.unionByName(cand.join(F.broadcast(eng_n), ["p", "a"], "anti"))
-            .unionByName(doomed)
-            .distinct()
-            .select("p", "a", F.lit(True).alias("is_rej"))
-            .unionByName(
-                eng_n.select("p", "a", F.lit(False).alias("is_rej"))
+            doomed.select(*cols, F.lit(True).alias("is_rej")).unionByName(
+                eng_n.select(*cols, F.lit(False).alias("is_rej"))
             )
         )
-        rej = state.where(F.col("is_rej")).select("p", "a")
-        eng = state.where(~F.col("is_rej")).select("p", "a")
+        eng = state.where(~F.col("is_rej")).select(*cols)
         if n == prev_n:
             converged = True
             break
@@ -2529,18 +2533,14 @@ def q_stable_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
             "on this data; raise _GS_LIST or the bound (general bound: "
             "|pr|+1 rounds)."
         )
-    # broadcast the rank attaches: eng is a stats-less checkpoint stub
-    # and the planner otherwise falls back to SortMergeJoin on the
-    # nation-sized relations
-    return (
-        eng.join(F.broadcast(pr), ["p", "a"])
-        .join(F.broadcast(ar), ["p", "a"])
-        .select(
-            F.col("p").alias("proposer"),
-            F.col("a").alias("acceptor"),
-            F.col("prk").cast("int").alias("proposer_rank"),
-            F.col("ark").cast("int").alias("acceptor_rank"),
-        )
+    # both ranks rode the loop state — the output is a pure projection
+    # of the final engagement relation (the first cut re-joined pr and
+    # ar here)
+    return eng.select(
+        F.col("p").alias("proposer"),
+        F.col("a").alias("acceptor"),
+        F.col("prk").cast("int").alias("proposer_rank"),
+        F.col("ark").cast("int").alias("acceptor_rank"),
     )
 
 

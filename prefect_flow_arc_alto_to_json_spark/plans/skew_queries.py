@@ -244,13 +244,22 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.sketch import cms_build, cms_estimate
 
+    # Round-13 optimization (guide §2.3 — aggregate before you shuffle):
+    # the sketch hashes depend only on the key, so ONE map-side-combined
+    # count per event_type replaces the per-row build (4 md5 bucket
+    # hashes per event row — execution measured 8.2 s at sf0.1, almost
+    # all in the row-wise hashing); the weighted build yields the
+    # cell-identical matrix, and the same 3-consumer relation also
+    # serves the probe set and the exact counts — one corpus scan total
+    # (the row-wise path previously scanned events three times).
     ev = load_table(spark, sf_dir, "events").select("event_type")
-    cms = cms_build(ev, "event_type")
-    probes = ev.distinct()
-    est = cms_estimate(cms, probes, "event_type")
-    true_counts = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_true")
+    true_counts = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_true"))
+        .localCheckpoint()
     )
+    cms = cms_build(true_counts, "event_type", weight_col="n_true")
+    est = cms_estimate(cms, true_counts.select("event_type"), "event_type")
     return true_counts.join(est, "event_type").select(
         "event_type",
         F.col("n_true").cast("long").alias("n_true"),

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalar import cents
+from ..functions.scale import literal_df
 from ..streaming.pipeline import (
     EVENTS_STREAM_SCHEMA,
     run_available_now,
@@ -263,7 +264,7 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             for h in hours
         ]
         _plant_events_like_source(
-            spark, src, spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA), name
+            spark, src, literal_df(spark, EVENTS_STREAM_SCHEMA, rows), name
         )
         drain()
     return spark.read.parquet(out).where(F.col("event_type") != "wm_advance")
@@ -474,7 +475,7 @@ def stream_sessionize_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, h in (("flush_a.parquet", 2), ("flush_b.parquet", 4)):
         rows = [(10**13 + h, mx + timedelta(hours=h), -1, "wm_advance", 1.0, None)]
         _plant_events_like_source(
-            spark, src, spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA), name
+            spark, src, literal_df(spark, EVENTS_STREAM_SCHEMA, rows), name
         )
         drain()
     return spark.read.parquet(out).where(F.col("user_id") != -1)
@@ -842,7 +843,7 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              "purchase", 1.0, None),
         ]
         _plant_events_like_source(
-            spark, src, spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA), name
+            spark, src, literal_df(spark, EVENTS_STREAM_SCHEMA, rows), name
         )
         drain()
     return spark.read.parquet(out).where(F.col("user_id") != -1)
@@ -1218,8 +1219,14 @@ def stream_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text"
     )
     # static side: corpus signatures + band index (at scale: persisted,
-    # bucketed by the band key)
-    corpus_sigs = with_minhash(docs, "text").select("doc_id", "minhash")
+    # bucketed by the band key). Materialized ONCE: both stream-static
+    # joins (band index + signature verify side) descend from it, and
+    # without truncation each batch re-runs the full corpus MinHash pass
+    # per join (round-13, guide §2.4 / §5 — the multi-consumer
+    # localCheckpoint rule)
+    corpus_sigs = (
+        with_minhash(docs, "text").select("doc_id", "minhash").localCheckpoint()
+    )
     corpus_bands = _bands_df(corpus_sigs, "doc_id").select(
         F.col("doc_id").alias("corpus_id"), "band_idx", "band_hash"
     )
@@ -1699,7 +1706,7 @@ def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              "purchase", 1.0, None),
         ]
         _plant_events_like_source(
-            spark, src, spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA), name
+            spark, src, literal_df(spark, EVENTS_STREAM_SCHEMA, rows), name
         )
         drain()
     return spark.read.parquet(out).where(F.col("user_id") != -1)
@@ -1827,7 +1834,7 @@ def stream_conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     for name, rows in (("open.parquet", opener), ("close.parquet", closer)):
         _plant_events_like_source(
-            spark, src, spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA), name
+            spark, src, literal_df(spark, EVENTS_STREAM_SCHEMA, rows), name
         )
         drain()
     return spark.read.parquet(out)

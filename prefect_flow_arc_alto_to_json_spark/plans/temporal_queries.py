@@ -2891,63 +2891,41 @@ def q_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in ("c0", "c1")
         ]
     )
-    cur = piv.select(
-        "*",
-        F.col("c0_0").alias("f0_0"),
-        (F.lit(_BURST_TRANS) + F.col("c1_0")).alias("f1_0"),
-    )
-    for i in range(1, _BURST_K):
-        cur = cur.select(
-            "*",
-            (
-                F.col(f"c0_{i}")
-                + F.least(F.col(f"f0_{i - 1}"), F.col(f"f1_{i - 1}"))
-            ).alias(f"f0_{i}"),
-            (
-                F.col(f"c1_{i}")
-                + F.least(
-                    F.col(f"f0_{i - 1}") + F.lit(_BURST_TRANS),
-                    F.col(f"f1_{i - 1}"),
-                )
-            ).alias(f"f1_{i}"),
-        )
+    # Round-13 optimization (guide §7.3 — driver planning time): the 31
+    # chained forward/backward DP selects fold into ONE selectExpr
+    # projection via lateral column-alias references (dependency order is
+    # the DP order), and the state readout is one SQL explode — the
+    # chained ``select("*", ...)`` form re-analyzed the growing tree per
+    # level and paid per-cell py4j round-trips; build time measured 3.5 s
+    # vs 0.1 s execution at sf0.1. Same integer expressions, same values.
     last = _BURST_K - 1
-    cur = cur.select(
-        "*",
-        F.lit(0).cast("long").alias(f"b0_{last}"),
-        F.lit(0).cast("long").alias(f"b1_{last}"),
-    )
-    for i in range(last - 1, -1, -1):
-        cur = cur.select(
-            "*",
-            F.least(
-                F.col(f"c0_{i + 1}") + F.col(f"b0_{i + 1}"),
-                F.lit(_BURST_TRANS) + F.col(f"c1_{i + 1}") + F.col(f"b1_{i + 1}"),
-            ).alias(f"b0_{i}"),
-            F.least(
-                F.col(f"c0_{i + 1}") + F.col(f"b0_{i + 1}"),
-                F.col(f"c1_{i + 1}") + F.col(f"b1_{i + 1}"),
-            ).alias(f"b1_{i}"),
+    dp = ["*", "c0_0 AS f0_0", f"({_BURST_TRANS} + c1_0) AS f1_0"]
+    for i in range(1, _BURST_K):
+        dp.append(f"(c0_{i} + LEAST(f0_{i - 1}, f1_{i - 1})) AS f0_{i}")
+        dp.append(
+            f"(c1_{i} + LEAST(f0_{i - 1} + {_BURST_TRANS}, f1_{i - 1}))"
+            f" AS f1_{i}"
         )
-    states = cur.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).cast("int").alias("idx"),
-                        F.when(
-                            F.col(f"f0_{i}") + F.col(f"b0_{i}")
-                            <= F.col(f"f1_{i}") + F.col(f"b1_{i}"),
-                            F.lit(0),
-                        )
-                        .otherwise(F.lit(1))
-                        .cast("int")
-                        .alias("state"),
-                    )
-                    for i in range(_BURST_K)
-                ]
-            )
-        ).alias("s")
+    dp.append(f"CAST(0 AS BIGINT) AS b0_{last}")
+    dp.append(f"CAST(0 AS BIGINT) AS b1_{last}")
+    for i in range(last - 1, -1, -1):
+        dp.append(
+            f"LEAST(c0_{i + 1} + b0_{i + 1},"
+            f" {_BURST_TRANS} + c1_{i + 1} + b1_{i + 1}) AS b0_{i}"
+        )
+        dp.append(
+            f"LEAST(c0_{i + 1} + b0_{i + 1}, c1_{i + 1} + b1_{i + 1})"
+            f" AS b1_{i}"
+        )
+    cur = piv.selectExpr(*dp)
+    states = cur.selectExpr(
+        "explode(array(%s)) AS s"
+        % ", ".join(
+            f"struct(CAST({i} AS INT) AS idx,"
+            f" CAST(IF(f0_{i} + b0_{i} <= f1_{i} + b1_{i}, 0, 1) AS INT)"
+            f" AS state)"
+            for i in range(_BURST_K)
+        )
     ).select("s.idx", "s.state").localCheckpoint()  # same shared-lineage break
     return costs.join(F.broadcast(states), "idx").select(
         "idx",
@@ -3095,26 +3073,27 @@ def q_dtw_event_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col(f"n_{i}").alias(f"y_{i}") for i in range(_DTW_K)],
     )
     df = a.join(b.hint("broadcast"), F.col("t_a") < F.col("t_b"))
-    df = df.select("*", F.abs(F.col("x_0") - F.col("y_0")).alias("c_0_0"))
-    levels: dict[int, list] = {}
+    # Round-13 optimization (guide §1.2 / §7.3 — driver planning time):
+    # ALL 31 anti-diagonal levels fold into ONE selectExpr projection via
+    # lateral column-alias references (each cell names earlier cells of
+    # the same SELECT, resolved in dependency order — the anti-diagonal
+    # walk of _dtw_cells IS a topological order). The previous chain of
+    # 31 ``select("*", ...)`` calls re-analyzed the whole ~290-column
+    # tree per level — plan construction measured ~5 s vs 0.5 s of
+    # execution at sf0.1; SQL strings also avoid the per-cell py4j
+    # round-trips (the operators/similarity._bucket_sql precedent).
+    # Values unchanged: the same cells are computed from the same
+    # neighbors in the same order (probe-verified frame-identical).
+    exprs = ["t_a", "t_b", "ABS(x_0 - y_0) AS c_0_0"]
     for i, j, in_band, nb in _dtw_cells():
         if i == 0 and j == 0:
             continue
         if not in_band:
-            e = F.lit(_DTW_BIGM).cast("long").alias(f"c_{i}_{j}")
+            exprs.append(f"CAST({_DTW_BIGM} AS BIGINT) AS c_{i}_{j}")
         else:
-            m = (
-                F.col(nb[0])
-                if len(nb) == 1
-                else F.least(*[F.col(x) for x in nb])
-            )
-            e = (F.abs(F.col(f"x_{i}") - F.col(f"y_{j}")) + m).alias(
-                f"c_{i}_{j}"
-            )
-        levels.setdefault(i + j, []).append(e)
-    for k in sorted(levels):
-        df = df.select("*", *levels[k])
-    return df.select(
+            m = nb[0] if len(nb) == 1 else "LEAST(%s)" % ", ".join(nb)
+            exprs.append(f"(ABS(x_{i} - y_{j}) + {m}) AS c_{i}_{j}")
+    return df.selectExpr(*exprs).select(
         "t_a",
         "t_b",
         F.col(f"c_{_DTW_K - 1}_{_DTW_K - 1}").cast("long").alias("dtw_cost"),
