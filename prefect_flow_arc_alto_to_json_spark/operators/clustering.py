@@ -64,6 +64,17 @@ def _int_dot(a, b):
     )
 
 
+#: SQL twin of :func:`_best_cent` over columns ``xq`` (the row vector) and
+#: ``cs`` (the collected array<struct<cent_id,cq>>): same argmax, same
+#: smallest-id tie-break, parsed JVM-side in one round-trip (guide §7.3).
+_BEST_CENT_SQL = (
+    "-(array_max(transform(cs, cc -> named_struct("
+    "'sim', aggregate(zip_with(xq, cc.cq, (x, y) -> x * y),"
+    " CAST(0 AS BIGINT), (acc, x) -> acc + x),"
+    " 'nid', -cc.cent_id))).nid)"
+)
+
+
 def _best_cent(xq_col, cs_col):
     """Argmax centroid id for one vector against the collected centroid
     array (array<struct<cent_id,cq>>): integer dot similarity, ties to the
@@ -107,40 +118,40 @@ def kmeans_assign_micro(
         .limit(k)
         .select(F.col("vid").alias("cent_id"), F.col("xq").alias("cq"))
     )
-    sums = [F.sum(F.col("xq")[d]).alias(f"s{d}") for d in range(dim)]
+    # Per-iteration relations are built from SQL STRINGS (parsed JVM-side)
+    # rather than per-dimension Column expressions: the 64 component sums
+    # + 64 centroid-update terms + the argmax HOF cost ~750 py4j
+    # round-trips per iteration — plan CONSTRUCTION measured 2.5-4.5 s vs
+    # 0.2-0.4 s execution at sf0.1 (round-13, guide §7.3; the
+    # similarity._bucket_sql precedent). Resolved plans and values are
+    # identical.
+    sums = [F.expr(f"sum(xq[{d}]) AS s{d}") for d in range(dim)]
+    upd = "array(%s) AS cq" % ", ".join(
+        f"CAST(FLOOR((2.0 * s{d} + n) / (2.0 * n)) AS BIGINT)"
+        for d in range(dim)
+    )
     for _ in range(iterations):
         # centroids collapse to ONE row of structs; assignment is then a
         # broadcast + narrow argmax map — the corpus never shuffles on
         # vid (round-13, guide §2.4; the previous join + groupBy(vid) +
         # max_by expanded the corpus k-fold and shuffled it back every
-        # iteration). Values unchanged: _best_cent is the same integer
-        # dot argmax with the same smallest-id tie-break.
+        # iteration). Values unchanged: _BEST_CENT_SQL is the same
+        # integer dot argmax with the same smallest-id tie-break.
         cs1 = cents.agg(
-            F.collect_list(F.struct("cent_id", "cq")).alias("cs")
+            F.expr("collect_list(struct(cent_id, cq))").alias("cs")
         )
-        assigned = c.crossJoin(F.broadcast(cs1)).select(
-            "vid",
-            "xq",
-            _best_cent(F.col("xq"), F.col("cs")).alias("cent_id"),
+        assigned = c.crossJoin(F.broadcast(cs1)).selectExpr(
+            "vid", "xq", _BEST_CENT_SQL + " AS cent_id"
         )
         agg = assigned.groupBy("cent_id").agg(
-            F.count(F.lit(1)).alias("n"), *sums
+            F.expr("count(1) AS n"), *sums
         )
-        cents = agg.select(
-            "cent_id",
-            F.array(
-                *[
-                    F.floor(
-                        (2.0 * F.col(f"s{d}") + F.col("n"))
-                        / (2.0 * F.col("n"))
-                    ).cast("long")
-                    for d in range(dim)
-                ]
-            ).alias("cq"),
-        ).localCheckpoint()
-    cs_fin = cents.agg(F.collect_list(F.struct("cent_id", "cq")).alias("cs"))
-    final = c.crossJoin(F.broadcast(cs_fin)).select(
-        "vid", _best_cent(F.col("xq"), F.col("cs")).alias("cent_id")
+        cents = agg.selectExpr("cent_id", upd).localCheckpoint(
+            eager=False
+        )  # k rows; materialized by the next pass
+    cs_fin = cents.agg(F.expr("collect_list(struct(cent_id, cq))").alias("cs"))
+    final = c.crossJoin(F.broadcast(cs_fin)).selectExpr(
+        "vid", _BEST_CENT_SQL + " AS cent_id"
     )
     n_cell = final.groupBy("cent_id").agg(F.count(F.lit(1)).alias("n_cell"))
     # n_cell is k rows — broadcast, or Catalyst sort-merges two descendants
@@ -343,37 +354,32 @@ def kmeans_silhouette_micro(
         .limit(k)
         .select(F.col("vid").alias("cent_id"), F.col("xq").alias("cq"))
     )
-    sums = [F.sum(F.col("xq")[d]).alias(f"s{d}") for d in range(dim)]
+    # SQL-string construction throughout — same py4j/analysis rationale
+    # (and identical resolved plans) as kmeans_assign_micro above.
+    sums = [F.expr(f"sum(xq[{d}]) AS s{d}") for d in range(dim)]
+    upd = "array(%s) AS cq" % ", ".join(
+        f"CAST(FLOOR((2.0 * s{d} + n) / (2.0 * n)) AS BIGINT)"
+        for d in range(dim)
+    )
     for _ in range(iterations):
         # centroids collapse to ONE row of structs; assignment is then a
         # broadcast + narrow argmax map — the corpus never shuffles on
         # vid (round-13, guide §2.4; the previous join + groupBy(vid) +
         # max_by expanded the corpus k-fold and shuffled it back every
-        # iteration). Values unchanged: _best_cent is the same integer
-        # dot argmax with the same smallest-id tie-break.
+        # iteration). Values unchanged: _BEST_CENT_SQL is the same
+        # integer dot argmax with the same smallest-id tie-break.
         cs1 = cents.agg(
-            F.collect_list(F.struct("cent_id", "cq")).alias("cs")
+            F.expr("collect_list(struct(cent_id, cq))").alias("cs")
         )
-        assigned = c.crossJoin(F.broadcast(cs1)).select(
-            "vid",
-            "xq",
-            _best_cent(F.col("xq"), F.col("cs")).alias("cent_id"),
+        assigned = c.crossJoin(F.broadcast(cs1)).selectExpr(
+            "vid", "xq", _BEST_CENT_SQL + " AS cent_id"
         )
         agg = assigned.groupBy("cent_id").agg(
-            F.count(F.lit(1)).alias("n"), *sums
+            F.expr("count(1) AS n"), *sums
         )
-        cents = agg.select(
-            "cent_id",
-            F.array(
-                *[
-                    F.floor(
-                        (2.0 * F.col(f"s{d}") + F.col("n"))
-                        / (2.0 * F.col("n"))
-                    ).cast("long")
-                    for d in range(dim)
-                ]
-            ).alias("cq"),
-        ).localCheckpoint()
+        cents = agg.selectExpr("cent_id", upd).localCheckpoint(
+            eager=False
+        )  # k rows; materialized by the next pass
     div = F.call_function
     # the per-point (sim, -cent_id, d2) triple against EVERY centroid as a
     # narrow array map over the broadcast centroid row — the round-12
@@ -382,42 +388,26 @@ def kmeans_silhouette_micro(
     # structs is the same argmax/tie-break as max_by(struct(sim,
     # -cent_id)); d2 can never decide (one d2 per cent_id). All terms
     # stay exact longs; every downstream use of ds is order-free.
-    cs_fin = cents.agg(F.collect_list(F.struct("cent_id", "cq")).alias("cs"))
-    trip = F.transform(
-        F.col("cs"),
-        lambda cc: F.struct(
-            _int_dot(F.col("xq"), cc["cq"]).alias("sim"),
-            (-cc["cent_id"]).alias("nid"),
-            F.aggregate(
-                F.zip_with(
-                    F.col("xq"), cc["cq"], lambda x, y: (x - y) * (x - y)
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("d2"),
-        ),
+    cs_fin = cents.agg(F.expr("collect_list(struct(cent_id, cq))").alias("cs"))
+    trip_sql = (
+        "transform(cs, cc -> named_struct("
+        "'sim', aggregate(zip_with(xq, cc.cq, (x, y) -> x * y),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x),"
+        " 'nid', -cc.cent_id,"
+        " 'd2', aggregate(zip_with(xq, cc.cq, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)))"
     )
     per = (
         c.crossJoin(F.broadcast(cs_fin))
-        .select("vid", trip.alias("ds"))
-        .select("vid", "ds", F.array_max("ds").alias("bst"))
+        .selectExpr("vid", trip_sql + " AS ds")
+        .selectExpr("vid", "ds", "array_max(ds) AS bst")
     )
-    ab = per.select(
+    ab = per.selectExpr(
         "vid",
-        (-F.col("bst")["nid"]).alias("cent_id"),
-        div("div", F.col("bst")["d2"], F.lit(_SIL_SHIFT)).alias("ad"),
-        div(
-            "div",
-            F.array_min(
-                F.transform(
-                    F.filter(
-                        "ds", lambda x: x["nid"] != F.col("bst")["nid"]
-                    ),
-                    lambda x: x["d2"],
-                )
-            ),
-            F.lit(_SIL_SHIFT),
-        ).alias("bd"),
+        "-(bst.nid) AS cent_id",
+        f"div(bst.d2, {_SIL_SHIFT}) AS ad",
+        "div(array_min(transform(filter(ds, x -> x.nid != bst.nid),"
+        f" x -> x.d2)), {_SIL_SHIFT}) AS bd",
     )
     mx = F.greatest("ad", "bd")
     num = F.col("bd") - F.col("ad")

@@ -1424,69 +1424,70 @@ def luby_mis(edges: DataFrame, rounds: int = 3) -> DataFrame:
     """
     from ..functions.scalar import stable_hash_p31
 
-    und = edges.select("a", "b").localCheckpoint()
-    nodes = (
-        und.select(F.col("a").alias("node"))
-        .unionByName(und.select(F.col("b").alias("node")))
-        .distinct()
-    )
-    pr = nodes.select(
-        "node",
-        stable_hash_p31(
-            F.concat(F.lit("mis-v1:"), F.col("node").cast("string"))
-        ).alias("pr"),
-    ).localCheckpoint()  # every round's dominance join reads it
+    def prio(col: str):
+        return stable_hash_p31(
+            F.concat(F.lit("mis-v1:"), F.col(col).cast("string"))
+        )
 
-    undecided = pr
+    und = edges.select("a", "b").localCheckpoint()
+    # Round-13 restructure (guide §2.4 / §7.3): the dominance priority is
+    # a PURE FUNCTION of the node id, so it rides the edge relation as
+    # two computed columns instead of two per-round priority joins; and
+    # the undecided adjacency is MAINTAINED incrementally (filter by the
+    # round's retired set) instead of rebuilt from the full edge list
+    # with two semi-joins per round. Same admit rule, same rounds, same
+    # (node, mis_round) relation — ~4 fewer joins per round and a far
+    # smaller per-round plan.
+    ue = (
+        und.unionByName(
+            und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .select("a", "b", prio("a").alias("pra"), prio("b").alias("prb"))
+        .localCheckpoint()
+    )
+    undecided = (
+        ue.select(F.col("a").alias("node")).distinct().localCheckpoint()
+    )
     out = None
     for r in range(1, loop_rounds(rounds) + 1):
-        # undirected adjacency restricted to undecided nodes
-        adj = (
-            und.unionByName(
-                und.select(F.col("b").alias("a"), F.col("a").alias("b"))
-            )
-            .join(
-                F.broadcast(undecided.select(F.col("node").alias("a"))),
-                "a",
-                "semi",
-            )
-            .join(
-                F.broadcast(undecided.select(F.col("node").alias("b"))),
-                "b",
-                "semi",
-            )
-        )
         # nodes beaten by an undecided neighbor of smaller (pr, id)
         beaten = (
-            adj.join(
-                F.broadcast(undecided.select(F.col("node").alias("a"), "pr")),
-                "a",
-            )
-            .join(
-                F.broadcast(
-                    undecided.select(
-                        F.col("node").alias("b"), F.col("pr").alias("pr2")
-                    )
-                ),
-                "b",
-            )
-            .where(
-                (F.col("pr2") < F.col("pr"))
-                | ((F.col("pr2") == F.col("pr")) & (F.col("b") < F.col("a")))
+            ue.where(
+                (F.col("prb") < F.col("pra"))
+                | ((F.col("prb") == F.col("pra")) & (F.col("b") < F.col("a")))
             )
             .select(F.col("a").alias("node"))
             .distinct()
         )
-        mis = undecided.join(F.broadcast(beaten), "node", "anti").select(
-            "node", F.lit(r).cast("int").alias("mis_round")
+        mis = loop_ckpt_lazy(
+            undecided.join(F.broadcast(beaten), "node", "anti").select(
+                "node", F.lit(r).cast("int").alias("mis_round")
+            )
         )
-        retired = mis.select("node").unionByName(
-            adj.join(
-                F.broadcast(mis.select(F.col("node").alias("b"))), "b", "semi"
-            ).select(F.col("a").alias("node"))
+        retired = (
+            mis.select("node")
+            .unionByName(
+                ue.join(
+                    F.broadcast(mis.select(F.col("node").alias("b"))),
+                    "b",
+                    "semi",
+                ).select(F.col("a").alias("node"))
+            )
+            .distinct()
         )
         undecided = loop_ckpt_lazy(
-            undecided.join(F.broadcast(retired.distinct()), "node", "anti")
+            undecided.join(F.broadcast(retired), "node", "anti")
+        )
+        ue = loop_ckpt_lazy(
+            ue.join(
+                F.broadcast(retired.select(F.col("node").alias("a"))),
+                "a",
+                "anti",
+            ).join(
+                F.broadcast(retired.select(F.col("node").alias("b"))),
+                "b",
+                "anti",
+            )
         )
         out = mis if out is None else out.unionByName(mis)
     return out

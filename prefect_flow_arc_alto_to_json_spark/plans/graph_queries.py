@@ -2445,6 +2445,7 @@ def q_stable_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ark"),
     )
 
+    from ..functions import scale as _scale
     from ..functions.scale import loop_ckpt_counted, loop_rounds
 
     # (p, a, prk, ark): each list entry with BOTH ranks attached, for the
@@ -2453,25 +2454,22 @@ def q_stable_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cols = ["p", "a", "prk", "ark"]
     eng = prar.where(F.lit(False))
-    n_rounds = loop_rounds(_GS_ROUNDS)
-    converged = False
-    prev_n = -1
-    for _ in range(n_rounds):
-        # The cumulative rejection set is IMPLICIT (round-13 optimization,
-        # guide §2.4 "remove shuffles outright"): with batch rejection an
-        # acceptor's bar (its tentative match's ark) only TIGHTENS, and
-        # every rejection class — refused proposal, bumped incumbent,
-        # batch-doomed suffix — is exactly a list entry ranked strictly
-        # below the CURRENT bar. So "not yet rejected" is the stateless
-        # predicate ark < bar(a) (or a unengaged) instead of a
-        # cumulative rej relation that the first cut re-unioned and
-        # DISTINCTed every round (one Exchange per round on the
-        # pair-list relation, plus two extra broadcast joins to
-        # re-attach ranks). State is now the engagement relation alone,
-        # carrying both ranks, so the final output is a projection.
-        bar = eng.select("a", F.col("ark").alias("bar_ark"))
+
+    # The cumulative rejection set is IMPLICIT (round-13 optimization,
+    # guide §2.4 "remove shuffles outright"): with batch rejection an
+    # acceptor's bar (its tentative match's ark) only TIGHTENS, and
+    # every rejection class — refused proposal, bumped incumbent,
+    # batch-doomed suffix — is exactly a list entry ranked strictly
+    # below the CURRENT bar. So "not yet rejected" is the stateless
+    # predicate ark < bar(a) (or a unengaged) instead of a cumulative
+    # rej relation that the first cut re-unioned and DISTINCTed every
+    # round (one Exchange per round on the pair-list relation, plus two
+    # extra broadcast joins to re-attach ranks). State is the engagement
+    # relation alone, carrying both ranks, so the output is a projection.
+    def gs_round(cur: DataFrame) -> DataFrame:
+        bar = cur.select("a", F.col("ark").alias("bar_ark"))
         free = (
-            prar.join(F.broadcast(eng.select("p")), "p", "anti")
+            prar.join(F.broadcast(cur.select("p")), "p", "anti")
             .join(F.broadcast(bar), "a", "left")
             .where(
                 F.col("bar_ark").isNull() | (F.col("ark") < F.col("bar_ark"))
@@ -2487,8 +2485,8 @@ def q_stable_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # each acceptor keeps the best of {incumbent} ∪ {proposals} by
         # ITS rank — ark rides the state, so no re-join against ar
-        cand = prop.unionByName(eng)
-        eng_n = (
+        cand = prop.unionByName(cur)
+        return (
             cand.withColumn(
                 "rn",
                 F.row_number().over(Window.partitionBy("a").orderBy("ark")),
@@ -2496,16 +2494,27 @@ def q_stable_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rn") == 1)
             .select(*cols)
         )
-        # ONE action per round, and the count that materializes it IS the
-        # quiescence certificate: |doomed| (pairs under the new bars) and
-        # |eng| are both monotone, and every proposal strictly grows
-        # their union — an accepted proposal at a free acceptor adds an
-        # eng row; a displacement (or a losing simultaneous proposal)
-        # pushes the incumbent/loser pair under the tightened bar, adding
-        # a doomed row. An unchanged count therefore proves the
-        # free-proposer frontier was empty and all later rounds are
-        # no-ops (the fixed-unroll oracle's extra rounds are no-ops too,
-        # hashes agree).
+
+    # ONE action per round reads the quiescence certificate: |doomed|
+    # (pairs under the new bars) and |eng| are both monotone and every
+    # proposal strictly grows their union — an accepted proposal at a
+    # free acceptor adds an eng row; a displacement (or losing
+    # simultaneous proposal) pushes the incumbent/loser pair under the
+    # tightened bar, adding a doomed row — so an unchanged count proves
+    # the round was a no-op and all later rounds are no-ops too (the
+    # fixed-unroll oracle's extra rounds are no-ops, hashes agree).
+    # (A 2-rounds-per-action variant was measured SLOWER here — the
+    # doubled per-block plan analysis outweighed the saved job, and
+    # block-granular convergence pays 2 extra no-op rounds; inner stays
+    # a knob for bigger markets.)
+    inner = 1
+    n_blocks = loop_rounds((_GS_ROUNDS + inner - 1) // inner)
+    converged = False
+    prev_n = -1
+    for _ in range(n_blocks):
+        eng_n = eng
+        for _ in range(inner):
+            eng_n = gs_round(eng_n)
         bar_n = eng_n.select("a", F.col("ark").alias("bar_ark"))
         doomed = (
             prar.join(F.broadcast(bar_n), "a")
@@ -2522,7 +2531,7 @@ def q_stable_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
             converged = True
             break
         prev_n = n
-    if not converged and n_rounds == _GS_ROUNDS:
+    if not converged and not _scale.AUDIT_ITERATION_MODE:
         # The L+1 bound assumed each free proposer consumes a list entry
         # every round, which bumping violates (see docstring); fail LOUD
         # rather than emit a silently partial matching the oracle would

@@ -3452,14 +3452,19 @@ def q_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = b1.select("k", F.col("br").alias("br_a"))
     y = b1.select(F.col("k").alias("k_y"), F.col("br").alias("br_b"))
     z = b1.select(F.col("k").alias("k_z"), F.col("br").alias("br_c"))
-    pairs = (
+    # the basket pair fan-out is computed ONCE (round-13, guide §1.2):
+    # the level-2 count and the level-3 pair stream previously each ran
+    # their own copy of this self-join; the lazy checkpoint materializes
+    # it at first use with no extra job
+    xy = (
         x.join(
             y.hint("shuffle_hash"),
             (F.col("k") == F.col("k_y")) & (F.col("br_a") < F.col("br_b")),
         )
-        .groupBy("br_a", "br_b")
-        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .select("k", "br_a", "br_b")
+        .localCheckpoint(eager=False)
     )
+    pairs = xy.groupBy("br_a", "br_b").agg(F.count(F.lit(1)).alias("n_pair"))
     f2 = (
         pairs.crossJoin(F.broadcast(nt))
         .where(F.col("n_pair") >= F.col("m"))
@@ -3468,14 +3473,7 @@ def q_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # level-2-pruned pair stream, then extend by a third item and prune
     # the two new faces of the triple against the same frequent-pair set
-    pstream = (
-        x.join(
-            y.hint("shuffle_hash"),
-            (F.col("k") == F.col("k_y")) & (F.col("br_a") < F.col("br_b")),
-        )
-        .select("k", "br_a", "br_b")
-        .join(F.broadcast(f2), ["br_a", "br_b"], "semi")
-    )
+    pstream = xy.join(F.broadcast(f2), ["br_a", "br_b"], "semi")
     tri = (
         pstream.join(
             z.hint("shuffle_hash"),

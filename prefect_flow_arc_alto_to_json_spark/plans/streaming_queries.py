@@ -221,9 +221,9 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev_batch = load_table(spark, sf_dir, "events")
     mn, mx = ev_batch.agg(F.min("ts"), F.max("ts")).first()
 
-    def drain() -> None:
+    def drain(max_files_per_trigger: int | None = None) -> None:
         agg = (
-            stream_events(spark, src)
+            stream_events(spark, src, max_files_per_trigger)
             .withWatermark("ts", "30 minutes")
             .groupBy(F.window("ts", "1 hour"), "event_type")
             .agg(
@@ -256,7 +256,6 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", F.col("event_id") + F.lit(10**12)
     )
     _plant_events_like_source(spark, src, late, "b_late.parquet")
-    drain()
     # phases 3-4: watermark-advancing futures flush the remaining windows.
     for name, hours in (("c_fresh.parquet", [2, 3]), ("d_fresh.parquet", [5])):
         rows = [
@@ -266,7 +265,21 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         _plant_events_like_source(
             spark, src, literal_df(spark, EVENTS_STREAM_SCHEMA, rows), name
         )
-        drain()
+    # Phases 2-4 ride ONE AvailableNow invocation at maxFilesPerTrigger=1
+    # (round-13, guide §1.2 — each stream START cost ~2.5 s here): the
+    # three planted files land in three micro-batches in mtime order
+    # (staggered below so ordering never ties), so the per-batch
+    # watermark evolution — late drop at the old watermark, then the two
+    # staged advances flushing the remaining windows — is IDENTICAL to
+    # the previous one-drain-per-file form. The phase-1 -> phase-2
+    # restart boundary (state + watermark surviving a query restart from
+    # the checkpoint) is preserved: phase 1 remains its own invocation.
+    base_t = int(os.path.getmtime(os.path.join(src, "a.parquet")))
+    for i, name in enumerate(
+        ("b_late.parquet", "c_fresh.parquet", "d_fresh.parquet")
+    ):
+        os.utime(os.path.join(src, name), (base_t + i + 1, base_t + i + 1))
+    drain(max_files_per_trigger=1)
     return spark.read.parquet(out).where(F.col("event_type") != "wm_advance")
 
 
