@@ -384,10 +384,25 @@ def write_report(rows: list[tuple[str, str, dict | str]]) -> None:
             "row is the real per-iteration body — multiply by the round\n"
             "count for total cost.\n\n"
         )
+        # Round-12 VERDICT #5: the per-iter exemption must be
+        # self-auditing — print the exempted SMJ tally beside the
+        # headline so "none" is never read as zero-SMJ-anywhere.
+        per_iter_smj = sum(
+            a["joins"]["SMJ"]
+            for n, _, a in rows
+            if isinstance(a, dict) and n in ITERATIVE
+        )
+        expected_smj = sum(
+            a["joins"]["SMJ"]
+            for n, _, a in rows
+            if isinstance(a, dict) and n in SMJ_EXPECTED
+        )
         fh.write(
             f"Registry: {len(QUERIES)} graded + {len(EXTRA_QUERIES)} extra. "
             f"Unexpected SortMergeJoins at this SF: "
-            f"{smj_offenders if smj_offenders else 'none'}. "
+            f"{smj_offenders if smj_offenders else 'none'} "
+            f"(exempt SMJs: {per_iter_smj} in per-iter loop bodies + "
+            f"{expected_smj} designed — see the lists below). "
             f"Unallowed global windows: "
             f"{gw_offenders if gw_offenders else 'none'}.\n\n"
         )

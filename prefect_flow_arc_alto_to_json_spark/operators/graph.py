@@ -1355,7 +1355,10 @@ def dominant_edge_matching(edges: DataFrame, rounds: int = 4) -> DataFrame:
             inc.withColumn("rn", F.row_number().over(wbest))
             .where(F.col("rn") == 1)
             .select("node", F.col("a").alias("ba"), F.col("b").alias("bb"))
-            .localCheckpoint()  # both dominance joins read it
+            .localCheckpoint()  # both dominance joins read it (EAGER:
+            # the lazy form re-executed round chains through the
+            # broadcast builds — measured 2.7 s -> 9.5 s; see
+            # OPTIMIZATION_r13.md)
         )
         m = (
             alive.join(
