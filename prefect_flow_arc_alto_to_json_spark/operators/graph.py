@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.scale import loop_ckpt_lazy, loop_rounds
+from ..functions.scale import loop_ckpt, loop_ckpt_lazy, loop_rounds
 
 NANO = 1_000_000_000
 
@@ -248,7 +248,7 @@ def hits_scores(edges: DataFrame, iterations: int = 2) -> DataFrame:
                 "node",
                 half_up_units(F.col(col), F.col("mx"), 1_000_000).alias(col),
             )
-            .transform(loop_ckpt_lazy)
+            .transform(loop_ckpt)
         )
 
     for _ in range(loop_rounds(iterations)):
@@ -361,7 +361,7 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int = 3) -> DataFrame:
             e.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
             .select("a", "b")
-            .transform(loop_ckpt_lazy)
+            .transform(loop_ckpt)
         )
     return e.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
@@ -623,7 +623,7 @@ def boruvka_components(
             .agg(F.min("e").alias("e"))
             .select("e.a", "e.b")
             .distinct()
-            .transform(loop_ckpt_lazy)
+            .transform(loop_ckpt)
         )
         # merge: min-label propagation over the chosen pseudo-forest
         m = lab
@@ -650,7 +650,7 @@ def boruvka_components(
                         F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
                     ).alias("comp"),
                 )
-                .transform(loop_ckpt_lazy)
+                .transform(loop_ckpt)
             )
         lab = m
         # statless checkpoint x checkpoint node join — hash, never SMJ
@@ -791,7 +791,7 @@ def scc_first_peel(edges: DataFrame, rounds: int = 4) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    f = nodes.withColumn("f", F.col("node")).transform(loop_ckpt_lazy)
+    f = nodes.withColumn("f", F.col("node")).transform(loop_ckpt)
     for _ in range(loop_rounds(rounds)):
         upd = (
             e.join(f, e["src"] == f["node"])
@@ -804,7 +804,7 @@ def scc_first_peel(edges: DataFrame, rounds: int = 4) -> DataFrame:
                 "node",
                 F.least(F.col("f"), F.coalesce("nmin", F.col("f"))).alias("f"),
             )
-            .transform(loop_ckpt_lazy)
+            .transform(loop_ckpt)
         )
     # color-preserving subgraph, derived once (setup for the peel loop)
     ecol = (
@@ -815,7 +815,7 @@ def scc_first_peel(edges: DataFrame, rounds: int = 4) -> DataFrame:
         .localCheckpoint()
     )
     r = f.withColumn("r", (F.col("node") == F.col("f")).cast("int")).transform(
-        loop_ckpt_lazy
+        loop_ckpt
     )
     for _ in range(loop_rounds(rounds)):
         upd = (
@@ -831,7 +831,7 @@ def scc_first_peel(edges: DataFrame, rounds: int = 4) -> DataFrame:
                 "f",
                 F.greatest(F.col("r"), F.coalesce("hit", F.lit(0))).alias("r"),
             )
-            .transform(loop_ckpt_lazy)
+            .transform(loop_ckpt)
         )
     return r.select(
         F.col("node").cast("long").alias("node"),
@@ -1051,7 +1051,7 @@ def ktruss_edges(edges: DataFrame, k: int = 4, rounds: int = 2) -> DataFrame:
                 F.coalesce("support", F.lit(0)).cast("long").alias("support"),
             )
             .where(F.col("support") >= k - 2)
-            .transform(loop_ckpt_lazy)
+            .transform(loop_ckpt)
         )
     return e.select(
         F.col("a").cast("long").alias("a"),
