@@ -791,49 +791,59 @@ def scc_first_peel(edges: DataFrame, rounds: int = 4) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    # SELF-LOOP form of both propagation loops (round-13, guide §2.4 +
+    # the loop_ckpt_lazy multi-consumer rule): augmenting the edge
+    # relation with identity edges folds "keep my own value" into the
+    # same min/max aggregate as the neighbor update —
+    # min(f(v), min_nbr f) == min over (in-neighbors ∪ self) — so each
+    # round consumes the loop state exactly ONCE (one join + one
+    # map-side-combined agg, no second state⋈update join), which makes
+    # the LAZY checkpoint safe (single consumer stage per round; the
+    # two-consumer form measured ~5 s lazy vs ~3 s eager). Values are
+    # identical: the self edge contributes exactly the node's own label.
+    eself = e.unionByName(
+        nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+    ).localCheckpoint()
     f = nodes.withColumn("f", F.col("node")).transform(loop_ckpt)
     for _ in range(loop_rounds(rounds)):
-        upd = (
-            e.join(f, e["src"] == f["node"])
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("f").alias("nmin"))
-        )
         f = (
-            f.join(upd, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("f"), F.coalesce("nmin", F.col("f"))).alias("f"),
-            )
-            .transform(loop_ckpt)
+            eself.join(f, eself["src"] == f["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("f").alias("f"))
+            .transform(loop_ckpt_lazy)
         )
-    # color-preserving subgraph, derived once (setup for the peel loop)
+    # converged colors feed FOUR consumers (ecol twice, r-init, final
+    # projection) — materialize once, eagerly
+    f = f.localCheckpoint()
+    # color-preserving subgraph, derived once (setup for the peel loop);
+    # self-loops are trivially color-preserving, giving the peel loop
+    # the same single-consumer shape
     ecol = (
         e.join(f.select(F.col("node").alias("src"), F.col("f").alias("fs")), "src")
         .join(f.select(F.col("node").alias("dst"), F.col("f").alias("fd")), "dst")
         .where(F.col("fs") == F.col("fd"))
         .select("src", "dst")
+        .unionByName(
+            nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+        )
         .localCheckpoint()
     )
-    r = f.withColumn("r", (F.col("node") == F.col("f")).cast("int")).transform(
-        loop_ckpt
+    r = (
+        f.select("node", (F.col("node") == F.col("f")).cast("int").alias("r"))
+        .transform(loop_ckpt)
     )
     for _ in range(loop_rounds(rounds)):
-        upd = (
-            ecol.join(r.where(F.col("r") == 1), ecol["dst"] == F.col("node"))
-            .select(F.col("src").alias("node"))
-            .distinct()
-            .withColumn("hit", F.lit(1))
-        )
+        # r(v) <- max over (color-preserving out-neighbors ∪ self) of r:
+        # "reaches the root" flows backward along v->u edges
         r = (
-            r.join(upd, "node", "left")
-            .select(
-                "node",
-                "f",
-                F.greatest(F.col("r"), F.coalesce("hit", F.lit(0))).alias("r"),
-            )
-            .transform(loop_ckpt)
+            ecol.join(r, ecol["dst"] == r["node"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.max("r").alias("r"))
+            .transform(loop_ckpt_lazy)
         )
-    return r.select(
+    # statless checkpoint x checkpoint node join — hash, never SMJ
+    # (the clustering_coefficient convention)
+    return r.join(f.hint("shuffle_hash"), "node").select(
         F.col("node").cast("long").alias("node"),
         F.col("f").cast("long").alias("color"),
         F.when(F.col("r") == 1, F.col("f")).otherwise(F.lit(-1))
