@@ -291,7 +291,14 @@ def main() -> None:
     # frozen HEADLINE set (cross-round comparability), the graded tier is
     # reported separately as ``graded_sec``.
     graded = list(QUERIES)
-    bench_names = names + [n for n in graded if n not in set(names)]
+    # Rotation continuity (round-14): queries demoted from the graded
+    # window keep their bench rows — the driver contract forbids removing
+    # entries from `queries`, and round-over-round per-query comparison
+    # needs the row to persist across rotations.
+    keep_timed = ["q_ipw_ate", "q_luby_mis"]
+    bench_names = names + [
+        n for n in graded + keep_timed if n not in set(names)
+    ]
 
     # Warmup: run the first query once to pay JVM / parquet-footer costs
     # outside the timed region.
@@ -409,16 +416,28 @@ def main() -> None:
         # SPARK_GRAFT_CPUS to measure per-query scaling, fixed-cost rows
         # legitimately inflate there, and the budget must never abort a
         # driver run before the contract JSON line prints.
-        if int(os.environ.get("SPARK_GRAFT_CPUS", "32")) >= 32:
-            hard = {
-                k: v
-                for k, v in timings.items()
-                if v > (15.0 if k.startswith("stream_") else 8.0)
-            }
+        hard = {
+            k: v
+            for k, v in timings.items()
+            if v > (15.0 if k.startswith("stream_") else 8.0)
+        }
+        try:
+            cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        except ValueError:
+            cpus = 32  # malformed env must never abort before the JSON line
+        if cpus >= 32:
             assert not hard, (
                 f"BUDGET FAIL: queries over the warm budget at sf{sf} "
                 f"(8 s batch / 15 s streaming-lifecycle): "
                 f"{hard} — split, re-plan, or demote before close"
+            )
+        elif hard:
+            # reduced-core scaling reruns legitimately inflate fixed-cost
+            # rows; keep the regression VISIBLE but never abort the run
+            # before the contract JSON line prints (round-13 ADVICE)
+            print(
+                f"BUDGET FAIL (non-fatal at {cpus} cpus): {hard}",
+                file=sys.stderr,
             )
     line = json.dumps(
         {

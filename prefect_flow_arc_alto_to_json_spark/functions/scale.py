@@ -208,6 +208,13 @@ def literal_df(spark, schema: str, rows) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.types import _parse_datatype_string
 
+    rows = list(rows)
+    if not rows:
+        raise ValueError(
+            "literal_df needs at least one row (reduce over an empty union "
+            "has no identity); build empty relations with "
+            "spark.createDataFrame([], schema) or a WHERE FALSE filter"
+        )
     st = _parse_datatype_string(schema)
 
     def cell(v, f):
@@ -215,6 +222,10 @@ def literal_df(spark, schema: str, rows) -> DataFrame:
         if v is None:
             return F.lit(None).cast(t).alias(f.name)
         if isinstance(v, _dt.datetime):
+            if v.tzinfo is not None:
+                # render the UTC instant — strftime on an aware datetime
+                # would silently drop the offset and shift the wall clock
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
             return (
                 F.lit(v.strftime("%Y-%m-%d %H:%M:%S.%f")).cast(t).alias(f.name)
             )

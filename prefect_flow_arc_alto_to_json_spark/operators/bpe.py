@@ -34,9 +34,20 @@ def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
     words = docs.select(
         F.explode(token_array(text_col)).alias("word")
     ).groupBy("word").agg(F.count(F.lit(1)).alias("n_w"))
+    return vocab_from_counts(words)
+
+
+def vocab_from_counts(word_counts: DataFrame) -> DataFrame:
+    """Seed the BPE vocabulary from a precomputed ``(word, n_w)`` count
+    relation — the collapse device for pipelines that ALREADY tokenize
+    the corpus for another stage (pipeline_tokenizer_ready's encode
+    counts): deriving n_w = sum of the per-doc counts skips a second
+    corpus-sized tokenize+explode pass (guide §1.2 — don't compute
+    things twice). Values are identical to :func:`word_vocab` by the
+    sum-of-partials identity."""
     # split's zero-width lookahead also matches at end-of-string and the
     # default limit=-1 KEEPS the resulting trailing "" — filter it.
-    return words.select(
+    return word_counts.select(
         "word",
         "n_w",
         F.filter(F.split("word", "(?!^)"), lambda c: c != "").alias("syms"),
@@ -93,7 +104,23 @@ def bpe_train(
     winner (orderBy-limit-1, broadcast back), and a codegen fold over
     the vocabulary's symbol arrays; lineage is checkpoint-truncated per
     merge so k merges plan like one."""
-    vocab = word_vocab(docs, text_col).localCheckpoint()
+    return _bpe_train_loop(docs.sparkSession, word_vocab(docs, text_col), k)
+
+
+def bpe_train_from_counts(
+    word_counts: DataFrame, k: int = 3
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`bpe_train` seeded from a precomputed ``(word, n_w)`` count
+    relation (see :func:`vocab_from_counts` for when and why)."""
+    return _bpe_train_loop(
+        word_counts.sparkSession, vocab_from_counts(word_counts), k
+    )
+
+
+def _bpe_train_loop(
+    spark, vocab0: DataFrame, k: int
+) -> tuple[DataFrame, DataFrame]:
+    vocab = vocab0.localCheckpoint()
     out = None
     for step in range(1, k + 1):
         counts = (
@@ -112,13 +139,16 @@ def bpe_train(
                 F.split("pk", SEP)[1].alias("rhs"),
                 "pair_count",
             )
-            .localCheckpoint(eager=False)
+            # EAGER: `top` has THREE consumers (isEmpty, the output row,
+            # the vocab-update broadcast). The round-13 lazy variant
+            # regressed text_bpe_merges 1.35 -> 1.56 s in the driver run
+            # (multi-consumer stub re-execution) and was reverted (r14).
+            .localCheckpoint()
         )
         # pairs run dry once every word is a single symbol; without this
         # break the crossJoin below would EMPTY the vocabulary (0-row
         # winner x vocab = 0 rows) and poison the encode table. The
-        # isEmpty probe is the action that materializes the (lazy) 1-row
-        # checkpoint — one job per step, not two (round-13).
+        # isEmpty probe reads the 1-row checkpoint, not the corpus.
         if top.isEmpty():
             break
         row = top.select(
@@ -144,12 +174,12 @@ def bpe_train(
                     F.col("syms"), F.col("pa"), F.col("pb")
                 ).alias("syms"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint()
         )
     if out is None:
         # degenerate corpus (every word one symbol): no merges, but the
         # contract stays a typed relation, never None
-        out = docs.sparkSession.createDataFrame(
+        out = spark.createDataFrame(
             [],
             "step int, lhs string, rhs string, merged string,"
             " pair_count long",
@@ -190,8 +220,10 @@ def unigram_viterbi(
     The DP is unrolled as ``max_word_len`` bounded levels (the corpus
     max is 8 chars; raise the constant for longer-tailed corpora — words
     beyond it are filtered, mirrored by the oracle): level i holds the
-    best path ending at character i, joining the segment relation
-    (word, j, i, piece, s_micro) against levels j in [i-4, i).
+    best path ending at character i, reading levels j in [i-4, i) — all
+    levels computed IN-ROW over each word's collected segment lattice
+    (one selectExpr of lateral aliases; see the lattice-at-once note
+    below), never as per-level joins.
 
     Returns per word: (word, wcount, vit_cost_micro, n_pieces, seg)
     with ``seg`` the '|'-joined Viterbi pieces.
@@ -249,61 +281,63 @@ def unigram_viterbi(
         )
         .select("word", "e.j", "e.i", "e.piece")
         .join(F.broadcast(scored), "piece")
-        .localCheckpoint()  # read by every DP level
     )
-    ball = words.select(
-        "word",
-        F.lit(0).alias("pos"),
-        F.lit(0).cast("long").alias("cost"),
-        F.lit("").alias("seg"),
-        F.lit(0).alias("np"),
+    # LATTICE-AT-ONCE DP (round-14, guide §7.3/§2.4 — the q_dtw device):
+    # the previous form ran max_word_len per-level rounds, each a
+    # segs⋈ball join + per-word window + eager localCheckpoint — ~40
+    # driver jobs and max_word_len vocabulary shuffles for an 8-char DP.
+    # Instead, each word's segment lattice is collected into ONE array
+    # column (one map-side-combined groupBy — the only exchange) and the
+    # whole Viterbi recurrence unrolls as lateral column aliases b1..bL
+    # inside a single projection. Per level i the candidate set is
+    # filter(sa, e.i = i); the prior state is element_at over the earlier
+    # aliases; the argmin is array_min over (cost, j, seg, np) structs —
+    # lexicographically identical to the old ROW_NUMBER OVER
+    # (ORDER BY cost, j) because (cost, j) already uniquely identifies a
+    # candidate (piece and prior state are functions of j at fixed
+    # (word, i)), so the trailing fields never participate in the
+    # comparison. b_i is NULL for i > length(word) (empty filter);
+    # the readout CASEs on length(word), which only selects non-NULL
+    # levels. Oracle/test equivalence: tests/test_bpe.py's pure-Python
+    # Viterbi replay + the text_unigram_tokenize oracle.
+    sa = segs.groupBy("word").agg(
+        F.collect_list(F.struct("j", "i", "s_micro", "piece")).alias("sa")
     )
-    from pyspark.sql import Window
-
-    for i in range(1, max_word_len + 1):
-        cand = (
-            segs.where(F.col("i") == i)
-            .join(
-                ball.select(
-                    "word",
-                    F.col("pos").alias("bpos"),
-                    F.col("cost").alias("bcost"),
-                    F.col("seg").alias("bseg"),
-                    F.col("np").alias("bnp"),
-                ),
-                "word",
-            )
-            .where(F.col("bpos") == F.col("j"))
+    b_prev = lambda i: "array(" + ", ".join(  # noqa: E731
+        f"b{j}" for j in range(i)
+    ) + ")"
+    levels = [
+        (
+            f"array_min(transform(transform(filter(sa, e -> e.i = {i}), "
+            f"e -> struct(element_at({b_prev(i)}, e.j + 1) AS p, e AS e)), "
+            f"x -> named_struct("
+            f"'cost', x.p.cost + x.e.s_micro, "
+            f"'j', x.e.j, "
+            f"'seg', concat(x.p.seg, '|', x.e.piece), "
+            f"'np', x.p.np + 1))) AS b{i}"
         )
-        win = Window.partitionBy("word").orderBy("cost", "j")
-        lvl = (
-            cand.select(
-                "word",
-                F.lit(i).alias("pos"),
-                (F.col("bcost") + F.col("s_micro")).alias("cost"),
-                F.concat("bseg", F.lit("|"), "piece").alias("seg"),
-                (F.col("bnp") + 1).alias("np"),
-                "j",
-            )
-            .withColumn("rn", F.row_number().over(win))
-            .where(F.col("rn") == 1)
-            .drop("rn", "j")
-        )
-        # lazy checkpoint: still truncates lineage per level, but the
-        # materialization folds into the final join's job instead of one
-        # eager job per DP level (round-13, the loop_ckpt_lazy device)
-        ball = ball.unionByName(lvl).localCheckpoint(eager=False)
+        for i in range(1, max_word_len + 1)
+    ]
+    readout = "CASE length(word) " + " ".join(
+        f"WHEN {i} THEN b{i}" for i in range(1, max_word_len + 1)
+    ) + " END AS best"
     return (
-        words.join(
-            ball, (words["word"] == ball["word"])
-            & (ball["pos"] == F.length(words["word"])),
+        words.join(sa, "word")
+        .selectExpr(
+            "word",
+            "wcount",
+            "sa",
+            "named_struct('cost', CAST(0 AS BIGINT), 'j', -1, "
+            "'seg', '', 'np', 0) AS b0",
+            *levels,
+            readout,
         )
         .select(
-            words["word"],
+            "word",
             "wcount",
-            F.col("cost").alias("vit_cost_micro"),
-            F.col("np").alias("n_pieces"),
-            F.expr("substring(seg, 2)").alias("seg"),
+            F.col("best.cost").alias("vit_cost_micro"),
+            F.col("best.np").alias("n_pieces"),
+            F.expr("substring(best.seg, 2)").alias("seg"),
         )
     )
 

@@ -56,42 +56,21 @@ def quantize_micro(df: DataFrame, vec_col: str, out_col: str = "xq") -> DataFram
     )
 
 
-def _int_dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-
-
-#: SQL twin of :func:`_best_cent` over columns ``xq`` (the row vector) and
-#: ``cs`` (the collected array<struct<cent_id,cq>>): same argmax, same
-#: smallest-id tie-break, parsed JVM-side in one round-trip (guide §7.3).
+#: Argmax centroid id for one vector against the collected centroid array
+#: — columns ``xq`` (the row vector) and ``cs`` (array<struct<cent_id,cq>>):
+#: integer dot similarity, ties to the SMALLEST centroid id, encoded as a
+#: lexicographic array_max over (sim, -cent_id) structs so the result is
+#: independent of the collect_list order. A SQL string (parsed JVM-side in
+#: one round-trip, guide §7.3) — the single canonical definition; replaces
+#: the round-12 join + groupBy(vid) + max_by assignment, which expanded the
+#: corpus k-fold and shuffled it back per iteration (guide §2.4):
+#: assignment is a NARROW map — corpus rows never leave their partition.
 _BEST_CENT_SQL = (
     "-(array_max(transform(cs, cc -> named_struct("
     "'sim', aggregate(zip_with(xq, cc.cq, (x, y) -> x * y),"
     " CAST(0 AS BIGINT), (acc, x) -> acc + x),"
     " 'nid', -cc.cent_id))).nid)"
 )
-
-
-def _best_cent(xq_col, cs_col):
-    """Argmax centroid id for one vector against the collected centroid
-    array (array<struct<cent_id,cq>>): integer dot similarity, ties to the
-    SMALLEST centroid id — encoded as lexicographic array_max over
-    (sim, -cent_id) structs, so the result is independent of the
-    collect_list order. Replaces the round-12 join + groupBy(vid) +
-    max_by assignment, which expanded the corpus k-fold and shuffled it
-    back per iteration (guide §2.4): assignment is now a NARROW map —
-    corpus rows never leave their partition."""
-    sims = F.transform(
-        cs_col,
-        lambda cc: F.struct(
-            _int_dot(xq_col, cc["cq"]).alias("sim"),
-            (-cc["cent_id"]).alias("nid"),
-        ),
-    )
-    return (-F.array_max(sims)["nid"]).cast("long")
 
 
 def kmeans_assign_micro(

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.scale import loop_ckpt_lazy, loop_rounds
+from ..functions.scale import loop_ckpt, loop_rounds
 
 
 def decision_stump_errors(
@@ -163,7 +163,12 @@ def boosted_stump_curves(
     ).withColumn("w", F.lit(1).cast("long"))
     curves = []
     for t in range(1, loop_rounds(rounds) + 1):
-        curve = _weighted_stump_curve(rows).transform(loop_ckpt_lazy)
+        # EAGER checkpoint: the curve has TWO consumers (the output union
+        # AND the best-split extraction feeding the broadcast reweight) —
+        # the documented loop_ckpt_lazy multi-consumer pathology; the lazy
+        # variant regressed q_boosted_stumps 1.27->1.47 s in the round-13
+        # driver run and was reverted (round-14).
+        curve = _weighted_stump_curve(rows).transform(loop_ckpt)
         curves.append(curve.select(F.lit(t).cast("int").alias("boost_round"), "*"))
         if t == rounds:
             break
@@ -185,7 +190,7 @@ def boosted_stump_curves(
                 .cast("long")
                 .alias("w"),
             )
-            .transform(loop_ckpt_lazy)
+            .transform(loop_ckpt)
         )
     out = curves[0]
     for c in curves[1:]:

@@ -2902,7 +2902,7 @@ def q_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_conformal_interval",
-    extra=True,
+    # promoted r14: conformal prediction, never graded (ROTATION.md)
     oracle="""
     WITH rows_ AS (
       SELECT o_orderkey, o_orderpriority,
@@ -3478,7 +3478,9 @@ def q_ndcg_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_ipw_ate",
-    # promoted r12: observational causal inference, never graded
+    # graded r12-r13 (green in CORRECTNESS_r12/r13); rotated to extra in
+    # r14 to free a slot for never-graded families (ROTATION.md)
+    extra=True,
     oracle="""
     WITH u AS (
       SELECT user_id,

@@ -1423,7 +1423,9 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_edit_distance_join",
-    # promoted r12: character-level record linkage, never graded
+    # graded r12-r13 (green in CORRECTNESS_r12/r13); rotated to extra in
+    # r14 to free a slot for never-graded families (ROTATION.md)
+    extra=True,
     # the oracle is the UNPRUNED brute definition over the distinct-name
     # vocabulary — the hash certifies both the length banding AND the
     # threshold-pruned Levenshtein DP (the apriori device)

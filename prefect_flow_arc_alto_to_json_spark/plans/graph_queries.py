@@ -2220,7 +2220,13 @@ def _mis_oracle(rounds: int = 3) -> str:
     return head + body + "\n    " + arms
 
 
-@query("q_luby_mis", oracle=_mis_oracle(3))  # promoted r12: randomized MIS, never graded
+@query(
+    "q_luby_mis",
+    # graded r12-r13 (green in CORRECTNESS_r12/r13); rotated to extra in
+    # r14 to free a slot for never-graded families (ROTATION.md)
+    extra=True,
+    oracle=_mis_oracle(3),
+)
 def q_luby_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Luby-style MAXIMAL INDEPENDENT SET (operators/graph.py:luby_mis)
     on the mean-thresholded undirected trade graph — the vertex
@@ -2467,6 +2473,12 @@ def q_stable_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     # extra broadcast joins to re-attach ranks). State is the engagement
     # relation alone, carrying both ranks, so the output is a projection.
     def gs_round(cur: DataFrame) -> DataFrame:
+        # Both per-round argmins are min_by AGGREGATES, not row_number
+        # windows (round-14, guide §2.4/§2.3): the window form paid an
+        # exchange + full sort + window scan per round; min_by is
+        # map-side-combinable partial aggregation with no sort. Values
+        # are identical — prk is unique within p and ark unique within a
+        # (both are row_numbers), so min_by has no ties to break.
         bar = cur.select("a", F.col("ark").alias("bar_ark"))
         free = (
             prar.join(F.broadcast(cur.select("p")), "p", "anti")
@@ -2476,23 +2488,17 @@ def q_stable_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         prop = (
-            free.withColumn(
-                "rn",
-                F.row_number().over(Window.partitionBy("p").orderBy("prk")),
-            )
-            .where(F.col("rn") == 1)
-            .select(*cols)
+            free.groupBy("p")
+            .agg(F.min_by(F.struct(*cols), F.col("prk")).alias("s"))
+            .select("s.*")
         )
         # each acceptor keeps the best of {incumbent} ∪ {proposals} by
         # ITS rank — ark rides the state, so no re-join against ar
         cand = prop.unionByName(cur)
         return (
-            cand.withColumn(
-                "rn",
-                F.row_number().over(Window.partitionBy("a").orderBy("ark")),
-            )
-            .where(F.col("rn") == 1)
-            .select(*cols)
+            cand.groupBy("a")
+            .agg(F.min_by(F.struct(*cols), F.col("ark")).alias("s"))
+            .select("s.*")
         )
 
     # ONE action per round reads the quiescence certificate: |doomed|

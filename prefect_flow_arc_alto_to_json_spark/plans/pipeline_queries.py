@@ -340,7 +340,7 @@ def pipeline_tokenizer_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, word)-counts × vocab (shuffle-hash at real vocab
     cardinality); packing is ONE window shuffle sharded by source. No
     stage rescans raw text after the clean pass."""
-    from ..operators.bpe import bpe_train
+    from ..operators.bpe import bpe_train_from_counts
     from ..operators.corpus import chunk_pack
     from ..functions.scalar import token_array
 
@@ -366,25 +366,32 @@ def pipeline_tokenizer_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_doc_freq=_NEAR_DUP_MAX_DF,
     )
     drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    # THREE consumers descend from the cleaned corpus (the eager BPE
-    # vocab pass at construction, the encode tokenization, and the
-    # lineage the pack window replays) — unlike pipeline_clean_corpus's
-    # two, so here the checkpoint wins: the quality/dedup chain runs
-    # once and downstream stages scan the materialized survivors, never
-    # raw text (at 100 TB this is the bronze-parquet handoff).
+    # With the vocab now derived from the encode counts (below), the
+    # cleaned corpus has exactly ONE consumer — the sw tokenize pass —
+    # so its checkpoint is LAZY: lineage still truncates (the bronze
+    # handoff boundary at 100 TB), but materialization folds into sw's
+    # eager checkpoint job instead of paying its own (single-consumer
+    # rule on functions/scale.loop_ckpt_lazy).
     clean = (
         exact_kept.join(F.broadcast(drops), "doc_id", "left_anti")
         .select("doc_id", "source", "text")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    _, vocab = bpe_train(clean, k=3)
+    # ONE corpus tokenize pass (round-14, guide §1.2): the per-(doc, word)
+    # encode counts are computed first and checkpointed, and the BPE
+    # trainer's word vocabulary derives from them (n_w = sum of n_sw) —
+    # previously bpe_train and the encode stage each ran their own
+    # tokenize+explode over the cleaned corpus.
     sw = (
         clean.select(
             "doc_id", "source", F.explode(token_array("text")).alias("word")
         )
         .groupBy("doc_id", "source", "word")
         .agg(F.count(F.lit(1)).alias("n_sw"))
+        .localCheckpoint()  # two consumers: the vocab rollup + the encode join
     )
+    wcounts = sw.groupBy("word").agg(F.sum("n_sw").cast("long").alias("n_w"))
+    _, vocab = bpe_train_from_counts(wcounts, k=3)
     encd = (
         sw.join(vocab.select("word", F.size("syms").alias("n_sub_w")), "word")
         .groupBy("doc_id", "source")

@@ -2808,7 +2808,7 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_yannakakis_chain",
-    extra=True,
+    # promoted r14: multi-way join planning, never graded (ROTATION.md)
     oracle="""
     SELECT c.c_nationkey AS nationkey,
            CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
@@ -3452,19 +3452,21 @@ def q_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = b1.select("k", F.col("br").alias("br_a"))
     y = b1.select(F.col("k").alias("k_y"), F.col("br").alias("br_b"))
     z = b1.select(F.col("k").alias("k_z"), F.col("br").alias("br_c"))
-    # the basket pair fan-out is computed ONCE (round-13, guide §1.2):
-    # the level-2 count and the level-3 pair stream previously each ran
-    # their own copy of this self-join; the lazy checkpoint materializes
-    # it at first use with no extra job
-    xy = (
+    # The basket pair fan-out is deliberately COMPUTED TWICE (level-2
+    # count here, level-3 pair stream below) rather than checkpointed
+    # once: the fan-out is LARGER than its input (pairs-per-basket), so
+    # materializing it costs more than the map-side-combined aggregate
+    # that consumes it fused — a round-13 lazy-checkpoint single-copy
+    # variant regressed the driver's number 2.64 -> 3.13 s and was
+    # reverted (round-14; the cache-a-fan-out anti-pattern, guide §5).
+    pairs = (
         x.join(
             y.hint("shuffle_hash"),
             (F.col("k") == F.col("k_y")) & (F.col("br_a") < F.col("br_b")),
         )
-        .select("k", "br_a", "br_b")
-        .localCheckpoint(eager=False)
+        .groupBy("br_a", "br_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
     )
-    pairs = xy.groupBy("br_a", "br_b").agg(F.count(F.lit(1)).alias("n_pair"))
     f2 = (
         pairs.crossJoin(F.broadcast(nt))
         .where(F.col("n_pair") >= F.col("m"))
@@ -3473,7 +3475,14 @@ def q_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # level-2-pruned pair stream, then extend by a third item and prune
     # the two new faces of the triple against the same frequent-pair set
-    pstream = xy.join(F.broadcast(f2), ["br_a", "br_b"], "semi")
+    pstream = (
+        x.join(
+            y.hint("shuffle_hash"),
+            (F.col("k") == F.col("k_y")) & (F.col("br_a") < F.col("br_b")),
+        )
+        .select("k", "br_a", "br_b")
+        .join(F.broadcast(f2), ["br_a", "br_b"], "semi")
+    )
     tri = (
         pstream.join(
             z.hint("shuffle_hash"),

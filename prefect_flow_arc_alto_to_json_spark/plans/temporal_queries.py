@@ -1254,7 +1254,7 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_cusum_changepoint",
-    extra=True,
+    # promoted r14: changepoint detection, never graded (ROTATION.md)
     oracle="""
     WITH daily AS (
       SELECT event_type,
@@ -2155,7 +2155,11 @@ def _bt_oracle(rounds: int = 3) -> str:
     return head + body + tail
 
 
-@query("q_bradley_terry", extra=True, oracle=_bt_oracle(3))
+@query(
+    "q_bradley_terry",
+    # promoted r14: pairwise preference models, never graded (ROTATION.md)
+    oracle=_bt_oracle(3),
+)
 def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BRADLEY-TERRY pairwise-preference strengths
     (operators/preference.py:bradley_terry_nano) — the preference-
@@ -3017,7 +3021,13 @@ def _dtw_oracle() -> str:
     )
 
 
-@query("q_dtw_event_series", oracle=_dtw_oracle())  # promoted r12: elastic ts distance, never graded
+@query(
+    "q_dtw_event_series",
+    # graded r12-r13 (green in CORRECTNESS_r12/r13); rotated to extra in
+    # r14 to free a slot for never-graded families (ROTATION.md)
+    extra=True,
+    oracle=_dtw_oracle(),
+)
 def q_dtw_event_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SAKOE-CHIBA-BANDED DYNAMIC TIME WARPING between every pair of
     event types' trailing-16-day daily-count series — the sequence-

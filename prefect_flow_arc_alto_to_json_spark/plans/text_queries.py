@@ -1632,15 +1632,20 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is exact long arithmetic, the ratio via the half-up
     device."""
     from ..functions.scalar import half_up_units
-    from ..operators.bpe import bpe_train
+    from ..operators.bpe import bpe_train_from_counts
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    _, vocab = bpe_train(docs, k=3)
+    # ONE corpus tokenize pass (round-14, guide §1.2): the encode-side
+    # (source, word) counts seed the trainer's vocabulary (n_w = sum of
+    # n_sw) — previously bpe_train re-tokenized the corpus.
     sw = (
         docs.select("source", F.explode(token_array("text")).alias("word"))
         .groupBy("source", "word")
         .agg(F.count(F.lit(1)).alias("n_sw"))
+        .localCheckpoint()  # two consumers: vocab rollup + encode join
     )
+    wcounts = sw.groupBy("word").agg(F.sum("n_sw").cast("long").alias("n_w"))
+    _, vocab = bpe_train_from_counts(wcounts, k=3)
     enc = sw.join(
         vocab.select(
             "word",

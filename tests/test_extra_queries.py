@@ -88,21 +88,14 @@ def test_extra_query_matches_oracle(name, spark, sf_dir, con):
     compare(df, con, EXTRA_ORACLES[name], name)
 
 
-def test_every_extra_query_runs(spark, sf_dir):
-    import gc
-
-    for i, (name, fn) in enumerate(EXTRA_QUERIES.items()):
-        df = fn(spark, sf_dir)
-        assert df.columns, name
-        df.limit(1).collect()
-        del df
-        if i % 15 == 14:
-            # 140+ back-to-back plans in ONE session: py4j holds JVM refs
-            # until Python GC runs, so broadcast blocks pile up faster
-            # than ContextCleaner can drop them — at sf0.1 this OOM'd the
-            # driver's broadcast memory even though every query passes
-            # individually. Forcing collection lets the cleaner keep up.
-            gc.collect()
+# (round-14, suite-duration fix) test_every_extra_query_runs was removed:
+# it re-executed all ~330 extra queries a SECOND time (limit(1).collect()
+# per query) for a strictly weaker check than test_extra_query_matches_oracle,
+# which already executes every extra query fully —
+# test_registry_oracle_coverage_is_total guarantees the oracle set covers
+# the registry, so the "does it run" property is subsumed. The driver's
+# verify window truncated the suite in round 13 (VERIFY_r13 tests_ok=false
+# at ~93%); this redundancy was the single largest cut available.
 
 
 def test_np_twin_matches_jvm_brute_force(spark, sf_dir):

@@ -25,11 +25,12 @@ def test_query_matches_oracle(name, spark, sf_dir, con):
     compare(df, con, ORACLES[name], name)
 
 
-def test_every_query_runs(spark, sf_dir):
-    for name, fn in QUERIES.items():
-        df = fn(spark, sf_dir)
-        assert df.columns, name
-        df.limit(1).collect()
+# (round-14, suite-duration fix) test_every_query_runs was removed: it
+# re-executed all 50 graded queries a second time for a strictly weaker
+# check than test_query_matches_oracle above, which executes every graded
+# query fully (tests/test_extra_queries.py::
+# test_registry_oracle_coverage_is_total guarantees ORACLES covers
+# QUERIES). 86 s of the round-13 driver-verify truncation.
 
 
 def test_approx_distinct_within_tolerance(spark, sf_dir):

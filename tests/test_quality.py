@@ -178,9 +178,12 @@ def test_conformal_interval_coverage(spark, sf_dir):
     k = ceil(0.9 * (n_cal + 1))."""
     import math
 
-    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES
+    from prefect_flow_arc_alto_to_json_spark.plans import EXTRA_QUERIES, QUERIES
 
-    rows = EXTRA_QUERIES["q_conformal_interval"](spark, sf_dir).toPandas()
+    # merged lookup: survives graded-window rotation (round-9 gotcha)
+    rows = {**QUERIES, **EXTRA_QUERIES}["q_conformal_interval"](
+        spark, sf_dir
+    ).toPandas()
     cov = rows["n_covered"].sum() / rows["n_test"].sum()
     assert 0.86 <= cov <= 0.96, cov
     n_cal, k = rows["n_cal"].iloc[0], rows["k"].iloc[0]
