@@ -134,6 +134,7 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_dir=tempfile.mkdtemp(prefix="stream_dedup_ckpt_"),
         output_mode="complete",
         memory_table=table,
+        state_provider="rocksdb",  # key-per-row dedup state (round-14)
     )
     return spark.table(table)
 
@@ -669,6 +670,10 @@ def stream_dedup_state_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ckpt,
             output_mode="append",
             foreach_batch=lambda df, _bid: df.write.mode("append").parquet(out),
+            # key-per-row state (600k event ids within the watermark):
+            # the RocksDB-provider class of state, 3.5x faster here
+            # (round-14 A/B) and the production choice at 100 TB/day
+            state_provider="rocksdb",
         )
 
     drain()
@@ -1103,6 +1108,7 @@ def stream_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_dir=tempfile.mkdtemp(prefix="stream_clean_ckpt_"),
         output_mode="append",
         memory_table=table,
+        state_provider="rocksdb",  # key-per-row digest dedup state (r14)
     )
     return spark.table(table)
 
@@ -1294,6 +1300,7 @@ def stream_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_dir=tempfile.mkdtemp(prefix="stream_neardup_ckpt_"),
         output_mode="append",
         memory_table=table,
+        state_provider="rocksdb",  # key-per-row pair dedup state (r14)
     )
     return spark.table(table)
 

@@ -165,12 +165,22 @@ def dedup_events(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     )
 
 
+#: Spark's bundled RocksDB state store (standard production provider for
+#: large keyed state since 3.2).
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+
+
 def run_available_now(
     stream_df: DataFrame,
     checkpoint_dir: str,
     output_mode: str = "append",
     foreach_batch=None,
     memory_table: str | None = None,
+    state_provider: str | None = None,
 ) -> None:
     """Drain everything currently available and stop (Trigger.AvailableNow)
     — run-per-invocation semantics like the reference's scheduled flow; the
@@ -178,19 +188,45 @@ def run_available_now(
 
     Exactly one of ``foreach_batch`` (reuse batch sinks) or ``memory_table``
     (tests/dev) selects the sink.
+
+    ``state_provider="rocksdb"`` selects the RocksDB state store for THIS
+    query (the conf is read at query start and baked into the checkpoint).
+    Use it for KEY-PER-ROW state (dropDuplicates*/large keyed stores) — the
+    production-standard choice at 100 TB/day state volumes, and measured
+    3.5x faster locally on the 600k-key eviction query (round-14:
+    18.2 s -> 5.2 s same-session A/B). Small window-aggregation state stays
+    on the default HDFS-backed provider: per-partition RocksDB instance
+    startup costs more than the handful of window rows it manages
+    (stream_late_data_drop measured 7.8 -> 9.0 s under RocksDB).
     """
-    writer = (
-        stream_df.writeStream.outputMode(output_mode)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-    )
-    if foreach_batch is not None:
-        query = writer.foreachBatch(foreach_batch).start()
-    elif memory_table is not None:
-        query = writer.format("memory").queryName(memory_table).start()
-    else:
-        raise ValueError("provide foreach_batch or memory_table")
-    query.awaitTermination()
+    spark = stream_df.sparkSession
+    prev = spark.conf.get(_PROVIDER_KEY, None)
+    if state_provider == "rocksdb":
+        spark.conf.set(_PROVIDER_KEY, ROCKSDB_PROVIDER)
+    elif state_provider is not None:
+        raise ValueError(f"unknown state_provider: {state_provider}")
+    try:
+        writer = (
+            stream_df.writeStream.outputMode(output_mode)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+        )
+        if foreach_batch is not None:
+            query = writer.foreachBatch(foreach_batch).start()
+        elif memory_table is not None:
+            query = writer.format("memory").queryName(memory_table).start()
+        else:
+            raise ValueError("provide foreach_batch or memory_table")
+        query.awaitTermination()
+    finally:
+        if state_provider == "rocksdb":
+            # restore-or-UNSET: conf.get(key, None) is None for never-set
+            # keys, and restoring only non-None values would leak the
+            # override into later queries (the round-9 conf-leak gotcha)
+            if prev is None:
+                spark.conf.unset(_PROVIDER_KEY)
+            else:
+                spark.conf.set(_PROVIDER_KEY, prev)
 
 
 def running_user_totals(events: DataFrame) -> DataFrame:
