@@ -2461,6 +2461,23 @@ def q_stable_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ["p", "a", "prk", "ark"]
     eng = prar.where(F.lit(False))
 
+    # Size-adaptive loop parallelism (the dedup_components precedent,
+    # round-14): every per-round relation is bounded by |prar| (the
+    # truncated preference lists), so on small markets the ~9 rounds'
+    # cost is pure task scheduling — 32 shuffle partitions x 2 aggs x
+    # rounds for a few hundred rows (measured 4.9 -> 3.0 s at sf0.1 with
+    # 4 partitions, AQE settings neutral). prar is already materialized,
+    # so sizing it is one cheap count; big markets keep the session
+    # default untouched — the million-entity path is unchanged.
+    sparks = prar.sparkSession
+    n_prar = prar.count()
+    prev_sp = sparks.conf.get("spark.sql.shuffle.partitions")
+    if n_prar < 50_000 * int(prev_sp):
+        sparks.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(4, min(int(prev_sp), n_prar // 50_000 + 4))),
+        )
+
     # The cumulative rejection set is IMPLICIT (round-13 optimization,
     # guide §2.4 "remove shuffles outright"): with batch rejection an
     # acceptor's bar (its tentative match's ark) only TIGHTENS, and
@@ -2517,26 +2534,32 @@ def q_stable_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_blocks = loop_rounds((_GS_ROUNDS + inner - 1) // inner)
     converged = False
     prev_n = -1
-    for _ in range(n_blocks):
-        eng_n = eng
-        for _ in range(inner):
-            eng_n = gs_round(eng_n)
-        bar_n = eng_n.select("a", F.col("ark").alias("bar_ark"))
-        doomed = (
-            prar.join(F.broadcast(bar_n), "a")
-            .where(F.col("ark") > F.col("bar_ark"))
-            .select(*cols)
-        )
-        state, n = loop_ckpt_counted(
-            doomed.select(*cols, F.lit(True).alias("is_rej")).unionByName(
-                eng_n.select(*cols, F.lit(False).alias("is_rej"))
+    try:
+        for _ in range(n_blocks):
+            eng_n = eng
+            for _ in range(inner):
+                eng_n = gs_round(eng_n)
+            bar_n = eng_n.select("a", F.col("ark").alias("bar_ark"))
+            doomed = (
+                prar.join(F.broadcast(bar_n), "a")
+                .where(F.col("ark") > F.col("bar_ark"))
+                .select(*cols)
             )
-        )
-        eng = state.where(~F.col("is_rej")).select(*cols)
-        if n == prev_n:
-            converged = True
-            break
-        prev_n = n
+            state, n = loop_ckpt_counted(
+                doomed.select(*cols, F.lit(True).alias("is_rej")).unionByName(
+                    eng_n.select(*cols, F.lit(False).alias("is_rej"))
+                )
+            )
+            eng = state.where(~F.col("is_rej")).select(*cols)
+            if n == prev_n:
+                converged = True
+                break
+            prev_n = n
+    finally:
+        # every loop-state relation is checkpoint-materialized inside the
+        # loop, so restoring the session default here cannot change what
+        # the (lazy) final projection computes
+        sparks.conf.set("spark.sql.shuffle.partitions", prev_sp)
     if not converged and not _scale.AUDIT_ITERATION_MODE:
         # The L+1 bound assumed each free proposer consumes a list entry
         # every round, which bumping violates (see docstring); fail LOUD
