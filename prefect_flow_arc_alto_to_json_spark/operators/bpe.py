@@ -121,6 +121,34 @@ def _bpe_train_loop(
     spark, vocab0: DataFrame, k: int
 ) -> tuple[DataFrame, DataFrame]:
     vocab = vocab0.localCheckpoint()
+    # Size-adaptive loop parallelism (round-14; the dedup_components /
+    # q_stable_matching precedent): the corpus pass above keeps full
+    # parallelism, but every loop relation is VOCABULARY-sized, so on
+    # small vocabularies the k merge steps cost mostly task scheduling
+    # (32 shuffle partitions x pair-count agg x steps for a few thousand
+    # rows). vocab is just materialized — sizing it is one cheap count;
+    # big vocabularies keep the session default (the 100 TB path
+    # unchanged). Restore is safe: every loop relation is EAGERLY
+    # checkpointed inside the window (top via its ckpt + isEmpty, vocab
+    # via its ckpt), so nothing lazy escapes.
+    n_vocab = vocab.count()
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    shrunk = n_vocab < 50_000 * int(prev_sp)
+    if shrunk:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(4, min(int(prev_sp), n_vocab // 50_000 + 4))),
+        )
+    try:
+        return _bpe_merge_steps(spark, vocab, k)
+    finally:
+        if shrunk:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+
+
+def _bpe_merge_steps(
+    spark, vocab: DataFrame, k: int
+) -> tuple[DataFrame, DataFrame]:
     out = None
     for step in range(1, k + 1):
         counts = (
